@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Accessors for the driver-generated test tables (TESTDATA.md).
   *
@@ -25,7 +27,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark can only read as
+    * long nanos (spark.sql.legacy.parquet.nanosAsLong — set by
+    * [[GraftSession]]/Verify/Bench). Convert to TimestampType here with
+    * integral `div` (a double-precision divide on ~1.7e18 nanos would be
+    * off by hundreds of ns). DuckDB's equivalent is `epoch_ns(ts)//1000`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

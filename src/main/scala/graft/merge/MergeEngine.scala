@@ -25,32 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object MergeEngine {
 
-  /** Null-safe or plain key equality. The reference uses
-    * `ISNULL(a,'')=ISNULL(b,'')` / `COALESCE(des.x,'')=COALESCE(src.x,'')`
-    * on nullable composite keys
-    * (dags/sql/ods_to_llb/update_des_table/staging_revenue_by_employee.sql:3-12).
-    * Spark's `<=>` is the exact semantic.
-    */
-  private def keyCond(left: DataFrame, right: DataFrame, keys: Seq[String],
-                      nullSafe: Boolean): Column =
-    keys.map { k =>
-      if (nullSafe) left(k) <=> right(k) else left(k) === right(k)
-    }.reduce(_ && _)
-
   /** Deterministic latest-wins dedup of the source batch before merging.
     *
     * Postgres MERGE errors on duplicate source keys; the reference either
     * pre-dedups with ROW_NUMBER (hrm_employee.sql:1-26) or relies on
     * upstream PK uniqueness. The engine always resolves: keep the row with
     * the greatest cursor value per key (SURVEY.md §7.4 "duplicate keys in
-    * source batches").
+    * source batches"). A content hash over all columns breaks cursor ties,
+    * so replayed batches pick the same winner every run (true ties are
+    * byte-identical rows, where any pick is the same row).
     */
   def latestPerKey(src: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
-    if (orderBy.isEmpty) src.dropDuplicates(keys)
-    else {
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
-      src.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    }
+    val tiebreak = xxhash64(src.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy :+ tiebreak.asc: _*)
+    src.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
   /** M1/M2 — keyed upsert with optional late-update guard.
@@ -71,25 +59,39 @@ object MergeEngine {
     val src = latestPerKey(source, cfg.keys, cursorOrder)
       .select(target.columns.map(col): _*)
 
+    // Prefix-rename BOTH sides before the join. toDF allocates fresh
+    // attribute ids and the disjoint names let every downstream reference
+    // resolve by name — which is what makes replay (`upsert(upsert(t,s),s)`,
+    // the backdate-DAG shape, SURVEY.md §2.8) legal: the first output shares
+    // lineage with `source`, and df("col")-style references on a re-merge
+    // trip Spark's ambiguous-self-join detection.
+    val t_ = (c: String) => s"__t_$c"
+    val s_ = (c: String) => s"__s_$c"
     // presence markers make "matched" detection key-null-proof (keys can be
     // NULL under null-safe equality, so key.isNotNull is not a valid probe)
-    val tm = target.withColumn("__tp", lit(1)).alias("t")
-    val sm = src.withColumn("__sp", lit(1)).alias("s")
-    val j = tm.join(sm, keyCond(tm, sm, cfg.keys, cfg.nullSafeKeys), "full_outer")
+    val tm = target.toDF(target.columns.map(t_): _*).withColumn("__tp", lit(1))
+    val sm = src.toDF(target.columns.map(s_): _*).withColumn("__sp", lit(1))
+    // Null-safe (`<=>`) or plain key equality: the reference uses
+    // `ISNULL(a,'')=ISNULL(b,'')` on nullable composite keys
+    // (dags/sql/ods_to_llb/update_des_table/staging_revenue_by_employee.sql:3-12).
+    val cond = cfg.keys.map { k =>
+      if (cfg.nullSafeKeys) col(t_(k)) <=> col(s_(k)) else col(t_(k)) === col(s_(k))
+    }.reduce(_ && _)
+    val j = tm.join(sm, cond, "full_outer")
 
     val guardAdmits: Column = cfg.guard match {
       case MergeGuard.None => lit(true)
       // NULL guard comparisons: SQL `des.x < src.x` is NULL→no update,
       // matching the reference MERGE's WHEN MATCHED AND semantics.
-      case MergeGuard.TargetOlder(c)    => tm(c) < sm(c)
-      case MergeGuard.SourceNotOlder(c) => sm(c) >= tm(c)
+      case MergeGuard.TargetOlder(c)    => col(t_(c)) < col(s_(c))
+      case MergeGuard.SourceNotOlder(c) => col(s_(c)) >= col(t_(c))
     }
     val takeSource =
       (col("__tp").isNull && col("__sp").isNotNull) ||            // INSERT
       (col("__tp").isNotNull && col("__sp").isNotNull && guardAdmits) // guarded UPDATE
 
     j.select(target.columns.map { c =>
-      when(takeSource, sm(c)).otherwise(tm(c)).as(c)
+      when(takeSource, col(s_(c))).otherwise(col(t_(c))).as(c)
     }.toSeq: _*)
   }
 
@@ -118,8 +120,12 @@ object MergeEngine {
     * (`spark.sql.sources.partitionOverwriteMode=dynamic` semantics). */
   def dynamicPartitionOverwrite(target: DataFrame, source: DataFrame,
                                 partitionCol: String): DataFrame = {
-    val parts = source.select(partitionCol).distinct()
-    target.join(parts, Seq(partitionCol), "left_anti")
+    // `<=>` so a NULL partition in the source replaces the target's NULL
+    // partition, matching Spark's own dynamic partition overwrite (a plain
+    // `===` anti-join would keep the old NULL-partition rows AND append the
+    // new ones — duplicates).
+    val parts = source.select(col(partitionCol).as("__part")).distinct()
+    target.join(parts, col(partitionCol) <=> col("__part"), "left_anti")
       .unionByName(source.select(target.columns.map(col): _*))
   }
 }

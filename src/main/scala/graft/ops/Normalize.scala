@@ -124,15 +124,15 @@ object Normalize {
   }
 
   private def try_cast_col(c: Column, dt: DataType): Column = dt match {
-    // try_cast of a string like "12.7" to long fails; route via double then
-    // guard the int64-range the way the reference guards int32
+    // Integral targets: try the exact integral cast first (keeps bigint
+    // surrogate keys above 2^53 exact — a double detour would round them),
+    // and only route fractional strings like "12.7" through DECIMAL, which
+    // truncates toward zero and turns overflow into NULL — the same
+    // null-on-out-of-range the reference's per-cell int guards apply
+    // (pns_to_ods_optimize.py:148-163).
     case LongType | IntegerType =>
-      val d = c.cast(StringType).try_cast("double")
-      val bounded = dt match {
-        case IntegerType => when(d.between(Int.MinValue.toDouble, Int.MaxValue.toDouble), d)
-        case _           => when(d.between(Long.MinValue.toDouble, Long.MaxValue.toDouble), d)
-      }
-      bounded.cast(dt)
+      val s = c.cast(StringType)
+      coalesce(s.try_cast(dt.sql), s.try_cast("decimal(38,9)").try_cast(dt.sql))
     case _ => c.try_cast(dt.sql)
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
   *
   * The reference drives every pipeline from JSON parameter files mapping
   * column name → pandas dtype plus cursor/key metadata
-  * (reference pipeline_params/*.json, applied via `astype` at
+  * (reference pipeline_params JSON files, applied via `astype` at
   * plugins/operators/bccp_to_ods.py:240). We keep the same
   * "schema is config, not code" decision (SURVEY.md §1.2) but express it as
   * Spark `StructType` plus merge metadata, so one [[TableConfig]] fully

@@ -1,0 +1,133 @@
+package graft.merge
+
+import graft.SparkSpec
+import graft.schema.{MergeGuard, TableConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spec for the M1–M4 merge algebra (SURVEY.md §2.6), including the
+  * idempotent-replay property the reference's backdate DAGs rely on.
+  */
+class MergeEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg(guard: MergeGuard = MergeGuard.None,
+                  keys: Seq[String] = Seq("k"),
+                  nullSafe: Boolean = false) =
+    TableConfig("t.t", null, keys, cursorField = Some("ts"),
+      guard = guard, nullSafeKeys = nullSafe)
+
+  private def df(rows: (String, Long, String)*): DataFrame =
+    rows.toSeq.toDF("k", "ts", "v")
+
+  test("M2 unguarded upsert: insert + update + passthrough") {
+    val target = df(("a", 1L, "old-a"), ("b", 1L, "old-b"))
+    val source = df(("b", 2L, "new-b"), ("c", 1L, "new-c"))
+    val out = MergeEngine.upsert(target, source, cfg())
+    assertSameRows(out, df(("a", 1L, "old-a"), ("b", 2L, "new-b"), ("c", 1L, "new-c")))
+  }
+
+  test("M1 TargetOlder guard: stale source row does not clobber newer target") {
+    val target = df(("a", 5L, "target-newer"), ("b", 1L, "target-older"))
+    val source = df(("a", 3L, "stale"), ("b", 2L, "fresh"))
+    val out = MergeEngine.upsert(target, source, cfg(MergeGuard.TargetOlder("ts")))
+    assertSameRows(out, df(("a", 5L, "target-newer"), ("b", 2L, "fresh")))
+  }
+
+  test("M1 TargetOlder guard: equal cursor does NOT update (strict <)") {
+    val target = df(("a", 5L, "target"))
+    val source = df(("a", 5L, "source"))
+    val out = MergeEngine.upsert(target, source, cfg(MergeGuard.TargetOlder("ts")))
+    assertSameRows(out, df(("a", 5L, "target")))
+  }
+
+  test("M1 SourceNotOlder guard: ties win (>=)") {
+    val target = df(("a", 5L, "target"))
+    val source = df(("a", 5L, "source"))
+    val out = MergeEngine.upsert(target, source, cfg(MergeGuard.SourceNotOlder("ts")))
+    assertSameRows(out, df(("a", 5L, "source")))
+  }
+
+  test("M1 guard with NULL cursor: no update (SQL comparison semantics)") {
+    val target = Seq(("a", Option(5L), "target")).toDF("k", "ts", "v")
+    val source = Seq(("a", Option.empty[Long], "source")).toDF("k", "ts", "v")
+    val out = MergeEngine.upsert(target, source, cfg(MergeGuard.TargetOlder("ts")))
+    assertSameRows(out, target)
+  }
+
+  test("null-safe composite keys: NULL key components match each other") {
+    val target = Seq((Some("x"), Option.empty[String], 1L, "old"))
+      .toDF("k1", "k2", "ts", "v")
+    val source = Seq((Some("x"), Option.empty[String], 2L, "new"),
+                     (Option.empty[String], Some("y"), 1L, "ins"))
+      .toDF("k1", "k2", "ts", "v")
+    val c = cfg(keys = Seq("k1", "k2"), nullSafe = true)
+    val out = MergeEngine.upsert(target, source, c)
+    assertSameRows(out, Seq(
+      (Some("x"), Option.empty[String], 2L, "new"),
+      (Option.empty[String], Some("y"), 1L, "ins")).toDF("k1", "k2", "ts", "v"))
+    // without null-safe keys the NULL-keyed target row can never match:
+    // the source row INSERTs alongside it
+    val out2 = MergeEngine.upsert(target, source, cfg(keys = Seq("k1", "k2")))
+    assert(out2.count() == 3)
+  }
+
+  test("duplicate source keys resolve latest-wins by cursor before merge") {
+    val target = df(("a", 0L, "old"))
+    val source = df(("a", 1L, "mid"), ("a", 3L, "latest"), ("a", 2L, "later"))
+    val out = MergeEngine.upsert(target, source, cfg())
+    assertSameRows(out, df(("a", 3L, "latest")))
+  }
+
+  test("latestPerKey is deterministic under cursor ties (content tiebreak)") {
+    val src = df(("a", 1L, "zzz"), ("a", 1L, "aaa"), ("b", 1L, "only"))
+    val picks = (1 to 3).map { _ =>
+      canon(MergeEngine.latestPerKey(src, Seq("k"), Seq(col("ts").desc)))
+    }
+    assert(picks.distinct.size == 1)
+    // no-order variant (W2 dropDuplicates shape) is also deterministic
+    val picks2 = (1 to 3).map { _ =>
+      canon(MergeEngine.latestPerKey(src, Seq("k"), Nil))
+    }
+    assert(picks2.distinct.size == 1)
+  }
+
+  test("replay idempotence: upsert(upsert(t,s),s) == upsert(t,s) per guard") {
+    val target = df(("a", 5L, "ta"), ("b", 1L, "tb"))
+    val source = df(("b", 2L, "sb"), ("c", 1L, "sc"), ("c", 4L, "sc2"))
+    for (g <- Seq(MergeGuard.None, MergeGuard.TargetOlder("ts"),
+                  MergeGuard.SourceNotOlder("ts"))) {
+      val once = MergeEngine.upsert(target, source, cfg(g))
+      val twice = MergeEngine.upsert(once, source, cfg(g))
+      assertSameRows(twice, once)
+      // and a third round, through the same lineage again
+      assertSameRows(MergeEngine.upsert(twice, source, cfg(g)), once)
+    }
+  }
+
+  test("M4 partitionOverwrite: replaces only the [lo,hi) window, keeps NULLs") {
+    val target = Seq((Some(1), "t1"), (Some(2), "t2"), (Some(3), "t3"),
+                     (Option.empty[Int], "tn")).toDF("p", "v")
+    val source = Seq((Some(2), "s2"), (Some(9), "out-of-window")).toDF("p", "v")
+    val out = MergeEngine.partitionOverwrite(target, source, "p", lit(2), lit(3))
+    assertSameRows(out, Seq((Some(1), "t1"), (Some(2), "s2"), (Some(3), "t3"),
+                            (Option.empty[Int], "tn")).toDF("p", "v"))
+  }
+
+  test("M4 dynamic overwrite: replaces present partitions incl. NULL partition") {
+    val target = Seq((Some(1), "t1"), (Some(2), "t2"),
+                     (Option.empty[Int], "tn")).toDF("p", "v")
+    val source = Seq((Some(2), "s2"), (Option.empty[Int], "sn")).toDF("p", "v")
+    val out = MergeEngine.dynamicPartitionOverwrite(target, source, "p")
+    assertSameRows(out, Seq((Some(1), "t1"), (Some(2), "s2"),
+                            (Option.empty[Int], "sn")).toDF("p", "v"))
+  }
+
+  test("M4 partitionOverwrite replay is idempotent") {
+    val target = Seq((1, "t1"), (2, "t2")).toDF("p", "v")
+    val source = Seq((2, "s2")).toDF("p", "v")
+    val once = MergeEngine.partitionOverwrite(target, source, "p", lit(2), lit(3))
+    val twice = MergeEngine.partitionOverwrite(once, source, "p", lit(2), lit(3))
+    assertSameRows(twice, once)
+  }
+}
