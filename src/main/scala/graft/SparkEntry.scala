@@ -1,13 +1,528 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.marts.Marts
+import graft.merge.MergeEngine
+import graft.ops.Normalize
+import graft.schema.{MergeGuard, SchemaRegistry, TableConfig}
+import graft.sources.Windowed
+import graft.validate.Checks
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + the LLM-pipeline operator families), each with
+  * DuckDB-equivalent `oracleSql` where the semantics are SQL-expressible.
+  *
+  * Determinism rules used throughout so Spark and DuckDB hash-match:
+  *  - money/metric sums go through DECIMAL (exact, associative) and are
+  *    cast back to DOUBLE at the end;
+  *  - timestamps are emitted as `unix_micros` bigints or formatted strings
+  *    (DuckDB reads the ns-precision parquet truncated to the same micros);
+  *  - floating results that cross engines (cosine) are rounded;
+  *  - every computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The E3 revenue mart — scan+broadcast join+filter+agg in one job. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("revenue_mart")(spark, "/root/testdata/sf0.001")
+
+  private def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── core relational (SURVEY §2.3–2.5) ─────────────────────────────
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          decSum(col("l_quantity")).as("sum_qty"),
+          decSum(col("l_extendedprice")).as("sum_base_price"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "revenue_mart" -> ((s, d) => {
+      // E3: fact LEFT JOIN broadcast dim → flag filters → groupBy → sums
+      val fact = Tables.lineitem(s, d).withColumnRenamed("l_partkey", "p_partkey")
+      Marts.joinAgg(fact, Seq((Tables.part(s, d), "p_partkey")),
+        col("l_returnflag") === "A" && col("l_linestatus") === "F" && col("l_discount") > 0.02,
+        Seq("p_brand", "p_type"),
+        Seq(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+            decSum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_items")))
+    }),
+
+    "j1_region_summary" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"),
+             decSum(col("c_acctbal")).as("total_acctbal"))
+    }),
+
+    "w1_dedup_latest" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                col("event_type"))
+    }),
+
+    "w2_distinct_types" -> ((s, d) =>
+      Tables.events(s, d).select("event_type").distinct()),
+
+    // ── incremental / CDC (SURVEY §2.8) ───────────────────────────────
+    "p4_cursor_window" -> ((s, d) =>
+      Windowed.cursorWindow(Tables.events(s, d), "ts", ts("2024-01-10"), ts("2024-01-20"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("ts_us"), col("value"))),
+
+    "a2_freshness" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        unix_micros(max(col("ts"))).as("max_ts_us"),
+        max(col("event_id")).as("max_event_id"))),
+
+    "a4_watermark_tail" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val wm = ev.agg(max(col("ts")).as("wm"))
+      ev.join(broadcast(wm))
+        .filter(col("ts") > col("wm") - expr("INTERVAL 5 DAYS"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    }),
+
+    // ── rollup marts (SURVEY §2.4 A5 / §2.6 M6) ───────────────────────
+    "a5_day_rollup" -> ((s, d) =>
+      Marts.dayRollup(Tables.events(s, d), "ts", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), decSum(col("value")).as("total_value")))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))),
+
+    "a5_month_rollup" -> ((s, d) =>
+      Marts.monthRollup(Tables.events(s, d), "ts", Seq("event_type"),
+        Seq(count(lit(1)).as("n"), decSum(col("value")).as("total_value")))),
+
+    // ── merge semantics (SURVEY §2.6) ─────────────────────────────────
+    "m1_guarded_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      val target = latest(ev.filter(col("ts") < ts("2024-01-15")))
+      val source = latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20")))
+      val cfg = TableConfig("ods.events", null, Seq("user_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      MergeEngine.upsert(target, source, cfg)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
+    "m2_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      val target = latest(ev.filter(col("ts") < ts("2024-01-15")))
+      val source = latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20")))
+      val cfg = TableConfig("ods.events", null, Seq("user_id"), cursorField = Some("ts"))
+      MergeEngine.upsert(target, source, cfg)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
+    "m3_snapshot" -> ((s, d) =>
+      MergeEngine.snapshot(
+        Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
+
+    "m4_partition_overwrite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tgt = ev.select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+      val src = ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-15"))
+        .select(col("event_id"), to_date(col("ts")).as("day"), (col("value") * 2).as("value"))
+      MergeEngine.partitionOverwrite(tgt, src, "day",
+          lit("2024-01-10").cast("date"), lit("2024-01-15").cast("date"))
+        .select(col("event_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("value"))
+    }),
+
+    "m4_dynamic_overwrite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val tgt = ev.select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+      val src = ev.filter(to_date(col("ts")) === lit("2024-01-12").cast("date"))
+        .select(col("event_id"), to_date(col("ts")).as("day"), (col("value") * 3).as("value"))
+      MergeEngine.dynamicPartitionOverwrite(tgt, src, "day")
+        .select(col("event_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("value"))
+    }),
+
+    // ── projection / scalar normalization (SURVEY §2.2) ───────────────
+    "p123_project_blank_null" -> ((s, d) => {
+      val c = Normalize.project(Tables.customer(s, d), Seq("c_custkey", "c_name", "c_acctbal"))
+      Normalize.nullColumns(Normalize.blankColumns(c, Seq("c_name")), Seq("c_acctbal"))
+    }),
+
+    "p7_scrub" -> ((s, d) =>
+      Normalize.scrubStrings(Tables.documents(s, d).select("doc_id", "text"), alsoTrim = true)),
+
+    "p8_snake_case" -> ((s, d) =>
+      Normalize.snakeCaseColumns(
+        Tables.customer(s, d).select(col("c_custkey").as("CustKey"),
+                                     col("c_mktsegment").as("MktSegment")))),
+
+    "p11_sentinel_dates" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val seeded = ev.select(col("event_id"),
+        when(col("event_id") % 3 === 0, ts("2261-06-15")).otherwise(col("ts")).as("d"))
+      Normalize.restoreSentinelDates(seeded, Seq("d"))
+        .select(col("event_id"), date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("d"))
+    }),
+
+    "p12_null_early_dates" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val seeded = ev.select(col("event_id"),
+        when(col("event_id") % 5 === 0, ts("1599-01-01")).otherwise(col("ts")).as("d"))
+      Normalize.nullEarlyDates(seeded, Seq("d"))
+        .select(col("event_id"), date_format(col("d"), "yyyy-MM-dd HH:mm:ss").as("d"))
+    }),
+
+    "p13_dotted_number" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        Normalize.repairDottedNumber(
+          concat(col("l_orderkey").cast("string"), lit("."),
+                 col("l_linenumber").cast("string"))).as("repaired"))),
+
+    "p15_yyyymmdd" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), date_format(col("ts"), "yyyyMMdd").cast("int").as("ymd"))
+        .select(col("event_id"), col("ymd"),
+          date_format(Normalize.yyyymmddToDate(col("ymd")), "yyyy-MM-dd").as("day"),
+          Normalize.yyyymmToMonth(col("ymd")).as("ym"))),
+
+    "p16_surrogate_key" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        Normalize.surrogateKey(Seq("c_custkey", "c_name", "c_mktsegment")).as("sk"))),
+
+    "s7_coerce" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val dirty = o.select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("junk"))
+          .otherwise(col("o_orderkey").cast("string")).as("k_str"),
+        col("o_custkey").cast("string").as("c_str"))
+      Normalize.coerce(dirty, SchemaRegistry.structOf(
+        "o_orderkey" -> "Int64", "k_str" -> "Int64", "c_str" -> "float64"))
+    }),
+
+    // ── validation (SURVEY §2.10) ─────────────────────────────────────
+    "v2_unique_violations" -> ((s, d) =>
+      Checks.duplicateKeys(Tables.lineitem(s, d), Seq("l_orderkey"))),
+
+    "v2_null_counts" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"))),
+
+    // ── LLM-pipeline: dedup ───────────────────────────────────────────
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    "dedup_neardup" -> ((s, d) =>
+      Dedup.nearDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+        .select("doc_id")),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+
+    "dedup_cosine_pairs" -> ((s, d) => {
+      // plant exact duplicates (vec_id+1000000) so the detector has real
+      // near-dups to find; random embeddings never reach cosine 0.95, so
+      // the expected output is exactly the planted pairs
+      val e = Tables.embeddings(s, d)
+      val planted = e.filter(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+      Similarity.cosineNearDupPairs(e.unionByName(planted), "embedding", "vec_id",
+          planes, threshold = 0.95)
+        .select(col("ida"), col("idb"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // ── LLM-pipeline: similarity search ───────────────────────────────
+    "ann_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+      Similarity.annTopK(Similarity.buildLshIndex(e, "embedding", planes),
+        "embedding", "vec_id", q, 10, planes)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // ── LLM-pipeline: text analysis ───────────────────────────────────
+    "text_stats" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("text_len"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"))),
+
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "text_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+
+    // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.extractMeta(
+        Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
+        .select(col("doc_id"), col("byte_size"), col("format")))
+  )
+
+  /** DuckDB oracle SQL per query (same tables as parquet views). Omitted
+    * for approximation-based operators (LSH ANN, minhash near-dup, simhash,
+    * cosine pair mining) — the driver records rows-only checks there. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "revenue_mart" ->
+      """SELECT p_brand, p_type,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_items
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |WHERE l_returnflag = 'A' AND l_linestatus = 'F' AND l_discount > 0.02
+        |GROUP BY p_brand, p_type""".stripMargin,
+
+    "j1_region_summary" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "w1_dedup_latest" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "w2_distinct_types" -> "SELECT DISTINCT event_type FROM events",
+
+    "p4_cursor_window" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""".stripMargin,
+
+    "a2_freshness" ->
+      "SELECT epoch_us(max(ts)) AS max_ts_us, max(event_id) AS max_event_id FROM events",
+
+    "a4_watermark_tail" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |WHERE ts > (SELECT max(ts) - INTERVAL 5 DAY FROM events)""".stripMargin,
+
+    "a5_day_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a5_month_rollup" ->
+      """SELECT CAST(strftime(ts, '%Y%m') AS INT) AS month, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "m1_guarded_upsert" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20') WHERE rn = 1)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.event_id ELSE t.event_id END AS event_id,
+        |  epoch_us(CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.ts ELSE t.ts END) AS ts_us,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.value ELSE t.value END AS value
+        |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id""".stripMargin,
+
+    "m2_upsert" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20') WHERE rn = 1)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |  CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+        |  epoch_us(CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END) AS ts_us,
+        |  CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
+        |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id""".stripMargin,
+
+    "m3_snapshot" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+
+    "m4_partition_overwrite" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+        |WHERE ts < TIMESTAMP '2024-01-10' OR ts >= TIMESTAMP '2024-01-15'
+        |UNION ALL
+        |SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value * 2 AS value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'""".stripMargin,
+
+    "m4_dynamic_overwrite" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') <> '2024-01-12'
+        |UNION ALL
+        |SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value * 3 AS value FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-12'""".stripMargin,
+
+    "p123_project_blank_null" ->
+      "SELECT c_custkey, '' AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer",
+
+    "p7_scrub" ->
+      """SELECT doc_id, trim(regexp_replace(text, '[\r\x00]', '', 'g')) AS text FROM documents""",
+
+    "p8_snake_case" ->
+      "SELECT c_custkey AS cust_key, c_mktsegment AS mkt_segment FROM customer",
+
+    "p11_sentinel_dates" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 3 = 0 THEN '9999-12-31 00:00:00'
+        |      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS d
+        |FROM events""".stripMargin,
+
+    "p12_null_early_dates" ->
+      """SELECT event_id,
+        | CASE WHEN event_id % 5 = 0 THEN NULL
+        |      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS d
+        |FROM events""".stripMargin,
+
+    "p13_dotted_number" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(replace(CAST(l_orderkey AS VARCHAR) || '.' || CAST(l_linenumber AS VARCHAR), '.', '') AS BIGINT) AS repaired
+        |FROM lineitem""".stripMargin,
+
+    "p15_yyyymmdd" ->
+      """SELECT event_id, CAST(strftime(ts, '%Y%m%d') AS INT) AS ymd,
+        | strftime(ts, '%Y-%m-%d') AS day,
+        | CAST(CAST(strftime(ts, '%Y%m%d') AS INT) // 100 AS INT) AS ym
+        |FROM events""".stripMargin,
+
+    "p16_surrogate_key" ->
+      """SELECT c_custkey,
+        | sha256(coalesce(CAST(c_custkey AS VARCHAR), '__null__') || '||' ||
+        |        coalesce(c_name, '__null__') || '||' ||
+        |        coalesce(c_mktsegment, '__null__')) AS sk
+        |FROM customer""".stripMargin,
+
+    "s7_coerce" ->
+      """SELECT o_orderkey,
+        | TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'junk' ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT) AS k_str,
+        | TRY_CAST(CAST(o_custkey AS VARCHAR) AS DOUBLE) AS c_str
+        |FROM orders""".stripMargin,
+
+    "v2_unique_violations" ->
+      """SELECT l_orderkey, count(*) AS cnt FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
+
+    "v2_null_counts" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        | CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
+        |FROM orders""".stripMargin,
+
+    "dedup_cosine_pairs" ->
+      """SELECT vec_id AS ida, vec_id + 1000000 AS idb, 1.0 AS cosine
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM documents) WHERE rn = 1""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS ne
+        |  FROM e JOIN q USING (i) GROUP BY e.vec_id),
+        |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn)), 4) AS cosine
+        |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn)) DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | length(text) AS text_len,
+        | round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        | round(least(n_tokens / 100.0, 1.0) * 0.4 +
+        |       (CASE WHEN mean_wl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+        |       (1.0 - least(punct_r * 5.0, 1.0)) * 0.2 +
+        |       (1.0 - least(upper_r * 5.0, 1.0)) * 0.2, 6) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |   CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+        |   length(trim(text)) * 1.0 / len(string_split_regex(trim(text), '\s+')) AS mean_wl,
+        |   length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text) AS punct_r,
+        |   length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text) AS upper_r
+        |  FROM documents)""".stripMargin,
+
+    "text_lang_id" ->
+      """SELECT doc_id,
+        | CASE WHEN regexp_matches(text, '\p{Han}') THEN 'zh'
+        |      WHEN s_en = best AND best > 0 THEN 'en'
+        |      WHEN s_de = best AND best > 0 THEN 'de'
+        |      WHEN s_fr = best AND best > 0 THEN 'fr'
+        |      WHEN s_es = best AND best > 0 THEN 'es'
+        |      ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM (
+        |    SELECT doc_id, text,
+        |     len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with)\b')) AS s_en,
+        |     len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS s_de,
+        |     len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans|pour|une)\b')) AS s_fr,
+        |     len(regexp_extract_all(lower(text), '\b(el|la|los|y|es|en|que|por)\b')) AS s_es
+        |    FROM documents))""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
+        | 'unknown' AS format
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, language ID,
+  * quality scoring, fingerprinting. Pure `Column` expressions — every
+  * operator runs inside whole-stage codegen and scales as a narrow map
+  * over the corpus (no shuffle at all until the caller aggregates).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word pieces + standalone punctuation, the
+    * usual `\w+|[^\w\s]` pre-tokenizer regex. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Character classes for quality stats. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") / n.cast("double"))
+  }
+
+  def upperRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") / n.cast("double"))
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "por"))
+
+  /** Stopword-hit count for one language's list (word-boundary matches on
+    * the lowercased text). */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val pattern = "\\b(" + stopwords(lang).mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+  }
+
+  /** n-gram-heuristic language ID: CJK codepoints → zh; otherwise argmax
+    * of per-language stopword hits, 'und' (undetermined) when no list
+    * fires. Deterministic ties: language list order. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\p{IsHan}]", "")) > 0
+    val scored = Seq("en", "de", "fr", "es").map(l => (l, stopwordHits(text, l)))
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight: earlier languages win ties; CJK short-circuits everything
+    val pick = scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(cjk, lit("zh")).otherwise(pick)
+  }
+
+  /** Composite quality score in [0,1]: reward mid-length docs and healthy
+    * word length, penalize punctuation/uppercase excess. The exact blend is
+    * this engine's policy (the reference has no equivalent); each component
+    * is independently usable. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val meanWordLen = when(toks > 0, length(trim(text)).cast("double") / toks).otherwise(0.0)
+    val lenScore = least(toks / lit(100.0), lit(1.0))                 // saturates at 100 tokens
+    val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val upperScore = lit(1.0) - least(upperRatio(text) * 5.0, lit(1.0))
+    round((lenScore * 0.4 + wordLenScore * 0.2 + punctScore * 0.2 + upperScore * 0.2), 6)
+  }
+
+  /** Content fingerprint of the normalized text (lowercase, collapsed
+    * whitespace): md5 for a canonical id, xxhash64 for a cheap 64-bit
+    * join key. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+}

@@ -1,0 +1,66 @@
+package graft.marts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join/aggregate marts (SURVEY.md §2.3 J1, §2.4 A1/A2/A5, §2.6 M6).
+  *
+  * The reference's only join+aggregate mart is revenue_by_employee
+  * (dags/sql/ods_to_llb/extract/staging_revenue_by_employee.sql:1-26):
+  * fact LEFT JOIN small dim → flag filters → 10-key GROUP BY → two
+  * coalesce-SUMs. The Spark shape broadcasts the dim (no shuffle on the
+  * fact for the join; the only wide stage is the final partial+final hash
+  * aggregation on the group keys — exactly one shuffle at any scale).
+  */
+object Marts {
+
+  /** J1+A1+P5 — fact LEFT JOIN broadcast(dim), filter, groupBy, aggregate.
+    * `dims` are (dimFrame, joinKey) pairs; each dim is explicitly
+    * broadcast (the reference's dims are tiny lookup tables). */
+  def joinAgg(fact: DataFrame,
+              dims: Seq[(DataFrame, String)],
+              flags: Column,
+              groupKeys: Seq[String],
+              aggs: Seq[Column]): DataFrame = {
+    val joined = dims.foldLeft(fact) { case (f, (dim, key)) =>
+      f.join(broadcast(dim), Seq(key), "left")
+    }
+    joined.filter(flags)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A2/A4 — freshness probe: max of a column as a driver scalar (one-row
+    * aggregate; scale-independent). NULL/empty → None. */
+  def maxOf(df: DataFrame, c: String): Option[Any] =
+    Option(df.agg(max(col(c))).head().get(0))
+
+  /** A5 — day-grain rollup: groupBy(date(ts), extra keys).aggs. */
+  def dayRollup(src: DataFrame, tsCol: String, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    src.groupBy((to_date(col(tsCol)).as("day") +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** A5 — month-grain rollup (`yyyymm` int, the reference's
+    * `updated_day / 100` grain, update_datamart.sql:24-26). */
+  def monthRollup(src: DataFrame, tsCol: String, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    src.groupBy((date_format(col(tsCol), "yyyyMM").cast("int").as("month") +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** M6 — conditional datamart refresh: run the rollup only when the source
+    * has newer data than the destination
+    * (update_datamart.sql:4-29: IF max(src.status_date) >
+    * max(dest.delivery_date) THEN call day+month procs). Compares two
+    * one-row aggregates on the driver — the reference does the identical
+    * scalar compare inside a PL/pgSQL DO block. Returns None when fresh.
+    */
+  def refreshIfStale[T](src: DataFrame, srcTs: String,
+                        dest: DataFrame, destTs: String)(rollup: => T): Option[T] = {
+    val srcMax = maxOf(src, srcTs).map(String.valueOf)
+    val destMax = maxOf(dest, destTs).map(String.valueOf)
+    (srcMax, destMax) match {
+      case (None, _)          => None              // no source data → nothing to do
+      case (Some(_), None)    => Some(rollup)      // empty dest → always build
+      case (Some(s), Some(d)) => if (s > d) Some(rollup) else None
+    }
+  }
+}

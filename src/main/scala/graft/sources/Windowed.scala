@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.schema.TableConfig
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental CDC-window extraction (SURVEY.md §2.8, S1–S3/P4).
+  *
+  * The reference generates `WHERE cursor >= :start AND cursor < :end` into
+  * every source query (casreport_to_ods.py:252-301, bccp_to_ods.py:185-210)
+  * — a half-open `[start, end)` window on the table's cursor column. Here
+  * the predicate is a plain Catalyst filter, so it pushes down to the scan
+  * (parquet row-group pruning / JDBC WHERE) instead of being string-spliced
+  * into SQL. At cluster scale the same call reads a date-partitioned table
+  * and the filter prunes partitions.
+  */
+object Windowed {
+
+  /** Half-open cursor window: start inclusive, end exclusive — the boundary
+    * semantics every reference pipeline depends on for no-gap/no-overlap
+    * scheduling. */
+  def cursorWindow(df: DataFrame, cursorField: String, start: Column, end: Column): DataFrame =
+    df.filter(col(cursorField) >= start && col(cursorField) < end)
+
+  def cursorWindow(df: DataFrame, cfg: TableConfig, start: Column, end: Column): DataFrame =
+    cursorWindow(df, cfg.cursorField.getOrElse(
+      throw new IllegalArgumentException(s"${cfg.name}: no cursorField configured")),
+      start, end)
+
+  /** Int-typed `yyyymmdd` cursor variant (casreport_to_ods.py:272-283). */
+  def intCursorWindow(df: DataFrame, cursorField: String, startYmd: Int, endYmd: Int): DataFrame =
+    df.filter(col(cursorField) >= startYmd && col(cursorField) < endYmd)
+}
+
+/** Per-table incremental watermark store (SURVEY.md §2.8: "model as
+  * incremental batch with a watermark table"; the dbt incremental
+  * `max(dbt_updated_at)` guard, dim_casreport_services.sql:25-28).
+  *
+  * Watermarks are tiny (one row per table) — a driver-side read is correct
+  * at any scale. Persistence is an append-only parquet log compacted on
+  * read (latest row per table wins), so concurrent pipelines never lose a
+  * watermark to a read-modify-write race on the file.
+  */
+final class WatermarkStore(spark: SparkSession, path: String) {
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("watermark", StringType, nullable = false),
+    StructField("logged_at", TimestampType, nullable = false)))
+
+  private def log: DataFrame =
+    if (new java.io.File(path).exists) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Latest recorded watermark for a table (lexicographic timestamps —
+    * store ISO-8601 or zero-padded numerics). */
+  def get(table: String): Option[String] =
+    log.filter(col("table_name") === table)
+      .orderBy(col("logged_at").desc)
+      .select("watermark").limit(1)
+      .collect().headOption.map(_.getString(0))
+
+  def set(table: String, watermark: String): Unit = {
+    import spark.implicits._
+    Seq((table, watermark)).toDF("table_name", "watermark")
+      .withColumn("logged_at", current_timestamp())
+      .write.mode("append").parquet(path)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount and subwordCount") {
+    val df = Seq("hello world, how are you?", "", "  single  ").toDF("t")
+    val toks = df.select(TextAnalysis.tokenCount(col("t"))).as[Int].collect()
+    assert(toks sameElements Array(5, 0, 1))
+    val sub = df.select(TextAnalysis.subwordCount(col("t"))).as[Int].collect()
+    assert(sub.head == 7) // hello world , how are you ?
+  }
+
+  test("langId: stopword heuristic picks the right language") {
+    val df = Seq(
+      "the cat sat on the mat and looked at the dog",
+      "der hund ist nicht mit der katze und das haus",
+      "le chat est dans la maison et les oiseaux pour une fois",
+      "el perro es grande y los gatos en la casa que por",
+      "这是一个中文句子",
+      "zzz qqq xxx").toDF("t")
+    val langs = df.select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(langs sameElements Array("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("qualityScore: clean prose beats punctuation soup and shouting") {
+    val df = Seq(
+      "this is a reasonably long and well formed document with many normal words " * 3,
+      "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))",
+      "AAAA BBBB CCCC DDDD EEEE FFFF").toDF("t")
+    val q = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()
+    assert(q(0) > q(1) && q(0) > q(2))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val df = Seq(("a", "Hello   World"), ("b", "hello world"), ("c", "hello worlds"))
+      .toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.fingerprintMd5(col("t"))).as[(String, String)]
+      .collect().toMap
+    assert(fps("a") == fps("b"))
+    assert(fps("a") != fps("c"))
+  }
+}

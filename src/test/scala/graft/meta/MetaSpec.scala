@@ -1,0 +1,35 @@
+package graft.meta
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class MetaSpec extends SparkSpec {
+
+  test("V3 MetaStore.timed records success and failure, rethrows") {
+    val dir = Files.createTempDirectory("meta").toString + "/task_result"
+    val store = new MetaStore(spark, dir)
+    assert(store.timed("p1", "extract", "2024-01-01")(42) == 42)
+    intercept[RuntimeException] {
+      store.timed("p1", "load", "2024-01-01")(throw new RuntimeException("kaput"))
+    }
+    val rows = store.taskResults.collect()
+    assert(rows.length == 2)
+    val byTask = rows.map(r => r.getAs[String]("task") -> r.getAs[Boolean]("isSuccess")).toMap
+    assert(byTask("extract") && !byTask("load"))
+    assert(rows.exists(_.getAs[String]("result").contains("kaput")))
+  }
+
+  test("M7 BatchFanout: chunking, retry-until-success, bounded retries") {
+    var calls = 0
+    val outcomes = BatchFanout.runChunked((1 to 25).toSeq, chunkSize = 10, maxRetry = 3) { chunk =>
+      calls += 1
+      // second chunk fails twice then succeeds; third chunk always fails
+      if (chunk.head == 11 && calls < 4) throw new RuntimeException("flaky")
+      if (chunk.head == 21) throw new RuntimeException("dead")
+    }
+    assert(outcomes.map(_.size) == Seq(10, 10, 5))
+    assert(outcomes(0).success && outcomes(0).attempts == 1)
+    assert(outcomes(1).success && outcomes(1).attempts == 3)
+    assert(!outcomes(2).success && outcomes(2).attempts == 3 && outcomes(2).error.contains("dead"))
+  }
+}

@@ -1,0 +1,37 @@
+package graft.validate
+
+import graft.SparkSpec
+import graft.schema.SchemaRegistry
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("V1 schemaMatches: missing column and wrong type are caught") {
+    val df = Seq((1L, "x")).toDF("a", "b")
+    assert(Checks.schemaMatches(df, SchemaRegistry.structOf("a" -> "Int64", "b" -> "string")).passed)
+    val miss = Checks.schemaMatches(df, SchemaRegistry.structOf("a" -> "Int64", "zz" -> "string"))
+    assert(!miss.passed && miss.detail.contains("zz"))
+    val wrong = Checks.schemaMatches(df, SchemaRegistry.structOf("a" -> "string", "b" -> "string"))
+    assert(!wrong.passed && wrong.detail.contains("expected string"))
+  }
+
+  test("V2 notNull / unique / nonEmpty") {
+    val df = Seq((Some(1L), "a"), (None, "a"), (Some(3L), "b")).toDF("k", "v")
+    assert(!Checks.notNull(df, Seq("k")).passed)
+    assert(Checks.notNull(df, Seq("v")).passed)
+    assert(!Checks.unique(df, Seq("v")).passed)
+    assert(Checks.unique(df, Seq("k")).passed) // NULL groups: one null row only
+    assert(Checks.nonEmpty(df).passed)
+    assert(!Checks.nonEmpty(df.limit(0)).passed)
+    assert(canon(Checks.duplicateKeys(df, Seq("v"))) == Seq(Seq("a", "2")))
+  }
+
+  test("A3 rowCountReconciles + enforce throws on failure") {
+    assert(Checks.rowCountReconciles(5, 5).passed)
+    assert(!Checks.rowCountReconciles(5, 4).passed)
+    val e = intercept[IllegalStateException] {
+      Checks.enforce(Seq(CheckResult("x", passed = false, "boom")))
+    }
+    assert(e.getMessage.contains("boom"))
+  }
+}
