@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a narrow input across the cluster before CPU-heavy per-row
+    * work. A small corpus often arrives as ONE parquet file = one
+    * partition, serializing shingling/hashing onto a single core; at real
+    * scale inputs arrive pre-split and this is a no-op. */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Exact dedup: canonical duplicate-group id = md5 of the raw text; the
     * survivor is the lowest doc id per group (deterministic). One shuffle
     * on the 128-bit text hash — never on the text bytes themselves. */
@@ -37,13 +46,35 @@ object Dedup {
       .otherwise(array(concat_ws(" ", words)))
   }
 
-  /** MinHash signature columns: minhash_h = min over shingles of
-    * xxhash64(h, shingle). k independent hash families via the seed-column
-    * trick (xxhash64 of (family, value) pairs). */
-  private def minhashCols(shingleCol: Column, numHashes: Int): Seq[Column] =
-    (0 until numHashes).map { h =>
-      array_min(transform(shingleCol, s => xxhash64(lit(h), s))).as(s"mh_$h")
-    }
+  /** MinHash signature: one row per doc with mh_0..mh_{k-1} columns,
+    * mh_h = min over shingles of xxhash64(h, shingle) — k independent hash
+    * families via the seed-column trick.
+    *
+    * Shape matters: shingles EXPLODE first, then a single hash aggregate
+    * computes all k mins. Computing k `transform`s over a shingle-array
+    * column instead looks equivalent but lets Catalyst's projection
+    * collapse inline the (expensive) shingling expression into every one
+    * of the k columns — a k× slowdown measured at 64×. The explode shape
+    * shingles each doc exactly once, and the k mins partial-aggregate
+    * map-side, so the only shuffle carries k longs per doc per partition.
+    */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val ex = parallelize(docs).select(col(idCol),
+      explode(shingles(col(textCol), shingleSize)).as("__sh"))
+      // two-hash trick: hash the shingle string twice, derive the k
+      // families as h1 XOR rotl(h2, i) — k× fewer string hashes, same
+      // S-curve, and bitwise mixing never overflows under ANSI mode
+      // (Spark 4 default) the way Kirsch-Mitzenmacher h1 + i·h2 does
+      .select(col(idCol), xxhash64(col("__sh")).as("__h1"),
+              xxhash64(lit(1), col("__sh")).as("__h2"))
+    require(numHashes <= 64, "rotate-mix derivation supports at most 64 families")
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    val mins = (0 until numHashes).map(h =>
+      min(col("__h1").bitwiseXOR(rotl(col("__h2"), h))).as(s"mh_$h"))
+    ex.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
 
   /** MinHash + LSH banding: emits (id, band, bandHash) — one row per doc
     * per band. Docs sharing (band, bandHash) are near-dup candidates.
@@ -55,8 +86,7 @@ object Dedup {
                    numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("__sh"))
-      .select(col(idCol) +: minhashCols(col("__sh"), numHashes): _*)
+    val sig = minhashSignature(docs, idCol, textCol, numHashes, shingleSize)
     val bandStructs = (0 until bands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bandHash"))
@@ -81,13 +111,14 @@ object Dedup {
     * array intersection — pairs only, never all-pairs. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
+    val sh = parallelize(docs)
+      .select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val uni = (size(col("sha")) + size(col("shb"))).cast("double") - inter
     pairs
       .join(sh.withColumnsRenamed(Map("__id" -> "ida", "__sh" -> "sha")), Seq("ida"))
       .join(sh.withColumnsRenamed(Map("__id" -> "idb", "__sh" -> "shb")), Seq("idb"))
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("double"))
-      .withColumn("uni", (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
-      .select(col("ida"), col("idb"), (col("inter") / col("uni")).as("jaccard"))
+      .select(col("ida"), col("idb"), (inter / uni).as("jaccard"))
   }
 
   /** End-to-end MinHash-LSH near-dedup: drop every doc that is a verified
@@ -106,7 +137,7 @@ object Dedup {
     * frequency. 64 conditional sums in one hash aggregate — no UDF, one
     * shuffle on the doc id. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol),
+    val words = parallelize(docs).select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
       .withColumn("__h", xxhash64(col("__w")))
     val bitSums = (0 until 64).map { j =>
