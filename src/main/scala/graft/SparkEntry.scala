@@ -135,6 +135,24 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
     }),
 
+    "m1_replay_windows" -> ((s, d) => {
+      // the backdate-DAG shape (SURVEY §2.8): seed state, two overlapping
+      // windows, then REPLAY the first window — converged state must equal
+      // latest-per-key over the union of all three windows
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      val cfg = TableConfig("ods.events", null, Seq("user_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      val target0 = latest(ev.filter(col("ts") < ts("2024-01-05")))
+      val w1 = latest(ev.filter(col("ts") >= ts("2024-01-01") && col("ts") < ts("2024-01-15")))
+      val w2 = latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-25")))
+      val merged = MergeEngine.upsert(MergeEngine.upsert(target0, w1, cfg), w2, cfg)
+      MergeEngine.upsert(merged, w1, cfg) // backdate replay of w1
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
     "m3_snapshot" -> ((s, d) =>
       MergeEngine.snapshot(
         Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
@@ -382,6 +400,15 @@ object SparkEntry {
         |  epoch_us(CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END) AS ts_us,
         |  CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
         |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id""".stripMargin,
+
+    "m1_replay_windows" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events
+        |      WHERE ts < TIMESTAMP '2024-01-05'
+        |         OR (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15')
+        |         OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'))
+        |WHERE rn = 1""".stripMargin,
 
     "m3_snapshot" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",

@@ -55,12 +55,17 @@ object Marts {
     */
   def refreshIfStale[T](src: DataFrame, srcTs: String,
                         dest: DataFrame, destTs: String)(rollup: => T): Option[T] = {
-    val srcMax = maxOf(src, srcTs).map(String.valueOf)
-    val destMax = maxOf(dest, destTs).map(String.valueOf)
-    (srcMax, destMax) match {
+    // typed compare: numbers numerically, everything else (timestamps,
+    // dates, ISO strings) via toString ordering — a bare string compare
+    // would mis-order variable-width numerics like 9 vs 10
+    def newer(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Number, y: Number) => x.doubleValue() > y.doubleValue()
+      case (x, y)                 => String.valueOf(x) > String.valueOf(y)
+    }
+    (maxOf(src, srcTs), maxOf(dest, destTs)) match {
       case (None, _)          => None              // no source data → nothing to do
       case (Some(_), None)    => Some(rollup)      // empty dest → always build
-      case (Some(s), Some(d)) => if (s > d) Some(rollup) else None
+      case (Some(s), Some(d)) => if (newer(s, d)) Some(rollup) else None
     }
   }
 }

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.merge.MergeEngine
+import graft.schema.TableConfig
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table store — the durable ODS layer under the merge
+  * algebra (SURVEY.md §2.6).
+  *
+  * A merge's output cannot overwrite the parquet directory it is still
+  * reading, so each write lands in a fresh `v=N` subdirectory and readers
+  * take the highest committed version — snapshot isolation by pointer
+  * swap, the minimal file-layout ACID story without a table format.
+  *
+  * Scale note (stated, deliberate): [[upsert]] rewrites the full table per
+  * merge — correct algebra, v1 storage. At 100 TB with 5-minute cadence
+  * the same MergeEngine output must land through a transactional format's
+  * file-pruned merge (Delta/Iceberg) or a partition-scoped rewrite
+  * ([[overwritePartitions]] touches only affected partitions); the merge
+  * ALGORITHM is unchanged — only the sink swaps.
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def versions: Seq[Int] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
+  }
+
+  def latestVersion: Option[Int] = versions.lastOption
+
+  def read: Option[DataFrame] =
+    latestVersion.map(v => spark.read.parquet(s"$root/v=$v"))
+
+  def readOrEmpty(schemaOf: DataFrame): DataFrame =
+    read.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema))
+
+  /** M3 — snapshot replace: the new frame becomes the next version. */
+  def snapshot(df: DataFrame): Int = {
+    val v = latestVersion.getOrElse(0) + 1
+    df.write.mode("overwrite").parquet(s"$root/v=$v")
+    v
+  }
+
+  /** M1/M2 — keyed upsert against the latest version, committed as the
+    * next version. First write = plain insert. */
+  def upsert(source: DataFrame, cfg: TableConfig): Int =
+    read match {
+      case None         => snapshot(MergeEngine.latestPerKey(source, cfg.keys,
+        cfg.cursorField.map(c => org.apache.spark.sql.functions.col(c).desc_nulls_last).toSeq))
+      case Some(target) => snapshot(MergeEngine.upsert(target, source, cfg))
+    }
+
+  /** Drop all but the newest `keep` versions (vacuum). */
+  def prune(keep: Int = 2): Unit =
+    versions.dropRight(keep).foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+}

@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.ops.Normalize
+import graft.schema.TableConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Banner/trailer-aware delimited-file ingestion (SURVEY.md §2.1 S7).
+  *
+  * The reference streams Excel rows with openpyxl, skipping `header_rows`
+  * banner lines and `end_skip` trailer lines, coercing each cell with
+  * range guards, dropping rows missing required keys, and appending an
+  * `etl_date` (pns_to_ods_optimize.py:95-229). The Excel container is an
+  * input-format detail; the operator semantics are banner/trailer skip +
+  * typed coercion + key filter, reproduced here over delimited text.
+  *
+  * Line-position logic needs a global row index, which a distributed scan
+  * doesn't have for free — `zipWithIndex` pays one extra pass to size
+  * partitions, then everything else stays a narrow pipeline (`from_csv`
+  * parses inside codegen; malformed cells null out via [[Normalize.coerce]]
+  * exactly like the reference's per-cell guards).
+  */
+object TabularFile {
+
+  def read(spark: SparkSession, path: String, cfg: TableConfig,
+           headerRows: Int = 1, trailerRows: Int = 0,
+           requiredKeys: Seq[String] = Nil, delimiter: String = ",",
+           withEtlDate: Boolean = false): DataFrame = {
+    val lines = spark.read.text(path)
+    val n = lines.count()
+    val indexed = lines.rdd.zipWithIndex()
+    val body = indexed
+      .filter { case (_, i) => i >= headerRows && i < n - trailerRows }
+      .map(_._1)
+    val text = spark.createDataFrame(body, StructType(Seq(StructField("value", StringType))))
+
+    // parse positionally against the declared schema, all columns as
+    // strings first (reference reads cells raw then coerces)
+    val rawSchema = StructType(cfg.schema.fields.map(f => StructField(f.name, StringType)))
+    val parsed = text
+      .select(from_csv(col("value"), rawSchema,
+        Map("delimiter" -> delimiter, "mode" -> "PERMISSIVE")).as("r"))
+      .select(col("r.*"))
+
+    val coerced = Normalize.coerce(Normalize.scrubStrings(parsed), cfg.schema)
+    val filtered = requiredKeys.foldLeft(coerced)((d, k) => d.filter(col(k).isNotNull))
+    if (withEtlDate) filtered.withColumn("etl_date", current_timestamp()) else filtered
+  }
+}
