@@ -5,7 +5,6 @@ import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
 import graft.schema.{MergeGuard, SchemaRegistry, TableConfig}
-import graft.sources.Windowed
 import graft.validate.Checks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -82,7 +81,9 @@ object SparkEntry {
 
     // ── incremental / CDC (SURVEY §2.8) ───────────────────────────────
     "p4_cursor_window" -> ((s, d) =>
-      Windowed.cursorWindow(Tables.events(s, d), "ts", ts("2024-01-10"), ts("2024-01-20"))
+      // pushdown-safe half-open window (raw-cursor filter reaches the
+      // scan's row-group stats; see Tables.eventsWindow + PlanSpec)
+      Tables.eventsWindow(s, d, "2024-01-10", "2024-01-20")
         .select(col("event_id"), col("user_id"), col("event_type"),
                 unix_micros(col("ts")).as("ts_us"), col("value"))),
 
@@ -305,6 +306,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+
+    "text_vocab" -> ((s, d) =>
+      // corpus vocabulary: the token-frequency aggregation a tokenizer
+      // build starts from — explode words, count, deterministic top-100
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(100)),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
     "multimodal_meta" -> ((s, d) =>
@@ -546,6 +557,12 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "text_vocab" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -39,6 +39,26 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Pushdown-safe cursor window over events. Filtering the CONVERTED ts
+    * wraps the column in an expression, so only IsNotNull reaches the
+    * parquet scan — a full table scan per window at scale. Micros
+    * truncation is monotonic, so `micros(ts) >= T ⇔ ts_nanos >= T·1000`
+    * exactly: filter the raw int64 nanos (pushes to row-group stats), then
+    * convert. Bounds are 'yyyy-MM-dd[ HH:mm:ss]' strings read as UTC. */
+  def eventsWindow(s: SparkSession, d: String, start: String, end: String): DataFrame = {
+    val raw = read(s, d, "events")
+    def nanos(t: String): Long = {
+      val norm = if (t.contains(" ") || t.contains("T")) t.replace(' ', 'T') else t + "T00:00:00"
+      java.time.LocalDateTime.parse(norm).toInstant(java.time.ZoneOffset.UTC)
+        .getEpochSecond * 1000000000L
+    }
+    if (raw.schema("ts").dataType == LongType)
+      raw.filter(col("ts") >= nanos(start) && col("ts") < nanos(end))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      raw.filter(col("ts") >= lit(start).cast("timestamp") && col("ts") < lit(end).cast("timestamp"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audit over every registered query at sf0.001 — the
+  * design-for-scale properties the engine promises:
+  * no cartesian products anywhere, dims broadcast, window predicates
+  * pushed into the scan, aggregates partial+final.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    df.count() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no query plan contains a cartesian product or broadcast nested loop") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = planOf(fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$name has a CartesianProduct")
+      // BroadcastNestedLoopJoin is legal only for the deliberate 1-row
+      // watermark cross join (a4) — nothing else may fall back to it
+      if (name != "a4_watermark_tail")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
+  }
+
+  test("revenue mart and region summary broadcast their dims") {
+    for (name <- Seq("revenue_mart", "j1_region_summary")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"$name does not broadcast: $plan")
+      assert(!plan.contains("SortMergeJoin"), s"$name shuffles a joinable dim")
+    }
+  }
+
+  test("cursor-window predicate pushes into the parquet scan") {
+    val plan = planOf(SparkEntry.queries("p4_cursor_window")(spark, sf))
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("GreaterThanOrEqual(ts") || plan.contains("GreaterThanOrEqual(TS")),
+      s"window predicate not pushed: $plan")
+  }
+
+  test("q1 aggregation is partial+final hash aggregate (map-side combine)") {
+    val plan = planOf(SparkEntry.queries("q1_agg")(spark, sf))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation: $plan")
+  }
+
+  test("merge upsert is a single key-shuffle full-outer join") {
+    val plan = planOf(SparkEntry.queries("m1_guarded_upsert")(spark, sf))
+    assert(plan.contains("FullOuter"), "merge lost its full-outer join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("column pruning: projection queries read only needed columns") {
+    val plan = planOf(SparkEntry.queries("p8_snake_case")(spark, sf))
+    // customer has 5 columns; the query uses 2 — the scan schema must not
+    // include the others
+    assert(!plan.contains("c_acctbal") && !plan.contains("c_nationkey"),
+      s"scan reads pruned columns: $plan")
+  }
+}
