@@ -12,9 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one untimed warmup on the smoke SF settles session init + the bulk
+    // of JIT/codegen warmup so per-query timings measure the queries
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // failures are explicit: a failed query is listed in "failed" and its
-    // time is excluded from the headline (no silent -1L masking)
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // time is excluded from the headline (no silent -1L masking);
+    // name-sorted order keeps timings attributable across runs
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false

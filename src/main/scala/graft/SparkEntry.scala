@@ -58,6 +58,48 @@ object SparkEntry {
             count(lit(1)).as("n_items")))
     }),
 
+    "q3_shipping_priority" -> ((s, d) => {
+      // TPC-H Q3 shape: selective dim filter → two key joins → grouped
+      // revenue → deterministic top-10
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts("1998-01-01"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") >= ts("1996-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_supplier_volume" -> ((s, d) => {
+      // TPC-H Q5 shape: five-way join through the region hierarchy with a
+      // co-nation condition, revenue per nation
+      val joined = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      joined
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+        .groupBy("r_name", "n_name")
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    "skew_salted_agg" -> ((s, d) => {
+      // two-phase salted aggregation over a 5-value key (heavy-hitter
+      // shape) — must equal the direct groupBy exactly
+      import graft.ops.Skew
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+      Skew.aggregate(ev, Seq("event_type"),
+          Seq(Skew.saltedSum(col("v"), "total_value"), Skew.saltedCount("n")))
+        .withColumn("total_value", col("total_value").cast("double"))
+    }),
+
     "j1_region_summary" -> ((s, d) => {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -307,6 +349,20 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
 
+    "text_ngram_jaccard" -> ((s, d) => {
+      // exact n-gram Jaccard on a fixed pair set (the verification stage
+      // of near-dedup, standalone and oracle-checked)
+      import s.implicits._
+      val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("ida", "idb")
+      Dedup.jaccardVerify(pairs, Tables.documents(s, d), "doc_id", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
+
+    "embedding_norms" -> ((s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))),
+
     "text_vocab" -> ((s, d) =>
       // corpus vocabulary: the token-frequency aggregation a tokenizer
       // build starts from — explode words, count, deterministic top-100
@@ -344,6 +400,54 @@ object SparkEntry {
         |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         |WHERE l_returnflag = 'A' AND l_linestatus = 'F' AND l_discount > 0.02
         |GROUP BY p_brand, p_type""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_date
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_supplier_volume" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "text_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |           FROM documents WHERE doc_id < 3),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |           i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+        |       FROM d)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        | round(len(list_intersect(a.s, b.s)) * 1.0 /
+        |       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id""".stripMargin,
+
+    "embedding_norms" ->
+      """SELECT vec_id, round(sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 4) AS l2
+        |FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
+        |GROUP BY vec_id""".stripMargin,
 
     "j1_region_summary" ->
       """SELECT r_name, n_name, count(*) AS n_customers,

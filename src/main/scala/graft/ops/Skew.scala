@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter group keys (SURVEY.md §4; the
+  * 100 TB design note in the build plan).
+  *
+  * A straight `groupBy(key)` over a key with a dominant value sends that
+  * value's entire volume to one reducer. Salting splits each key into
+  * `buckets` sub-groups for the first (partial) aggregation, then a cheap
+  * second aggregation over the tiny partial results removes the salt.
+  * Works for any decomposable aggregate (sum/count/min/max; avg = sum +
+  * count). The salt is a deterministic content hash, so replays produce
+  * identical partials — no `rand()`.
+  *
+  * Complementary to AQE's skew-join splitting (enabled in
+  * [[graft.GraftSession]]), which handles JOIN skew at runtime; salting
+  * handles AGGREGATION skew the planner can't split.
+  */
+object Skew {
+
+  /** Decomposable aggregate spec: (partial expression, final combiner). */
+  final case class SaltedAgg(partial: Column, finalAgg: String => Column, name: String)
+
+  def saltedSum(c: Column, as: String): SaltedAgg =
+    SaltedAgg(sum(c), n => sum(col(n)), as)
+  def saltedCount(as: String): SaltedAgg =
+    SaltedAgg(count(lit(1)), n => sum(col(n)), as)
+  def saltedMax(c: Column, as: String): SaltedAgg =
+    SaltedAgg(max(c), n => max(col(n)), as)
+  def saltedMin(c: Column, as: String): SaltedAgg =
+    SaltedAgg(min(c), n => min(col(n)), as)
+
+  /** Two-phase salted aggregation: `groupBy(keys + salt)` partials (the
+    * skewed shuffle now spreads each key over `buckets` reducers), then
+    * `groupBy(keys)` over the partials (tiny — `keys × buckets` rows). */
+  def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
+                buckets: Int = 16): DataFrame = {
+    require(buckets > 0 && aggs.nonEmpty)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(aggs.head.partial.as(s"__p_${aggs.head.name}"),
+           aggs.tail.map(a => a.partial.as(s"__p_${a.name}")): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head.finalAgg(s"__p_${aggs.head.name}").as(aggs.head.name),
+           aggs.tail.map(a => a.finalAgg(s"__p_${a.name}").as(a.name)): _*)
+  }
+}
