@@ -30,6 +30,7 @@ object GraftSession {
       // at the accessor (Tables.events) — integer `div`, no double detour
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def defaultCores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

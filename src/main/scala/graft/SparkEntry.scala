@@ -360,8 +360,8 @@ object SparkEntry {
 
     "embedding_norms" -> ((s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
-        round(sqrt(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("l2"))),
+        round(sqrt(graft.functions.VectorOps.vectorDot(col("embedding"), col("embedding"))), 4)
+          .as("l2"))),
 
     "text_vocab" -> ((s, d) =>
       // corpus vocabulary: the token-frequency aggregation a tokenizer

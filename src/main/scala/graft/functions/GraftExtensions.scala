@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native SQL functions —
+  * `SELECT vector_cosine(embedding, q) FROM …` works from plain SQL once
+  * the session is built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (set by
+  * [[graft.GraftSession]], Verify, and Bench).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[FloatVectorDot].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - dot product of two float vectors"),
+      (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_cosine"),
+      info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float vectors"),
+      (children: Seq[Expression]) => FloatVectorCosine(children(0), children(1))))
+  }
+}

@@ -18,22 +18,17 @@ import org.apache.spark.sql.functions._
   * near-neighbors.
   */
 object Similarity {
+  import graft.functions.VectorOps
 
-  /** sum over zipped element products: dot(embCol, litVec). Elements cast
-    * to double before multiply so Spark and any float-typed source agree. */
-  private def dotLit(emb: Column, v: Array[Float]): Column = {
-    val litVec = array(v.map(x => lit(x.toDouble)): _*)
-    aggregate(zip_with(emb, litVec, (a, b) => a.cast("double") * b),
-      lit(0.0), (acc, x) => acc + x)
-  }
+  /** Per-row dot against a literal query vector — the native
+    * [[graft.functions.FloatVectorDot]] expression: one primitive loop in
+    * whole-stage codegen (the composable `aggregate(zip_with(…))` form
+    * costs three higher-order traversals per row). */
+  private def dotLit(emb: Column, v: Array[Float]): Column =
+    VectorOps.vectorDot(emb, VectorOps.floatVectorLit(v))
 
-  private def norm(emb: Column): Column =
-    sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
-  def cosineToQuery(emb: Column, query: Array[Float]): Column = {
-    val qn = math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)
-    dotLit(emb, query) / (norm(emb) * lit(qn))
-  }
+  def cosineToQuery(emb: Column, query: Array[Float]): Column =
+    VectorOps.vectorCosine(emb, VectorOps.floatVectorLit(query))
 
   /** Brute-force cosine top-k against a literal query vector. */
   def bruteForceTopK(embs: DataFrame, embCol: String, idCol: String,
@@ -87,10 +82,8 @@ object Similarity {
       .select(col(idCol), col(embCol), col("bucket"))
     val a = idx.toDF("ida", "emba", "bucket")
     val b = idx.toDF("idb", "embb", "bucket")
-    val dot = aggregate(zip_with(col("emba"), col("embb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
     a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
-      .withColumn("cosine", dot / (norm(col("emba")) * norm(col("embb"))))
+      .withColumn("cosine", VectorOps.vectorCosine(col("emba"), col("embb")))
       .filter(col("cosine") >= threshold)
       .select("ida", "idb", "cosine").distinct()
   }
