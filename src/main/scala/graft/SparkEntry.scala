@@ -121,6 +121,18 @@ object SparkEntry {
     "w2_distinct_types" -> ((s, d) =>
       Tables.events(s, d).select("event_type").distinct()),
 
+    "w_sessionize" -> ((s, d) => {
+      // gap-based sessionization (batch twin of the streaming
+      // flatMapGroupsWithState operator) — lag/gap/cumsum windows
+      val ev = Tables.events(s, d).withColumn("value", col("value").cast("decimal(18,2)"))
+      graft.streaming.Sessionize.sessionsBatch(ev, "1 HOUR")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+    }),
+
     // ── incremental / CDC (SURVEY §2.8) ───────────────────────────────
     "p4_cursor_window" -> ((s, d) =>
       // pushdown-safe half-open window (raw-cursor filter reaches the
@@ -463,6 +475,23 @@ object SparkEntry {
         |      FROM events) WHERE rn = 1""".stripMargin,
 
     "w2_distinct_types" -> "SELECT DISTINCT event_type FROM events",
+
+    "w_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1 HOUR THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        | epoch_us(min(ts)) AS session_start_us,
+        | epoch_us(max(ts)) AS session_end_us,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "p4_cursor_window" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value

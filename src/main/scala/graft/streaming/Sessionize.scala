@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Custom streaming state: gap-based sessionization over an event stream
+  * via `flatMapGroupsWithState` — the `KeyValueGroupedDataset` typed-state
+  * surface (beyond the reference, which only polls micro-batches; this is
+  * the Spark-first shape its 5-minute event feed would grow into).
+  *
+  * A session closes when no event arrives for `gap`; closed sessions emit
+  * (user, start, end, events, total_value). Event-time timeouts + the
+  * watermark bound state size — per-key state is O(1) regardless of
+  * stream length, so 100 TB of history never accumulates in memory.
+  */
+object Sessionize {
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, total_value: Double)
+
+  def sessions(spark: SparkSession, events: DataFrame, gap: String = "30 minutes",
+               lateness: String = "1 hour"): Dataset[Session] = {
+    import spark.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+
+    events.selectExpr("user_id", "ts", "value").as[Event]
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) => // gap inside the batch: close previous, start new
+                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin with identical semantics (lag/gap/cumsum windows) — for
+    * backfills and for oracle-checking the streaming path. */
+  def sessionsBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapExpr = s"INTERVAL $gap"
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("__prev", lag("ts", 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col("ts") > col("__prev") + expr(gapExpr), 1).otherwise(0))
+      .withColumn("__session_id", sum("__new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+           count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .drop("__session_id")
+  }
+}
