@@ -12,17 +12,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[FloatVectorDot].getName, null, name, usage, "")
+  private def info(cls: Class[_], name: String, usage: String) =
+    new ExpressionInfo(cls.getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
-      info("vector_dot", "vector_dot(a, b) - dot product of two float vectors"),
+      info(classOf[FloatVectorDot], "vector_dot",
+        "vector_dot(a, b) - dot product of two float vectors"),
       (children: Seq[Expression]) => FloatVectorDot(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("vector_cosine"),
-      info("vector_cosine", "vector_cosine(a, b) - cosine similarity of two float vectors"),
+      info(classOf[FloatVectorCosine], "vector_cosine",
+        "vector_cosine(a, b) - cosine similarity of two float vectors"),
       (children: Seq[Expression]) => FloatVectorCosine(children(0), children(1))))
   }
 }

@@ -126,8 +126,10 @@ object Dedup {
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,
                 threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
                 shingleSize: Int = 3): DataFrame = {
-    val cand = candidatePairs(minhashBands(docs, idCol, textCol, numHashes, bands, shingleSize), idCol)
-    val dupIds = jaccardVerify(cand, docs, idCol, textCol, shingleSize)
+    // spread once here; the nested stages' own parallelize() is then a no-op
+    val d = parallelize(docs)
+    val cand = candidatePairs(minhashBands(d, idCol, textCol, numHashes, bands, shingleSize), idCol)
+    val dupIds = jaccardVerify(cand, d, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("idb").as(idCol)).distinct()
     docs.join(dupIds, Seq(idCol), "left_anti")

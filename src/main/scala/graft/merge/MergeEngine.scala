@@ -36,7 +36,17 @@ object MergeEngine {
     * byte-identical rows, where any pick is the same row).
     */
   def latestPerKey(src: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
-    val tiebreak = xxhash64(src.columns.map(col): _*)
+    // xxhash64 rejects MapType — tiebreak only over hashable columns (a
+    // frame that is ALL maps beyond its keys degrades to an arbitrary-but-
+    // single pick, same as dropDuplicates)
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val hashCols = src.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val tiebreak = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy :+ tiebreak.asc: _*)
     src.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }

@@ -24,6 +24,7 @@ object Api {
 
   def get(url: String, headers: Map[String, String] = Map.empty): String = {
     val b = HttpRequest.newBuilder(URI.create(url)).GET()
+      .timeout(Duration.ofSeconds(60)) // read timeout: a stalled server must not wedge the run
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
     require(resp.statusCode() / 100 == 2, s"GET $url -> HTTP ${resp.statusCode()}")
@@ -36,6 +37,7 @@ object Api {
       java.net.URLEncoder.encode(k, "UTF-8") + "=" + java.net.URLEncoder.encode(v, "UTF-8")
     }.mkString("&")
     val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(60))
       .header("Content-Type", "application/x-www-form-urlencoded")
       .POST(HttpRequest.BodyPublishers.ofString(body))
     headers.foreach { case (k, v) => b.header(k, v) }

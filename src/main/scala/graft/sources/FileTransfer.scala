@@ -42,15 +42,21 @@ object FileTransfer {
     val stamp = runDate.minusDays(tMinus).format(DateTimeFormatter.ofPattern(dateFormat))
     val dest = Paths.get(destDir)
     if (Files.exists(dest))
-      Files.list(dest).iterator().asScala.toSeq.foreach(Files.delete)
+      listFiles(dest).filter(Files.isRegularFile(_)).foreach(Files.delete)
     Files.createDirectories(dest)
     val srcP = Paths.get(srcDir)
     if (!Files.exists(srcP)) Seq.empty
-    else Files.list(srcP).iterator().asScala.toSeq
+    else listFiles(srcP)
       .filter(p => p.getFileName.toString.contains(stamp))
       .map { p =>
         Files.copy(p, dest.resolve(p.getFileName), StandardCopyOption.REPLACE_EXISTING)
         p.getFileName.toString
       }
+  }
+
+  /** Files.list streams hold a directory handle — drain and close. */
+  private def listFiles(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 }

@@ -27,6 +27,8 @@ object Sessionize {
     import spark.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0,
+      s"session gap must be a fixed-length interval, got '$gap' (month-grain intervals have no fixed millisecond length)")
     val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
 
     events.selectExpr("user_id", "ts", "value").as[Event]
@@ -58,7 +60,11 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMillis)
+              // a late-but-admitted event can put last+gap BEHIND the
+              // current watermark; Spark rejects a timeout earlier than
+              // the watermark and kills the query — clamp forward
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMillis, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

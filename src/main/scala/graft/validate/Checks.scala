@@ -37,9 +37,11 @@ object Checks {
   /** V2 — not_null test: zero NULLs in each listed column. One aggregate
     * row regardless of table size. */
   def notNull(df: DataFrame, cols: Seq[String]): CheckResult = {
+    // coalesce: sum over ZERO rows is SQL NULL — an empty incremental
+    // batch must pass the check, not NPE on getLong
     val counts = df.agg(
       count(lit(1)).as("__n"),
-      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(c)): _*).head()
+      cols.map(c => coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(c)): _*).head()
     val bad = cols.zipWithIndex.collect { case (c, i) if counts.getLong(i + 1) > 0 =>
       s"$c=${counts.getLong(i + 1)}" }
     CheckResult("not_null", bad.isEmpty,
