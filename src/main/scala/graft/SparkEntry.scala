@@ -111,6 +111,40 @@ object SparkEntry {
              decSum(col("c_acctbal")).as("total_acctbal"))
     }),
 
+    "j_asof" -> ((s, d) => {
+      // as-of join: each event picks up the user's latest purchase value
+      // at-or-before its timestamp (union + running window, one shuffle)
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.ops.AsofJoin.asofJoin(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          Seq("user_id"), "ts", "ts", Seq("value"), "last_purchase_")
+        .select(col("event_id"), col("last_purchase_value"))
+    }),
+
+    "j_range_band" -> ((s, d) => {
+      // banded range join: event values into region-derived value bands —
+      // equi-join on bucket ids, never a nested loop
+      val bands = Tables.region(s, d).select(col("r_regionkey").as("band_id"),
+        (col("r_regionkey") * 40.0).as("lo"), (col("r_regionkey") * 40.0 + 40.0).as("hi"))
+      graft.ops.RangeJoin.bandedPointInterval(
+          Tables.events(s, d).select("event_id", "value"), "value",
+          bands, "lo", "hi", bandWidth = 25.0)
+        .select("event_id", "band_id")
+    }),
+
+    "a_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("total_value"))),
+
+    "a_distinct" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))),
+
     "w1_dedup_latest" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -468,6 +502,26 @@ object SparkEntry {
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "j_asof" ->
+      """SELECT e.event_id, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        | ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    "j_range_band" ->
+      """SELECT event_id, r_regionkey AS band_id
+        |FROM events JOIN region
+        | ON value >= r_regionkey * 40.0 AND value < r_regionkey * 40.0 + 40.0""".stripMargin,
+
+    "a_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))""".stripMargin,
+
+    "a_distinct" ->
+      """SELECT count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
 
     "w1_dedup_latest" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
