@@ -376,6 +376,24 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_ivf_topk" -> ((s, d) => {
+      // IVF scale path: centroid cells + nprobe search
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      Similarity.ivfTopK(Similarity.buildIvfIndex(e, "embedding", centroids),
+          "embedding", "vec_id", q, 10, centroids, nprobe = 3)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    "sample_stratified_counts" -> ((s, d) =>
+      // deterministic fixed-size stratified sample; per-stratum counts are
+      // exactly min(n, stratum size) — oracle-checkable even though hash
+      // membership itself is engine-specific
+      graft.llm.Sampling.stratifiedFixedSample(Tables.events(s, d), Seq("event_type"), 50)
+        .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))),
+
     // ── LLM-pipeline: text analysis ───────────────────────────────────
     "text_stats" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -702,6 +720,10 @@ object SparkEntry {
         |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
         |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn)), 4) AS cosine
         |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn)) DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "sample_stratified_counts" ->
+      """SELECT event_type, CAST(least(count(*), 50) AS BIGINT) AS n_sampled
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

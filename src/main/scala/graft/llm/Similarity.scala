@@ -74,6 +74,67 @@ object Similarity {
     bruteForceTopK(index.filter(col("bucket").isin(probes: _*)), embCol, idCol, query, k)
   }
 
+  // ── IVF (inverted-file) variant: coarse quantization by centroid cell ──
+
+  /** Deterministic coarse centroids: the k corpus vectors with the lowest
+    * seeded id-hash (a reproducible uniform sample — no RNG state), then
+    * one Lloyd refinement step (mean of assigned vectors) for balance.
+    * k centroids collect to the driver: k is small by design (√N cells is
+    * typical), the CORPUS never moves. */
+  def ivfCentroids(embs: DataFrame, embCol: String, idCol: String,
+                   k: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val seeds = embs.orderBy(xxhash64(lit(seed), col(idCol)).asc).limit(k)
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    // one refinement pass: assign to nearest seed, average each cell
+    val assigned = embs.withColumn("__cell", cellOf(col(embCol), seeds))
+    val dim = seeds.head.length
+    val sums = assigned.groupBy("__cell").agg(
+      count(lit(1)).as("__n"),
+      (0 until dim).map(i => sum(element_at(col(embCol), i + 1).cast("double")).as(s"__s$i")): _*)
+    val refined = sums.collect().map { r =>
+      val cell = r.getInt(0); val n = r.getLong(1).toDouble
+      cell -> Array.tabulate(dim)(i => (r.getDouble(i + 2) / n).toFloat)
+    }.toMap
+    Array.tabulate(seeds.length)(c => refined.getOrElse(c, seeds(c)))
+  }
+
+  /** Nearest-centroid cell id (argmax cosine over the k centroids). */
+  def cellOf(emb: Column, centroids: Array[Array[Float]]): Column = {
+    val cosines = centroids.map(c => VectorOps.vectorCosine(emb, VectorOps.floatVectorLit(c)))
+    val best = cosines.reduce((a, b) => greatest(a, b))
+    cosines.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
+      when(c === best, lit(i)).otherwise(acc)
+    }.cast("int")
+  }
+
+  /** Persistable IVF index: input + cell column. At scale, write
+    * partitioned by `cell` so probes read only nprobe partitions. */
+  def buildIvfIndex(embs: DataFrame, embCol: String,
+                    centroids: Array[Array[Float]]): DataFrame =
+    embs.withColumn("cell", cellOf(col(embCol), centroids))
+
+  /** IVF ANN top-k: probe the nprobe centroid cells closest to the query,
+    * exact cosine inside them. The cell filter is a pushable equality IN —
+    * on a cell-partitioned index it prunes partitions.
+    *
+    * Recall scales with how clustered the corpus is: real-world embedding
+    * spaces (which cluster strongly) reach high recall at small nprobe;
+    * on isotropic/random vectors neighbors scatter across cells and
+    * nprobe must approach k — prefer the LSH index there. */
+  def ivfTopK(index: DataFrame, embCol: String, idCol: String,
+              query: Array[Float], k: Int, centroids: Array[Array[Float]],
+              nprobe: Int = 2): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0; while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cells = centroids.indices.sortBy(c => -cos(query, centroids(c))).take(nprobe)
+    bruteForceTopK(index.filter(col("cell").isin(cells: _*)), embCol, idCol, query, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket-local self-join (LSH
     * buckets, never all-pairs), then exact cosine ≥ threshold. */
   def cosineNearDupPairs(embs: DataFrame, embCol: String, idCol: String,

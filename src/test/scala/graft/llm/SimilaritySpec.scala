@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().head.getLong(0) == 17L)
   }
 
+  test("IVF index: refined centroids, exact match found via nprobe cells") {
+    val centroids = Similarity.ivfCentroids(embs, "embedding", "vec_id", k = 4)
+    assert(centroids.length == 4 && centroids.forall(_.length == 8))
+    val index = Similarity.buildIvfIndex(embs, "embedding", centroids)
+    // every vector lands in a valid cell
+    assert(index.filter(col("cell") < 0 || col("cell") >= 4).count() == 0)
+    // the query's own vector is always found (its cell is probed first)
+    val q = vecs(23)._2
+    val top = Similarity.ivfTopK(index, "embedding", "vec_id", q, 1, centroids, nprobe = 2)
+    assert(top.collect().head.getLong(0) == 23L)
+  }
+
   test("cosineNearDupPairs: duplicated vector found, no self-pairs, no crossJoin") {
     val withDup = (vecs :+ (99L -> vecs(3)._2)).toDF("vec_id", "embedding")
     val planes = Similarity.hyperplanes(numPlanes = 4, dim = 8)
