@@ -399,7 +399,9 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("text_len"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"))),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordHits(col("text"), "en").cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"), 6).as("stopword_ratio"))),
 
     "text_quality" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -438,6 +440,13 @@ object SparkEntry {
         .limit(100)),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
+    "multimodal_decode" -> ((s, d) =>
+      // typed mapPartitions decode plumbing over binary payloads (STUB
+      // decoder — deterministic fake features; rows-only check)
+      Multimodal.decodeImageStub(s,
+        Tables.documents(s, d).select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content"))).toDF()),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
@@ -729,7 +738,9 @@ object SparkEntry {
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         | length(text) AS text_len,
-        | round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio
+        | round(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+        | round(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|with)\b')) * 1.0
+        |       / len(string_split_regex(trim(text), '\s+')), 6) AS stopword_ratio
         |FROM documents""".stripMargin,
 
     "text_quality" ->
