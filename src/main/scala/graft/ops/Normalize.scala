@@ -116,10 +116,15 @@ object Normalize {
     * columns are dropped (projection is part of the contract, P1).
     */
   def coerce(df: DataFrame, target: StructType): DataFrame = {
-    val present = df.columns.toSet
+    // case-insensitive source lookup, matching Spark's default resolver —
+    // a JDBC source that upper-cases identifiers (Derby/Oracle style) must
+    // not silently coerce every declared column to NULL
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(target.fields.map { f =>
-      if (present(f.name)) try_cast_col(col(f.name), f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      byLower.get(f.name.toLowerCase) match {
+        case Some(src) => try_cast_col(col(src), f.dataType).as(f.name)
+        case None      => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toSeq: _*)
   }
 
