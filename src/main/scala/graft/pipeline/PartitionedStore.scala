@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.merge.MergeEngine
+import graft.schema.TableConfig
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped ODS table — the scale path for the 5-minute re-merge
+  * cadence (the versioned [[TableStore]] rewrites the FULL table per
+  * merge; at 100 TB that is the bottleneck round 1's audit called out).
+  *
+  * Layout: `root/<partitionCol>=<value>/part-*.parquet` (standard Hive
+  * partitioning). A merge:
+  *   1. finds the partitions the source batch touches (a distinct over
+  *      the batch — small);
+  *   2. reads ONLY those target partitions (partition-pruned scan);
+  *   3. runs the same [[MergeEngine.upsert]] algebra on that slice;
+  *   4. writes the merged slice to a staging directory, then swaps the
+  *      affected partition directories by rename — untouched partitions
+  *      are never read, rewritten, or moved.
+  *
+  * The rename swap (not read-cache-overwrite) is what makes step 4 safe:
+  * the merged output is fully materialized in the staging dir before any
+  * target file is touched, so executor loss mid-write never corrupts the
+  * table. A transactional format (Delta/Iceberg) replaces the swap with a
+  * manifest commit; the merge algebra is unchanged.
+  */
+final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists: Boolean = fs.exists(new Path(root))
+
+  def read: Option[DataFrame] =
+    if (exists) Some(spark.read.option("basePath", root).parquet(root)) else None
+
+  /** Initial load / full snapshot (M3). */
+  def snapshot(df: DataFrame): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+
+  /** Values present in a batch — drives partition pruning and the swap. */
+  private def partitionValues(df: DataFrame): Seq[String] =
+    df.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__")).toSeq
+
+  /** M1/M2 — keyed upsert touching only the partitions present in the
+    * source batch. Requires rows to stay in their partition (the
+    * partition column is part of the business identity — true for the
+    * reference's date-partitioned facts). */
+  def upsert(source: DataFrame, cfg: TableConfig): Seq[String] = {
+    if (!exists) { snapshot(source); return partitionValues(source) }
+    val affected = partitionValues(source)
+    val affectedCols = affected.filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+
+    // partition-pruned target slice: only affected directories are scanned
+    val target = read.get.filter(col(partitionCol).cast("string").isin(affectedCols: _*) ||
+      (if (affected.contains("__HIVE_DEFAULT_PARTITION__")) col(partitionCol).isNull else lit(false)))
+    val merged = MergeEngine.upsert(target, source, cfg)
+
+    // materialize to staging FIRST, then swap directories
+    val stage = s"$root/.staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
+    try {
+      for (v <- affected) {
+        val dirName = s"$partitionCol=$v"
+        val src = new Path(s"$stage/$dirName")
+        val dst = new Path(s"$root/$dirName")
+        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+    } finally fs.delete(new Path(stage), true)
+    affected
+  }
+
+  /** M4 — replace whole partitions from the source (delete-window+insert):
+    * Spark's dynamic partition overwrite does exactly this natively. */
+  def overwritePartitions(source: DataFrame): Unit = {
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "dynamic")
+      source.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+    } finally prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
+  }
+}

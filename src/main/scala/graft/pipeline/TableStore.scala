@@ -14,11 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * swap, the minimal file-layout ACID story without a table format.
   *
   * Scale note (stated, deliberate): [[upsert]] rewrites the full table per
-  * merge — correct algebra, v1 storage. At 100 TB with 5-minute cadence
-  * the same MergeEngine output must land through a transactional format's
-  * file-pruned merge (Delta/Iceberg) or a partition-scoped rewrite
-  * ([[overwritePartitions]] touches only affected partitions); the merge
-  * ALGORITHM is unchanged — only the sink swaps.
+  * merge — correct algebra, simplest durable layout. For time-partitioned
+  * facts at the 5-minute cadence use [[PartitionedStore]], whose merge
+  * reads and rewrites ONLY the partitions a batch touches; a
+  * transactional format (Delta/Iceberg) refines that further to
+  * file-level pruning. The merge ALGORITHM is identical in all three —
+  * only the sink swaps.
   */
 final class TableStore(spark: SparkSession, root: String) {
 

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.schema.{MergeGuard, TableConfig}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Partition-scoped merges: correctness + the untouched-partition
+  * guarantee (unaffected files never rewritten). */
+class PartitionedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = TableConfig("ods.fact", null, Seq("k"),
+    cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+
+  test("upsert touches only affected partitions; untouched files unchanged") {
+    val root = Files.createTempDirectory("pstore").toString + "/t"
+    val store = new PartitionedStore(spark, root, "day")
+    store.snapshot(Seq(
+      ("a", 1L, "2024-01-01", "a1"), ("b", 1L, "2024-01-01", "b1"),
+      ("c", 1L, "2024-01-02", "c1"),
+      ("d", 1L, "2024-01-03", "d1")).toDF("k", "ts", "day", "v"))
+
+    // snapshot of a partition dir's file listing + mtimes
+    def listing(day: String): Seq[(String, Long)] = {
+      val s = Files.list(Paths.get(root, s"day=$day"))
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) { val p = it.next(); b += ((p.getFileName.toString, Files.getLastModifiedTime(p).toMillis)) }
+        b.result().sortBy(_._1)
+      } finally s.close()
+    }
+    val before = listing("2024-01-03")
+
+    // batch touches day 01 (newer 'a', stale 'b') and day 02 (new 'e')
+    val affected = store.upsert(Seq(
+      ("a", 2L, "2024-01-01", "a2"), ("b", 0L, "2024-01-01", "b0"),
+      ("e", 1L, "2024-01-02", "e1")).toDF("k", "ts", "day", "v"), cfg)
+    assert(affected.toSet == Set("2024-01-01", "2024-01-02"))
+
+    val state = store.read.get.select("k", "v")
+    assert(canon(state) == Seq(
+      Seq("a", "a2"), Seq("b", "b1"), Seq("c", "c1"), Seq("d", "d1"), Seq("e", "e1")
+    ).sortBy(_.mkString("|")))
+
+    // the untouched partition's files were not rewritten
+    assert(listing("2024-01-03") == before)
+  }
+
+  test("upsert replay converges; overwritePartitions replaces only present days") {
+    val root = Files.createTempDirectory("pstore2").toString + "/t"
+    val store = new PartitionedStore(spark, root, "day")
+    val init = Seq(("a", 1L, "2024-01-01", "a1"), ("c", 1L, "2024-01-02", "c1"))
+      .toDF("k", "ts", "day", "v")
+    store.snapshot(init)
+    val batch = Seq(("a", 2L, "2024-01-01", "a2")).toDF("k", "ts", "day", "v")
+    store.upsert(batch, cfg)
+    store.upsert(batch, cfg) // replay
+    assert(canon(store.read.get.select("k", "v")) == Seq(
+      Seq("a", "a2"), Seq("c", "c1")).sortBy(_.mkString("|")))
+
+    store.overwritePartitions(Seq(("z", 9L, "2024-01-02", "z9")).toDF("k", "ts", "day", "v"))
+    assert(canon(store.read.get.select("k", "v")) == Seq(
+      Seq("a", "a2"), Seq("z", "z9")).sortBy(_.mkString("|")))
+  }
+}
