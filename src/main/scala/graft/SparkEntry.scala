@@ -145,6 +145,19 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("event_type")).as("n_types"))),
 
+    "a_percentiles" -> ((s, d) =>
+      // exact interpolated percentiles (the reference has no quantiles;
+      // marts growing into them get Spark's built-in `percentile`)
+      Tables.events(s, d).groupBy("event_type").agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))),
+
+    "p_json_extract" -> ((s, d) =>
+      // semi-structured column: the reference carries JSON text opaquely
+      // (addon_json etc.); extracting typed fields is one expression
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
     "w1_dedup_latest" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       Tables.events(s, d).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -549,6 +562,16 @@ object SparkEntry {
     "a_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
         | count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+
+    "a_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "p_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events""".stripMargin,
 
     "w1_dedup_latest" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
