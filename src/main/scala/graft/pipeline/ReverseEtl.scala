@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.marts.Marts
+import graft.merge.MergeEngine
+import graft.meta.MetaStore
+import graft.schema.TableConfig
+import graft.sources.Jdbc
+import graft.validate.Checks
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import java.util.Properties
+
+/** SURVEY.md §3 E3 — the reverse-ETL aggregation publish restated:
+  * `fact LEFT JOIN broadcast dims → flag filter → groupBy → sums →
+  *  null-safe keyed MERGE into the downstream warehouse`.
+  * (reference: ods_to_llb.py:62-198 +
+  *  staging_revenue_by_employee.sql extract/merge pair)
+  */
+object ReverseEtl {
+
+  final case class E3Result(martRows: Long, published: Long)
+
+  /** Build the mart and publish it to a JDBC warehouse with merge
+    * semantics: stage the batch, merge against the existing downstream
+    * table on the (null-safe) business key, overwrite-publish the merged
+    * state. Probes connectivity first (V4) like the reference's sensors. */
+  def publishMart(spark: SparkSession, fact: DataFrame,
+                  dims: Seq[(DataFrame, String)], flags: Column,
+                  groupKeys: Seq[String], aggs: Seq[Column],
+                  cfg: TableConfig, url: String, table: String,
+                  metaPath: String, runDay: String,
+                  props: Properties = new Properties): E3Result = {
+    require(Jdbc.probe(url, props), s"connectivity probe failed for $url")
+    val meta = new MetaStore(spark, metaPath)
+    meta.timed(cfg.name, s"e3[$runDay]", runDay) {
+      val mart = Marts.joinAgg(fact, dims, flags, groupKeys, aggs)
+      Checks.enforce(Seq(Checks.nonEmpty(mart), Checks.unique(mart, cfg.keys)))
+      val martRows = mart.count()
+
+      val merged =
+        try {
+          val existing = Jdbc.table(spark, url, table, props = props)
+          // downstream engines may upper-case identifiers — align by name
+          val aligned = existing.toDF(existing.columns.map(_.toLowerCase): _*)
+          MergeEngine.upsert(aligned.select(mart.columns.map(org.apache.spark.sql.functions.col): _*),
+            mart, cfg)
+        } catch { case _: Exception => mart } // first publish: table absent
+      // materialize BEFORE the overwrite: the merged plan still reads the
+      // downstream table, and JDBC overwrite truncates it before inserting
+      merged.persist()
+      val published = merged.count()
+      try Jdbc.publish(merged, url, table, mode = "overwrite", props = props)
+      finally merged.unpersist()
+      E3Result(martRows, published)
+    }
+  }
+}
