@@ -145,6 +145,25 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("event_type")).as("n_types"))),
 
+    "w_lag_lead" -> ((s, d) => {
+      // analytic windows (lag/lead) — inter-event gap per user
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+    }),
+
+    "a_profile" -> ((s, d) =>
+      // column profiling: null fraction, distinct counts, extrema — the
+      // data-quality summary a validation layer derives per table
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custkeys"),
+        round(sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("null_frac_priority"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))),
+
     "a_percentiles" -> ((s, d) =>
       // exact interpolated percentiles (the reference has no quantiles;
       // marts growing into them get Spark's built-in `percentile`)
@@ -562,6 +581,22 @@ object SparkEntry {
     "a_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
         | count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+
+    "w_lag_lead" ->
+      """SELECT event_id, user_id,
+        | epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    "a_profile" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT o_custkey) AS n_custkeys,
+        | round(CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / count(*), 6) AS null_frac_priority,
+        | min(o_totalprice) AS min_price,
+        | max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
 
     "a_percentiles" ->
       """SELECT event_type,
