@@ -12,25 +12,36 @@ import org.apache.spark.sql.types._
   * The composable form — `aggregate(zip_with(a, b, _*_), 0d, _+_)` — builds
   * three higher-order traversals with per-element lambda dispatch; at
   * corpus scale (billions of rows × 64–1024 dims) that overhead dominates.
-  * These expressions make one primitive float loop per row, participate in
+  * These expressions make one primitive loop per row, participate in
   * whole-stage codegen via `doGenCode` (no boxing, no lambda frames), and
-  * null out on length mismatch exactly like the zip_with composition.
+  * match the zip_with composition's NULL semantics exactly: length
+  * mismatch OR any NULL element → NULL result. Both float and double
+  * element types are accepted (accessors specialize at plan time).
   * Interpreted `nullSafeEval` keeps them correct off the codegen path.
   */
 abstract class FloatVectorBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  private def elementOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elementOk(left.dataType) && elementOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  protected def isDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  protected def elemEval(e: Expression)(a: ArrayData, i: Int): Double =
+    if (isDouble(e)) a.getDouble(i) else a.getFloat(i).toDouble
+
+  protected def elemCode(e: Expression, arr: String, i: String): String =
+    if (isDouble(e)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
 }
 
 /** dot(a, b) over two float vectors → double (NULL on length mismatch). */
@@ -41,7 +52,10 @@ case class FloatVectorDot(left: Expression, right: Expression) extends FloatVect
     if (x.numElements() != y.numElements()) null
     else {
       var acc = 0.0; var i = 0; val n = x.numElements()
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // zip_with semantics
+        acc += elemEval(left)(x, i) * elemEval(right)(y, i); i += 1
+      }
       acc
     }
   }
@@ -54,9 +68,10 @@ case class FloatVectorDot(left: Expression, right: Expression) extends FloatVect
          |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${elemCode(left, a, i)} * ${elemCode(right, b, i)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -76,7 +91,8 @@ case class FloatVectorCosine(left: Expression, right: Expression) extends FloatV
     else {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = x.numElements()
       while (i < n) {
-        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+        if (x.isNullAt(i) || y.isNullAt(i)) return null // zip_with semantics
+        val xi = elemEval(left)(x, i); val yi = elemEval(right)(y, i)
         dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
       }
       if (na == 0.0 || nb == 0.0) null else dot / (math.sqrt(na) * math.sqrt(nb))
@@ -93,12 +109,15 @@ case class FloatVectorCosine(left: Expression, right: Expression) extends FloatV
          |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = (double) $a.getFloat($i);
-         |    double $yi = (double) $b.getFloat($i);
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = ${elemCode(left, a, i)};
+         |    double $yi = ${elemCode(right, b, i)};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  }
          |}
        """.stripMargin
     })

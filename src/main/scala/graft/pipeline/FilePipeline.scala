@@ -34,29 +34,37 @@ object FilePipeline {
       val landed = FileTransfer.downloadTMinus(remoteDir, landingDir, runDate)
       if (landed.isEmpty) E2Result(Nil, 0L, rolledUp = false)
       else {
-        // S7: parse + coerce + filter
+        // S7: parse + coerce + filter — persist so validation, the
+        // partition write, and the count don't each re-parse the files
         val parsed = TabularFile.read(spark, landingDir, cfg,
-          headerRows, trailerRows, requiredKeys)
-        Checks.enforce(Seq(Checks.schemaMatches(parsed, cfg.schema), Checks.nonEmpty(parsed)))
+          headerRows, trailerRows, requiredKeys).persist()
+        try {
+          Checks.enforce(Seq(Checks.schemaMatches(parsed, cfg.schema), Checks.nonEmpty(parsed)))
 
-        // M4: idempotent time-partition replacement
-        val store = new PartitionedStore(spark, tableRoot, partitionCol)
-        if (store.exists) store.overwritePartitions(parsed) else store.snapshot(parsed)
-        val loaded = parsed.count()
+          // M4: idempotent time-partition replacement
+          val store = new PartitionedStore(spark, tableRoot, partitionCol)
+          if (store.exists) store.overwritePartitions(parsed) else store.snapshot(parsed)
+          val loaded = parsed.count()
 
-        // M6/A5: day rollup only if the table advanced past the mart
-        val table = store.read.get
-        val mart = new TableStore(spark, rollupRoot)
-        val cursor = cfg.cursorField.getOrElse(partitionCol)
-        val rolled = mart.read match {
-          case Some(existing) =>
-            Marts.refreshIfStale(table, cursor, existing, "day") {
-              mart.snapshot(Marts.dayRollup(table, cursor, Nil, rollupAggs))
-            }.isDefined
-          case None =>
-            mart.snapshot(Marts.dayRollup(table, cursor, Nil, rollupAggs)); true
-        }
-        E2Result(landed, loaded, rolled)
+          // M6/A5: day rollup only if the table advanced past the mart —
+          // compared at DAY grain on both sides (the reference's guard is
+          // max(src.status_date) > max(dest.delivery_date), same grain;
+          // comparing a raw timestamp against the mart's day string would
+          // always fire)
+          val table = store.read.get
+          val mart = new TableStore(spark, rollupRoot)
+          val cursor = cfg.cursorField.getOrElse(partitionCol)
+          val tableDays = table.select(to_date(col(cursor)).as("day"))
+          val rolled = mart.read match {
+            case Some(existing) =>
+              Marts.refreshIfStale(tableDays, "day", existing, "day") {
+                mart.snapshot(Marts.dayRollup(table, cursor, Nil, rollupAggs))
+              }.isDefined
+            case None =>
+              mart.snapshot(Marts.dayRollup(table, cursor, Nil, rollupAggs)); true
+          }
+          E2Result(landed, loaded, rolled)
+        } finally parsed.unpersist()
       }
     }
   }

@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   *   2. reads ONLY those target partitions (partition-pruned scan);
   *   3. runs the same [[MergeEngine.upsert]] algebra on that slice;
   *   4. writes the merged slice to a staging directory, then swaps the
-  *      affected partition directories by rename — untouched partitions
-  *      are never read, rewritten, or moved.
+  *      affected partition directories by backup-rename — untouched
+  *      partitions are never read, rewritten, or moved.
   *
-  * The rename swap (not read-cache-overwrite) is what makes step 4 safe:
-  * the merged output is fully materialized in the staging dir before any
-  * target file is touched, so executor loss mid-write never corrupts the
-  * table. A transactional format (Delta/Iceberg) replaces the swap with a
+  * Failure envelope (stated): the merged output is fully materialized in
+  * the staging dir before any target file moves, so executor loss during
+  * the WRITE never corrupts the table; the per-partition swap itself is
+  * not transactional — a driver crash mid-swap leaves a `.swap_<dir>`
+  * backup beside the table for manual recovery rather than silent loss.
+  * A transactional format (Delta/Iceberg) replaces the swap with a
   * manifest commit; the merge algebra is unchanged.
   */
 final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String) {
@@ -58,16 +60,25 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
       (if (affected.contains("__HIVE_DEFAULT_PARTITION__")) col(partitionCol).isNull else lit(false)))
     val merged = MergeEngine.upsert(target, source, cfg)
 
-    // materialize to staging FIRST, then swap directories
+    // materialize to staging FIRST, then swap directories. Swap by the
+    // directory names Spark actually WROTE (it percent-escapes special
+    // characters in partition values — reconstructing names from raw
+    // values would miss e.g. `ts=…10%3A00%3A00` and lose partitions).
+    // Each swap is backup-rename-delete, so a crash mid-swap leaves a
+    // recoverable `.swap_` backup rather than a missing partition.
     val stage = s"$root/.staging_${java.util.UUID.randomUUID().toString.take(8)}"
     merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
     try {
-      for (v <- affected) {
-        val dirName = s"$partitionCol=$v"
-        val src = new Path(s"$stage/$dirName")
-        val dst = new Path(s"$root/$dirName")
-        if (fs.exists(dst)) fs.delete(dst, true)
-        if (fs.exists(src)) fs.rename(src, dst)
+      val stagedDirs = fs.listStatus(new Path(stage)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+      for (sd <- stagedDirs) {
+        val name = sd.getPath.getName
+        val dst = new Path(s"$root/$name")
+        val bak = new Path(s"$root/.swap_$name")
+        if (fs.exists(bak)) fs.delete(bak, true)
+        val hadOld = fs.exists(dst) && fs.rename(dst, bak)
+        fs.rename(sd.getPath, dst)
+        if (hadOld) fs.delete(bak, true)
       }
     } finally fs.delete(new Path(stage), true)
     affected

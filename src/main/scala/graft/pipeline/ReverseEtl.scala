@@ -19,6 +19,17 @@ object ReverseEtl {
 
   final case class E3Result(martRows: Long, published: Long)
 
+  /** Driver-side JDBC-metadata existence check (case-insensitive). */
+  private def tableExists(url: String, table: String, props: Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", null)
+      var found = false
+      while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+      found
+    } finally conn.close()
+  }
+
   /** Build the mart and publish it to a JDBC warehouse with merge
     * semantics: stage the batch, merge against the existing downstream
     * table on the (null-safe) business key, overwrite-publish the merged
@@ -36,21 +47,28 @@ object ReverseEtl {
       Checks.enforce(Seq(Checks.nonEmpty(mart), Checks.unique(mart, cfg.keys)))
       val martRows = mart.count()
 
+      // explicit existence probe: ONLY a missing table means first
+      // publish — any other failure (transient JDBC error, schema drift)
+      // must abort, because the publish below overwrites the table and a
+      // swallowed merge error would destroy the downstream history
       val merged =
-        try {
+        if (!tableExists(url, table, props)) mart
+        else {
           val existing = Jdbc.table(spark, url, table, props = props)
           // downstream engines may upper-case identifiers — align by name
           val aligned = existing.toDF(existing.columns.map(_.toLowerCase): _*)
           MergeEngine.upsert(aligned.select(mart.columns.map(org.apache.spark.sql.functions.col): _*),
             mart, cfg)
-        } catch { case _: Exception => mart } // first publish: table absent
-      // materialize BEFORE the overwrite: the merged plan still reads the
-      // downstream table, and JDBC overwrite truncates it before inserting
-      merged.persist()
-      val published = merged.count()
-      try Jdbc.publish(merged, url, table, mode = "overwrite", props = props)
-      finally merged.unpersist()
-      E3Result(martRows, published)
+        }
+      // durably materialize BEFORE the overwrite: the merged plan still
+      // reads the downstream table, and JDBC overwrite truncates it before
+      // inserting; a cache could be evicted mid-insert and recompute from
+      // the truncated table — a parquet round-trip cannot
+      val tmp = java.nio.file.Files.createTempDirectory("reverse_etl").toString + "/merged"
+      merged.write.parquet(tmp)
+      val durable = spark.read.parquet(tmp)
+      Jdbc.publish(durable, url, table, mode = "overwrite", props = props)
+      E3Result(martRows, durable.count())
     }
   }
 }

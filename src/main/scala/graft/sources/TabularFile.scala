@@ -27,12 +27,28 @@ object TabularFile {
            headerRows: Int = 1, trailerRows: Int = 0,
            requiredKeys: Seq[String] = Nil, delimiter: String = ",",
            withEtlDate: Boolean = false): DataFrame = {
-    val lines = spark.read.text(path)
-    val n = lines.count()
-    val indexed = lines.rdd.zipWithIndex()
-    val body = indexed
-      .filter { case (_, i) => i >= headerRows && i < n - trailerRows }
-      .map(_._1)
+    // banner/trailer positions are PER FILE: a landing directory holds
+    // many files (S8 lands one per source drop), and a global row index
+    // would keep later files' banners and earlier files' trailers. Each
+    // file gets its own indexed trim; union stays lazy and distributed.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+      else Seq(path)
+
+    def trimmedBody(file: String) = {
+      val lines = spark.read.text(file)
+      val n = lines.count()
+      lines.rdd.zipWithIndex()
+        .filter { case (_, i) => i >= headerRows && i < n - trailerRows }
+        .map(_._1)
+    }
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cfg.schema)
+    val body = files.map(trimmedBody).reduce(_ union _)
     val text = spark.createDataFrame(body, StructType(Seq(StructField("value", StringType))))
 
     // parse positionally against the declared schema, all columns as

@@ -49,9 +49,18 @@ object Sessionize {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMillis =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
-                case Some(s) => // gap inside the batch: close previous, start new
+                // in-order or late-but-within-gap of the session span:
+                // absorb, extending the span backwards for late arrivals
+                // (keeps streaming aligned with the sorted batch twin)
+                case Some(s) if t >= s.start - gapMillis && t - s.last <= gapMillis =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
+                // too late to belong to the open session: emit it as its
+                // own closed single-event session (the batch twin would
+                // have ordered it into an earlier separate session)
+                case Some(s) if t < s.start - gapMillis =>
+                  closed += Session(user, new Timestamp(t), new Timestamp(t), 1, e.value)
+                case Some(s) => // forward gap inside the batch: close previous, start new
                   closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>

@@ -34,6 +34,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mismatch.isNullAt(0))
   }
 
+  test("null elements propagate NULL (zip_with parity); double arrays accepted") {
+    val withNull = Seq((Array[java.lang.Float](1.0f, null, 2.0f), Array[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+    assert(withNull.select(VectorOps.vectorDot(col("a"), col("b")).as("d")).head().isNullAt(0))
+    val doubles = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(doubles.select(VectorOps.vectorDot(col("a"), col("b")).as("d")).head().getDouble(0) == 11.0)
+    // mixed float/double sides also work
+    val mixed = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0))).toDF("a", "b")
+    assert(mixed.select(VectorOps.vectorDot(col("a"), col("b")).as("d")).head().getDouble(0) == 11.0)
+  }
+
   test("codegen and interpreted paths agree") {
     val q = Seq((Array.tabulate(64)(i => i.toFloat), Array.tabulate(64)(i => (63 - i).toFloat)))
       .toDF("a", "b").select(VectorOps.vectorDot(col("a"), col("b")).as("d"))

@@ -25,6 +25,31 @@ class SessionizeSpec extends SparkSpec {
     ).sortBy(_.mkString("|")))
   }
 
+  test("late events: in-gap extends session backwards; too-late emits separately") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val t = Files.createTempDirectory("sess-late").toString
+    val inbox = s"$t/in"
+    // batch 1 opens a session at 10:00
+    Seq(ev(1, "2024-01-01 10:00:00", 1.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(inbox)
+    // batch 2: 09:50 (late, within 30m gap → extends span backwards) and
+    // 07:00 (too late → separate single-event session); sentinel flushes
+    Seq(ev(1, "2024-01-01 09:50:00", 2.0), ev(1, "2024-01-01 07:00:00", 4.0),
+        ev(99, "2024-01-02 12:00:00", 0.0)).toDF("user_id", "ts", "value")
+      .write.mode("append").parquet(inbox)
+    val schema = Seq(ev(1, "2024-01-01 00:00:00", 0.0)).toDF("user_id", "ts", "value").schema
+    val q = Sessionize.sessions(spark, spark.readStream.schema(schema).parquet(inbox),
+        gap = "30 minutes", lateness = "6 hours")
+      .writeStream.format("memory").queryName("sl").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = canon(spark.table("sl").filter(org.apache.spark.sql.functions.col("user_id") === 1)
+      .select("n_events", "total_value"))
+    // 07:00 alone (4.0) and the 09:50+10:00 session (3.0)
+    assert(got == Seq(Seq("1", "4.0"), Seq("2", "3.0")).sortBy(_.mkString("|")))
+  }
+
   test("streaming sessionization emits closed sessions; watermark closes the tail") {
     val t = Files.createTempDirectory("sess").toString
     val inbox = s"$t/in"
