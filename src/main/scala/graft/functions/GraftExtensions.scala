@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(cls: Class[_], name: String, usage: String) =
-    new ExpressionInfo(cls.getName, null, name, usage, "")
+    new ExpressionInfo(cls.getName, null, name, usage,
+      "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

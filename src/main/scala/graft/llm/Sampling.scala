@@ -19,7 +19,7 @@ object Sampling {
     * under the fraction. Reproducible, partition-independent. */
   def deterministicSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
-    val bucket = pmod(xxhash64(lit(seed) +: df.columns.map(col): _*), lit(1000000L))
+    val bucket = pmod(xxhash64((lit(seed) +: df.columns.map(col).toSeq): _*), lit(1000000L))
     df.filter(bucket < (fraction * 1000000L).toLong)
   }
 
@@ -29,8 +29,8 @@ object Sampling {
   def stratifiedFixedSample(df: DataFrame, strataCols: Seq[String], n: Int,
                             seed: Long = 42L): DataFrame = {
     require(n > 0, "n must be positive")
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(xxhash64(lit(seed) +: df.columns.map(col): _*).asc)
+    val w = Window.partitionBy(strataCols.map(col).toSeq: _*)
+      .orderBy(xxhash64((lit(seed) +: df.columns.map(col).toSeq): _*).asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
   }
 }

@@ -26,7 +26,7 @@ object Marts {
       f.join(broadcast(dim), Seq(key), "left")
     }
     joined.filter(flags)
-      .groupBy(groupKeys.map(col): _*)
+      .groupBy(groupKeys.map(col).toSeq: _*)
       .agg(aggs.head, aggs.tail: _*)
   }
 

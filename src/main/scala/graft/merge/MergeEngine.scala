@@ -46,8 +46,8 @@ object MergeEngine {
       case _ => true
     }
     val hashCols = src.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-    val tiebreak = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols: _*)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy :+ tiebreak.asc: _*)
+    val tiebreak = if (hashCols.isEmpty) lit(0L) else xxhash64(hashCols.toSeq: _*)
+    val w = Window.partitionBy(keys.map(col).toSeq: _*).orderBy(orderBy :+ tiebreak.asc: _*)
     src.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -67,7 +67,7 @@ object MergeEngine {
     require(cfg.keys.nonEmpty, s"${cfg.name}: merge requires keys")
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val src = latestPerKey(source, cfg.keys, cursorOrder)
-      .select(target.columns.map(col): _*)
+      .select(target.columns.map(col).toSeq: _*)
 
     // Prefix-rename BOTH sides before the join. toDF allocates fresh
     // attribute ids and the disjoint names let every downstream reference
@@ -79,8 +79,8 @@ object MergeEngine {
     val s_ = (c: String) => s"__s_$c"
     // presence markers make "matched" detection key-null-proof (keys can be
     // NULL under null-safe equality, so key.isNotNull is not a valid probe)
-    val tm = target.toDF(target.columns.map(t_): _*).withColumn("__tp", lit(1))
-    val sm = src.toDF(target.columns.map(s_): _*).withColumn("__sp", lit(1))
+    val tm = target.toDF(target.columns.map(t_).toSeq: _*).withColumn("__tp", lit(1))
+    val sm = src.toDF(target.columns.map(s_).toSeq: _*).withColumn("__sp", lit(1))
     // Null-safe (`<=>`) or plain key equality: the reference uses
     // `ISNULL(a,'')=ISNULL(b,'')` on nullable composite keys
     // (dags/sql/ods_to_llb/update_des_table/staging_revenue_by_employee.sql:3-12).
@@ -123,7 +123,7 @@ object MergeEngine {
                          partitionCol: String, lo: Column, hi: Column): DataFrame = {
     val inWindow  = (c: DataFrame) => c(partitionCol) >= lo && c(partitionCol) < hi
     target.filter(!inWindow(target) || target(partitionCol).isNull)
-      .unionByName(source.filter(inWindow(source)).select(target.columns.map(col): _*))
+      .unionByName(source.filter(inWindow(source)).select(target.columns.map(col).toSeq: _*))
   }
 
   /** M4 variant — overwrite every partition value present in the source
@@ -136,6 +136,6 @@ object MergeEngine {
     // new ones — duplicates).
     val parts = source.select(col(partitionCol).as("__part")).distinct()
     target.join(parts, col(partitionCol) <=> col("__part"), "left_anti")
-      .unionByName(source.select(target.columns.map(col): _*))
+      .unionByName(source.select(target.columns.map(col).toSeq: _*))
   }
 }

@@ -19,8 +19,8 @@ object AsofJoin {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                rightValueCols: Seq[String], prefix: String = "asof_"): DataFrame = {
-    val lv = struct(left.columns.map(col): _*)
-    val rv = struct(rightValueCols.map(col): _*)
+    val lv = struct(left.columns.map(col).toSeq: _*)
+    val rv = struct(rightValueCols.map(col).toSeq: _*)
     val lvType = left.select(lv.as("x")).schema("x").dataType
     val rvType = right.select(rv.as("x")).schema("x").dataType
 
@@ -33,7 +33,7 @@ object AsofJoin {
 
     // right rows sort BEFORE left rows at equal time (__src 0 < 1) so an
     // exactly-simultaneous right row is visible to the left row
-    val w = Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(keys.map(col).toSeq: _*)
       .orderBy(col("__t").asc, col("__src").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

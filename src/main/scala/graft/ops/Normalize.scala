@@ -17,7 +17,7 @@ object Normalize {
   /** P1 — explicit projection. The reference never SELECT *'s a source
     * (dags/sql/bccp/extract/bccp_item.sql:4-160). */
   def project(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(cols.map(col): _*)
+    df.select(cols.map(col).toSeq: _*)
 
   /** P2 — blank out PII-ish columns at extract
     * (dags/sql/bccp/extract/bccp_item.sql:7,9-10,67-74). */
@@ -44,7 +44,7 @@ object Normalize {
         val cleaned = regexp_replace(col(c), "[\\r\\x00]", "")
         (if (alsoTrim) trim(cleaned) else cleaned).as(c)
       } else col(c)
-    }: _*)
+    }.toSeq: _*)
   }
 
   /** P8 — CamelCase → snake_case rename, same regex intent as
@@ -55,7 +55,7 @@ object Normalize {
       .replaceAll("([a-z0-9])([A-Z])", "$1_$2")
       .toLowerCase
   def snakeCaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(snakeCase): _*)
+    df.toDF(df.columns.map(snakeCase).toSeq: _*)
 
   /** P9 — null-defaulting: fillna(0) on numeric columns
     * (plugins/operators/casreport_to_ods.py:324-328). */

@@ -39,13 +39,13 @@ object Skew {
                 buckets: Int = 16): DataFrame = {
     require(buckets > 0 && aggs.nonEmpty)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong)))
     val partial = salted
-      .groupBy((keys :+ "__salt").map(col): _*)
+      .groupBy((keys :+ "__salt").map(col).toSeq: _*)
       .agg(aggs.head.partial.as(s"__p_${aggs.head.name}"),
            aggs.tail.map(a => a.partial.as(s"__p_${a.name}")): _*)
     partial
-      .groupBy(keys.map(col): _*)
+      .groupBy(keys.map(col).toSeq: _*)
       .agg(aggs.head.finalAgg(s"__p_${aggs.head.name}").as(aggs.head.name),
            aggs.tail.map(a => a.finalAgg(s"__p_${a.name}").as(a.name)): _*)
   }

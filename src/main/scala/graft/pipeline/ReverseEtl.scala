@@ -56,8 +56,8 @@ object ReverseEtl {
         else {
           val existing = Jdbc.table(spark, url, table, props = props)
           // downstream engines may upper-case identifiers — align by name
-          val aligned = existing.toDF(existing.columns.map(_.toLowerCase): _*)
-          MergeEngine.upsert(aligned.select(mart.columns.map(org.apache.spark.sql.functions.col): _*),
+          val aligned = existing.toDF(existing.columns.map(_.toLowerCase).toSeq: _*)
+          MergeEngine.upsert(aligned.select(mart.columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
             mart, cfg)
         }
       // durably materialize BEFORE the overwrite: the merged plan still

@@ -22,7 +22,7 @@ object Jdbc {
   def table(spark: SparkSession, url: String, table: String,
             columns: Seq[String] = Nil, props: Properties = new Properties): DataFrame = {
     val df = spark.read.jdbc(url, table, props)
-    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+    if (columns.isEmpty) df else df.select(columns.map(col).toSeq: _*)
   }
 
   /** S1/S2/S3 — cursor-windowed scan, half-open `[start, end)`. Bounds are
@@ -45,7 +45,7 @@ object Jdbc {
         .option("upperBound", end)
         .jdbc(url, tbl, props)
     Windowed.cursorWindow(
-      if (columns.isEmpty) base else base.select(columns.map(col): _*),
+      if (columns.isEmpty) base else base.select(columns.map(col).toSeq: _*),
       cursorField, lit(start).cast(cursorType), lit(end).cast(cursorType))
   }
 

@@ -28,7 +28,7 @@ object StreamOps {
   def windowedCounts(stream: DataFrame, tsCol: String, windowDur: String,
                      lateness: String, keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), windowDur) +: keys.map(col): _*)
+      .groupBy(window(col(tsCol), windowDur) +: keys.map(col).toSeq: _*)
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start") +: keys.map(col) :+ col("n"): _*)
 

@@ -58,7 +58,7 @@ object Checks {
   /** The violating key values (the dbt `unique` test's failing-rows query —
     * also an oracle-checkable operator in its own right). */
   def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    df.groupBy(keys.map(col).toSeq: _*).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
 
   /** V2 — dbt_utils.expression_is_true(count(*) > 0). */
   def nonEmpty(df: DataFrame): CheckResult = {
