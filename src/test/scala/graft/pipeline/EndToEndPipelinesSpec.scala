@@ -64,6 +64,23 @@ class EndToEndPipelinesSpec extends SparkSpec {
     assert(got == Map("a" -> 10.0, "b" -> 5.0, "c" -> 7.0))
   }
 
+  test("E3 aborts on downstream schema drift; history survives") {
+    val t = Files.createTempDirectory("e3drift").toString
+    val url = s"jdbc:derby:$t/llb;create=true"
+    val c = DriverManager.getConnection(url); val st = c.createStatement()
+    st.execute("CREATE TABLE rev (grp VARCHAR(10), revenue DOUBLE)")
+    st.execute("INSERT INTO rev VALUES ('history', 99.0)")
+    st.execute("CREATE TABLE drifted (wrong_col VARCHAR(10))")
+    st.close(); c.close()
+    intercept[Exception] {
+      ReverseEtl.publishMart(spark, Seq(("a", 1.0)).toDF("grp", "amt"), Nil, lit(true),
+        Seq("grp"), Seq(sum("amt").as("revenue")),
+        TableConfig("x", null, Seq("grp")), url, "drifted", s"$t/meta", "d")
+    }
+    // neither table was destroyed by the failed run
+    assert(spark.read.jdbc(url, "rev", new java.util.Properties).count() == 1)
+  }
+
   test("E3 refuses to publish on failed connectivity probe") {
     val e = intercept[IllegalArgumentException] {
       ReverseEtl.publishMart(spark, Seq(("a", 1.0)).toDF("grp", "amt"), Nil, lit(true),

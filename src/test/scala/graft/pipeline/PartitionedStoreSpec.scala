@@ -48,6 +48,18 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(listing("2024-01-03") == before)
   }
 
+  test("partition values needing percent-escaping survive the swap") {
+    // Spark writes `hr=2024-01-01 10%3A00%3A00` on disk; the swap must use
+    // the written names, not reconstruct them from raw values
+    val root = Files.createTempDirectory("pstore-esc").toString + "/t"
+    val store = new PartitionedStore(spark, root, "hr")
+    store.snapshot(Seq(("a", 1L, "2024-01-01 10:00:00", "v1"),
+                       ("b", 1L, "2024-01-01 11:00:00", "keep")).toDF("k", "ts", "hr", "v"))
+    store.upsert(Seq(("a", 2L, "2024-01-01 10:00:00", "v2")).toDF("k", "ts", "hr", "v"), cfg)
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "v2"), Seq("b", "keep")).sortBy(_.mkString("|")))
+  }
+
   test("upsert replay converges; overwritePartitions replaces only present days") {
     val root = Files.createTempDirectory("pstore2").toString + "/t"
     val store = new PartitionedStore(spark, root, "day")

@@ -34,6 +34,15 @@ class TabularFileSpec extends SparkSpec {
     ).sortBy(_.mkString("|")))
   }
 
+  test("multi-file directory: banner and trailer trimmed PER FILE") {
+    val dir = Files.createTempDirectory("tab-multi")
+    Files.writeString(dir.resolve("f1.csv"), "BANNER1\nL1,5,1.0\nTOTAL,5,0")
+    Files.writeString(dir.resolve("f2.csv"), "BANNER2\nL2,7,2.0\nTOTAL,7,0")
+    val out = TabularFile.read(spark, dir.toString, cfg, headerRows = 1, trailerRows = 1)
+    assert(canon(out) == Seq(
+      Seq("L1", "5", "1.0"), Seq("L2", "7", "2.0")).sortBy(_.mkString("|")))
+  }
+
   test("etl_date appended when requested") {
     val out = TabularFile.read(spark, path, cfg, headerRows = 2, trailerRows = 1,
       withEtlDate = true)
