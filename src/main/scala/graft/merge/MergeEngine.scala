@@ -105,6 +105,30 @@ object MergeEngine {
     }.toSeq: _*)
   }
 
+  /** M1/M2 with schema evolution — the ODS schema-drift story the
+    * reference handles by manual ALTER TABLE before deploys. Source
+    * columns absent from the target are added (NULL for pre-existing
+    * target rows); target columns absent from the source carry through
+    * (NULL on inserted rows); columns present on both sides keep the
+    * TARGET's type, with the source try_cast into it. Same single-shuffle
+    * plan as [[upsert]].
+    */
+  def upsertEvolving(target: DataFrame, source: DataFrame, cfg: TableConfig): DataFrame = {
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val sTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    val allCols = target.columns ++ source.columns.filterNot(target.columns.contains)
+    def widen(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(allCols.map { c =>
+        val t = tTypes.getOrElse(c, sTypes(c))
+        if (!have(c)) lit(null).cast(t).as(c)
+        else if (df.schema(c).dataType == t) col(c)
+        else col(c).try_cast(t.sql).as(c)
+      }.toSeq: _*)
+    }
+    upsert(widen(target), widen(source), cfg)
+  }
+
   /** M3 — snapshot replace: `TRUNCATE des; INSERT SELECT FROM staging`
     * (casadmin_*.sql:1-2). Trivial by design: the new frame IS the table.
     * Kept as an operator so pipelines state intent (and so a sink can map

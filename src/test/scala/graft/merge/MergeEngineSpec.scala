@@ -123,6 +123,30 @@ class MergeEngineSpec extends SparkSpec {
                             (Option.empty[Int], "sn")).toDF("p", "v"))
   }
 
+  test("upsertEvolving: new source columns appear, old target columns survive") {
+    val target = Seq(("a", 1L, "legacy")).toDF("k", "ts", "old_col")
+    val source = Seq(("a", 2L, "fresh"), ("b", 1L, "new"))
+      .toDF("k", "ts", "new_col")
+    val out = MergeEngine.upsertEvolving(target, source, cfg())
+    assert(out.columns.toSeq == Seq("k", "ts", "old_col", "new_col"))
+    assert(canon(out) == Seq(
+      Seq("a", "2", "null", "fresh"),   // updated row: old col nulls, new col set
+      Seq("b", "1", "null", "new")      // inserted row
+    ).sortBy(_.mkString("|")))
+    // target-only rows keep their legacy values
+    val out2 = MergeEngine.upsertEvolving(target,
+      Seq(("b", 1L, "new")).toDF("k", "ts", "new_col"), cfg())
+    assert(canon(out2) == Seq(
+      Seq("a", "1", "legacy", "null"), Seq("b", "1", "null", "new")
+    ).sortBy(_.mkString("|")))
+    // type conflict: source value try_casts into the target's type
+    val t3 = Seq(("a", 1L, 10L)).toDF("k", "ts", "v")
+    val s3 = Seq(("a", 2L, "77"), ("b", 1L, "junk")).toDF("k", "ts", "v")
+    val out3 = MergeEngine.upsertEvolving(t3, s3, cfg())
+    assert(out3.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(canon(out3.select("k", "v")) == Seq(Seq("a", "77"), Seq("b", "null")).sortBy(_.mkString("|")))
+  }
+
   test("M4 partitionOverwrite replay is idempotent") {
     val target = Seq((1, "t1"), (2, "t2")).toDF("p", "v")
     val source = Seq((2, "s2")).toDF("p", "v")
