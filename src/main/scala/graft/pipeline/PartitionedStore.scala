@@ -50,8 +50,26 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     * source batch. Requires rows to stay in their partition (the
     * partition column is part of the business identity — true for the
     * reference's date-partitioned facts). */
+  /** Restore any partition whose previous swap crashed between the backup
+    * rename and the install: the live dir is missing but its `.swap_`
+    * backup survives. Run before every read-for-merge so a crashed swap
+    * self-heals instead of the next merge rebuilding from source alone
+    * (which would discard the backed-up history). */
+  private def recoverCrashedSwaps(): Unit = {
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) return
+    fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".swap_"))
+      .foreach { b =>
+        val live = new Path(s"$root/${b.getPath.getName.stripPrefix(".swap_")}")
+        if (!fs.exists(live)) fs.rename(b.getPath, live)
+        else fs.delete(b.getPath, true) // swap completed; stale backup
+      }
+  }
+
   def upsert(source: DataFrame, cfg: TableConfig): Seq[String] = {
     if (!exists) { snapshot(source); return partitionValues(source) }
+    recoverCrashedSwaps()
     val affected = partitionValues(source)
     val affectedCols = affected.filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
 
@@ -76,9 +94,21 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
         val dst = new Path(s"$root/$name")
         val bak = new Path(s"$root/.swap_$name")
         if (fs.exists(bak)) fs.delete(bak, true)
-        val hadOld = fs.exists(dst) && fs.rename(dst, bak)
-        fs.rename(sd.getPath, dst)
-        if (hadOld) fs.delete(bak, true)
+        // every rename is CHECKED: an unchecked false return would either
+        // lose the staged merge (deleted by the finally) or nest the
+        // staged dir inside a still-existing dst on HDFS semantics
+        if (fs.exists(dst)) {
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(
+              s"failed to back up partition $name; table left untouched")
+        }
+        if (!fs.rename(sd.getPath, dst)) {
+          // restore the backup so the table is never left without the
+          // partition, then fail loudly
+          if (fs.exists(bak)) fs.rename(bak, dst)
+          throw new java.io.IOException(s"failed to install merged partition $name")
+        }
+        if (fs.exists(bak)) fs.delete(bak, true)
       }
     } finally fs.delete(new Path(stage), true)
     affected

@@ -19,14 +19,16 @@ object ReverseEtl {
 
   final case class E3Result(martRows: Long, published: Long)
 
-  /** Driver-side JDBC-metadata existence check (case-insensitive). */
+  /** Driver-side JDBC-metadata existence check (case-insensitive; exact
+    * name patterns rather than a whole-catalog scan). */
   private def tableExists(url: String, table: String, props: Properties): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val rs = conn.getMetaData.getTables(null, null, "%", null)
-      var found = false
-      while (!found && rs.next()) found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
-      found
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { pat =>
+        val rs = md.getTables(null, null, pat, null)
+        try rs.next() finally rs.close()
+      }
     } finally conn.close()
   }
 
@@ -55,20 +57,34 @@ object ReverseEtl {
         if (!tableExists(url, table, props)) mart
         else {
           val existing = Jdbc.table(spark, url, table, props = props)
-          // downstream engines may upper-case identifiers — align by name
+          // downstream engines may upper-case identifiers — align by name;
+          // the EVOLVING merge keeps columns the downstream team added
+          // (they survive as target-side values) instead of the overwrite
+          // silently destroying them
           val aligned = existing.toDF(existing.columns.map(_.toLowerCase).toSeq: _*)
-          MergeEngine.upsert(aligned.select(mart.columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
-            mart, cfg)
+          // a downstream table without the merge keys is the wrong table
+          // (renamed/repurposed) — evolution would null-key every existing
+          // row and garbage-merge; abort before the destructive overwrite
+          require(cfg.keys.forall(k => aligned.columns.contains(k.toLowerCase)),
+            s"downstream table '$table' lacks merge key(s) ${cfg.keys.mkString(",")}; refusing to publish")
+          MergeEngine.upsertEvolving(aligned, mart, cfg)
         }
       // durably materialize BEFORE the overwrite: the merged plan still
       // reads the downstream table, and JDBC overwrite truncates it before
       // inserting; a cache could be evicted mid-insert and recompute from
       // the truncated table — a parquet round-trip cannot
-      val tmp = java.nio.file.Files.createTempDirectory("reverse_etl").toString + "/merged"
-      merged.write.parquet(tmp)
-      val durable = spark.read.parquet(tmp)
-      Jdbc.publish(durable, url, table, mode = "overwrite", props = props)
-      E3Result(martRows, durable.count())
+      val tmpRoot = java.nio.file.Files.createTempDirectory("reverse_etl")
+      try {
+        val tmp = s"$tmpRoot/merged"
+        merged.write.parquet(tmp)
+        val durable = spark.read.parquet(tmp)
+        Jdbc.publish(durable, url, table, mode = "overwrite", props = props)
+        E3Result(martRows, durable.count())
+      } finally {
+        val fs = new org.apache.hadoop.fs.Path(tmpRoot.toString)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmpRoot.toString), true)
+      }
     }
   }
 }

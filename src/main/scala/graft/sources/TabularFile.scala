@@ -35,7 +35,12 @@ object TabularFile {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files: Seq[String] =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .map(_.getPath)
+          // same hidden-file rule as Spark's own file index: _SUCCESS
+          // markers, .crc sidecars, dotfiles are not data
+          .filterNot(pp => pp.getName.startsWith("_") || pp.getName.startsWith("."))
+          .map(_.toString).sorted
       else Seq(path)
 
     def trimmedBody(file: String) = {
@@ -45,9 +50,12 @@ object TabularFile {
         .filter { case (_, i) => i >= headerRows && i < n - trailerRows }
         .map(_._1)
     }
-    if (files.isEmpty)
-      return spark.createDataFrame(
+    if (files.isEmpty) {
+      // keep the empty-result schema identical to the non-empty path's
+      val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cfg.schema)
+      return if (withEtlDate) empty.withColumn("etl_date", current_timestamp()) else empty
+    }
     val body = files.map(trimmedBody).reduce(_ union _)
     val text = spark.createDataFrame(body, StructType(Seq(StructField("value", StringType))))
 

@@ -45,7 +45,15 @@ object Sessionize {
           } else {
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
+            // accumulator for a chain of too-late events (they are sorted,
+            // so consecutive in-gap late events form ONE session like the
+            // batch twin would produce, not n single-event sessions)
+            var late: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
+            def flushLate(): Unit = late.foreach { l =>
+              closed += Session(user, new Timestamp(l.start), new Timestamp(l.last), l.n, l.total)
+              late = None
+            }
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -53,20 +61,29 @@ object Sessionize {
                 // absorb, extending the span backwards for late arrivals
                 // (keeps streaming aligned with the sorted batch twin)
                 case Some(s) if t >= s.start - gapMillis && t - s.last <= gapMillis =>
+                  flushLate()
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
                     s.n + 1, s.total + e.value))
-                // too late to belong to the open session: emit it as its
-                // own closed single-event session (the batch twin would
-                // have ordered it into an earlier separate session)
+                // too late for the open session: chain into the late
+                // accumulator (the batch twin orders these into their own
+                // earlier session(s))
                 case Some(s) if t < s.start - gapMillis =>
-                  closed += Session(user, new Timestamp(t), new Timestamp(t), 1, e.value)
+                  late match {
+                    case Some(l) if t - l.last <= gapMillis =>
+                      late = Some(SessionState(l.start, math.max(l.last, t), l.n + 1, l.total + e.value))
+                    case _ =>
+                      flushLate()
+                      late = Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) => // forward gap inside the batch: close previous, start new
+                  flushLate()
                   closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
+            flushLate()
             cur.foreach { s =>
               state.update(s)
               // a late-but-admitted event can put last+gap BEHIND the
