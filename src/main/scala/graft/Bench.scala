@@ -26,20 +26,32 @@ object Bench {
         s"warmup queries failed against $warmupDir — timings include cold compilation")
     // failures are explicit: a failed query is listed in "failed" and its
     // time is excluded from the headline (no silent -1L masking);
-    // name-sorted order keeps timings attributable across runs
+    // name-sorted order keeps timings attributable across runs.
+    // Each query is timed TWICE and the headline takes the min: single-shot
+    // timings carried multi-second JIT/GC noise exactly on the most
+    // expensive queries (round-2 bench logged dedup_neardup at 17 s vs a
+    // ~2 s warm cost), which masked real regressions. Both passes stay in
+    // the JSON so noise itself is visible.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      def onePass(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val (t1, ok1) = onePass()
+      val (t2, ok2) = if (ok1) onePass() else (t1, ok1)
+      (name, math.min(t1, t2), t1, t2, ok1 && ok2)
     }
-    val qs = results.collect { case (k, v, true) => s"\"" + k + "\":" + v }
+    val qs = results.collect { case (k, v, _, _, true) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val passes = results.collect { case (k, _, t1, t2, true) => s"\"" + k + "\":[" + t1 + "," + t2 + "]" }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _, _, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

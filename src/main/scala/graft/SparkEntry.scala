@@ -207,6 +207,14 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
                 unix_micros(col("ts")).as("ts_us"), col("value"))),
 
+    "p4_cursor_window_ict" -> ((s, d) =>
+      // the reference's ICT-anchored daily window (casreport_to_ods.py:79-86):
+      // wall-clock bounds in Asia/Ho_Chi_Minh, converted to UTC instants
+      // driver-side so the raw-nanos pushdown is preserved
+      Tables.eventsWindowZoned(s, d, "2024-01-10", "2024-01-20", "Asia/Ho_Chi_Minh")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                unix_micros(col("ts")).as("ts_us"), col("value"))),
+
     "a2_freshness" -> ((s, d) =>
       Tables.events(s, d).agg(
         unix_micros(max(col("ts"))).as("max_ts_us"),
@@ -271,6 +279,46 @@ object SparkEntry {
       val w2 = latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-25")))
       val merged = MergeEngine.upsert(MergeEngine.upsert(target0, w1, cfg), w2, cfg)
       MergeEngine.upsert(merged, w1, cfg) // backdate replay of w1
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
+    "m1_evolving" -> ((s, d) => {
+      // schema-drift merge: source gained `src_extra`, target has a
+      // downstream-added `legacy_note` the update must NOT destroy
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      val target = latest(ev.filter(col("ts") < ts("2024-01-15")))
+        .withColumn("legacy_note", concat(lit("L"), col("user_id").cast("string")))
+      val source = latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20")))
+        .withColumn("src_extra", col("value") * 2)
+      val cfg = TableConfig("ods.events", null, Seq("user_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      MergeEngine.upsertEvolving(target, source, cfg)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                col("value"), col("legacy_note"), col("src_extra"))
+    }),
+
+    "m1_partitioned" -> ((s, d) => {
+      // the partition-scoped store end-to-end: snapshot, guarded upsert
+      // touching only affected partitions, read back the converged state.
+      // The partition column is a pure key function (bucket = user_id % 8)
+      // so rows never migrate across partitions between merges.
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      def bucketed(df: DataFrame) = df.withColumn("bucket", pmod(col("user_id"), lit(8L)))
+      val target = bucketed(latest(ev.filter(col("ts") < ts("2024-01-15"))))
+      val source = bucketed(latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))))
+      val cfg = TableConfig("ods.events_part", null, Seq("user_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      val root = java.nio.file.Files.createTempDirectory("graft_m1p").toString
+      val store = new graft.pipeline.PartitionedStore(s, s"$root/events", "bucket")
+      store.snapshot(target)
+      store.upsert(source, cfg)
+      store.read.get
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
     }),
 
@@ -637,6 +685,12 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""".stripMargin,
 
+    "p4_cursor_window_ict" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE ts >= timezone('UTC', timezone('Asia/Ho_Chi_Minh', TIMESTAMP '2024-01-10'))
+        |  AND ts <  timezone('UTC', timezone('Asia/Ho_Chi_Minh', TIMESTAMP '2024-01-20'))""".stripMargin,
+
     "a2_freshness" ->
       "SELECT epoch_us(max(ts)) AS max_ts_us, max(event_id) AS max_event_id FROM events",
 
@@ -692,6 +746,38 @@ object SparkEntry {
         |         OR (ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15')
         |         OR (ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-25'))
         |WHERE rn = 1""".stripMargin,
+
+    "m1_evolving" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, value, 'L' || CAST(user_id AS VARCHAR) AS legacy_note FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value, value * 2 AS src_extra FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20') WHERE rn = 1)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.event_id ELSE t.event_id END AS event_id,
+        |  epoch_us(CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.ts ELSE t.ts END) AS ts_us,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.value ELSE t.value END AS value,
+        |  t.legacy_note AS legacy_note,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.src_extra ELSE NULL END AS src_extra
+        |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id""".stripMargin,
+
+    "m1_partitioned" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20') WHERE rn = 1)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.event_id ELSE t.event_id END AS event_id,
+        |  epoch_us(CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.ts ELSE t.ts END) AS ts_us,
+        |  CASE WHEN s.user_id IS NOT NULL AND (t.user_id IS NULL OR t.ts < s.ts) THEN s.value ELSE t.value END AS value
+        |FROM t FULL OUTER JOIN s ON t.user_id = s.user_id""".stripMargin,
 
     "m3_snapshot" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",

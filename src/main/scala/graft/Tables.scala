@@ -30,13 +30,17 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark can only read as
     * long nanos (spark.sql.legacy.parquet.nanosAsLong — set by
     * [[GraftSession]]/Verify/Bench). Convert to TimestampType here with
-    * integral `div` (a double-precision divide on ~1.7e18 nanos would be
-    * off by hundreds of ns). DuckDB's equivalent is `epoch_ns(ts)//1000`.
+    * integral FLOOR division (a double-precision divide on ~1.7e18 nanos
+    * would be off by hundreds of ns, and a truncating `div` would round
+    * pre-1970 negative nanos 1 µs too high where DuckDB's `epoch_ns//1000`
+    * floors). `ts - pmod(ts, 1000)` is the floor multiple for either sign.
     */
+  private val nanosToMicros = "(ts - pmod(ts, 1000)) div 1000"
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.withColumn("ts", timestamp_micros(expr(nanosToMicros)))
     else raw
   }
 
@@ -55,9 +59,22 @@ object Tables {
     }
     if (raw.schema("ts").dataType == LongType)
       raw.filter(col("ts") >= nanos(start) && col("ts") < nanos(end))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", timestamp_micros(expr(nanosToMicros)))
     else
       raw.filter(col("ts") >= lit(start).cast("timestamp") && col("ts") < lit(end).cast("timestamp"))
+  }
+
+  /** [[eventsWindow]] with the window bounds interpreted as WALL-CLOCK
+    * datetimes in `zone` rather than UTC — the reference computes every
+    * cursor window in `Asia/Ho_Chi_Minh` before comparing against naive DB
+    * timestamps (casreport_to_ods.py:79-86), so a daily 23:00-ICT run must
+    * place the half-open boundary 7 hours earlier on the UTC axis. The
+    * zone→instant conversion happens DRIVER-SIDE before the nanos literal
+    * is built, so the filter still reaches parquet row-group stats. */
+  def eventsWindowZoned(s: SparkSession, d: String, start: String, end: String,
+                        zone: String): DataFrame = {
+    def utc(t: String): String = graft.sources.Windowed.zonedToUtc(t, zone)
+    eventsWindow(s, d, utc(start), utc(end))
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -55,11 +55,15 @@ object Marts {
     */
   def refreshIfStale[T](src: DataFrame, srcTs: String,
                         dest: DataFrame, destTs: String)(rollup: => T): Option[T] = {
-    // typed compare: numbers numerically, everything else (timestamps,
-    // dates, ISO strings) via toString ordering — a bare string compare
-    // would mis-order variable-width numerics like 9 vs 10
+    // typed compare: numbers numerically, then any mutually-Comparable pair
+    // natively (java.sql.Timestamp/Date, LocalDate, BigDecimal — a
+    // java.util.Date's toString is NOT ISO-ordered and would mis-order
+    // silently under a string compare), with toString ordering only as the
+    // final fallback for exotic types (valid for ISO-formatted strings)
     def newer(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Number, y: Number) => x.doubleValue() > y.doubleValue()
+      case (x: Comparable[_], y) if x.getClass.isInstance(y) =>
+        x.asInstanceOf[Comparable[Any]].compareTo(y) > 0
       case (x, y)                 => String.valueOf(x) > String.valueOf(y)
     }
     (maxOf(src, srcTs), maxOf(dest, destTs)) match {

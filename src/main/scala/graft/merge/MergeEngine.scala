@@ -63,7 +63,18 @@ object MergeEngine {
     * source version iff the guard admits it; unmatched source rows insert.
     * Output column set = target's.
     */
-  def upsert(target: DataFrame, source: DataFrame, cfg: TableConfig): DataFrame = {
+  def upsert(target: DataFrame, source: DataFrame, cfg: TableConfig): DataFrame =
+    merge(target, source, cfg, target.columns.toSet)
+
+  /** Shared merge core. `updateCols` is the set of columns the source is
+    * allowed to overwrite on a guard-admitted match — standard MERGE
+    * `UPDATE SET` semantics update only the columns the source statement
+    * names. [[upsert]] passes every target column (source was projected to
+    * the target schema); [[upsertEvolving]] passes only the ORIGINAL source
+    * columns, so target-only columns keep their target-side value on
+    * matched rows instead of being nulled by the widened NULL source. */
+  private def merge(target: DataFrame, source: DataFrame, cfg: TableConfig,
+                    updateCols: Set[String]): DataFrame = {
     require(cfg.keys.nonEmpty, s"${cfg.name}: merge requires keys")
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val src = latestPerKey(source, cfg.keys, cursorOrder)
@@ -101,17 +112,23 @@ object MergeEngine {
       (col("__tp").isNotNull && col("__sp").isNotNull && guardAdmits) // guarded UPDATE
 
     j.select(target.columns.map { c =>
-      when(takeSource, col(s_(c))).otherwise(col(t_(c))).as(c)
+      // non-updatable (target-only) columns always carry the target value:
+      // on INSERT rows the target side of the full outer is NULL anyway,
+      // and on matched rows the downstream-added value survives the update
+      if (updateCols(c)) when(takeSource, col(s_(c))).otherwise(col(t_(c))).as(c)
+      else col(t_(c)).as(c)
     }.toSeq: _*)
   }
 
   /** M1/M2 with schema evolution — the ODS schema-drift story the
     * reference handles by manual ALTER TABLE before deploys. Source
     * columns absent from the target are added (NULL for pre-existing
-    * target rows); target columns absent from the source carry through
-    * (NULL on inserted rows); columns present on both sides keep the
-    * TARGET's type, with the source try_cast into it. Same single-shuffle
-    * plan as [[upsert]].
+    * target rows); target columns absent from the source KEEP their
+    * target-side value on matched updates (UPDATE sets only source
+    * columns — Delta/standard MERGE evolution semantics) and are NULL on
+    * inserted rows; columns present on both sides keep the TARGET's type,
+    * with the source try_cast into it. Same single-shuffle plan as
+    * [[upsert]].
     */
   def upsertEvolving(target: DataFrame, source: DataFrame, cfg: TableConfig): DataFrame = {
     val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
@@ -126,7 +143,7 @@ object MergeEngine {
         else col(c).try_cast(t.sql).as(c)
       }.toSeq: _*)
     }
-    upsert(widen(target), widen(source), cfg)
+    merge(widen(target), widen(source), cfg, source.columns.toSet)
   }
 
   /** M3 — snapshot replace: `TRUNCATE des; INSERT SELECT FROM staging`

@@ -34,12 +34,21 @@ object Skew {
 
   /** Two-phase salted aggregation: `groupBy(keys + salt)` partials (the
     * skewed shuffle now spreads each key over `buckets` reducers), then
-    * `groupBy(keys)` over the partials (tiny — `keys × buckets` rows). */
+    * `groupBy(keys)` over the partials (tiny — `keys × buckets` rows).
+    *
+    * The salt mixes the row's content hash with a per-partition row ordinal
+    * (`spark_partition_id` + a monotonic id): a content hash ALONE maps
+    * byte-identical duplicate rows to one bucket, defeating the spread
+    * exactly when a heavy hitter consists of repeated identical rows
+    * (common in raw event feeds). The ordinal varies with physical layout,
+    * so PARTIAL rows are not replay-stable — but every salted aggregate is
+    * decomposable by contract, so the FINAL result is layout-independent. */
   def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
                 buckets: Int = 16): DataFrame = {
     require(buckets > 0 && aggs.nonEmpty)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong)))
+      pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
+        lit(buckets.toLong)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col).toSeq: _*)
       .agg(aggs.head.partial.as(s"__p_${aggs.head.name}"),

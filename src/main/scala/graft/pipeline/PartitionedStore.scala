@@ -68,7 +68,15 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
   }
 
   def upsert(source: DataFrame, cfg: TableConfig): Seq[String] = {
-    if (!exists) { snapshot(source); return partitionValues(source) }
+    if (!exists) {
+      // first write takes the same latest-per-key dedup as every later
+      // merge (TableStore.upsert's None branch does too): duplicate source
+      // keys persisted raw would fan out every subsequent full-outer merge
+      // and key uniqueness would never be restored
+      val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
+      val deduped = MergeEngine.latestPerKey(source, cfg.keys, cursorOrder)
+      snapshot(deduped); return partitionValues(deduped)
+    }
     recoverCrashedSwaps()
     val affected = partitionValues(source)
     val affectedCols = affected.filterNot(_ == "__HIVE_DEFAULT_PARTITION__")

@@ -25,8 +25,15 @@ object ReverseEtl {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
+      // getTables treats the name as a LIKE pattern ('_' is a single-char
+      // wildcard) — 'rev_emp' would match an unrelated 'revXemp' and send
+      // the run down the merge path against the wrong table. Escape with
+      // the driver's declared escape string before probing.
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def escaped(t: String): String =
+        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { pat =>
-        val rs = md.getTables(null, null, pat, null)
+        val rs = md.getTables(null, null, escaped(pat), null)
         try rs.next() finally rs.close()
       }
     } finally conn.close()

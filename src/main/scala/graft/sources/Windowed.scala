@@ -30,6 +30,30 @@ object Windowed {
   /** Int-typed `yyyymmdd` cursor variant (casreport_to_ods.py:272-283). */
   def intCursorWindow(df: DataFrame, cursorField: String, startYmd: Int, endYmd: Int): DataFrame =
     df.filter(col(cursorField) >= startYmd && col(cursorField) < endYmd)
+
+  /** Convert a wall-clock 'yyyy-MM-dd[ HH:mm:ss]' bound in `zone` to the
+    * equivalent UTC 'yyyy-MM-dd HH:mm:ss' string — the reference anchors
+    * every cursor window in `Asia/Ho_Chi_Minh` local time before comparing
+    * to naive (UTC-stored) DB timestamps (casreport_to_ods.py:79-86). The
+    * conversion is a driver-side constant, so downstream filters stay
+    * literal comparisons that push down to the scan. */
+  def zonedToUtc(t: String, zone: String): String = {
+    val norm = if (t.contains(" ") || t.contains("T")) t.replace(' ', 'T') else t + "T00:00:00"
+    java.time.LocalDateTime.parse(norm)
+      .atZone(java.time.ZoneId.of(zone))
+      .withZoneSameInstant(java.time.ZoneOffset.UTC)
+      .toLocalDateTime
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** [[cursorWindow]] with bounds given as wall-clock datetimes in `zone`
+    * (converted to UTC instants before the literal comparison — pushdown
+    * preserved). Use for the reference's ICT-day windows. */
+  def zonedCursorWindow(df: DataFrame, cursorField: String,
+                        start: String, end: String, zone: String): DataFrame =
+    cursorWindow(df, cursorField,
+      lit(zonedToUtc(start, zone)).cast("timestamp"),
+      lit(zonedToUtc(end, zone)).cast("timestamp"))
 }
 
 /** Per-table incremental watermark store (SURVEY.md §2.8: "model as

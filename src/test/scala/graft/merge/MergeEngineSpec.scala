@@ -130,8 +130,10 @@ class MergeEngineSpec extends SparkSpec {
     val out = MergeEngine.upsertEvolving(target, source, cfg())
     assert(out.columns.toSeq == Seq("k", "ts", "old_col", "new_col"))
     assert(canon(out) == Seq(
-      Seq("a", "2", "null", "fresh"),   // updated row: old col nulls, new col set
-      Seq("b", "1", "null", "new")      // inserted row
+      // updated row: target-only col SURVIVES the update (UPDATE sets only
+      // source columns — standard MERGE evolution), new col set from source
+      Seq("a", "2", "legacy", "fresh"),
+      Seq("b", "1", "null", "new")      // inserted row: no target-side value
     ).sortBy(_.mkString("|")))
     // target-only rows keep their legacy values
     val out2 = MergeEngine.upsertEvolving(target,

@@ -48,6 +48,22 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(listing("2024-01-03") == before)
   }
 
+  test("first write dedups duplicate source keys like every later merge") {
+    val root = Files.createTempDirectory("pstore-first").toString + "/t"
+    val store = new PartitionedStore(spark, root, "day")
+    // duplicate key 'a' in the very first batch: latest-per-key must win,
+    // or the duplicate would fan out every subsequent full-outer merge
+    store.upsert(Seq(
+      ("a", 1L, "2024-01-01", "stale"), ("a", 2L, "2024-01-01", "fresh"),
+      ("b", 1L, "2024-01-01", "b1")).toDF("k", "ts", "day", "v"), cfg)
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "fresh"), Seq("b", "b1")).sortBy(_.mkString("|")))
+    // and the deduped state merges cleanly (no fan-out)
+    store.upsert(Seq(("a", 3L, "2024-01-01", "a3")).toDF("k", "ts", "day", "v"), cfg)
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "a3"), Seq("b", "b1")).sortBy(_.mkString("|")))
+  }
+
   test("partition values needing percent-escaping survive the swap") {
     // Spark writes `hr=2024-01-01 10%3A00%3A00` on disk; the swap must use
     // the written names, not reconstruct them from raw values
