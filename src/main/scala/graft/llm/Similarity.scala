@@ -76,35 +76,47 @@ object Similarity {
 
   // ── IVF (inverted-file) variant: coarse quantization by centroid cell ──
 
-  /** Deterministic coarse centroids: the k corpus vectors with the lowest
-    * seeded id-hash (a reproducible uniform sample — no RNG state), then
+  /** Deterministic coarse centroids: the k lowest-id corpus vectors as
+    * seeds (a reproducible, engine-neutral sample — ids carry no content
+    * signal, and any other engine can replicate the rule exactly), then
     * one Lloyd refinement step (mean of assigned vectors) for balance.
     * k centroids collect to the driver: k is small by design (√N cells is
-    * typical), the CORPUS never moves. */
-  def ivfCentroids(embs: DataFrame, embCol: String, idCol: String,
-                   k: Int, seed: Long = 42L): Array[Array[Float]] = {
-    val seeds = embs.orderBy(xxhash64(lit(seed), col(idCol)).asc).limit(k)
+    * typical), the CORPUS never moves.
+    *
+    * The per-cell mean is computed via `posexplode` + groupBy(cell, pos) —
+    * k·dim skinny rows through one partial+final aggregate — NOT one agg
+    * column per dimension (1024-d would mean 1024 aggregate expressions and
+    * a codegen blowup; this shape is width-independent). */
+  def ivfCentroids(embs: DataFrame, embCol: String, idCol: String, k: Int): Array[Array[Float]] = {
+    val seeds = embs.orderBy(col(idCol).asc).limit(k)
       .select(embCol).collect().map(_.getSeq[Float](0).toArray)
     // one refinement pass: assign to nearest seed, average each cell
-    val assigned = embs.withColumn("__cell", cellOf(col(embCol), seeds))
+    val comps = embs.withColumn("__cell", cellOf(col(embCol), seeds))
+      .select(col("__cell"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
+      .groupBy("__cell", "__pos").agg(avg(col("__v").cast("double")).as("__m"))
+      .collect()
     val dim = seeds.head.length
-    val sums = assigned.groupBy("__cell").agg(
-      count(lit(1)).as("__n"),
-      (0 until dim).map(i => sum(element_at(col(embCol), i + 1).cast("double")).as(s"__s$i")): _*)
-    val refined = sums.collect().map { r =>
-      val cell = r.getInt(0); val n = r.getLong(1).toDouble
-      cell -> Array.tabulate(dim)(i => (r.getDouble(i + 2) / n).toFloat)
-    }.toMap
+    val refined = comps.groupBy(_.getInt(0)).map { case (cell, rows) =>
+      val c = new Array[Float](dim)
+      rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
+      cell -> c
+    }
     Array.tabulate(seeds.length)(c => refined.getOrElse(c, seeds(c)))
   }
 
-  /** Nearest-centroid cell id (argmax cosine over the k centroids). */
+  /** Nearest-centroid cell id (argmax cosine over the k centroids).
+    *
+    * Built as ONE array of k cosines with the argmax read off via
+    * `array_position(a, array_max(a))` — an O(k) expression tree. The
+    * previous k-deep `when` chain re-referenced all k cosines per branch;
+    * projection collapse inlined them into O(k²) generated code that
+    * stopped compiling near k≈64 (real IVF wants k≈√N, thousands).
+    * Ties (exactly equal cosines) resolve to the lowest cell, matching
+    * `ORDER BY cos DESC, cell ASC` in any replicating engine. */
   def cellOf(emb: Column, centroids: Array[Array[Float]]): Column = {
-    val cosines = centroids.map(c => VectorOps.vectorCosine(emb, VectorOps.floatVectorLit(c)))
-    val best = cosines.reduce((a, b) => greatest(a, b))
-    cosines.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
-      when(c === best, lit(i)).otherwise(acc)
-    }.cast("int")
+    val arr = array(centroids.map(c =>
+      VectorOps.vectorCosine(emb, VectorOps.floatVectorLit(c))): _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
   }
 
   /** Persistable IVF index: input + cell column. At scale, write
@@ -135,17 +147,65 @@ object Similarity {
     bruteForceTopK(index.filter(col("cell").isin(cells: _*)), embCol, idCol, query, k)
   }
 
+  /** Plane count sized so the EXPECTED bucket population stays near
+    * `targetBucketSize` as the corpus grows: planes ≈ log₂(N / target).
+    * With planes fixed, per-bucket volume is O(N) and the in-bucket
+    * self-join in [[cosineNearDupPairs]] goes quadratic — the sizing rule
+    * keeps the candidate volume O(N · targetBucketSize) at any corpus
+    * size. */
+  def autoPlanes(corpusSize: Long, targetBucketSize: Long = 1024L, minPlanes: Int = 8): Int = {
+    require(targetBucketSize > 0)
+    val needed = math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucketSize)) /
+      math.log(2.0)).toInt
+    math.min(62, math.max(minPlanes, needed))
+  }
+
+  /** Per-bucket population of an LSH index — the observability hook for
+    * the quadratic-bucket risk: a bucket of size m yields m·(m−1)/2
+    * candidate pairs, so the diagnostic carries both. */
+  def bucketStats(index: DataFrame): DataFrame =
+    index.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("candidate_pairs", col("n") * (col("n") - 1) / 2)
+
   /** Embedding-cosine near-duplicate pairs: bucket-local self-join (LSH
-    * buckets, never all-pairs), then exact cosine ≥ threshold. */
+    * buckets, never all-pairs), then exact cosine ≥ threshold.
+    *
+    * `maxBucket > 0` caps each bucket at its `maxBucket` lowest-id members
+    * before the self-join — a deterministic guard against a degenerate
+    * bucket (e.g. a sea of identical vectors) going quadratic. Capping
+    * DROPS candidates; pair the cap with [[bucketStats]] on the same index
+    * to measure what was truncated rather than discovering it in a stuck
+    * stage. Prefer sizing planes with [[autoPlanes]] so the cap never
+    * engages on healthy data. */
   def cosineNearDupPairs(embs: DataFrame, embCol: String, idCol: String,
-                         planes: Array[Array[Float]], threshold: Double): DataFrame = {
-    val idx = buildLshIndex(embs, embCol, planes)
+                         planes: Array[Array[Float]], threshold: Double,
+                         maxBucket: Int = 0): DataFrame = {
+    val idx0 = buildLshIndex(embs, embCol, planes)
       .select(col(idCol), col(embCol), col("bucket"))
+    val idx =
+      if (maxBucket <= 0) idx0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(col(idCol).asc)
+        idx0.withColumn("__bn", row_number().over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
     val a = idx.toDF("ida", "emba", "bucket")
     val b = idx.toDF("idb", "embb", "bucket")
     a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
       .withColumn("cosine", VectorOps.vectorCosine(col("emba"), col("embb")))
       .filter(col("cosine") >= threshold)
       .select("ida", "idb", "cosine").distinct()
+  }
+
+  /** [[cosineNearDupPairs]] with planes auto-sized from the corpus count —
+    * the one extra count() job buys bucket populations that stay near
+    * `targetBucketSize` at any N instead of growing O(N). */
+  def cosineNearDupPairsAuto(embs: DataFrame, embCol: String, idCol: String,
+                             dim: Int, threshold: Double,
+                             targetBucketSize: Long = 1024L,
+                             seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(autoPlanes(embs.count(), targetBucketSize), dim, seed)
+    cosineNearDupPairs(embs, embCol, idCol, planes, threshold)
   }
 }

@@ -64,4 +64,73 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((3L, 99L)))
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("IVF scales in k and dim: k=64 cells over 256-d vectors, O(k) plan") {
+    // the round-2 cellOf built a k-deep when-chain over k cosines — O(k²)
+    // generated code that logged truncated-plan warnings at k=8 and would
+    // not compile at IVF-realistic k. The array_position(array_max) shape
+    // must handle k=64 × dim=256 outright.
+    val r = new scala.util.Random(11)
+    val wide = (0L until 400L).map(i => i -> Array.fill(256)(r.nextGaussian().toFloat))
+    val wideDf = wide.toDF("vec_id", "embedding").repartition(4)
+    val centroids = Similarity.ivfCentroids(wideDf, "embedding", "vec_id", k = 64)
+    assert(centroids.length == 64 && centroids.forall(_.length == 256))
+    val index = Similarity.buildIvfIndex(wideDf, "embedding", centroids)
+    assert(index.filter(col("cell") < 0 || col("cell") >= 64).count() == 0)
+    assert(index.count() == 400)
+    val q = wide(7)._2
+    val top = Similarity.ivfTopK(index, "embedding", "vec_id", q, 1, centroids, nprobe = 2)
+    assert(top.collect().head.getLong(0) == 7L)
+  }
+
+  test("IVF recall@10 on clustered data (the workload IVF is for)") {
+    // 8 tight clusters — real embedding spaces cluster; IVF's contract is
+    // high recall at small nprobe on such data
+    val r = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(r.nextGaussian()))
+    val pts = (0L until 400L).map { i =>
+      val c = centers((i % 8).toInt)
+      i -> c.map(x => (x + r.nextGaussian() * 0.05).toFloat)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val q = pts(100)._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+             math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val exact = pts.map { case (id, v) => id -> cos(q, v) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val centroids = Similarity.ivfCentroids(df, "embedding", "vec_id", k = 8)
+    val index = Similarity.buildIvfIndex(df, "embedding", centroids)
+    val got = Similarity.ivfTopK(index, "embedding", "vec_id", q, 10, centroids, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect got).size / 10.0
+    assert(recall >= 0.9, s"IVF recall@10 = $recall on clustered data")
+  }
+
+  test("autoPlanes sizing rule and maxBucket cap bound candidate volume") {
+    // sizing: buckets ≈ N / target, monotone in N, floored at minPlanes
+    assert(Similarity.autoPlanes(500L, 1024L) == 8)
+    assert(Similarity.autoPlanes(1L << 20, 1024L) == 10)
+    assert(Similarity.autoPlanes(1L << 30, 1024L) == 20)
+    assert(Similarity.autoPlanes(Long.MaxValue, 1L) == 62)
+
+    // degenerate skew: 60 byte-identical vectors all share one bucket; the
+    // cap must bound the in-bucket self-join instead of going quadratic
+    val base = Array.fill(8)(0.5f)
+    val skewed = ((0L until 60L).map(i => i -> base) ++
+      (60L until 80L).map(i => i -> Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(numPlanes = 4, dim = 8)
+    val stats = Similarity.bucketStats(Similarity.buildLshIndex(skewed, "embedding", planes))
+    assert(stats.agg(max("n")).head().getLong(0) >= 60L) // the skew is real
+    val capped = Similarity.cosineNearDupPairs(skewed, "embedding", "vec_id",
+      planes, 0.999, maxBucket = 10)
+    // ≤ C(10,2) pairs from the degenerate bucket instead of C(60,2)=1770
+    assert(capped.count() <= 45L + 20L)
+    // uncapped keeps everything (correctness default unchanged)
+    val full = Similarity.cosineNearDupPairs(skewed, "embedding", "vec_id", planes, 0.999)
+    assert(full.count() >= 1770L)
+  }
 }
