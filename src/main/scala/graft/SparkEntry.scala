@@ -467,6 +467,27 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_recall" -> ((s, d) => {
+      // measured ANN quality: recall@10 of the LSH and IVF indexes against
+      // the exact brute-force top-10, as hashed result rows — the oracle
+      // independently replays both approximate searches AND the exact one
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10).select("vec_id")
+      val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+      val lsh = Similarity.annTopK(Similarity.buildLshIndex(e, "embedding", planes),
+        "embedding", "vec_id", q, 10, planes).select("vec_id")
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val ivf = Similarity.ivfTopK(Similarity.buildIvfIndex(e, "embedding", centroids),
+        "embedding", "vec_id", q, 10, centroids, nprobe = 3).select("vec_id")
+      def recall(m: String, approx: DataFrame) =
+        approx.intersect(brute)
+          .agg((count(lit(1)) / 10.0).cast("double").as("recall_at_10"))
+          .select(lit(m).as("method"), col("recall_at_10"))
+      recall("lsh", lsh).unionByName(recall("ivf", ivf))
+    }),
+
     "sample_stratified_counts" -> ((s, d) =>
       // deterministic fixed-size stratified sample; per-stratum counts are
       // exactly min(n, stratum size) — oracle-checkable even though hash
@@ -520,12 +541,26 @@ object SparkEntry {
         .limit(100)),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
-    "multimodal_decode" -> ((s, d) =>
-      // typed mapPartitions decode plumbing over binary payloads (STUB
-      // decoder — deterministic fake features; rows-only check)
-      Multimodal.decodeImageStub(s,
-        Tables.documents(s, d).select(col("doc_id").as("media_id"),
-          col("text").cast("binary").as("content"))).toDF()),
+    "multimodal_decode" -> ((s, d) => {
+      // REAL javax.imageio decode: planted solid-color PNGs (lossless →
+      // exactly predictable width/height/channels/mean-luma), one corrupt
+      // payload, and the whole documents table as guaranteed-non-decodable
+      // payloads — the honest decoded=false path exercised at table scale
+      import s.implicits._
+      val planted = Seq(
+        (1L, Multimodal.solidPng(16, 9, 255, 0, 0)),
+        (2L, Multimodal.solidPng(32, 32, 0, 255, 0)),
+        (3L, Multimodal.solidPng(64, 48, 0, 0, 255)),
+        (4L, Multimodal.solidPng(100, 10, 255, 255, 255)),
+        (5L, Multimodal.solidPng(7, 5, 0, 0, 0)),
+        (6L, Multimodal.solidPng(20, 20, 128, 128, 128)),
+        (99L, "definitely not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+      val fromDocs = Tables.documents(s, d)
+        .select((col("doc_id") + 1000L).as("media_id"), col("text").cast("binary").as("content"))
+      Multimodal.decodeImage(s, planted.unionByName(fromDocs)).toDF()
+        .select(col("media_id"), col("decoded"), col("width"), col("height"),
+                col("channels"), round(col("mean_luma"), 4).as("mean_luma"))
+    }),
 
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
@@ -533,9 +568,76 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_size"), col("format")))
   )
 
+  // ── ANN oracle building blocks ─────────────────────────────────────────
+  // The approximate searches are DETERMINISTIC given the corpus: the LSH
+  // planes come from a fixed seed and the IVF seeding rule is engine-
+  // neutral (k lowest ids + one Lloyd step). DuckDB replays the exact same
+  // algorithm — planes embedded as double literals (exact float values),
+  // dot/cosine accumulated in double on both engines — so even the
+  // APPROXIMATE top-k is hash-checked, not just rows-counted.
+
+  /** The seeded hyperplanes as DuckDB VALUES rows (h, DOUBLE[]). */
+  private def lshPlanesValues: String =
+    graft.llm.Similarity.hyperplanes(numPlanes = 8, dim = 64).zipWithIndex.map {
+      case (p, h) => s"($h, [${p.map(_.toDouble.toString).mkString(", ")}])"
+    }.mkString(",\n ")
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** CTEs replaying the sign-LSH bucketing + 1-bit multiprobe candidates. */
+  private def lshCandidateCtes: String =
+    s"""planes(h, pl) AS (VALUES $lshPlanesValues),
+       |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |buck AS (
+       |  SELECT emb.vec_id,
+       |         sum(CASE WHEN list_dot_product(e, pl) > 0 THEN (1::BIGINT << h) ELSE 0 END) AS b
+       |  FROM emb CROSS JOIN planes GROUP BY emb.vec_id),
+       |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |qb AS (SELECT b FROM buck WHERE vec_id = 0),
+       |probes AS (SELECT b AS pb FROM qb
+       |           UNION ALL SELECT xor(qb.b, 1::BIGINT << planes.h) FROM qb CROSS JOIN planes),
+       |cand AS (SELECT emb.vec_id, emb.e FROM emb JOIN buck ON emb.vec_id = buck.vec_id
+       |         WHERE buck.b IN (SELECT pb FROM probes))""".stripMargin
+
+  /** CTEs replaying IVF: lowest-id seeds, one Lloyd step, reassignment,
+    * nprobe=3 probe cells. Expects `emb` and `q` CTEs in scope. */
+  private def ivfCtes: String =
+    s"""seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, e AS c
+       |  FROM emb ORDER BY vec_id ASC LIMIT 8),
+       |assign0 AS (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |  FROM (SELECT emb.vec_id, emb.e, seed.cell, ${cosSql("e", "c")} AS cos
+       |        FROM emb CROSS JOIN seed)),
+       |a0 AS (SELECT vec_id, e, cell FROM assign0 WHERE rn = 1),
+       |comp AS (
+       |  SELECT cell, i, avg(v) AS m
+       |  FROM (SELECT cell, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM a0)
+       |  GROUP BY cell, i),
+       |refined AS (
+       |  SELECT s.cell, coalesce(r.c, s.c) AS c
+       |  FROM seed s LEFT JOIN (SELECT cell, list(m ORDER BY i ASC) AS c FROM comp GROUP BY cell) r
+       |    ON s.cell = r.cell),
+       |assign1 AS (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |  FROM (SELECT emb.vec_id, emb.e, refined.cell, ${cosSql("e", "c")} AS cos
+       |        FROM emb CROSS JOIN refined)),
+       |a1 AS (SELECT vec_id, e, cell FROM assign1 WHERE rn = 1),
+       |probe AS (
+       |  SELECT cell FROM refined, q
+       |  ORDER BY ${cosSql("c", "qe")} DESC, cell ASC
+       |  LIMIT 3),
+       |ivf_cand AS (SELECT a1.vec_id, a1.e FROM a1 WHERE a1.cell IN (SELECT cell FROM probe))""".stripMargin
+
+  private def topkSql(candCte: String): String =
+    s"""SELECT vec_id, round(cos, 4) AS cosine FROM (
+       |  SELECT $candCte.vec_id, ${cosSql("e", "qe")} AS cos FROM $candCte, q)
+       |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
   /** DuckDB oracle SQL per query (same tables as parquet views). Omitted
-    * for approximation-based operators (LSH ANN, minhash near-dup, simhash,
-    * cosine pair mining) — the driver records rows-only checks there. */
+    * only where the result is engine-specific by construction (simhash's
+    * xxhash64 bit-signs) — the driver records rows-only checks there. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -874,6 +976,53 @@ object SparkEntry {
         |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn)), 4) AS cosine
         |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn)) DESC, vec_id ASC LIMIT 10""".stripMargin,
 
+    "ann_lsh_topk" ->
+      s"""WITH $lshCandidateCtes
+         |${topkSql("cand")}""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |$ivfCtes
+         |${topkSql("ivf_cand")}""".stripMargin,
+
+    "ann_recall" ->
+      s"""WITH $lshCandidateCtes,
+         |$ivfCtes,
+         |brute AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id, ${cosSql("e", "qe")} AS cos FROM emb, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |lsh_top AS (
+         |  SELECT vec_id FROM (SELECT cand.vec_id, ${cosSql("e", "qe")} AS cos FROM cand, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |ivf_top AS (
+         |  SELECT vec_id FROM (SELECT ivf_cand.vec_id, ${cosSql("e", "qe")} AS cos FROM ivf_cand, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10)
+         |SELECT 'lsh' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM lsh_top INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'ivf' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM ivf_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
+
+    "dedup_neardup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |dup AS (
+        |  -- exact all-pairs Jaccard >= 0.8 against a LOWER id; the length
+        |  -- prefilter is sound (J >= t implies min/max >= t on set sizes)
+        |  SELECT DISTINCT b.doc_id AS dup_id
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
+
     "sample_stratified_counts" ->
       """SELECT event_type, CAST(least(count(*), 50) AS BIGINT) AS n_sampled
         |FROM events GROUP BY event_type""".stripMargin,
@@ -931,6 +1080,23 @@ object SparkEntry {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
         | 'unknown' AS format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(decoded AS BOOLEAN) AS decoded,
+        | CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        | CAST(channels AS INT) AS channels, CAST(mean_luma AS DOUBLE) AS mean_luma
+        |FROM (
+        |  SELECT * FROM (VALUES
+        |    (1, true, 16, 9, 3, 0.299),
+        |    (2, true, 32, 32, 3, 0.587),
+        |    (3, true, 64, 48, 3, 0.114),
+        |    (4, true, 100, 10, 3, 1.0),
+        |    (5, true, 7, 5, 3, 0.0),
+        |    (6, true, 20, 20, 3, 0.502),
+        |    (99, false, NULL, NULL, NULL, NULL))
+        |    t(media_id, decoded, width, height, channels, mean_luma)
+        |  UNION ALL
+        |  SELECT doc_id + 1000, false, NULL, NULL, NULL, NULL FROM documents)""".stripMargin
   )
 }

@@ -52,34 +52,68 @@ object Multimodal {
       .withColumn("content_hash", xxhash64(col(contentCol)))
       .withColumn("format", sniffFormat(col(contentCol)))
 
-  /** Decoded-image feature row produced by the decode stage. */
-  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
-                                 channels: Int, mean_luma: Double)
+  /** Decoded-image feature row produced by the decode stage. `decoded =
+    * false` (all features None) marks payloads no available codec accepts —
+    * the honest fallback instead of fake features. */
+  final case class ImageFeatures(media_id: Long, decoded: Boolean,
+                                 width: Option[Int], height: Option[Int],
+                                 channels: Option[Int], mean_luma: Option[Double])
 
-  /** STUB decode — the per-partition batch shape of a real decoder without
-    * the native image library (not present in this container). Features
-    * are a deterministic function of the bytes so tests are stable; a real
-    * implementation replaces ONLY the body of `decodeOne`. The
-    * mapPartitions boundary is the real design: decode amortizes per-batch
-    * (library init once per partition), rows stream, nothing collects. */
-  def decodeImageStub(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/GIF/BMP ship in the
+    * JDK — no native library needed): width, height, raster band count,
+    * and Rec.601 mean luma over the sRGB-converted pixels. Runs inside
+    * `mapPartitions` so a heavier codec set initializes once per partition
+    * and rows stream — nothing collects. Exotic codecs (no ImageIO reader)
+    * come back `decoded = false` rather than fabricated.
+    *
+    * Per-pixel `getRGB` keeps the luma deterministic across platforms
+    * (ImageIO converts any color model to sRGB ints); a throughput-tuned
+    * variant would read the raster buffer directly per color-model. */
+  def decodeImage(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select(col("media_id").cast(LongType), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // real impl: val decoder = NativeImageLib.init() — once per partition
-        def decodeOne(id: Long, bytes: Array[Byte]): ImageFeatures = {
-          val b = if (bytes == null) Array.empty[Byte] else bytes
-          // STUB: deterministic fake derived from content, NOT real pixels
-          val h = b.foldLeft(1469598103934665603L)((acc, x) => (acc ^ x) * 1099511628211L)
-          ImageFeatures(id,
-            width = 16 + math.floorMod(h, 1024).toInt,
-            height = 16 + math.floorMod(h >> 10, 1024).toInt,
-            channels = 3,
-            mean_luma = math.floorMod(h >> 20, 256).toDouble / 255.0)
+        it.map { case (id, bytes) =>
+          val img =
+            try {
+              if (bytes == null || bytes.isEmpty) null
+              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            } catch { case _: Exception => null }
+          if (img == null) ImageFeatures(id, decoded = false, None, None, None, None)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0.0; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                       0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(id, decoded = true, Some(w), Some(h),
+              Some(img.getRaster.getNumBands),
+              Some(sum / (w.toLong * h) / 255.0))
+          }
         }
-        it.map { case (id, bytes) => decodeOne(id, bytes) }
       }
+  }
+
+  /** Deterministic solid-color PNG bytes — planted test media whose decoded
+    * features are knowable in advance (PNG is lossless, so a solid (r,g,b)
+    * decodes back to exactly (r,g,b) and mean luma is the color's luma). */
+  def solidPng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < height) { var x = 0; while (x < width) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame-sampling plumbing for video: every Nth frame index up to a

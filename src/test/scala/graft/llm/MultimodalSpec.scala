@@ -22,12 +22,38 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("content_hash").distinct().count() == 3)
   }
 
-  test("decodeImageStub: deterministic per content, streams via mapPartitions") {
-    val f1 = Multimodal.decodeImageStub(spark, media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.decodeImageStub(spark, media).collect().sortBy(_.media_id)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(f => f.width >= 16 && f.height >= 16 && f.channels == 3))
-    assert(f1.forall(f => f.mean_luma >= 0.0 && f.mean_luma <= 1.0))
+  test("decodeImage: real PNG pixels decode to exact features") {
+    val imgs = Seq(
+      (1L, Multimodal.solidPng(16, 9, 255, 0, 0)),
+      (2L, Multimodal.solidPng(3, 4, 128, 128, 128))).toDF("media_id", "content")
+    val out = Multimodal.decodeImage(spark, imgs).collect().sortBy(_.media_id)
+    assert(out(0) == Multimodal.ImageFeatures(1L, decoded = true,
+      Some(16), Some(9), Some(3), Some(0.299 * 255 / 255.0 / 1.0)) ||
+      (out(0).width.contains(16) && out(0).height.contains(9) &&
+       out(0).channels.contains(3) &&
+       math.abs(out(0).mean_luma.get - 0.299) < 1e-9))
+    assert(out(1).width.contains(3) && out(1).height.contains(4) &&
+      math.abs(out(1).mean_luma.get - 128.0 / 255.0) < 1e-9)
+  }
+
+  test("decodeImage: JPEG decodes (JDK codec); junk and truncated bytes fail honestly") {
+    val img = new java.awt.image.BufferedImage(24, 18, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val cases = Seq(
+      (1L, bos.toByteArray),                        // real JPEG
+      (2L, "just some text".getBytes("UTF-8")),     // not an image at all
+      (3L, png),                                    // magic bytes only, truncated body
+      (4L, null.asInstanceOf[Array[Byte]])          // NULL payload
+    ).toDF("media_id", "content")
+    val byId = Multimodal.decodeImage(spark, cases).collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).decoded && byId(1L).width.contains(24) && byId(1L).height.contains(18))
+    assert(!byId(2L).decoded && byId(2L).width.isEmpty)
+    assert(!byId(3L).decoded)
+    assert(!byId(4L).decoded)
+    // determinism across runs (replay-stable features)
+    val again = Multimodal.decodeImage(spark, cases).collect().map(f => f.media_id -> f).toMap
+    assert(again == byId)
   }
 
   test("frameSampleIndexes explodes every-Nth frame indexes") {
