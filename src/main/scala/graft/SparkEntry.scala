@@ -392,6 +392,37 @@ object SparkEntry {
       Tables.customer(s, d).select(col("c_custkey"),
         Normalize.surrogateKey(Seq("c_custkey", "c_name", "c_mktsegment")).as("sk"))),
 
+    "s7_xlsx" -> ((s, d) => {
+      // real .xlsx container end-to-end: write a deterministic workbook
+      // (zip + sheet XML + shared strings), read it back through the
+      // native executor-side parser with banner/trailer/coercion/key-
+      // filter semantics, against a literal oracle
+      val dir = java.nio.file.Files.createTempDirectory("graft_xlsx")
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      def entry(name: String, content: String): Unit = {
+        z.putNextEntry(new java.util.zip.ZipEntry(name))
+        z.write(content.getBytes("UTF-8")); z.closeEntry()
+      }
+      entry("xl/sharedStrings.xml",
+        """<?xml version="1.0"?><sst><si><t>L1</t></si><si><t>L3</t></si></sst>""")
+      entry("xl/worksheets/sheet1.xml",
+        """<?xml version="1.0"?><worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>REPORT</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2"><v>5</v></c><c r="C2"><v>12.5</v></c></row>""" +
+        """<row r="3"><c r="A3" t="s"><v>1</v></c><c r="C3"><v>3.25</v></c></row>""" +
+        """<row r="4"><c r="B4"><v>9</v></c></row>""" +
+        """<row r="5"><c r="A5" t="inlineStr"><is><t>TOTAL</t></is></c><c r="B5"><v>14</v></c></row>""" +
+        """</sheetData></worksheet>""")
+      z.close()
+      java.nio.file.Files.write(dir.resolve("drop1.xlsx"), bos.toByteArray)
+      val cfg = TableConfig("pns.delivery", SchemaRegistry.structOf(
+        "lading_code" -> "string", "qty" -> "Int64", "weight" -> "float64"),
+        keys = Seq("lading_code"))
+      graft.sources.Xlsx.read(s, dir.toString, cfg,
+        headerRows = 1, trailerRows = 1, requiredKeys = Seq("lading_code"))
+    }),
+
     "s7_coerce" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val dirty = o.select(col("o_orderkey"),
@@ -936,6 +967,10 @@ object SparkEntry {
         |        coalesce(c_name, '__null__') || '||' ||
         |        coalesce(c_mktsegment, '__null__')) AS sk
         |FROM customer""".stripMargin,
+
+    "s7_xlsx" ->
+      """SELECT lading_code, CAST(qty AS BIGINT) AS qty, CAST(weight AS DOUBLE) AS weight
+        |FROM (VALUES ('L1', 5, 12.5), ('L3', NULL, 3.25)) t(lading_code, qty, weight)""".stripMargin,
 
     "s7_coerce" ->
       """SELECT o_orderkey,

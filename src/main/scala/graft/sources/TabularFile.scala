@@ -3,8 +3,9 @@ package graft.sources
 import graft.ops.Normalize
 import graft.schema.TableConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Banner/trailer-aware delimited-file ingestion (SURVEY.md §2.1 S7).
   *
@@ -13,15 +14,45 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * range guards, dropping rows missing required keys, and appending an
   * `etl_date` (pns_to_ods_optimize.py:95-229). The Excel container is an
   * input-format detail; the operator semantics are banner/trailer skip +
-  * typed coercion + key filter, reproduced here over delimited text.
+  * typed coercion + key filter, reproduced here over delimited text
+  * (see [[Xlsx]] for the real .xlsx container path).
   *
-  * Line-position logic needs a global row index, which a distributed scan
-  * doesn't have for free — `zipWithIndex` pays one extra pass to size
-  * partitions, then everything else stays a narrow pipeline (`from_csv`
-  * parses inside codegen; malformed cells null out via [[Normalize.coerce]]
-  * exactly like the reference's per-cell guards).
+  * Line positions come from the Hadoop text reader's per-file BYTE OFFSETS
+  * (monotone in line order within a file), so banner/trailer trim reduces
+  * to two per-file offset thresholds. Only the skinny (file, offset) pairs
+  * shuffle to compute those thresholds; the line text itself never
+  * shuffles, and the whole read is a CONSTANT number of jobs regardless of
+  * file count (a landing directory with thousands of daily drops — the
+  * reference's per-day fan-out, ftp_downloader.py:41-57 — previously paid
+  * two sequential driver-launched jobs per file).
   */
 object TabularFile {
+
+  /** (file, byteOffset, line) rows for a set of text files — one
+    * distributed scan via the classic TextInputFormat (whose default
+    * PathFilter skips `_`/`.` files exactly like Spark's own file index). */
+  private[sources] def linesWithOffsets(spark: SparkSession, files: Seq[String]): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapred.{FileInputFormat, FileSplit, JobConf, TextInputFormat}
+    val jobConf = new JobConf(spark.sparkContext.hadoopConfiguration)
+    // setInputPaths handles special characters in paths (a raw
+    // comma-joined string would split a path containing ',')
+    FileInputFormat.setInputPaths(jobConf, files.map(new org.apache.hadoop.fs.Path(_)): _*)
+    val rows = spark.sparkContext
+      .hadoopRDD(jobConf, classOf[TextInputFormat], classOf[LongWritable], classOf[Text],
+        spark.sparkContext.defaultParallelism)
+      .asInstanceOf[org.apache.spark.rdd.HadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        // Text/LongWritable objects are REUSED by the record reader — copy
+        it.map { case (off, line) =>
+          org.apache.spark.sql.Row(file, off.get(), line.toString)
+        }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("__file", StringType), StructField("__off", LongType),
+      StructField("value", StringType))))
+  }
 
   def read(spark: SparkSession, path: String, cfg: TableConfig,
            headerRows: Int = 1, trailerRows: Int = 0,
@@ -29,8 +60,7 @@ object TabularFile {
            withEtlDate: Boolean = false): DataFrame = {
     // banner/trailer positions are PER FILE: a landing directory holds
     // many files (S8 lands one per source drop), and a global row index
-    // would keep later files' banners and earlier files' trailers. Each
-    // file gets its own indexed trim; union stays lazy and distributed.
+    // would keep later files' banners and earlier files' trailers.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files: Seq[String] =
@@ -42,22 +72,30 @@ object TabularFile {
           .filterNot(pp => pp.getName.startsWith("_") || pp.getName.startsWith("."))
           .map(_.toString).sorted
       else Seq(path)
-
-    def trimmedBody(file: String) = {
-      val lines = spark.read.text(file)
-      val n = lines.count()
-      lines.rdd.zipWithIndex()
-        .filter { case (_, i) => i >= headerRows && i < n - trailerRows }
-        .map(_._1)
-    }
     if (files.isEmpty) {
       // keep the empty-result schema identical to the non-empty path's
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cfg.schema)
       return if (withEtlDate) empty.withColumn("etl_date", current_timestamp()) else empty
     }
-    val body = files.map(trimmedBody).reduce(_ union _)
-    val text = spark.createDataFrame(body, StructType(Seq(StructField("value", StringType))))
+
+    val lines = linesWithOffsets(spark, files)
+    // per-file trim thresholds: the offset of the LAST banner line and the
+    // FIRST trailer line. Only (file, offset) longs go through the window
+    // shuffle; the thresholds (one row per file) broadcast back onto the
+    // untouched parallel text scan.
+    val byOff = Window.partitionBy("__file").orderBy(col("__off").asc)
+    val byOffDesc = Window.partitionBy("__file").orderBy(col("__off").desc)
+    val bounds = lines.select(col("__file"), col("__off"))
+      .withColumn("__ri", row_number().over(byOff))
+      .withColumn("__rj", row_number().over(byOffDesc))
+      .groupBy("__file")
+      .agg(max(when(col("__ri") <= headerRows, col("__off"))).as("__lo"),
+           min(when(col("__rj") <= trailerRows, col("__off"))).as("__hi"))
+    val text = lines.join(broadcast(bounds), Seq("__file"))
+      .filter((col("__lo").isNull || col("__off") > col("__lo")) &&
+              (col("__hi").isNull || col("__off") < col("__hi")))
+      .select("value")
 
     // parse positionally against the declared schema, all columns as
     // strings first (reference reads cells raw then coerces)
@@ -67,6 +105,14 @@ object TabularFile {
         Map("delimiter" -> delimiter, "mode" -> "PERMISSIVE")).as("r"))
       .select(col("r.*"))
 
+    finish(parsed, cfg, requiredKeys, withEtlDate)
+  }
+
+  /** Shared post-parse tail (also used by [[Xlsx]]): scrub, coerce to the
+    * declared schema (malformed cells null out like the reference's
+    * per-cell guards), drop rows missing required keys, stamp etl_date. */
+  private[sources] def finish(parsed: DataFrame, cfg: TableConfig,
+                              requiredKeys: Seq[String], withEtlDate: Boolean): DataFrame = {
     val coerced = Normalize.coerce(Normalize.scrubStrings(parsed), cfg.schema)
     val filtered = requiredKeys.foldLeft(coerced)((d, k) => d.filter(col(k).isNotNull))
     if (withEtlDate) filtered.withColumn("etl_date", current_timestamp()) else filtered

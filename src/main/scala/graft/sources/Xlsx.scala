@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.schema.TableConfig
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal native .xlsx ingestion (SURVEY.md §2.1 S7 — the reference
+  * streams Excel workbooks with openpyxl, pns_to_ods_optimize.py:95-229).
+  *
+  * An .xlsx file is a zip containing sheet XML plus an optional shared-
+  * strings table; everything needed to read one ships in the JDK
+  * (`java.util.zip` + `javax.xml.parsers`). Files parse EXECUTOR-side via
+  * `binaryFiles` — a landing directory of daily workbook drops fans out
+  * across the cluster, one task per file, no driver-side loops. Each
+  * workbook is small by construction (Excel caps at ~1M rows), so a
+  * whole-file DOM parse per task is the right trade; banner/trailer trim
+  * happens in-memory during the parse, costing zero extra jobs.
+  *
+  * Scope (documented, matching the reference's usage): values come back as
+  * their stored strings — shared strings, inline strings, booleans, and
+  * raw numbers. Excel date serials are numbers here (the reference's
+  * sheets carry dates as formatted text); formula CACHED values are read,
+  * formulas are not evaluated.
+  */
+object Xlsx {
+
+  /** Parse one workbook's sheet into rows of nullable cell strings, padded
+    * to `width` columns. Pure function of the bytes — runs in executors. */
+  private[sources] def parseWorkbook(bytes: Array[Byte], sheet: Int,
+                                     width: Int): Seq[Array[String]] = {
+    val entries = scala.collection.mutable.Map[String, Array[Byte]]()
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        if (name == s"xl/worksheets/sheet$sheet.xml" || name == "xl/sharedStrings.xml")
+          entries(name) = zin.readAllBytes()
+        zin.closeEntry(); e = zin.getNextEntry
+      }
+    } finally zin.close()
+    val sheetXml = entries.getOrElse(s"xl/worksheets/sheet$sheet.xml",
+      throw new IllegalArgumentException(s"workbook has no sheet$sheet.xml"))
+
+    // XXE-hardened JDK DOM parse (untrusted landing files)
+    def dom(b: Array[Byte]): org.w3c.dom.Document = {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.setExpandEntityReferences(false)
+      f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(b))
+    }
+
+    // shared strings: concatenation of every <t> under each <si> (plain
+    // and rich-text-run cells alike)
+    val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml").map { b =>
+      val sis = dom(b).getElementsByTagName("si")
+      (0 until sis.getLength).map { i =>
+        val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
+        (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
+      }
+    }.getOrElse(IndexedSeq.empty)
+
+    def colIndex(ref: String): Int = {
+      var i = 0; var acc = 0
+      while (i < ref.length && ref.charAt(i).isLetter) {
+        acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+      }
+      acc - 1
+    }
+
+    val rows = dom(sheetXml).getElementsByTagName("row")
+    (0 until rows.getLength).map { r =>
+      val out = new Array[String](width)
+      val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("c")
+      var i = 0
+      while (i < cells.getLength) {
+        val c = cells.item(i).asInstanceOf[org.w3c.dom.Element]
+        val idx = if (c.hasAttribute("r")) colIndex(c.getAttribute("r")) else i
+        if (idx >= 0 && idx < width) {
+          val t = c.getAttribute("t")
+          val v: String = t match {
+            case "inlineStr" =>
+              val ts = c.getElementsByTagName("t")
+              if (ts.getLength == 0) null
+              else (0 until ts.getLength).map(ts.item(_).getTextContent).mkString
+            case "s" =>
+              val vs = c.getElementsByTagName("v")
+              if (vs.getLength == 0) null
+              else shared.lift(vs.item(0).getTextContent.trim.toInt).orNull
+            case "b" =>
+              val vs = c.getElementsByTagName("v")
+              if (vs.getLength == 0) null
+              else if (vs.item(0).getTextContent.trim == "1") "true" else "false"
+            case _ => // numbers and formula-cached strings carry a raw <v>
+              val vs = c.getElementsByTagName("v")
+              if (vs.getLength == 0) null else vs.item(0).getTextContent
+          }
+          out(idx) = v
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Read a .xlsx file or landing directory of them against a declared
+    * schema — same banner/trailer/coercion/required-key semantics as
+    * [[TabularFile.read]], with the workbook container parsed natively. */
+  def read(spark: SparkSession, path: String, cfg: TableConfig,
+           headerRows: Int = 1, trailerRows: Int = 0,
+           requiredKeys: Seq[String] = Nil, sheet: Int = 1,
+           withEtlDate: Boolean = false): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+          .filterNot(pp => pp.getName.startsWith("_") || pp.getName.startsWith("."))
+          .map(_.toString).sorted
+      else Seq(path)
+    val rawSchema = StructType(cfg.schema.fields.map(f => StructField(f.name, StringType)))
+    if (files.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], cfg.schema)
+      return TabularFile.finish(empty, cfg, requiredKeys, withEtlDate)
+    }
+    val width = cfg.schema.fields.length
+    val hr = headerRows; val tr = trailerRows; val sh = sheet // serializable captures
+    val rows = spark.sparkContext.binaryFiles(files.mkString(","))
+      .flatMap { case (_, pds) =>
+        val all = parseWorkbook(pds.toArray(), sh, width)
+        // banner/trailer are per file and the workbook is already in
+        // memory — trim before anything leaves the task
+        all.slice(hr, math.max(hr, all.length - tr))
+          .map(a => Row(a.toIndexedSeq: _*))
+      }
+    TabularFile.finish(spark.createDataFrame(rows, rawSchema), cfg, requiredKeys, withEtlDate)
+  }
+}

@@ -49,4 +49,41 @@ class TabularFileSpec extends SparkSpec {
     assert(out.columns.contains("etl_date"))
     assert(out.filter(org.apache.spark.sql.functions.col("etl_date").isNull).count() == 0)
   }
+
+  test("job count does not grow with file count") {
+    // the round-2 implementation launched 2 sequential jobs PER FILE
+    // (count + zipWithIndex) before reading a byte — a thousand-drop
+    // landing directory paid 2000 driver round-trips. The offset-threshold
+    // design is a constant number of jobs for any file count.
+    def mkDir(nFiles: Int): String = {
+      val dir = Files.createTempDirectory(s"tab-jobs-$nFiles")
+      (1 to nFiles).foreach { i =>
+        Files.writeString(dir.resolve(f"f$i%03d.csv"),
+          s"BANNER\nA$i,1,1.0\nB$i,2,2.0\nTOTAL,3,0")
+      }
+      dir.toString
+    }
+    class JobCounter extends org.apache.spark.scheduler.SparkListener {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def jobsFor(nFiles: Int): Int = {
+      val c = new JobCounter
+      spark.sparkContext.addSparkListener(c)
+      try {
+        assert(TabularFile.read(spark, mkDir(nFiles), cfg,
+          headerRows = 1, trailerRows = 1).count() == 2L * nFiles)
+        // listener bus is async — wait until the counter stabilizes
+        var prev = -1; var cur = c.jobs.get(); var spins = 0
+        while (cur != prev && spins < 50) {
+          prev = cur; Thread.sleep(100); cur = c.jobs.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(c)
+    }
+    val one = jobsFor(1)
+    val many = jobsFor(12)
+    assert(many == one, s"jobs grew with file count: $one -> $many")
+  }
 }
