@@ -561,6 +561,31 @@ object SparkEntry {
         round(sqrt(graft.functions.VectorOps.vectorDot(col("embedding"), col("embedding"))), 4)
           .as("l2"))),
 
+    "text_repetition" -> ((s, d) =>
+      // Gopher-style repetition filters: duplicate-line and duplicate-
+      // 3-gram fractions per doc
+      Tables.documents(s, d).select(col("doc_id"),
+        round(TextAnalysis.dupLineFraction(col("text")), 6).as("dup_line_frac"),
+        round(TextAnalysis.dupNgramFraction(col("text"), 3), 6).as("dup_3gram_frac"))),
+
+    "sample_split_counts" -> ((s, d) =>
+      // deterministic md5-bucket train/val/test split (engine-neutral —
+      // the oracle recomputes every assignment from the same arithmetic)
+      graft.llm.Sampling.splitByHash(Tables.documents(s, d), Seq("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
+    "contamination" -> ((s, d) => {
+      // eval-set decontamination: every 10th doc plays the benchmark set;
+      // pairs where >=50% of the eval doc's 3-grams appear in a train doc
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id",
+          docs.filter(col("doc_id") % 10 === 0), "doc_id",
+          "text", shingleSize = 3, threshold = 0.5)
+        .withColumn("overlap_frac", round(col("overlap_frac"), 6))
+    }),
+
     "text_vocab" -> ((s, d) =>
       // corpus vocabulary: the token-frequency aggregation a tokenizer
       // build starts from — explode words, count, deterministic top-100
@@ -1105,6 +1130,47 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      """SELECT doc_id,
+        | round(CASE WHEN nl <= 1 THEN 0.0
+        |            ELSE (nl - len(list_distinct(lines))) * 1.0 / nl END, 6) AS dup_line_frac,
+        | round(CASE WHEN ng <= 0 THEN 0.0
+        |            ELSE (ng - len(list_distinct(grams))) * 1.0 / ng END, 6) AS dup_3gram_frac
+        |FROM (
+        |  SELECT doc_id, lines, len(lines) AS nl,
+        |         len(ws) - 2 AS ng,
+        |         list_transform(generate_series(1, len(ws) - 2),
+        |           i -> array_to_string(list_slice(ws, i, i + 2), ' ')) AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |                      x -> length(x) > 0) AS lines,
+        |          string_split_regex(lower(trim(text)), '\s+') AS ws
+        |        FROM documents))""".stripMargin,
+
+    "sample_split_counts" ->
+      """SELECT split, count(*) AS n FROM (
+        |  SELECT CASE WHEN b < 52428 THEN 'train'
+        |              WHEN b < 58982 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT CAST('0x' || substring(md5('split' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS b
+        |        FROM documents))
+        |GROUP BY split""".stripMargin,
+
+    "contamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |t AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
+        |e AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0)
+        |SELECT train_id, eval_id,
+        |       round(len(list_intersect(t.s, e.s)) * 1.0 / len(e.s), 6) AS overlap_frac
+        |FROM t JOIN e ON len(t.s) >= 0.5 * len(e.s)
+        |WHERE len(list_intersect(t.s, e.s)) * 1.0 / len(e.s) >= 0.5""".stripMargin,
 
     "text_vocab" ->
       """SELECT word, count(*) AS n

@@ -135,6 +135,43 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Eval-set decontamination: for every (train doc, eval doc) pair,
+    * the fraction of the EVAL doc's n-gram set that also appears in the
+    * train doc — the standard overlap test for benchmark leakage into
+    * training corpora. Returns pairs at or above `threshold`.
+    *
+    * Shape: both corpora explode to (id, shingle) and meet in ONE
+    * equi-join keyed on the shingle — cost O(shared shingles), never
+    * |train|×|eval|. The eval side is benchmarks (small) and broadcastable;
+    * the train side streams through at any corpus size. `maxShingleDf > 0`
+    * drops shingles appearing in more than that many TRAIN docs first
+    * (boilerplate n-grams like "of the and" otherwise dominate the join
+    * and carry no contamination signal) — at web scale this cap is also
+    * what bounds join skew. */
+  def contamination(train: DataFrame, trainId: String, eval: DataFrame, evalId: String,
+                    textCol: String, shingleSize: Int = 3, threshold: Double = 0.5,
+                    maxShingleDf: Int = 0): DataFrame = {
+    val trainSh0 = parallelize(train).select(col(trainId).as("train_id"),
+      explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val trainSh =
+      if (maxShingleDf <= 0) trainSh0
+      else {
+        val df_ = trainSh0.groupBy("__sh")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxShingleDf)
+        trainSh0.join(df_.select("__sh"), Seq("__sh"))
+      }
+    val evalSh = parallelize(eval).select(col(evalId).as("eval_id"),
+      shingles(col(textCol), shingleSize).as("__es"))
+    val evalExp = evalSh.select(col("eval_id"), size(col("__es")).as("__en"),
+      explode(col("__es")).as("__sh"))
+    trainSh.join(evalExp, Seq("__sh"))
+      .groupBy("train_id", "eval_id", "__en")
+      .agg(count(lit(1)).as("__hits"))
+      .withColumn("overlap_frac", col("__hits").cast("double") / col("__en").cast("double"))
+      .filter(col("overlap_frac") >= threshold)
+      .select("train_id", "eval_id", "overlap_frac")
+  }
+
   /** 64-bit SimHash per doc: sign-sum of word-hash bits, weighted by term
     * frequency. 64 conditional sums in one hash aggregate — no UDF, one
     * shuffle on the doc id. */

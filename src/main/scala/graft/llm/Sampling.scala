@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,5 +32,31 @@ object Sampling {
     val w = Window.partitionBy(strataCols.map(col).toSeq: _*)
       .orderBy(xxhash64((lit(seed) +: df.columns.map(col).toSeq): _*).asc)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** 16-bit engine-neutral content bucket in [0, 65536): the first four
+    * hex chars of md5 over the seed-salted key columns. md5 (unlike
+    * xxhash64) is identical in every engine, so split assignments can be
+    * audited outside Spark. */
+  def md5Bucket(keyCols: Seq[Column], seed: String): Column =
+    conv(substring(md5(concat_ws("||", (lit(seed) +: keyCols): _*)), 1, 4), 16, 10)
+      .cast("long")
+
+  /** Deterministic train/val/test split: each row gets the first label
+    * whose cumulative weight bound exceeds its content bucket. Replay-
+    * stable, partition-independent, incremental-safe (new rows never
+    * reassign old ones) — the properties `randomSplit` lacks. `keyCols`
+    * should be the row's stable identity (e.g. the document id), NOT
+    * mutable payload columns. */
+  def splitByHash(df: DataFrame, keyCols: Seq[String],
+                  weights: Seq[(String, Double)], seed: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = md5Bucket(keyCols.map(col), seed)
+    val bounds = weights.scanLeft(0.0)(_ + _._2).tail.map(w => (w / total * 65536).toLong)
+    val labeled = weights.map(_._1).zip(bounds).foldRight(lit(weights.last._1): Column) {
+      case ((label, hi), acc) => when(bucket < hi, label).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
   }
 }

@@ -82,4 +82,29 @@ object TextAnalysis {
 
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  // ── repetition filters (the Gopher-rules family) ─────────────────────
+  // Machine-generated and boilerplate text repeats itself; the standard
+  // filters threshold on the duplicate fraction of lines and of word
+  // n-grams. Pure Column expressions — still a narrow codegen map.
+
+  /** Fraction of non-blank lines that are duplicates of an earlier line
+    * (0 for docs with ≤1 line). */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val n = size(lines)
+    when(n <= 1, 0.0)
+      .otherwise((n - size(array_distinct(lines))).cast("double") / n.cast("double"))
+  }
+
+  /** Fraction of word n-grams that are duplicates of an earlier n-gram
+    * (0 for docs shorter than n words). */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val total = size(words) - (n - 1)
+    val grams = transform(sequence(lit(0), size(words) - n),
+      i => concat_ws(" ", slice(words, i + 1, lit(n))))
+    when(total <= 0, 0.0)
+      .otherwise((total - size(array_distinct(grams))).cast("double") / total.cast("double"))
+  }
 }

@@ -64,4 +64,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     assert(pairs.get((0L, 1L)).contains(0))
   }
+
+  test("contamination: planted benchmark leak found, clean eval docs pass") {
+    import spark.implicits._
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "completely original benchmark question nobody ever copied anywhere")
+    ).toDF("eval_id", "text")
+    val train = Seq(
+      // verbatim leak of eval 100 inside a longer doc
+      (1L, "intro text the quick brown fox jumps over the lazy dog near the river bank outro text"),
+      (2L, "unrelated training document about databases and query planners"),
+      (3L, "the quick brown fox appears here but the rest diverges entirely today")
+    ).toDF("train_id", "text")
+    val out = Dedup.contamination(train, "train_id", evalDocs, "eval_id",
+        "text", shingleSize = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((1L, 100L)), out.toString)
+    assert(out((1L, 100L)) == 1.0) // every eval 3-gram appears in doc 1
+    // the df cap drops boilerplate shingles shared by every train doc
+    val spam = (10L until 20L).map(i => (i, "of the and common boilerplate of the and"))
+      .toDF("train_id", "text")
+    val capped = Dedup.contamination(spam, "train_id",
+      Seq((200L, "of the and common boilerplate of the and")).toDF("eval_id", "text"),
+      "eval_id", "text", shingleSize = 3, threshold = 0.1, maxShingleDf = 5)
+    assert(capped.count() == 0)
+  }
 }

@@ -29,4 +29,32 @@ class SamplingSpec extends SparkSpec {
     val tiny = Sampling.stratifiedFixedSample(df.filter(col("id") <= 3), Seq("grp"), 10)
     assert(tiny.count() == 3)
   }
+
+  test("splitByHash: deterministic, proportional, incremental-safe, engine-neutral") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"doc $i")).toDF("id", "body")
+    val split = Sampling.splitByHash(docs, Seq("id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // proportions within a loose tolerance of the md5-uniform expectation
+    assert(math.abs(counts("train") - 1600L) < 120, counts.toString)
+    assert(math.abs(counts("val") - 200L) < 70, counts.toString)
+    assert(counts.values.sum == 2000L)
+    // partition-layout independence
+    val again = Sampling.splitByHash(docs.repartition(7), Seq("id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(canon(split) == canon(again))
+    // incremental safety: adding rows never reassigns existing ones
+    val subset = Sampling.splitByHash(docs.filter(col("id") < 500), Seq("id"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(canon(subset) == canon(split.filter(col("id") < 500)))
+    // engine-neutral arithmetic: replicate one assignment by hand
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest("split||7".getBytes("UTF-8"))
+      .take(2).map(x => f"$x%02x").mkString
+    val bucket = java.lang.Long.parseLong(b, 16)
+    val expected = if (bucket < 52428) "train" else if (bucket < 58982) "val" else "test"
+    assert(split.filter(col("id") === 7).select("split").head().getString(0) == expected)
+  }
 }

@@ -44,4 +44,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps("a") == fps("b"))
     assert(fps("a") != fps("c"))
   }
+
+  test("repetition filters: duplicate lines and n-grams measured exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nalpha beta\ngamma delta"),        // 1 dup line of 3
+      (2L, "one two three four"),                          // no repetition
+      (3L, "spam spam spam spam spam spam"),               // heavy 3-gram dups
+      (4L, "short"),                                       // sub-n doc
+      (5L, "")                                             // empty
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.dupLineFraction(col("text")).as("l"),
+        TextAnalysis.dupNgramFraction(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 1.0 / 3.0)
+    assert(out(2L) == ((0.0, 0.0)))
+    // "spam spam spam" x4 duplicates: 4 total 3-grams, 1 distinct
+    assert(out(3L)._2 == 3.0 / 4.0)
+    assert(out(4L) == ((0.0, 0.0)))
+    assert(out(5L) == ((0.0, 0.0)))
+  }
 }
