@@ -672,8 +672,14 @@ object SparkEntry {
        |  FROM (SELECT cell, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM a0)
        |  GROUP BY cell, i),
        |refined AS (
+       |  -- CAST(m AS REAL) replicates Spark's per-component .toFloat
+       |  -- rounding of refined centroids (same IEEE round-to-nearest);
+       |  -- without it near-tie cell assignments could diverge
        |  SELECT s.cell, coalesce(r.c, s.c) AS c
-       |  FROM seed s LEFT JOIN (SELECT cell, list(m ORDER BY i ASC) AS c FROM comp GROUP BY cell) r
+       |  FROM seed s LEFT JOIN (
+       |    SELECT cell, list_transform(list(CAST(m AS REAL) ORDER BY i ASC),
+       |                                x -> CAST(x AS DOUBLE)) AS c
+       |    FROM comp GROUP BY cell) r
        |    ON s.cell = r.cell),
        |assign1 AS (
        |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn

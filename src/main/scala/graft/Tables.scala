@@ -52,11 +52,9 @@ object Tables {
     * convert. Bounds are 'yyyy-MM-dd[ HH:mm:ss]' strings read as UTC. */
   def eventsWindow(s: SparkSession, d: String, start: String, end: String): DataFrame = {
     val raw = read(s, d, "events")
-    def nanos(t: String): Long = {
-      val norm = if (t.contains(" ") || t.contains("T")) t.replace(' ', 'T') else t + "T00:00:00"
-      java.time.LocalDateTime.parse(norm).toInstant(java.time.ZoneOffset.UTC)
+    def nanos(t: String): Long =
+      graft.sources.Windowed.parseBound(t).toInstant(java.time.ZoneOffset.UTC)
         .getEpochSecond * 1000000000L
-    }
     if (raw.schema("ts").dataType == LongType)
       raw.filter(col("ts") >= nanos(start) && col("ts") < nanos(end))
         .withColumn("ts", timestamp_micros(expr(nanosToMicros)))

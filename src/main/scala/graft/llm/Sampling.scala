@@ -37,10 +37,13 @@ object Sampling {
   /** 16-bit engine-neutral content bucket in [0, 65536): the first four
     * hex chars of md5 over the seed-salted key columns. md5 (unlike
     * xxhash64) is identical in every engine, so split assignments can be
-    * audited outside Spark. */
+    * audited outside Spark. NULL keys encode as an explicit sentinel —
+    * concat_ws would silently DROP them, colliding distinct identities
+    * (same convention as Normalize.surrogateKey). */
   def md5Bucket(keyCols: Seq[Column], seed: String): Column =
-    conv(substring(md5(concat_ws("||", (lit(seed) +: keyCols): _*)), 1, 4), 16, 10)
-      .cast("long")
+    conv(substring(md5(concat_ws("||",
+        (lit(seed) +: keyCols.map(c => coalesce(c.cast("string"), lit("__null__")))): _*)),
+      1, 4), 16, 10).cast("long")
 
   /** Deterministic train/val/test split: each row gets the first label
     * whose cumulative weight bound exceeds its content bucket. Replay-

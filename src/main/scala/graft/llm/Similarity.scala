@@ -91,7 +91,9 @@ object Similarity {
     val seeds = embs.orderBy(col(idCol).asc).limit(k)
       .select(embCol).collect().map(_.getSeq[Float](0).toArray)
     // one refinement pass: assign to nearest seed, average each cell
+    // (degenerate cell -1 rows are excluded — they have no usable cosine)
     val comps = embs.withColumn("__cell", cellOf(col(embCol), seeds))
+      .filter(col("__cell") >= 0)
       .select(col("__cell"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
       .groupBy("__cell", "__pos").agg(avg(col("__v").cast("double")).as("__m"))
       .collect()
@@ -112,11 +114,14 @@ object Similarity {
     * projection collapse inlined them into O(k²) generated code that
     * stopped compiling near k≈64 (real IVF wants k≈√N, thousands).
     * Ties (exactly equal cosines) resolve to the lowest cell, matching
-    * `ORDER BY cos DESC, cell ASC` in any replicating engine. */
+    * `ORDER BY cos DESC, cell ASC` in any replicating engine. Degenerate
+    * vectors (zero-norm / NULL elements → NULL cosine everywhere) land in
+    * cell -1: indexed but never probed, instead of poisoning the pipeline
+    * with NULL cells. */
   def cellOf(emb: Column, centroids: Array[Array[Float]]): Column = {
     val arr = array(centroids.map(c =>
       VectorOps.vectorCosine(emb, VectorOps.floatVectorLit(c))): _*)
-    (array_position(arr, array_max(arr)) - 1).cast("int")
+    coalesce((array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1))
   }
 
   /** Persistable IVF index: input + cell column. At scale, write

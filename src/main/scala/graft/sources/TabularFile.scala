@@ -28,6 +28,21 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object TabularFile {
 
+  /** Data files under a path (or the path itself when it's a file), with
+    * Spark's hidden-file rules: `_SUCCESS` markers, `.crc` sidecars and
+    * dotfiles are not data. Shared by the delimited and .xlsx readers so
+    * their listing semantics cannot drift. */
+  private[sources] def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq.filter(_.isFile)
+        .map(_.getPath)
+        .filterNot(pp => pp.getName.startsWith("_") || pp.getName.startsWith("."))
+        .map(_.toString).sorted
+    else Seq(path)
+  }
+
   /** (file, byteOffset, line) rows for a set of text files — one
     * distributed scan via the classic TextInputFormat (whose default
     * PathFilter skips `_`/`.` files exactly like Spark's own file index). */
@@ -61,17 +76,7 @@ object TabularFile {
     // banner/trailer positions are PER FILE: a landing directory holds
     // many files (S8 lands one per source drop), and a global row index
     // would keep later files' banners and earlier files' trailers.
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile)
-          .map(_.getPath)
-          // same hidden-file rule as Spark's own file index: _SUCCESS
-          // markers, .crc sidecars, dotfiles are not data
-          .filterNot(pp => pp.getName.startsWith("_") || pp.getName.startsWith("."))
-          .map(_.toString).sorted
-      else Seq(path)
+    val files = listDataFiles(spark, path)
     if (files.isEmpty) {
       // keep the empty-result schema identical to the non-empty path's
       val empty = spark.createDataFrame(
@@ -79,23 +84,47 @@ object TabularFile {
       return if (withEtlDate) empty.withColumn("etl_date", current_timestamp()) else empty
     }
 
-    val lines = linesWithOffsets(spark, files)
+    // byte offsets are monotone line positions only on UNCOMPRESSED files;
+    // a splittable-compressed file's record reader reports codec-dependent
+    // positions whose cross-split ordering (and uniqueness) is not
+    // guaranteed. Compressed drops take the per-file indexed fallback —
+    // they are the exception in a landing directory, not the bulk case.
+    val codecs = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      spark.sparkContext.hadoopConfiguration)
+    val (plain, compressed) = files.partition(f =>
+      codecs.getCodec(new org.apache.hadoop.fs.Path(f)) == null)
+
     // per-file trim thresholds: the offset of the LAST banner line and the
     // FIRST trailer line. Only (file, offset) longs go through the window
     // shuffle; the thresholds (one row per file) broadcast back onto the
     // untouched parallel text scan.
-    val byOff = Window.partitionBy("__file").orderBy(col("__off").asc)
-    val byOffDesc = Window.partitionBy("__file").orderBy(col("__off").desc)
-    val bounds = lines.select(col("__file"), col("__off"))
-      .withColumn("__ri", row_number().over(byOff))
-      .withColumn("__rj", row_number().over(byOffDesc))
-      .groupBy("__file")
-      .agg(max(when(col("__ri") <= headerRows, col("__off"))).as("__lo"),
-           min(when(col("__rj") <= trailerRows, col("__off"))).as("__hi"))
-    val text = lines.join(broadcast(bounds), Seq("__file"))
-      .filter((col("__lo").isNull || col("__off") > col("__lo")) &&
-              (col("__hi").isNull || col("__off") < col("__hi")))
-      .select("value")
+    val offsetTrimmed: Option[DataFrame] = if (plain.isEmpty) None else Some {
+      val lines = linesWithOffsets(spark, plain)
+      val byOff = Window.partitionBy("__file").orderBy(col("__off").asc)
+      val byOffDesc = Window.partitionBy("__file").orderBy(col("__off").desc)
+      val bounds = lines.select(col("__file"), col("__off"))
+        .withColumn("__ri", row_number().over(byOff))
+        .withColumn("__rj", row_number().over(byOffDesc))
+        .groupBy("__file")
+        .agg(max(when(col("__ri") <= headerRows, col("__off"))).as("__lo"),
+             min(when(col("__rj") <= trailerRows, col("__off"))).as("__hi"))
+      lines.join(broadcast(bounds), Seq("__file"))
+        .filter((col("__lo").isNull || col("__off") > col("__lo")) &&
+                (col("__hi").isNull || col("__off") < col("__hi")))
+        .select("value")
+    }
+    val legacyTrimmed: Option[DataFrame] = if (compressed.isEmpty) None else Some {
+      compressed.map { file =>
+        val fl = spark.read.text(file)
+        val n = fl.count()
+        spark.createDataFrame(
+          fl.rdd.zipWithIndex()
+            .filter { case (_, i) => i >= headerRows && i < n - trailerRows }
+            .map(_._1),
+          StructType(Seq(StructField("value", StringType))))
+      }.reduce(_ union _)
+    }
+    val text = (offsetTrimmed.toSeq ++ legacyTrimmed.toSeq).reduce(_ union _)
 
     // parse positionally against the declared schema, all columns as
     // strings first (reference reads cells raw then coerces)

@@ -37,14 +37,21 @@ object Windowed {
     * to naive (UTC-stored) DB timestamps (casreport_to_ods.py:79-86). The
     * conversion is a driver-side constant, so downstream filters stay
     * literal comparisons that push down to the scan. */
-  def zonedToUtc(t: String, zone: String): String = {
+  /** 'yyyy-MM-dd[ HH:mm:ss]' → LocalDateTime (midnight when date-only).
+    * The single normalization point for string window bounds — used by
+    * both the zone conversion here and `Tables.eventsWindow`'s nanos
+    * literal, so the accepted formats cannot drift apart. */
+  def parseBound(t: String): java.time.LocalDateTime = {
     val norm = if (t.contains(" ") || t.contains("T")) t.replace(' ', 'T') else t + "T00:00:00"
     java.time.LocalDateTime.parse(norm)
+  }
+
+  def zonedToUtc(t: String, zone: String): String =
+    parseBound(t)
       .atZone(java.time.ZoneId.of(zone))
       .withZoneSameInstant(java.time.ZoneOffset.UTC)
       .toLocalDateTime
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-  }
 
   /** [[cursorWindow]] with bounds given as wall-clock datetimes in `zone`
     * (converted to UTC instants before the literal comparison — pushdown

@@ -84,9 +84,12 @@ object Xlsx {
               if (ts.getLength == 0) null
               else (0 until ts.getLength).map(ts.item(_).getTextContent).mkString
             case "s" =>
+              // a malformed or out-of-range shared index nulls the CELL
+              // (the module's per-cell-guard contract), never the job
               val vs = c.getElementsByTagName("v")
               if (vs.getLength == 0) null
-              else shared.lift(vs.item(0).getTextContent.trim.toInt).orNull
+              else vs.item(0).getTextContent.trim.toIntOption
+                .flatMap(shared.lift).orNull
             case "b" =>
               val vs = c.getElementsByTagName("v")
               if (vs.getLength == 0) null
@@ -110,14 +113,7 @@ object Xlsx {
            headerRows: Int = 1, trailerRows: Int = 0,
            requiredKeys: Seq[String] = Nil, sheet: Int = 1,
            withEtlDate: Boolean = false): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-          .filterNot(pp => pp.getName.startsWith("_") || pp.getName.startsWith("."))
-          .map(_.toString).sorted
-      else Seq(path)
+    val files = TabularFile.listDataFiles(spark, path)
     val rawSchema = StructType(cfg.schema.fields.map(f => StructField(f.name, StringType)))
     if (files.isEmpty) {
       val empty = spark.createDataFrame(
@@ -126,7 +122,15 @@ object Xlsx {
     }
     val width = cfg.schema.fields.length
     val hr = headerRows; val tr = trailerRows; val sh = sheet // serializable captures
-    val rows = spark.sparkContext.binaryFiles(files.mkString(","))
+    // binaryFiles splits its argument on commas and expands globs — escape
+    // glob metacharacters, and union per-file RDDs (still one lazy job)
+    // when a path itself contains a comma
+    def esc(p: String): String = p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
+    val payloads =
+      if (files.exists(_.contains(",")))
+        files.map(f => spark.sparkContext.binaryFiles(esc(f))).reduce(_ union _)
+      else spark.sparkContext.binaryFiles(files.map(esc).mkString(","))
+    val rows = payloads
       .flatMap { case (_, pds) =>
         val all = parseWorkbook(pds.toArray(), sh, width)
         // banner/trailer are per file and the workbook is already in

@@ -57,4 +57,15 @@ class SamplingSpec extends SparkSpec {
     val expected = if (bucket < 52428) "train" else if (bucket < 58982) "val" else "test"
     assert(split.filter(col("id") === 7).select("split").head().getString(0) == expected)
   }
+
+  test("md5Bucket encodes NULL keys explicitly — no silent identity collisions") {
+    import spark.implicits._
+    // concat_ws DROPS nulls: without the sentinel these two distinct
+    // identities would hash to the same input ('seed||a')
+    val df = Seq((Option("a"), Option.empty[String]), (Option.empty[String], Option("a")))
+      .toDF("k1", "k2")
+    val buckets = df.select(
+      Sampling.md5Bucket(Seq(col("k1"), col("k2")), "seed").as("b")).as[Long].collect()
+    assert(buckets(0) != buckets(1), "NULL-position identities collided")
+  }
 }

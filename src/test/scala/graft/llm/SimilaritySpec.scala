@@ -109,6 +109,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 = $recall on clustered data")
   }
 
+  test("degenerate zero-norm vectors land in cell -1, never crash the build") {
+    val withZero = (vecs :+ (999L -> Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(withZero, "embedding", "vec_id", k = 4)
+    assert(centroids.length == 4)
+    val index = Similarity.buildIvfIndex(withZero, "embedding", centroids)
+    assert(index.filter(col("vec_id") === 999L).select("cell").head().getInt(0) == -1)
+    // probes never include -1, so the degenerate row is indexed but unsearched
+    val q = vecs(3)._2
+    val top = Similarity.ivfTopK(index, "embedding", "vec_id", q, 1, centroids, nprobe = 4)
+    assert(top.collect().head.getLong(0) == 3L)
+  }
+
   test("autoPlanes sizing rule and maxBucket cap bound candidate volume") {
     // sizing: buckets ≈ N / target, monotone in N, floored at minPlanes
     assert(Similarity.autoPlanes(500L, 1024L) == 8)

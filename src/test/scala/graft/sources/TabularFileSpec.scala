@@ -50,6 +50,19 @@ class TabularFileSpec extends SparkSpec {
     assert(out.filter(org.apache.spark.sql.functions.col("etl_date").isNull).count() == 0)
   }
 
+  test("compressed files take the per-file indexed fallback and still trim correctly") {
+    // gzip offsets aren't line-monotone guarantees; mixed dirs must split
+    // between the offset path (plain) and the fallback (compressed)
+    val dir = Files.createTempDirectory("tab-gz")
+    Files.writeString(dir.resolve("plain.csv"), "BANNER\nP1,1,1.0\nTOTAL,0,0")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("drop.csv.gz")))
+    gz.write("BANNER\nG1,2,2.0\nTOTAL,0,0".getBytes("UTF-8")); gz.close()
+    val out = TabularFile.read(spark, dir.toString, cfg, headerRows = 1, trailerRows = 1)
+    assert(canon(out) == Seq(
+      Seq("G1", "2", "2.0"), Seq("P1", "1", "1.0")).sortBy(_.mkString("|")))
+  }
+
   test("job count does not grow with file count") {
     // the round-2 implementation launched 2 sequential jobs PER FILE
     // (count + zipWithIndex) before reading a byte — a thousand-drop

@@ -69,6 +69,14 @@ class XlsxSpec extends SparkSpec {
       Seq("A1", "1", "1.0"), Seq("A2", "2", "1.0")).sortBy(_.mkString("|")))
   }
 
+  test("xlsx: malformed shared-string index nulls the cell, not the job") {
+    val bad = """<row r="1"><c r="A1" t="s"><v>junk</v></c>""" +
+      """<c r="B1" t="s"><v>99</v></c><c r="C1"><v>7</v></c></row>"""
+    val rows = Xlsx.parseWorkbook(makeXlsx(bad, Seq("only-entry")), sheet = 1, width = 3)
+    // non-numeric index → null; out-of-range index → null; number survives
+    assert(rows.map(_.toSeq) == Seq(Seq(null, null, "7")))
+  }
+
   test("xlsx: booleans and rich-text runs decode; doctype payloads rejected") {
     val rich = """<row r="1"><c r="A1" t="inlineStr"><is><r><t>ab</t></r><r><t>cd</t></r></is></c>""" +
       """<c r="B1"><v>3</v></c><c r="C1" t="b"><v>1</v></c></row>"""
