@@ -160,13 +160,20 @@ object Dedup {
           .agg(count(lit(1)).as("__df")).filter(col("__df") <= maxShingleDf)
         trainSh0.join(df_.select("__sh"), Seq("__sh"))
       }
-    val evalSh = parallelize(eval).select(col(evalId).as("eval_id"),
-      shingles(col(textCol), shingleSize).as("__es"))
-    val evalExp = evalSh.select(col("eval_id"), size(col("__es")).as("__en"),
-      explode(col("__es")).as("__sh"))
+    // the explode takes the shingle expression INLINE (matching
+    // minhashSignature): exploding a previously-named array column makes
+    // InferFiltersFromGenerate bolt a size/isnotnull filter onto the
+    // interpreted higher-order shingle expression — measured 8× slower on
+    // the small side than this shape. Eval set sizes come back afterwards
+    // via a broadcast join on the (tiny) eval id.
+    val evalExp = parallelize(eval).select(col(evalId).as("eval_id"),
+      explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val evalN = eval.select(col(evalId).as("eval_id"),
+      size(shingles(col(textCol), shingleSize)).as("__en"))
     trainSh.join(evalExp, Seq("__sh"))
-      .groupBy("train_id", "eval_id", "__en")
+      .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(evalN), Seq("eval_id"))
       .withColumn("overlap_frac", col("__hits").cast("double") / col("__en").cast("double"))
       .filter(col("overlap_frac") >= threshold)
       .select("train_id", "eval_id", "overlap_frac")
