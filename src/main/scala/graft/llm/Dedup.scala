@@ -108,10 +108,25 @@ object Dedup {
 
   /** Verify candidates with exact n-gram Jaccard (the n-gram Jaccard dedup
     * operator, usable standalone on any pair set). Computed set-wise with
-    * array intersection — pairs only, never all-pairs. */
+    * array intersection — pairs only, never all-pairs.
+    *
+    * With `prefilterDocs` (the default), docs are semi-joined down to the
+    * ids the pair set actually mentions BEFORE shingling — for an
+    * externally-supplied pair set over a large corpus this is the
+    * difference between shingling a handful of docs and all of them.
+    * [[nearDedup]] turns it OFF: there the pair set is DERIVED from the
+    * docs, and the semi-join would re-run the whole candidate pipeline a
+    * second time just to compute the id list (measured net loss). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-                    shingleSize: Int = 3): DataFrame = {
-    val sh = parallelize(docs)
+                    shingleSize: Int = 3, prefilterDocs: Boolean = true): DataFrame = {
+    val base =
+      if (!prefilterDocs) docs
+      else {
+        val wanted = pairs.select(col("ida").as(idCol))
+          .union(pairs.select(col("idb").as(idCol))).distinct()
+        docs.join(wanted, Seq(idCol), "left_semi")
+      }
+    val sh = parallelize(base)
       .select(col(idCol).as("__id"), shingles(col(textCol), shingleSize).as("__sh"))
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
     val uni = (size(col("sha")) + size(col("shb"))).cast("double") - inter
@@ -129,7 +144,7 @@ object Dedup {
     // spread once here; the nested stages' own parallelize() is then a no-op
     val d = parallelize(docs)
     val cand = candidatePairs(minhashBands(d, idCol, textCol, numHashes, bands, shingleSize), idCol)
-    val dupIds = jaccardVerify(cand, d, idCol, textCol, shingleSize)
+    val dupIds = jaccardVerify(cand, d, idCol, textCol, shingleSize, prefilterDocs = false)
       .filter(col("jaccard") >= threshold)
       .select(col("idb").as(idCol)).distinct()
     docs.join(dupIds, Seq(idCol), "left_anti")
