@@ -507,8 +507,9 @@ object SparkEntry {
         .head().getSeq[Float](0).toArray
       val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10).select("vec_id")
       val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
-      val lsh = Similarity.annTopK(Similarity.buildLshIndex(e, "embedding", planes),
-        "embedding", "vec_id", q, 10, planes).select("vec_id")
+      val lshIndex = Similarity.buildLshIndex(e, "embedding", planes)
+      def lsh(radius: Int) = Similarity.annTopK(lshIndex, "embedding", "vec_id",
+        q, 10, planes, multiprobeRadius = radius).select("vec_id")
       val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
       val ivf = Similarity.ivfTopK(Similarity.buildIvfIndex(e, "embedding", centroids),
         "embedding", "vec_id", q, 10, centroids, nprobe = 3).select("vec_id")
@@ -516,7 +517,9 @@ object SparkEntry {
         approx.intersect(brute)
           .agg((count(lit(1)) / 10.0).cast("double").as("recall_at_10"))
           .select(lit(m).as("method"), col("recall_at_10"))
-      recall("lsh", lsh).unionByName(recall("ivf", ivf))
+      recall("lsh_r1", lsh(1))
+        .unionByName(recall("lsh_r2", lsh(2)))
+        .unionByName(recall("ivf", ivf))
     }),
 
     "sample_stratified_counts" -> ((s, d) =>
@@ -654,7 +657,13 @@ object SparkEntry {
        |probes AS (SELECT b AS pb FROM qb
        |           UNION ALL SELECT xor(qb.b, 1::BIGINT << planes.h) FROM qb CROSS JOIN planes),
        |cand AS (SELECT emb.vec_id, emb.e FROM emb JOIN buck ON emb.vec_id = buck.vec_id
-       |         WHERE buck.b IN (SELECT pb FROM probes))""".stripMargin
+       |         WHERE buck.b IN (SELECT pb FROM probes)),
+       |probes2 AS (SELECT pb FROM probes
+       |            UNION ALL
+       |            SELECT xor(xor(qb.b, 1::BIGINT << p1.h), 1::BIGINT << p2.h)
+       |            FROM qb CROSS JOIN planes p1 CROSS JOIN planes p2 WHERE p1.h < p2.h),
+       |cand2 AS (SELECT emb.vec_id, emb.e FROM emb JOIN buck ON emb.vec_id = buck.vec_id
+       |          WHERE buck.b IN (SELECT pb FROM probes2))""".stripMargin
 
   /** CTEs replaying IVF: lowest-id seeds, one Lloyd step, reassignment,
     * nprobe=3 probe cells. Expects `emb` and `q` CTEs in scope. */
@@ -1061,11 +1070,17 @@ object SparkEntry {
          |lsh_top AS (
          |  SELECT vec_id FROM (SELECT cand.vec_id, ${cosSql("e", "qe")} AS cos FROM cand, q)
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |lsh_top2 AS (
+         |  SELECT vec_id FROM (SELECT cand2.vec_id, ${cosSql("e", "qe")} AS cos FROM cand2, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
          |ivf_top AS (
          |  SELECT vec_id FROM (SELECT ivf_cand.vec_id, ${cosSql("e", "qe")} AS cos FROM ivf_cand, q)
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10)
-         |SELECT 'lsh' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |SELECT 'lsh_r1' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
          |FROM (SELECT vec_id FROM lsh_top INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'lsh_r2' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM lsh_top2 INTERSECT SELECT vec_id FROM brute)
          |UNION ALL
          |SELECT 'ivf' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
          |FROM (SELECT vec_id FROM ivf_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,

@@ -62,15 +62,25 @@ object Similarity {
       if (dot > 0) acc | (1L << h) else acc
     }
 
-  /** ANN top-k: probe the query's bucket plus all 1-bit-flip neighbor
-    * buckets (multiprobe), then exact cosine inside the candidate set.
-    * Approximate by design — recall rises with `numPlanes` low and probes
-    * high; the candidate filter is a pushed-down IN on the bucket column. */
+  /** ANN top-k: probe the query's bucket plus every neighbor bucket within
+    * `multiprobeRadius` bit flips, then exact cosine inside the candidate
+    * set. Approximate by design — the radius is the recall/cost knob:
+    * radius r scans ~Σ C(H,i)/2^H of the corpus (H=8: r=1 → 3.5%, r=2 →
+    * 14%); `ann_recall` measures what each setting actually buys. The
+    * candidate filter is a pushed-down IN on the bucket column. */
   def annTopK(index: DataFrame, embCol: String, idCol: String,
               query: Array[Float], k: Int, planes: Array[Array[Float]],
-              multiprobe: Boolean = true): DataFrame = {
+              multiprobeRadius: Int = 1): DataFrame = {
     val b = bucketOf(query, planes)
-    val probes = if (multiprobe) b +: planes.indices.map(h => b ^ (1L << h)) else Seq(b)
+    val r1 = planes.indices.map(h => b ^ (1L << h))
+    val r2 = for {
+      h1 <- planes.indices; h2 <- planes.indices if h1 < h2
+    } yield b ^ (1L << h1) ^ (1L << h2)
+    val probes = (multiprobeRadius match {
+      case r if r <= 0 => Seq(b)
+      case 1 => b +: r1
+      case _ => (b +: r1) ++ r2
+    }).distinct
     bruteForceTopK(index.filter(col("bucket").isin(probes: _*)), embCol, idCol, query, k)
   }
 

@@ -36,11 +36,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("cursor-window predicate pushes into the parquet scan") {
-    val plan = planOf(SparkEntry.queries("p4_cursor_window")(spark, sf))
-    assert(plan.contains("PushedFilters") &&
-      (plan.contains("GreaterThanOrEqual(ts") || plan.contains("GreaterThanOrEqual(TS")),
-      s"window predicate not pushed: $plan")
+  test("cursor-window predicate pushes into the parquet scan (UTC and ICT)") {
+    for (name <- Seq("p4_cursor_window", "p4_cursor_window_ict")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("PushedFilters") &&
+        (plan.contains("GreaterThanOrEqual(ts") || plan.contains("GreaterThanOrEqual(TS")),
+        s"$name window predicate not pushed: $plan")
+    }
+  }
+
+  test("contamination broadcasts the eval side; aggregation is partial+final") {
+    val plan = planOf(SparkEntry.queries("contamination")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"shingle join fell back to SMJ: $plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation: $plan")
+  }
+
+  test("repetition filters stay a narrow pruned map (no shuffle, two columns)") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"narrow map shuffled: $plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to doc_id+text: $plan")
   }
 
   test("q1 aggregation is partial+final hash aggregate (map-side combine)") {
