@@ -314,7 +314,11 @@ object SparkEntry {
       val source = bucketed(latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))))
       val cfg = TableConfig("ods.events_part", null, Seq("user_id"),
         cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
-      val root = java.nio.file.Files.createTempDirectory("graft_m1p").toString
+      // fixed path: snapshot() overwrites the store root, so every
+      // invocation starts from the same state (and nothing leaks a new
+      // temp dir per driver pass)
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_m1p_fixture").toString
       val store = new graft.pipeline.PartitionedStore(s, s"$root/events", "bucket")
       store.snapshot(target)
       store.upsert(source, cfg)
@@ -397,7 +401,12 @@ object SparkEntry {
       // (zip + sheet XML + shared strings), read it back through the
       // native executor-side parser with banner/trailer/coercion/key-
       // filter semantics, against a literal oracle
-      val dir = java.nio.file.Files.createTempDirectory("graft_xlsx")
+      // fixed fixture path, rewritten in place — the driver invokes each
+      // query several times per round (Verify + bench passes) and a fresh
+      // createTempDirectory per call would leak directories indefinitely
+      val dir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_xlsx_fixture")
+      java.nio.file.Files.createDirectories(dir)
       val bos = new java.io.ByteArrayOutputStream()
       val z = new java.util.zip.ZipOutputStream(bos)
       def entry(name: String, content: String): Unit = {

@@ -72,15 +72,10 @@ object Similarity {
               query: Array[Float], k: Int, planes: Array[Array[Float]],
               multiprobeRadius: Int = 1): DataFrame = {
     val b = bucketOf(query, planes)
-    val r1 = planes.indices.map(h => b ^ (1L << h))
-    val r2 = for {
-      h1 <- planes.indices; h2 <- planes.indices if h1 < h2
-    } yield b ^ (1L << h1) ^ (1L << h2)
-    val probes = (multiprobeRadius match {
-      case r if r <= 0 => Seq(b)
-      case 1 => b +: r1
-      case _ => (b +: r1) ++ r2
-    }).distinct
+    // every subset of ≤ radius plane bits flipped — exact for any radius
+    // (radius = planes.length degenerates to a full scan, i.e. brute force)
+    val probes = (0 to math.min(multiprobeRadius, planes.length)).flatMap(r =>
+      planes.indices.combinations(r).map(_.foldLeft(b)((acc, h) => acc ^ (1L << h))))
     bruteForceTopK(index.filter(col("bucket").isin(probes: _*)), embCol, idCol, query, k)
   }
 

@@ -31,21 +31,21 @@ object Windowed {
   def intCursorWindow(df: DataFrame, cursorField: String, startYmd: Int, endYmd: Int): DataFrame =
     df.filter(col(cursorField) >= startYmd && col(cursorField) < endYmd)
 
-  /** Convert a wall-clock 'yyyy-MM-dd[ HH:mm:ss]' bound in `zone` to the
-    * equivalent UTC 'yyyy-MM-dd HH:mm:ss' string — the reference anchors
-    * every cursor window in `Asia/Ho_Chi_Minh` local time before comparing
-    * to naive (UTC-stored) DB timestamps (casreport_to_ods.py:79-86). The
-    * conversion is a driver-side constant, so downstream filters stay
-    * literal comparisons that push down to the scan. */
   /** 'yyyy-MM-dd[ HH:mm:ss]' → LocalDateTime (midnight when date-only).
     * The single normalization point for string window bounds — used by
-    * both the zone conversion here and `Tables.eventsWindow`'s nanos
+    * both the zone conversion below and `Tables.eventsWindow`'s nanos
     * literal, so the accepted formats cannot drift apart. */
   def parseBound(t: String): java.time.LocalDateTime = {
     val norm = if (t.contains(" ") || t.contains("T")) t.replace(' ', 'T') else t + "T00:00:00"
     java.time.LocalDateTime.parse(norm)
   }
 
+  /** Convert a wall-clock 'yyyy-MM-dd[ HH:mm:ss]' bound in `zone` to the
+    * equivalent UTC 'yyyy-MM-dd HH:mm:ss' string — the reference anchors
+    * every cursor window in `Asia/Ho_Chi_Minh` local time before comparing
+    * to naive (UTC-stored) DB timestamps (casreport_to_ods.py:79-86). The
+    * conversion is a driver-side constant, so downstream filters stay
+    * literal comparisons that push down to the scan. */
   def zonedToUtc(t: String, zone: String): String =
     parseBound(t)
       .atZone(java.time.ZoneId.of(zone))

@@ -50,14 +50,26 @@ object Xlsx {
       f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(b))
     }
 
-    // shared strings: concatenation of every <t> under each <si> (plain
-    // and rich-text-run cells alike)
+    // text content of an <si>/<is> node: every <t> run EXCEPT phonetic
+    // <rPh> guides (Japanese Excel stores furigana there — concatenating
+    // them would corrupt the visible cell value; openpyxl excludes them)
+    def textRuns(el: org.w3c.dom.Element): String = {
+      def inRPh(n: org.w3c.dom.Node): Boolean = {
+        var p = n.getParentNode
+        while (p != null && p != el) {
+          if (p.getNodeName == "rPh") return true
+          p = p.getParentNode
+        }
+        false
+      }
+      val ts = el.getElementsByTagName("t")
+      (0 until ts.getLength).map(ts.item(_))
+        .filterNot(inRPh).map(_.getTextContent).mkString
+    }
+
     val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml").map { b =>
       val sis = dom(b).getElementsByTagName("si")
-      (0 until sis.getLength).map { i =>
-        val ts = sis.item(i).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("t")
-        (0 until ts.getLength).map(j => ts.item(j).getTextContent).mkString
-      }
+      (0 until sis.getLength).map(i => textRuns(sis.item(i).asInstanceOf[org.w3c.dom.Element]))
     }.getOrElse(IndexedSeq.empty)
 
     def colIndex(ref: String): Int = {
@@ -73,16 +85,21 @@ object Xlsx {
       val out = new Array[String](width)
       val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element].getElementsByTagName("c")
       var i = 0
+      // ECMA-376: a cell without an r ref occupies the column AFTER the
+      // previous cell — NOT its element position (a sparse row like
+      // <c r="B1"/><c/> puts the second cell in C, and position-based
+      // placement would overwrite B)
+      var nextIdx = 0
       while (i < cells.getLength) {
         val c = cells.item(i).asInstanceOf[org.w3c.dom.Element]
-        val idx = if (c.hasAttribute("r")) colIndex(c.getAttribute("r")) else i
+        val idx = if (c.hasAttribute("r")) colIndex(c.getAttribute("r")) else nextIdx
+        nextIdx = idx + 1
         if (idx >= 0 && idx < width) {
           val t = c.getAttribute("t")
           val v: String = t match {
             case "inlineStr" =>
-              val ts = c.getElementsByTagName("t")
-              if (ts.getLength == 0) null
-              else (0 until ts.getLength).map(ts.item(_).getTextContent).mkString
+              if (c.getElementsByTagName("t").getLength == 0) null
+              else textRuns(c)
             case "s" =>
               // a malformed or out-of-range shared index nulls the CELL
               // (the module's per-cell-guard contract), never the job

@@ -44,6 +44,21 @@ class SimilaritySpec extends SparkSpec {
     assert(top.collect().head.getLong(0) == 17L)
   }
 
+  test("multiprobe radius generalizes: radius = H probes every bucket = brute force") {
+    val planes = Similarity.hyperplanes(numPlanes = 6, dim = 8)
+    val index = Similarity.buildLshIndex(embs, "embedding", planes)
+    val q = vecs(9)._2
+    val full = Similarity.annTopK(index, "embedding", "vec_id", q, 5, planes,
+      multiprobeRadius = 6).select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.bruteForceTopK(embs, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
+    // radius 3 probes strictly more than radius 1 (no silent truncation)
+    val r3 = Similarity.annTopK(index, "embedding", "vec_id", q, 50, planes, 3).count()
+    val r1 = Similarity.annTopK(index, "embedding", "vec_id", q, 50, planes, 1).count()
+    assert(r3 >= r1)
+  }
+
   test("IVF index: refined centroids, exact match found via nprobe cells") {
     val centroids = Similarity.ivfCentroids(embs, "embedding", "vec_id", k = 4)
     assert(centroids.length == 4 && centroids.forall(_.length == 8))

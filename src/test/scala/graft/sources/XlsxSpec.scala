@@ -69,6 +69,33 @@ class XlsxSpec extends SparkSpec {
       Seq("A1", "1", "1.0"), Seq("A2", "2", "1.0")).sortBy(_.mkString("|")))
   }
 
+  test("xlsx: ref-less cells advance from the previous cell (ECMA-376), not element position") {
+    // <c r="B1"> then a ref-less <c> → the second cell is column C;
+    // position-based placement would overwrite B
+    val sparse = """<row r="1"><c r="B1"><v>5</v></c><c><v>7</v></c></row>"""
+    val rows = Xlsx.parseWorkbook(makeXlsx(sparse, Seq.empty), sheet = 1, width = 3)
+    assert(rows.map(_.toSeq) == Seq(Seq(null, "5", "7")))
+  }
+
+  test("xlsx: phonetic rPh runs are excluded from shared and inline strings") {
+    // hand-build the shared entry with an rPh run (makeXlsx wraps plain <t>)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><r><t>Tokyo</t></r><rPh sb="0" eb="2"><t>TOKYO-KANA</t></rPh></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c>""" +
+      """<c r="B1" t="inlineStr"><is><r><t>plain</t></r><rPh sb="0" eb="2"><t>GUIDE</t></rPh></is></c></row>""" +
+      """</sheetData></worksheet>""")
+    z.close()
+    val rows = Xlsx.parseWorkbook(bos.toByteArray, sheet = 1, width = 2)
+    assert(rows.map(_.toSeq) == Seq(Seq("Tokyo", "plain")))
+  }
+
   test("xlsx: malformed shared-string index nulls the cell, not the job") {
     val bad = """<row r="1"><c r="A1" t="s"><v>junk</v></c>""" +
       """<c r="B1" t="s"><v>99</v></c><c r="C1"><v>7</v></c></row>"""
