@@ -467,13 +467,15 @@ object SparkEntry {
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
       // near-dups to find; random embeddings never reach cosine 0.95, so
-      // the expected output is exactly the planted pairs
+      // the expected output is exactly the planted pairs. Planes are
+      // AUTO-SIZED from the corpus count (the 100 TB guardrail): exact
+      // duplicates share a bucket under any plane count, so the oracle
+      // holds at every SF while bucket populations stay bounded.
       val e = Tables.embeddings(s, d)
       val planted = e.filter(col("vec_id") % 100 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000L)
-      val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
-      Similarity.cosineNearDupPairs(e.unionByName(planted), "embedding", "vec_id",
-          planes, threshold = 0.95)
+      Similarity.cosineNearDupPairsAuto(e.unionByName(planted), "embedding", "vec_id",
+          dim = 64, threshold = 0.95, targetBucketSize = 64L)
         .select(col("ida"), col("idb"), round(col("cosine"), 4).as("cosine"))
     }),
 
