@@ -32,6 +32,25 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start") +: keys.map(col) :+ col("n"): _*)
 
+  /** Streaming exact dedup: drop any row whose content fingerprint was
+    * already seen, with state bounded by the event-time watermark (a
+    * duplicate arriving later than `lateness` after the original is no
+    * longer caught — the same bounded-horizon contract as the reference's
+    * backdate re-scan window). This is the arrival-time twin of
+    * [[graft.llm.Dedup.exact]]: the batch operator dedups a corpus, this
+    * one dedups a feed as it lands. */
+  def dedupStream(stream: DataFrame, tsCol: String, lateness: String,
+                  fingerprintCols: Seq[String]): DataFrame =
+    stream
+      .withColumn("__fp", sha2(concat_ws("||",
+        fingerprintCols.map(c => coalesce(col(c).cast("string"), lit("__null__"))): _*), 256))
+      .withWatermark(tsCol, lateness)
+      // dropDuplicatesWithinWatermark (not plain dropDuplicates): state for
+      // a fingerprint is evicted once the watermark passes it — a plain
+      // dropDuplicates on a non-event-time column would grow state forever
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Drain all available input and merge each micro-batch into the store.
     * Checkpoint + idempotent merge = effectively-once upserts; rerunning
     * after new files arrive continues from the checkpoint. Blocks until

@@ -54,4 +54,26 @@ class StreamOpsSpec extends SparkSpec {
     assert(canon(spark.table("wc").select("k", "n")) == Seq(
       Seq("x", "2"), Seq("y", "1")).sortBy(_.mkString("|")))
   }
+
+  test("streaming exact dedup: duplicate payloads dropped, state watermark-bounded") {
+    val t = Files.createTempDirectory("stream3").toString
+    val inbox = s"$t/inbox"
+    val data = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "same text"),
+      (2L, Timestamp.valueOf("2024-01-01 10:05:00"), "same text"),   // dup content
+      (3L, Timestamp.valueOf("2024-01-01 10:10:00"), "other text"),
+      (4L, Timestamp.valueOf("2024-01-01 10:15:00"), null)           // NULL payload kept once
+    ).toDF("id", "ts", "body")
+    data.write.parquet(inbox)
+    val deduped = StreamOps.dedupStream(
+      StreamOps.fileStream(spark, inbox, data.schema), "ts", "1 hour", Seq("body"))
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("dd").select("body").collect().map(_.getString(0)).toSeq
+    assert(kept.count(_ == "same text") == 1)
+    assert(kept.count(_ == "other text") == 1)
+    assert(kept.count(_ == null) == 1)
+  }
 }
