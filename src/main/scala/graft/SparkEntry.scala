@@ -32,6 +32,17 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Per-JVM fixture root for queries that need on-disk state
+    * (m1_partitioned's store, s7_xlsx's workbook): created once and reused
+    * across the driver's repeated invocations — no per-call leak — while
+    * staying unique per process, so concurrent Verify/Bench/test JVMs
+    * never race each other's fixtures through a shared well-known path. */
+  private lazy val fixtureRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
+    p.toFile.deleteOnExit()
+    p
+  }
+
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,12 +325,9 @@ object SparkEntry {
       val source = bucketed(latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))))
       val cfg = TableConfig("ods.events_part", null, Seq("user_id"),
         cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
-      // fixed path: snapshot() overwrites the store root, so every
-      // invocation starts from the same state (and nothing leaks a new
-      // temp dir per driver pass)
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_m1p_fixture").toString
-      val store = new graft.pipeline.PartitionedStore(s, s"$root/events", "bucket")
+      // per-JVM fixture path: snapshot() overwrites the store root, so
+      // every invocation starts from the same state
+      val store = new graft.pipeline.PartitionedStore(s, s"$fixtureRoot/m1p/events", "bucket")
       store.snapshot(target)
       store.upsert(source, cfg)
       store.read.get
@@ -401,11 +409,10 @@ object SparkEntry {
       // (zip + sheet XML + shared strings), read it back through the
       // native executor-side parser with banner/trailer/coercion/key-
       // filter semantics, against a literal oracle
-      // fixed fixture path, rewritten in place — the driver invokes each
+      // per-JVM fixture path, rewritten in place — the driver invokes each
       // query several times per round (Verify + bench passes) and a fresh
       // createTempDirectory per call would leak directories indefinitely
-      val dir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_xlsx_fixture")
+      val dir = fixtureRoot.resolve("xlsx")
       java.nio.file.Files.createDirectories(dir)
       val bos = new java.io.ByteArrayOutputStream()
       val z = new java.util.zip.ZipOutputStream(bos)

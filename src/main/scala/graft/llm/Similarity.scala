@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale path: random-hyperplane LSH bucketing — sign-bit signature over H
   * seeded hyperplanes stored as a bucket column (computed once, reusable);
-  * a query probes only its own bucket (plus optional 1-bit-flip neighbor
-  * buckets), cutting the scan by ~2^H while keeping recall high for
-  * near-neighbors.
+  * a query probes its own bucket plus every neighbor within a configurable
+  * bit-flip radius (the recall/cost knob — see [[annTopK]]), cutting the
+  * scan by ~2^H while keeping recall high for near-neighbors.
   */
 object Similarity {
   import graft.functions.VectorOps

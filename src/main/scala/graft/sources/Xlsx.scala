@@ -50,10 +50,12 @@ object Xlsx {
       f.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(b))
     }
 
-    // text content of an <si>/<is> node: every <t> run EXCEPT phonetic
-    // <rPh> guides (Japanese Excel stores furigana there — concatenating
-    // them would corrupt the visible cell value; openpyxl excludes them)
-    def textRuns(el: org.w3c.dom.Element): String = {
+    // visible <t> runs of an <si>/<is> node, EXCLUDING phonetic <rPh>
+    // guides (Japanese Excel stores furigana there — concatenating them
+    // would corrupt the visible cell value; openpyxl excludes them).
+    // Returned as a Seq so callers can distinguish "no visible runs at
+    // all" (→ null cell) from an actual empty string.
+    def visibleRuns(el: org.w3c.dom.Element): Seq[String] = {
       def inRPh(n: org.w3c.dom.Node): Boolean = {
         var p = n.getParentNode
         while (p != null && p != el) {
@@ -64,12 +66,13 @@ object Xlsx {
       }
       val ts = el.getElementsByTagName("t")
       (0 until ts.getLength).map(ts.item(_))
-        .filterNot(inRPh).map(_.getTextContent).mkString
+        .filterNot(inRPh).map(_.getTextContent)
     }
 
     val shared: IndexedSeq[String] = entries.get("xl/sharedStrings.xml").map { b =>
       val sis = dom(b).getElementsByTagName("si")
-      (0 until sis.getLength).map(i => textRuns(sis.item(i).asInstanceOf[org.w3c.dom.Element]))
+      (0 until sis.getLength).map(i =>
+        visibleRuns(sis.item(i).asInstanceOf[org.w3c.dom.Element]).mkString)
     }.getOrElse(IndexedSeq.empty)
 
     def colIndex(ref: String): Int = {
@@ -93,13 +96,17 @@ object Xlsx {
       while (i < cells.getLength) {
         val c = cells.item(i).asInstanceOf[org.w3c.dom.Element]
         val idx = if (c.hasAttribute("r")) colIndex(c.getAttribute("r")) else nextIdx
-        nextIdx = idx + 1
+        // a malformed ref (-1) must not reset the running position — the
+        // bad cell nulls itself, it doesn't relocate its neighbors
+        if (idx >= 0) nextIdx = idx + 1
         if (idx >= 0 && idx < width) {
           val t = c.getAttribute("t")
           val v: String = t match {
             case "inlineStr" =>
-              if (c.getElementsByTagName("t").getLength == 0) null
-              else textRuns(c)
+              // null iff there are no VISIBLE runs (a phonetic-only cell
+              // has <t> nodes but no displayable text)
+              val runs = visibleRuns(c)
+              if (runs.isEmpty) null else runs.mkString
             case "s" =>
               // a malformed or out-of-range shared index nulls the CELL
               // (the module's per-cell-guard contract), never the job

@@ -42,8 +42,11 @@ object StreamOps {
   def dedupStream(stream: DataFrame, tsCol: String, lateness: String,
                   fingerprintCols: Seq[String]): DataFrame =
     stream
-      .withColumn("__fp", sha2(concat_ws("||",
-        fingerprintCols.map(c => coalesce(col(c).cast("string"), lit("__null__"))): _*), 256))
+      // fingerprint via to_json(struct(...)): injective over the column
+      // values (JSON quoting separates fields; a NULL column is omitted,
+      // distinct from any string value) — a delimiter-join would let
+      // ("x||","y") collide with ("x","||y") and silently drop data
+      .withColumn("__fp", sha2(to_json(struct(fingerprintCols.map(col): _*)), 256))
       .withWatermark(tsCol, lateness)
       // dropDuplicatesWithinWatermark (not plain dropDuplicates): state for
       // a fingerprint is evicted once the watermark passes it — a plain

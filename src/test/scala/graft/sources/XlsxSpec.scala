@@ -13,8 +13,10 @@ class XlsxSpec extends SparkSpec {
     keys = Seq("lading_code"))
 
   /** Assemble a minimal-but-honest workbook: content types + workbook +
-    * sharedStrings + sheet1, like a real writer emits. */
-  private def makeXlsx(sheetRowsXml: String, shared: Seq[String]): Array[Byte] = {
+    * sharedStrings + sheet1, like a real writer emits. `rawSharedXml`
+    * overrides the plain <si><t> wrapping for rich/phonetic entries. */
+  private def makeXlsx(sheetRowsXml: String, shared: Seq[String],
+                       rawSharedXml: Option[String] = None): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(bos)
     def entry(name: String, content: String): Unit = {
@@ -26,8 +28,9 @@ class XlsxSpec extends SparkSpec {
     entry("xl/workbook.xml",
       """<?xml version="1.0"?><workbook><sheets><sheet name="Sheet1" sheetId="1"/></sheets></workbook>""")
     entry("xl/sharedStrings.xml",
-      s"""<?xml version="1.0"?><sst count="${shared.size}" uniqueCount="${shared.size}">""" +
-        shared.map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+      rawSharedXml.getOrElse(
+        s"""<?xml version="1.0"?><sst count="${shared.size}" uniqueCount="${shared.size}">""" +
+          shared.map(s => s"<si><t>$s</t></si>").mkString + "</sst>"))
     entry("xl/worksheets/sheet1.xml",
       s"""<?xml version="1.0"?><worksheet><sheetData>$sheetRowsXml</sheetData></worksheet>""")
     z.close()
@@ -78,22 +81,24 @@ class XlsxSpec extends SparkSpec {
   }
 
   test("xlsx: phonetic rPh runs are excluded from shared and inline strings") {
-    // hand-build the shared entry with an rPh run (makeXlsx wraps plain <t>)
-    val bos = new java.io.ByteArrayOutputStream()
-    val z = new java.util.zip.ZipOutputStream(bos)
-    def entry(name: String, content: String): Unit = {
-      z.putNextEntry(new java.util.zip.ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
-    }
-    entry("xl/sharedStrings.xml",
-      """<?xml version="1.0"?><sst><si><r><t>Tokyo</t></r><rPh sb="0" eb="2"><t>TOKYO-KANA</t></rPh></si></sst>""")
-    entry("xl/worksheets/sheet1.xml",
-      """<?xml version="1.0"?><worksheet><sheetData>""" +
+    val bytes = makeXlsx(
       """<row r="1"><c r="A1" t="s"><v>0</v></c>""" +
-      """<c r="B1" t="inlineStr"><is><r><t>plain</t></r><rPh sb="0" eb="2"><t>GUIDE</t></rPh></is></c></row>""" +
-      """</sheetData></worksheet>""")
-    z.close()
-    val rows = Xlsx.parseWorkbook(bos.toByteArray, sheet = 1, width = 2)
-    assert(rows.map(_.toSeq) == Seq(Seq("Tokyo", "plain")))
+      """<c r="B1" t="inlineStr"><is><r><t>plain</t></r><rPh sb="0" eb="2"><t>GUIDE</t></rPh></is></c>""" +
+      // phonetic-ONLY inline cell: has <t> nodes but no visible text → null
+      """<c r="C1" t="inlineStr"><is><rPh sb="0" eb="2"><t>KANA</t></rPh></is></c></row>""",
+      shared = Seq.empty,
+      rawSharedXml = Some(
+        """<?xml version="1.0"?><sst><si><r><t>Tokyo</t></r><rPh sb="0" eb="2"><t>TOKYO-KANA</t></rPh></si></sst>"""))
+    val rows = Xlsx.parseWorkbook(bytes, sheet = 1, width = 3)
+    assert(rows.map(_.toSeq) == Seq(Seq("Tokyo", "plain", null)))
+  }
+
+  test("xlsx: a malformed cell ref nulls itself without relocating its neighbors") {
+    // cell with unparseable ref is skipped; the FOLLOWING ref-less cell
+    // must continue from the last valid position, not from column A
+    val row = """<row r="1"><c r="B1"><v>1</v></c><c r="??"><v>9</v></c><c><v>2</v></c></row>"""
+    val rows = Xlsx.parseWorkbook(makeXlsx(row, Seq.empty), sheet = 1, width = 4)
+    assert(rows.map(_.toSeq) == Seq(Seq(null, "1", "2", null)))
   }
 
   test("xlsx: malformed shared-string index nulls the cell, not the job") {
