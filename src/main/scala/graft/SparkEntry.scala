@@ -1103,6 +1103,14 @@ object SparkEntry {
          |SELECT 'ivf' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
          |FROM (SELECT vec_id FROM ivf_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
 
+    // SF-COUPLING NOTE: this oracle computes EXACT all-pairs Jaccard while
+    // the Spark path generates candidates via probabilistic MinHash banding
+    // (16 bands × 4 rows ⇒ P[candidate | J=0.8] ≈ 1 - (1-0.8^4)^16 ≈ 99.97%).
+    // It hash-matches on the current fixed test corpora; at a NEW scale
+    // factor a borderline J≈0.8 pair missed by banding would surface here
+    // as a mismatch — triage that as EXPECTED recall loss (check whether
+    // the missing doc_id's best Jaccard sits near the threshold), not as a
+    // code regression.
     "dedup_neardup" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,

@@ -68,9 +68,18 @@ object Multimodal {
     *
     * Per-pixel `getRGB` keeps the luma deterministic across platforms
     * (ImageIO converts any color model to sRGB ints); a throughput-tuned
-    * variant would read the raster buffer directly per color-model. */
-  def decodeImage(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    * variant would read the raster buffer directly per color-model.
+    *
+    * Payloads are UNTRUSTED (landing-directory files): the header is read
+    * first via `ImageReader.getWidth/getHeight` — which parses only
+    * metadata — and anything declaring more than `maxPixels` is rejected
+    * as `decoded = false` BEFORE `ImageIO.read` would allocate
+    * width×height pixels. A crafted 100-byte PNG declaring 2^31×2^31
+    * therefore cannot OOM the executor. */
+  def decodeImage(spark: SparkSession, media: DataFrame,
+                  maxPixels: Long = 64L * 1024 * 1024): Dataset[ImageFeatures] = {
     import spark.implicits._
+    val cap = maxPixels
     media.select(col("media_id").cast(LongType), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -78,7 +87,26 @@ object Multimodal {
           val img =
             try {
               if (bytes == null || bytes.isEmpty) null
-              else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              else {
+                val iis = javax.imageio.ImageIO.createImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                try {
+                  val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                  if (!readers.hasNext) null
+                  else {
+                    val reader = readers.next()
+                    try {
+                      reader.setInput(iis)
+                      val dw = reader.getWidth(0).toLong
+                      val dh = reader.getHeight(0).toLong
+                      // header-declared dimension guard: refuse before the
+                      // pixel buffer is allocated
+                      if (dw <= 0 || dh <= 0 || dw * dh > cap) null
+                      else reader.read(0)
+                    } finally reader.dispose()
+                  }
+                } finally if (iis != null) iis.close()
+              }
             } catch { case _: Exception => null }
           if (img == null) ImageFeatures(id, decoded = false, None, None, None, None)
           else {

@@ -36,19 +36,25 @@ object Skew {
     * skewed shuffle now spreads each key over `buckets` reducers), then
     * `groupBy(keys)` over the partials (tiny — `keys × buckets` rows).
     *
-    * The salt mixes the row's content hash with a per-partition row ordinal
-    * (`spark_partition_id` + a monotonic id): a content hash ALONE maps
-    * byte-identical duplicate rows to one bucket, defeating the spread
-    * exactly when a heavy hitter consists of repeated identical rows
-    * (common in raw event feeds). The ordinal varies with physical layout,
-    * so PARTIAL rows are not replay-stable — but every salted aggregate is
-    * decomposable by contract, so the FINAL result is layout-independent. */
+    * The salt is the row's pure content hash — DETERMINISTIC, so a
+    * partial stage retry (map output lost after some reducers fetched)
+    * recomputes rows into the same bucket every time; no double-count or
+    * drop hazard. A layout-dependent ordinal (`spark_partition_id`,
+    * `monotonically_increasing_id`) is deliberately NOT mixed in: it is
+    * non-deterministic under partial stage retry, where recomputed rows
+    * could land in different buckets than the lost attempt's, corrupting
+    * the partial aggregates.
+    *
+    * Known limitation: byte-identical duplicate rows map to one bucket, so
+    * a heavy hitter made of REPEATED IDENTICAL rows (raw event feeds) is
+    * not spread. The fix belongs upstream — carry any distinguishing
+    * column (ingest sequence, file offset, `input_file_name`) into `df`
+    * and the content hash spreads them for free, retries staying safe. */
   def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
                 buckets: Int = 16): DataFrame = {
     require(buckets > 0 && aggs.nonEmpty)
     val salted = df.withColumn("__salt",
-      pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toSeq: _*),
-        lit(buckets.toLong)))
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(buckets.toLong)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col).toSeq: _*)
       .agg(aggs.head.partial.as(s"__p_${aggs.head.name}"),

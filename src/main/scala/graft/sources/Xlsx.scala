@@ -24,10 +24,35 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Xlsx {
 
+  /** Default cap on a single inflated zip entry: far above any legitimate
+    * sheet XML (Excel caps a sheet at ~1M rows), far below executor heap. */
+  val DefaultMaxEntryBytes: Long = 256L * 1024 * 1024
+
+  /** Inflate one zip entry with a hard byte cap. A zip-bomb .xlsx (tiny
+    * compressed, multi-GB declared) fails LOUDLY here instead of OOMing
+    * the task during `readAllBytes`/DOM parse — landing files are
+    * untrusted input. */
+  private def readEntryBounded(zin: java.util.zip.ZipInputStream, name: String,
+                               maxBytes: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = zin.read(buf)
+    while (n >= 0) {
+      total += n
+      if (total > maxBytes)
+        throw new IllegalArgumentException(
+          s"workbook entry $name inflates past $maxBytes bytes — refusing (zip-bomb guard)")
+      bos.write(buf, 0, n)
+      n = zin.read(buf)
+    }
+    bos.toByteArray
+  }
+
   /** Parse one workbook's sheet into rows of nullable cell strings, padded
     * to `width` columns. Pure function of the bytes — runs in executors. */
-  private[sources] def parseWorkbook(bytes: Array[Byte], sheet: Int,
-                                     width: Int): Seq[Array[String]] = {
+  private[sources] def parseWorkbook(bytes: Array[Byte], sheet: Int, width: Int,
+                                     maxEntryBytes: Long = DefaultMaxEntryBytes): Seq[Array[String]] = {
     val entries = scala.collection.mutable.Map[String, Array[Byte]]()
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
@@ -35,7 +60,7 @@ object Xlsx {
       while (e != null) {
         val name = e.getName
         if (name == s"xl/worksheets/sheet$sheet.xml" || name == "xl/sharedStrings.xml")
-          entries(name) = zin.readAllBytes()
+          entries(name) = readEntryBounded(zin, name, maxEntryBytes)
         zin.closeEntry(); e = zin.getNextEntry
       }
     } finally zin.close()
@@ -136,7 +161,8 @@ object Xlsx {
   def read(spark: SparkSession, path: String, cfg: TableConfig,
            headerRows: Int = 1, trailerRows: Int = 0,
            requiredKeys: Seq[String] = Nil, sheet: Int = 1,
-           withEtlDate: Boolean = false): DataFrame = {
+           withEtlDate: Boolean = false,
+           maxEntryBytes: Long = DefaultMaxEntryBytes): DataFrame = {
     val files = TabularFile.listDataFiles(spark, path)
     val rawSchema = StructType(cfg.schema.fields.map(f => StructField(f.name, StringType)))
     if (files.isEmpty) {
@@ -146,6 +172,7 @@ object Xlsx {
     }
     val width = cfg.schema.fields.length
     val hr = headerRows; val tr = trailerRows; val sh = sheet // serializable captures
+    val maxB = maxEntryBytes
     // binaryFiles splits its argument on commas and expands globs — escape
     // glob metacharacters, and union per-file RDDs (still one lazy job)
     // when a path itself contains a comma
@@ -156,7 +183,7 @@ object Xlsx {
       else spark.sparkContext.binaryFiles(files.map(esc).mkString(","))
     val rows = payloads
       .flatMap { case (_, pds) =>
-        val all = parseWorkbook(pds.toArray(), sh, width)
+        val all = parseWorkbook(pds.toArray(), sh, width, maxB)
         // banner/trailer are per file and the workbook is already in
         // memory — trim before anything leaves the task
         all.slice(hr, math.max(hr, all.length - tr))

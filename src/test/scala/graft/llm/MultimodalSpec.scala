@@ -56,6 +56,27 @@ class MultimodalSpec extends SparkSpec {
     assert(again == byId)
   }
 
+  test("decodeImage: header-declared huge dimensions rejected before allocation") {
+    // take a real tiny PNG and patch the IHDR width/height fields (bytes
+    // 16-23, big-endian) to declare 60000×60000 — a classic decompression
+    // bomb shape: tiny payload, multi-GB decoded pixel buffer
+    val bomb = Multimodal.solidPng(4, 4, 1, 2, 3).clone()
+    val dim = 60000
+    for (i <- 0 until 4) {
+      bomb(16 + i) = ((dim >> (24 - 8 * i)) & 0xFF).toByte
+      bomb(20 + i) = ((dim >> (24 - 8 * i)) & 0xFF).toByte
+    }
+    val cases = Seq((1L, bomb), (2L, Multimodal.solidPng(4, 4, 1, 2, 3)))
+      .toDF("media_id", "content")
+    val byId = Multimodal.decodeImage(spark, cases).collect().map(f => f.media_id -> f).toMap
+    assert(!byId(1L).decoded && byId(1L).width.isEmpty)   // capped, not decoded
+    assert(byId(2L).decoded && byId(2L).width.contains(4)) // legit twin still fine
+    // tight explicit cap rejects even the legit image
+    val capped = Multimodal.decodeImage(spark, cases, maxPixels = 8L)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(!capped(2L).decoded)
+  }
+
   test("frameSampleIndexes explodes every-Nth frame indexes") {
     val vids = Seq((1L, 2.0)).toDF("media_id", "duration_sec") // 2s @ 10fps = frames 0..19
     val out = Multimodal.frameSampleIndexes(vids, fps = 10.0, "duration_sec", everyNth = 5)

@@ -126,4 +126,17 @@ class XlsxSpec extends SparkSpec {
     }
     intercept[Exception](Xlsx.parseWorkbook(evil, sheet = 1, width = 1))
   }
+
+  test("xlsx: an entry inflating past the byte cap fails loudly (zip-bomb guard)") {
+    // highly-compressible sheet XML: tiny zipped, big inflated
+    val big = """<row r="1"><c r="A1" t="inlineStr"><is><t>""" +
+      ("x" * 2_000_000) + "</t></is></c></row>"
+    val bytes = makeXlsx(big, Seq.empty)
+    assert(bytes.length < 100_000) // genuinely bomb-shaped: >20x inflation
+    val e = intercept[IllegalArgumentException](
+      Xlsx.parseWorkbook(bytes, sheet = 1, width = 1, maxEntryBytes = 1_000_000))
+    assert(e.getMessage.contains("zip-bomb"))
+    // generous cap still parses it
+    assert(Xlsx.parseWorkbook(bytes, sheet = 1, width = 1).nonEmpty)
+  }
 }
