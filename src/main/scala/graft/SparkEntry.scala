@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Links, Multimodal, Packing, Pii, Similarity, TextAnalysis}
 import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
@@ -44,6 +44,54 @@ object SparkEntry {
   }
 
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  /** documents.text with deterministic doc_id-keyed PII planted (the
+    * corpus is synthetic word salad with no natural PII). The EXACT same
+    * construction exists as SQL in [[plantedPiiSql]] — both engines see
+    * identical strings, so detection and redaction verify row-for-row. */
+  private def plantedPiiText: Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(lit(" contact user"), col("doc_id").cast("string"),
+             lit("@example.com now"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(lit(" call +1-555-"),
+             lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+             lit("-1234 soon"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(13)) === 0,
+      lit(" card 4111-1111-1111-1111 ok")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(17)) === 0,
+      concat(lit(" ssn 987-65-"),
+             lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+             lit(" end"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(19)) === 0,
+      concat(lit(" server 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+             lit(".25 up"))).otherwise(lit(""))
+  )
+
+  private val plantedPiiSql: String =
+    """text
+      | || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+      | || CASE WHEN doc_id % 11 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 soon' ELSE '' END
+      | || CASE WHEN doc_id % 13 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END
+      | || CASE WHEN doc_id % 17 = 0 THEN ' ssn 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' ELSE '' END
+      | || CASE WHEN doc_id % 19 = 0 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 up' ELSE '' END""".stripMargin.replace("\n", "")
+
+  /** documents.text with deterministic doc_id-keyed URLs planted — same
+    * twin-construction contract as [[plantedPiiText]]. */
+  private def plantedUrlText: Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" see https://site"), pmod(col("doc_id"), lit(20)).cast("string"),
+             lit(".example.org/path ok"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(9)) === 0,
+      lit(" ref http://blocked.example.com/x?q=1 end")).otherwise(lit(""))
+  )
+
+  private val plantedUrlSql: String =
+    """text
+      | || CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/path ok' ELSE '' END
+      | || CASE WHEN doc_id % 9 = 0 THEN ' ref http://blocked.example.com/x?q=1 end' ELSE '' END""".stripMargin.replace("\n", "")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -616,6 +664,76 @@ object SparkEntry {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word").asc)
         .limit(100)),
+
+    "text_entropy" -> ((s, d) =>
+      // char-level Shannon entropy — the cheap gibberish detector
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("char_entropy"))),
+
+    // ── LLM-pipeline: PII / web curation / packing ────────────────────
+    // The synthetic corpus is word salad, so these queries PLANT
+    // deterministic PII/URLs into the text (same doc_id-keyed
+    // construction on the DuckDB side) — the regexes are exercised on
+    // real positive and negative rows, not a zero-match corpus.
+    "pii_detect" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedPiiText.as("t"))
+        .select(col("doc_id"),
+          Pii.emailCount(col("t")).as("n_emails"),
+          Pii.phoneCount(col("t")).as("n_phones"),
+          Pii.cardCount(col("t")).as("n_cards"),
+          Pii.ssnCount(col("t")).as("n_ssns"),
+          Pii.ipv4Count(col("t")).as("n_ips"),
+          Pii.hasPii(col("t")).as("has_pii"))),
+
+    "pii_redact" -> ((s, d) =>
+      // compare the redacted text itself — every token placement checked
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedPiiText.as("t"))
+        .select(col("doc_id"), Pii.redact(col("t")).as("redacted"))),
+
+    "url_extract" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedUrlText.as("t"))
+        .select(col("doc_id"),
+          Links.urlCount(col("t")).as("n_urls"),
+          Links.firstHost(col("t")).as("first_host"))),
+
+    "url_domain_counts" -> ((s, d) =>
+      // per-domain corpus histogram — the input to domain caps/blocklists
+      Tables.documents(s, d)
+        .select(explode(Links.urls(plantedUrlText)).as("url"))
+        .select(Links.host(col("url")).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))),
+
+    "url_blocklist" -> ((s, d) =>
+      // blocklist filter: survivors after dropping docs linking to a
+      // blocked host
+      Links.dropBlockedHosts(
+          Tables.documents(s, d).select(col("doc_id"), plantedUrlText.as("t")),
+          "t", Seq("blocked.example.com"))
+        .select(col("doc_id"))),
+
+    "pack_sequences" -> ((s, d) =>
+      // greedy sequence packing into 256-token bins, keyed by lang —
+      // the oracle replays the same greedy recursion in SQL
+      Packing.packGreedy(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+          "lang", "doc_id", "n_tokens", capacity = 256)
+        .select(col("ord").as("doc_id"), col("pack_key").as("lang"),
+                col("n_tokens"), col("bin_id"))),
+
+    // ── streaming twins (SURVEY §2.8) ─────────────────────────────────
+    "w_window_counts" -> ((s, d) => {
+      // batch twin of StreamOps.windowedCounts — same code path (the
+      // watermark is a no-op in batch), hour-tumbling event counts
+      val ev = Tables.events(s, d)
+      graft.streaming.StreamOps.windowedCounts(ev, "ts", "1 hour", "1 hour",
+          Seq("event_type"))
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+                col("event_type"), col("n"))
+    }),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
     "multimodal_decode" -> ((s, d) => {
@@ -1224,6 +1342,82 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    "text_entropy" ->
+      """SELECT doc_id,
+        | CASE WHEN tl = 0 THEN 0.0 ELSE round(entropy(c), 4) END AS char_entropy
+        |FROM (SELECT doc_id, length(text) AS tl, unnest(string_split(text, '')) AS c
+        |      FROM documents)
+        |GROUP BY 1, tl""".stripMargin,
+
+    "pii_detect" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t, '\\+\\d{1,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}|\\(\\d{3}\\)[-. ]\\d{3}[-. ]\\d{4}')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(t, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS BIGINT) AS n_cards,
+         | CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssns,
+         | CAST(len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+         | (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |  + len(regexp_extract_all(t, '\\+\\d{1,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}|\\(\\d{3}\\)[-. ]\\d{3}[-. ]\\d{4}'))
+         |  + len(regexp_extract_all(t, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b'))
+         |  + len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+         |  + len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b'))) > 0 AS has_pii
+         |FROM (SELECT doc_id, $plantedPiiSql AS t FROM documents)""".stripMargin,
+
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         | regexp_replace(
+         |  regexp_replace(
+         |   regexp_replace(
+         |    regexp_replace(
+         |     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |     '\\+\\d{1,3}[-. ]\\d{3}[-. ]\\d{3}[-. ]\\d{4}|\\(\\d{3}\\)[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g'),
+         |    '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '[CARD]', 'g'),
+         |   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+         |  '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS redacted
+         |FROM (SELECT doc_id, $plantedPiiSql AS t FROM documents)""".stripMargin,
+
+    "url_extract" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_urls,
+         | regexp_extract(regexp_extract_all(t, 'https?://\\S+')[1], 'https?://([^/\\s:]+)', 1) AS first_host
+         |FROM (SELECT doc_id, $plantedUrlSql AS t FROM documents)""".stripMargin,
+
+    "url_domain_counts" ->
+      s"""SELECT regexp_extract(u, 'https?://([^/\\s:]+)', 1) AS domain, count(*) AS n
+         |FROM (SELECT unnest(regexp_extract_all($plantedUrlSql, 'https?://\\S+')) AS u
+         |      FROM documents)
+         |GROUP BY 1""".stripMargin,
+
+    "url_blocklist" ->
+      s"""SELECT doc_id
+         |FROM (SELECT doc_id, $plantedUrlSql AS t FROM documents)
+         |WHERE len(list_filter(regexp_extract_all(t, 'https?://\\S+'),
+         |          u -> regexp_extract(u, 'https?://([^/\\s:]+)', 1)
+         |               IN ('blocked.example.com'))) = 0""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  -- greedy sequential first-fit, replayed row-by-row per lang
+        |  SELECT doc_id, lang, n_tokens, rn, CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.lang, d.n_tokens, d.rn,
+        |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
+        |         CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens ELSE d.n_tokens END
+        |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+        |SELECT doc_id, lang, n_tokens, bin_id FROM p""".stripMargin,
+
+    "w_window_counts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL and domain operators for web-corpus curation.
+  *
+  * Web-scraped training data is filtered by source domain (blocklists,
+  * allowlists, per-domain caps) and analyzed by link density. These are
+  * pure `Column` regex expressions — codegen'd narrow maps; the only
+  * shuffle anywhere is the caller's own `groupBy(domain)`.
+  *
+  * The URL pattern is the pragmatic `https?://<non-space>+` — scraped
+  * text does not delimit URLs any better than whitespace, and the
+  * pattern is identical under Java regex and RE2 (dialect-portable, same
+  * contract as [[Pii]]).
+  */
+object Links {
+
+  val urlPattern: String = "https?://\\S+"
+
+  /** Host-capture pattern: scheme then everything up to the first `/`,
+    * `:` (port), or whitespace. */
+  val hostPattern: String = "https?://([^/\\s:]+)"
+
+  /** All URLs in the text, document order. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  def urlCount(text: Column): Column = size(urls(text)).cast("long")
+
+  /** Host of one URL ('' when the URL is malformed — regexp_extract's
+    * no-match contract, identical across engines). */
+  def host(url: Column): Column = regexp_extract(url, hostPattern, 1)
+
+  /** Host of the first URL, NULL when the text has none (`get` is the
+    * out-of-bounds-safe element access under ANSI mode). */
+  def firstHost(text: Column): Column = host(get(urls(text), lit(0)))
+
+  /** Registrable-domain heuristic: last two dot-labels of the host
+    * (`a.b.example.org` → `example.org`). A real pipeline would consult
+    * the public-suffix list; two labels is the standard cheap proxy. */
+  def apexDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    when(size(labels) <= 2, hostCol)
+      .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+  }
+
+  /** Drop documents containing a link to any blocked host — the
+    * blocklist filter. The predicate is a codegen'd `exists` over the
+    * extracted URL array; the blocklist broadcasts as a literal set
+    * (blocklists are small; a million-entry list would instead
+    * `explode` + broadcast anti-join). */
+  def dropBlockedHosts(df: DataFrame, textCol: String, blocked: Seq[String]): DataFrame =
+    df.filter(!exists(urls(col(textCol)), u => host(u).isin(blocked: _*)))
+}

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-token-budget bins (the
+  * pretraining "pack documents into context windows" step).
+  *
+  * Semantics — greedy sequential first-fit: documents are taken in
+  * `orderCol` order within each `keyCol` group; a document joins the
+  * current bin if it fits, otherwise opens a new one. A single document
+  * larger than the budget gets its own (overflowing) bin — the caller
+  * truncates or splits those upstream; packing never drops data.
+  *
+  * Scale shape: greedy packing is inherently serial PER GROUP, so the
+  * parallelism unit is the group key (language, source, shard id — at
+  * 100 TB pick a key with enough cardinality, e.g. `source` × a hash
+  * shard). The plan is ONE shuffle on the key with a secondary sort,
+  * then a single streaming pass per partition (`mapPartitions` with
+  * O(1) state — no group is ever materialized in memory, so a skewed
+  * giant group costs time, not heap). This is the textbook
+  * secondary-sort pattern; a `groupByKey.flatMapGroups` would instead
+  * buffer each group.
+  */
+object Packing {
+
+  /** One packed row: the group key, the document's order value and
+    * token count, and its assigned bin (0-based per key). */
+  final case class Packed(pack_key: String, ord: Long, n_tokens: Long, bin_id: Long)
+
+  /** Pack `df` rows into bins of at most `capacity` tokens, greedily in
+    * `orderCol` order within each `keyCol` group. Deterministic: the
+    * assignment is a pure function of (key, order, tokens) — replay-
+    * stable regardless of physical layout. */
+  def packGreedy(df: DataFrame, keyCol: String, orderCol: String, tokCol: String,
+                 capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("string").as("pack_key"),
+        col(orderCol).cast("long").as("ord"),
+        coalesce(col(tokCol).cast("long"), lit(0L)).as("n_tokens"))
+      // all rows of one key land in one partition, sorted by (key, ord);
+      // a partition may hold several keys back-to-back — the pass below
+      // resets its state at each key change
+      .repartition(col("pack_key"))
+      .sortWithinPartitions("pack_key", "ord")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curKey: Option[String] = None
+        var fill = 0L
+        var bin = -1L
+        it.map { case (k, o, t) =>
+          if (!curKey.contains(k)) { curKey = Some(k); fill = 0L; bin = -1L }
+          if (bin < 0L || fill + t > capacity) { bin += 1; fill = t }
+          else fill += t
+          Packed(k, o, t, bin)
+        }
+      }
+      .toDF()
+  }
+}

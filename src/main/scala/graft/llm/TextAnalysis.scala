@@ -83,6 +83,24 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
+  /** Character-level Shannon entropy (bits/char) — the standard cheap
+    * gibberish detector: natural language sits ~3.5–4.5 bits, repeated
+    * padding near 0, random base64 near 6. Pure Column expression: one
+    * pass builds the distinct-char array, a fold accumulates
+    * −Σ p·log₂p; O(distinct·len) per row, no shuffle. Rounded to 4
+    * decimals so the double fold order never shows. */
+  def charEntropy(text: Column): Column = {
+    val chars = split(text, "")
+    val n = size(chars).cast("double")
+    val h = aggregate(array_distinct(chars), lit(0.0), (acc, ch) => {
+      val p = size(filter(chars, c => c === ch)).cast("double") / n
+      acc - p * log(2.0, p)
+    })
+    when(text.isNull, lit(null).cast("double"))
+      .when(length(text) === 0, 0.0)
+      .otherwise(round(h, 4))
+  }
+
   // ── repetition filters (the Gopher-rules family) ─────────────────────
   // Machine-generated and boilerplate text repeats itself; the standard
   // filters threshold on the duplicate fraction of lines and of word

@@ -1,0 +1,39 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "see https://a.example.org/x and http://b.example.com:8080/y?q=1 end"),
+    (2L, "bare text, no links at all"),
+    (3L, "ref http://blocked.example.com/page then https://ok.example.org done")
+  ).toDF("doc_id", "text")
+
+  test("url extraction, counts, first host") {
+    val out = docs.select(col("doc_id"),
+        Links.urlCount(col("text")).as("n"),
+        Links.firstHost(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((2L, "a.example.org")))
+    assert(out(2L)._1 == 0L && out(2L)._2 == null)
+    assert(out(3L)._1 == 2L && out(3L)._2 == "blocked.example.com")
+  }
+
+  test("host handles ports; apexDomain keeps last two labels") {
+    val hosts = Seq("a.b.example.org", "example.org", "localhost")
+      .toDF("h").select(Links.apexDomain(col("h")).as("a")).as[String].collect()
+    assert(hosts.toSeq == Seq("example.org", "example.org", "localhost"))
+    val withPort = Seq("http://b.example.com:8080/y").toDF("u")
+      .select(Links.host(col("u"))).as[String].head()
+    assert(withPort == "b.example.com")
+  }
+
+  test("dropBlockedHosts removes docs linking to a blocked host") {
+    val kept = Links.dropBlockedHosts(docs, "text", Seq("blocked.example.com"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+}

@@ -65,4 +65,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((0.0, 0.0)))
     assert(out(5L) == ((0.0, 0.0)))
   }
+
+  test("charEntropy: uniform two-symbol = 1 bit, single symbol = 0, empty = 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab"),      // p(a)=p(b)=0.5 → exactly 1 bit
+      (2L, "aaaa"),      // single symbol → 0
+      (3L, ""),          // empty → 0 by convention
+      (4L, "abcd")       // 4 uniform symbols → exactly 2 bits
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 2.0)
+  }
 }
