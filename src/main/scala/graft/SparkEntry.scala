@@ -666,9 +666,13 @@ object SparkEntry {
         .limit(100)),
 
     "text_entropy" -> ((s, d) =>
-      // char-level Shannon entropy — the cheap gibberish detector
+      // char-level Shannon entropy — the cheap gibberish detector.
+      // NULL text coalesces to '' on BOTH engines: DuckDB's
+      // unnest(string_split(NULL,'')) would drop the row entirely while
+      // Spark would keep it with NULL entropy — coalesce pins both to
+      // the tl=0 → 0.0 branch.
       Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.charEntropy(col("text")).as("char_entropy"))),
+        TextAnalysis.charEntropy(coalesce(col("text"), lit(""))).as("char_entropy"))),
 
     // ── LLM-pipeline: PII / web curation / packing ────────────────────
     // The synthetic corpus is word salad, so these queries PLANT
@@ -1346,7 +1350,8 @@ object SparkEntry {
     "text_entropy" ->
       """SELECT doc_id,
         | CASE WHEN tl = 0 THEN 0.0 ELSE round(entropy(c), 4) END AS char_entropy
-        |FROM (SELECT doc_id, length(text) AS tl, unnest(string_split(text, '')) AS c
+        |FROM (SELECT doc_id, length(coalesce(text, '')) AS tl,
+        |             unnest(string_split(coalesce(text, ''), '')) AS c
         |      FROM documents)
         |GROUP BY 1, tl""".stripMargin,
 
@@ -1379,21 +1384,21 @@ object SparkEntry {
 
     "url_extract" ->
       s"""SELECT doc_id,
-         | CAST(len(regexp_extract_all(t, 'https?://\\S+')) AS BIGINT) AS n_urls,
-         | regexp_extract(regexp_extract_all(t, 'https?://\\S+')[1], 'https?://([^/\\s:]+)', 1) AS first_host
+         | CAST(len(regexp_extract_all(t, '(?i)https?://\\S+')) AS BIGINT) AS n_urls,
+         | regexp_extract(regexp_extract_all(t, '(?i)https?://\\S+')[1], '(?i)https?://([^/\\s:]+)', 1) AS first_host
          |FROM (SELECT doc_id, $plantedUrlSql AS t FROM documents)""".stripMargin,
 
     "url_domain_counts" ->
-      s"""SELECT regexp_extract(u, 'https?://([^/\\s:]+)', 1) AS domain, count(*) AS n
-         |FROM (SELECT unnest(regexp_extract_all($plantedUrlSql, 'https?://\\S+')) AS u
+      s"""SELECT regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1) AS domain, count(*) AS n
+         |FROM (SELECT unnest(regexp_extract_all($plantedUrlSql, '(?i)https?://\\S+')) AS u
          |      FROM documents)
          |GROUP BY 1""".stripMargin,
 
     "url_blocklist" ->
       s"""SELECT doc_id
          |FROM (SELECT doc_id, $plantedUrlSql AS t FROM documents)
-         |WHERE len(list_filter(regexp_extract_all(t, 'https?://\\S+'),
-         |          u -> regexp_extract(u, 'https?://([^/\\s:]+)', 1)
+         |WHERE len(list_filter(regexp_extract_all(t, '(?i)https?://\\S+'),
+         |          u -> lower(regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1))
          |               IN ('blocked.example.com'))) = 0""".stripMargin,
 
     "pack_sequences" ->

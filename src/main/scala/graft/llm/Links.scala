@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Links {
 
-  val urlPattern: String = "https?://\\S+"
+  val urlPattern: String = "(?i)https?://\\S+"
 
   /** Host-capture pattern: scheme then everything up to the first `/`,
-    * `:` (port), or whitespace. */
-  val hostPattern: String = "https?://([^/\\s:]+)"
+    * `:` (port), or whitespace. Schemes are case-insensitive per RFC
+    * 3986 — `(?i)` works identically in Java regex and RE2. */
+  val hostPattern: String = "(?i)https?://([^/\\s:]+)"
 
   /** All URLs in the text, document order. */
   def urls(text: Column): Column =
@@ -51,6 +52,11 @@ object Links {
     * extracted URL array; the blocklist broadcasts as a literal set
     * (blocklists are small; a million-entry list would instead
     * `explode` + broadcast anti-join). */
-  def dropBlockedHosts(df: DataFrame, textCol: String, blocked: Seq[String]): DataFrame =
-    df.filter(!exists(urls(col(textCol)), u => host(u).isin(blocked: _*)))
+  def dropBlockedHosts(df: DataFrame, textCol: String, blocked: Seq[String]): DataFrame = {
+    // hostnames are case-insensitive (RFC 4343): compare lowercased host
+    // against a lowercased blocklist so 'Blocked.Example.Com' can't slip
+    // past a lowercase entry
+    val blockedLower = blocked.map(_.toLowerCase)
+    df.filter(!exists(urls(col(textCol)), u => lower(host(u)).isin(blockedLower: _*)))
+  }
 }

@@ -31,7 +31,12 @@ object Packing {
   /** Pack `df` rows into bins of at most `capacity` tokens, greedily in
     * `orderCol` order within each `keyCol` group. Deterministic: the
     * assignment is a pure function of (key, order, tokens) — replay-
-    * stable regardless of physical layout. */
+    * stable regardless of physical layout. When `orderCol` is not unique
+    * within a key, `n_tokens` is the tiebreak, which makes the OUTPUT
+    * MULTISET deterministic (rows tied on both order and tokens are
+    * interchangeable for packing state, so any order among them yields
+    * the same rows); callers who need a stable bin per physical row
+    * should supply a unique `orderCol` (e.g. doc_id). */
   def packGreedy(df: DataFrame, keyCol: String, orderCol: String, tokCol: String,
                  capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
@@ -45,7 +50,7 @@ object Packing {
       // a partition may hold several keys back-to-back — the pass below
       // resets its state at each key change
       .repartition(col("pack_key"))
-      .sortWithinPartitions("pack_key", "ord")
+      .sortWithinPartitions("pack_key", "ord", "n_tokens")
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         var curKey: Option[String] = None

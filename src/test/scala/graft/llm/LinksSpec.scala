@@ -36,4 +36,23 @@ class LinksSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 2L))
   }
+
+  test("scheme and host matching are case-insensitive (RFC 3986/4343)") {
+    val mixed = Seq(
+      (1L, "shouty HTTP://Blocked.Example.Com/x link"),
+      (2L, "mixed HtTpS://ok.example.org fine")
+    ).toDF("doc_id", "text")
+    // uppercase scheme still extracts
+    val counts = mixed.select(col("doc_id"), Links.urlCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 1L))
+    // mixed-case host cannot slip past a lowercase blocklist entry
+    val kept = Links.dropBlockedHosts(mixed, "text", Seq("blocked.example.com"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+    // and a mixed-case blocklist entry is normalized too
+    val kept2 = Links.dropBlockedHosts(mixed, "text", Seq("BLOCKED.example.COM"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept2.toSeq == Seq(2L))
+  }
 }
