@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Links, Multimodal, Packing, Pii, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Dedup, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
 import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
@@ -516,6 +516,15 @@ object SparkEntry {
       Dedup.nearDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
         .select("doc_id")),
 
+    "dedup_clusters" -> ((s, d) =>
+      // transitive near-dup clustering: LSH pairs → exact-Jaccard verify
+      // → large-star/small-star connected components; every doc gets a
+      // (cluster_id, cluster_size) — the auditable lineage artifact.
+      // Oracle replays the closure with a recursive min-label CTE over
+      // the exact all-pairs edge set.
+      Clusters.duplicateClusters(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)),
+
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
@@ -630,6 +639,16 @@ object SparkEntry {
         round(sqrt(graft.functions.VectorOps.vectorDot(col("embedding"), col("embedding"))), 4)
           .as("l2"))),
 
+    "embedding_quantize" -> ((s, d) => {
+      // symmetric int8 quantization, checked ELEMENT-WISE: posexplode
+      // flattens every quantized value so the oracle verifies all 64
+      // positions of every vector, not an aggregate proxy
+      val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), scale.as("scale"), posexplode(q))
+        .select(col("vec_id"), col("scale"), col("pos"), col("col").as("qval"))
+    }),
+
     "text_repetition" -> ((s, d) =>
       // Gopher-style repetition filters: duplicate-line and duplicate-
       // 3-gram fractions per doc
@@ -654,6 +673,15 @@ object SparkEntry {
           "text", shingleSize = 3, threshold = 0.5)
         .withColumn("overlap_frac", round(col("overlap_frac"), 6))
     }),
+
+    "text_tfidf_topk" -> ((s, d) =>
+      // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
+      // over the whole corpus in two hash aggregates and one window
+      Terms.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 5)),
+
+    "text_ngram_topk" -> ((s, d) =>
+      // global top-100 bigrams by raw occurrence — the boilerplate radar
+      Terms.topNgrams(Tables.documents(s, d), "text", n = 2, k = 100)),
 
     "text_vocab" -> ((s, d) =>
       // corpus vocabulary: the token-frequency aggregation a tokenizer
@@ -914,6 +942,21 @@ object SparkEntry {
       """SELECT vec_id, round(sqrt(sum(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 4) AS l2
         |FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)
         |GROUP BY vec_id""".stripMargin,
+
+    "embedding_quantize" ->
+      // float promotes to double before arithmetic (same contract as the
+      // cosine oracles); rounding is floor(x + 0.5) on both engines —
+      // engine round() half-tie rules differ, floor never does
+      """WITH b AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |           FROM embeddings),
+        |u AS (SELECT vec_id, e, m, unnest(generate_series(1, len(e))) AS i FROM b)
+        |SELECT vec_id, round(m / 127.0, 6) AS scale,
+        |       CAST(i - 1 AS INT) AS pos,
+        |       CAST(CASE WHEN m = 0 THEN 0
+        |            ELSE floor(e[i] * 127.0 / m + 0.5) END AS INT) AS qval
+        |FROM u""".stripMargin,
 
     "j1_region_summary" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
@@ -1252,6 +1295,38 @@ object SparkEntry {
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
 
+    "dedup_clusters" ->
+      // same exact-Jaccard edge set as dedup_neardup, then connected
+      // components via recursive min-label propagation: any label
+      // smaller than the target node keeps flowing until the component
+      // minimum reaches every member (UNION dedup bounds the walk to
+      // distinct (id,label) pairs, so the recursion terminates).
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |es AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |walk(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT es.v, walk.lbl FROM walk JOIN es ON es.u = walk.id
+        |  WHERE walk.lbl < es.v),
+        |comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+        |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
+        |FROM comp
+        |JOIN (SELECT cluster_id, count(*) AS cluster_size
+        |      FROM comp GROUP BY cluster_id) sz USING (cluster_id)""".stripMargin,
+
     "sample_stratified_counts" ->
       """SELECT event_type, CAST(least(count(*), 50) AS BIGINT) AS n_sampled
         |FROM events GROUP BY event_type""".stripMargin,
@@ -1346,6 +1421,37 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    "text_tfidf_topk" ->
+      // smooth idf = ln((N+1)/(df+1)) + 1; ln of identical rational
+      // inputs may differ by 1 ulp across engines, but rank flips need
+      // two scores within that ulp — only possible for identical
+      // (tf, df) pairs, which tie-break on the term string instead
+      """WITH w AS (SELECT doc_id,
+        |             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |           FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |             tf.tf * (ln((n.n + 1) * 1.0 / (df.df + 1)) + 1) AS score
+        |      FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, round(score, 4) AS score
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM s)
+        |WHERE rn <= 5""".stripMargin,
+
+    "text_ngram_topk" ->
+      """WITH w AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(ws) >= 2
+        |        THEN list_transform(generate_series(1, len(ws) - 1),
+        |               i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+        |        ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |      FROM w)
+        |SELECT ngram, count(*) AS n FROM g
+        |WHERE length(ngram) > 0
+        |GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
 
     "text_entropy" ->
       """SELECT doc_id,

@@ -218,4 +218,27 @@ object Similarity {
     val planes = hyperplanes(autoPlanes(embs.count(), targetBucketSize), dim, seed)
     cosineNearDupPairs(embs, embCol, idCol, planes, threshold)
   }
+
+  /** Symmetric int8 quantization with a per-vector max-abs scale — 4×
+    * storage compression for the vector index (100 TB of float32
+    * embeddings → 25 TB of int8 + one float per row). Pure codegen'd
+    * array transform, zero shuffle. Output columns: `scale` (the
+    * de-quantization factor, maxabs/127, rounded to 6) and `q`
+    * (array<int> in [-127, 127]).
+    *
+    * Determinism across engines: elements promote float→double before
+    * arithmetic (the same contract as the cosine ops) and rounding is
+    * `floor(x + 0.5)` — identical IEEE semantics everywhere, unlike
+    * `round()` whose half-away-from-zero tie rule differs subtly
+    * between engines on negative halves. A zero vector quantizes to
+    * zeros with scale 0.
+    */
+  def quantizeInt8(emb: Column): (Column, Column) = {
+    val maxAbs = array_max(transform(emb, x => abs(x.cast("double"))))
+    val scale = round(maxAbs / 127.0d, 6)
+    val q = when(maxAbs === 0.0d, transform(emb, _ => lit(0)))
+      .otherwise(transform(emb,
+        x => floor(x.cast("double") * 127.0d / maxAbs + 0.5d).cast("int")))
+    (scale, q)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics: TF-IDF keyword extraction and global
+  * n-gram frequency — the feature side of corpus curation (keyword
+  * indexes, boilerplate detection, domain-mix dashboards).
+  *
+  * Scale shape: everything is explode → hash-aggregate. Term counts
+  * partial-aggregate map-side, so the shuffle carries (term, count)
+  * partials, never raw token streams. The only window is per-doc top-k
+  * selection, partitioned on the doc id — the same key the term counts
+  * are already clustered by.
+  */
+object Terms {
+
+  /** Top-k terms per document by smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the standard smooth-idf so unseen
+    * and ubiquitous terms stay finite). Deterministic: ties order by
+    * term; `score` is rounded to 4 decimals for cross-engine floats.
+    *
+    * The corpus size N is counted EAGERLY and embedded as a literal:
+    * joining a 1-row aggregate on a constant key looks cheaper but
+    * Catalyst folds the trivial condition away and plans a
+    * BroadcastNestedLoopJoin (banned in every registered query); the
+    * count itself is parquet metadata — no data scan.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val n = docs.count()
+    val words = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // tf is already distinct per (doc, term): plain count = doc frequency
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(docFreq, "term")
+      .withColumn("score",
+        col("tf") * (log(lit(n + 1).cast("double") / (col("df") + 1).cast("double")) + 1))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), round(col("score"), 4).as("score"))
+  }
+
+  /** Global top-k word n-grams with counts — the boilerplate/duplication
+    * radar (a handful of n-grams dominating a web corpus is the classic
+    * template-text signal). Deterministic ordering: count desc, ngram asc. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int = 2, k: Int = 100): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    // raw occurrence counts — unlike [[Dedup.shingles]] there is no
+    // per-doc distinct (a doc repeating a template line should count
+    // every repetition) and docs shorter than n words contribute nothing
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array())
+    docs.select(explode(grams).as("ngram"))
+      .filter(length(col("ngram")) > 0)
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+  }
+}

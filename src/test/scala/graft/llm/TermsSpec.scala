@@ -1,0 +1,55 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TermsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "banana cherry banana durian"),
+    (3L, "apple banana cherry durian"),
+    (4L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("tfidfTopTerms: rare repeated terms outrank ubiquitous ones") {
+    val out = Terms.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: apple tf=2 df=2; banana tf=1 df=3; cherry tf=1 df=3.
+    // N=4 (NULL-text doc still counts toward corpus size).
+    val d1 = byDoc(1L).sortBy(_._2).map(t => (t._2, t._3))
+    assert(d1.head._1 == "apple" && d1.head._2 == 2L)
+    // idf(apple) = ln(5/3)+1; score = 2*(ln(5/3)+1)
+    val appleScore = byDoc(1L).find(_._2 == "apple").get._4
+    assert(math.abs(appleScore - 2.0 * (math.log(5.0 / 3.0) + 1.0)) < 1e-3)
+    // every doc emits at most k rows; the NULL-text doc emits none
+    assert(byDoc.forall(_._2.length <= 2))
+    assert(!byDoc.contains(4L))
+  }
+
+  test("tfidfTopTerms rank is deterministic: score desc then term asc") {
+    // doc 3: all four terms tf=1; apple/durian df=2 beat banana/cherry
+    // df=3; within equal score the term string breaks the tie
+    val d3 = Terms.tfidfTopTerms(docs, "doc_id", "text", k = 4)
+      .filter(col("doc_id") === 3L)
+      .orderBy(col("score").desc, col("term").asc)
+      .select("term").as[String].collect().toSeq
+    assert(d3 == Seq("apple", "durian", "banana", "cherry"))
+  }
+
+  test("topNgrams counts raw occurrences, short and NULL docs contribute nothing") {
+    val corpus = Seq(
+      (1L, "to be or not to be"),   // "to be" twice
+      (2L, "be or"),
+      (3L, "single"),               // 1 word < n → nothing
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val top = Terms.topNgrams(corpus, "text", n = 2, k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // ties order by ngram asc: "be or" before "to be" at n=2
+    assert(top.head == ("be or" -> 2L))
+    assert(top.toMap == Map("be or" -> 2L, "to be" -> 2L, "not to" -> 1L))
+  }
+}
