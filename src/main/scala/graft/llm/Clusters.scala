@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
   *     boilerplate often forms these) makes that linear. Star contraction
   *     is logarithmic regardless of shape; that is why it is the one
   *     implemented here.
-  *   - Each iteration is cut with an EAGER `localCheckpoint` — persist
-  *     alone is not enough: it caches data but keeps the logical plan,
-  *     and each round references the previous frame several times, so
-  *     the plan TREE doubles per round (measured: suite death inside
+  *   - Each iteration is cut with a `localCheckpoint` — persist alone
+  *     is not enough: it caches data but keeps the logical plan, and
+  *     each round references the previous frame several times, so the
+  *     plan TREE doubles per round (measured: suite death inside
   *     `generateTreeString` before round 10). Checkpointing truncates
-  *     the plan to a leaf. A long-lived cluster job would configure
+  *     the plan to a leaf. The checkpoint is lazy and the convergence
+  *     fingerprint is its materializing action — one job per round.
+  *     A long-lived cluster job would configure
   *     `sparkContext.setCheckpointDir` and use reliable `checkpoint`
   *     for executor-loss tolerance; the algorithm is identical.
   *   - Convergence is detected by (count, xor-of-hashes) fingerprint
@@ -53,18 +55,25 @@ object Clusters {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
-    val spark = edges.sparkSession
-    val verts = edges.select(col(edges.columns(0)).cast("long").as("id"))
-      .union(edges.select(col(edges.columns(1)).cast("long").as("id")))
+    // checkpoint the projected input ONCE: `edges` may be an expensive
+    // pipeline (LSH + Jaccard verification), and both the vertex set and
+    // the working edge set derive from it — without this cut the whole
+    // upstream plan would execute a second time for the final join
+    val base = edges
+      .select(col(edges.columns(0)).cast("long").as("a"), col(edges.columns(1)).cast("long").as("b"))
+      .localCheckpoint(false)
+    val verts = base.select(col("a").as("id"))
+      .union(base.select(col("b").as("id")))
       .distinct()
 
-    // canonical working set: (u, v) with u > v, no self-loops, distinct
-    var cur = edges
-      .select(col(edges.columns(0)).cast("long").as("a"), col(edges.columns(1)).cast("long").as("b"))
+    // canonical working set: (u, v) with u > v, no self-loops, distinct.
+    // Checkpoints are LAZY: the fingerprint aggregate right after is the
+    // materializing action, so each round costs one job, not two.
+    var cur = base
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     def fingerprint(df: DataFrame): (Long, Long) = {
       // bit_xor, not sum: xor never overflows (sum of 64-bit hashes would
@@ -99,7 +108,7 @@ object Clusters {
         .filter(col("x") =!= col("m"))
         .select(greatest(col("x"), col("m")).as("u"), least(col("x"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint() // eager: materializes AND truncates the plan
+        .localCheckpoint(false) // truncates the plan; fingerprint materializes
 
       val nfp = fingerprint(next)
       converged = nfp == fp

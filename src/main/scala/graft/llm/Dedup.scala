@@ -21,7 +21,7 @@ object Dedup {
     * work. A small corpus often arrives as ONE parquet file = one
     * partition, serializing shingling/hashing onto a single core; at real
     * scale inputs arrive pre-split and this is a no-op. */
-  private def parallelize(df: DataFrame): DataFrame = {
+  private[llm] def parallelize(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }

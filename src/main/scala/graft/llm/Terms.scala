@@ -29,7 +29,9 @@ object Terms {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val n = docs.count()
-    val words = docs.select(col(idCol),
+    // spread the (often single-file → single-partition) input before the
+    // per-row tokenize+explode — same rationale as Dedup.parallelize
+    val words = Dedup.parallelize(docs).select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = words.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -56,7 +58,7 @@ object Terms {
       transform(sequence(lit(0), size(words) - n),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
       .otherwise(array())
-    docs.select(explode(grams).as("ngram"))
+    Dedup.parallelize(docs).select(explode(grams).as("ngram"))
       .filter(length(col("ngram")) > 0)
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram").asc)
