@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench's single JSON stdout line. With the
+// default LoggedOutput strategy sbt prefixes every forked-process line
+// with "[info] ", which breaks that parse (BENCH_r03..r05 recorded
+// parsed:null). StdoutOutput passes the child's stdout/stderr through
+// verbatim; showSuccess drops the trailing "[success] Total time" line
+// so the JSON line can be the last stdout line of the run.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint so the warning doesn't pollute output.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
