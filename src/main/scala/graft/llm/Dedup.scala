@@ -36,8 +36,16 @@ object Dedup {
   }
 
   /** Word n-gram shingle set as an array column (lowercased, whitespace
-    * tokenized). `sequence` + `transform` keep it in codegen — no UDF. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
+    * tokenized). Native codegen expression — one pass per row; the
+    * composable higher-order form it replaced kept ArrayTransform's
+    * interpreted per-element dispatch on every shingle pipeline's hot
+    * path (measured as the dominant cost of contamination/near-dedup). */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    graft.functions.TextOps.wordShingles(textCol, n)
+
+  /** The original composable form, kept as the semantic reference the
+    * native expression is property-tested against. */
+  private[graft] def shinglesComposable(textCol: Column, n: Int = 3): Column = {
     val words = split(lower(trim(textCol)), "\\s+")
     when(size(words) >= n,
       array_distinct(transform(
@@ -185,7 +193,13 @@ object Dedup {
       explode(shingles(col(textCol), shingleSize)).as("__sh"))
     val evalN = eval.select(col(evalId).as("eval_id"),
       size(shingles(col(textCol), shingleSize)).as("__en"))
-    trainSh.join(evalExp, Seq("__sh"))
+    // eval is the benchmark suite — thousands of docs at most, small by
+    // construction — so its exploded shingles broadcast and the train
+    // side (the 100 TB side) streams through a hash join without ever
+    // shuffling. Without the hint Spark sees an explode with unknown
+    // cardinality and falls back to a sort-merge join that shuffles
+    // every (train_id, shingle) row.
+    trainSh.join(broadcast(evalExp), Seq("__sh"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("__hits"))
       .join(broadcast(evalN), Seq("eval_id"))

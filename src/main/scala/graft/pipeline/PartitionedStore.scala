@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   * A transactional format (Delta/Iceberg) replaces the swap with a
   * manifest commit; the merge algebra is unchanged.
   */
-final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String) {
+final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String,
+                             filesPerPartition: Int = 1) {
+  require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -37,9 +39,20 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
   def read: Option[DataFrame] =
     if (exists) Some(spark.read.option("basePath", root).parquet(root)) else None
 
+  /** Cluster rows by their target directory before a partitioned write.
+    * Without this every write task fans out into every touched partition
+    * directory — shufflePartitions × partitions small files per merge
+    * batch, the classic small-files failure that compounds at a 5-minute
+    * cadence. One file per partition per batch is the default; a huge
+    * single partition spreads over `filesPerPartition` salted writers. */
+  private def clustered(df: DataFrame): DataFrame =
+    if (filesPerPartition == 1) df.repartition(col(partitionCol))
+    else df.repartition(col(partitionCol),
+      pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)))
+
   /** Initial load / full snapshot (M3). */
   def snapshot(df: DataFrame): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+    clustered(df).write.mode("overwrite").partitionBy(partitionCol).parquet(root)
 
   /** Values present in a batch — drives partition pruning and the swap. */
   private def partitionValues(df: DataFrame): Seq[String] =
@@ -93,7 +106,7 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     // Each swap is backup-rename-delete, so a crash mid-swap leaves a
     // recoverable `.swap_` backup rather than a missing partition.
     val stage = s"$root/.staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    merged.write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
+    clustered(merged).write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
     try {
       val stagedDirs = fs.listStatus(new Path(stage)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
