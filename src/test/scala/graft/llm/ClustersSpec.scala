@@ -70,6 +70,23 @@ class ClustersSpec extends SparkSpec {
     assert(kept.toSeq == Seq(4L, 8L))
   }
 
+  test("distributed star-contraction path matches the small-graph union-find") {
+    // smallGraphEdges = 0 forces the iterative path on shapes that cover
+    // chains, cliques, self-loops, and duplicates — both paths must
+    // produce the identical min-id labeling
+    val shapes = Seq(
+      Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)),
+      Seq((10L, 20L), (20L, 10L), (20L, 30L), (7L, 7L), (100L, 101L)),
+      (for (i <- 0L to 9L; j <- (i + 1) to 9L) yield (i, j)) ++
+        (1000L until 1063L).map(i => (i, i + 1)))
+    for (edges <- shapes) {
+      val dist = Clusters.connectedComponents(
+          edges.toDF("src", "dst"), smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == cc(edges), s"paths diverge on $edges")
+    }
+  }
+
   test("deterministic across physical layouts") {
     val edges = (1L to 200L).map(i => (i, i % 37))
     val a = cc(edges)
