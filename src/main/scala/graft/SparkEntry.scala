@@ -526,7 +526,11 @@ object SparkEntry {
         threshold = 0.8)),
 
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+      // portable 60-bit variant: md5-derived token hashes replay exactly
+      // in DuckDB, so the signature itself is oracle-checkable (the
+      // xxhash64 default stays the in-engine fast path)
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
+        bits = 60, wordHash = Dedup.portableWordHash)),
 
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
@@ -1219,6 +1223,23 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars
         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM documents) WHERE rn = 1""".stripMargin,
+
+    // replays the portable 60-bit SimHash exactly: md5-derived token
+    // hashes (identical in any engine), one sign-sum per bit, then the
+    // bit reassembly — generated programmatically so the 60 per-bit
+    // expressions stay in lockstep with Dedup.simhash's
+    "dedup_simhash" -> {
+      val bitSums = (0 until 60).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
+      val orBits = (0 until 60).map(j =>
+        s"CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" | ")
+      s"""WITH words AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         |              FROM documents),
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, $orBits AS simhash FROM bits""".stripMargin
+    },
 
     "ann_topk" ->
       """WITH q AS (

@@ -208,22 +208,38 @@ object Dedup {
       .select("train_id", "eval_id", "overlap_frac")
   }
 
-  /** 64-bit SimHash per doc: sign-sum of word-hash bits, weighted by term
-    * frequency. 64 conditional sums in one hash aggregate — no UDF, one
-    * shuffle on the doc id. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** SimHash per doc: sign-sum of word-hash bits, weighted by term
+    * frequency. `bits` conditional sums in one hash aggregate — no UDF,
+    * one shuffle on the doc id.
+    *
+    * `wordHash` is the per-token 64-bit hash; the xxhash64 default is the
+    * fast in-engine choice. [[portableWordHash]] (md5-derived, 60 usable
+    * bits) produces identical values in any engine with a standard md5 —
+    * pass it with `bits = 60` when the result must be replayable outside
+    * Spark (the correctness oracle does exactly that). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 64, wordHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(bits >= 1 && bits <= 64, "bits must be in 1..64")
     val words = parallelize(docs).select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
-      .withColumn("__h", xxhash64(col("__w")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("__h", wordHash(col("__w")))
+    val bitSums = (0 until bits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$j")
     }
     val sums = words.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until bits).map { j =>
       when(col(s"b_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce[Column](_.bitwiseOR(_))
     sums.select(col(idCol), sim.as("simhash"))
   }
+
+  /** Engine-neutral 60-bit token hash: the first 15 hex chars of md5,
+    * parsed as an integer. Any engine with a standard md5 reproduces it
+    * bit-for-bit (DuckDB: `CAST('0x' || substr(md5(w), 1, 15) AS
+    * BIGINT)`); 15 hex digits keep the value positive in a signed 64-bit
+    * lane on both sides. */
+  def portableWordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
