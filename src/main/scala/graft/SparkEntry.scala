@@ -159,6 +159,17 @@ object SparkEntry {
         .withColumn("total_value", col("total_value").cast("double"))
     }),
 
+    "skew_salted_join" -> ((s, d) => {
+      // salted fact⋈dim join spreading each user's rows over 8 salt
+      // buckets — must equal the plain join exactly (all-integral output)
+      import graft.ops.Skew
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type")
+      val dim = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("user_n"))
+      Skew.saltedJoin(ev, dim, Seq("user_id"), buckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("user_n")).as("sum_user_n"))
+    }),
+
     "j1_region_summary" -> ((s, d) => {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -667,6 +678,24 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    "sample_weighted" -> ((s, d) =>
+      // quality-weighted corpus mix: keep docs with probability
+      // n_chars/400 (clamped) — every decision replayed by the oracle
+      // from the same md5 arithmetic
+      graft.llm.Sampling.weightedSample(Tables.documents(s, d), Seq("doc_id"),
+          least(lit(1.0), col("n_chars").cast("double") / 400.0))
+        .groupBy("lang").agg(count(lit(1)).as("n"))),
+
+    "text_novelty" -> ((s, d) =>
+      // fraction of each doc's 3-gram shingles unique to it corpus-wide
+      Terms.noveltyScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumn("novelty", round(col("novelty"), 6))),
+
+    "text_length_hist" -> ((s, d) =>
+      // power-of-two token-length histogram (packing/batching planner
+      // input)
+      Terms.lengthHistogram(Tables.documents(s, d), "text")),
+
     "contamination" -> ((s, d) => {
       // eval-set decontamination: every 10th doc plays the benchmark set;
       // pairs where >=50% of the eval doc's 3-grams appear in a train doc
@@ -929,6 +958,40 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         | count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the salted join must be invisible in the result: plain join replay
+    "skew_salted_join" ->
+      """WITH dim AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n, CAST(sum(user_n) AS BIGINT) AS sum_user_n
+        |FROM events JOIN dim USING (user_id)
+        |GROUP BY event_type""".stripMargin,
+
+    "sample_weighted" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE CAST(CAST('0x' || substring(md5('weighted' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0
+        |      < least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
+        |GROUP BY lang""".stripMargin,
+
+    "text_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END) AS s
+        |       FROM d),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+        |SELECT sh.doc_id, round(avg(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
+        |FROM sh JOIN df USING (s) GROUP BY sh.doc_id""".stripMargin,
+
+    "text_length_hist" ->
+      """SELECT CASE WHEN n <= 0 THEN -1
+        |            ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS BIGINT) END AS bucket_log2,
+        | count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "text_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws

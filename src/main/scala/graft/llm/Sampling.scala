@@ -45,6 +45,19 @@ object Sampling {
         (lit(seed) +: keyCols.map(c => coalesce(c.cast("string"), lit("__null__")))): _*)),
       1, 4), 16, 10).cast("long")
 
+  /** Deterministic weighted Bernoulli: keep each row with probability
+    * `weight` (clamped to [0,1]), decided by the engine-neutral
+    * [[md5Bucket]] of its key columns — the domain-reweighting primitive
+    * (quality-weighted corpus mixing, source up/down-sampling). Replay-
+    * stable and incremental-safe like every sampler here; the md5 bucket
+    * makes each decision auditable outside Spark. `keyCols` is the row's
+    * stable identity; `weight` may be any per-row expression. */
+  def weightedSample(df: DataFrame, keyCols: Seq[String], weight: Column,
+                     seed: String = "weighted"): DataFrame = {
+    val u = md5Bucket(keyCols.map(col), seed).cast("double") / 65536.0
+    df.filter(u < least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)))
+  }
+
   /** Deterministic train/val/test split: each row gets the first label
     * whose cumulative weight bound exceeds its content bucket. Replay-
     * stable, partition-independent, incremental-safe (new rows never

@@ -64,4 +64,34 @@ object Terms {
       .orderBy(col("n").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** Per-doc novelty: the fraction of a document's distinct word
+    * n-gram shingles that appear in NO other document (global document
+    * frequency 1). Low novelty = template/boilerplate material; a
+    * curation pass uses it alongside the repetition filters to pick what
+    * near-dedup alone misses. Two hash aggregates (shingle df, per-doc
+    * mean) — the shingle shuffle carries partials, never text. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val sh = Dedup.parallelize(docs).select(col(idCol),
+      explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+    val docFreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    sh.join(docFreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(avg(when(col("__df") === 1, 1.0).otherwise(0.0)).as("novelty"))
+  }
+
+  /** Power-of-two token-length histogram: bucket = floor(log2(tokens)),
+    * with empty docs in bucket -1. The one-line corpus shape summary a
+    * packing/batching configuration starts from (sequence-length budget,
+    * truncation loss estimates). Single partial-aggregated pass. */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val n = TextAnalysis.tokenCount(col(textCol))
+    docs.select(
+        when(n <= 0, lit(-1L))
+          .otherwise(floor(log2(n.cast("double"))).cast("long")).as("bucket_log2"),
+        n.cast("long").as("__n"))
+      .groupBy("bucket_log2")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+  }
 }

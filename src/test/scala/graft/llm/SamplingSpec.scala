@@ -58,6 +58,25 @@ class SamplingSpec extends SparkSpec {
     assert(split.filter(col("id") === 7).select("split").head().getString(0) == expected)
   }
 
+  test("weightedSample: clamp edges, monotonicity, replay stability") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, (i % 11).toDouble / 10.0)).toDF("id", "w")
+    // weight 0 keeps nothing, weight >= 1 keeps everything (clamped)
+    assert(Sampling.weightedSample(docs, Seq("id"), lit(0.0)).count() == 0L)
+    assert(Sampling.weightedSample(docs, Seq("id"), lit(1.0)).count() == 1000L)
+    assert(Sampling.weightedSample(docs, Seq("id"), lit(7.5)).count() == 1000L)
+    assert(Sampling.weightedSample(docs, Seq("id"), lit(-3.0)).count() == 0L)
+    // a row kept at weight w stays kept at every w' > w (same u per row)
+    val at3 = Sampling.weightedSample(docs, Seq("id"), lit(0.3)).select("id")
+    val at7 = Sampling.weightedSample(docs, Seq("id"), lit(0.7)).select("id")
+    assert(at3.except(at7).count() == 0L)
+    assert(at3.count() < at7.count())
+    // per-row weight column + layout independence
+    val sel = Sampling.weightedSample(docs, Seq("id"), col("w"))
+    val again = Sampling.weightedSample(docs.repartition(7), Seq("id"), col("w"))
+    assert(canon(sel) == canon(again))
+  }
+
   test("md5Bucket encodes NULL keys explicitly — no silent identity collisions") {
     import spark.implicits._
     // concat_ws DROPS nulls: without the sentinel these two distinct

@@ -39,6 +39,29 @@ class TermsSpec extends SparkSpec {
     assert(d3 == Seq("apple", "durian", "banana", "cherry"))
   }
 
+  test("noveltyScore: unique shingles score 1, fully shared score 0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),   // shingles: {a b g, b g d} — shared with doc 2
+      (2L, "alpha beta gamma delta"),   // exact dup → novelty 0
+      (3L, "wholly original phrasing here indeed")  // all unique → novelty 1
+    ).toDF("doc_id", "text")
+    val nov = Terms.noveltyScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(nov(1L) == 0.0 && nov(2L) == 0.0 && nov(3L) == 1.0)
+  }
+
+  test("lengthHistogram buckets by floor(log2(tokens)), empty docs at -1") {
+    val corpus = Seq(
+      (1L, "one"),                       // 1 token  → bucket 0
+      (2L, "one two three"),             // 3 tokens → bucket 1
+      (3L, "a b c d e f g h"),           // 8 tokens → bucket 3
+      (4L, "")                           // empty    → bucket -1
+    ).toDF("doc_id", "text")
+    val hist = Terms.lengthHistogram(corpus, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == Map(0L -> ((1L, 1L)), 1L -> ((1L, 3L)), 3L -> ((1L, 8L)), -1L -> ((1L, 0L))))
+  }
+
   test("topNgrams counts raw occurrences, short and NULL docs contribute nothing") {
     val corpus = Seq(
       (1L, "to be or not to be"),   // "to be" twice
