@@ -682,8 +682,11 @@ object SparkEntry {
       // quality-weighted corpus mix: keep docs with probability
       // n_chars/400 (clamped) — every decision replayed by the oracle
       // from the same md5 arithmetic
+      // NULL n_chars coalesces to weight 0 (drop) — Spark's least/greatest
+      // SKIP nulls, which would silently keep the row while the oracle's
+      // clamp dropped it
       graft.llm.Sampling.weightedSample(Tables.documents(s, d), Seq("doc_id"),
-          least(lit(1.0), col("n_chars").cast("double") / 400.0))
+          least(lit(1.0), coalesce(col("n_chars").cast("double"), lit(0.0)) / 400.0))
         .groupBy("lang").agg(count(lit(1)).as("n"))),
 
     "text_novelty" -> ((s, d) =>
@@ -969,11 +972,13 @@ object SparkEntry {
     "sample_weighted" ->
       """SELECT lang, count(*) AS n FROM documents
         |WHERE CAST(CAST('0x' || substring(md5('weighted' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0
-        |      < least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
+        |      < least(greatest(coalesce(CAST(n_chars AS DOUBLE), 0.0) / 400.0, 0.0), 1.0)
         |GROUP BY lang""".stripMargin,
 
+    // coalesce(text,'') so a NULL-text doc gets the same [""] shingle the
+    // Spark side produces instead of vanishing through a NULL join key
     "text_novelty" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,
         |         unnest(CASE WHEN len(ws) >= 3
         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),

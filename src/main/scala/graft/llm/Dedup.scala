@@ -173,7 +173,7 @@ object Dedup {
     * what bounds join skew. */
   def contamination(train: DataFrame, trainId: String, eval: DataFrame, evalId: String,
                     textCol: String, shingleSize: Int = 3, threshold: Double = 0.5,
-                    maxShingleDf: Int = 0): DataFrame = {
+                    maxShingleDf: Int = 0, broadcastEval: Boolean = true): DataFrame = {
     val trainSh0 = parallelize(train).select(col(trainId).as("train_id"),
       explode(shingles(col(textCol), shingleSize)).as("__sh"))
     val trainSh =
@@ -193,13 +193,16 @@ object Dedup {
       explode(shingles(col(textCol), shingleSize)).as("__sh"))
     val evalN = eval.select(col(evalId).as("eval_id"),
       size(shingles(col(textCol), shingleSize)).as("__en"))
-    // eval is the benchmark suite — thousands of docs at most, small by
+    // eval is normally the benchmark suite — thousands of docs, small by
     // construction — so its exploded shingles broadcast and the train
     // side (the 100 TB side) streams through a hash join without ever
     // shuffling. Without the hint Spark sees an explode with unknown
     // cardinality and falls back to a sort-merge join that shuffles
-    // every (train_id, shingle) row.
-    trainSh.join(broadcast(evalExp), Seq("__sh"))
+    // every (train_id, shingle) row. For an eval corpus too large to
+    // broadcast (exploded shingles approach the multi-GB broadcast
+    // ceiling), pass broadcastEval = false to keep the optimizer's
+    // shuffled join instead of a driver OOM.
+    trainSh.join(if (broadcastEval) broadcast(evalExp) else evalExp, Seq("__sh"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("__hits"))
       .join(broadcast(evalN), Seq("eval_id"))

@@ -50,32 +50,6 @@ object Skew {
     * not spread. The fix belongs upstream — carry any distinguishing
     * column (ingest sequence, file offset, `input_file_name`) into `df`
     * and the content hash spreads them for free, retries staying safe. */
-  /** Salted equi-join for skewed keys: the big side gets a deterministic
-    * content-hash salt in [0, buckets); the small side replicates once
-    * per salt value, so a heavy-hitter key's rows spread over `buckets`
-    * reducers instead of hot-spotting one. Result is identical to the
-    * plain join (every big row meets the full small side for its key).
-    *
-    * Only `inner` and `left` are supported — the replicated side cannot
-    * drive a right/full outer without emitting its unmatched rows
-    * `buckets` times. Same salt-determinism rationale as [[aggregate]]:
-    * content hash, never a layout-dependent ordinal, so partial stage
-    * retries re-salt identically. AQE's skew-join handles sort-merge
-    * skew at runtime; this handles the case AQE cannot — skew through a
-    * shuffled hash join or where one key alone exceeds a single
-    * executor's memory. */
-  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    require(Set("inner", "left", "left_outer").contains(joinType),
-      s"saltedJoin supports inner/left joins, got $joinType")
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets.toLong)))
-    val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
-  }
-
   def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
                 buckets: Int = 16): DataFrame = {
     require(buckets > 0 && aggs.nonEmpty)
@@ -89,5 +63,31 @@ object Skew {
       .groupBy(keys.map(col).toSeq: _*)
       .agg(aggs.head.finalAgg(s"__p_${aggs.head.name}").as(aggs.head.name),
            aggs.tail.map(a => a.finalAgg(s"__p_${a.name}").as(a.name)): _*)
+  }
+
+  /** Salted equi-join for skewed keys: the big side gets a deterministic
+    * content-hash salt in [0, buckets); the small side replicates once
+    * per salt value, so a heavy-hitter key's rows spread over `buckets`
+    * reducers instead of hot-spotting one. Result is identical to the
+    * plain join (every big row meets the full small side for its key).
+    *
+    * Only inner and left joins are supported — the replicated side
+    * cannot drive a right/full outer without emitting its unmatched rows
+    * `buckets` times. Same salt-determinism rationale as [[aggregate]]:
+    * content hash, never a layout-dependent ordinal, so partial stage
+    * retries re-salt identically. AQE's skew-join handles sort-merge
+    * skew at runtime; this handles the case AQE cannot — skew through a
+    * shuffled hash join or where one key alone exceeds a single
+    * executor's memory. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(Set("inner", "left", "leftouter", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 }

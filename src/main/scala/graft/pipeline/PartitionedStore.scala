@@ -29,8 +29,8 @@ import org.apache.spark.sql.functions._
   * manifest commit; the merge algebra is unchanged.
   */
 final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String,
-                             filesPerPartition: Int = 1) {
-  require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+                             filesPerPartition: Int = 0) {
+  require(filesPerPartition >= 0, "filesPerPartition must be >= 0 (0 = auto)")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -43,12 +43,27 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     * Without this every write task fans out into every touched partition
     * directory — shufflePartitions × partitions small files per merge
     * batch, the classic small-files failure that compounds at a 5-minute
-    * cadence. One file per partition per batch is the default; a huge
-    * single partition spreads over `filesPerPartition` salted writers. */
-  private def clustered(df: DataFrame): DataFrame =
-    if (filesPerPartition == 1) df.repartition(col(partitionCol))
+    * cadence. A content-hash salt spreads each partition over several
+    * writers so a huge partition never serializes onto one task.
+    *
+    * `filesPerPartition = 0` (default) sizes the salt from Catalyst's
+    * plan-stats size estimate at ~512 MB per writer, clamped to the
+    * shuffle-partition count — a small merge batch writes one file per
+    * partition, a 100 TB initial snapshot keeps full write parallelism.
+    * Pin it explicitly when the estimate is unavailable or wrong. */
+  private def clustered(df: DataFrame): DataFrame = {
+    val n =
+      if (filesPerPartition > 0) filesPerPartition
+      else {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perWriter = BigInt(512L * 1024 * 1024)
+        val cap = BigInt(spark.sessionState.conf.numShufflePartitions)
+        ((bytes / perWriter + 1).min(cap).max(1)).toInt
+      }
+    if (n == 1) df.repartition(col(partitionCol))
     else df.repartition(col(partitionCol),
-      pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(n.toLong)))
+  }
 
   /** Initial load / full snapshot (M3). */
   def snapshot(df: DataFrame): Unit =
@@ -142,7 +157,7 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     val prev = spark.conf.getOption(conf)
     try {
       spark.conf.set(conf, "dynamic")
-      source.write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+      clustered(source).write.mode("overwrite").partitionBy(partitionCol).parquet(root)
     } finally prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
   }
 }
