@@ -543,6 +543,17 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
         bits = 60, wordHash = Dedup.portableWordHash)),
 
+    "dedup_incremental" -> ((s, d) => {
+      // every 5th doc plays the new ingest batch screened against the
+      // rest as the accumulated corpus; survivors = batch docs with no
+      // corpus near-dup at J >= 0.8 (exact all-pairs oracle)
+      val docs = Tables.documents(s, d)
+      Dedup.nearDedupIncremental(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", threshold = 0.8)
+        .select("doc_id")
+    }),
+
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
       // near-dups to find; random embeddings never reach cosine 0.95, so
@@ -1383,6 +1394,24 @@ object SparkEntry {
         |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id AS dup_id
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |   AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
 
     "dedup_clusters" ->
       // same exact-Jaccard edge set as dedup_neardup, then connected

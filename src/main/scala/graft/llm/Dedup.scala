@@ -158,6 +158,38 @@ object Dedup {
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Incremental near-dedup: drop NEW docs that are near-duplicates of
+    * an EXISTING corpus — the production cadence shape (each ingest
+    * batch screens against the accumulated corpus; the corpus is never
+    * re-clustered). Ids must be globally unique across both frames.
+    *
+    * Scale shape: the batch and the corpus each reduce to LSH band keys;
+    * candidates form in ONE equi-join on (band, bandHash) — cost is
+    * O(batch bands) probing the corpus index, never batch × corpus. The
+    * corpus TEXT is touched only for candidate verification, and
+    * `jaccardVerify`'s prefilter semi-joins it down to the mentioned ids
+    * first. A long-lived deployment persists the corpus band index and
+    * appends each batch's bands to it, making the per-batch cost
+    * independent of corpus age. Batch-internal duplicates are NOT
+    * dropped here (run [[nearDedup]]/[[graft.llm.Clusters.dedupByCluster]]
+    * within the batch for that). */
+  def nearDedupIncremental(newDocs: DataFrame, corpus: DataFrame, idCol: String,
+                           textCol: String, threshold: Double = 0.8,
+                           numHashes: Int = 64, bands: Int = 16,
+                           shingleSize: Int = 3): DataFrame = {
+    val nb = minhashBands(parallelize(newDocs), idCol, textCol, numHashes, bands, shingleSize)
+      .toDF("ida", "band", "bandHash")
+    val cb = minhashBands(parallelize(corpus), idCol, textCol, numHashes, bands, shingleSize)
+      .toDF("idb", "band", "bandHash")
+    val cand = nb.join(cb, Seq("band", "bandHash")).select("ida", "idb").distinct()
+    val texts = newDocs.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    val dupNew = jaccardVerify(cand, texts, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida").as(idCol)).distinct()
+    newDocs.join(dupNew, Seq(idCol), "left_anti")
+  }
+
   /** Eval-set decontamination: for every (train doc, eval doc) pair,
     * the fraction of the EVAL doc's n-gram set that also appears in the
     * train doc — the standard overlap test for benchmark leakage into

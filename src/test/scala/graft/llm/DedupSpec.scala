@@ -90,4 +90,26 @@ class DedupSpec extends SparkSpec {
       "eval_id", "text", shingleSize = 3, threshold = 0.1, maxShingleDf = 5)
     assert(capped.count() == 0)
   }
+
+  test("nearDedupIncremental drops batch docs duplicating the corpus, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally separate content about storage engines and buffers")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota mu"),    // near-dup of 1
+      (102L, "fresh unseen material never part of the corpus before"),
+      // batch-internal dup of 102: kept — incremental screens against the
+      // CORPUS only; in-batch dedup is nearDedup's job
+      (103L, "fresh unseen material never part of the corpus before")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.nearDedupIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.7, bands = 32)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(102L, 103L))
+    // corpus is never filtered, only the batch side returns
+    assert(!kept.contains(1L) && !kept.contains(2L))
+  }
 }
