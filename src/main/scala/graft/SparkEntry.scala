@@ -308,6 +308,21 @@ object SparkEntry {
       Marts.monthRollup(Tables.events(s, d), "ts", Seq("event_type"),
         Seq(count(lit(1)).as("n"), decSum(col("value")).as("total_value")))),
 
+    "a5_incremental_rollup" -> ((s, d) => {
+      // IVM: the day rollup maintained by folding a new window's partials
+      // into prior state — must equal the full recompute (the oracle).
+      // Sums stay DECIMAL through the merge; double only at the edge.
+      val ev = Tables.events(s, d)
+      def part(f: DataFrame) = Marts.dayRollup(f, "ts", Seq("event_type"),
+        Seq(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("total_value")))
+      val prior = part(ev.filter(col("ts") < ts("2024-01-15")))
+      val delta = part(ev.filter(col("ts") >= ts("2024-01-15")))
+      Marts.mergeRollup(prior, delta, Seq("day", "event_type"), Seq("n", "total_value"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .withColumn("total_value", col("total_value").cast("double"))
+    }),
+
     // ── merge semantics (SURVEY §2.6) ─────────────────────────────────
     "m1_guarded_upsert" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -1138,6 +1153,13 @@ object SparkEntry {
         |WHERE ts > (SELECT max(ts) - INTERVAL 5 DAY FROM events)""".stripMargin,
 
     "a5_day_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical to a5_day_rollup on purpose: the incremental merge must
+    // be indistinguishable from the full recompute
+    "a5_incremental_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,

@@ -46,6 +46,27 @@ object Marts {
     src.groupBy((date_format(col(tsCol), "yyyyMM").cast("int").as("month") +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Incremental view maintenance for additive rollups: fold a new
+    * batch's partial aggregate into the existing rollup WITHOUT
+    * recomputing history — at a 5-minute cadence over years of
+    * accumulated days, re-aggregating the full fact table per cycle is
+    * the scale bottleneck; merging partials costs O(batch + touched
+    * keys). Works for any commutative-monoid aggregates (sum, count;
+    * max/min via `mergeWith`): the result equals the same rollup over
+    * the union of the inputs. Keep sums in DECIMAL until after the last
+    * merge — merging double-cast partials would reintroduce float
+    * association error. One partial-aggregated shuffle on the keys. */
+  def mergeRollup(existing: DataFrame, delta: DataFrame, keys: Seq[String],
+                  addCols: Seq[String],
+                  mergeWith: Map[String, Column => Column] = Map.empty): DataFrame = {
+    val valCols = addCols ++ mergeWith.keys
+    val e = existing.select((keys ++ valCols).map(col): _*)
+    val d = delta.select((keys ++ valCols).map(col): _*)
+    val aggs = addCols.map(c => sum(col(c)).as(c)) ++
+      mergeWith.map { case (c, f) => f(col(c)).as(c) }
+    e.unionByName(d).groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** M6 — conditional datamart refresh: run the rollup only when the source
     * has newer data than the destination
     * (update_datamart.sql:4-29: IF max(src.status_date) >

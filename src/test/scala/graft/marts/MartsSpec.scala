@@ -38,6 +38,24 @@ class MartsSpec extends SparkSpec {
     assert(canon(month) == Seq(Seq("202401", "a", "2"), Seq("202402", "a", "1")).sortBy(_.mkString("|")))
   }
 
+  test("mergeRollup: folding partials equals the full recompute") {
+    val src = Seq(
+      ("2024-01-01", "a", 1L, 10L), ("2024-01-01", "a", 1L, 20L),
+      ("2024-01-02", "a", 1L, 5L), ("2024-01-02", "b", 1L, 7L),
+      ("2024-01-03", "b", 1L, 9L)
+    ).toDF("day", "k", "one", "v")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("day", "k").agg(sum(col("one")).as("n"), sum(col("v")).as("total"),
+        max(col("v")).as("mx"))
+    val full = roll(src)
+    // split so one (day, k) group straddles the boundary, one is disjoint
+    val merged = Marts.mergeRollup(
+      roll(src.filter(col("v") < 9L)), roll(src.filter(col("v") >= 9L)),
+      Seq("day", "k"), Seq("n", "total"), Map("mx" -> (c => max(c))))
+    assertSameRows(merged.select("day", "k", "n", "total", "mx"),
+      full.select("day", "k", "n", "total", "mx"))
+  }
+
   test("M6 refreshIfStale: runs only when src is fresher than dest") {
     val src = Seq(Timestamp.valueOf("2024-01-10 00:00:00")).toDF("ts")
     val oldDest = Seq(Timestamp.valueOf("2024-01-05 00:00:00")).toDF("ts")
