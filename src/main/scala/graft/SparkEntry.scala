@@ -593,6 +593,16 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_quantized_topk" -> ((s, d) => {
+      // two-phase quantized search: int8 coarse scan (bit-exact across
+      // engines — integer sums) → float re-rank of 50 candidates
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.quantizedTopK(e, "embedding", "vec_id", q, k = 10, candidates = 50)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select("embedding")
@@ -1355,6 +1365,35 @@ object SparkEntry {
         |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
         |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn)), 4) AS cosine
         |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn)) DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // replays both phases exactly: quantization arithmetic (the
+    // embedding_quantize contract), integer-exact coarse cosine ordering,
+    // then the float re-rank restricted to the candidate ids
+    "ann_quantized_topk" ->
+      """WITH b AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |           FROM embeddings),
+        |qz AS (SELECT vec_id, CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
+        |            ELSE list_transform(e, x -> floor(x * 127.0 / m + 0.5)) END AS qv
+        |       FROM b),
+        |qq AS (SELECT unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM qz WHERE vec_id = 0),
+        |eu AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM qz),
+        |cd AS (SELECT eu.vec_id, sum(eu.v * qq.v) AS dot, sqrt(sum(eu.v * eu.v)) AS ne
+        |       FROM eu JOIN qq USING (i) GROUP BY eu.vec_id),
+        |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM qq),
+        |cand AS (SELECT vec_id FROM cd, qn WHERE ne > 0 AND nq > 0
+        |         ORDER BY dot / (ne * nq) DESC, vec_id ASC LIMIT 50),
+        |q AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
+        |      FROM embeddings WHERE vec_id = 0),
+        |e AS (SELECT embeddings.vec_id, generate_subscripts(embedding, 1) AS i,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v
+        |      FROM embeddings JOIN cand USING (vec_id)),
+        |d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS ne
+        |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
+        |qn2 AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn2)), 4) AS cosine
+        |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn2)) DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH $lshCandidateCtes

@@ -124,6 +124,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall@10 = $recall on clustered data")
   }
 
+  test("quantizedTopK: wide candidate pool converges to brute force; self found") {
+    val q = vecs(5)._2
+    // candidates = corpus size → re-rank sees everything → exact result
+    val exact = Similarity.bruteForceTopK(embs, "embedding", "vec_id", q, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val quant = Similarity.quantizedTopK(embs, "embedding", "vec_id", q,
+        k = 5, candidates = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(quant == exact)
+    assert(quant.head == 5L) // the query vector itself ranks first
+    // a narrow pool still returns k rows and stays deterministic
+    val narrow = Similarity.quantizedTopK(embs, "embedding", "vec_id", q,
+        k = 3, candidates = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(narrow.length == 3 && narrow.head == 5L)
+    val again = Similarity.quantizedTopK(
+        embs.repartition(7), "embedding", "vec_id", q, k = 3, candidates = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(narrow == again)
+  }
+
   test("degenerate zero-norm vectors land in cell -1, never crash the build") {
     val withZero = (vecs :+ (999L -> Array.fill(8)(0f))).toDF("vec_id", "embedding")
     val centroids = Similarity.ivfCentroids(withZero, "embedding", "vec_id", k = 4)
