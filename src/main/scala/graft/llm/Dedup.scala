@@ -181,7 +181,13 @@ object Dedup {
       .toDF("ida", "band", "bandHash")
     val cb = minhashBands(parallelize(corpus), idCol, textCol, numHashes, bands, shingleSize)
       .toDF("idb", "band", "bandHash")
+    // the candidate set is read twice downstream (the verify join AND the
+    // prefilter's id list) — cut the lineage so the two MinHash pipelines
+    // above run once, not once per consumer. The prefilter itself is the
+    // scale win here: it's what keeps verification from shingling the
+    // whole corpus instead of just the candidate ids.
     val cand = nb.join(cb, Seq("band", "bandHash")).select("ida", "idb").distinct()
+      .localCheckpoint(false)
     val texts = newDocs.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
     val dupNew = jaccardVerify(cand, texts, idCol, textCol, shingleSize)
