@@ -643,9 +643,12 @@ object SparkEntry {
         approx.intersect(brute)
           .agg((count(lit(1)) / 10.0).cast("double").as("recall_at_10"))
           .select(lit(m).as("method"), col("recall_at_10"))
+      val quant = Similarity.quantizedTopK(e, "embedding", "vec_id", q,
+        k = 10, candidates = 50).select("vec_id")
       recall("lsh_r1", lsh(1))
         .unionByName(recall("lsh_r2", lsh(2)))
         .unionByName(recall("ivf", ivf))
+        .unionByName(recall("quantized", quant))
     }),
 
     "sample_stratified_counts" -> ((s, d) =>
@@ -1419,6 +1422,16 @@ object SparkEntry {
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
          |ivf_top AS (
          |  SELECT vec_id FROM (SELECT ivf_cand.vec_id, ${cosSql("e", "qe")} AS cos FROM ivf_cand, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |qzm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM emb),
+         |qz AS (SELECT vec_id, e, CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
+         |            ELSE list_transform(e, x -> floor(x * 127.0 / m + 0.5)) END AS qv FROM qzm),
+         |qzq AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
+         |qcand AS (SELECT qz.vec_id, qz.e FROM qz, qzq
+         |          WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(qqv, qqv) > 0
+         |          ORDER BY ${cosSql("qv", "qqv")} DESC, vec_id ASC LIMIT 50),
+         |quant_top AS (
+         |  SELECT vec_id FROM (SELECT qcand.vec_id, ${cosSql("e", "qe")} AS cos FROM qcand, q)
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10)
          |SELECT 'lsh_r1' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
          |FROM (SELECT vec_id FROM lsh_top INTERSECT SELECT vec_id FROM brute)
@@ -1427,7 +1440,10 @@ object SparkEntry {
          |FROM (SELECT vec_id FROM lsh_top2 INTERSECT SELECT vec_id FROM brute)
          |UNION ALL
          |SELECT 'ivf' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
-         |FROM (SELECT vec_id FROM ivf_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
+         |FROM (SELECT vec_id FROM ivf_top INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'quantized' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM quant_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
 
     // SF-COUPLING NOTE: this oracle computes EXACT all-pairs Jaccard while
     // the Spark path generates candidates via probabilistic MinHash banding
