@@ -69,4 +69,33 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming incremental view maintenance: drain the stream and fold
+    * each micro-batch's partial rollup into the persisted rollup state
+    * via [[graft.marts.Marts.mergeRollup]] — the datamart stays current
+    * at O(batch + touched keys) per tick, never a full-history
+    * re-aggregation. `rollup` maps a raw batch to its partial aggregate
+    * (keep sums in DECIMAL — the merge is exact, a double-cast partial
+    * is not); `keys`/`addCols` name the rollup identity and its additive
+    * measures. Effectively-once: the store snapshot per batch is the
+    * idempotence boundary, and the checkpoint replays unprocessed files
+    * only. */
+  def maintainRollup(stream: DataFrame, store: TableStore,
+                     rollup: DataFrame => DataFrame,
+                     keys: Seq[String], addCols: Seq[String],
+                     checkpoint: String): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = rollup(batch)
+        val merged = store.read match {
+          case Some(prior) => graft.marts.Marts.mergeRollup(prior, delta, keys, addCols)
+          case None => delta
+        }
+        store.snapshot(merged); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -37,6 +37,31 @@ class StreamOpsSpec extends SparkSpec {
       Seq("a", "10"), Seq("b", "2"), Seq("c", "3")).sortBy(_.mkString("|")))
   }
 
+  test("maintainRollup: streamed partials converge to the batch recompute") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("stream-ivm").toString
+    val inbox = s"$t/inbox"; val ckpt = s"$t/ckpt"
+    val store = new TableStore(spark, s"$t/rollup")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("total"))
+
+    val wave1 = Seq(("a", 1.5), ("a", 2.5), ("b", 4.0)).toDF("k", "v")
+    wave1.write.mode("append").parquet(inbox)
+    StreamOps.maintainRollup(StreamOps.fileStream(spark, inbox, wave1.schema),
+      store, roll, Seq("k"), Seq("n", "total"), ckpt)
+    // second wave touches one existing key and one new key
+    Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v").write.mode("append").parquet(inbox)
+    StreamOps.maintainRollup(StreamOps.fileStream(spark, inbox, wave1.schema),
+      store, roll, Seq("k"), Seq("n", "total"), ckpt)
+
+    val all = wave1.unionByName(Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v"))
+    assertSameRows(
+      store.read.get.select(col("k"), col("n"),
+        col("total").cast("decimal(18,2)").as("total")),
+      roll(all).select(col("k"), col("n"), col("total").cast("decimal(18,2)").as("total")))
+  }
+
   test("watermarked windowed counts over a drained stream") {
     val t = Files.createTempDirectory("stream2").toString
     val inbox = s"$t/inbox"
