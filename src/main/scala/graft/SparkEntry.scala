@@ -316,7 +316,11 @@ object SparkEntry {
       def part(f: DataFrame) = Marts.dayRollup(f, "ts", Seq("event_type"),
         Seq(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(18,2)")).as("total_value")))
-      val prior = part(ev.filter(col("ts") < ts("2024-01-15")))
+      // NULL-ts rows ride with the prior half so the split is a true
+      // PARTITION of the input (a bare </>= pair drops NULL rows from
+      // both sides while the full-recompute oracle keeps a NULL-day
+      // group)
+      val prior = part(ev.filter(col("ts") < ts("2024-01-15") || col("ts").isNull))
       val delta = part(ev.filter(col("ts") >= ts("2024-01-15")))
       Marts.mergeRollup(prior, delta, Seq("day", "event_type"), Seq("n", "total_value"))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -887,6 +891,22 @@ object SparkEntry {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** CTEs replaying `Similarity.quantizeInt8` plus the int8 coarse
+    * candidate scan — the ONE encoding of the quantization contract both
+    * quantized-ANN oracles share. Defines `qz` (vec_id, e as DOUBLE[],
+    * qv quantized) and `qcand` (top-`candidates` non-degenerate ids by
+    * exact integer cosine, ties on id). */
+  private def quantizeCandCtes(candidates: Int): String =
+    s"""qzm AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+       |              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+       |        FROM embeddings),
+       |qz AS (SELECT vec_id, e, CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
+       |            ELSE list_transform(e, x -> floor(x * 127.0 / m + 0.5)) END AS qv FROM qzm),
+       |qzq AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
+       |qcand AS (SELECT qz.vec_id, qz.e FROM qz, qzq
+       |          WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(qqv, qqv) > 0
+       |          ORDER BY ${cosSql("qv", "qqv")} DESC, vec_id ASC LIMIT $candidates)""".stripMargin
+
   /** CTEs replaying the sign-LSH bucketing + 1-bit multiprobe candidates. */
   private def lshCandidateCtes: String =
     s"""planes(h, pl) AS (VALUES $lshPlanesValues),
@@ -1369,34 +1389,15 @@ object SparkEntry {
         |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn)), 4) AS cosine
         |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn)) DESC, vec_id ASC LIMIT 10""".stripMargin,
 
-    // replays both phases exactly: quantization arithmetic (the
-    // embedding_quantize contract), integer-exact coarse cosine ordering,
+    // replays both phases exactly: quantization arithmetic + integer-
+    // exact coarse candidate ordering (the shared quantizeCandCtes),
     // then the float re-rank restricted to the candidate ids
     "ann_quantized_topk" ->
-      """WITH b AS (SELECT vec_id,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
-        |             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
-        |           FROM embeddings),
-        |qz AS (SELECT vec_id, CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
-        |            ELSE list_transform(e, x -> floor(x * 127.0 / m + 0.5)) END AS qv
-        |       FROM b),
-        |qq AS (SELECT unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM qz WHERE vec_id = 0),
-        |eu AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS i FROM qz),
-        |cd AS (SELECT eu.vec_id, sum(eu.v * qq.v) AS dot, sqrt(sum(eu.v * eu.v)) AS ne
-        |       FROM eu JOIN qq USING (i) GROUP BY eu.vec_id),
-        |qn AS (SELECT sqrt(sum(v * v)) AS nq FROM qq),
-        |cand AS (SELECT vec_id FROM cd, qn WHERE ne > 0 AND nq > 0
-        |         ORDER BY dot / (ne * nq) DESC, vec_id ASC LIMIT 50),
-        |q AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS v
-        |      FROM embeddings WHERE vec_id = 0),
-        |e AS (SELECT embeddings.vec_id, generate_subscripts(embedding, 1) AS i,
-        |             CAST(unnest(embedding) AS DOUBLE) AS v
-        |      FROM embeddings JOIN cand USING (vec_id)),
-        |d AS (SELECT e.vec_id, sum(e.v * q.v) AS dot, sqrt(sum(e.v * e.v)) AS ne
-        |      FROM e JOIN q USING (i) GROUP BY e.vec_id),
-        |qn2 AS (SELECT sqrt(sum(v * v)) AS nq FROM q)
-        |SELECT vec_id, round(dot / (ne * (SELECT nq FROM qn2)), 4) AS cosine
-        |FROM d ORDER BY dot / (ne * (SELECT nq FROM qn2)) DESC, vec_id ASC LIMIT 10""".stripMargin,
+      s"""WITH ${quantizeCandCtes(50)},
+         |q AS (SELECT e AS qe FROM qz WHERE vec_id = 0)
+         |SELECT vec_id, round(cos, 4) AS cosine FROM (
+         |  SELECT qcand.vec_id, ${cosSql("e", "qe")} AS cos FROM qcand, q)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""WITH $lshCandidateCtes
@@ -1423,13 +1424,7 @@ object SparkEntry {
          |ivf_top AS (
          |  SELECT vec_id FROM (SELECT ivf_cand.vec_id, ${cosSql("e", "qe")} AS cos FROM ivf_cand, q)
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
-         |qzm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM emb),
-         |qz AS (SELECT vec_id, e, CASE WHEN m = 0 THEN list_transform(e, x -> 0.0)
-         |            ELSE list_transform(e, x -> floor(x * 127.0 / m + 0.5)) END AS qv FROM qzm),
-         |qzq AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
-         |qcand AS (SELECT qz.vec_id, qz.e FROM qz, qzq
-         |          WHERE list_dot_product(qv, qv) > 0 AND list_dot_product(qqv, qqv) > 0
-         |          ORDER BY ${cosSql("qv", "qqv")} DESC, vec_id ASC LIMIT 50),
+         |${quantizeCandCtes(50)},
          |quant_top AS (
          |  SELECT vec_id FROM (SELECT qcand.vec_id, ${cosSql("e", "qe")} AS cos FROM qcand, q)
          |  ORDER BY cos DESC, vec_id ASC LIMIT 10)
@@ -1472,8 +1467,10 @@ object SparkEntry {
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
 
+    // coalesce(text,'') mirrors WordShingles' NULL → [""] contract (same
+    // rationale as text_novelty)
     "dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,
         |         CASE WHEN len(ws) >= 3
         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),

@@ -262,12 +262,17 @@ object Similarity {
     val qq = if (m == 0.0) query.map(_ => 0.0)
              else query.map(x => math.floor(x.toDouble * 127.0 / m + 0.5))
     val qlit = array(qq.toSeq.map(lit): _*)
+    // zero-norm vectors (and everything, under a zero-norm query) have no
+    // cosine ranking — excluded outright rather than trailing as NULLs,
+    // matching the oracle's ne > 0 AND nq > 0 contract
     val coarse = embs
       .select(col(idCol), col(embCol), VectorOps.vectorCosine(qd, qlit).as("__qcos"))
-      .orderBy(col("__qcos").desc_nulls_last, col(idCol).asc)
+      .filter(col("__qcos").isNotNull)
+      .orderBy(col("__qcos").desc, col(idCol).asc)
       .limit(candidates)
     coarse.select(col(idCol), cosineToQuery(col(embCol), query).as("cosine"))
-      .orderBy(col("cosine").desc_nulls_last, col(idCol).asc)
+      .filter(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
 }

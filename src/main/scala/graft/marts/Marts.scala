@@ -59,6 +59,8 @@ object Marts {
   def mergeRollup(existing: DataFrame, delta: DataFrame, keys: Seq[String],
                   addCols: Seq[String],
                   mergeWith: Map[String, Column => Column] = Map.empty): DataFrame = {
+    require(addCols.nonEmpty || mergeWith.nonEmpty,
+      "mergeRollup needs at least one measure column")
     val valCols = addCols ++ mergeWith.keys
     val e = existing.select((keys ++ valCols).map(col): _*)
     val d = delta.select((keys ++ valCols).map(col): _*)

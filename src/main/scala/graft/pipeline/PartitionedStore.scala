@@ -46,19 +46,25 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     * cadence. A content-hash salt spreads each partition over several
     * writers so a huge partition never serializes onto one task.
     *
-    * `filesPerPartition = 0` (default) sizes the salt from Catalyst's
-    * plan-stats size estimate at ~512 MB per writer, clamped to the
-    * shuffle-partition count — a small merge batch writes one file per
-    * partition, a 100 TB initial snapshot keeps full write parallelism.
-    * Pin it explicitly when the estimate is unavailable or wrong. */
-  private def clustered(df: DataFrame): DataFrame = {
+    * `filesPerPartition = 0` (default) sizes the salt at ~512 MB per
+    * writer from `sizeHint` bytes, clamped to the shuffle-partition
+    * count — a small merge batch writes one file per partition, a 100 TB
+    * initial snapshot keeps full write parallelism. The hint is taken
+    * from SCAN-shaped plans only (callers pass the sum of the join
+    * inputs for a merge): Catalyst's size-only estimate for a join plan
+    * is the PRODUCT of its children, which would saturate the clamp on
+    * every 5-minute batch and reinstate the small-files fanout. Pin
+    * `filesPerPartition` explicitly when no honest estimate exists. */
+  private def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private def clustered(df: DataFrame, sizeHint: => BigInt): DataFrame = {
     val n =
       if (filesPerPartition > 0) filesPerPartition
       else {
-        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val perWriter = BigInt(512L * 1024 * 1024)
         val cap = BigInt(spark.sessionState.conf.numShufflePartitions)
-        ((bytes / perWriter + 1).min(cap).max(1)).toInt
+        ((sizeHint / perWriter + 1).min(cap).max(1)).toInt
       }
     if (n == 1) df.repartition(col(partitionCol))
     else df.repartition(col(partitionCol),
@@ -67,7 +73,7 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
 
   /** Initial load / full snapshot (M3). */
   def snapshot(df: DataFrame): Unit =
-    clustered(df).write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+    clustered(df, planBytes(df)).write.mode("overwrite").partitionBy(partitionCol).parquet(root)
 
   /** Values present in a batch — drives partition pruning and the swap. */
   private def partitionValues(df: DataFrame): Seq[String] =
@@ -121,7 +127,10 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     // Each swap is backup-rename-delete, so a crash mid-swap leaves a
     // recoverable `.swap_` backup rather than a missing partition.
     val stage = s"$root/.staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    clustered(merged).write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
+    // size hint = sum of the merge's scan inputs, NOT the join plan's
+    // product-shaped estimate (see clustered)
+    clustered(merged, planBytes(target) + planBytes(source))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(stage)
     try {
       val stagedDirs = fs.listStatus(new Path(stage)).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
@@ -157,7 +166,8 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     val prev = spark.conf.getOption(conf)
     try {
       spark.conf.set(conf, "dynamic")
-      clustered(source).write.mode("overwrite").partitionBy(partitionCol).parquet(root)
+      clustered(source, planBytes(source))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(root)
     } finally prev.fold(spark.conf.unset(conf))(spark.conf.set(conf, _))
   }
 }

@@ -77,9 +77,15 @@ object StreamOps {
     * re-aggregation. `rollup` maps a raw batch to its partial aggregate
     * (keep sums in DECIMAL — the merge is exact, a double-cast partial
     * is not); `keys`/`addCols` name the rollup identity and its additive
-    * measures. Effectively-once: the store snapshot per batch is the
-    * idempotence boundary, and the checkpoint replays unprocessed files
-    * only. */
+    * measures.
+    *
+    * Effectively-once for real: an additive fold is NOT idempotent the
+    * way a latest-per-key merge is, so a crash between the snapshot and
+    * the checkpoint commit would re-fold the batch on restart and
+    * silently double-count. [[foldRollupBatch]] therefore stamps every
+    * stored row with the folding batch id — it travels ATOMICALLY with
+    * the snapshot (same versioned commit) — and a replayed batch id is
+    * detected and skipped. */
   def maintainRollup(stream: DataFrame, store: TableStore,
                      rollup: DataFrame => DataFrame,
                      keys: Seq[String], addCols: Seq[String],
@@ -87,15 +93,33 @@ object StreamOps {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = rollup(batch)
-        val merged = store.read match {
-          case Some(prior) => graft.marts.Marts.mergeRollup(prior, delta, keys, addCols)
-          case None => delta
-        }
-        store.snapshot(merged); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldRollupBatch(store, batch, batchId, rollup, keys, addCols); ()
       }
       .start()
     q.awaitTermination()
+  }
+
+  private[streaming] val BatchCol = "__last_batch"
+
+  /** One idempotent fold: skip if `batchId` was already applied (its
+    * stamp is read back from the stored rows — max equals the id of the
+    * last applied batch because ids are checkpoint-monotonic). Exposed
+    * package-private so the replay contract is directly testable. */
+  private[streaming] def foldRollupBatch(store: TableStore, batch: DataFrame,
+      batchId: Long, rollup: DataFrame => DataFrame,
+      keys: Seq[String], addCols: Seq[String]): Unit = {
+    val prior = store.read
+    val lastApplied: Option[Long] = prior.flatMap { p =>
+      if (!p.columns.contains(BatchCol)) None
+      else Option(p.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long])
+    }
+    if (lastApplied.exists(_ >= batchId)) return // crash-replay: already folded
+    val delta = rollup(batch)
+    val merged = prior match {
+      case Some(p) => graft.marts.Marts.mergeRollup(p.drop(BatchCol), delta, keys, addCols)
+      case None => delta
+    }
+    store.snapshot(merged.withColumn(BatchCol, lit(batchId)))
   }
 }

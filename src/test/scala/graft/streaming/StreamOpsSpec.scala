@@ -62,6 +62,26 @@ class StreamOpsSpec extends SparkSpec {
       roll(all).select(col("k"), col("n"), col("total").cast("decimal(18,2)").as("total")))
   }
 
+  test("foldRollupBatch is replay-idempotent: a re-delivered batch id folds once") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("stream-ivm-replay").toString
+    val store = new TableStore(spark, s"$t/rollup")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"))
+    val batch = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    StreamOps.foldRollupBatch(store, batch, 0L, roll, Seq("k"), Seq("n"))
+    // crash-replay: the checkpoint never committed, batch 0 re-delivers
+    StreamOps.foldRollupBatch(store, batch, 0L, roll, Seq("k"), Seq("n"))
+    val counts = store.read.get.select("k", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 2L, "b" -> 1L), s"double-counted: $counts")
+    // the NEXT batch id still folds
+    StreamOps.foldRollupBatch(store, Seq(("a", 9)).toDF("k", "v"), 1L, roll, Seq("k"), Seq("n"))
+    val after = store.read.get.select("k", "n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("watermarked windowed counts over a drained stream") {
     val t = Files.createTempDirectory("stream2").toString
     val inbox = s"$t/inbox"
