@@ -810,6 +810,25 @@ object SparkEntry {
           Links.urlCount(col("t")).as("n_urls"),
           Links.firstHost(col("t")).as("first_host"))),
 
+    "url_canonical" -> ((s, d) => {
+      // canonicalization over four planted messy-URL shapes: cased
+      // scheme/host, fragments, utm/gclid params in every position,
+      // trailing slashes — two scrapes differing only in tracking noise
+      // must collapse to one key
+      val k = pmod(col("doc_id"), lit(7)).cast("string")
+      val m = pmod(col("doc_id"), lit(4))
+      val messy = when(m === 0,
+          concat(lit("HTTPS://Site"), k, lit(".Example.ORG/Path/?utm_source=x&utm_campaign=y")))
+        .when(m === 1,
+          concat(lit("http://a"), k, lit(".example.com/p?a=1&utm_medium=email&b=2#frag")))
+        .when(m === 2,
+          concat(lit("http://b"), k, lit(".example.com/?utm_source=t")))
+        .otherwise(concat(lit("http://c"), k, lit(".example.com/x?gclid=abc&q=2")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"), col("url"), Links.canonicalUrl(col("url")).as("canonical"))
+    }),
+
     "url_domain_counts" -> ((s, d) =>
       // per-domain corpus histogram — the input to domain caps/blocklists
       Tables.documents(s, d)
@@ -1685,6 +1704,26 @@ object SparkEntry {
          | CAST(len(regexp_extract_all(t, '(?i)https?://\\S+')) AS BIGINT) AS n_urls,
          | regexp_extract(regexp_extract_all(t, '(?i)https?://\\S+')[1], '(?i)https?://([^/\\s:]+)', 1) AS first_host
          |FROM (SELECT doc_id, $plantedUrlSql AS t FROM documents)""".stripMargin,
+
+    // replays canonicalUrl's regex chain in RE2: 'g' makes DuckDB's
+    // regexp_replace global like Spark's, and backrefs are \1 not $1
+    "url_canonical" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.ORG/Path/?utm_source=x&utm_campaign=y'
+        |       WHEN doc_id % 4 = 1 THEN 'http://a' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p?a=1&utm_medium=email&b=2#frag'
+        |       WHEN doc_id % 4 = 2 THEN 'http://b' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/?utm_source=t'
+        |       ELSE 'http://c' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/x?gclid=abc&q=2' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '', 'g') AS nf FROM m),
+        |s2 AS (SELECT doc_id, url,
+        |         lower(regexp_extract(nf, '^((?i)https?://[^/\s?]*)', 1))
+        |           || regexp_replace(nf, '^(?i)https?://[^/\s?]*', '') AS joined
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, url,
+        |         regexp_replace(joined, '(?i)[?&](?:utm_[a-z]+|gclid|fbclid|ref)=[^&#\s]*', '', 'g') AS nt
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, url, regexp_replace(nt, '^([^?&]*)&', '\1?') AS fq FROM s3)
+        |SELECT doc_id, url, regexp_replace(fq, '([^/])/$', '\1') AS canonical FROM s4""".stripMargin,
 
     "url_domain_counts" ->
       s"""SELECT regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1) AS domain, count(*) AS n

@@ -47,6 +47,30 @@ object Links {
       .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
   }
 
+  /** Canonical URL for dedup keying: lowercase the scheme+host, strip
+    * the fragment, drop known tracking query parameters (utm_*, gclid,
+    * fbclid, ref), drop a then-empty `?`, and trim one trailing slash
+    * from a non-root path. Two scrapes of the same page differing only
+    * in campaign noise collapse to one key — the standard first pass of
+    * web-corpus URL dedup. Pure regex chain: codegen'd, shuffle-free,
+    * dialect-portable (no lookbehind). */
+  def canonicalUrl(url: Column): Column = {
+    val noFragment = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://host; path and query keep their case
+    val schemeHost = lower(regexp_extract(noFragment, "^((?i)https?://[^/\\s?]*)", 1))
+    val rest = regexp_replace(noFragment, "^(?i)https?://[^/\\s?]*", "")
+    val full = concat(schemeHost, rest)
+    // each tracking param is removed WITH its preceding separator; if the
+    // first surviving param then dangles after the path on a '&', promote
+    // that first '&' to '?' ([^?&]* cannot cross an existing '?', so a
+    // well-formed query is left alone)
+    val noTrack = regexp_replace(full,
+      "(?i)[?&](?:utm_[a-z]+|gclid|fbclid|ref)=[^&#\\s]*", "")
+    val fixedQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    // one trailing slash off a non-root path
+    regexp_replace(fixedQ, "([^/])/$", "$1")
+  }
+
   /** Drop documents containing a link to any blocked host — the
     * blocklist filter. The predicate is a codegen'd `exists` over the
     * extracted URL array; the blocklist broadcasts as a literal set

@@ -55,4 +55,28 @@ class LinksSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(kept2.toSeq == Seq(2L))
   }
+
+  test("canonicalUrl: case, fragments, tracking params, trailing slash") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme+host lowercase; path case preserved; trailing slash off
+      ("HTTPS://Site.Example.ORG/Path/?utm_source=x&utm_campaign=y",
+       "https://site.example.org/Path"),
+      // tracking param removed mid-query; fragment stripped
+      ("http://a.example.com/p?a=1&utm_medium=email&b=2#frag",
+       "http://a.example.com/p?a=1&b=2"),
+      // only-tracking query collapses; root slash trimmed after host
+      ("http://b.example.com/?utm_source=t", "http://b.example.com"),
+      // leading tracking param: surviving param promoted to '?'
+      ("http://c.example.com/x?gclid=abc&q=2", "http://c.example.com/x?q=2"),
+      // nothing to do stays identical
+      ("http://plain.example.com/x?q=1", "http://plain.example.com/x?q=1"),
+      // ref and fbclid are tracking too
+      ("http://d.example.com/y?ref=hn&fbclid=z&keep=1", "http://d.example.com/y?keep=1")
+    )
+    val got = cases.map(_._1).toDF("url")
+      .select(Links.canonicalUrl(col("url")).as("c")).as[String].collect().toSeq
+    assert(got == cases.map(_._2),
+      got.zip(cases.map(_._2)).filter(p => p._1 != p._2).toString)
+  }
 }
