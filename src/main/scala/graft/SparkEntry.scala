@@ -742,6 +742,12 @@ object SparkEntry {
       // input)
       Terms.lengthHistogram(Tables.documents(s, d), "text")),
 
+    "source_overlap" -> ((s, d) =>
+      // pairwise shingle Jaccard between sources — the mirrored-corpus
+      // radar; zero-overlap pairs are omitted by contract
+      Terms.groupOverlap(Tables.documents(s, d), "source", "text")
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
     "contamination" -> ((s, d) => {
       // eval-set decontamination: every 10th doc plays the benchmark set;
       // pairs where >=50% of the eval doc's 3-grams appear in a train doc
@@ -1066,6 +1072,24 @@ object SparkEntry {
         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
         |SELECT sh.doc_id, round(avg(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
         |FROM sh JOIN df USING (s) GROUP BY sh.doc_id""".stripMargin,
+
+    "source_overlap" ->
+      """WITH d AS (SELECT source, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh0 AS (SELECT source,
+        |          unnest(CASE WHEN len(ws) >= 3
+        |               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                      i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |               ELSE [array_to_string(ws, ' ')] END) AS s
+        |        FROM d),
+        |sh AS (SELECT DISTINCT source, s FROM sh0),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (SELECT a.source AS ga, b.source AS gb, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT ga, gb, round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes na ON na.source = inter.ga
+        |JOIN sizes nb ON nb.source = inter.gb""".stripMargin,
 
     "text_length_hist" ->
       """SELECT CASE WHEN n <= 0 THEN -1

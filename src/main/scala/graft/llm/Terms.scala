@@ -81,6 +81,29 @@ object Terms {
       .agg(avg(when(col("__df") === 1, 1.0).otherwise(0.0)).as("novelty"))
   }
 
+  /** Pairwise shingle-set Jaccard between document groups (sources,
+    * snapshots, languages) — the corpus-mix diagnostic that surfaces
+    * mirrored/re-scraped sources before they skew a training mix. Pairs
+    * with zero overlap are omitted. Scale shape: the self-join is keyed
+    * on the shingle, so per-shingle fan-out is bounded by group-pair
+    * count (G²), never corpus size — G is small by definition. */
+  def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val sh = Dedup.parallelize(docs).select(col(groupCol).as("g"),
+        explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+      .distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
+    val inter = sh.toDF("ga", "__sh").join(sh.toDF("gb", "__sh"), Seq("__sh"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.toDF("ga", "__na"), "ga")
+      .join(sizes.toDF("gb", "__nb"), "gb")
+      .select(col("ga"), col("gb"),
+        (col("__i").cast("double") /
+          (col("__na") + col("__nb") - col("__i")).cast("double")).as("jaccard"))
+  }
+
   /** Power-of-two token-length histogram: bucket = floor(log2(tokens)),
     * with empty docs in bucket -1. The one-line corpus shape summary a
     * packing/batching configuration starts from (sequence-length budget,

@@ -50,6 +50,21 @@ class TermsSpec extends SparkSpec {
     assert(nov(1L) == 0.0 && nov(2L) == 0.0 && nov(3L) == 1.0)
   }
 
+  test("groupOverlap: identical groups score 1, disjoint pairs are omitted") {
+    val corpus = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon"),
+      (2L, "s2", "alpha beta gamma delta epsilon"),  // mirror of s1
+      (3L, "s3", "entirely different shingle material here"),
+      (4L, "s4", "alpha beta gamma zeta eta")        // partial overlap with s1/s2
+    ).toDF("doc_id", "source", "text")
+    val out = Terms.groupOverlap(corpus, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("s1", "s2")) == 1.0)
+    assert(!out.keySet.exists(p => p._1 == "s3" || p._2 == "s3"), out.toString)
+    // s1 has 3 shingles, s4 has 3, they share exactly "alpha beta gamma"
+    assert(math.abs(out(("s1", "s4")) - 1.0 / 5.0) < 1e-12)
+  }
+
   test("lengthHistogram buckets by floor(log2(tokens)), empty docs at -1") {
     val corpus = Seq(
       (1L, "one"),                       // 1 token  → bucket 0
