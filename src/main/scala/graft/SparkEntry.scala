@@ -1101,7 +1101,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "text_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws
         |           FROM documents WHERE doc_id < 3),
         |sh AS (SELECT doc_id,
         |         list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -1491,8 +1491,10 @@ object SparkEntry {
     // as a mismatch — triage that as EXPECTED recall loss (check whether
     // the missing doc_id's best Jaccard sits near the threshold), not as a
     // code regression.
+    // coalesce(text,'') everywhere a shingle oracle tokenizes: Spark's
+    // WordShingles maps NULL text to [""], so the oracle must too
     "dedup_neardup" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,
         |         CASE WHEN len(ws) >= 3
         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -1536,7 +1538,7 @@ object SparkEntry {
       // smaller than the target node keeps flowing until the component
       // minimum reaches every member (UNION dedup bounds the walk to
       // distinct (id,label) pairs, so the recursion terminates).
-      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,
         |         CASE WHEN len(ws) >= 3
         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -1637,7 +1639,7 @@ object SparkEntry {
         |GROUP BY split""".stripMargin,
 
     "contamination" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,
         |         CASE WHEN len(ws) >= 3
         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
@@ -1747,7 +1749,7 @@ object SparkEntry {
         |         regexp_replace(joined, '(?i)[?&](?:utm_[a-z]+|gclid|fbclid|ref)=[^&#\s]*', '', 'g') AS nt
         |       FROM s2),
         |s4 AS (SELECT doc_id, url, regexp_replace(nt, '^([^?&]*)&', '\1?') AS fq FROM s3)
-        |SELECT doc_id, url, regexp_replace(fq, '([^/])/$', '\1') AS canonical FROM s4""".stripMargin,
+        |SELECT doc_id, url, regexp_replace(fq, '^([^?]*[^/?])/$', '\1') AS canonical FROM s4""".stripMargin,
 
     "url_domain_counts" ->
       s"""SELECT regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1) AS domain, count(*) AS n

@@ -67,8 +67,10 @@ object Links {
     val noTrack = regexp_replace(full,
       "(?i)[?&](?:utm_[a-z]+|gclid|fbclid|ref)=[^&#\\s]*", "")
     val fixedQ = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
-    // one trailing slash off a non-root path
-    regexp_replace(fixedQ, "([^/])/$", "$1")
+    // one trailing slash off a non-root PATH — the [^?]* anchor keeps the
+    // trim from firing on a URL with a query, whose final '/' belongs to
+    // a parameter VALUE (?next=/home/), not the path
+    regexp_replace(fixedQ, "^([^?]*[^/?])/$", "$1")
   }
 
   /** Drop documents containing a link to any blocked host — the

@@ -89,9 +89,14 @@ object Terms {
     * count (G²), never corpus size — G is small by definition. */
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
+    // cut the lineage: sh feeds both self-join sides AND the sizes
+    // aggregate — without the checkpoint the corpus-wide explode+distinct
+    // shuffle runs again for sizes (the join sides alone get a
+    // ReusedExchange, the differently-shaped aggregate does not)
     val sh = Dedup.parallelize(docs).select(col(groupCol).as("g"),
         explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
       .distinct()
+      .localCheckpoint(false)
     val sizes = sh.groupBy("g").agg(count(lit(1)).as("n"))
     val inter = sh.toDF("ga", "__sh").join(sh.toDF("gb", "__sh"), Seq("__sh"))
       .filter(col("ga") < col("gb"))

@@ -42,10 +42,25 @@ final class TableStore(spark: SparkSession, root: String) {
     read.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schemaOf.schema))
 
-  /** M3 — snapshot replace: the new frame becomes the next version. */
+  /** M3 — snapshot replace: the new frame becomes the next version.
+    *
+    * Committed by ATOMIC RENAME: the frame fully materializes in a
+    * `.tmp_` staging dir, then one directory rename installs `v=N`.
+    * A crash mid-write leaves only an orphaned staging dir that
+    * [[versions]] never lists and the next snapshot sweeps — readers
+    * (and anything trusting read-back state, e.g. the streaming
+    * rollup's replay stamp) can never observe a torn version. */
   def snapshot(df: DataFrame): Int = {
+    val rootP = new Path(root)
+    if (fs.exists(rootP)) // sweep staging dirs orphaned by earlier crashes
+      fs.listStatus(rootP).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp_v="))
+        .foreach(s => fs.delete(s.getPath, true))
     val v = latestVersion.getOrElse(0) + 1
-    df.write.mode("overwrite").parquet(s"$root/v=$v")
+    val tmp = new Path(s"$root/.tmp_v=$v")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, new Path(s"$root/v=$v")))
+      throw new java.io.IOException(s"failed to commit version $v of $root")
     v
   }
 

@@ -112,9 +112,21 @@ object StreamOps {
     val prior = store.read
     val lastApplied: Option[Long] = prior.flatMap { p =>
       if (!p.columns.contains(BatchCol)) None
-      else Option(p.agg(max(col(BatchCol))).head().get(0)).map(_.asInstanceOf[Long])
+      // every row carries the SAME stamp — one row answers it, no
+      // full-store aggregation per tick
+      else p.select(col(BatchCol)).limit(1).collect()
+        .headOption.map(_.getLong(0))
     }
-    if (lastApplied.exists(_ >= batchId)) return // crash-replay: already folded
+    // a legitimate crash-replay re-delivers exactly the last applied id;
+    // anything OLDER means the checkpoint was lost or replaced while the
+    // store survived — folding would silently never resume (every new id
+    // restarts from 0 and skips), so fail loudly instead
+    if (lastApplied.exists(_ > batchId))
+      throw new IllegalStateException(
+        s"rollup store has batch ${lastApplied.get} but the stream delivered " +
+        s"$batchId — checkpoint and store are out of step (was the checkpoint " +
+        "directory deleted?); point the query at a fresh store or restore the checkpoint")
+    if (lastApplied.contains(batchId)) return // crash-replay: already folded
     val delta = rollup(batch)
     val merged = prior match {
       case Some(p) => graft.marts.Marts.mergeRollup(p.drop(BatchCol), delta, keys, addCols)

@@ -72,7 +72,11 @@ class LinksSpec extends SparkSpec {
       // nothing to do stays identical
       ("http://plain.example.com/x?q=1", "http://plain.example.com/x?q=1"),
       // ref and fbclid are tracking too
-      ("http://d.example.com/y?ref=hn&fbclid=z&keep=1", "http://d.example.com/y?keep=1")
+      ("http://d.example.com/y?ref=hn&fbclid=z&keep=1", "http://d.example.com/y?keep=1"),
+      // a '/' ending a query VALUE is not a trailing path slash
+      ("http://x.example.com/login?next=/home/", "http://x.example.com/login?next=/home/"),
+      // root '//' is left alone (no non-slash char precedes it)
+      ("http://r.example.com//", "http://r.example.com//")
     )
     val got = cases.map(_._1).toDF("url")
       .select(Links.canonicalUrl(col("url")).as("c")).as[String].collect().toSeq
