@@ -721,6 +721,14 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    "sample_domain_cap" -> ((s, d) =>
+      // corpus balancing: at most 10 docs per (source, lang), longest
+      // first, doc_id as the total-order tie-break
+      graft.llm.Sampling.capPerGroup(Tables.documents(s, d),
+          Seq("source", "lang"),
+          Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
+        .select("doc_id", "source", "lang", "n_chars")),
+
     "sample_weighted" -> ((s, d) =>
       // quality-weighted corpus mix: keep docs with probability
       // n_chars/400 (clamped) — every decision replayed by the oracle
@@ -1052,6 +1060,14 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(user_n) AS BIGINT) AS sum_user_n
         |FROM events JOIN dim USING (user_id)
         |GROUP BY event_type""".stripMargin,
+
+    "sample_domain_cap" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |         row_number() OVER (PARTITION BY source, lang
+        |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
 
     "sample_weighted" ->
       """SELECT lang, count(*) AS n FROM documents

@@ -45,6 +45,19 @@ object Sampling {
         (lit(seed) +: keyCols.map(c => coalesce(c.cast("string"), lit("__null__")))): _*)),
       1, 4), 16, 10).cast("long")
 
+  /** Cap rows per group: keep the first `n` rows of each group in
+    * `order` — per-domain/per-source document caps, the corpus-balancing
+    * pass that stops one mirror-heavy site from dominating a training
+    * mix. Supply a TOTAL order (tie-break on a unique id) or the kept
+    * set is layout-dependent. One shuffle on the group key. */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                  n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(order.nonEmpty, "capPerGroup needs an explicit total order")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
   /** Deterministic weighted Bernoulli: keep each row with probability
     * `weight` (clamped to [0,1]), decided by the engine-neutral
     * [[md5Bucket]] of its key columns — the domain-reweighting primitive

@@ -58,6 +58,24 @@ class SamplingSpec extends SparkSpec {
     assert(split.filter(col("id") === 7).select("split").head().getString(0) == expected)
   }
 
+  test("capPerGroup keeps exactly the top-n per group by the given order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", 50L), (2L, "s1", 90L), (3L, "s1", 70L), (4L, "s1", 90L),
+      (5L, "s2", 10L)
+    ).toDF("id", "src", "len")
+    val kept = Sampling.capPerGroup(docs, Seq("src"),
+        Seq(col("len").desc, col("id").asc), n = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    // s1: len 90 (ids 2,4 — tie broken by id) beat 70/50; s2 keeps its one
+    assert(kept == Seq(2L, 4L, 5L))
+    // layout independence via the total order
+    val again = Sampling.capPerGroup(docs.repartition(7), Seq("src"),
+        Seq(col("len").desc, col("id").asc), n = 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept)
+  }
+
   test("weightedSample: clamp edges, monotonicity, replay stability") {
     import spark.implicits._
     val docs = (0L until 1000L).map(i => (i, (i % 11).toDouble / 10.0)).toDF("id", "w")
