@@ -71,6 +71,24 @@ class PipelineSpec extends SparkSpec {
     assert(store.versions == Seq(3))
   }
 
+  test("TableStore: a torn staging dir is invisible to readers and swept") {
+    val root = Files.createTempDirectory("store-torn").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.snapshot(Seq((1L, "a")).toDF("k", "v"))
+    // simulate a crash mid-write of v=2: a staging dir with partial junk
+    val torn = new java.io.File(s"$root/.tmp_v=2")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-junk"), Array[Byte](1, 2, 3))
+    // readers still see only the committed version
+    assert(store.versions == Seq(1))
+    assert(canon(store.read.get) == Seq(Seq("1", "a")))
+    // the next snapshot sweeps the orphan and commits cleanly as v=2
+    store.snapshot(Seq((2L, "b")).toDF("k", "v"))
+    assert(store.versions == Seq(1, 2))
+    assert(canon(store.read.get) == Seq(Seq("2", "b")))
+    assert(!torn.exists())
+  }
+
   test("failed window logs a failure row and rethrows") {
     val lay = layout()
     // (renaming or dropping the cursor would NOT fail — Spark resolves
