@@ -170,6 +170,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("user_n")).as("sum_user_n"))
     }),
 
+    "q4_priority_semi" -> ((s, d) =>
+      // TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join — the
+      // probe side never duplicates order rows however many lineitems
+      // match
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+        .join(Tables.lineitem(s, d).filter(col("l_discount") >= 0.08).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))),
+
+    "q6_forecast_revenue" -> ((s, d) =>
+      // TPC-H Q6 shape: the selective conjunctive filter should reach the
+      // parquet scan (PlanSpec asserts PushedFilters engine-wide)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+                col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(decSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+             count(lit(1)).as("n"))),
+
     "j1_region_summary" -> ((s, d) => {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -1047,6 +1066,21 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type,
