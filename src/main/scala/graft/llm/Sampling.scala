@@ -25,14 +25,12 @@ object Sampling {
 
   /** Fixed-size per-stratum sample: the n rows with the lowest seeded
     * hash per stratum (bottom-k-by-hash ≡ uniform without replacement).
-    * One shuffle on the strata key. */
+    * One shuffle on the strata key — [[capPerGroup]] with the content
+    * hash as the total order. */
   def stratifiedFixedSample(df: DataFrame, strataCols: Seq[String], n: Int,
-                            seed: Long = 42L): DataFrame = {
-    require(n > 0, "n must be positive")
-    val w = Window.partitionBy(strataCols.map(col).toSeq: _*)
-      .orderBy(xxhash64((lit(seed) +: df.columns.map(col).toSeq): _*).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
-  }
+                            seed: Long = 42L): DataFrame =
+    capPerGroup(df, strataCols,
+      Seq(xxhash64((lit(seed) +: df.columns.map(col).toSeq): _*).asc), n)
 
   /** 16-bit engine-neutral content bucket in [0, 65536): the first four
     * hex chars of md5 over the seed-salted key columns. md5 (unlike
@@ -54,8 +52,12 @@ object Sampling {
                   n: Int): DataFrame = {
     require(n > 0, "n must be positive")
     require(order.nonEmpty, "capPerGroup needs an explicit total order")
+    // collision-proof rank column: never clobbers caller data that
+    // happens to carry the same name (deterministic pick, not a UUID, so
+    // repeated builds produce identical plans)
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) <= n).drop(rn)
   }
 
   /** Deterministic weighted Bernoulli: keep each row with probability

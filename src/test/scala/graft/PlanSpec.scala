@@ -45,6 +45,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q4 plans a left-semi join; q6's conjunctive filter reaches the scan") {
+    val q4 = planOf(SparkEntry.queries("q4_priority_semi")(spark, sf))
+    assert(q4.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join: $q4")
+    // the PushedFilters list is length-truncated in plan strings — assert
+    // on a prefix that survives the cut
+    val q6 = planOf(SparkEntry.queries("q6_forecast_revenue")(spark, sf))
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)") &&
+      q6.contains("GreaterThanOrEqual(l_shipda"),
+      s"q6 predicates not pushed to the scan: $q6")
+  }
+
   test("contamination broadcasts the eval side; aggregation is partial+final") {
     val plan = planOf(SparkEntry.queries("contamination")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast: $plan")
