@@ -454,6 +454,68 @@ object SparkEntry {
         .select(col("event_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("value"))
     }),
 
+    // ── dbt-parity SQL-model layer (reference dbt/ project) ───────────
+    "dbt_staging_view" -> ((s, d) => {
+      // the staging cleanse view of stg_casreport__v_prd_srv.sql:9-26 —
+      // TRIM + NOT NULL key filter + updated-at stamp — executed from
+      // MODEL TEXT through SqlModelRunner (view = pure Catalyst, zero IO)
+      val r = new graft.models.SqlModelRunner(s, s"$fixtureRoot/dbt_stg")
+      r.addSource("ods", "events", Tables.events(s, d))
+      r.addModel("stg_events",
+        """{{ config(materialized='view', schema='staging') }}
+          |WITH source_data AS (
+          |    SELECT * FROM {{ source('ods', 'events') }}
+          |),
+          |cleaned_data AS (
+          |    SELECT event_id, user_id, TRIM(event_type) AS event_type,
+          |           ts AS dbt_updated_at, value
+          |    FROM source_data
+          |    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |)
+          |SELECT * FROM cleaned_data""".stripMargin,
+        graft.models.ModelTests(notNull = Seq("event_id", "user_id", "dbt_updated_at")))
+      r.run("stg_events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                unix_micros(col("dbt_updated_at")).as("updated_us"), col("value"))
+    }),
+
+    "dbt_incremental_mart" -> ((s, d) => {
+      // dim_casreport_services.sql:3-29 end-to-end: incremental mart with
+      // unique_key MERGE + is_incremental() max-watermark guard, built
+      // across TWO invocations (first-half history, then full history) —
+      // must hash-equal the one-shot full recompute (the oracle)
+      val root = s"$fixtureRoot/dbt_mart"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true) // fresh state per call
+      val r = new graft.models.SqlModelRunner(s, root)
+      r.addModel("stg_events",
+        """{{ config(materialized='view') }}
+          |SELECT event_id, user_id, ts AS dbt_updated_at, value
+          |FROM {{ source('ods', 'events') }}
+          |WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin)
+      r.addModel("dim_users",
+        """{{ config(materialized='incremental', unique_key='user_id', schema='marts') }}
+          |WITH staging_data AS (
+          |  SELECT user_id, event_id, dbt_updated_at, value,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY dbt_updated_at DESC, event_id DESC) AS rn
+          |  FROM {{ ref('stg_events') }})
+          |SELECT user_id, event_id, dbt_updated_at, value
+          |FROM staging_data
+          |WHERE rn = 1
+          |{% if is_incremental() %}
+          |  AND dbt_updated_at > (SELECT COALESCE(MAX(dbt_updated_at), TIMESTAMP '1900-01-01')
+          |                        FROM {{ this }})
+          |{% endif %}""".stripMargin,
+        graft.models.ModelTests(notNull = Seq("user_id"), unique = Seq("user_id")))
+      r.addSource("ods", "events", Tables.events(s, d).filter(col("ts") < ts("2024-01-15")))
+      r.run("dim_users") // run 1: initial load
+      r.addSource("ods", "events", Tables.events(s, d))
+      r.run("dim_users") // run 2: incremental merge above the watermark
+        .select(col("user_id"), col("event_id"),
+                unix_micros(col("dbt_updated_at")).as("updated_us"), col("value"))
+    }),
+
     // ── projection / scalar normalization (SURVEY §2.2) ───────────────
     "p123_project_blank_null" -> ((s, d) => {
       val c = Normalize.project(Tables.customer(s, d), Seq("c_custkey", "c_name", "c_acctbal"))
@@ -1382,6 +1444,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value * 3 AS value FROM events
         |WHERE strftime(ts, '%Y-%m-%d') = '2024-01-12'""".stripMargin,
+
+    "dbt_staging_view" ->
+      """SELECT event_id, user_id, TRIM(event_type) AS event_type,
+        | epoch_us(ts) AS updated_us, value
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+
+    // the incremental two-run build must be indistinguishable from the
+    // one-shot full recompute
+    "dbt_incremental_mart" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS updated_us, value
+        |FROM (SELECT user_id, event_id, ts, value,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) t
+        |WHERE rn = 1""".stripMargin,
 
     "p123_project_blank_null" ->
       "SELECT c_custkey, '' AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer",

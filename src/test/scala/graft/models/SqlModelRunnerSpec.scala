@@ -1,0 +1,169 @@
+package graft.models
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SqlModelRunner — the dbt-parity layer. Mirrors the reference project's
+  * exact model shapes: a staging view cleanse
+  * (dbt/models/staging/casreport/stg_casreport__v_prd_srv.sql) and an
+  * incremental mart with the max-watermark guard
+  * (dbt/models/marts/casreport/dim_casreport_services.sql:24-29), plus the
+  * macros file (dbt/macros/transformations.sql) and schema tests
+  * (dbt/models/staging/casreport/schema.yml).
+  */
+class SqlModelRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val p = java.nio.file.Files.createTempDirectory("dbt_runner")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private val referenceStyleMacros =
+    """{% macro clean_text_field(column_name) %}
+      |    TRIM(REGEXP_REPLACE({{ column_name }}, '\r|\n|\x00', ''))
+      |{% endmacro %}
+      |{% macro handle_null_numeric(column_name, default_value=0) %}
+      |    COALESCE({{ column_name }}, {{ default_value }})
+      |{% endmacro %}
+      |{% macro get_current_timestamp() %}
+      |    CURRENT_TIMESTAMP
+      |{% endmacro %}""".stripMargin
+
+  test("config parsing: materialized / unique_key scalar and list / schema") {
+    val (c1, body) = ModelSql.extractConfig(
+      "{{ config(materialized='incremental', unique_key='k', schema='marts', on_schema_change='sync_all_columns') }}\nSELECT 1")
+    assert(c1 == ModelConfig("incremental", Seq("k"), Some("marts"), "sync_all_columns"))
+    assert(body.trim == "SELECT 1")
+    val (c2, _) = ModelSql.extractConfig("{{ config(unique_key=['a', 'b']) }} SELECT 1")
+    assert(c2.uniqueKey == Seq("a", "b"))
+  }
+
+  test("incremental blocks: kept when incremental, else-branch otherwise") {
+    val sql = "SELECT * FROM t {% if is_incremental() %}WHERE x > 1{% else %}WHERE 1=1{% endif %}"
+    assert(ModelSql.applyIncrementalBlocks(sql, incremental = true).contains("x > 1"))
+    assert(ModelSql.applyIncrementalBlocks(sql, incremental = false).contains("1=1"))
+    val noElse = "SELECT * FROM t {% if is_incremental() %}WHERE x > 1{% endif %}"
+    assert(!ModelSql.applyIncrementalBlocks(noElse, incremental = false).contains("x > 1"))
+  }
+
+  test("macro expansion: positional args, defaults, nested calls") {
+    val m = ModelSql.parseMacros(referenceStyleMacros)
+    assert(m.keySet == Set("clean_text_field", "handle_null_numeric", "get_current_timestamp"))
+    val out = ModelSql.expandMacros(
+      "SELECT {{ clean_text_field(name) }} AS name, {{ handle_null_numeric(v) }} AS v, {{ handle_null_numeric(w, -1) }} AS w", m)
+    assert(out.contains("TRIM(REGEXP_REPLACE(name,"))
+    assert(out.contains("COALESCE(v, 0)"))
+    assert(out.contains("COALESCE(w, -1)"))
+  }
+
+  test("view model: cleanse via macro, reads registered source, nothing written") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root, referenceStyleMacros)
+    r.addSource("staging", "svc", Seq(
+      ("  A1 ", "Express"), ("B2", "Standard\r"), (null, "Orphan")
+    ).toDF("code", "name"))
+    r.addModel("stg_svc",
+      """{{ config(materialized='view', schema='staging') }}
+        |{# cleanse mirrors stg_casreport__v_prd_srv.sql #}
+        |SELECT TRIM(code) AS code, {{ clean_text_field(name) }} AS name
+        |FROM {{ source('staging', 'svc') }}
+        |WHERE code IS NOT NULL""".stripMargin,
+      ModelTests(notNull = Seq("code"), unique = Seq("code")))
+    val out = r.run("stg_svc")
+    assert(canon(out) == Seq(Seq("A1", "Express"), Seq("B2", "Standard")).sortBy(_.mkString("|")))
+    // a view writes nothing
+    assert(r.store("stg_svc").versions.isEmpty)
+  }
+
+  test("table model: snapshot per run, versioned") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root)
+    r.addSource("ods", "t", Seq((1, "x")).toDF("id", "v"))
+    r.addModel("tbl", "{{ config(materialized='table') }} SELECT id, v FROM {{ source('ods', 't') }}")
+    r.run("tbl")
+    r.addSource("ods", "t", Seq((2, "y")).toDF("id", "v"))
+    val out = r.run("tbl")
+    assert(canon(out) == Seq(Seq("2", "y")))
+    assert(r.store("tbl").versions == Seq(1, 2))
+  }
+
+  test("incremental mart across two runs equals full recompute (watermark guard + unique_key merge)") {
+    val root = freshRoot()
+    def rows(upTo: Int) = (1 to upTo).flatMap(i =>
+      Seq((i.toLong % 5, i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"))))
+    val full = rows(40).toDF("k", "seq", "updated_at")
+
+    val stg =
+      """{{ config(materialized='view') }}
+        |SELECT k, seq, updated_at FROM {{ source('ods', 'ev') }} WHERE k IS NOT NULL""".stripMargin
+    val mart =
+      """{{ config(materialized='incremental', unique_key='k') }}
+        |WITH s AS (
+        |  SELECT k, seq, updated_at,
+        |         row_number() OVER (PARTITION BY k ORDER BY updated_at DESC, seq DESC) AS rn
+        |  FROM {{ ref('stg') }})
+        |SELECT k, seq, updated_at FROM s WHERE rn = 1
+        |{% if is_incremental() %}
+        |  AND updated_at > (SELECT COALESCE(MAX(updated_at), TIMESTAMP '1900-01-01') FROM {{ this }})
+        |{% endif %}""".stripMargin
+
+    val r = new SqlModelRunner(spark, root)
+    r.addModel("stg", stg)
+    r.addModel("mart", mart, ModelTests(unique = Seq("k"), notNull = Seq("k"), nonEmpty = true))
+    // run 1: first half of the history
+    r.addSource("ods", "ev", full.filter(col("seq") <= 20))
+    r.run("mart")
+    // run 2: full history — the watermark guard restricts the batch
+    r.addSource("ods", "ev", full)
+    val incremental = r.run("mart")
+
+    // oracle: one-shot full recompute of latest-per-key
+    val r2 = new SqlModelRunner(spark, freshRoot())
+    r2.addModel("stg", stg)
+    r2.addModel("mart", mart)
+    r2.addSource("ods", "ev", full)
+    assertSameRows(incremental, r2.run("mart"))
+    // two versions committed: initial snapshot + one merge
+    assert(r.store("mart").versions == Seq(1, 2))
+  }
+
+  test("incremental without unique_key appends") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root)
+    r.addModel("log", "{{ config(materialized='incremental') }} SELECT id FROM {{ source('ods', 's') }}")
+    r.addSource("ods", "s", Seq(1).toDF("id"))
+    r.run("log")
+    r.addSource("ods", "s", Seq(2).toDF("id"))
+    val out = r.run("log")
+    assert(canon(out) == Seq(Seq("1"), Seq("2")))
+  }
+
+  test("failing dbt test aborts the run") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addSource("ods", "dup", Seq((1, "a"), (1, "b")).toDF("id", "v"))
+    r.addModel("bad", "{{ config(materialized='view') }} SELECT * FROM {{ source('ods', 'dup') }}",
+      ModelTests(unique = Seq("id")))
+    val e = intercept[IllegalStateException](r.run("bad"))
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("model cycles and missing refs are rejected") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addModel("a", "SELECT * FROM {{ ref('b') }}")
+    r.addModel("b", "SELECT * FROM {{ ref('a') }}")
+    val e = intercept[Exception](r.run("a"))
+    assert(e.getMessage.contains("cycle"))
+    val r2 = new SqlModelRunner(spark, freshRoot())
+    r2.addModel("c", "SELECT * FROM {{ ref('nope') }}")
+    intercept[NoSuchElementException](r2.run("c"))
+  }
+
+  test("{{ this }} outside an incremental block fails clearly on first run") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addModel("m", "{{ config(materialized='incremental') }} SELECT * FROM {{ this }}")
+    val e = intercept[IllegalStateException](r.run("m"))
+    assert(e.getMessage.contains("first run"))
+  }
+}
