@@ -285,23 +285,97 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: band the 64-bit hash into 4×16-bit
-    * chunks; any pair agreeing on one chunk (≤3 differing chunks ⇒ hamming
-    * ≤ 48 worst-case, but in practice chunk-collision captures hamming ≤ 3
-    * pairs with certainty by pigeonhole) is a candidate; verify by exact
-    * hamming ≤ maxHamming. */
+  /** Block count for [[simhashPairs]] banding, sized so the EXPECTED band
+    * bucket population stays near `targetBucketSize` as the corpus grows —
+    * the same sizing contract as `Similarity.autoPlanes`.
+    *
+    * With `b` blocks over a `bits`-bit hash, a band key concatenates
+    * `b − maxHamming` blocks ⇒ key width ≈ `(b − maxHamming)·⌊bits/b⌋`
+    * and table count C(b, maxHamming) (Manku, Jain, Sarma, "Detecting
+    * Near-Duplicates for Web Crawling", WWW'07 §3). The naive 4×16-bit
+    * split keys on ONE 16-bit block — 65,536 buckets total, so at 10⁸ docs
+    * every bucket holds O(N/2¹⁶) members and the in-bucket self-join goes
+    * quadratic. Widening the key is the fix: b=6/h=3 keys on ~31 bits
+    * (2 × 10⁹ buckets) at the price of 20 band tables instead of 4.
+    * Returns the smallest b whose expected population meets the target,
+    * bounded by `maxTables` explode cost. */
+  def simhashBlocks(corpusSize: Long, maxHamming: Int = 3, bits: Int = 64,
+                    targetBucketSize: Long = 1024L, maxTables: Int = 64): Int = {
+    require(maxHamming >= 1 && bits > maxHamming, "need bits > maxHamming >= 1")
+    require(targetBucketSize > 0)
+    def choose(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+    def keyBits(b: Int): Int = (bits / b) * (b - maxHamming)
+    def popOk(b: Int): Boolean =
+      corpusSize.toDouble / math.pow(2.0, math.min(62, keyBits(b))) <= targetBucketSize.toDouble
+    var b = maxHamming + 1
+    while (!popOk(b) && b + 1 <= bits / 2 && choose(b + 1, maxHamming) <= maxTables) b += 1
+    b
+  }
+
+  /** Banded SimHash index: one row per (doc, band) with the band key the
+    * doc files under. `blocks` from [[simhashBlocks]]; every pair within
+    * hamming ≤ maxHamming shares at least one (band, bandHash) by
+    * pigeonhole — maxHamming flips touch at most maxHamming blocks, so
+    * some combination of `blocks − maxHamming` blocks is untouched and
+    * that combination is one of the C(blocks, maxHamming) band tables. */
+  def simhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bits: Int = 64,
+                   wordHash: Column => Column = xxhash64(_),
+                   blocks: Int = 6): DataFrame = {
+    require(blocks >= maxHamming + 1, s"need blocks >= maxHamming+1, got $blocks")
+    require(blocks <= bits, s"need blocks <= bits")
+    val base = bits / blocks
+    val extra = bits % blocks
+    val widths = (0 until blocks).map(i => base + (if (i < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockVal(i: Int): Column =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1L))
+    val bands = (0 until blocks).combinations(blocks - maxHamming).toSeq
+      .zipWithIndex.map { case (combo, k) =>
+        val key = combo.foldLeft(lit(0L): Column)((acc, i) =>
+          shiftleft(acc, widths(i)).bitwiseOR(blockVal(i)))
+        struct(lit(k).as("band"), key.as("bandHash"))
+      }
+    simhash(docs, idCol, textCol, bits, wordHash)
+      .select(col(idCol), col("simhash"), explode(array(bands: _*)).as("__b"))
+      .select(col(idCol), col("simhash"),
+              col("__b.band").as("band"), col("__b.bandHash").as("bandHash"))
+  }
+
+  /** Per-band bucket populations and their candidate-pair volume — the
+    * observability hook for the quadratic-bucket risk (the
+    * `Similarity.bucketStats` contract). */
+  def simhashBandStats(index: DataFrame): DataFrame =
+    index.groupBy("band", "bandHash").agg(count(lit(1)).as("n"))
+      .withColumn("candidate_pairs", col("n") * (col("n") - 1) / 2)
+
+  /** SimHash near-dup pairs: banded candidates (never all-pairs), verified
+    * by exact hamming ≤ maxHamming. With `blocks` sized via
+    * [[simhashBlocks]] recall is exact — every qualifying pair shares a
+    * band — so banding changes cost, not answers.
+    *
+    * `maxBucket > 0` caps each band bucket at its lowest-id members before
+    * the self-join — the deterministic degenerate-bucket guard (capping
+    * DROPS candidates; pair with [[simhashBandStats]] to see what). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val chunks = (0 until 4).map { k =>
-      struct(lit(k).as("band"),
-        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL).as("bandHash"))
-    }
-    val banded = sh.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("__b"))
-      .select(col(idCol), col("simhash"), col("__b.band"), col("__b.bandHash"))
-    val a = banded.toDF("ida", "sima", "band", "bandHash")
-    val b = banded.toDF("idb", "simb", "band", "bandHash")
-    a.join(b, Seq("band", "bandHash")).filter(col("ida") < col("idb"))
+                   maxHamming: Int = 3, bits: Int = 64,
+                   wordHash: Column => Column = xxhash64(_),
+                   blocks: Int = 0, targetBucketSize: Long = 1024L,
+                   maxBucket: Int = 0): DataFrame = {
+    val b = if (blocks > 0) blocks
+            else simhashBlocks(docs.count(), maxHamming, bits, targetBucketSize)
+    val idx0 = simhashIndex(docs, idCol, textCol, maxHamming, bits, wordHash, b)
+    val idx =
+      if (maxBucket <= 0) idx0
+      else {
+        val w = Window.partitionBy("band", "bandHash").orderBy(col(idCol).asc)
+        idx0.withColumn("__bn", row_number().over(w))
+          .filter(col("__bn") <= maxBucket).drop("__bn")
+      }
+    val a = idx.toDF("ida", "sima", "band", "bandHash")
+    val bt = idx.toDF("idb", "simb", "band", "bandHash")
+    a.join(bt, Seq("band", "bandHash")).filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"), hamming(col("sima"), col("simb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
