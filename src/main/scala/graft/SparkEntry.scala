@@ -643,6 +643,16 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
         bits = 60, wordHash = Dedup.portableWordHash)),
 
+    "dedup_simhash_pairs" -> ((s, d) =>
+      // banded near-dup pairs over the portable signatures. blocks=7
+      // exercises the general Manku-style machinery (variable 9/8-bit
+      // block widths, C(7,3)=35 band tables) while the oracle computes
+      // EXACT all-pairs hamming — a hash match proves banding changed
+      // cost, not answers (the pigeonhole recall claim).
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3, bits = 60, wordHash = Dedup.portableWordHash,
+        blocks = 7)),
+
     "dedup_incremental" -> ((s, d) => {
       // every 5th doc plays the new ingest batch screened against the
       // rest as the accumulated corpus; survivors = batch docs with no
@@ -1082,6 +1092,24 @@ object SparkEntry {
     s"""SELECT vec_id, round(cos, 4) AS cosine FROM (
        |  SELECT $candCte.vec_id, ${cosSql("e", "qe")} AS cos FROM $candCte, q)
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** CTEs replaying the portable 60-bit SimHash exactly — md5-derived
+    * token hashes (identical in any engine), one sign-sum per bit, then
+    * the bit reassembly, generated programmatically so the 60 per-bit
+    * expressions stay in lockstep with Dedup.simhash's. Defines `sims`
+    * (doc_id, simhash); shared by the signature and the pair oracles. */
+  private def simhashSimsCtes: String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
+    val orBits = (0 until 60).map(j =>
+      s"CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" | ")
+    s"""words AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |          FROM documents),
+       |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
+       |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $orBits AS simhash FROM bits)""".stripMargin
+  }
 
   /** DuckDB oracle SQL per query (same tables as parquet views). Omitted
     * only where the result is engine-specific by construction (simhash's
@@ -1527,22 +1555,20 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |      FROM documents) WHERE rn = 1""".stripMargin,
 
-    // replays the portable 60-bit SimHash exactly: md5-derived token
-    // hashes (identical in any engine), one sign-sum per bit, then the
-    // bit reassembly — generated programmatically so the 60 per-bit
-    // expressions stay in lockstep with Dedup.simhash's
-    "dedup_simhash" -> {
-      val bitSums = (0 until 60).map(j =>
-        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b_$j").mkString(", ")
-      val orBits = (0 until 60).map(j =>
-        s"CASE WHEN b_$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
-        .mkString(" | ")
-      s"""WITH words AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
-         |              FROM documents),
-         |h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM words),
-         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-         |SELECT doc_id, $orBits AS simhash FROM bits""".stripMargin
-    },
+    "dedup_simhash" ->
+      s"""WITH $simhashSimsCtes
+         |SELECT doc_id, simhash FROM sims""".stripMargin,
+
+    // the oracle is EXACT ALL-PAIRS hamming over the same portable
+    // signatures — banding must not change the answer (pigeonhole recall:
+    // every pair within hamming <= 3 shares one of the C(7,3)=35 band
+    // tables), so a hash match here proves the banding rework end-to-end
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSimsCtes
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

@@ -313,16 +313,17 @@ object Dedup {
     b
   }
 
-  /** Banded SimHash index: one row per (doc, band) with the band key the
-    * doc files under. `blocks` from [[simhashBlocks]]; every pair within
+  /** Banded index over precomputed signatures: one row per (row, band)
+    * with the band key the signature files under. `sims` must carry a
+    * `simhash` column; `blocks` from [[simhashBlocks]]. Every pair within
     * hamming ≤ maxHamming shares at least one (band, bandHash) by
     * pigeonhole — maxHamming flips touch at most maxHamming blocks, so
-    * some combination of `blocks − maxHamming` blocks is untouched and
-    * that combination is one of the C(blocks, maxHamming) band tables. */
-  def simhashIndex(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bits: Int = 64,
-                   wordHash: Column => Column = xxhash64(_),
-                   blocks: Int = 6): DataFrame = {
+    * some combination of `blocks − maxHamming` blocks is untouched, and
+    * ALL (blocks − maxHamming)-subsets are band tables, so that untouched
+    * combination is one of them. */
+  def simhashIndexOf(sims: DataFrame, idCol: String,
+                     maxHamming: Int = 3, bits: Int = 64,
+                     blocks: Int = 6): DataFrame = {
     require(blocks >= maxHamming + 1, s"need blocks >= maxHamming+1, got $blocks")
     require(blocks <= bits, s"need blocks <= bits")
     val base = bits / blocks
@@ -337,11 +338,19 @@ object Dedup {
           shiftleft(acc, widths(i)).bitwiseOR(blockVal(i)))
         struct(lit(k).as("band"), key.as("bandHash"))
       }
-    simhash(docs, idCol, textCol, bits, wordHash)
-      .select(col(idCol), col("simhash"), explode(array(bands: _*)).as("__b"))
+    sims.select(col(idCol), col("simhash"), explode(array(bands: _*)).as("__b"))
       .select(col(idCol), col("simhash"),
               col("__b.band").as("band"), col("__b.bandHash").as("bandHash"))
   }
+
+  /** Banded SimHash index computed from raw text — [[simhash]] then
+    * [[simhashIndexOf]]. */
+  def simhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bits: Int = 64,
+                   wordHash: Column => Column = xxhash64(_),
+                   blocks: Int = 6): DataFrame =
+    simhashIndexOf(simhash(docs, idCol, textCol, bits, wordHash), idCol,
+      maxHamming, bits, blocks)
 
   /** Per-band bucket populations and their candidate-pair volume — the
     * observability hook for the quadratic-bucket risk (the
@@ -350,22 +359,19 @@ object Dedup {
     index.groupBy("band", "bandHash").agg(count(lit(1)).as("n"))
       .withColumn("candidate_pairs", col("n") * (col("n") - 1) / 2)
 
-  /** SimHash near-dup pairs: banded candidates (never all-pairs), verified
-    * by exact hamming ≤ maxHamming. With `blocks` sized via
-    * [[simhashBlocks]] recall is exact — every qualifying pair shares a
-    * band — so banding changes cost, not answers.
+  /** Near-dup pairs over precomputed signatures: banded candidates (never
+    * all-pairs) verified by exact hamming ≤ maxHamming. With `blocks` from
+    * [[simhashBlocks]] recall is EXACT — every qualifying pair shares a
+    * band by pigeonhole — so banding changes cost, not answers
+    * (`dedup_simhash_pairs` proves it against an all-pairs oracle).
     *
     * `maxBucket > 0` caps each band bucket at its lowest-id members before
     * the self-join — the deterministic degenerate-bucket guard (capping
     * DROPS candidates; pair with [[simhashBandStats]] to see what). */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, bits: Int = 64,
-                   wordHash: Column => Column = xxhash64(_),
-                   blocks: Int = 0, targetBucketSize: Long = 1024L,
-                   maxBucket: Int = 0): DataFrame = {
-    val b = if (blocks > 0) blocks
-            else simhashBlocks(docs.count(), maxHamming, bits, targetBucketSize)
-    val idx0 = simhashIndex(docs, idCol, textCol, maxHamming, bits, wordHash, b)
+  def simhashPairsFromSignatures(sims: DataFrame, idCol: String,
+                                 maxHamming: Int = 3, bits: Int = 64,
+                                 blocks: Int = 6, maxBucket: Int = 0): DataFrame = {
+    val idx0 = simhashIndexOf(sims, idCol, maxHamming, bits, blocks)
     val idx =
       if (maxBucket <= 0) idx0
       else {
@@ -379,5 +385,26 @@ object Dedup {
       .select(col("ida"), col("idb"), hamming(col("sima"), col("simb")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs from raw text — [[simhash]] then
+    * [[simhashPairsFromSignatures]].
+    *
+    * Block-count resolution: explicit `blocks` wins; else `corpusSize > 0`
+    * sizes via [[simhashBlocks]] with no job; else (both defaulted) the
+    * corpus is COUNTED — one eager full pass over `docs`, re-run on every
+    * call. When the input pipeline is expensive, pass a known `corpusSize`
+    * (approximate is fine — sizing needs only the order of magnitude) or
+    * cache `docs` first. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bits: Int = 64,
+                   wordHash: Column => Column = xxhash64(_),
+                   blocks: Int = 0, targetBucketSize: Long = 1024L,
+                   maxBucket: Int = 0, corpusSize: Long = 0L): DataFrame = {
+    val b = if (blocks > 0) blocks
+            else simhashBlocks(if (corpusSize > 0) corpusSize else docs.count(),
+              maxHamming, bits, targetBucketSize)
+    simhashPairsFromSignatures(simhash(docs, idCol, textCol, bits, wordHash),
+      idCol, maxHamming, bits, b, maxBucket)
   }
 }
