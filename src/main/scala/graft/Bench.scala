@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // per-stage wall times for instrumented queries land beside the repo's
+    // bench artifacts — the official run's variance (e.g. r7's 7× swing on
+    // dedup_clusters) becomes attributable to a stage instead of a mystery
+    if (sys.env.get("GRAFT_STAGE_LOG").isEmpty && sys.props.get("graft.stage.log").isEmpty) {
+      val f = java.nio.file.Paths.get("STAGE_TIMINGS.csv")
+      java.nio.file.Files.writeString(f, "query,stage,seconds\n")
+      System.setProperty("graft.stage.log", f.toAbsolutePath.toString)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -65,8 +65,15 @@ object Clusters {
     * identical (id, min-id component) labeling.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          smallGraphEdges: Long = 1L << 20): DataFrame = {
+                          smallGraphEdges: Long = 1L << 20,
+                          onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
+    def timed[T](stage: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      onStage(stage, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     // checkpoint the projected input ONCE: `edges` may be an expensive
     // pipeline (LSH + Jaccard verification), and both the vertex set and
     // the working edge set derive from it — without this cut the whole
@@ -75,7 +82,12 @@ object Clusters {
       .select(col(edges.columns(0)).cast("long").as("a"), col(edges.columns(1)).cast("long").as("b"))
       .localCheckpoint(false)
 
-    if (base.count() <= smallGraphEdges) return smallGraphComponents(base)
+    // the count() below is the materializing action for the WHOLE
+    // upstream edge pipeline — "edge_pipeline" is candidate generation +
+    // verification, "components" is pure CC labeling
+    val edgeCount = timed("edge_pipeline")(base.count())
+    if (edgeCount <= smallGraphEdges)
+      return timed("components")(smallGraphComponents(base))
 
     val verts = base.select(col("a").as("id"))
       .union(base.select(col("b").as("id")))
@@ -101,6 +113,7 @@ object Clusters {
     var fp = fingerprint(cur)
     var iter = 0
     var converged = false
+    val tLoop = System.nanoTime()
     while (!converged && iter < maxIter) {
       // large-star: every neighbor v > u links to m(u) = min(N(u) ∪ {u}).
       // The symmetric view makes N(u) complete; only strictly-greater
@@ -131,6 +144,7 @@ object Clusters {
       cur = next
       iter += 1
     }
+    onStage("components", (System.nanoTime() - tLoop) / 1e9)
 
     // after convergence `cur` is a star forest: u → component root v.
     // Roots and isolated vertices (self-pair inputs) label themselves.
@@ -186,14 +200,18 @@ object Clusters {
     */
   def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, numHashes: Int = 64, bands: Int = 16,
-                        shingleSize: Int = 3): DataFrame = {
+                        shingleSize: Int = 3,
+                        onStage: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val cand = Dedup.candidatePairs(
       Dedup.minhashBands(docs, idCol, textCol, numHashes, bands, shingleSize), idCol)
     val edges = Dedup.jaccardVerify(cand, docs, idCol, textCol, shingleSize,
         prefilterDocs = false)
       .filter(col("jaccard") >= threshold)
       .select(col("ida"), col("idb"))
-    val comp = connectedComponents(edges)
+    // `onStage` splits the wall clock: "edge_pipeline" = LSH candidates +
+    // Jaccard verify (materialized by CC's checkpoint-count),
+    // "components" = the CC labeling itself
+    val comp = connectedComponents(edges, onStage = onStage)
     val assigned = docs.select(col(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -38,12 +38,49 @@ object Links {
     * out-of-bounds-safe element access under ANSI mode). */
   def firstHost(text: Column): Column = host(get(urls(text), lit(0)))
 
-  /** Registrable-domain heuristic: last two dot-labels of the host
-    * (`a.b.example.org` → `example.org`). A real pipeline would consult
-    * the public-suffix list; two labels is the standard cheap proxy. */
+  /** Two-label public suffixes (a curated snippet of the Mozilla Public
+    * Suffix List — the high-traffic ccTLD second-level registries; the
+    * full PSL would load the same way as a bigger literal set or a
+    * broadcast lookup). Under one of these, the registrable domain is
+    * THREE labels (`news.bbc.co.uk` → `bbc.co.uk`), not two. */
+  val multiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk", "plc.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "co.in", "net.in", "org.in", "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.kr", "or.kr", "go.kr", "ac.kr", "ne.kr", "re.kr",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
+    // the reference platform is Vietnamese — .vn second-level registries
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn", "info.vn",
+    "pro.vn", "health.vn", "int.vn", "name.vn", "biz.vn",
+    "com.sg", "edu.sg", "gov.sg", "net.sg", "org.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.hk", "edu.hk", "gov.hk", "net.hk", "org.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.np", "com.kh", "com.lk")
+
+  /** Registrable-domain heuristic: last two dot-labels of the host —
+    * unless those two labels are themselves a public suffix
+    * ([[multiLabelSuffixes]]), where the apex is three labels
+    * (`news.bbc.co.uk` → `bbc.co.uk`, not the wrong `co.uk`). The suffix
+    * test is a codegen'd literal IN — no lookup table shuffles. Hosts
+    * with ≤ 2 labels (including a bare public suffix) pass through. */
   def apexDomain(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
+    val lastTwo = lower(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
     when(size(labels) <= 2, hostCol)
+      .when(lastTwo.isin(multiLabelSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
       .otherwise(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
   }
 

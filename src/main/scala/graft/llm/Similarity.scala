@@ -96,19 +96,92 @@ object Similarity {
     val seeds = embs.orderBy(col(idCol).asc).limit(k)
       .select(embCol).collect().map(_.getSeq[Float](0).toArray)
     // one refinement pass: assign to nearest seed, average each cell
-    // (degenerate cell -1 rows are excluded — they have no usable cosine)
-    val comps = embs.withColumn("__cell", cellOf(col(embCol), seeds))
+    lloydStep(embs, embCol, seeds)
+  }
+
+  /** One Lloyd step over the FULL corpus as DataFrame aggregates: assign
+    * every vector to its nearest centroid, then average each cell.
+    * Degenerate cell -1 rows (zero-norm/NULL) are excluded — they have no
+    * usable cosine; an EMPTY cell keeps its previous centroid.
+    *
+    * The per-cell mean is computed via `posexplode` + groupBy(cell, pos) —
+    * k·dim skinny rows through one partial+final aggregate — NOT one agg
+    * column per dimension (1024-d would mean 1024 aggregate expressions and
+    * a codegen blowup; this shape is width-independent). */
+  private def lloydStep(embs: DataFrame, embCol: String,
+                        cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val comps = embs.withColumn("__cell", cellOf(col(embCol), cents))
       .filter(col("__cell") >= 0)
       .select(col("__cell"), posexplode(col(embCol)).as(Seq("__pos", "__v")))
       .groupBy("__cell", "__pos").agg(avg(col("__v").cast("double")).as("__m"))
       .collect()
-    val dim = seeds.head.length
+    val dim = cents.head.length
     val refined = comps.groupBy(_.getInt(0)).map { case (cell, rows) =>
       val c = new Array[Float](dim)
       rows.foreach(r => c(r.getInt(1)) = r.getDouble(2).toFloat)
       cell -> c
     }
-    Array.tabulate(seeds.length)(c => refined.getOrElse(c, seeds(c)))
+    Array.tabulate(cents.length)(c => refined.getOrElse(c, cents(c)))
+  }
+
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0 || nb == 0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** REAL IVF centroid training — the index-build path for k in the
+    * hundreds (√N cells at corpus scale), where [[ivfCentroids]]'s
+    * lowest-id seeding is only an oracle-replayable toy:
+    *
+    *   1. a deterministic hash-ordered SAMPLE (the `sampleSize` smallest
+    *      `xxhash64(id)` rows — partition-layout independent, unlike
+    *      `df.sample`) collects to the driver: k-means++ is inherently
+    *      sequential, and 50·k vectors is MBs, not the corpus;
+    *   2. k-means++ seeding on the sample (D² sampling with cosine
+    *      distance — spherical k-means, the right metric for the cosine
+    *      search the index serves);
+    *   3. `lloydIters` Lloyd refinements over the FULL corpus as
+    *      DataFrame aggregates — each step one assign+mean pass, the
+    *      same partial+final agg shape at any corpus size.
+    *
+    * Deterministic for a fixed seed: sampling is hash-ordered, the RNG is
+    * seeded, Lloyd is exact arithmetic. */
+  def trainIvfCentroids(embs: DataFrame, embCol: String, idCol: String, k: Int,
+                        lloydIters: Int = 3, sampleSize: Int = 0,
+                        seed: Long = 42L): Array[Array[Float]] = {
+    require(k >= 1 && lloydIters >= 0)
+    val n = math.max(if (sampleSize > 0) sampleSize else 50 * k, k)
+    val sample = embs
+      .select(col(embCol).as("__e"), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col("__e").cast("string"))
+      .limit(n)
+      .select("__e").collect().map(_.getSeq[Float](0).toArray)
+      .filter(v => v.exists(_ != 0f))
+    require(sample.nonEmpty, "no non-degenerate vectors to train on")
+    val rnd = new scala.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+    centers += sample(rnd.nextInt(sample.length))
+    // k-means++: next seed drawn with probability ∝ cosine distance to
+    // the nearest existing seed (Arthur & Vassilvitskii, SODA'07)
+    while (centers.size < math.min(k, sample.length)) {
+      val w = sample.map(v => math.max(0.0, 1.0 - centers.map(c => cosArr(v, c)).max))
+      val total = w.sum
+      if (total <= 0) centers += sample(rnd.nextInt(sample.length))
+      else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < w.length - 1 && r > w(i)) { r -= w(i); i += 1 }
+        centers += sample(i)
+      }
+    }
+    var cents = centers.toArray
+    for (_ <- 0 until lloydIters) cents = lloydStep(embs, embCol, cents)
+    cents
   }
 
   /** Nearest-centroid cell id (argmax cosine over the k centroids).
@@ -146,14 +219,7 @@ object Similarity {
   def ivfTopK(index: DataFrame, embCol: String, idCol: String,
               query: Array[Float], k: Int, centroids: Array[Array[Float]],
               nprobe: Int = 2): DataFrame = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0; while (i < a.length) {
-        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val cells = centroids.indices.sortBy(c => -cos(query, centroids(c))).take(nprobe)
+    val cells = centroids.indices.sortBy(c => -cosArr(query, centroids(c))).take(nprobe)
     bruteForceTopK(index.filter(col("cell").isin(cells: _*)), embCol, idCol, query, k)
   }
 

@@ -1,5 +1,6 @@
 package graft.models
 
+import graft.merge.MergeEngine
 import graft.pipeline.TableStore
 import graft.schema.TableConfig
 import graft.validate.{CheckResult, Checks}
@@ -55,7 +56,6 @@ object ModelSql {
     """(?s)\{%\s*if\s+is_incremental\s*\(\s*\)\s*%\}(.*?)(?:\{%\s*else\s*%\}(.*?))?\{%\s*endif\s*%\}""".r
   private[models] val MacroDefRe: Regex =
     """(?s)\{%\s*macro\s+(\w+)\s*\(([^)]*)\)\s*%\}(.*?)\{%\s*endmacro\s*%\}""".r
-  private[models] val MacroCallRe: Regex = """\{\{\s*(\w+)\s*\(([^)]*)\)\s*\}\}""".r
   private[models] val ParamSubstRe: Regex = """\{\{\s*(\w+)\s*\}\}""".r
 
   def stripComments(sql: String): String = CommentRe.replaceAllIn(sql, "")
@@ -104,33 +104,80 @@ object ModelSql {
       m.group(1) -> MacroDef(params, m.group(3).trim)
     }.toMap
 
+  /** Split a macro-call argument list on TOP-LEVEL commas only: commas
+    * inside nested parens (`f(g(a, b))`) or quoted strings stay put. */
+  private[models] def splitArgs(s: String): Seq[String] = {
+    val out = mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[models] val MacroCallStartRe: Regex = """\{\{\s*(\w+)\s*\(""".r
+
   /** Expand user-macro calls textually (positional args + declared
     * defaults), iterating so macros may call macros. Bounded depth — the
     * reference's deepest chain is 2 (`generate_surrogate_key` →
-    * `dbt_utils.generate_surrogate_key`). */
+    * `dbt_utils.generate_surrogate_key`). Argument lists are scanned with
+    * BALANCED parens (a naive `[^)]*` regex truncates nested calls like
+    * `{{ clean(concat(a, b)) }}` into silently mangled SQL); an
+    * unterminated arg list on a known macro fails loudly instead. */
   def expandMacros(sql: String, macros: Map[String, MacroDef], maxDepth: Int = 5): String = {
     var out = sql
     var depth = 0
     var changed = true
     while (changed && depth < maxDepth) {
       changed = false
-      out = MacroCallRe.replaceAllIn(out, m => {
+      val sb = new StringBuilder
+      var pos = 0
+      for (m <- MacroCallStartRe.findAllMatchIn(out) if m.start >= pos) {
         macros.get(m.group(1)) match {
-          case None => Regex.quoteReplacement(m.matched) // not a macro (e.g. already-resolved text)
+          case None => // not a user macro (e.g. config/source already handled)
           case Some(MacroDef(params, body)) =>
-            changed = true
-            val args = m.group(2).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-            val bound = params.zipWithIndex.map { case ((name, default), i) =>
-              val v = args.lift(i).orElse(default).getOrElse(
-                throw new IllegalArgumentException(
-                  s"macro ${m.group(1)}: missing argument '$name'"))
-              name -> v
-            }.toMap
-            val expanded = ParamSubstRe.replaceAllIn(body, pm =>
-              Regex.quoteReplacement(bound.getOrElse(pm.group(1), pm.matched)))
-            Regex.quoteReplacement(expanded)
+            // scan the balanced arg list from just past the open paren
+            var i = m.end
+            var d = 1
+            var inStr = false
+            while (i < out.length && d > 0) {
+              val c = out(i)
+              if (c == '\'') inStr = !inStr
+              else if (!inStr && c == '(') d += 1
+              else if (!inStr && c == ')') d -= 1
+              i += 1
+            }
+            if (d > 0)
+              throw new IllegalArgumentException(
+                s"macro ${m.group(1)}: unbalanced parens in argument list")
+            // the call must close with }} to be a macro invocation
+            var j = i
+            while (j < out.length && out(j).isWhitespace) j += 1
+            if (j + 1 < out.length && out(j) == '}' && out(j + 1) == '}') {
+              val args = splitArgs(out.substring(m.end, i - 1))
+              val bound = params.zipWithIndex.map { case ((name, default), k) =>
+                val v = args.lift(k).orElse(default).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"macro ${m.group(1)}: missing argument '$name'"))
+                name -> v
+              }.toMap
+              val expanded = ParamSubstRe.replaceAllIn(body, pm =>
+                Regex.quoteReplacement(bound.getOrElse(pm.group(1), pm.matched)))
+              sb.append(out.substring(pos, m.start)).append(expanded)
+              pos = j + 2
+              changed = true
+            }
         }
-      })
+      }
+      sb.append(out.substring(pos))
+      out = sb.toString
       depth += 1
     }
     out
@@ -169,6 +216,11 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
   private val models  = mutable.LinkedHashMap[String, (String, ModelTests)]()
   private val macros  = ModelSql.parseMacros(macrosText)
   private val resolving = mutable.LinkedHashSet[String]()
+  // per-top-level-run memo: each model node executes AT MOST ONCE per
+  // invocation (dbt's DAG semantics) — without it a diamond DAG or a
+  // model ref'ing the same upstream twice re-materializes the upstream,
+  // which for an append-strategy incremental DUPLICATES its batch rows
+  private val ranThisInvocation = mutable.LinkedHashMap[String, DataFrame]()
 
   /** Register (or replace — a new pipeline run) a source relation, the
     * `sources.yml` entry (reference dbt/models/sources.yml:7-16). */
@@ -182,7 +234,9 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
 
   def store(name: String): TableStore = new TableStore(spark, s"$storeRoot/$name")
 
-  /** dbt-test the model's current relation without materializing. */
+  /** dbt-test the model's current relation without materializing —
+    * read-only: view refs compile against stored upstream state, nothing
+    * is written anywhere in the DAG. */
   def test(name: String): Seq[CheckResult] = {
     val (_, tests) = modelOf(name)
     checksFor(relation(name), tests)
@@ -190,12 +244,20 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
 
   /** Materialize `name` (running upstream refs first) and return its
     * post-run relation. Declared tests are enforced — a failing `not_null`
-    * / `unique` aborts the run, dbt's `severity: error`. */
+    * / `unique` aborts the run, dbt's `severity: error`. Within one
+    * top-level invocation every model node runs at most once (a diamond
+    * DAG does not re-materialize the shared upstream). */
   def run(name: String): DataFrame = {
-    val df = materialize(name)
-    val (_, tests) = modelOf(name)
-    Checks.enforce(checksFor(df, tests))
-    df
+    if (resolving.isEmpty) ranThisInvocation.clear() // new top-level run
+    ranThisInvocation.get(name) match {
+      case Some(df) => df
+      case None =>
+        val df = materialize(name)
+        val (_, tests) = modelOf(name)
+        Checks.enforce(checksFor(df, tests))
+        ranThisInvocation(name) = df
+        df
+    }
   }
 
   private def modelOf(name: String): (String, ModelTests) =
@@ -207,12 +269,15 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     (if (t.unique.nonEmpty) Seq(Checks.unique(df, t.unique)) else Nil) ++
     (if (t.nonEmpty) Seq(Checks.nonEmpty(df)) else Nil)
 
-  /** The model's current relation: a view compiles fresh; a stored
-    * materialization reads the latest committed version. */
+  /** The model's current relation — READ-ONLY: a view compiles fresh with
+    * refs resolved to their stored (or recursively compiled view) state; a
+    * stored materialization reads the latest committed version. Nothing in
+    * the upstream DAG is executed or written — `test()` on a view must not
+    * commit new versions of its upstreams as a side effect. */
   private def relation(name: String): DataFrame = {
     val (raw, _) = modelOf(name)
     val (cfg, _) = ModelSql.extractConfig(ModelSql.stripComments(raw))
-    if (cfg.materialized == "view") materialize(name)
+    if (cfg.materialized == "view") compile(name, execute = false)
     else store(name).read.getOrElse(
       throw new IllegalStateException(s"model '$name' has never been run"))
   }
@@ -220,15 +285,26 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
   private def viewName(prefix: String, parts: String*): String =
     (prefix +: parts).mkString("_").replaceAll("[^A-Za-z0-9_]", "_")
 
-  private def materialize(name: String): DataFrame = {
+  private def materialize(name: String): DataFrame = compile(name, execute = true)
+
+  /** Compile the model's SELECT and, when `execute`, apply its
+    * materialization. With `execute = false` refs resolve to stored
+    * relations instead of running upstream models (the read-only path
+    * behind [[relation]]/[[test]]). */
+  private def compile(name: String, execute: Boolean): DataFrame = {
     require(!resolving.contains(name),
       s"model cycle: ${(resolving.toSeq :+ name).mkString(" -> ")}")
     resolving += name
     try {
       val (raw, _) = modelOf(name)
       val (cfg, body0) = ModelSql.extractConfig(ModelSql.stripComments(raw))
+      if (!Set("ignore", "sync_all_columns").contains(cfg.onSchemaChange))
+        throw new IllegalArgumentException(
+          s"model '$name': unsupported on_schema_change '${cfg.onSchemaChange}' " +
+          "(supported: ignore, sync_all_columns)")
       val st = store(name)
-      val incrementalRun = cfg.materialized == "incremental" && st.latestVersion.isDefined
+      val incrementalRun =
+        execute && cfg.materialized == "incremental" && st.latestVersion.isDefined
 
       var body = ModelSql.applyIncrementalBlocks(body0, incrementalRun)
 
@@ -251,10 +327,11 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
 
       body = ModelSql.RefRe.replaceAllIn(body, m => {
         val upstream = m.group(1)
-        // materialize upstream first — dbt's DAG-ordered run (the cycle
-        // guard in materialize() rejects re-entry)
-        val df = run(upstream)
-        val v = viewName("__dbt_ref", upstream)
+        // dbt's DAG-ordered run: materialize the upstream first (once per
+        // top-level invocation — run() memoizes); the read-only path
+        // resolves to the upstream's stored/compiled state instead
+        val df = if (execute) run(upstream) else relation(upstream)
+        val v = viewName(if (execute) "__dbt_ref" else "__dbt_refro", upstream)
         df.createOrReplaceTempView(v)
         v
       })
@@ -262,15 +339,26 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
       body = ModelSql.expandMacros(body, macros)
       val selected = spark.sql(body)
 
-      cfg.materialized match {
+      if (!execute) selected // read-only compile (views only — see relation)
+      else cfg.materialized match {
         case "view" => selected
         case "table" =>
           st.snapshot(selected); st.read.get
         case "incremental" =>
           if (!incrementalRun) st.snapshot(selected)
-          else if (cfg.uniqueKey.nonEmpty)
-            st.upsert(selected, TableConfig(name, null, cfg.uniqueKey))
-          else st.snapshot(st.read.get.unionByName(selected)) // append strategy
+          else if (cfg.uniqueKey.nonEmpty) {
+            // dbt's merge strategy; on_schema_change routes the algebra
+            val tcfg = TableConfig(name, null, cfg.uniqueKey)
+            val merged = cfg.onSchemaChange match {
+              case "sync_all_columns" =>
+                MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
+              case _ => MergeEngine.upsert(st.read.get, selected, tcfg)
+            }
+            st.snapshot(merged)
+          }
+          // append strategy: version-additive — O(batch) bytes, never a
+          // full-table rewrite (TableStore.append's delta chain)
+          else st.append(selected)
           st.read.get
         case other =>
           throw new IllegalArgumentException(

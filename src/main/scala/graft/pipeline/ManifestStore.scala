@@ -1,0 +1,190 @@
+package graft.pipeline
+
+import graft.merge.MergeEngine
+import graft.schema.TableConfig
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned ODS table with ATOMIC multi-partition commits — the
+  * transactional refinement of [[PartitionedStore]] (whose per-directory
+  * swap documents a crash window where a reader could see partition A
+  * merged but partition B not yet).
+  *
+  * Design (the table-format idea — Iceberg/Delta's manifest commit — in
+  * its minimal file-layout form):
+  *   - data lives in IMMUTABLE segment directories `seg_*`, written once,
+  *     never renamed or edited; the partition column is RETAINED in the
+  *     files (no Hive name=value encoding), so a segment is self-contained;
+  *   - a MANIFEST maps each partition value to the segment holding its
+  *     current rows; manifests are numbered files under `_manifests/`,
+  *     committed by staged-write + one atomic rename;
+  *   - readers resolve the highest committed manifest: every query sees
+  *     exactly one manifest — all-old or all-new, never a mix, no matter
+  *     where a writer died (ManifestStoreSpec injects the crashes);
+  *   - a merge writes ONE new segment holding the merged slice of the
+  *     touched partitions and re-points only those values — untouched
+  *     partitions' segments are never read, rewritten, or moved;
+  *   - orphans (segments written before a crash, torn `.tmp_` manifests)
+  *     are invisible by construction and swept by [[vacuum]].
+  *
+  * Partition pruning without Hive dirs: a manifest read scans only the
+  * segments the wanted values point at, each with a pushed-down
+  * partition-value filter; segments are written clustered + sorted on the
+  * partition column, so parquet row-group min/max stats prune within the
+  * segment. At 100 TB the manifest (one line per partition value) stays
+  * KB-scale — partition counts are thousands, not billions.
+  */
+final class ManifestStore(spark: SparkSession, root: String, partitionCol: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manDir = new Path(s"$root/_manifests")
+
+  /** Committed manifest versions, ascending. */
+  def manifestVersions: Seq[Int] =
+    if (!fs.exists(manDir)) Seq.empty
+    else fs.listStatus(manDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("m=")).map(_.stripPrefix("m=").toInt).sorted
+
+  def latestManifestVersion: Option[Int] = manifestVersions.lastOption
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  /** value → segment dir name. NULL partition value travels as a token
+    * distinct from any real string (URL-encoding keeps real values from
+    * colliding with it or with the line format). */
+  private[pipeline] def readManifest(n: Int): Map[String, String] = {
+    val in = fs.open(new Path(manDir, s"m=$n"))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(v, seg) = line.split("\t", 2)
+      dec(v) -> seg
+    }.toMap
+  }
+
+  private def commit(m: Map[String, String]): Int = {
+    fs.mkdirs(manDir)
+    // sweep torn staged manifests from earlier crashes
+    fs.listStatus(manDir).toSeq.filter(_.getPath.getName.startsWith(".tmp_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val n = latestManifestVersion.getOrElse(0) + 1
+    val tmp = new Path(manDir, s".tmp_m=$n")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (v, seg) => s"${enc(v)}\t$seg" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(manDir, s"m=$n")))
+      throw new java.io.IOException(s"failed to commit manifest $n of $root")
+    n
+  }
+
+  // same convention (and same documented caveat: a REAL string value
+  // equal to the token collides) as Hive's default-partition name
+  private val NullToken = "__HIVE_DEFAULT_PARTITION__"
+
+  private def partitionValues(df: DataFrame): Seq[String] =
+    df.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(NullToken)).toSeq
+
+  private def valueFilter(values: Seq[String]): Column = {
+    val nonNull = values.filterNot(_ == NullToken)
+    val base: Column =
+      if (nonNull.isEmpty) lit(false)
+      else col(partitionCol).cast("string").isin(nonNull: _*)
+    if (values.contains(NullToken)) base || col(partitionCol).isNull else base
+  }
+
+  /** One immutable segment: clustered and sorted on the partition column
+    * so parquet row-group min/max stats prune reads within the segment. */
+  private def writeSegment(df: DataFrame): String = {
+    val name = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol)
+      .write.parquet(s"$root/$name")
+    name
+  }
+
+  /** Union of the manifest's segments, each filtered to the values that
+    * still point at it (an old segment may hold superseded rows of values
+    * that have since re-pointed — the filter is what retires them). */
+  private def resolve(man: Map[String, String]): DataFrame = {
+    val bySeg = man.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
+      spark.read.parquet(s"$root/$seg").filter(valueFilter(values))
+    }.reduce(_.unionByName(_))
+  }
+
+  def read: Option[DataFrame] = latestManifestVersion.map(n => resolve(readManifest(n)))
+
+  /** Partition-pruned read: only segments referenced by `values` are
+    * scanned. */
+  def readPartitions(values: Seq[String]): Option[DataFrame] =
+    latestManifestVersion.map { n =>
+      val man = readManifest(n).view.filterKeys(values.contains).toMap
+      if (man.isEmpty)
+        read.get.filter(lit(false))
+      else resolve(man)
+    }
+
+  /** Full snapshot — one segment, every value points at it. */
+  def snapshot(df: DataFrame): Unit = {
+    val seg = writeSegment(df)
+    commit(partitionValues(df).map(_ -> seg).toMap)
+  }
+
+  /** Keyed upsert touching only the partitions present in the batch.
+    * Rows must stay in their partition (the partition column is part of
+    * the business identity — [[PartitionedStore]]'s same contract). The
+    * merged slice lands as one new segment; the manifest re-points the
+    * affected values in ONE atomic rename. */
+  def upsert(source: DataFrame, cfg: TableConfig): Seq[String] =
+    latestManifestVersion match {
+      case None =>
+        val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
+        val deduped = MergeEngine.latestPerKey(source, cfg.keys, cursorOrder)
+        snapshot(deduped)
+        partitionValues(deduped)
+      case Some(n) =>
+        val man = readManifest(n)
+        val affected = partitionValues(source)
+        val touched = man.view.filterKeys(affected.contains).toMap
+        val target =
+          if (touched.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              source.schema)
+          else resolve(touched)
+        val merged = MergeEngine.upsert(target, source, cfg)
+        val seg = writeSegment(merged)
+        commit(man ++ affected.map(_ -> seg))
+        affected
+    }
+
+  /** M4 — replace whole partitions from the source atomically. */
+  def overwritePartitions(source: DataFrame): Seq[String] = {
+    val affected = partitionValues(source)
+    val seg = writeSegment(source)
+    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
+    commit(man ++ affected.map(_ -> seg))
+    affected
+  }
+
+  /** Drop segments no live manifest references and manifests older than
+    * the newest `keepManifests` (time travel horizon). Safe against
+    * crashed writers: an orphaned segment was never referenced, so
+    * deleting it cannot affect any reader. */
+  def vacuum(keepManifests: Int = 2): Unit = {
+    val keep = manifestVersions.takeRight(keepManifests)
+    val referenced = keep.flatMap(readManifest(_).values).toSet
+    val rootP = new Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_") &&
+          !referenced.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+    manifestVersions.dropRight(keepManifests)
+      .foreach(v => fs.delete(new Path(manDir, s"m=$v"), false))
+  }
+}

@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   * the staging dir before any target file moves, so executor loss during
   * the WRITE never corrupts the table; the per-partition swap itself is
   * not transactional — a driver crash mid-swap leaves a `.swap_<dir>`
-  * backup beside the table for manual recovery rather than silent loss.
-  * A transactional format (Delta/Iceberg) replaces the swap with a
-  * manifest commit; the merge algebra is unchanged.
+  * backup beside the table (recoverCrashedSwaps self-heals on the next
+  * merge) rather than silent loss. For an ATOMIC multi-partition commit
+  * use [[ManifestStore]] — immutable segments + one manifest-pointer
+  * rename, readers see all-old or all-new — at the price of giving up
+  * the plain Hive directory layout external readers may expect. The
+  * merge algebra is identical in both.
   */
 final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String,
                              filesPerPartition: Int = 0) {

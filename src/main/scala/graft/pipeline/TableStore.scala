@@ -35,8 +35,27 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def latestVersion: Option[Int] = versions.lastOption
 
+  /** The versions whose data participates in `v`: `v` itself, then its
+    * delta ancestry down to the nearest full snapshot (ascending order).
+    * A full version is its own one-element chain. */
+  private[pipeline] def chain(v: Int): Seq[Int] = {
+    var cur = v
+    var acc = List(v)
+    while (fs.exists(new Path(s"$root/v=$cur/${TableStore.DeltaMarker}"))) {
+      val in = fs.open(new Path(s"$root/v=$cur/${TableStore.DeltaMarker}"))
+      val parent = try new String(in.readAllBytes(), "UTF-8").trim.toInt finally in.close()
+      require(parent < cur, s"corrupt delta chain at v=$cur (parent $parent)")
+      acc = parent :: acc
+      cur = parent
+    }
+    acc
+  }
+
   def read: Option[DataFrame] =
-    latestVersion.map(v => spark.read.parquet(s"$root/v=$v"))
+    latestVersion.map { v =>
+      val paths = chain(v).map(x => s"$root/v=$x")
+      spark.read.parquet(paths: _*)
+    }
 
   def readOrEmpty(schemaOf: DataFrame): DataFrame =
     read.getOrElse(spark.createDataFrame(
@@ -50,7 +69,22 @@ final class TableStore(spark: SparkSession, root: String) {
     * [[versions]] never lists and the next snapshot sweeps — readers
     * (and anything trusting read-back state, e.g. the streaming
     * rollup's replay stamp) can never observe a torn version. */
-  def snapshot(df: DataFrame): Int = {
+  def snapshot(df: DataFrame): Int = commitVersion(df, parentDelta = None)
+
+  /** Version-additive APPEND: ONLY the batch is written — a new version
+    * directory carrying a `_delta_parent` marker, so the commit is
+    * O(batch) bytes where a `read.union(batch)` snapshot is O(table)
+    * (dbt's append incremental strategy, terabytes-per-run wrong at
+    * scale). Readers resolve the delta chain down to the nearest full
+    * snapshot and scan all member directories — the standard
+    * log-structured layout; a periodic [[snapshot]] (or [[upsert]])
+    * compacts the chain. Same atomic staged-rename commit as
+    * [[snapshot]]: the marker travels inside the staged dir, so a torn
+    * append can never install a half-linked version. */
+  def append(df: DataFrame): Int =
+    commitVersion(df, parentDelta = latestVersion)
+
+  private def commitVersion(df: DataFrame, parentDelta: Option[Int]): Int = {
     val rootP = new Path(root)
     if (fs.exists(rootP)) // sweep staging dirs orphaned by earlier crashes
       fs.listStatus(rootP).toSeq
@@ -59,6 +93,10 @@ final class TableStore(spark: SparkSession, root: String) {
     val v = latestVersion.getOrElse(0) + 1
     val tmp = new Path(s"$root/.tmp_v=$v")
     df.write.mode("overwrite").parquet(tmp.toString)
+    parentDelta.foreach { parent =>
+      val out = fs.create(new Path(tmp, TableStore.DeltaMarker), true)
+      try out.write(parent.toString.getBytes("UTF-8")) finally out.close()
+    }
     if (!fs.rename(tmp, new Path(s"$root/v=$v")))
       throw new java.io.IOException(s"failed to commit version $v of $root")
     v
@@ -73,7 +111,18 @@ final class TableStore(spark: SparkSession, root: String) {
       case Some(target) => snapshot(MergeEngine.upsert(target, source, cfg))
     }
 
-  /** Drop all but the newest `keep` versions (vacuum). */
-  def prune(keep: Int = 2): Unit =
-    versions.dropRight(keep).foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+  /** Drop all but the newest `keep` versions (vacuum). Chain-aware: a
+    * kept append head keeps its whole delta ancestry alive — pruning a
+    * chain member would silently truncate the table. */
+  def prune(keep: Int = 2): Unit = {
+    val required = versions.takeRight(keep).flatMap(chain).toSet
+    versions.filterNot(required).foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+  }
+}
+
+object TableStore {
+  /** File inside an appended version dir naming its parent version.
+    * Underscore-prefixed so Spark's parquet reader ignores it as a
+    * metadata file (the `_SUCCESS` convention). */
+  private[pipeline] val DeltaMarker = "_delta_parent"
 }

@@ -31,6 +31,21 @@ class LinksSpec extends SparkSpec {
     assert(withPort == "b.example.com")
   }
 
+  test("apexDomain is public-suffix aware: co.uk / com.au / com.vn keep three labels") {
+    val cases = Seq(
+      "news.bbc.co.uk"        -> "bbc.co.uk",
+      "www.shop.example.co.uk" -> "example.co.uk",
+      "mail.firm.com.au"      -> "firm.com.au",
+      "vnpost.com.vn"         -> "vnpost.com.vn", // already registrable
+      "hcm.vnpost.com.vn"     -> "vnpost.com.vn",
+      "Sub.BBC.CO.UK"         -> "BBC.CO.UK",     // suffix match is case-blind
+      "co.uk"                 -> "co.uk",         // bare suffix passes through
+      "deep.a.b.example.org"  -> "example.org")   // non-PSL stays two-label
+    val got = cases.map(_._1).toDF("h")
+      .select(Links.apexDomain(col("h")).as("a")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
   test("dropBlockedHosts removes docs linking to a blocked host") {
     val kept = Links.dropBlockedHosts(docs, "text", Seq("blocked.example.com"))
       .select("doc_id").as[Long].collect().sorted

@@ -129,15 +129,95 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(r.store("mart").versions == Seq(1, 2))
   }
 
-  test("incremental without unique_key appends") {
+  test("incremental without unique_key appends in O(batch): delta segment holds only the batch") {
     val root = freshRoot()
     val r = new SqlModelRunner(spark, root)
     r.addModel("log", "{{ config(materialized='incremental') }} SELECT id FROM {{ source('ods', 's') }}")
-    r.addSource("ods", "s", Seq(1).toDF("id"))
+    r.addSource("ods", "s", (1 to 1000).toDF("id"))
     r.run("log")
-    r.addSource("ods", "s", Seq(2).toDF("id"))
+    r.addSource("ods", "s", Seq(2001).toDF("id"))
     val out = r.run("log")
-    assert(canon(out) == Seq(Seq("1"), Seq("2")))
+    assert(out.count() == 1001)
+    // the append run wrote a delta version containing ONLY the batch —
+    // not a full-table rewrite (dbt's append strategy is O(batch))
+    assert(r.store("log").versions == Seq(1, 2))
+    assert(spark.read.parquet(s"$root/log/v=2").count() == 1)
+  }
+
+  test("diamond DAG: a twice-ref'd upstream materializes once per invocation") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root)
+    r.addSource("ods", "t", Seq((1, 10), (2, 20)).toDF("id", "v"))
+    r.addModel("base", "{{ config(materialized='table') }} SELECT id, v FROM {{ source('ods', 't') }}")
+    r.addModel("left_leg", "SELECT id, v FROM {{ ref('base') }} WHERE id = 1")
+    r.addModel("right_leg", "SELECT id, v FROM {{ ref('base') }} WHERE id = 2")
+    r.addModel("top",
+      "SELECT * FROM {{ ref('left_leg') }} UNION ALL SELECT * FROM {{ ref('right_leg') }}")
+    val out = r.run("top")
+    assert(out.count() == 2)
+    // base ran ONCE: a second materialization would have committed v=2
+    assert(r.store("base").versions == Seq(1))
+    // a NEW top-level invocation does re-run the DAG
+    r.run("top")
+    assert(r.store("base").versions == Seq(1, 2))
+  }
+
+  test("test() on a view is read-only: upstream stores stay untouched") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root)
+    r.addSource("ods", "t", Seq((1, "a")).toDF("id", "v"))
+    r.addModel("base", "{{ config(materialized='table') }} SELECT id, v FROM {{ source('ods', 't') }}")
+    r.addModel("vw", "SELECT id FROM {{ ref('base') }}", ModelTests(notNull = Seq("id")))
+    r.run("vw")
+    assert(r.store("base").versions == Seq(1))
+    val checks = r.test("vw")
+    assert(checks.forall(_.passed))
+    // testing the view must NOT have re-materialized (written) base
+    assert(r.store("base").versions == Seq(1))
+  }
+
+  test("on_schema_change='sync_all_columns' evolves the merge; default ignores; others fail fast") {
+    def mk(onChange: String): (SqlModelRunner, String) = {
+      val r = new SqlModelRunner(spark, freshRoot())
+      val cfgStr =
+        if (onChange.isEmpty) "materialized='incremental', unique_key='id'"
+        else s"materialized='incremental', unique_key='id', on_schema_change='$onChange'"
+      r.addModel("m", s"{{ config($cfgStr) }} SELECT * FROM {{ source('ods', 's') }}")
+      (r, "m")
+    }
+    // sync_all_columns: the new column lands; pre-existing rows read NULL
+    val (rs, _) = mk("sync_all_columns")
+    rs.addSource("ods", "s", Seq((1, "a")).toDF("id", "v"))
+    rs.run("m")
+    rs.addSource("ods", "s", Seq((2, "b", "extra")).toDF("id", "v", "w"))
+    val evolved = rs.run("m")
+    assert(evolved.columns.toSeq == Seq("id", "v", "w"))
+    assert(canon(evolved) == Seq(Seq("1", "a", "null"), Seq("2", "b", "extra")))
+    // default (ignore): the new column is dropped, schema stays put
+    val (ri, _) = mk("")
+    ri.addSource("ods", "s", Seq((1, "a")).toDF("id", "v"))
+    ri.run("m")
+    ri.addSource("ods", "s", Seq((2, "b", "extra")).toDF("id", "v", "w"))
+    val ignored = ri.run("m")
+    assert(ignored.columns.toSeq == Seq("id", "v"))
+    // any other value is rejected loudly instead of silently ignored
+    val (rf, _) = mk("append_new_columns")
+    rf.addSource("ods", "s", Seq((1, "a")).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](rf.run("m"))
+    assert(e.getMessage.contains("on_schema_change"))
+  }
+
+  test("macro args: nested calls and quoted commas survive; unbalanced parens fail loudly") {
+    val m = ModelSql.parseMacros(referenceStyleMacros)
+    val out = ModelSql.expandMacros(
+      "SELECT {{ handle_null_numeric(CONCAT(a, ', ', b)) }} AS j", m)
+    assert(out.contains("COALESCE(CONCAT(a, ', ', b), 0)"), out)
+    val nested = ModelSql.expandMacros(
+      "SELECT {{ clean_text_field(SUBSTR(UPPER(name), 1, 3)) }} AS s", m)
+    assert(nested.contains("TRIM(REGEXP_REPLACE(SUBSTR(UPPER(name), 1, 3),"), nested)
+    val e = intercept[IllegalArgumentException](
+      ModelSql.expandMacros("SELECT {{ handle_null_numeric(CONCAT(a, b }} FROM t", m))
+    assert(e.getMessage.contains("unbalanced"))
   }
 
   test("failing dbt test aborts the run") {

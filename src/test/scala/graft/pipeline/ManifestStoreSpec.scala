@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.schema.{MergeGuard, TableConfig}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** ManifestStore — atomic multi-partition commits. The crash injections
+  * simulate a writer dying at every point of the commit protocol and
+  * assert readers see ALL-old or ALL-new, never a mix (the window
+  * PartitionedStore's per-directory swap documents and this store
+  * closes).
+  */
+class ManifestStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = TableConfig("t", null, Seq("k"),
+    cursorField = Some("seq"), guard = MergeGuard.TargetOlder("seq"))
+
+  private def fresh(): (ManifestStore, String) = {
+    val root = Files.createTempDirectory("manifest-store").toString + "/t"
+    (new ManifestStore(spark, root, "p"), root)
+  }
+
+  test("snapshot + multi-partition upsert: merged answer, untouched partitions unread") {
+    val (store, root) = fresh()
+    store.snapshot(Seq(
+      (1L, 1L, "a", "p1"), (2L, 1L, "b", "p2"), (3L, 1L, "c", "p3")
+    ).toDF("k", "seq", "v", "p"))
+    // batch touches p1 and p2 (one update wins, one loses to the guard)
+    val touched = store.upsert(Seq(
+      (1L, 2L, "a2", "p1"), (2L, 0L, "b0", "p2"), (4L, 1L, "d", "p1")
+    ).toDF("k", "seq", "v", "p"), cfg)
+    assert(touched.toSet == Set("p1", "p2"))
+    assert(canon(store.read.get.select("k", "seq", "v")) == Seq(
+      Seq("1", "2", "a2"), Seq("2", "1", "b"), Seq("3", "1", "c"), Seq("4", "1", "d")
+    ).sortBy(_.mkString("|")))
+    // two manifests committed; the old one still resolves (time travel)
+    assert(store.manifestVersions == Seq(1, 2))
+    assert(store.readManifest(1).values.toSet.size == 1) // all values → snapshot seg
+    // partition-pruned read touches only p3's segment (the snapshot seg)
+    assert(canon(store.readPartitions(Seq("p3")).get.select("k", "v")) == Seq(Seq("3", "c")))
+  }
+
+  test("crash BEFORE manifest commit: an orphan segment is invisible; vacuum sweeps it") {
+    val (store, root) = fresh()
+    store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))
+    // simulate: writer died after fully materializing a merge segment but
+    // before the manifest rename — a complete, valid, UNREFERENCED segment
+    Seq((1L, 9L, "ghost", "p1")).toDF("k", "seq", "v", "p")
+      .write.parquet(s"$root/seg_orphan01")
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
+    // and a torn staged manifest
+    val tornMan = new java.io.File(s"$root/_manifests/.tmp_m=2")
+    java.nio.file.Files.write(tornMan.toPath, "p1\tseg_orphan01".getBytes)
+    assert(store.manifestVersions == Seq(1))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
+    // next commit sweeps the torn manifest and lands cleanly as m=2
+    store.upsert(Seq((2L, 1L, "b", "p2")).toDF("k", "seq", "v", "p"), cfg)
+    assert(store.manifestVersions == Seq(1, 2))
+    assert(!tornMan.exists())
+    store.vacuum(keepManifests = 1)
+    assert(!new java.io.File(s"$root/seg_orphan01").exists())
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
+  test("atomicity: a multi-partition merge is one pointer swap — old-or-new, never mixed") {
+    val (store, _) = fresh()
+    store.snapshot(Seq(
+      (1L, 1L, "a", "p1"), (2L, 1L, "b", "p2")
+    ).toDF("k", "seq", "v", "p"))
+    store.upsert(Seq(
+      (1L, 2L, "a2", "p1"), (2L, 2L, "b2", "p2")
+    ).toDF("k", "seq", "v", "p"), cfg)
+    // there IS no intermediate state on disk: manifest 1 resolves the
+    // fully-old table, manifest 2 the fully-new one. A reader pinned to
+    // either version sees a consistent table — the "kill between
+    // partition swaps" scenario cannot occur because partitions re-point
+    // together in one rename.
+    val m1 = store.readManifest(1)
+    val m2 = store.readManifest(2)
+    assert(m1("p1") == m1("p2"), "old state: both partitions on the snapshot segment")
+    assert(m2("p1") == m2("p2") && m2("p1") != m1("p1"),
+      "new state: both partitions re-pointed to the merge segment together")
+  }
+
+  test("NULL partition values round-trip through the manifest") {
+    val (store, _) = fresh()
+    store.snapshot(Seq[(Long, Long, String, Option[String])](
+      (1L, 1L, "a", Some("p1")), (2L, 1L, "b", None)
+    ).toDF("k", "seq", "v", "p"))
+    store.upsert(Seq[(Long, Long, String, Option[String])]((2L, 2L, "b2", None))
+      .toDF("k", "seq", "v", "p"), cfg)
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("2", "b2")))
+    assert(canon(store.readPartitions(Seq("__HIVE_DEFAULT_PARTITION__")).get.select("k", "v"))
+      == Seq(Seq("2", "b2")))
+  }
+
+  test("new-partition upsert inserts without a target slice") {
+    val (store, _) = fresh()
+    store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))
+    store.upsert(Seq((9L, 1L, "z", "p9")).toDF("k", "seq", "v", "p"), cfg)
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("9", "z")))
+  }
+}

@@ -89,6 +89,58 @@ class PipelineSpec extends SparkSpec {
     assert(!torn.exists())
   }
 
+  test("TableStore.append: O(batch) bytes — the delta version holds ONLY the batch") {
+    val root = Files.createTempDirectory("store-append").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.snapshot((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v"))
+    store.append(Seq((2001L, "a"), (2002L, "b")).toDF("k", "v"))
+    assert(store.versions == Seq(1, 2))
+    // the append version directory contains the batch alone — the proof
+    // the commit wrote O(batch), not a full-table rewrite
+    assert(spark.read.parquet(s"$root/v=2").count() == 2)
+    assert(store.read.get.count() == 1002)
+    // a second append chains: v=3 holds only its batch, read unions all
+    store.append(Seq((3001L, "c")).toDF("k", "v"))
+    assert(spark.read.parquet(s"$root/v=3").count() == 1)
+    assert(store.read.get.count() == 1003)
+    // a snapshot compacts: the chain ends, read sees only the new full
+    store.snapshot(Seq((1L, "x")).toDF("k", "v"))
+    assert(store.read.get.count() == 1)
+  }
+
+  test("TableStore.append: first write degrades to a snapshot; torn append invisible") {
+    val root = Files.createTempDirectory("store-append2").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.append(Seq((1L, "a")).toDF("k", "v")) // no parent → full version
+    assert(canon(store.read.get) == Seq(Seq("1", "a")))
+    // crash mid-append: staged dir with marker never renamed
+    val torn = new java.io.File(s"$root/.tmp_v=2")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("_delta_parent"), "1".getBytes)
+    assert(store.versions == Seq(1))
+    assert(canon(store.read.get) == Seq(Seq("1", "a")))
+    store.append(Seq((2L, "b")).toDF("k", "v")) // sweeps the orphan, commits v=2
+    assert(store.versions == Seq(1, 2))
+    assert(canon(store.read.get) == Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
+  test("TableStore.prune is chain-aware: a kept append head keeps its ancestry") {
+    val root = Files.createTempDirectory("store-chain").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.snapshot(Seq((1L, "a")).toDF("k", "v"))   // v1 full
+    store.append(Seq((2L, "b")).toDF("k", "v"))     // v2 ← v1
+    store.append(Seq((3L, "c")).toDF("k", "v"))     // v3 ← v2
+    store.snapshot(Seq((10L, "x")).toDF("k", "v"))  // v4 full (compaction)
+    store.append(Seq((11L, "y")).toDF("k", "v"))    // v5 ← v4
+    store.prune(keep = 2) // heads v4,v5; chain {4,5}; v1..v3 go
+    assert(store.versions == Seq(4, 5))
+    assert(canon(store.read.get) == Seq(Seq("10", "x"), Seq("11", "y")))
+    // pruning to ONE head still keeps the head's parent alive
+    store.prune(keep = 1)
+    assert(store.versions == Seq(4, 5))
+    assert(canon(store.read.get) == Seq(Seq("10", "x"), Seq("11", "y")))
+  }
+
   test("failed window logs a failure row and rethrows") {
     val lay = layout()
     // (renaming or dropping the cursor would NOT fail — Spark resolves
