@@ -210,7 +210,8 @@ object ModelSql {
   * key-join, which at cluster scale broadcasts small batches and AQE-splits
   * skewed keys; views add zero materialization cost between stages.
   */
-final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: String = "") {
+final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: String = "",
+                           meta: Option[graft.meta.MetaStore] = None) {
 
   private val sources = mutable.LinkedHashMap[(String, String), DataFrame]()
   private val models  = mutable.LinkedHashMap[String, (String, ModelTests)]()
@@ -252,9 +253,20 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     ranThisInvocation.get(name) match {
       case Some(df) => df
       case None =>
-        val df = materialize(name)
-        val (_, tests) = modelOf(name)
-        Checks.enforce(checksFor(df, tests))
+        // with a MetaStore attached, each model node gets the task_result
+        // row + statsd metric pair every pipeline task gets (dbt run
+        // telemetry, same dimensions as the reference's airflow scrape)
+        def exec(): DataFrame = {
+          val df = materialize(name)
+          val (_, tests) = modelOf(name)
+          Checks.enforce(checksFor(df, tests))
+          df
+        }
+        val df = meta match {
+          case None    => exec()
+          case Some(m) => m.timed("dbt", s"model.$name",
+            java.time.LocalDate.now().toString)(exec())
+        }
         ranThisInvocation(name) = df
         df
     }

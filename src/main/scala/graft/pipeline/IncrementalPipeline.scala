@@ -40,6 +40,10 @@ object IncrementalPipeline {
       val stagingPath = Staging.stagingPath(layout.stagingRoot, cfg, manual)
       val stagedRows = Staging.overwrite(normalized, stagingPath)
       Checks.enforce(Seq(Checks.rowCountReconciles(normalized.count(), stagedRows)))
+      // the volume gauge the reference scrapes per load (timed() already
+      // emits the duration timer + success/failure counter around this)
+      meta.emit("rows_staged", "gauge", stagedRows.toDouble,
+        cfg.name, s"window[$start,$end)", start)
 
       val store = new TableStore(spark, layout.tableRoot)
       val version = store.upsert(Staging.read(spark, stagingPath), cfg)

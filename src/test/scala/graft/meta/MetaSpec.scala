@@ -19,6 +19,39 @@ class MetaSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("result").contains("kaput")))
   }
 
+  test("timed emits the statsd pair: duration timer + success/failure counter") {
+    val dir = Files.createTempDirectory("meta-metrics").toString + "/task_result"
+    val store = new MetaStore(spark, dir)
+    store.timed("bccp", "extract", "2024-01-01")(1)
+    intercept[RuntimeException] {
+      store.timed("bccp", "load", "2024-01-01")(throw new RuntimeException("x"))
+    }
+    val ms = store.metrics.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("metricType"),
+                 r.getAs[String]("task"))).toSet
+    assert(ms == Set(
+      ("task_duration", "timer", "extract"),
+      ("ti_successes", "counter", "extract"),
+      ("task_duration", "timer", "load"),
+      ("ti_failures", "counter", "load")))
+    // dimensions match the reference scrape: pipeline=dag_id, task=task_id
+    val dims = store.metrics.select("pipeline").distinct().collect().map(_.getString(0))
+    assert(dims.toSeq == Seq("bccp"))
+    // metrics are invisible to the task_result read (underscore dir)
+    assert(store.taskResults.count() == 2)
+  }
+
+  test("emit records custom gauges/counters queryable by dimension") {
+    val dir = Files.createTempDirectory("meta-gauge").toString + "/task_result"
+    val store = new MetaStore(spark, dir)
+    store.emit("rows_staged", "gauge", 1234.0, "bccp", "window[a,b)", "2024-01-01")
+    store.emit("rows_staged", "gauge", 5678.0, "bccp", "window[b,c)", "2024-01-02")
+    val total = store.metrics.filter(org.apache.spark.sql.functions.col("name") === "rows_staged")
+      .agg(org.apache.spark.sql.functions.sum("value")).head().getDouble(0)
+    assert(total == 6912.0)
+    assert(store.taskResults.count() == 0) // no task rows — metrics only
+  }
+
   test("M7 BatchFanout: chunking, retry-until-success, bounded retries") {
     var calls = 0
     val outcomes = BatchFanout.runChunked((1 to 25).toSeq, chunkSize = 10, maxRetry = 3) { chunk =>

@@ -220,6 +220,19 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("unbalanced"))
   }
 
+  test("a MetaStore-attached runner logs per-model task rows and metrics") {
+    val meta = new graft.meta.MetaStore(spark,
+      java.nio.file.Files.createTempDirectory("dbt-meta").toString + "/task_result")
+    val r = new SqlModelRunner(spark, freshRoot(), "", Some(meta))
+    r.addSource("ods", "t", Seq((1, "x")).toDF("id", "v"))
+    r.addModel("base", "{{ config(materialized='table') }} SELECT id, v FROM {{ source('ods', 't') }}")
+    r.addModel("vw", "SELECT id FROM {{ ref('base') }}")
+    r.run("vw")
+    val tasks = meta.taskResults.select("task").as[String].collect().sorted
+    assert(tasks.toSeq == Seq("model.base", "model.vw"))
+    assert(meta.metrics.filter(col("name") === "ti_successes").count() == 2)
+  }
+
   test("failing dbt test aborts the run") {
     val r = new SqlModelRunner(spark, freshRoot())
     r.addSource("ods", "dup", Seq((1, "a"), (1, "b")).toDF("id", "v"))
