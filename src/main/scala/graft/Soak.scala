@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: replicate the documents/embeddings tables N× with
+  * decorrelated content, then time the dedup/ANN family at base vs N×
+  * scale — the measurement behind every "scales by construction" claim
+  * (a banded pipeline should grow ~linearly; an accidental quadratic
+  * bucket shows up as a super-linear wall-clock ratio long before 100 TB).
+  *
+  * Replication is deterministic and preserves intra-replica structure
+  * without creating cross-replica near-dups:
+  *   - documents: every token is prefixed with a replica tag, so replica
+  *     k's shingle space is disjoint from replica j's (near-dup structure
+  *     WITHIN a replica is preserved exactly; no artificial 10-member
+  *     duplicate clusters appear across replicas);
+  *   - embeddings: each replica cyclically rotates the vector dimensions,
+  *     decorrelating cosines across replicas while preserving norms.
+  *
+  * Usage: runMain graft.Soak [baseSfDir] [outDir] — SPARK_GRAFT_SOAK_X
+  * sets the multiplier (default 10). Prints one JSON line per query with
+  * base/soak wall seconds and the cost ratio, plus a summary line.
+  */
+object Soak {
+
+  private val SoakQueries = Seq(
+    "dedup_exact", "dedup_neardup", "dedup_incremental", "dedup_clusters",
+    "dedup_simhash_pairs", "contamination",
+    "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
+    "dedup_cosine_pairs")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/soak"
+    val x = sys.env.getOrElse("SPARK_GRAFT_SOAK_X", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, base, out, x)
+
+    // same two-pass-min protocol as Bench
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(pass(), pass())
+    }
+
+    var sumBase = 0.0
+    var sumSoak = 0.0
+    val lines = SoakQueries.map { name =>
+      val fn = SparkEntry.queries(name)
+      val tb = time(fn, base)
+      val ts = time(fn, out)
+      sumBase += tb; sumSoak += ts
+      f"""{"query":"$name","base_sec":$tb%.2f,"soak_sec":$ts%.2f,"ratio":${ts / tb}%.1f}"""
+    }
+    lines.foreach(println)
+    println(f"""{"metric":"soak_total","x":$x,"base_sec":$sumBase%.2f,"soak_sec":$sumSoak%.2f,"ratio":${sumSoak / sumBase}%.1f}""")
+    spark.stop()
+  }
+
+  /** Materialize the N× replica tables (idempotent: skips if present). */
+  def generate(spark: SparkSession, base: String, out: String, x: Int): Unit = {
+    if (new java.io.File(s"$out/documents.parquet").exists &&
+        new java.io.File(s"$out/embeddings.parquet").exists) return
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nDocs = docs.count()
+
+    val docReplicas = (0 until x).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * 10_000_000L)).as("doc_id"),
+        // tag every token: replica shingle spaces are disjoint
+        regexp_replace(col("text"), "(\\S+)", s"r$k$$1").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_.unionByName(_))
+    docReplicas.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val embReplicas = (0 until x).map { k =>
+      val rot = k % dim
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+                    slice(col("embedding"), 1, rot))
+      emb.select(
+        (col("vec_id") + lit(k * 10_000_000L)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_.unionByName(_))
+    embReplicas.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    println(s"[soak] generated ${x}x replicas of $base ($nDocs docs/replica) at $out")
+  }
+}
