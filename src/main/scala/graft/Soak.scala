@@ -68,6 +68,35 @@ object Soak {
     }
     lines.foreach(println)
     println(f"""{"metric":"soak_total","x":$x,"base_sec":$sumBase%.2f,"soak_sec":$sumSoak%.2f,"ratio":${sumSoak / sumBase}%.1f}""")
+
+    // trained-IVF recall at soak scale: k=64 spherical k-means++ +
+    // 2 Lloyd passes vs the LSH r=2 multiprobe, against brute force.
+    // On THIS corpus the vectors are isotropic (no cluster structure —
+    // same-label and cross-label cosine both ~0), so every pruning index
+    // is bounded by its scan fraction; the numbers below are the honest
+    // ceiling, and IvfTrainingSpec shows the trained index winning where
+    // cluster structure actually exists.
+    import graft.llm.Similarity
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val trained = Similarity.trainIvfCentroids(emb, "embedding", "vec_id",
+      k = 64, lloydIters = 2)
+    val idx = Similarity.buildIvfIndex(emb, "embedding", trained).localCheckpoint()
+    val ivfRecalls = Seq(8, 16, 26).map { np =>
+      val got = Similarity.ivfTopK(idx, "embedding", "vec_id", q, 10, trained, nprobe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      np -> brute.intersect(got).size / 10.0
+    }
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = q.length)
+    val lshGot = Similarity.annTopK(Similarity.buildLshIndex(emb, "embedding", planes),
+        "embedding", "vec_id", q, 10, planes, multiprobeRadius = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lshR2 = brute.intersect(lshGot).size / 10.0
+    val ivfJson = ivfRecalls.map { case (np, r) => s""""nprobe_$np":$r""" }.mkString(",")
+    println(s"""{"metric":"trained_ivf_recall_at_10","k":64,$ivfJson,"lsh_r2":$lshR2}""")
     spark.stop()
   }
 

@@ -937,6 +937,14 @@ object SparkEntry {
       Terms.groupOverlap(Tables.documents(s, d), "source", "text")
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
+    "source_overlap_sketch" -> ((s, d) =>
+      // the KMV bottom-k sketch estimate of the same overlap — the
+      // 100 TB path (O(pairs·k) after one corpus pass). md5-derived
+      // hashes make the APPROXIMATE estimator itself hash-checkable:
+      // the oracle replays sketch, union, and count exactly
+      Terms.groupOverlapSketch(Tables.documents(s, d), "source", "text", k = 128)
+        .withColumn("jaccard_est", round(col("jaccard_est"), 6))),
+
     "contamination" -> ((s, d) => {
       // eval-set decontamination: every 10th doc plays the benchmark set;
       // pairs where >=50% of the eval doc's 3-grams appear in a train doc
@@ -1330,6 +1338,31 @@ object SparkEntry {
         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
         |SELECT sh.doc_id, round(avg(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty
         |FROM sh JOIN df USING (s) GROUP BY sh.doc_id""".stripMargin,
+
+    // replays the KMV estimator end-to-end: per-source bottom-128 of the
+    // md5-derived shingle hashes, pair candidates from sketch collisions,
+    // k-smallest of each pair's sketch union, both-present / taken
+    "source_overlap_sketch" ->
+      """WITH d AS (SELECT source, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh0 AS (SELECT source,
+        |          unnest(CASE WHEN len(ws) >= 3
+        |               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                      i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |               ELSE [array_to_string(ws, ' ')] END) AS s
+        |        FROM d),
+        |hs AS (SELECT DISTINCT source AS g, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh0),
+        |kmv AS (SELECT g, h FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs)
+        |        WHERE rn <= 128),
+        |cand AS (SELECT DISTINCT a.g AS ga, b.g AS gb FROM kmv a JOIN kmv b ON a.h = b.h AND a.g < b.g),
+        |uni AS (SELECT ga, gb, h, max(inA) AS inA, max(inB) AS inB FROM (
+        |          SELECT c.ga, c.gb, k.h, 1 AS inA, 0 AS inB FROM cand c JOIN kmv k ON k.g = c.ga
+        |          UNION ALL
+        |          SELECT c.ga, c.gb, k.h, 0 AS inA, 1 AS inB FROM cand c JOIN kmv k ON k.g = c.gb)
+        |        GROUP BY 1, 2, 3),
+        |topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uni)
+        |         WHERE rn <= 128)
+        |SELECT ga, gb, round(sum(inA * inB) * 1.0 / count(*), 6) AS jaccard_est
+        |FROM topk GROUP BY 1, 2""".stripMargin,
 
     "source_overlap" ->
       """WITH d AS (SELECT source, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),

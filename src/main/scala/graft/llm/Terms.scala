@@ -109,6 +109,59 @@ object Terms {
           (col("__na") + col("__nb") - col("__i")).cast("double")).as("jaccard"))
   }
 
+  /** KMV-sketched pairwise group Jaccard — the 100 TB path for
+    * [[groupOverlap]]. The exact version's shingle self-join touches
+    * every distinct (group, shingle) row; here each group first reduces
+    * to its `k` SMALLEST distinct shingle hashes (a bottom-k / KMV
+    * sketch — Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07), and
+    * the pairwise estimate runs over sketches alone: after the one
+    * corpus pass, cost is O(pairs · k), independent of corpus size.
+    *
+    * Estimator: for a pair, take the k smallest hashes of the sketch
+    * UNION; J ≈ (how many of those appear in BOTH sketches) / k. When
+    * the union holds fewer than k hashes the sketch is the exact set and
+    * the estimate is exact. Pairs whose sketches share NO hash are
+    * omitted (estimates below the 1/k resolution are indistinguishable
+    * from zero — same omission contract as [[groupOverlap]], coarser).
+    *
+    * Deterministic and engine-neutral: hashes are md5-derived
+    * ([[Dedup.portableWordHash]]), so sketch, union, and count replay
+    * exactly in any engine with a standard md5 — the correctness oracle
+    * does, making an APPROXIMATE operator hash-checkable. */
+  def groupOverlapSketch(docs: DataFrame, groupCol: String, textCol: String,
+                         k: Int = 256, shingleSize: Int = 3): DataFrame = {
+    require(k >= 1, "sketch size k must be >= 1")
+    val h = Dedup.parallelize(docs).select(col(groupCol).as("g"),
+        explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("g"), Dedup.portableWordHash(col("__sh")).as("h"))
+      .distinct()
+    val wg = Window.partitionBy("g").orderBy(col("h").asc)
+    // checkpoint: the sketch feeds both candidate sides AND two union
+    // legs — four consumers of one corpus-wide shuffle
+    val kmv = h.withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= k).select("g", "h")
+      .localCheckpoint(false)
+    // candidate pairs via sketch-hash collisions — an equi-join on the
+    // hash, never a group × group cartesian
+    val cand = kmv.toDF("ga", "h").join(kmv.toDF("gb", "h"), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .select("ga", "gb").distinct()
+    // per-pair union of the two sketches, with membership flags
+    val ua = cand.join(kmv.toDF("ga", "h"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("inA"), lit(0).as("inB"))
+    val ub = cand.join(kmv.toDF("gb", "h"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("h"), lit(0).as("inA"), lit(1).as("inB"))
+    val uni = ua.unionByName(ub)
+      .groupBy("ga", "gb", "h")
+      .agg(max(col("inA")).as("inA"), max(col("inB")).as("inB"))
+    // k smallest of each pair's union; estimate = both-present / taken
+    val wp = Window.partitionBy("ga", "gb").orderBy(col("h").asc)
+    uni.withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= k)
+      .groupBy("ga", "gb")
+      .agg((sum(col("inA") * col("inB")).cast("double") /
+            count(lit(1)).cast("double")).as("jaccard_est"))
+  }
+
   /** Power-of-two token-length histogram: bucket = floor(log2(tokens)),
     * with empty docs in bucket -1. The one-line corpus shape summary a
     * packing/batching configuration starts from (sequence-length budget,

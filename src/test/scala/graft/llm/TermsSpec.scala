@@ -65,6 +65,39 @@ class TermsSpec extends SparkSpec {
     assert(math.abs(out(("s1", "s4")) - 1.0 / 5.0) < 1e-12)
   }
 
+  test("groupOverlapSketch: exact when k covers the union; omits no-collision pairs") {
+    val corpus = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon"),
+      (2L, "s2", "alpha beta gamma delta epsilon"),  // mirror of s1
+      (3L, "s3", "entirely different shingle material here"),
+      (4L, "s4", "alpha beta gamma zeta eta")        // partial overlap with s1/s2
+    ).toDF("doc_id", "source", "text")
+    // k >= every union size → the sketch IS the set and estimates are exact
+    val est = Terms.groupOverlapSketch(corpus, "source", "text", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = Terms.groupOverlap(corpus, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (p, j) => assert(math.abs(est(p) - j) < 1e-12, s"$p: ${est(p)} vs $j") }
+    // s3 shares nothing — no sketch collision, pair omitted
+    assert(!est.keySet.exists(p => p._1 == "s3" || p._2 == "s3"))
+  }
+
+  test("groupOverlapSketch at small k: bounded estimate, mirrors still score 1") {
+    // 60 shingles per source, half shared — k=8 sketches estimate coarsely
+    // but identical sources must still estimate exactly 1.0 (equal sets →
+    // identical sketches), and estimates stay within [0, 1]
+    val words = (1 to 80).map(i => s"w$i")
+    def text(drop: Int) = words.drop(drop).take(62).mkString(" ")
+    val corpus = Seq(
+      (1L, "a", text(0)), (2L, "b", text(0)), (3L, "c", text(30))
+    ).toDF("doc_id", "source", "text")
+    val est = Terms.groupOverlapSketch(corpus, "source", "text", k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est(("a", "b")) == 1.0)
+    est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("lengthHistogram buckets by floor(log2(tokens)), empty docs at -1") {
     val corpus = Seq(
       (1L, "one"),                       // 1 token  → bucket 0
