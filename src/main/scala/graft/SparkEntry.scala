@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Clusters, Dedup, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
+import graft.llm.{Chunking, Clusters, Dedup, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
 import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
@@ -224,6 +224,22 @@ object SparkEntry {
                 col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(decSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
              count(lit(1)).as("n"))),
+
+    "q2_min_cost_supply" -> ((s, d) => {
+      // TPC-H Q2 shape: correlated scalar-aggregate subquery (the
+      // min-cost-supplier pattern) — Catalyst decorrelates it into one
+      // aggregate + join, not a per-row re-scan (per-row execution at
+      // 100 TB is the classic O(n²) trap decorrelation exists for)
+      Tables.part(s, d).createOrReplaceTempView("__q2_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("__q2_lineitem")
+      s.sql("""
+        SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice
+        FROM __q2_part p JOIN __q2_lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size < 15
+          AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                   FROM __q2_lineitem l2
+                                   WHERE l2.l_partkey = p.p_partkey)""")
+    }),
 
     "j1_region_summary" -> ((s, d) => {
       Tables.customer(s, d)
@@ -902,6 +918,17 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    "sample_cluster_split" -> ((s, d) =>
+      // LEAKAGE-SAFE split: the split key is the near-dup cluster label,
+      // not the doc id, so near-duplicates can never straddle
+      // train/eval (a doc-id split scores memorization). The oracle
+      // recomputes the closure (dedup_clusters' recursive CTE) and every
+      // md5 assignment — the full (doc, cluster, split) map is checked.
+      graft.llm.Sampling.splitByCluster(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("cluster_id"), col("split"))),
+
     "sample_domain_cap" -> ((s, d) =>
       // corpus balancing: at most 10 docs per (source, lang), longest
       // first, doc_id as the total-order tie-break
@@ -1067,6 +1094,15 @@ object SparkEntry {
         .select(col("ord").as("doc_id"), col("pack_key").as("lang"),
                 col("n_tokens"), col("bin_id"))),
 
+    "chunk_documents" -> ((s, d) =>
+      // overlapping token-window chunks (chunk=64, overlap=16) — a pure
+      // map stage (no shuffle; ChunkingSpec asserts it); the oracle
+      // replays the window arithmetic with list_slice
+      Chunking.chunkByTokens(Tables.documents(s, d),
+          chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_index"), col("token_start"),
+                col("n_tokens"), col("chunk_text"))),
+
     // ── streaming twins (SURVEY §2.8) ─────────────────────────────────
     "w_window_counts" -> ((s, d) => {
       // batch twin of StreamOps.windowedCounts — same code path (the
@@ -1076,6 +1112,52 @@ object SparkEntry {
           Seq("event_type"))
         .select(unix_micros(col("window_start")).as("window_start_us"),
                 col("event_type"), col("n"))
+    }),
+
+    "stream_day_rollup" -> ((s, d) => {
+      // END-TO-END Structured Streaming, oracle-checked: events split
+      // into 4 files and drained one file per micro-batch (AvailableNow
+      // + maxFilesPerTrigger=1), each batch's partial day-rollup folded
+      // idempotently into a versioned TableStore
+      // (StreamOps.maintainRollup — the foldRollupBatch replay guard is
+      // live on this path). DECIMAL sums + counts are a commutative
+      // monoid, so the final store is INDEPENDENT of the micro-batch
+      // split and hash-equals the one-shot batch GROUP BY the oracle
+      // computes.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_rollup").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val store = new graft.pipeline.TableStore(s, s"$tmp/store")
+      graft.streaming.StreamOps.maintainRollup(stream, store,
+        b => Marts.dayRollup(b, "ts", Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).as("total_value"))),
+        keys = Seq("day", "event_type"), addCols = Seq("n", "total_value"),
+        checkpoint = s"$tmp/ckpt")
+      store.read.get
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+                col("n"), col("total_value").cast("double").as("total_value"))
+    }),
+
+    "stream_cdc_merge" -> ((s, d) => {
+      // END-TO-END streaming CDC ingest: the same 4-file drain, each
+      // micro-batch upserted by event_id through the effectively-once
+      // foreachBatch merge (checkpoint + idempotent keyed upsert —
+      // StreamOps.mergeAvailable). event_id is unique, so the final
+      // store equals the full events table regardless of batch split.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_cdc").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val store = new graft.pipeline.TableStore(s, s"$tmp/store")
+      graft.streaming.StreamOps.mergeAvailable(stream, store,
+        TableConfig("stream_events", null, Seq("event_id"), cursorField = Some("ts")),
+        s"$tmp/ckpt")
+      store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
     }),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
@@ -1290,6 +1372,14 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    "q2_min_cost_supply" ->
+      """SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice
+        |FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size < 15
+        |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                           FROM lineitem l2
+        |                           WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
@@ -1864,6 +1954,38 @@ object SparkEntry {
         |JOIN (SELECT cluster_id, count(*) AS cluster_size
         |      FROM comp GROUP BY cluster_id) sz USING (cluster_id)""".stripMargin,
 
+    "sample_cluster_split" ->
+      // dedup_clusters' closure + sample_split_counts' md5 arithmetic,
+      // keyed by the cluster label instead of the doc id
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |es AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |walk(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT es.v, walk.lbl FROM walk JOIN es ON es.u = walk.id
+        |  WHERE walk.lbl < es.v),
+        |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN b < 52428 THEN 'train'
+        |            WHEN b < 58982 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |             CAST('0x' || substring(md5('split' || '||' || CAST(cluster_id AS VARCHAR)), 1, 4) AS BIGINT) AS b
+        |      FROM comp)""".stripMargin,
+
     "sample_stratified_counts" ->
       """SELECT event_type, CAST(least(count(*), 50) AS BIGINT) AS n_sampled
         |FROM events GROUP BY event_type""".stripMargin,
@@ -2098,10 +2220,40 @@ object SparkEntry {
         |  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
         |SELECT doc_id, lang, n_tokens, bin_id FROM p""".stripMargin,
 
+    "chunk_documents" ->
+      // chunk i covers tokens [i*48, i*48+64); DuckDB lists are 1-based
+      // and list_slice clamps at the end like Spark's slice
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+        |n AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 64 THEN 1
+        |              ELSE CAST((len(toks) - 16 + 47) // 48 AS INT) END AS nc
+        |  FROM d),
+        |e AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM n)
+        |SELECT doc_id,
+        |       CAST(i AS INT) AS chunk_index,
+        |       CAST(i * 48 AS INT) AS token_start,
+        |       CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS INT) AS n_tokens,
+        |       array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
     "w_window_counts" ->
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // identical to a5_day_rollup's aggregate on purpose: the streaming
+    // fold must be indistinguishable from the batch GROUP BY
+    "stream_day_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_cdc_merge" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -90,4 +90,28 @@ object Sampling {
     }
     df.withColumn("split", labeled)
   }
+
+  /** Leakage-safe train/val/test split: a plain [[splitByHash]] on doc
+    * ids lets two NEAR-DUPLICATE documents straddle train and eval —
+    * the eval set then scores memorization, not generalization. Here the
+    * split key is the document's near-dup CLUSTER id
+    * ([[Clusters.duplicateClusters]]' min-id label), so every member of
+    * a duplicate cluster co-assigns by construction; singletons hash
+    * their own id (their cluster label). Costs one clustering pass on
+    * top of the hash arithmetic — at corpus scale the clustering is
+    * usually already materialized for dedup, in which case pass it in
+    * via `precomputed` and this is a broadcast-or-shuffle join plus the
+    * same O(1)-per-row md5 decision as every sampler here. */
+  def splitByCluster(docs: DataFrame, idCol: String, textCol: String,
+                     weights: Seq[(String, Double)], seed: String = "split",
+                     threshold: Double = 0.8,
+                     precomputed: Option[DataFrame] = None): DataFrame = {
+    val clusters = precomputed.getOrElse(
+        Clusters.duplicateClusters(docs, idCol, textCol, threshold))
+      .select(col(idCol), col("cluster_id"))
+    val keyed = docs.join(clusters, Seq(idCol), "left")
+      // defensive: a doc absent from the cluster map is its own cluster
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    splitByHash(keyed, Seq("cluster_id"), weights, seed)
+  }
 }

@@ -20,7 +20,11 @@ final case class ModelConfig(
     materialized: String = "view",
     uniqueKey: Seq[String] = Nil,
     schema: Option[String] = None,
-    onSchemaChange: String = "ignore")
+    onSchemaChange: String = "ignore",
+    // runner extension (not a dbt key): bound on the append strategy's
+    // delta-chain length before auto-compaction — without it an
+    // append-per-run model accumulates one directory per run forever
+    appendMaxChain: Int = 16)
 
 /** dbt-style test bindings for a model — `not_null` / `unique` /
   * `expression_is_true(count(*)>0)` as declared in
@@ -75,6 +79,7 @@ object ModelSql {
           case "unique_key"       => cfg = cfg.copy(uniqueKey = asList)
           case "schema"           => cfg = cfg.copy(schema = Option(scalar))
           case "on_schema_change" => cfg = cfg.copy(onSchemaChange = scalar)
+          case "append_max_chain" => cfg = cfg.copy(appendMaxChain = scalar.toInt)
           case _                  => // alias/tags/etc: parsed, unused
         }
       }
@@ -368,9 +373,10 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
             }
             st.snapshot(merged)
           }
-          // append strategy: version-additive — O(batch) bytes, never a
-          // full-table rewrite (TableStore.append's delta chain)
-          else st.append(selected)
+          // append strategy: version-additive — O(batch) bytes per run,
+          // auto-compacted once the delta chain exceeds append_max_chain
+          // so read amplification stays bounded over unbounded runs
+          else st.append(selected, cfg.appendMaxChain)
           st.read.get
         case other =>
           throw new IllegalArgumentException(

@@ -84,6 +84,34 @@ final class TableStore(spark: SparkSession, root: String) {
   def append(df: DataFrame): Int =
     commitVersion(df, parentDelta = latestVersion)
 
+  /** Number of version directories a reader of the latest version scans
+    * (1 for a full snapshot, chain length for an append head). */
+  def chainLength: Int = latestVersion.map(chain(_).length).getOrElse(0)
+
+  /** Collapse the current delta chain into ONE full version (small-files
+    * compaction). Read amplification on an append table grows with every
+    * [[append]] — each run adds a directory (and at 5-minute cadence,
+    * hundreds per day), so scans degrade from one columnar sweep to a
+    * many-directory union of small files. Compaction rewrites the
+    * resolved chain as a single snapshot version with the same atomic
+    * staged-rename commit; a crash mid-compact leaves the chain intact
+    * (readers keep resolving it) and the orphaned staging dir is swept
+    * by the next commit. No-op on an empty store. */
+  def compact(): Option[Int] = read.map(snapshot)
+
+  /** Append, then compact iff the resulting chain exceeds `maxChain`
+    * members — amortized O(batch) writes with bounded read
+    * amplification: with threshold c, a table of N bytes built from
+    * B-byte batches writes N·(1 + 1/c) total bytes instead of O(N²/B)
+    * for snapshot-per-run, while readers never union more than c
+    * directories. Crash between the two commits is safe: the append is
+    * already durable, and the skipped compaction re-triggers on the
+    * next over-threshold append. */
+  def append(df: DataFrame, maxChain: Int): Int = {
+    val v = append(df)
+    if (maxChain > 0 && chain(v).length > maxChain) compact().getOrElse(v) else v
+  }
+
   private def commitVersion(df: DataFrame, parentDelta: Option[Int]): Int = {
     val rootP = new Path(root)
     if (fs.exists(rootP)) // sweep staging dirs orphaned by earlier crashes

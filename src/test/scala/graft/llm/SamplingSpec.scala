@@ -95,6 +95,40 @@ class SamplingSpec extends SparkSpec {
     assert(canon(sel) == canon(again))
   }
 
+  test("splitByCluster: near-duplicates co-assign; singletons match splitByHash") {
+    // 3 planted near-dup families (members differ by one trailing word —
+    // shingle Jaccard ≥ 0.8) + unrelated singletons with disjoint vocab
+    val family = (fid: Int) => (0 to 2).map { m =>
+      (fid * 10L + m, (1 to 20).map(i => s"f${fid}w$i").mkString(" ") + s" tail$m")
+    }
+    val singles = (100 to 140).map(i => (i.toLong, (1 to 12).map(j => s"s${i}x$j").mkString(" ")))
+    val docs = ((1 to 3).flatMap(family) ++ singles).toDF("doc_id", "text")
+    val out = Sampling.splitByCluster(docs, "doc_id", "text",
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+    // every doc assigned exactly once
+    assert(out.count() == docs.count())
+    // each family's members share one cluster AND one split
+    val fam = out.filter(col("doc_id") < 100)
+      .groupBy(floor(col("doc_id") / 10).as("f"))
+      .agg(countDistinct("cluster_id").as("nc"), countDistinct("split").as("ns"))
+      .as[(Long, Long, Long)].collect()
+    assert(fam.length == 3 && fam.forall { case (_, nc, ns) => nc == 1 && ns == 1 })
+    // a singleton's assignment equals splitByHash of its own id (cluster
+    // label = own id), so the leakage-safe split degrades to the plain
+    // one on duplicate-free data
+    val singleOut = out.filter(col("doc_id") >= 100)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val plain = Sampling.splitByHash(docs.filter(col("doc_id") >= 100), Seq("doc_id"),
+        Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(singleOut == plain)
+    // precomputed cluster map short-circuits the clustering pass
+    val pre = Clusters.duplicateClusters(docs, "doc_id", "text", 0.8)
+    val out2 = Sampling.splitByCluster(docs, "doc_id", "text",
+      Seq(("train", 0.5), ("val", 0.25), ("test", 0.25)), precomputed = Some(pre))
+    assert(canon(out) == canon(out2))
+  }
+
   test("md5Bucket encodes NULL keys explicitly — no silent identity collisions") {
     import spark.implicits._
     // concat_ws DROPS nulls: without the sentinel these two distinct

@@ -144,6 +144,23 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/log/v=2").count() == 1)
   }
 
+  test("append model auto-compacts once the chain exceeds append_max_chain") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root)
+    r.addModel("log",
+      "{{ config(materialized='incremental', append_max_chain='2') }} " +
+      "SELECT id FROM {{ source('ods', 's') }}")
+    val st = r.store("log")
+    r.addSource("ods", "s", Seq(1).toDF("id")); r.run("log") // v1 full
+    r.addSource("ods", "s", Seq(2).toDF("id")); r.run("log") // v2 ← v1, chain 2
+    assert(st.chainLength == 2)
+    r.addSource("ods", "s", Seq(3).toDF("id"))
+    val out = r.run("log") // chain would be 3 > 2 → auto-compacted full version
+    assert(st.chainLength == 1)
+    assert(out.count() == 3)
+    assert(st.read.get.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("diamond DAG: a twice-ref'd upstream materializes once per invocation") {
     val root = freshRoot()
     val r = new SqlModelRunner(spark, root)

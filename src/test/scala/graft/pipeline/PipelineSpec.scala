@@ -141,6 +141,50 @@ class PipelineSpec extends SparkSpec {
     assert(canon(store.read.get) == Seq(Seq("10", "x"), Seq("11", "y")))
   }
 
+  test("TableStore.compact collapses the chain; bounded append auto-compacts") {
+    val root = Files.createTempDirectory("store-compact").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.snapshot(Seq((1L, "a")).toDF("k", "v"))       // v1 full
+    store.append(Seq((2L, "b")).toDF("k", "v"))         // v2 ← v1
+    store.append(Seq((3L, "c")).toDF("k", "v"))         // v3 ← v2
+    assert(store.chainLength == 3)
+    val before = canon(store.read.get)
+    // compact: one new FULL version, same rows, chain length back to 1
+    store.compact()
+    assert(store.chainLength == 1)
+    assert(canon(store.read.get) == before)
+    // the compacted version is self-contained — pruning to it alone works
+    store.prune(keep = 1)
+    assert(store.versions.length == 1)
+    assert(canon(store.read.get) == before)
+
+    // bounded append: chain grows to maxChain, then one append compacts
+    store.append(Seq((4L, "d")).toDF("k", "v"), maxChain = 2) // chain 2
+    assert(store.chainLength == 2)
+    store.append(Seq((5L, "e")).toDF("k", "v"), maxChain = 2) // 3 > 2 → compact
+    assert(store.chainLength == 1)
+    assert(canon(store.read.get) ==
+      Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c"), Seq("4", "d"), Seq("5", "e")))
+  }
+
+  test("TableStore.compact crash-mid-compact leaves the chain readable") {
+    val root = Files.createTempDirectory("store-compact-torn").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.snapshot(Seq((1L, "a")).toDF("k", "v"))
+    store.append(Seq((2L, "b")).toDF("k", "v"))
+    // simulate a crash mid-compaction: the would-be full v=3 never renamed
+    val torn = new java.io.File(s"$root/.tmp_v=3")
+    assert(torn.mkdirs())
+    java.nio.file.Files.write(torn.toPath.resolve("part-junk"), Array[Byte](7))
+    // readers keep resolving the intact chain — old state, never mixed
+    assert(store.chainLength == 2)
+    assert(canon(store.read.get) == Seq(Seq("1", "a"), Seq("2", "b")))
+    // retried compaction sweeps the orphan and commits
+    store.compact()
+    assert(store.chainLength == 1)
+    assert(canon(store.read.get) == Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
   test("failed window logs a failure row and rethrows") {
     val lay = layout()
     // (renaming or dropping the cursor would NOT fail — Spark resolves
