@@ -825,6 +825,23 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_ivf_store" -> ((s, d) => {
+      // the PERSISTENT index path: same centroids and probe as
+      // ann_ivf_topk, but the index is built INCREMENTALLY (two appends
+      // into the cell-partitioned IvfIndexStore) and the probe is a
+      // manifest-pruned read of the nprobe cells. The oracle is
+      // ann_ivf_topk's verbatim: maintenance must never change answers.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_store").toString
+      val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id", centroids)
+      ivf.append(e.filter(pmod(col("vec_id"), lit(10)) =!= 9))
+      ivf.append(e.filter(pmod(col("vec_id"), lit(10)) === 9))
+      ivf.topK(q, 10, nprobe = 3).withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // measured ANN quality: recall@10 of the LSH and IVF indexes against
       // the exact brute-force top-10, as hashed result rows — the oracle
@@ -1837,6 +1854,14 @@ object SparkEntry {
          |${topkSql("cand")}""".stripMargin,
 
     "ann_ivf_topk" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |$ivfCtes
+         |${topkSql("ivf_cand")}""".stripMargin,
+
+    // ann_ivf_topk's oracle VERBATIM: an incrementally-appended index
+    // with frozen centroids must answer exactly like the one-shot build
+    "ann_ivf_store" ->
       s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
          |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
          |$ivfCtes

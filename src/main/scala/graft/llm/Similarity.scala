@@ -124,7 +124,7 @@ object Similarity {
     Array.tabulate(cents.length)(c => refined.getOrElse(c, cents(c)))
   }
 
-  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+  private[llm] def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length) {

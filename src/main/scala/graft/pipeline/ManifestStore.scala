@@ -171,6 +171,33 @@ final class ManifestStore(spark: SparkSession, root: String, partitionCol: Strin
     affected
   }
 
+  /** Number of distinct segments the latest manifest references — the
+    * read amplification of a full-table scan (each live segment is one
+    * filtered parquet read in [[resolve]]). Grows by one per
+    * [[upsert]]/[[overwritePartitions]] run until compaction. */
+  def liveSegments: Int =
+    latestManifestVersion.map(readManifest(_).values.toSet.size).getOrElse(0)
+
+  /** Collapse every live segment into ONE (small-files compaction for
+    * the manifest layout): resolve the current manifest and commit the
+    * result as a fresh snapshot — same atomic manifest-pointer rename,
+    * so readers see the fragmented table or the compacted one, never a
+    * mix; a crash mid-compact leaves an unreferenced segment that
+    * [[vacuum]] sweeps. Run when [[liveSegments]] outgrows the segment
+    * budget (e.g. after every N merge cycles); [[upsert]] with
+    * `maxSegments` automates that policy. */
+  def compact(): Unit = read.foreach(snapshot)
+
+  /** Upsert, then compact iff the manifest references more than
+    * `maxSegments` segments — bounded read amplification under an
+    * unbounded merge cadence, the same amortized-O(batch) argument as
+    * `TableStore.append(df, maxChain)`. */
+  def upsert(source: DataFrame, cfg: TableConfig, maxSegments: Int): Seq[String] = {
+    val affected = upsert(source, cfg)
+    if (maxSegments > 0 && liveSegments > maxSegments) compact()
+    affected
+  }
+
   /** Drop segments no live manifest references and manifests older than
     * the newest `keepManifests` (time travel horizon). Safe against
     * crashed writers: an orphaned segment was never referenced, so

@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class IvfIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 tight clusters (the workload IVF is for), split into a base corpus
+  // and a later-arriving batch
+  private val r = new scala.util.Random(29)
+  private val centers = Array.fill(8)(Array.fill(16)(r.nextGaussian()))
+  private val pts = (0L until 400L).map { i =>
+    val c = centers((i % 8).toInt)
+    i -> c.map(x => (x + r.nextGaussian() * 0.05).toFloat)
+  }
+  private lazy val full = pts.toDF("vec_id", "embedding")
+  private lazy val base = pts.filter(_._1 < 300L).toDF("vec_id", "embedding")
+  private lazy val late = pts.filter(_._1 >= 300L).toDF("vec_id", "embedding")
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("ivf-store").toString + "/idx"
+
+  test("incrementally-built store answers exactly like a one-shot index") {
+    val centroids = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+    val ivf = new IvfIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    val cellsBase = ivf.append(base)
+    val cellsLate = ivf.append(late)
+    // append reports only the cells the batch touched
+    assert(cellsLate.toSet subsetOf cellsBase.toSet)
+    assert(ivf.read.get.count() == 400)
+
+    // with frozen centroids, append-then-probe ≡ build-then-probe: the
+    // maintenance path changes WHERE rows live, never the answer
+    val oneShot = Similarity.buildIvfIndex(full, "embedding", centroids)
+    for (qid <- Seq(5L, 150L, 399L)) {
+      val q = pts(qid.toInt)._2
+      val got = ivf.topK(q, 10, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      val want = Similarity.ivfTopK(oneShot, "embedding", "vec_id", q, 10,
+          centroids, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == want, s"probe mismatch for query $qid")
+    }
+  }
+
+  test("probe reads only the probed cells; segment budget compacts") {
+    val centroids = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+    val ivf = new IvfIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    // 4 appends with a 2-segment budget → compaction keeps amplification bounded
+    pts.grouped(100).foreach { g =>
+      ivf.append(g.toDF("vec_id", "embedding"), maxSegments = 2)
+    }
+    assert(ivf.liveSegments <= 2)
+    assert(ivf.read.get.count() == 400)
+    // every probed row belongs to one of the nprobe nearest cells — the
+    // partition-pruned read never surfaces other cells' vectors
+    val q = pts(42)._2
+    val nearest = centroids.indices
+      .sortBy(c => -Similarity.cosArr(q, centroids(c))).take(2).toSet
+    val probedCells = ivf.topK(q, 400, nprobe = 2)
+      .join(ivf.read.get, "vec_id").select("cell").as[Int].collect().toSet
+    assert(probedCells subsetOf nearest)
+  }
+}

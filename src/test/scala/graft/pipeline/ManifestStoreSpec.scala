@@ -42,6 +42,31 @@ class ManifestStoreSpec extends SparkSpec {
     assert(canon(store.readPartitions(Seq("p3")).get.select("k", "v")) == Seq(Seq("3", "c")))
   }
 
+  test("compact collapses live segments to one; bounded upsert self-compacts") {
+    val (store, _) = fresh()
+    store.snapshot(Seq(
+      (1L, 1L, "a", "p1"), (2L, 1L, "b", "p2"), (9L, 1L, "z", "p9")
+    ).toDF("k", "seq", "v", "p"))
+    store.upsert(Seq((1L, 2L, "a2", "p1")).toDF("k", "seq", "v", "p"), cfg)
+    store.upsert(Seq((2L, 2L, "b2", "p2")).toDF("k", "seq", "v", "p"), cfg)
+    assert(store.liveSegments == 3) // snapshot (p9 still points at it) + one per merge
+    val before = canon(store.read.get.select("k", "seq", "v"))
+    store.compact()
+    assert(store.liveSegments == 1)
+    assert(canon(store.read.get.select("k", "seq", "v")) == before)
+    // old segments become unreferenced — vacuum removes them, reads survive
+    store.vacuum(keepManifests = 1)
+    assert(canon(store.read.get.select("k", "seq", "v")) == before)
+
+    // bounded upsert: stays fragmented up to the budget, then compacts
+    store.upsert(Seq((3L, 1L, "c", "p3")).toDF("k", "seq", "v", "p"), cfg, maxSegments = 2)
+    assert(store.liveSegments == 2)
+    store.upsert(Seq((4L, 1L, "d", "p1")).toDF("k", "seq", "v", "p"), cfg, maxSegments = 2)
+    assert(store.liveSegments == 1)
+    assert(canon(store.read.get.select("k", "v")) == Seq(
+      Seq("1", "a2"), Seq("2", "b2"), Seq("3", "c"), Seq("4", "d"), Seq("9", "z")))
+  }
+
   test("crash BEFORE manifest commit: an orphan segment is invisible; vacuum sweeps it") {
     val (store, root) = fresh()
     store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))
