@@ -1000,6 +1000,13 @@ object SparkEntry {
         .withColumn("overlap_frac", round(col("overlap_frac"), 6))
     }),
 
+    "dedup_containment" -> ((s, d) =>
+      // containment pairs: |∩| / min(|A|,|B|) ≥ 0.5 — the small-doc-
+      // inside-big-doc duplicates Jaccard banding structurally misses;
+      // df-capped shingle self-join, oracle replays it exactly
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.5, maxShingleDf = 100)),
+
     "text_tfidf_topk" -> ((s, d) =>
       // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
       // over the whole corpus in two hash aggregates and one window
@@ -1119,6 +1126,13 @@ object SparkEntry {
           chunkTokens = 64, overlapTokens = 16)
         .select(col("doc_id"), col("chunk_index"), col("token_start"),
                 col("n_tokens"), col("chunk_text"))),
+
+    "chunk_documents_chars" -> ((s, d) =>
+      // byte-budget variant: fixed char windows (256, overlap 32)
+      Chunking.chunkByChars(Tables.documents(s, d),
+          chunkChars = 256, overlapChars = 32)
+        .select(col("doc_id"), col("chunk_index"), col("char_start"),
+                col("n_chars"), col("chunk_text"))),
 
     // ── streaming twins (SURVEY §2.8) ─────────────────────────────────
     "w_window_counts" -> ((s, d) => {
@@ -2100,6 +2114,28 @@ object SparkEntry {
         |FROM t JOIN e ON len(t.s) >= 0.5 * len(e.s)
         |WHERE len(list_intersect(t.s, e.s)) * 1.0 / len(e.s) >= 0.5""".stripMargin,
 
+    // replays the df-capped self-join exactly: hits over CAPPED shingles,
+    // sizes over ALL shingles (the engine's stated conservative bias)
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |df AS (SELECT g, count(*) AS c FROM u GROUP BY g),
+        |kept AS (SELECT u.doc_id, u.g FROM u JOIN df USING (g) WHERE c <= 100),
+        |hits AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS h
+        |         FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |n AS (SELECT doc_id, len(s) AS n FROM sh)
+        |SELECT id_a, id_b,
+        |       round(h * 1.0 / least(na.n, nb.n), 6) AS containment
+        |FROM hits JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+        |WHERE round(h * 1.0 / least(na.n, nb.n), 6) >= 0.5""".stripMargin,
+
     "text_vocab" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
@@ -2262,6 +2298,20 @@ object SparkEntry {
         |       CAST(i * 48 AS INT) AS token_start,
         |       CAST(len(list_slice(toks, i*48 + 1, i*48 + 64)) AS INT) AS n_tokens,
         |       array_to_string(list_slice(toks, i*48 + 1, i*48 + 64), ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "chunk_documents_chars" ->
+      """WITH n AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(coalesce(text, '')) > 0),
+        |c AS (SELECT doc_id, text, n,
+        |             CASE WHEN n <= 256 THEN 1
+        |                  ELSE CAST((n - 32 + 223) // 224 AS INT) END AS nc
+        |      FROM n),
+        |e AS (SELECT doc_id, text, n, unnest(range(nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_index,
+        |       CAST(i * 224 AS INT) AS char_start,
+        |       CAST(least(n - i * 224, 256) AS INT) AS n_chars,
+        |       substring(text, CAST(i * 224 + 1 AS INT), 256) AS chunk_text
         |FROM e""".stripMargin,
 
     "w_window_counts" ->

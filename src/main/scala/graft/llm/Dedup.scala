@@ -249,6 +249,52 @@ object Dedup {
       .select("train_id", "eval_id", "overlap_frac")
   }
 
+  /** Containment near-dup pairs: `|sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|)`
+    * — catches a small document embedded verbatim in a larger one (quoted
+    * articles, boilerplate-wrapped reposts), which Jaccard structurally
+    * misses: a 100-shingle doc inside a 2000-shingle doc has containment
+    * 1.0 but Jaccard 0.05, far below any near-dup threshold, so
+    * [[nearDedup]]'s banding never surfaces the pair.
+    *
+    * Shape: corpus self-join on shingles with a document-frequency cap —
+    * the same equi-join skeleton as [[contamination]] turned inward. The
+    * cap is THE scale guardrail: self-join fan-out is Σ df² over kept
+    * shingles, which the cap bounds by `maxShingleDf · Σ df` (linear in
+    * corpus shingle volume); an uncapped self-join on a boilerplate
+    * shingle is the quadratic blowup. Trade-off, stated: hits are counted
+    * over capped shingles while sizes count ALL shingles, so containment
+    * is UNDERESTIMATED for pairs whose overlap is mostly
+    * boilerplate-grade shingles — the conservative direction for a
+    * dedup-candidate generator feeding an exact verifier. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.8, shingleSize: Int = 3,
+                       maxShingleDf: Int = 100): DataFrame = {
+    require(threshold > 0.0, "a zero threshold keeps every colliding pair")
+    require(maxShingleDf > 0, "the self-join needs a document-frequency cap")
+    val exp = parallelize(docs).select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), shingleSize)).as("__sh"))
+    val kept = exp.join(
+      exp.groupBy("__sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxShingleDf).select("__sh"),
+      Seq("__sh"))
+    val sizes = docs.select(col(idCol).as("__id"),
+      size(shingles(col(textCol), shingleSize)).as("__n"))
+    kept.as("a").join(kept.as("b"),
+        col("a.__sh") === col("b.__sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("__hits"))
+      // sizes is corpus-wide (one row per doc) — NOT broadcast-hinted:
+      // at scale it exceeds any broadcast budget, and the surviving-pairs
+      // side is the small one anyway (AQE picks the build side at runtime)
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("__hits").cast("double") /
+              least(col("__na"), col("__nb")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** SimHash per doc: sign-sum of word-hash bits, weighted by term
     * frequency. `bits` conditional sums in one hash aggregate — no UDF,
     * one shuffle on the doc id.

@@ -91,6 +91,34 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("containmentPairs finds small-in-big dups that Jaccard banding misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 90).map(i => s"fill$i").mkString(" ")
+    val corpus = Seq(
+      (1L, small),                     // 10 tokens → 8 shingles
+      (2L, s"$filler $small"),         // small embedded verbatim in 100 tokens
+      (3L, "totally different content about planners and join reordering"),
+      (4L, small.replace("delta", "DELTA-PRIME")) // near-dup of 1 (not containment 1.0)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the embedded pair: containment 1.0 (every shingle of 1 is in 2)
+    assert(pairs((1L, 2L)) == 1.0, pairs.toString)
+    // doc 3 pairs with nothing
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // ...while Jaccard on the same pair is tiny — nearDedup keeps BOTH 1
+    // and 2 (documents the gap containmentPairs exists to close)
+    val jaccardKept = Dedup.nearDedup(corpus, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(jaccardKept.contains(1L) && jaccardKept.contains(2L))
+    // df cap: boilerplate shared by many docs doesn't create pairs
+    val spam = (10L until 20L).map(i => (i, "common boilerplate header line repeated"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(spam, "doc_id", "text",
+      threshold = 0.5, maxShingleDf = 5).count() == 0)
+  }
+
   test("nearDedupIncremental drops batch docs duplicating the corpus, keeps the rest") {
     import spark.implicits._
     val corpus = Seq(
