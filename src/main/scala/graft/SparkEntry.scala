@@ -225,6 +225,23 @@ object SparkEntry {
         .agg(decSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
              count(lit(1)).as("n"))),
 
+    "m_scd2_history" -> ((s, d) => {
+      // SCD2 / dbt-snapshot parity: per-user event history with
+      // [valid_from, valid_to) spans, built across TWO scd2Merge runs
+      // (pre-watermark batch, then the full feed — replays and stale
+      // rows rejected). The oracle is the ONE-SHOT window recompute:
+      // incremental snapshot maintenance must be indistinguishable.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"), col("event_id"))
+      def run(h: Option[DataFrame], b: DataFrame) =
+        MergeEngine.scd2Merge(h, b, Seq("user_id"), "ts", Seq(col("event_id").desc))
+      val h1 = run(None, ev.filter(col("ts") < ts("2024-01-15")))
+      run(Some(h1), ev)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+                unix_micros(col("valid_from")).as("valid_from_us"),
+                unix_micros(col("valid_to")).as("valid_to_us"), col("is_current"))
+    }),
+
     "q2_min_cost_supply" -> ((s, d) => {
       // TPC-H Q2 shape: correlated scalar-aggregate subquery (the
       // min-cost-supplier pattern) — Catalyst decorrelates it into one
@@ -1403,6 +1420,22 @@ object SparkEntry {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // one-shot SCD2 recompute: dedup per (user, ts) by max event_id,
+    // then valid_to = lead(ts) per user — the incremental merge's target
+    "m_scd2_history" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL),
+        |h AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS ts_end
+        |  FROM d WHERE rn = 1)
+        |SELECT user_id, event_id, event_type, value,
+        |       epoch_us(ts) AS valid_from_us, epoch_us(ts_end) AS valid_to_us,
+        |       ts_end IS NULL AS is_current
+        |FROM h""".stripMargin,
 
     "q2_min_cost_supply" ->
       """SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice

@@ -167,6 +167,63 @@ object MergeEngine {
       .unionByName(source.filter(inWindow(source)).select(target.columns.map(col).toSeq: _*))
   }
 
+  /** Columns [[scd2Merge]] adds to the tracked attributes. */
+  val Scd2Cols: Seq[String] = Seq("valid_from", "valid_to", "is_current")
+
+  /** SCD2 history merge — dbt's `snapshot` (timestamp strategy), the
+    * slowly-changing-dimension type-2 operator: every change to a key's
+    * attributes opens a new history row stamped `[valid_from, valid_to)`,
+    * with the current version carrying `valid_to IS NULL` /
+    * `is_current = true`.
+    *
+    * Contract (what the oracle query proves): building the history
+    * incrementally over any forward-moving sequence of batches is
+    * INDISTINGUISHABLE from one window-function recompute over the full
+    * deduped event set — `valid_to = lead(valid_from) over (key order by
+    * valid_from)`. Two rules make that hold under replays and ties:
+    *
+    *   - batches dedup per (key, cursor) with a deterministic winner
+    *     (caller's `tieBreak` order, then [[latestPerKey]]'s content-hash
+    *     tiebreak), so a replayed batch picks the same row every run;
+    *   - a batch row at-or-before its key's OPEN `valid_from` is dropped
+    *     (snapshots only move forward — dbt's rule): an exact replay is
+    *     a no-op, and late out-of-order history is rejected rather than
+    *     silently interleaved into already-closed spans.
+    *
+    * Scale shape: one dedup shuffle on (keys, cursor), one key-shuffle
+    * window over OPEN rows ∪ fresh batch only — closed history is
+    * untouched (union'd back verbatim), so per-run cost is O(batch +
+    * open rows), not O(history). */
+  def scd2Merge(history: Option[DataFrame], batch: DataFrame, keys: Seq[String],
+                cursorCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(keys.nonEmpty, "scd2Merge requires keys")
+    require(!batch.columns.exists(Scd2Cols.contains),
+      s"batch columns collide with SCD2 bookkeeping (${Scd2Cols.mkString(", ")})")
+    val deduped = latestPerKey(batch.filter(col(cursorCol).isNotNull),
+      keys :+ cursorCol, tieBreak)
+    val attrs = deduped.columns.filterNot(c => keys.contains(c) || c == cursorCol).toSeq
+    def rebuild(rows: DataFrame): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col(cursorCol).asc)
+      rows.withColumn("valid_to", lead(col(cursorCol), 1).over(w))
+        .withColumnRenamed(cursorCol, "valid_from")
+        .withColumn("is_current", col("valid_to").isNull)
+    }
+    history match {
+      case None => rebuild(deduped)
+      case Some(h) =>
+        val open = h.filter(col("valid_to").isNull)
+        val closed = h.filter(col("valid_to").isNotNull)
+        val openFrom = open.select(keys.map(col) :+ col("valid_from").as("__open_from"): _*)
+        val fresh = deduped.join(openFrom, keys, "left")
+          .filter(col("__open_from").isNull || col(cursorCol) > col("__open_from"))
+          .drop("__open_from")
+        val openAsRows = open.select(
+          (keys ++ attrs).map(col) :+ col("valid_from").as(cursorCol): _*)
+        closed.unionByName(rebuild(openAsRows.unionByName(
+          fresh.select((keys ++ attrs).map(col) :+ col(cursorCol): _*))))
+    }
+  }
+
   /** M4 variant — overwrite every partition value present in the source
     * (`spark.sql.sources.partitionOverwriteMode=dynamic` semantics). */
   def dynamicPartitionOverwrite(target: DataFrame, source: DataFrame,

@@ -149,6 +149,38 @@ class MergeEngineSpec extends SparkSpec {
     assert(canon(out3.select("k", "v")) == Seq(Seq("a", "77"), Seq("b", "null")).sortBy(_.mkString("|")))
   }
 
+  test("scd2Merge: incremental history equals one-shot; replays no-op; stale rows rejected") {
+    // per-key event feed: k=a changes 3 times, k=b once
+    val all = Seq(
+      ("a", 1L, "v1"), ("a", 5L, "v2"), ("a", 9L, "v3"), ("b", 3L, "x1")
+    ).toDF("k", "ts", "v")
+    val oneShot = MergeEngine.scd2Merge(None, all, Seq("k"), "ts")
+    // spans: a:[1,5)[5,9)[9,∞) b:[3,∞)
+    assert(canon(oneShot.select("k", "v", "valid_from", "valid_to", "is_current")) == Seq(
+      Seq("a", "v1", "1", "5", "false"),
+      Seq("a", "v2", "5", "9", "false"),
+      Seq("a", "v3", "9", "null", "true"),
+      Seq("b", "x1", "3", "null", "true")).sortBy(_.mkString("|")))
+
+    // two-run build (split mid-history) equals the one-shot recompute
+    val h1 = MergeEngine.scd2Merge(None, all.filter(col("ts") < 6), Seq("k"), "ts")
+    val h2 = MergeEngine.scd2Merge(Some(h1), all, Seq("k"), "ts")
+    assertSameRows(h2, oneShot)
+
+    // replaying the full feed against the final history is a no-op
+    assertSameRows(MergeEngine.scd2Merge(Some(h2), all, Seq("k"), "ts"), h2)
+
+    // a stale out-of-order row (before the open version) is rejected,
+    // never interleaved into closed spans
+    val stale = Seq(("a", 7L, "late")).toDF("k", "ts", "v")
+    assertSameRows(MergeEngine.scd2Merge(Some(h2), stale, Seq("k"), "ts"), h2)
+
+    // same-cursor duplicate rows pick a deterministic winner via tieBreak
+    val dup = Seq(("c", 1L, "lo", 1L), ("c", 1L, "hi", 9L)).toDF("k", "ts", "v", "seq")
+    val win = MergeEngine.scd2Merge(None, dup, Seq("k"), "ts", Seq(col("seq").desc))
+    assert(canon(win.select("k", "v")) == Seq(Seq("c", "hi")))
+  }
+
   test("M4 partitionOverwrite replay is idempotent") {
     val target = Seq((1, "t1"), (2, "t2")).toDF("p", "v")
     val source = Seq((2, "s2")).toDF("p", "v")
