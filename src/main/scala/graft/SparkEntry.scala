@@ -637,6 +637,33 @@ object SparkEntry {
                 unix_micros(col("ts")).as("ts_us"), col("value"))
     }),
 
+    "dbt_snapshot_model" -> ((s, d) => {
+      // dbt `snapshot` at the RUNNER level: the SCD2 history built by two
+      // runSnapshot passes (pre-watermark feed, then full feed) must
+      // hash-equal the one-shot window recompute — the same oracle as
+      // m_scd2_history, reached through the Jinja-lite surface. The
+      // SELECT pre-dedups same-cursor rows by event_id so the dedup
+      // winner is SQL-replayable.
+      val root = s"$fixtureRoot/dbt_snapshot"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val r = new graft.models.SqlModelRunner(s, root)
+      r.addSnapshot("user_hist",
+        """{{ config(strategy='timestamp', unique_key='user_id', updated_at='ts') }}
+          |SELECT user_id, ts, event_type, value, event_id FROM (
+          |  SELECT user_id, ts, event_type, value, event_id,
+          |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+          |  FROM {{ source('ods', 'events') }} WHERE ts IS NOT NULL)
+          |WHERE rn = 1""".stripMargin)
+      r.addSource("ods", "events", Tables.events(s, d).filter(col("ts") < ts("2024-01-15")))
+      r.runSnapshot("user_hist")
+      r.addSource("ods", "events", Tables.events(s, d))
+      r.runSnapshot("user_hist")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+                unix_micros(col("valid_from")).as("valid_from_us"),
+                unix_micros(col("valid_to")).as("valid_to_us"), col("is_current"))
+    }),
+
     // ── projection / scalar normalization (SURVEY §2.2) ───────────────
     "p123_project_blank_null" -> ((s, d) => {
       val c = Normalize.project(Tables.customer(s, d), Seq("c_custkey", "c_name", "c_acctbal"))
@@ -1788,6 +1815,22 @@ object SparkEntry {
     "dbt_append_model" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
         |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+
+    // m_scd2_history's oracle verbatim: the runner's snapshot surface
+    // must land on the same history as the engine-level operator
+    "dbt_snapshot_model" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL),
+        |h AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS ts_end
+        |  FROM d WHERE rn = 1)
+        |SELECT user_id, event_id, event_type, value,
+        |       epoch_us(ts) AS valid_from_us, epoch_us(ts_end) AS valid_to_us,
+        |       ts_end IS NULL AS is_current
+        |FROM h""".stripMargin,
 
     "p123_project_blank_null" ->
       "SELECT c_custkey, '' AS c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer",

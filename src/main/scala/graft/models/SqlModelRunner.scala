@@ -24,7 +24,10 @@ final case class ModelConfig(
     // runner extension (not a dbt key): bound on the append strategy's
     // delta-chain length before auto-compaction — without it an
     // append-per-run model accumulates one directory per run forever
-    appendMaxChain: Int = 16)
+    appendMaxChain: Int = 16,
+    // dbt snapshot keys (timestamp strategy)
+    strategy: Option[String] = None,
+    updatedAt: Option[String] = None)
 
 /** dbt-style test bindings for a model — `not_null` / `unique` /
   * `expression_is_true(count(*)>0)` as declared in
@@ -80,6 +83,8 @@ object ModelSql {
           case "schema"           => cfg = cfg.copy(schema = Option(scalar))
           case "on_schema_change" => cfg = cfg.copy(onSchemaChange = scalar)
           case "append_max_chain" => cfg = cfg.copy(appendMaxChain = scalar.toInt)
+          case "strategy"         => cfg = cfg.copy(strategy = Option(scalar))
+          case "updated_at"       => cfg = cfg.copy(updatedAt = Option(scalar))
           case _                  => // alias/tags/etc: parsed, unused
         }
       }
@@ -220,6 +225,7 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
 
   private val sources = mutable.LinkedHashMap[(String, String), DataFrame]()
   private val models  = mutable.LinkedHashMap[String, (String, ModelTests)]()
+  private val snapshots = mutable.LinkedHashMap[String, String]()
   private val macros  = ModelSql.parseMacros(macrosText)
   private val resolving = mutable.LinkedHashSet[String]()
   // per-top-level-run memo: each model node executes AT MOST ONCE per
@@ -235,7 +241,51 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
   }
 
   def addModel(name: String, sql: String, tests: ModelTests = ModelTests()): this.type = {
+    require(!snapshots.contains(name), s"'$name' is already a snapshot")
     models(name) = (sql, tests); this
+  }
+
+  /** Register a dbt `snapshot` (the `{% snapshot %}` block's SELECT with
+    * its config): SCD2 history tracked via [[MergeEngine.scd2Merge]].
+    * Runs on its own cadence through [[runSnapshot]] — `ref()`s from
+    * models read its stored state, never trigger it. */
+  def addSnapshot(name: String, sql: String): this.type = {
+    require(!models.contains(name), s"'$name' is already a model")
+    snapshots(name) = sql; this
+  }
+
+  /** Execute one snapshot pass: evaluate the SELECT and scd2-merge it
+    * into the history table (timestamp strategy — `unique_key` +
+    * `updated_at` required; forward-only, replay-safe, incremental build
+    * hash-equal to a one-shot recompute per scd2Merge's contract). */
+  def runSnapshot(name: String): DataFrame = {
+    val raw = snapshots.getOrElse(name,
+      throw new NoSuchElementException(s"snapshot '$name' not registered"))
+    val (cfg, body0) = ModelSql.extractConfig(ModelSql.stripComments(raw))
+    require(cfg.strategy.forall(_ == "timestamp"),
+      s"snapshot '$name': unsupported strategy '${cfg.strategy.get}' (supported: timestamp)")
+    require(cfg.uniqueKey.nonEmpty, s"snapshot '$name' needs unique_key")
+    val updatedAt = cfg.updatedAt.getOrElse(
+      throw new IllegalArgumentException(s"snapshot '$name' needs updated_at"))
+    var body = ModelSql.SourceRe.replaceAllIn(body0, m => {
+      val key = (m.group(1), m.group(2))
+      val df = sources.getOrElse(key, throw new NoSuchElementException(
+        s"snapshot '$name': source ('${key._1}', '${key._2}') not registered"))
+      val v = viewName("__dbt_src", key._1, key._2)
+      df.createOrReplaceTempView(v)
+      v
+    })
+    body = ModelSql.RefRe.replaceAllIn(body, m => {
+      val upstream = m.group(1)
+      val v = viewName("__dbt_refro", upstream)
+      relation(upstream).createOrReplaceTempView(v)
+      v
+    })
+    body = ModelSql.expandMacros(body, macros)
+    val st = store(name)
+    st.snapshot(MergeEngine.scd2Merge(st.read, spark.sql(body),
+      cfg.uniqueKey, updatedAt))
+    st.read.get
   }
 
   def store(name: String): TableStore = new TableStore(spark, s"$storeRoot/$name")
@@ -346,8 +396,14 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
         val upstream = m.group(1)
         // dbt's DAG-ordered run: materialize the upstream first (once per
         // top-level invocation — run() memoizes); the read-only path
-        // resolves to the upstream's stored/compiled state instead
-        val df = if (execute) run(upstream) else relation(upstream)
+        // resolves to the upstream's stored/compiled state instead. A
+        // snapshot ref always reads stored state: snapshots run on their
+        // OWN cadence (dbt `snapshot` vs `run`), never as a side effect.
+        val df =
+          if (snapshots.contains(upstream))
+            store(upstream).read.getOrElse(throw new IllegalStateException(
+              s"model '$name' refs snapshot '$upstream' which has never been run"))
+          else if (execute) run(upstream) else relation(upstream)
         val v = viewName(if (execute) "__dbt_ref" else "__dbt_refro", upstream)
         df.createOrReplaceTempView(v)
         v

@@ -161,6 +161,36 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(st.read.get.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("snapshot: two-pass SCD2 build equals one-shot; model refs read stored state") {
+    val root = freshRoot()
+    val r = new SqlModelRunner(spark, root)
+    val full = Seq(
+      (1L, 1L, "v1"), (1L, 5L, "v2"), (1L, 9L, "v3"), (2L, 3L, "x1")
+    ).toDF("k", "seq", "v")
+    r.addSnapshot("hist",
+      "{{ config(strategy='timestamp', unique_key='k', updated_at='seq') }} " +
+      "SELECT k, seq, v FROM {{ source('ods', 's') }}")
+    r.addSource("ods", "s", full.filter(col("seq") < 6))
+    r.runSnapshot("hist")
+    r.addSource("ods", "s", full)
+    val twoRun = r.runSnapshot("hist")
+    // equals the one-shot SCD2 recompute over the full feed
+    val oneShot = graft.merge.MergeEngine.scd2Merge(None, full, Seq("k"), "seq")
+    assertSameRows(twoRun, oneShot)
+    // a model ref()ing the snapshot reads its CURRENT rows, doesn't run it
+    r.addModel("current_dims",
+      "SELECT k, v FROM {{ ref('hist') }} WHERE is_current")
+    assert(canon(r.run("current_dims")) ==
+      Seq(Seq("1", "v3"), Seq("2", "x1")).sortBy(_.mkString("|")))
+    assert(r.store("hist").versions.length == 2) // untouched by the model run
+    // refs to a never-run snapshot fail clearly
+    val r2 = new SqlModelRunner(spark, freshRoot())
+    r2.addSnapshot("hist", "{{ config(strategy='timestamp', unique_key='k', updated_at='seq') }} SELECT 1 AS k, 1 AS seq")
+    r2.addModel("m", "SELECT * FROM {{ ref('hist') }}")
+    val e = intercept[IllegalStateException](r2.run("m"))
+    assert(e.getMessage.contains("never been run"))
+  }
+
   test("diamond DAG: a twice-ref'd upstream materializes once per invocation") {
     val root = freshRoot()
     val r = new SqlModelRunner(spark, root)
