@@ -242,6 +242,29 @@ object SparkEntry {
                 unix_micros(col("valid_to")).as("valid_to_us"), col("is_current"))
     }),
 
+    "m_scd2_check" -> ((s, d) => {
+      // check-strategy SCD2 (dbt's no-updated_at variant): per-user
+      // LATEST-STATE snapshots taken at two explicit as-of stamps; a key
+      // opens a new version only when (event_type, value) CHANGED —
+      // null-safe — and replays no-op. The oracle recomputes both state
+      // snapshots and the change join from scratch.
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      def stateAt(f: DataFrame) = MergeEngine.latestPerKey(
+          f.select(col("user_id"), col("ts"), col("event_id"),
+                   col("event_type"), col("value")),
+          Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_type", "value")
+      val t1 = ts("2024-01-15"); val t2 = ts("2024-02-01")
+      val h1 = MergeEngine.scd2CheckMerge(None,
+        stateAt(ev.filter(col("ts") < t1)), Seq("user_id"),
+        Seq("event_type", "value"), t1)
+      MergeEngine.scd2CheckMerge(Some(h1), stateAt(ev), Seq("user_id"),
+          Seq("event_type", "value"), t2)
+        .select(col("user_id"), col("event_type"), col("value"),
+                unix_micros(col("valid_from")).as("valid_from_us"),
+                unix_micros(col("valid_to")).as("valid_to_us"), col("is_current"))
+    }),
+
     "q2_min_cost_supply" -> ((s, d) => {
       // TPC-H Q2 shape: correlated scalar-aggregate subquery (the
       // min-cost-supplier pattern) — Catalyst decorrelates it into one
@@ -1463,6 +1486,33 @@ object SparkEntry {
         |       epoch_us(ts) AS valid_from_us, epoch_us(ts_end) AS valid_to_us,
         |       ts_end IS NULL AS is_current
         |FROM h""".stripMargin,
+
+    "m_scd2_check" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, value FROM events WHERE ts IS NOT NULL),
+        |d1 AS (SELECT user_id, event_type, value,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM e WHERE ts < TIMESTAMP '2024-01-15'),
+        |v1 AS (SELECT user_id, event_type, value FROM d1 WHERE rn = 1),
+        |d2 AS (SELECT user_id, event_type, value,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |       FROM e),
+        |v2 AS (SELECT user_id, event_type, value FROM d2 WHERE rn = 1),
+        |j AS (SELECT v1.user_id, v1.event_type AS et1, v1.value AS val1,
+        |             (v1.event_type IS NOT DISTINCT FROM v2.event_type
+        |              AND v1.value IS NOT DISTINCT FROM v2.value) AS same
+        |      FROM v1 JOIN v2 USING (user_id))
+        |SELECT user_id, et1 AS event_type, val1 AS value,
+        |       epoch_us(TIMESTAMP '2024-01-15') AS valid_from_us,
+        |       CASE WHEN same THEN NULL
+        |            ELSE epoch_us(TIMESTAMP '2024-02-01') END AS valid_to_us,
+        |       same AS is_current
+        |FROM j
+        |UNION ALL
+        |SELECT v2.user_id, v2.event_type, v2.value,
+        |       epoch_us(TIMESTAMP '2024-02-01') AS valid_from_us,
+        |       NULL AS valid_to_us, true AS is_current
+        |FROM v2 LEFT JOIN j USING (user_id)
+        |WHERE j.user_id IS NULL OR NOT j.same""".stripMargin,
 
     "q2_min_cost_supply" ->
       """SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice

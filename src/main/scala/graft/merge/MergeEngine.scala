@@ -224,6 +224,61 @@ object MergeEngine {
     }
   }
 
+  /** SCD2 `check` strategy — dbt's alternative for sources with no
+    * reliable `updated_at`: a key opens a new version whenever any of
+    * `checkCols` CHANGED versus its open row (null-safe comparison), all
+    * stamped with the caller-supplied `asOf` batch time. dbt stamps
+    * `current_timestamp()`; taking `asOf` explicitly keeps the operator
+    * deterministic and replayable — same batch + same asOf is a strict
+    * no-op (every key compares unchanged), so crash-rerun is free.
+    * Caller contract: one logical state per key per batch (extra rows
+    * resolve by content-hash dedup), `asOf` strictly increasing across
+    * runs. One key-shuffle full-outer join of OPEN rows × batch; closed
+    * history unions back untouched — O(batch + open rows) per run. */
+  def scd2CheckMerge(history: Option[DataFrame], batch: DataFrame, keys: Seq[String],
+                     checkCols: Seq[String], asOf: Column): DataFrame = {
+    require(keys.nonEmpty, "scd2CheckMerge requires keys")
+    require(checkCols.nonEmpty, "scd2CheckMerge needs checkCols to detect change")
+    require(!batch.columns.exists(Scd2Cols.contains),
+      s"batch columns collide with SCD2 bookkeeping (${Scd2Cols.mkString(", ")})")
+    val b = latestPerKey(batch, keys, Nil)
+    val attrs = b.columns.filterNot(keys.contains).toSeq
+    val nullTo = when(lit(false), asOf) // typed NULL matching asOf
+    def firstRun(src: DataFrame): DataFrame = src
+      .withColumn("valid_from", asOf)
+      .withColumn("valid_to", nullTo)
+      .withColumn("is_current", lit(true))
+    history match {
+      case None => firstRun(b)
+      case Some(h) =>
+        val open = h.filter(col("is_current"))
+        val closed = h.filter(!col("is_current"))
+        val oSide = open.select(
+          keys.map(col) ++ attrs.map(a => col(a).as(s"__o_$a")) :+
+            col("valid_from").as("__o_from") :+ lit(true).as("__o_present"): _*)
+        val nSide = b.select(
+          keys.map(col) ++ attrs.map(a => col(a).as(s"__n_$a")) :+
+            lit(true).as("__n_present"): _*)
+        val j = oSide.join(nSide, keys, "full_outer")
+        val changed = checkCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+        val hasO = col("__o_present")
+        val hasN = col("__n_present")
+        val keepOpen = j.filter(hasO && (hasN.isNull || !changed)).select(
+          keys.map(col) ++ attrs.map(a => col(s"__o_$a").as(a)) :+
+            col("__o_from").as("valid_from") :+ nullTo.as("valid_to") :+
+            lit(true).as("is_current"): _*)
+        val closeOld = j.filter(hasO && hasN && changed).select(
+          keys.map(col) ++ attrs.map(a => col(s"__o_$a").as(a)) :+
+            col("__o_from").as("valid_from") :+ asOf.as("valid_to") :+
+            lit(false).as("is_current"): _*)
+        val openNew = j.filter(hasN && (hasO.isNull || changed)).select(
+          keys.map(col) ++ attrs.map(a => col(s"__n_$a").as(a)) :+
+            asOf.as("valid_from") :+ nullTo.as("valid_to") :+
+            lit(true).as("is_current"): _*)
+        closed.unionByName(keepOpen).unionByName(closeOld).unionByName(openNew)
+    }
+  }
+
   /** M4 variant — overwrite every partition value present in the source
     * (`spark.sql.sources.partitionOverwriteMode=dynamic` semantics). */
   def dynamicPartitionOverwrite(target: DataFrame, source: DataFrame,

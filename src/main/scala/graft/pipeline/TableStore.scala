@@ -52,10 +52,17 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   def read: Option[DataFrame] =
-    latestVersion.map { v =>
-      val paths = chain(v).map(x => s"$root/v=$x")
-      spark.read.parquet(paths: _*)
-    }
+    latestVersion.map(readAt)
+
+  /** Time travel: the table as of committed version `v` (any version
+    * [[prune]] hasn't dropped — an append head resolves its whole delta
+    * ancestry, so old heads stay readable as long as their chain
+    * survives). Reading an old version is how a bad merge is audited or
+    * a consumer pinned while a backfill lands. */
+  def readAt(v: Int): DataFrame = {
+    require(versions.contains(v), s"version $v of $root does not exist (have: ${versions.mkString(",")})")
+    spark.read.parquet(chain(v).map(x => s"$root/v=$x"): _*)
+  }
 
   def readOrEmpty(schemaOf: DataFrame): DataFrame =
     read.getOrElse(spark.createDataFrame(

@@ -181,6 +181,39 @@ class MergeEngineSpec extends SparkSpec {
     assert(canon(win.select("k", "v")) == Seq(Seq("c", "hi")))
   }
 
+  test("scd2CheckMerge: change detection opens versions; no-change and replays no-op") {
+    val t1 = lit(100L); val t2 = lit(200L); val t3 = lit(300L)
+    // run 1: two keys
+    val h1 = MergeEngine.scd2CheckMerge(None,
+      Seq(("a", "v1"), ("b", "x1")).toDF("k", "v"), Seq("k"), Seq("v"), t1)
+    assert(canon(h1.select("k", "v", "valid_from", "valid_to", "is_current")) == Seq(
+      Seq("a", "v1", "100", "null", "true"),
+      Seq("b", "x1", "100", "null", "true")).sortBy(_.mkString("|")))
+    // run 2: a changed, b unchanged, c new
+    val h2 = MergeEngine.scd2CheckMerge(Some(h1),
+      Seq(("a", "v2"), ("b", "x1"), ("c", "y1")).toDF("k", "v"), Seq("k"), Seq("v"), t2)
+    assert(canon(h2.select("k", "v", "valid_from", "valid_to", "is_current")) == Seq(
+      Seq("a", "v1", "100", "200", "false"),
+      Seq("a", "v2", "200", "null", "true"),
+      Seq("b", "x1", "100", "null", "true"),
+      Seq("c", "y1", "200", "null", "true")).sortBy(_.mkString("|")))
+    // replaying run 2's batch at a later asOf is a strict no-op
+    assertSameRows(MergeEngine.scd2CheckMerge(Some(h2),
+      Seq(("a", "v2"), ("b", "x1"), ("c", "y1")).toDF("k", "v"), Seq("k"), Seq("v"), t3), h2)
+    // a key absent from the batch keeps its open row (no implicit delete)
+    val h3 = MergeEngine.scd2CheckMerge(Some(h2),
+      Seq(("a", "v3")).toDF("k", "v"), Seq("k"), Seq("v"), t3)
+    assert(canon(h3.filter(col("k") === "b").select("v", "is_current")) ==
+      Seq(Seq("x1", "true")))
+    // NULL-safe change detection: NULL -> value opens a version once
+    val n1 = MergeEngine.scd2CheckMerge(None,
+      Seq(("d", null.asInstanceOf[String])).toDF("k", "v"), Seq("k"), Seq("v"), t1)
+    val n2 = MergeEngine.scd2CheckMerge(Some(n1),
+      Seq(("d", "now-set")).toDF("k", "v"), Seq("k"), Seq("v"), t2)
+    assert(n2.filter(col("is_current")).select("v").as[String].collect().toSeq == Seq("now-set"))
+    assert(n2.count() == 2)
+  }
+
   test("M4 partitionOverwrite replay is idempotent") {
     val target = Seq((1, "t1"), (2, "t2")).toDF("p", "v")
     val source = Seq((2, "s2")).toDF("p", "v")

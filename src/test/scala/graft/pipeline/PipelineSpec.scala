@@ -167,6 +167,20 @@ class PipelineSpec extends SparkSpec {
       Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c"), Seq("4", "d"), Seq("5", "e")))
   }
 
+  test("TableStore.readAt time-travels to any surviving version") {
+    val root = Files.createTempDirectory("store-tt").toString + "/t"
+    val store = new TableStore(spark, root)
+    store.snapshot(Seq((1L, "a")).toDF("k", "v"))   // v1
+    store.append(Seq((2L, "b")).toDF("k", "v"))     // v2 ← v1
+    store.snapshot(Seq((9L, "z")).toDF("k", "v"))   // v3 full
+    assert(canon(store.readAt(1)) == Seq(Seq("1", "a")))
+    assert(canon(store.readAt(2)) == Seq(Seq("1", "a"), Seq("2", "b"))) // chain resolved
+    assert(canon(store.readAt(3)) == Seq(Seq("9", "z")))
+    assert(canon(store.read.get) == canon(store.readAt(3)))
+    val e = intercept[IllegalArgumentException](store.readAt(7))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("TableStore.compact crash-mid-compact leaves the chain readable") {
     val root = Files.createTempDirectory("store-compact-torn").toString + "/t"
     val store = new TableStore(spark, root)
