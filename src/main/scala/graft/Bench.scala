@@ -4,14 +4,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // per-stage wall times for instrumented queries land beside the repo's
-    // bench artifacts — the official run's variance (e.g. r7's 7× swing on
-    // dedup_clusters) becomes attributable to a stage instead of a mystery
-    if (sys.env.get("GRAFT_STAGE_LOG").isEmpty && sys.props.get("graft.stage.log").isEmpty) {
-      val f = java.nio.file.Paths.get("STAGE_TIMINGS.csv")
-      java.nio.file.Files.writeString(f, "query,stage,seconds\n")
-      System.setProperty("graft.stage.log", f.toAbsolutePath.toString)
-    }
+    // per-stage wall times for instrumented queries land beside the bench
+    // detail file (same output dir as BENCH_FULL.json) — the official
+    // run's variance (e.g. r7's 7× swing on dedup_clusters) becomes
+    // attributable to a stage instead of a mystery. Redirecting
+    // SPARK_GRAFT_BENCH_DETAIL moves BOTH artifacts, so an ad-hoc run
+    // pointed elsewhere can't clobber the committed round artifacts;
+    // GRAFT_STAGE_LOG stays the explicit per-file override.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
+    if (sys.env.get("GRAFT_STAGE_LOG").isEmpty && sys.props.get("graft.stage.log").isEmpty)
+      try {
+        val detailDir = Option(java.nio.file.Paths.get(detailPath).toAbsolutePath.getParent)
+          .getOrElse(java.nio.file.Paths.get(".").toAbsolutePath)
+        java.nio.file.Files.createDirectories(detailDir)
+        val f = detailDir.resolve("STAGE_TIMINGS.csv")
+        java.nio.file.Files.writeString(f, "query,stage,seconds\n")
+        System.setProperty("graft.stage.log", f.toString)
+      } catch { case e: Throwable => // stage timings are diagnostics, never fatal
+        System.err.println(s"[bench] stage log disabled: ${e.getMessage}")
+      }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,7 +82,6 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL.json")
     val detail = results.map { case (k, v, t1, t2, okQ) =>
       s"""  "$k":{"min":${r3(v)},"passes":[${r3(t1)},${r3(t2)}],"ok":$okQ}"""
     }.mkString("{\n", ",\n", "\n}")

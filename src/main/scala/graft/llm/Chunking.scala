@@ -82,7 +82,9 @@ object Chunking {
         chunkIdx.cast("int").as("chunk_index"),
         (chunkIdx * stride).cast("int").as("char_start"),
         least(col("__n") - chunkIdx * stride, lit(chunkChars)).cast("int").as("n_chars"),
-        // substring(str, pos, len) is 1-based and clamps at the end
-        expr(s"substring($textCol, chunk_index * $stride + 1, $chunkChars)").as("chunk_text")): _*)
+        // substr(pos, len) is 1-based and clamps at the end; Column API
+        // (not an expr interpolation) so a textCol needing quoting works
+        col(textCol).substr((chunkIdx * stride + 1).cast("int"), lit(chunkChars))
+          .as("chunk_text")): _*)
   }
 }

@@ -90,11 +90,19 @@ final class MetaStore(spark: SparkSession, path: String) {
       case Success(v) => (true, String.valueOf(v).take(500))
       case Failure(e) => (false, s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
     }
-    log(TaskResult(pipeline, task, runDay, t0, t1, (t1 - t0) / 1000.0, ok, msg, tryNumber))
-    emit(Seq(
-      Metric("task_duration", "timer", (t1 - t0) / 1000.0, pipeline, task, runDay, t1),
-      Metric(if (ok) "ti_successes" else "ti_failures", "counter", 1.0,
-        pipeline, task, runDay, t1)))
+    val record = Try {
+      log(TaskResult(pipeline, task, runDay, t0, t1, (t1 - t0) / 1000.0, ok, msg, tryNumber))
+      emit(Seq(
+        Metric("task_duration", "timer", (t1 - t0) / 1000.0, pipeline, task, runDay, t1),
+        Metric(if (ok) "ti_successes" else "ti_failures", "counter", 1.0,
+          pipeline, task, runDay, t1)))
+    }
+    // when the BODY failed, the bookkeeping writes are best-effort: a
+    // session sick enough to fail the task usually fails the telemetry
+    // write too, and that secondary failure must not REPLACE the body's
+    // original exception below. A successful body still demands its run
+    // record (V3 contract) — there, a failed write fails the task.
+    if (ok) record.get
     outcome.get
   }
 }

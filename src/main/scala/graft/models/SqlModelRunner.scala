@@ -183,7 +183,13 @@ object ModelSql {
               sb.append(out.substring(pos, m.start)).append(expanded)
               pos = j + 2
               changed = true
-            }
+            } else
+              // a KNOWN macro whose arg list closed but never hits '}}' is
+              // malformed Jinja — fail loudly here (same contract as the
+              // unbalanced-paren error) instead of leaving raw `{{ ...`
+              // in the SQL to die later with an opaque parse error
+              throw new IllegalArgumentException(
+                s"macro ${m.group(1)}: invocation is not terminated with '}}'")
         }
       }
       sb.append(out.substring(pos))

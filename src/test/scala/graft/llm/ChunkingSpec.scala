@@ -69,6 +69,14 @@ class ChunkingSpec extends SparkSpec {
       (2L, 0, 0, 2, "xy")))
   }
 
+  test("chunkByChars works on a column name that needs quoting") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "doc text")
+    val out = Chunking.chunkByChars(df, textCol = "doc text",
+        chunkChars = 4, overlapChars = 2)
+      .orderBy("chunk_index").select("chunk_text").as[String].collect().toSeq
+    assert(out == Seq("abcd", "cdef", "efgh", "ghij"))
+  }
+
   test("chunkByTokens stays a pure map stage: no shuffle in the plan") {
     val df = Seq(doc(1L, 100)).toDF("doc_id", "text")
     val plan = Chunking.chunkByTokens(df).queryExecution.executedPlan.toString

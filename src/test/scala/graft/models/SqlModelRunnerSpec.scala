@@ -265,6 +265,12 @@ class SqlModelRunnerSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       ModelSql.expandMacros("SELECT {{ handle_null_numeric(CONCAT(a, b }} FROM t", m))
     assert(e.getMessage.contains("unbalanced"))
+    // known macro, balanced parens, but never closed with '}}' — must
+    // fail loudly naming the macro, not leave raw Jinja in the SQL
+    val e2 = intercept[IllegalArgumentException](
+      ModelSql.expandMacros("SELECT {{ handle_null_numeric(a) FROM t", m))
+    assert(e2.getMessage.contains("handle_null_numeric") &&
+      e2.getMessage.contains("terminated"), e2.getMessage)
   }
 
   test("a MetaStore-attached runner logs per-model task rows and metrics") {
