@@ -1258,6 +1258,52 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
     }),
 
+    "stream_cdc_merge_manifest" -> ((s, d) => {
+      // SAME drain and oracle as stream_cdc_merge, but the sink is the
+      // partition-scoped ManifestStore keyed on event day: each
+      // micro-batch commits ONE segment holding only the touched days'
+      // merged slice (one atomic manifest rename) — O(batch) IO per tick
+      // instead of TableStore's O(table) rewrite, the binding a 100 TB
+      // CDC fact needs at the reference's 5-minute cadence.
+      // StreamOpsSpec machine-asserts the write scope per micro-batch.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_cdc_m").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).withColumn("day", to_date(col("ts")))
+        .repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val store = new graft.pipeline.ManifestStore(s, s"$tmp/store", "day")
+      graft.streaming.StreamOps.mergeAvailable(stream, store,
+        TableConfig("stream_events_m", null, Seq("event_id"), cursorField = Some("ts")),
+        s"$tmp/ckpt")
+      store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    }),
+
+    "stream_day_rollup_manifest" -> ((s, d) => {
+      // day-partitioned twin of stream_day_rollup: partials fold into a
+      // ManifestStore keyed on day, so each tick writes only the touched
+      // days' segments (replay stamp rides in the same atomic manifest
+      // commit). Oracle identical to the one-shot batch GROUP BY — the
+      // fold must be indistinguishable from it regardless of batch split
+      // or sink layout.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_rollup_m").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val store = new graft.pipeline.ManifestStore(s, s"$tmp/store", "day")
+      graft.streaming.StreamOps.maintainRollupPartitioned(stream, store,
+        b => Marts.dayRollup(b, "ts", Seq("event_type"),
+          Seq(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).as("total_value"))),
+        keys = Seq("day", "event_type"), addCols = Seq("n", "total_value"),
+        checkpoint = s"$tmp/ckpt")
+      store.read.get
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+                col("n"), col("total_value").cast("double").as("total_value"))
+    }),
+
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
     "multimodal_decode" -> ((s, d) => {
       // REAL javax.imageio decode: planted solid-color PNGs (lossless →
@@ -2455,6 +2501,15 @@ object SparkEntry {
     "stream_cdc_merge" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events""".stripMargin,
+
+    "stream_cdc_merge_manifest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin,
+
+    "stream_day_rollup_manifest" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

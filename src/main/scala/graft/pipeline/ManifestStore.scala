@@ -35,7 +35,16 @@ import org.apache.spark.sql.functions._
   * segment. At 100 TB the manifest (one line per partition value) stays
   * KB-scale — partition counts are thousands, not billions.
   */
-final class ManifestStore(spark: SparkSession, root: String, partitionCol: String) {
+final class ManifestStore(spark: SparkSession, root: String, val partitionCol: String,
+                          mergeBatchMaxSegments: Int = 16) extends MergeSink {
+
+  /** [[MergeSink]] binding: partition-scoped upsert — a micro-batch
+    * writes ONE segment holding only the touched partitions' merged
+    * slice, with `mergeBatchMaxSegments` bounding read amplification
+    * over an unbounded streaming cadence. */
+  override def mergeBatch(batch: DataFrame, cfg: TableConfig): Unit = {
+    upsert(batch, cfg, mergeBatchMaxSegments); ()
+  }
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def manDir = new Path(s"$root/_manifests")
@@ -56,7 +65,7 @@ final class ManifestStore(spark: SparkSession, root: String, partitionCol: Strin
   /** value → segment dir name. NULL partition value travels as a token
     * distinct from any real string (URL-encoding keeps real values from
     * colliding with it or with the line format). */
-  private[pipeline] def readManifest(n: Int): Map[String, String] = {
+  private[graft] def readManifest(n: Int): Map[String, String] = {
     val in = fs.open(new Path(manDir, s"m=$n"))
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
     text.linesIterator.filter(_.nonEmpty).map { line =>
@@ -116,16 +125,26 @@ final class ManifestStore(spark: SparkSession, root: String, partitionCol: Strin
     }.reduce(_.unionByName(_))
   }
 
-  def read: Option[DataFrame] = latestManifestVersion.map(n => resolve(readManifest(n)))
+  /** None when no manifest was ever committed OR the latest manifest is
+    * empty (snapshot of an empty frame) — an empty manifest has no
+    * segment to resolve a schema from, so "no data" is the honest
+    * answer, not a reduce-on-empty crash. */
+  def read: Option[DataFrame] = latestManifestVersion.flatMap { n =>
+    val man = readManifest(n)
+    if (man.isEmpty) None else Some(resolve(man))
+  }
 
   /** Partition-pruned read: only segments referenced by `values` are
-    * scanned. */
+    * scanned. Same empty-manifest contract as [[read]]. */
   def readPartitions(values: Seq[String]): Option[DataFrame] =
-    latestManifestVersion.map { n =>
-      val man = readManifest(n).view.filterKeys(values.contains).toMap
-      if (man.isEmpty)
-        read.get.filter(lit(false))
-      else resolve(man)
+    latestManifestVersion.flatMap { n =>
+      val full = readManifest(n)
+      if (full.isEmpty) None
+      else {
+        val man = full.view.filterKeys(values.contains).toMap
+        if (man.isEmpty) Some(resolve(full).filter(lit(false)))
+        else Some(resolve(man))
+      }
     }
 
   /** Full snapshot — one segment, every value points at it. */

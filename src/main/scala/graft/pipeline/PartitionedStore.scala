@@ -32,8 +32,12 @@ import org.apache.spark.sql.functions._
   * merge algebra is identical in both.
   */
 final class PartitionedStore(spark: SparkSession, root: String, partitionCol: String,
-                             filesPerPartition: Int = 0) {
+                             filesPerPartition: Int = 0) extends MergeSink {
   require(filesPerPartition >= 0, "filesPerPartition must be >= 0 (0 = auto)")
+
+  /** [[MergeSink]] binding: partition-scoped upsert — only the
+    * directories a micro-batch touches are rewritten. */
+  override def mergeBatch(batch: DataFrame, cfg: TableConfig): Unit = { upsert(batch, cfg); () }
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file-level pruning. The merge ALGORITHM is identical in all three —
   * only the sink swaps.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String) extends MergeSink {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -136,6 +136,10 @@ final class TableStore(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"failed to commit version $v of $root")
     v
   }
+
+  /** [[MergeSink]] binding: full-table rewrite per batch (see the trait
+    * doc for when that's the right trade). */
+  override def mergeBatch(batch: DataFrame, cfg: TableConfig): Unit = { upsert(batch, cfg); () }
 
   /** M1/M2 — keyed upsert against the latest version, committed as the
     * next version. First write = plain insert. */

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.pipeline.TableStore
+import graft.pipeline.{ManifestStore, MergeSink, TableStore}
 import graft.schema.TableConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,17 +54,25 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
-  /** Drain all available input and merge each micro-batch into the store.
+  /** Drain all available input and merge each micro-batch into the sink.
     * Checkpoint + idempotent merge = effectively-once upserts; rerunning
     * after new files arrive continues from the checkpoint. Blocks until
-    * the drain completes. */
-  def mergeAvailable(stream: DataFrame, store: TableStore, cfg: TableConfig,
+    * the drain completes.
+    *
+    * The sink decides the per-batch write scope ([[graft.pipeline.MergeSink]]):
+    * bind a [[graft.pipeline.TableStore]] for small dimensions (full
+    * rewrite per tick), a [[graft.pipeline.ManifestStore]] /
+    * [[graft.pipeline.PartitionedStore]] for large facts — each
+    * micro-batch then writes only the touched partitions' segments,
+    * O(batch) IO at the reference's 5-minute CDC cadence instead of
+    * O(table). */
+  def mergeAvailable(stream: DataFrame, sink: MergeSink, cfg: TableConfig,
                      checkpoint: String): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.upsert(batch, cfg); ()
+        sink.mergeBatch(batch, cfg); ()
       }
       .start()
     q.awaitTermination()
@@ -133,5 +141,71 @@ object StreamOps {
       case None => delta
     }
     store.snapshot(merged.withColumn(BatchCol, lit(batchId)))
+  }
+
+  /** Partition-scoped twin of [[maintainRollup]]: partials fold into a
+    * [[graft.pipeline.ManifestStore]] keyed on one of the rollup keys
+    * (typically the day), so a tick WRITES only the partitions the batch
+    * touches — O(touched days) bytes per tick, where the TableStore
+    * binding snapshots the entire aggregate state every tick (small at
+    * aggregate grain, but needlessly O(state) — this closes that gap).
+    *
+    * Replay contract preserved: the folding batch id is stamped on every
+    * row of the touched partitions and commits ATOMICALLY with them (one
+    * manifest rename). A crash-replayed batch touches the same
+    * partitions (checkpointed source replay is deterministic), so its
+    * stamp is found there and the fold is skipped; untouched partitions
+    * keep their older stamps, which is fine — the guard only ever needs
+    * the stamps of the partitions the current batch would write. */
+  def maintainRollupPartitioned(stream: DataFrame, store: ManifestStore,
+      rollup: DataFrame => DataFrame,
+      keys: Seq[String], addCols: Seq[String],
+      checkpoint: String): Unit = {
+    require(keys.contains(store.partitionCol),
+      s"ManifestStore partition column '${store.partitionCol}' must be one of the rollup keys ${keys.mkString("[", ",", "]")}")
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldRollupBatchPartitioned(store, batch, batchId, rollup, keys, addCols); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One idempotent partition-scoped fold (see [[maintainRollupPartitioned]]).
+    * Package-private so the replay + write-scope contracts are directly
+    * testable. */
+  private[streaming] def foldRollupBatchPartitioned(store: ManifestStore,
+      batch: DataFrame, batchId: Long, rollup: DataFrame => DataFrame,
+      keys: Seq[String], addCols: Seq[String]): Unit = {
+    val delta = rollup(batch)
+    val touched = delta.select(col(store.partitionCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse("__HIVE_DEFAULT_PARTITION__")).toSeq
+    if (touched.isEmpty) return // empty batch: nothing to fold, nothing to stamp
+    // partition-pruned prior state: only the touched partitions are read
+    val prior = store.readPartitions(touched)
+    val lastApplied: Option[Long] = prior.flatMap { p =>
+      if (!p.columns.contains(BatchCol)) None
+      // stamps can differ ACROSS partitions (each carries the id of the
+      // batch that last wrote it) — max over the touched slice is the
+      // newest batch that wrote any of them
+      else p.agg(max(col(BatchCol))).collect().headOption
+        .filterNot(_.isNullAt(0)).map(_.getLong(0))
+    }
+    // same out-of-step detection as foldRollupBatch: a batch OLDER than a
+    // touched partition's stamp means the checkpoint was lost while the
+    // store survived — fail loudly, never silently skip forever
+    if (lastApplied.exists(_ > batchId))
+      throw new IllegalStateException(
+        s"rollup store has batch ${lastApplied.get} in touched partitions but the stream " +
+        s"delivered $batchId — checkpoint and store are out of step (was the checkpoint " +
+        "directory deleted?); point the query at a fresh store or restore the checkpoint")
+    if (lastApplied.contains(batchId)) return // crash-replay: already folded
+    val merged = prior match {
+      case Some(p) => graft.marts.Marts.mergeRollup(p.drop(BatchCol), delta, keys, addCols)
+      case None => delta
+    }
+    store.overwritePartitions(merged.withColumn(BatchCol, lit(batchId)))
   }
 }

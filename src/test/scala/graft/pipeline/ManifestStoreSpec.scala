@@ -121,6 +121,18 @@ class ManifestStoreSpec extends SparkSpec {
       == Seq(Seq("2", "b2")))
   }
 
+  test("a committed EMPTY manifest reads as None, not a reduce crash") {
+    val (store, _) = fresh()
+    // snapshot of an empty frame commits an empty manifest (no partition
+    // values) — read/readPartitions must answer "no data", and a later
+    // real snapshot must supersede it cleanly
+    store.snapshot(Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "v", "p"))
+    assert(store.read.isEmpty)
+    assert(store.readPartitions(Seq("p1")).isEmpty)
+    store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
+  }
+
   test("new-partition upsert inserts without a target slice") {
     val (store, _) = fresh()
     store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))

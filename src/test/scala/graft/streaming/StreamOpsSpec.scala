@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.pipeline.TableStore
+import graft.pipeline.{ManifestStore, TableStore}
 import graft.schema.{MergeGuard, TableConfig}
 import java.nio.file.Files
 import java.sql.Timestamp
@@ -80,6 +80,73 @@ class StreamOpsSpec extends SparkSpec {
     val after = store.read.get.select("k", "n")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("mergeAvailable through a ManifestStore writes O(touched partitions) per micro-batch") {
+    val t = Files.createTempDirectory("stream-manifest").toString
+    val inbox = s"$t/inbox"; val ckpt = s"$t/ckpt"; val tableRoot = s"$t/table"
+    val store = new ManifestStore(spark, tableRoot, "day")
+    val pcfg = TableConfig("ods.part_items", null, Seq("k"), cursorField = Some("seq"))
+
+    val schema = Seq(("a", 1L, "d1", 1)).toDF("k", "seq", "day", "v").schema
+    // wave 1: two days, four rows
+    Seq(("a", 1L, "d1", 1), ("b", 1L, "d1", 2), ("c", 1L, "d2", 3), ("d", 1L, "d2", 4))
+      .toDF("k", "seq", "day", "v").write.mode("append").parquet(inbox)
+    StreamOps.mergeAvailable(StreamOps.fileStream(spark, inbox, schema), store, pcfg, ckpt)
+    // wave 2: touches ONLY d2 (newer c) and a new day d3 — d1 untouched
+    Seq(("c", 2L, "d2", 30), ("e", 1L, "d3", 5))
+      .toDF("k", "seq", "day", "v").write.mode("append").parquet(inbox)
+    StreamOps.mergeAvailable(StreamOps.fileStream(spark, inbox, schema), store, pcfg, ckpt)
+
+    // correctness: same answer a batch merge would give
+    assert(canon(store.read.get.select("k", "v")) == Seq(
+      Seq("a", "1"), Seq("b", "2"), Seq("c", "30"), Seq("d", "4"), Seq("e", "5")))
+
+    // write scope: the second drain's commit re-points ONLY d2/d3; d1
+    // still points at its wave-1 segment (never read, never rewritten)
+    val versions = store.manifestVersions
+    val mPrev = store.readManifest(versions(versions.length - 2))
+    val mLast = store.readManifest(versions.last)
+    assert(mLast("d1") == mPrev("d1"), "untouched partition was re-pointed")
+    assert(mLast("d2") != mPrev("d2"), "touched partition must re-point")
+    // and the new segment holds only the touched days' merged slice
+    // (c+d of d2, e of d3 = 3 rows), not the 5-row table
+    val segRows = spark.read.parquet(s"$tableRoot/${mLast("d2")}").count()
+    assert(segRows == 3, s"segment holds $segRows rows — O(table), not O(touched)")
+  }
+
+  test("foldRollupBatchPartitioned: replay-idempotent, writes only touched days") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("stream-ivm-part").toString
+    val store = new ManifestStore(spark, s"$t/rollup", "day")
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("day", "k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("total"))
+
+    val b0 = Seq(("d1", "a", 1.0), ("d1", "a", 2.0), ("d2", "b", 4.0)).toDF("day", "k", "v")
+    StreamOps.foldRollupBatchPartitioned(store, b0, 0L, roll, Seq("day", "k"), Seq("n", "total"))
+    // crash-replay of batch 0: must fold once
+    StreamOps.foldRollupBatchPartitioned(store, b0, 0L, roll, Seq("day", "k"), Seq("n", "total"))
+    // batch 1 touches ONLY d2
+    val b1 = Seq(("d2", "b", 6.0), ("d2", "c", 1.0)).toDF("day", "k", "v")
+    StreamOps.foldRollupBatchPartitioned(store, b1, 1L, roll, Seq("day", "k"), Seq("n", "total"))
+
+    val state = store.read.get.select("day", "k", "n", "total")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3).doubleValue)).toMap
+    assert(state == Map(
+      ("d1", "a") -> (2L, 3.0), ("d2", "b") -> (2L, 10.0), ("d2", "c") -> (1L, 1.0)), state)
+
+    // write scope: batch 1's commit re-pointed only d2 — d1's segment is
+    // unchanged from the batch-0 commit
+    val versions = store.manifestVersions
+    val mPrev = store.readManifest(versions(versions.length - 2))
+    val mLast = store.readManifest(versions.last)
+    assert(mLast("d1") == mPrev("d1"), "untouched day was rewritten")
+    assert(mLast("d2") != mPrev("d2"))
+    // stale-checkpoint detection still fires across partitions
+    val e = intercept[IllegalStateException](
+      StreamOps.foldRollupBatchPartitioned(store, b1, 0L, roll, Seq("day", "k"), Seq("n", "total")))
+    assert(e.getMessage.contains("out of step"))
   }
 
   test("watermarked windowed counts over a drained stream") {
