@@ -1304,6 +1304,53 @@ object SparkEntry {
                 col("n"), col("total_value").cast("double").as("total_value"))
     }),
 
+    "stream_sessionize" -> ((s, d) => {
+      // END-TO-END stateful streaming: flatMapGroupsWithState sessions
+      // (Sessionize.sessions) over a 4-micro-batch TIME-ORDERED drain
+      // hash-equal the batch window recompute (w_sessionize's oracle
+      // family, 1-hour gap). Files split on time ranges — the arrival
+      // order of a real CDC feed — so cross-file sessions extend forward
+      // through state and every closure decision matches the sorted
+      // batch twin. A far-future sentinel event advances the watermark
+      // past every real session's last+gap, so each event-time timeout
+      // fires before AvailableNow stops (SessionizeSpec proves the
+      // no-data flush batch runs). Values stream as exact integer cents:
+      // double arithmetic on integers is order-independent, so the
+      // state's accumulation order cannot smear a float sum.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("stream_sess").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("double").as("value"))
+      val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cuts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+      // 4 sequential writes (ascending mtime) so maxFilesPerTrigger=1
+      // drains them oldest-first = time order
+      ((Seq(lo) ++ cuts) zip (cuts ++ Seq(hi + 1))).foreach { case (a, b) =>
+        ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      // sentinel: beyond hi + gap + lateness, flushes all open sessions
+      Seq((-1L, new java.sql.Timestamp(hi + 3L * 3600 * 1000), 0.0))
+        .toDF("user_id", "ts", "value").write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val sess = graft.streaming.Sessionize.sessions(s, stream,
+        gap = "1 hour", lateness = "1 hour")
+      val outName = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sess.toDF().writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("n_events"),
+          (col("total_value") / 100).cast("double").as("total_value"))
+    }),
+
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
     "multimodal_decode" -> ((s, d) => {
       // REAL javax.imageio decode: planted solid-color PNGs (lossless →
@@ -2510,6 +2557,27 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the streaming drain must be indistinguishable from the batch
+    // window recompute — same construction as w_sessionize (1-hour gap),
+    // values as exact integer cents (see the query comment)
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts > prev + INTERVAL 1 HOUR THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        | epoch_us(min(ts)) AS session_start_us,
+        | epoch_us(max(ts)) AS session_end_us,
+        | count(*) AS n_events,
+        | CAST(sum(cents) AS DOUBLE) / 100 AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -18,9 +18,22 @@ import java.sql.Timestamp
 object Sessionize {
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** `start`/`last` are epoch MICROSECONDS — millisecond precision
+    * (Timestamp.getTime) would silently truncate micro-precision event
+    * times, smearing both the emitted session bounds and the gap
+    * decisions relative to the batch twin. */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, total_value: Double)
+
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   def sessions(spark: SparkSession, events: DataFrame, gap: String = "30 minutes",
                lateness: String = "1 hour"): Dataset[Session] = {
@@ -29,7 +42,7 @@ object Sessionize {
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
     require(gapMs.months == 0,
       s"session gap must be a fixed-length interval, got '$gap' (month-grain intervals have no fixed millisecond length)")
-    val gapMillis = gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    val gapMicros = gapMs.days * 86400000000L + gapMs.microseconds
 
     events.selectExpr("user_id", "ts", "value").as[Event]
       .withWatermark("ts", lateness)
@@ -41,9 +54,9 @@ object Sessionize {
             // gap elapsed with no new events: close and emit the session
             val s = state.get
             state.remove()
-            Iterator(Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+            Iterator(Session(user, microsToTs(s.start), microsToTs(s.last), s.n, s.total))
           } else {
-            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val sorted = evs.toSeq.sortBy(e => epochMicros(e.ts))
             var cur = state.getOption
             // accumulator for a chain of too-late events (they are sorted,
             // so consecutive in-gap late events form ONE session like the
@@ -51,25 +64,25 @@ object Sessionize {
             var late: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
             def flushLate(): Unit = late.foreach { l =>
-              closed += Session(user, new Timestamp(l.start), new Timestamp(l.last), l.n, l.total)
+              closed += Session(user, microsToTs(l.start), microsToTs(l.last), l.n, l.total)
               late = None
             }
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = epochMicros(e.ts)
               cur match {
                 // in-order or late-but-within-gap of the session span:
                 // absorb, extending the span backwards for late arrivals
                 // (keeps streaming aligned with the sorted batch twin)
-                case Some(s) if t >= s.start - gapMillis && t - s.last <= gapMillis =>
+                case Some(s) if t >= s.start - gapMicros && t - s.last <= gapMicros =>
                   flushLate()
                   cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
                     s.n + 1, s.total + e.value))
                 // too late for the open session: chain into the late
                 // accumulator (the batch twin orders these into their own
                 // earlier session(s))
-                case Some(s) if t < s.start - gapMillis =>
+                case Some(s) if t < s.start - gapMicros =>
                   late match {
-                    case Some(l) if t - l.last <= gapMillis =>
+                    case Some(l) if t - l.last <= gapMicros =>
                       late = Some(SessionState(l.start, math.max(l.last, t), l.n + 1, l.total + e.value))
                     case _ =>
                       flushLate()
@@ -77,7 +90,7 @@ object Sessionize {
                   }
                 case Some(s) => // forward gap inside the batch: close previous, start new
                   flushLate()
-                  closed += Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+                  closed += Session(user, microsToTs(s.start), microsToTs(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -88,9 +101,12 @@ object Sessionize {
               state.update(s)
               // a late-but-admitted event can put last+gap BEHIND the
               // current watermark; Spark rejects a timeout earlier than
-              // the watermark and kills the query — clamp forward
+              // the watermark and kills the query — clamp forward. The
+              // micros→ms ceiling keeps the timeout AT or AFTER the true
+              // session deadline (1 ms late is harmless; early is wrong).
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMillis, state.getCurrentWatermarkMs() + 1))
+                math.max(Math.floorDiv(s.last + gapMicros + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
