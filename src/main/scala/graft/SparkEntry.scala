@@ -110,8 +110,12 @@ object SparkEntry {
       | || CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/path ok' ELSE '' END
       | || CASE WHEN doc_id % 9 = 0 THEN ' ref http://blocked.example.com/x?q=1 end' ELSE '' END""".stripMargin.replace("\n", "")
 
-  /** Planted hosts under two-label PUBLIC SUFFIXES (co.uk / com.au) plus
-    * an ordinary .org — the apex-domain twin construction. */
+  /** Planted hosts exercising the full PSL rule taxonomy: two-label
+    * public suffixes (co.uk / com.au), an ordinary .org, a PRIVATE
+    * suffix (github.io — `u<k>.pages.github.io` must group to
+    * `pages.github.io`, not `github.io`), a WILDCARD ccTLD
+    * (`*.ck`: `deep<k>.foo.bar.ck` → `foo.bar.ck`), and the wildcard's
+    * EXCEPTION (`!www.ck`: `sub.www.ck` → `www.ck`). */
   private def plantedApexText: Column = concat(
     col("text"),
     when(pmod(col("doc_id"), lit(4)) === 0,
@@ -121,13 +125,24 @@ object SparkEntry {
       lit(" buy http://shop.example.com.au/item now")).otherwise(lit("")),
     when(pmod(col("doc_id"), lit(10)) === 0,
       concat(lit(" read https://blog"), pmod(col("doc_id"), lit(7)).cast("string"),
-             lit(".sample.org/post go"))).otherwise(lit("")))
+             lit(".sample.org/post go"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(8)) === 0,
+      concat(lit(" see https://u"), pmod(col("doc_id"), lit(5)).cast("string"),
+             lit(".pages.github.io/x ok"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(9)) === 0,
+      concat(lit(" go http://deep"), pmod(col("doc_id"), lit(2)).cast("string"),
+             lit(".foo.bar.ck/y no"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(12)) === 0,
+      lit(" at https://sub.www.ck/z end")).otherwise(lit("")))
 
   private val plantedApexSql: String =
     """text
       | || CASE WHEN doc_id % 4 = 0 THEN ' via https://news' || CAST(doc_id % 3 AS VARCHAR) || '.bbc.co.uk/story ok' ELSE '' END
       | || CASE WHEN doc_id % 6 = 0 THEN ' buy http://shop.example.com.au/item now' ELSE '' END
-      | || CASE WHEN doc_id % 10 = 0 THEN ' read https://blog' || CAST(doc_id % 7 AS VARCHAR) || '.sample.org/post go' ELSE '' END""".stripMargin.replace("\n", "")
+      | || CASE WHEN doc_id % 10 = 0 THEN ' read https://blog' || CAST(doc_id % 7 AS VARCHAR) || '.sample.org/post go' ELSE '' END
+      | || CASE WHEN doc_id % 8 = 0 THEN ' see https://u' || CAST(doc_id % 5 AS VARCHAR) || '.pages.github.io/x ok' ELSE '' END
+      | || CASE WHEN doc_id % 9 = 0 THEN ' go http://deep' || CAST(doc_id % 2 AS VARCHAR) || '.foo.bar.ck/y no' ELSE '' END
+      | || CASE WHEN doc_id % 12 = 0 THEN ' at https://sub.www.ck/z end' ELSE '' END""".stripMargin.replace("\n", "")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1158,13 +1173,15 @@ object SparkEntry {
         .groupBy("domain").agg(count(lit(1)).as("n"))),
 
     "url_apex_counts" -> ((s, d) =>
-      // registrable-domain histogram, public-suffix aware: every
-      // news<k>.bbc.co.uk host must collapse into ONE bbc.co.uk group
-      // (the last-two-labels heuristic would wrongly emit co.uk) — the
-      // oracle replays the PSL decision in SQL
+      // registrable-domain histogram under FULL PSL semantics
+      // (Links.apexDomainPsl — longest match + wildcard *.ck + exception
+      // !www.ck + private github.io): news<k>.bbc.co.uk collapses into
+      // ONE bbc.co.uk group, u<k>.pages.github.io into pages.github.io
+      // (not github.io), deep<k>.foo.bar.ck into foo.bar.ck, sub.www.ck
+      // into www.ck — the oracle replays each rule-class decision in SQL
       Tables.documents(s, d)
         .select(explode(Links.urls(plantedApexText)).as("url"))
-        .select(Links.apexDomain(Links.host(col("url"))).as("apex"))
+        .select(Links.apexDomainPsl(Links.host(col("url"))).as("apex"))
         .groupBy("apex").agg(count(lit(1)).as("n"))),
 
     "url_blocklist" -> ((s, d) =>
@@ -2459,8 +2476,10 @@ object SparkEntry {
          |      FROM documents)
          |GROUP BY 1""".stripMargin,
 
-    // replays the public-suffix decision: hosts under co.uk / com.au take
-    // three labels, plain .org takes two
+    // replays each PSL rule-class decision: the !www.ck exception first,
+    // then the private github.io suffix, the *.ck wildcard (public
+    // suffix = one label under ck, apex = two), the two-label ICANN
+    // registries (co.uk / com.au), and the default last-two-labels rule
     "url_apex_counts" ->
       s"""WITH h AS (
          |  SELECT regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1) AS host
@@ -2469,6 +2488,12 @@ object SparkEntry {
          |l AS (SELECT host, string_split(host, '.') AS p FROM h)
          |SELECT CASE
          |    WHEN len(p) <= 2 THEN host
+         |    WHEN host = 'www.ck' OR host LIKE '%.www.ck' THEN 'www.ck'
+         |    WHEN lower(p[-2] || '.' || p[-1]) = 'github.io' THEN
+         |      p[-3] || '.' || p[-2] || '.' || p[-1]
+         |    WHEN p[-1] = 'ck' THEN
+         |      CASE WHEN len(p) = 3 THEN host
+         |           ELSE p[-3] || '.' || p[-2] || '.' || p[-1] END
          |    WHEN lower(p[-2] || '.' || p[-1]) IN ('co.uk', 'com.au') THEN
          |      p[-3] || '.' || p[-2] || '.' || p[-1]
          |    ELSE p[-2] || '.' || p[-1] END AS apex,

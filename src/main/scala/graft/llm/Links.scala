@@ -69,12 +69,25 @@ object Links {
     "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
     "com.eg", "com.sa", "com.pk", "com.bd", "com.np", "com.kh", "com.lk")
 
+  /** Registrable domain under REAL Public Suffix List semantics —
+    * longest-match with wildcard (`*.ck`) and exception (`!www.ck`)
+    * rules, including private-section suffixes (`user.github.io` stays
+    * `user.github.io`, it does not mis-group to `github.io`). One hash
+    * probe per host label via a codegen'd native expression
+    * ([[PslApex]]); pass `PslRuleSet.fromFile("public_suffix_list.dat")`
+    * to run the full Mozilla list — [[PslRuleSet.embedded]] is a
+    * curated snippet with identical semantics. */
+  def apexDomainPsl(hostCol: Column, rules: PslRuleSet = PslRuleSet.embedded): Column =
+    Psl.apexDomain(hostCol, rules)
+
   /** Registrable-domain heuristic: last two dot-labels of the host —
     * unless those two labels are themselves a public suffix
     * ([[multiLabelSuffixes]]), where the apex is three labels
     * (`news.bbc.co.uk` → `bbc.co.uk`, not the wrong `co.uk`). The suffix
     * test is a codegen'd literal IN — no lookup table shuffles. Hosts
-    * with ≤ 2 labels (including a bare public suffix) pass through. */
+    * with ≤ 2 labels (including a bare public suffix) pass through.
+    * Zero-dependency fallback; [[apexDomainPsl]] is the full-semantics
+    * path (wildcards, exceptions, private suffixes). */
   def apexDomain(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val lastTwo = lower(concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
