@@ -3,6 +3,7 @@ package graft.llm
 import graft.pipeline.ManifestStore
 import graft.schema.TableConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Persistent IVF index with O(batch) maintenance: the index lives as a
   * CELL-PARTITIONED table ([[graft.pipeline.ManifestStore]] keyed on the
@@ -23,11 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Centroids are frozen at construction (train once with
   * [[Similarity.trainIvfCentroids]], re-train offline when drift
-  * degrades recall — the standard IVF operating model). Vectors are
-  * treated as insert-only-or-stable: re-appending an id with the SAME
-  * embedding is an idempotent per-cell upsert, but a CHANGED embedding
-  * may move cells, and the old cell's row would survive — delete first
-  * or rebuild for mutable corpora.
+  * degrades recall — the standard IVF operating model). [[append]]
+  * treats vectors as insert-only-or-stable: re-appending an id with the
+  * SAME embedding is an idempotent per-cell upsert, but a CHANGED
+  * embedding may move cells, leaving a stale row behind — use
+  * [[upsertEmbeddings]] (or [[delete]] + append) for mutable corpora.
   */
 final class IvfIndexStore(spark: SparkSession, root: String,
                           embCol: String, idCol: String,
@@ -46,6 +47,41 @@ final class IvfIndexStore(spark: SparkSession, root: String,
   def read: Option[DataFrame] = store.read
 
   def liveSegments: Int = store.liveSegments
+
+  /** Tombstone path: remove `ids` (any frame carrying `idCol`) from the
+    * index. One id-column probe of the live segments finds the cells
+    * holding them (column-pruned parquet scan — the honest price of
+    * having no id→cell secondary index); only those cells are rewritten
+    * (anti-join inside the touched slice), committed atomically, and a
+    * cell emptied entirely is dropped from the manifest rather than
+    * resurrecting its old segment. Returns the cells rewritten. */
+  def delete(ids: DataFrame): Seq[String] = store.read match {
+    case None => Seq.empty
+    case Some(index) =>
+      val idsOnly = broadcast(ids.select(col(idCol)).distinct())
+      val touched = index.join(idsOnly, Seq(idCol), "left_semi")
+        .select(col("cell").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (touched.isEmpty) Seq.empty
+      else {
+        val remaining = store.readPartitions(touched).get
+          .join(idsOnly, Seq(idCol), "left_anti")
+        store.replacePartitions(remaining, touched)
+        touched
+      }
+  }
+
+  /** Re-embed upsert for MUTABLE corpora: first deletes any row the
+    * batch's ids currently occupy (so an id whose new embedding lands in
+    * a different cell cannot leave a stale twin in the old one), then
+    * appends the fresh assignment. Two commits; a crash between them
+    * leaves the batch's ids absent — re-run the upsert to converge;
+    * duplicates across cells can never appear. Heavy re-embed pipelines
+    * should maintain an id→cell index to skip the probe scan. */
+  def upsertEmbeddings(batch: DataFrame, maxSegments: Int = 16): Seq[String] = {
+    val cleared = delete(batch)
+    (cleared ++ append(batch, maxSegments)).distinct
+  }
 
   /** Exact-cosine top-k inside the `nprobe` cells nearest the query —
     * a partition-pruned read of `nprobe`/`k_cells` of the index. */

@@ -190,6 +190,26 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     affected
   }
 
+  /** [[overwritePartitions]] that can also DROP partitions: every value
+    * in `clear` is first un-pointed from the manifest, then the source's
+    * partitions land as one new segment — all in one atomic commit. A
+    * cleared value absent from the source simply disappears (its old
+    * segment rows are retired by the value filter; [[vacuum]] reclaims
+    * the bytes). This is the delete path: rewrite a partition minus some
+    * rows by passing the remainder as `source` with the partition in
+    * `clear`, and a partition emptied entirely stays consistent instead
+    * of resurrecting its old segment. */
+  def replacePartitions(source: DataFrame, clear: Seq[String]): Seq[String] = {
+    val affected = partitionValues(source)
+    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty) -- clear
+    if (affected.isEmpty) { commit(man); Seq.empty }
+    else {
+      val seg = writeSegment(source)
+      commit(man ++ affected.map(_ -> seg))
+      affected
+    }
+  }
+
   /** Number of distinct segments the latest manifest references — the
     * read amplification of a full-table scan (each live segment is one
     * filtered parquet read in [[resolve]]). Grows by one per

@@ -62,4 +62,29 @@ class IvfIndexStoreSpec extends SparkSpec {
       .join(ivf.read.get, "vec_id").select("cell").as[Int].collect().toSet
     assert(probedCells subsetOf nearest)
   }
+
+  test("upsertEmbeddings: a moved vector leaves no stale row in its old cell") {
+    val centroids = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+    val ivf = new IvfIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    ivf.append(full)
+    val moverId = 7L
+    val oldCell = ivf.read.get.filter($"vec_id" === moverId)
+      .select("cell").as[Int].head()
+    // re-embed the id AT another cluster's center → it must change cells
+    val newCell = (oldCell + 1) % 8
+    val movedVec = centers(newCell).map(_.toFloat)
+    ivf.upsertEmbeddings(Seq(moverId -> movedVec).toDF("vec_id", "embedding"))
+    val rows = ivf.read.get.filter($"vec_id" === moverId)
+      .select("cell").as[Int].collect().toSeq
+    assert(rows.length == 1, s"id $moverId appears in cells $rows — stale twin survived")
+    assert(rows.head != oldCell, "vector did not move cells (test fixture broken)")
+    assert(ivf.read.get.count() == 400)
+
+    // delete: the id disappears and an emptied cell cannot resurrect rows
+    ivf.delete(Seq(moverId).toDF("vec_id"))
+    assert(ivf.read.get.filter($"vec_id" === moverId).isEmpty)
+    assert(ivf.read.get.count() == 399)
+    // deleting ids not in the index is a no-op
+    assert(ivf.delete(Seq(99999L).toDF("vec_id")).isEmpty)
+  }
 }

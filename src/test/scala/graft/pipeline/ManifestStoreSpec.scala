@@ -133,6 +133,22 @@ class ManifestStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
   }
 
+  test("replacePartitions drops cleared values whose rows are gone") {
+    val (store, _) = fresh()
+    store.snapshot(Seq(
+      (1L, 1L, "a", "p1"), (2L, 1L, "b", "p2"), (3L, 1L, "c", "p2")
+    ).toDF("k", "seq", "v", "p"))
+    // rewrite p2 minus row k=2 (a delete); p1 untouched
+    store.replacePartitions(Seq((3L, 1L, "c", "p2")).toDF("k", "seq", "v", "p"), Seq("p2"))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("3", "c")))
+    // empty a partition entirely: the value disappears instead of
+    // resurrecting its old segment
+    store.replacePartitions(
+      Seq.empty[(Long, Long, String, String)].toDF("k", "seq", "v", "p"), Seq("p2"))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
+    assert(store.readPartitions(Seq("p2")).get.isEmpty)
+  }
+
   test("new-partition upsert inserts without a target slice") {
     val (store, _) = fresh()
     store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))
