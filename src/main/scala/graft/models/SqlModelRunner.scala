@@ -231,7 +231,7 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
 
   private val sources = mutable.LinkedHashMap[(String, String), DataFrame]()
   private val models  = mutable.LinkedHashMap[String, (String, ModelTests)]()
-  private val snapshots = mutable.LinkedHashMap[String, String]()
+  private val snapshots = mutable.LinkedHashMap[String, (String, ModelTests)]()
   private val macros  = ModelSql.parseMacros(macrosText)
   private val resolving = mutable.LinkedHashSet[String]()
   // per-top-level-run memo: each model node executes AT MOST ONCE per
@@ -255,17 +255,20 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     * its config): SCD2 history tracked via [[MergeEngine.scd2Merge]].
     * Runs on its own cadence through [[runSnapshot]] — `ref()`s from
     * models read its stored state, never trigger it. */
-  def addSnapshot(name: String, sql: String): this.type = {
+  def addSnapshot(name: String, sql: String, tests: ModelTests = ModelTests()): this.type = {
     require(!models.contains(name), s"'$name' is already a model")
-    snapshots(name) = sql; this
+    snapshots(name) = (sql, tests); this
   }
 
   /** Execute one snapshot pass: evaluate the SELECT and scd2-merge it
     * into the history table (timestamp strategy — `unique_key` +
     * `updated_at` required; forward-only, replay-safe, incremental build
-    * hash-equal to a one-shot recompute per scd2Merge's contract). */
+    * hash-equal to a one-shot recompute per scd2Merge's contract).
+    * Declared tests are enforced on the post-merge history, same
+    * `severity: error` contract as [[run]] — dbt tests snapshots like
+    * any other node, so the runner must too. */
   def runSnapshot(name: String): DataFrame = {
-    val raw = snapshots.getOrElse(name,
+    val (raw, tests) = snapshots.getOrElse(name,
       throw new NoSuchElementException(s"snapshot '$name' not registered"))
     val (cfg, body0) = ModelSql.extractConfig(ModelSql.stripComments(raw))
     require(cfg.strategy.forall(_ == "timestamp"),
@@ -291,18 +294,26 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     val st = store(name)
     st.snapshot(MergeEngine.scd2Merge(st.read, spark.sql(body),
       cfg.uniqueKey, updatedAt))
-    st.read.get
+    val out = st.read.get
+    Checks.enforce(checksFor(out, tests))
+    out
   }
 
   def store(name: String): TableStore = new TableStore(spark, s"$storeRoot/$name")
 
-  /** dbt-test the model's current relation without materializing —
-    * read-only: view refs compile against stored upstream state, nothing
-    * is written anywhere in the DAG. */
-  def test(name: String): Seq[CheckResult] = {
-    val (_, tests) = modelOf(name)
-    checksFor(relation(name), tests)
-  }
+  /** dbt-test the model's (or snapshot's) current relation without
+    * materializing — read-only: view refs compile against stored
+    * upstream state, nothing is written anywhere in the DAG; a
+    * snapshot's tests run against its stored history. */
+  def test(name: String): Seq[CheckResult] =
+    snapshots.get(name) match {
+      case Some((_, tests)) =>
+        checksFor(store(name).read.getOrElse(
+          throw new IllegalStateException(s"snapshot '$name' has never been run")), tests)
+      case None =>
+        val (_, tests) = modelOf(name)
+        checksFor(relation(name), tests)
+    }
 
   /** Materialize `name` (running upstream refs first) and return its
     * post-run relation. Declared tests are enforced — a failing `not_null`

@@ -191,6 +191,30 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("never been run"))
   }
 
+  test("snapshot tests are enforced on the post-merge history, like any node") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addSnapshot("hist",
+      "{{ config(strategy='timestamp', unique_key='k', updated_at='seq') }} " +
+      "SELECT k, seq, v FROM {{ source('ods', 's') }}",
+      // tests run on the HISTORY schema: updated_at lands as valid_from
+      ModelTests(notNull = Seq("v"), unique = Seq("k", "valid_from")))
+    r.addSource("ods", "s", Seq((1L, 1L, "v1"), (2L, 1L, "x1")).toDF("k", "seq", "v"))
+    r.runSnapshot("hist")
+    assert(r.test("hist").forall(_.passed))
+    // a NULL in a not_null column aborts the snapshot run loudly
+    r.addSource("ods", "s",
+      Seq((1L, 2L, null.asInstanceOf[String])).toDF("k", "seq", "v"))
+    val e = intercept[IllegalStateException](r.runSnapshot("hist"))
+    assert(e.getMessage.contains("not_null"), e.getMessage)
+    // test() on a never-run snapshot fails clearly
+    val r2 = new SqlModelRunner(spark, freshRoot())
+    r2.addSnapshot("hist",
+      "{{ config(strategy='timestamp', unique_key='k', updated_at='seq') }} SELECT 1 AS k, 1 AS seq",
+      ModelTests(notNull = Seq("k")))
+    val e2 = intercept[IllegalStateException](r2.test("hist"))
+    assert(e2.getMessage.contains("never been run"))
+  }
+
   test("diamond DAG: a twice-ref'd upstream materializes once per invocation") {
     val root = freshRoot()
     val r = new SqlModelRunner(spark, root)
