@@ -23,6 +23,41 @@ object Bench {
       } catch { case e: Throwable => // stage timings are diagnostics, never fatal
         System.err.println(s"[bench] stage log disabled: ${e.getMessage}")
       }
+    // job-level attribution for EVERY query, with zero operator changes
+    // and zero plan distortion: each timed pass runs inside a job group
+    // named after the query, and a listener writes one stage row per
+    // Spark job ≥ 50 ms. A cross-round swing on a single-plan query
+    // (r8's ann_quantized_topk 0.89→2.43 s had no code change) then
+    // shows WHICH job grew instead of staying a mystery. Streaming
+    // drains run their jobs on the stream thread (outside the group) —
+    // those queries log per-micro-batch rows through their own hooks.
+    def stageAppend(query: String, stage: String, sec: Double): Unit =
+      sys.props.get("graft.stage.log").foreach { p =>
+        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          f"$query,$stage,$sec%.3f%n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        catch { case _: Throwable => }
+      }
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val group = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).orNull
+        // streaming queries overwrite the group with their run-id UUID —
+        // those drains log per-micro-batch rows via their own hooks, so
+        // drop the unattributable UUID group here
+        if (group != null && !group.matches("[0-9a-f-]{36}"))
+          jobStarts.put(js.jobId, (group, js.time))
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = jobStarts.remove(je.jobId)
+        if (s != null) {
+          val sec = (je.time - s._2) / 1e3
+          if (sec >= 0.05) stageAppend(s._1, s"job${je.jobId}", sec)
+        }
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -32,6 +67,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(listener)
     // untimed warmup pass: run EVERY query once on the tiny smoke SF so
     // Janino codegen + C2 JIT compile before timing — measured times then
     // reflect steady-state data processing at the target SF, not
@@ -54,9 +90,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def onePass(): (Double, Boolean) = {
         val t0 = System.nanoTime()
+        spark.sparkContext.setJobGroup(name, name)
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
+        } finally spark.sparkContext.clearJobGroup()
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = onePass()
@@ -92,6 +129,7 @@ object Bench {
       System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
     }
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"fast_rest":$fastSummary,"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
+    Thread.sleep(1000) // let the async listener bus drain its last job rows
     spark.stop()
   }
 }

@@ -26,9 +26,9 @@ object Soak {
 
   private val SoakQueries = Seq(
     "dedup_exact", "dedup_neardup", "dedup_incremental", "dedup_clusters",
-    "dedup_simhash_pairs", "contamination",
+    "dedup_simhash_pairs", "dedup_containment", "contamination",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
-    "dedup_cosine_pairs")
+    "dedup_cosine_pairs", "source_overlap_sketch")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

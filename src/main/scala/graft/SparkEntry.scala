@@ -1250,7 +1250,7 @@ object SparkEntry {
           Seq(count(lit(1)).as("n"),
               sum(col("value").cast("decimal(18,2)")).as("total_value"))),
         keys = Seq("day", "event_type"), addCols = Seq("n", "total_value"),
-        checkpoint = s"$tmp/ckpt")
+        checkpoint = s"$tmp/ckpt", onStage = stageLogger("stream_day_rollup"))
       store.read.get
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
                 col("n"), col("total_value").cast("double").as("total_value"))
@@ -1270,7 +1270,7 @@ object SparkEntry {
       val store = new graft.pipeline.TableStore(s, s"$tmp/store")
       graft.streaming.StreamOps.mergeAvailable(stream, store,
         TableConfig("stream_events", null, Seq("event_id"), cursorField = Some("ts")),
-        s"$tmp/ckpt")
+        s"$tmp/ckpt", onStage = stageLogger("stream_cdc_merge"))
       store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     }),
@@ -1292,7 +1292,7 @@ object SparkEntry {
       val store = new graft.pipeline.ManifestStore(s, s"$tmp/store", "day")
       graft.streaming.StreamOps.mergeAvailable(stream, store,
         TableConfig("stream_events_m", null, Seq("event_id"), cursorField = Some("ts")),
-        s"$tmp/ckpt")
+        s"$tmp/ckpt", onStage = stageLogger("stream_cdc_merge_manifest"))
       store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
     }),
@@ -1315,7 +1315,8 @@ object SparkEntry {
           Seq(count(lit(1)).as("n"),
               sum(col("value").cast("decimal(18,2)")).as("total_value"))),
         keys = Seq("day", "event_type"), addCols = Seq("n", "total_value"),
-        checkpoint = s"$tmp/ckpt")
+        checkpoint = s"$tmp/ckpt",
+        onStage = stageLogger("stream_day_rollup_manifest"))
       store.read.get
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
                 col("n"), col("total_value").cast("double").as("total_value"))
@@ -1360,6 +1361,12 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // per-batch trigger times from the streaming progress (the drain's
+      // jobs run on the stream thread, invisible to bench job groups)
+      q.recentProgress.foreach { pr =>
+        Option(pr.durationMs.get("triggerExecution")).foreach(ms =>
+          stageLogger("stream_sessionize")(s"batch${pr.batchId}", ms.toDouble / 1e3))
+      }
       s.table(outName).filter(col("user_id") >= 0)
         .select(col("user_id"),
           unix_micros(col("session_start")).as("session_start_us"),

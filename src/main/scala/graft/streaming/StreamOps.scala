@@ -67,12 +67,17 @@ object StreamOps {
     * O(batch) IO at the reference's 5-minute CDC cadence instead of
     * O(table). */
   def mergeAvailable(stream: DataFrame, sink: MergeSink, cfg: TableConfig,
-                     checkpoint: String): Unit = {
+                     checkpoint: String,
+                     onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink.mergeBatch(batch, cfg); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        sink.mergeBatch(batch, cfg)
+        // streaming jobs run on the stream thread, outside any bench job
+        // group — the per-batch hook is how drain cost stays attributable
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
     q.awaitTermination()
@@ -97,12 +102,15 @@ object StreamOps {
   def maintainRollup(stream: DataFrame, store: TableStore,
                      rollup: DataFrame => DataFrame,
                      keys: Seq[String], addCols: Seq[String],
-                     checkpoint: String): Unit = {
+                     checkpoint: String,
+                     onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldRollupBatch(store, batch, batchId, rollup, keys, addCols); ()
+        val t0 = System.nanoTime()
+        foldRollupBatch(store, batch, batchId, rollup, keys, addCols)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
     q.awaitTermination()
@@ -160,14 +168,17 @@ object StreamOps {
   def maintainRollupPartitioned(stream: DataFrame, store: ManifestStore,
       rollup: DataFrame => DataFrame,
       keys: Seq[String], addCols: Seq[String],
-      checkpoint: String): Unit = {
+      checkpoint: String,
+      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     require(keys.contains(store.partitionCol),
       s"ManifestStore partition column '${store.partitionCol}' must be one of the rollup keys ${keys.mkString("[", ",", "]")}")
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        foldRollupBatchPartitioned(store, batch, batchId, rollup, keys, addCols); ()
+        val t0 = System.nanoTime()
+        foldRollupBatchPartitioned(store, batch, batchId, rollup, keys, addCols)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
     q.awaitTermination()
