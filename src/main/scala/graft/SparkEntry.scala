@@ -924,6 +924,26 @@ object SparkEntry {
       ivf.topK(q, 10, nprobe = 3).withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_ivf_mutate" -> ((s, d) => {
+      // MUTABLE-corpus path: build the store from the full corpus, then
+      // re-embed every vec_id%10==3 vector as its NEGATION (most flip
+      // cells) through upsertEmbeddings — the delete+append pass must
+      // evict every stale row, or the probe would surface ghost vectors.
+      // The oracle recomputes the same frozen-centroid IVF over the
+      // mutated corpus; answers must match exactly.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("ivf_mut").toString
+      val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id", centroids)
+      ivf.append(e)
+      val mutated = e.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      ivf.upsertEmbeddings(mutated)
+      ivf.topK(q, 10, nprobe = 3).withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // measured ANN quality: recall@10 of the LSH and IVF indexes against
       // the exact brute-force top-10, as hashed result rows — the oracle
@@ -1320,6 +1340,30 @@ object SparkEntry {
       store.read.get
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
                 col("n"), col("total_value").cast("double").as("total_value"))
+    }),
+
+    "stream_dedup" -> ((s, d) => {
+      // END-TO-END streaming exact dedup (StreamOps.dedupStream): a
+      // payload fingerprint seen in ANY earlier micro-batch is dropped;
+      // with the lateness horizon covering the whole event span this
+      // equals DISTINCT over the fingerprint columns. WHICH physical row
+      // survives is arrival-order-dependent, so the query returns the
+      // fingerprint columns themselves — split-invariant — and the
+      // oracle is a plain SELECT DISTINCT.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+        .repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val dd = graft.streaming.StreamOps.dedupStream(stream, "ts", "3650 days",
+        Seq("user_id", "event_type"))
+      val outName = "sd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dd.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).select(col("user_id"), col("event_type"))
     }),
 
     "stream_sessionize" -> ((s, d) => {
@@ -2124,6 +2168,25 @@ object SparkEntry {
          |$ivfCtes
          |${topkSql("ivf_cand")}""".stripMargin,
 
+    // frozen centroids from the ORIGINAL corpus (the ivfCtes pipeline),
+    // assignment + ranking over the MUTATED corpus: vec_id%10==3
+    // vectors re-embedded as their negation — the store's delete+append
+    // must leave exactly this state
+    "ann_ivf_mutate" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |$ivfCtes,
+         |memb AS (SELECT vec_id,
+         |           CASE WHEN vec_id % 10 = 3 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |         FROM emb),
+         |massign AS (
+         |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+         |  FROM (SELECT memb.vec_id, memb.e, refined.cell, ${cosSql("e", "c")} AS cos
+         |        FROM memb CROSS JOIN refined)),
+         |ma1 AS (SELECT vec_id, e, cell FROM massign WHERE rn = 1),
+         |mcand AS (SELECT ma1.vec_id, ma1.e FROM ma1 WHERE ma1.cell IN (SELECT cell FROM probe))
+         |${topkSql("mcand")}""".stripMargin,
+
     "ann_recall" ->
       s"""WITH $lshCandidateCtes,
          |$ivfCtes,
@@ -2589,6 +2652,11 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // survivor identity is arrival-dependent; the fingerprint columns
+    // are not (see the query comment)
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     // the streaming drain must be indistinguishable from the batch
     // window recompute — same construction as w_sessionize (1-hour gap),
