@@ -1067,6 +1067,14 @@ object SparkEntry {
           least(lit(1.0), coalesce(col("n_chars").cast("double"), lit(0.0)) / 400.0))
         .groupBy("lang").agg(count(lit(1)).as("n"))),
 
+    "sample_temperature_mix" -> ((s, d) =>
+      // n^0.5 temperature mixing toward a half-corpus budget: rare
+      // sources keep a larger fraction of their rows than dominant ones;
+      // the oracle replays counts → rates → md5 decisions exactly
+      graft.llm.Sampling.temperatureMix(Tables.documents(s, d), "source",
+          Seq("doc_id"), alpha = 0.5, targetRows = 250)
+        .groupBy("source").agg(count(lit(1)).as("n"))),
+
     "text_novelty" -> ((s, d) =>
       // fraction of each doc's 3-gram shingles unique to it corpus-wide
       Terms.noveltyScore(Tables.documents(s, d), "doc_id", "text")
@@ -1716,6 +1724,19 @@ object SparkEntry {
         |WHERE CAST(CAST('0x' || substring(md5('weighted' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0
         |      < least(greatest(coalesce(CAST(n_chars AS DOUBLE), 0.0) / 400.0, 0.0), 1.0)
         |GROUP BY lang""".stripMargin,
+
+    // counts → n^0.5 rates (rounded to 12 dp on both engines so ulp
+    // drift in the Σ n^α reduction can't flip a boundary row) → the
+    // same md5 keep decisions
+    "sample_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(n, 0.5)) AS tot FROM c),
+        |r AS (SELECT source, round(least(1.0, 250.0 * pow(n, 0.5) / tot / n), 12) AS rate
+        |      FROM c, t)
+        |SELECT d.source, count(*) AS n
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(CAST('0x' || substring(md5('temperature' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0 < rate
+        |GROUP BY d.source""".stripMargin,
 
     // coalesce(text,'') so a NULL-text doc gets the same [""] shingle the
     // Spark side produces instead of vanishing through a NULL join key

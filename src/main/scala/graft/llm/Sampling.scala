@@ -73,6 +73,43 @@ object Sampling {
     df.filter(u < least(greatest(weight.cast("double"), lit(0.0)), lit(1.0)))
   }
 
+  /** Temperature-flattened source mixing — the `n^α` reweighting used to
+    * assemble multi-source training mixes (rare sources up-weighted,
+    * dominant ones down-weighted; α=1 is proportional sampling, α=0 is
+    * equal-per-source, the standard knob in multilingual/multi-corpus
+    * training). Source s with n_s rows receives target share
+    * p_s = n_s^α / Σ_t n_t^α; for a `targetRows` budget each of its rows
+    * keeps with rate min(1, targetRows·p_s/n_s) — capped at 1: this
+    * operator SUBSAMPLES, it never replicates, so an up-weighted source
+    * contributes at most all of its rows (epoch repetition is the
+    * trainer's job).
+    *
+    * Per-row decisions come from the engine-neutral [[md5Bucket]]
+    * (replay-stable, partition-independent, auditable outside Spark);
+    * the rate is rounded to 12 decimals so that cross-engine ulp drift
+    * in the Σ n^α reduction cannot flip a boundary row. One tiny
+    * aggregate (one row per source) computes the rates; they re-join the
+    * corpus broadcast, so the corpus itself is touched in a single
+    * filtered pass — no skew, no second shuffle at 100 TB. */
+  def temperatureMix(df: DataFrame, groupCol: String, keyCols: Seq[String],
+                     alpha: Double, targetRows: Long,
+                     seed: String = "temperature"): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // Σ n^α: one scalar off a #sources-row aggregate (bounded small)
+    val tot = counts.agg(sum(pow(col("__n").cast("double"), alpha)))
+      .head().getDouble(0)
+    val rates = counts.select(col(groupCol),
+      round(least(lit(1.0),
+        lit(targetRows.toDouble) * pow(col("__n").cast("double"), alpha)
+          / lit(tot) / col("__n").cast("double")), 12).as("__rate"))
+    val u = md5Bucket(keyCols.map(col), seed).cast("double") / 65536.0
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(u < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Deterministic train/val/test split: each row gets the first label
     * whose cumulative weight bound exceeds its content bucket. Replay-
     * stable, partition-independent, incremental-safe (new rows never

@@ -129,6 +129,31 @@ class SamplingSpec extends SparkSpec {
     assert(canon(out) == canon(out2))
   }
 
+  test("temperatureMix: alpha flattens the mix; capped at 1; replay-stable") {
+    import spark.implicits._
+    // skewed corpus: source a dominates 10:1
+    val df = ((1 to 1000).map(i => (i.toLong, "a")) ++ (1 to 100).map(i => (i + 5000L, "b")))
+      .toDF("id", "src")
+    def kept(alpha: Double, target: Long): Map[String, Long] =
+      Sampling.temperatureMix(df, "src", Seq("id"), alpha, target)
+        .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=1: proportional — both sources keep ~the same fraction
+    val p = kept(1.0, 550)
+    assert(math.abs(p("a") / 1000.0 - p("b") / 100.0) < 0.15, p.toString)
+    // alpha=0: equal share per source — b's rate caps at 1 (all kept),
+    // a contributes ~the same absolute count
+    val f = kept(0.0, 200)
+    assert(f("b") == 100, s"up-weighted source must cap at ALL its rows: $f")
+    assert(math.abs(f("a") - 100.0) < 40, f.toString)
+    // flattening is monotone in alpha: a's share of the kept mix shrinks
+    // as alpha drops
+    val shareA1 = p("a").toDouble / (p("a") + p("b"))
+    val shareA0 = f("a").toDouble / (f("a") + f("b"))
+    assert(shareA0 < shareA1, s"alpha=0 share $shareA0 !< alpha=1 share $shareA1")
+    // replay-stable and a subset of the input
+    assert(kept(0.5, 300) == kept(0.5, 300))
+  }
+
   test("md5Bucket encodes NULL keys explicitly — no silent identity collisions") {
     import spark.implicits._
     // concat_ws DROPS nulls: without the sentinel these two distinct
