@@ -31,13 +31,21 @@ object Bench {
     // shows WHICH job grew instead of staying a mystery. Streaming
     // drains run their jobs on the stream thread (outside the group) —
     // those queries log per-micro-batch rows through their own hooks.
+    // same env-then-property resolution as SparkEntry.stageLogger (the
+    // GRAFT_STAGE_LOG override must not silently lose the job rows),
+    // Locale.ROOT so a comma-decimal locale can't corrupt the CSV, and
+    // a lock shared with nothing else — appends from the listener-bus
+    // thread stay whole-line
+    val stageLock = new Object
     def stageAppend(query: String, stage: String, sec: Double): Unit =
-      sys.props.get("graft.stage.log").foreach { p =>
-        try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-          f"$query,$stage,$sec%.3f%n",
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-        catch { case _: Throwable => }
+      sys.env.get("GRAFT_STAGE_LOG").orElse(sys.props.get("graft.stage.log")).foreach { p =>
+        try stageLock.synchronized {
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+            String.format(java.util.Locale.ROOT, "%s,%s,%.3f%n", query, stage,
+              Double.box(sec)),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case _: Throwable => }
       }
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val listener = new org.apache.spark.scheduler.SparkListener {

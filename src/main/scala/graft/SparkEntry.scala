@@ -56,7 +56,10 @@ object SparkEntry {
       case None => (_, _) => ()
       case Some(path) => (stage, sec) => synchronized {
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-          f"$query,$stage,$sec%.3f%n",
+          // Locale.ROOT: a comma-decimal default locale would corrupt
+          // the 3-column CSV
+          String.format(java.util.Locale.ROOT, "%s,%s,%.3f%n", query, stage,
+            Double.box(sec)),
           java.nio.file.StandardOpenOption.CREATE,
           java.nio.file.StandardOpenOption.APPEND)
       }
@@ -1311,6 +1314,10 @@ object SparkEntry {
       // instead of TableStore's O(table) rewrite, the binding a 100 TB
       // CDC fact needs at the reference's 5-minute cadence.
       // StreamOpsSpec machine-asserts the write scope per micro-batch.
+      // Partitioning on to_date(ts) honors MergeSink's immutability
+      // precondition because events are immutable facts — the merge
+      // absorbs at-least-once REDELIVERY of the same event, never an
+      // update that moves an event_id to a different day.
       val tmp = java.nio.file.Files.createTempDirectory("stream_cdc_m").toString
       val src = s"$tmp/src"
       Tables.events(s, d).withColumn("day", to_date(col("ts")))

@@ -96,18 +96,23 @@ object Sampling {
                      seed: String = "temperature"): DataFrame = {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // NULL sources are a real group, not rows to lose: an equi-join on a
+    // raw NULL key silently drops them (same hazard md5Bucket's sentinel
+    // guards against), so group and re-join on a sentinel-coalesced key
+    val g = coalesce(col(groupCol).cast("string"), lit("__null__"))
+    val counts = df.groupBy(g.as("__g")).agg(count(lit(1)).as("__n"))
     // Σ n^α: one scalar off a #sources-row aggregate (bounded small)
-    val tot = counts.agg(sum(pow(col("__n").cast("double"), alpha)))
-      .head().getDouble(0)
-    val rates = counts.select(col(groupCol),
+    val totRow = counts.agg(sum(pow(col("__n").cast("double"), alpha))).head()
+    if (totRow.isNullAt(0)) return df // empty corpus: empty out, no NPE
+    val tot = totRow.getDouble(0)
+    val rates = counts.select(col("__g"),
       round(least(lit(1.0),
         lit(targetRows.toDouble) * pow(col("__n").cast("double"), alpha)
           / lit(tot) / col("__n").cast("double")), 12).as("__rate"))
     val u = md5Bucket(keyCols.map(col), seed).cast("double") / 65536.0
-    df.join(broadcast(rates), Seq(groupCol))
+    df.join(broadcast(rates), g === col("__g"))
       .filter(u < col("__rate"))
-      .drop("__rate")
+      .drop("__g", "__rate")
   }
 
   /** Deterministic train/val/test split: each row gets the first label

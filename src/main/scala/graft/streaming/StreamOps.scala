@@ -196,20 +196,28 @@ object StreamOps {
     if (touched.isEmpty) return // empty batch: nothing to fold, nothing to stamp
     // partition-pruned prior state: only the touched partitions are read
     val prior = store.readPartitions(touched)
-    val lastApplied: Option[Long] = prior.flatMap { p =>
+    def maxStamp(p: DataFrame): Option[Long] =
       if (!p.columns.contains(BatchCol)) None
       // stamps can differ ACROSS partitions (each carries the id of the
       // batch that last wrote it) — max over the touched slice is the
       // newest batch that wrote any of them
       else p.agg(max(col(BatchCol))).collect().headOption
         .filterNot(_.isNullAt(0)).map(_.getLong(0))
-    }
+    val lastApplied: Option[Long] = prior.flatMap(maxStamp)
     // same out-of-step detection as foldRollupBatch: a batch OLDER than a
     // touched partition's stamp means the checkpoint was lost while the
-    // store survived — fail loudly, never silently skip forever
-    if (lastApplied.exists(_ > batchId))
+    // store survived — fail loudly, never silently skip forever. When the
+    // touched partitions are all NEW (no stamp there — e.g. the first
+    // batch of a fresh day), fall back to a store-wide stamp check: a
+    // lost-checkpoint restart whose first batch happens to touch only
+    // new days must not silently fold a new epoch onto a stale store.
+    // The full-store read is column-pruned to the stamp and happens only
+    // on the new-partitions-only path (≈ once per day in steady state).
+    val epochCheck: Option[Long] =
+      if (lastApplied.isDefined) lastApplied else store.read.flatMap(maxStamp)
+    if (epochCheck.exists(_ > batchId))
       throw new IllegalStateException(
-        s"rollup store has batch ${lastApplied.get} in touched partitions but the stream " +
+        s"rollup store has batch ${epochCheck.get} but the stream " +
         s"delivered $batchId — checkpoint and store are out of step (was the checkpoint " +
         "directory deleted?); point the query at a fresh store or restore the checkpoint")
     if (lastApplied.contains(batchId)) return // crash-replay: already folded

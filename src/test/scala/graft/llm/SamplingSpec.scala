@@ -154,6 +154,20 @@ class SamplingSpec extends SparkSpec {
     assert(kept(0.5, 300) == kept(0.5, 300))
   }
 
+  test("temperatureMix: NULL sources are a real group, not silently dropped; empty input survives") {
+    import spark.implicits._
+    val df = ((1 to 200).map(i => (i.toLong, Option("a"))) ++
+      (1 to 200).map(i => (i + 5000L, Option.empty[String]))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "src", Seq("id"), alpha = 1.0, targetRows = 200)
+    val byNull = out.groupBy(col("src").isNull.as("isnull")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    // both groups keep ~half; a NULL-key equi-join would have kept 0
+    assert(byNull.getOrElse(true, 0L) > 50, s"NULL source dropped: $byNull")
+    assert(byNull.getOrElse(false, 0L) > 50, byNull.toString)
+    // empty corpus: empty out, no NPE from the scalar aggregate
+    assert(Sampling.temperatureMix(df.limit(0), "src", Seq("id"), 0.5, 10).isEmpty)
+  }
+
   test("md5Bucket encodes NULL keys explicitly — no silent identity collisions") {
     import spark.implicits._
     // concat_ws DROPS nulls: without the sentinel these two distinct

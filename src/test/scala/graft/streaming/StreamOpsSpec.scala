@@ -147,6 +147,16 @@ class StreamOpsSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       StreamOps.foldRollupBatchPartitioned(store, b1, 0L, roll, Seq("day", "k"), Seq("n", "total")))
     assert(e.getMessage.contains("out of step"))
+    // ...including when the replayed-from-zero batch touches ONLY NEW
+    // days (no stamp in the touched slice): the store-wide epoch check
+    // must still refuse to fold a new epoch onto the stale state
+    val bNew = Seq(("d99", "z", 1.0)).toDF("day", "k", "v")
+    val e2 = intercept[IllegalStateException](
+      StreamOps.foldRollupBatchPartitioned(store, bNew, 0L, roll, Seq("day", "k"), Seq("n", "total")))
+    assert(e2.getMessage.contains("out of step"))
+    // while the legitimate NEXT id on a new day folds fine
+    StreamOps.foldRollupBatchPartitioned(store, bNew, 2L, roll, Seq("day", "k"), Seq("n", "total"))
+    assert(store.readPartitions(Seq("d99")).get.count() == 1)
   }
 
   test("watermarked windowed counts over a drained stream") {
