@@ -1078,6 +1078,12 @@ object SparkEntry {
           Seq("doc_id"), alpha = 0.5, targetRows = 250)
         .groupBy("source").agg(count(lit(1)).as("n"))),
 
+    "text_unigram_nll" -> ((s, d) =>
+      // perplexity-style quality score: mean -ln p(token) under the
+      // corpus's own unigram LM, integer-quantized per token so the
+      // mean is order- and engine-independent
+      Terms.unigramNegLogProb(Tables.documents(s, d), "doc_id", "text")),
+
     "text_novelty" -> ((s, d) =>
       // fraction of each doc's 3-gram shingles unique to it corpus-wide
       Terms.noveltyScore(Tables.documents(s, d), "doc_id", "text")
@@ -1744,6 +1750,24 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.source = r.source
         |WHERE CAST(CAST('0x' || substring(md5('temperature' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0 < rate
         |GROUP BY d.source""".stripMargin,
+
+    // token p = cnt/total over the whole corpus; per-token cost
+    // quantized to integer micro-nats (round half-up matches Spark) and
+    // summed as BIGINT — the mean is then exact integer arithmetic
+    // divided identically on both engines
+    "text_unigram_nll" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |n AS (SELECT count(*) AS total FROM t),
+        |s AS (SELECT t.doc_id,
+        |        CAST(round(-ln(CAST(cnt AS DOUBLE) / (SELECT total FROM n)) * 1000000) AS BIGINT) AS nll
+        |      FROM t JOIN c ON t.tok = c.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(nll) AS DOUBLE) / count(*) / 1000000.0 AS avg_neg_logprob
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     // coalesce(text,'') so a NULL-text doc gets the same [""] shingle the
     // Spark side produces instead of vanishing through a NULL join key

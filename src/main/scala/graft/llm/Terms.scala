@@ -87,6 +87,36 @@ object Terms {
     * with zero overlap are omitted. Scale shape: the self-join is keyed
     * on the shingle, so per-shingle fan-out is bounded by group-pair
     * count (G²), never corpus size — G is small by definition. */
+  /** Per-document average negative log-probability under the corpus's
+    * own unigram LM — the cheap perplexity-style quality signal (word
+    * salad and boilerplate-free prose score high, repetitive/common-token
+    * docs score low). p(tok) = corpus_count(tok)/total_tokens; every
+    * scored token appears in the corpus, so no smoothing is needed.
+    *
+    * Shape: one explode + one token-count hash agg + one shuffle
+    * equi-join back on the token + one final per-doc agg — all partial-
+    * aggregated, nothing driver-side except the 1-value total (the same
+    * eager-literal pattern tfidfTopTerms documents). Per-token costs are
+    * QUANTIZED to integer micro-nats and summed as longs, so the per-doc
+    * mean is bit-identical regardless of summation order or engine (a
+    * float sum would drift by summation order; ln itself differs by
+    * ≤1 ulp across libms, vanishing under the 1e-6 quantization). */
+  def unigramNegLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+    // empty corpus → NULL sum; any value works (no rows to score)
+    val totalRow = counts.agg(sum(col("__cnt"))).head()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    toks.join(counts, "__tok")
+      .withColumn("__nll",
+        round(-log(col("__cnt").cast("double") / total.toDouble) * 1e6).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("__nll")).cast("double") / count(lit(1)) / 1e6).as("avg_neg_logprob"))
+  }
+
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
     // cut the lineage: sh feeds both self-join sides AND the sizes

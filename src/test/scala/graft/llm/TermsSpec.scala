@@ -123,4 +123,23 @@ class TermsSpec extends SparkSpec {
     assert(top.head == ("be or" -> 2L))
     assert(top.toMap == Map("be or" -> 2L, "to be" -> 2L, "not to" -> 1L))
   }
+
+  test("unigramNegLogProb: exact quantized means; empty/NULL docs drop out") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a"), (2L, "b"), (3L, ""), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Terms.unigramNegLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // counts: a=2, b=1, total=3
+    val nllA = math.round(-math.log(2.0 / 3.0) * 1e6) / 1e6  // 0.405465
+    val nllB = math.round(-math.log(1.0 / 3.0) * 1e6) / 1e6  // 1.098612
+    assert(out.keySet == Set(1L, 2L), out.toString)
+    assert(out(1L) == ((2L, nllA)), out.toString)
+    assert(out(2L) == ((1L, nllB)), out.toString)
+    // rarer tokens cost more by construction
+    assert(out(2L)._2 > out(1L)._2)
+    // empty corpus survives (no NPE from the scalar total)
+    assert(Terms.unigramNegLogProb(corpus.limit(0), "doc_id", "text").isEmpty)
+  }
 }
