@@ -98,7 +98,12 @@ object StreamOps {
     * silently double-count. [[foldRollupBatch]] therefore stamps every
     * stored row with the folding batch id — it travels ATOMICALLY with
     * the snapshot (same versioned commit) — and a replayed batch id is
-    * detected and skipped. */
+    * detected and skipped.
+    *
+    * This binding snapshots the WHOLE aggregate state per tick (fine at
+    * aggregate grain); [[maintainRollupPartitioned]] is the twin that
+    * writes only the touched partitions — prefer it when the rollup has
+    * a natural partition key (day). */
   def maintainRollup(stream: DataFrame, store: TableStore,
                      rollup: DataFrame => DataFrame,
                      keys: Seq[String], addCols: Seq[String],
