@@ -36,14 +36,21 @@ import org.apache.spark.sql.functions._
   * KB-scale — partition counts are thousands, not billions.
   */
 final class ManifestStore(spark: SparkSession, root: String, val partitionCol: String,
-                          mergeBatchMaxSegments: Int = 16) extends MergeSink {
+                          mergeBatchMaxSegments: Int = 16,
+                          mergeBatchKeepManifests: Int = 8) extends MergeSink {
 
   /** [[MergeSink]] binding: partition-scoped upsert — a micro-batch
     * writes ONE segment holding only the touched partitions' merged
-    * slice, with `mergeBatchMaxSegments` bounding read amplification
-    * over an unbounded streaming cadence. */
+    * slice, with `mergeBatchMaxSegments` bounding read amplification —
+    * then [[vacuum]] down to `mergeBatchKeepManifests`: compaction
+    * retires segments but never deletes them, so an unbounded streaming
+    * cadence would otherwise grow dead bytes forever. Vacuum after a
+    * committed merge is crash-safe (only unreferenced segments and
+    * past-horizon manifests are dropped); direct [[upsert]] callers
+    * keep manual retention control. */
   override def mergeBatch(batch: DataFrame, cfg: TableConfig): Unit = {
-    upsert(batch, cfg, mergeBatchMaxSegments); ()
+    upsert(batch, cfg, mergeBatchMaxSegments)
+    vacuum(keepManifests = mergeBatchKeepManifests)
   }
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file-level pruning. The merge ALGORITHM is identical in all three —
   * only the sink swaps.
   */
-final class TableStore(spark: SparkSession, root: String) extends MergeSink {
+final class TableStore(spark: SparkSession, root: String,
+                       mergeBatchKeepVersions: Int = 4) extends MergeSink {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -138,8 +139,17 @@ final class TableStore(spark: SparkSession, root: String) extends MergeSink {
   }
 
   /** [[MergeSink]] binding: full-table rewrite per batch (see the trait
-    * doc for when that's the right trade). */
-  override def mergeBatch(batch: DataFrame, cfg: TableConfig): Unit = { upsert(batch, cfg); () }
+    * doc for when that's the right trade), then [[prune]] down to
+    * `mergeBatchKeepVersions` — a streaming cadence would otherwise
+    * accumulate a full table copy per micro-batch (288/day at 5
+    * minutes), which is unbounded disk for zero read value. Prune after
+    * a committed upsert is crash-safe (it only drops versions no
+    * current reader resolution needs); direct [[upsert]] callers keep
+    * manual retention control. */
+  override def mergeBatch(batch: DataFrame, cfg: TableConfig): Unit = {
+    upsert(batch, cfg)
+    prune(keep = mergeBatchKeepVersions)
+  }
 
   /** M1/M2 — keyed upsert against the latest version, committed as the
     * next version. First write = plain insert. */

@@ -159,6 +159,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(store.readPartitions(Seq("d99")).get.count() == 1)
   }
 
+  test("mergeBatch retention: an unbounded merge cadence keeps disk bounded") {
+    import java.io.File
+    val t = Files.createTempDirectory("sink-retention").toString
+    val tcfg = TableConfig("ods.t", null, Seq("k"), cursorField = Some("seq"))
+    // TableStore sink: one full version per batch would be 8 dirs —
+    // mergeBatch prunes to its retention horizon, answers unchanged
+    val ts = new graft.pipeline.TableStore(spark, s"$t/tbl")
+    (1 to 8).foreach { i =>
+      ts.mergeBatch(Seq((s"k$i", i.toLong, i)).toDF("k", "seq", "v"), tcfg)
+    }
+    assert(ts.versions.length <= 4, s"versions on disk: ${ts.versions}")
+    assert(ts.read.get.count() == 8)
+    // ManifestStore sink: compaction retires segments, vacuum deletes
+    // them — dead bytes do not accumulate across batches
+    val ms = new ManifestStore(spark, s"$t/man", "day",
+      mergeBatchMaxSegments = 2, mergeBatchKeepManifests = 2)
+    (1 to 8).foreach { i =>
+      ms.mergeBatch(Seq((s"k$i", i.toLong, s"d${i % 3}", i)).toDF("k", "seq", "day", "v"), tcfg)
+    }
+    assert(ms.manifestVersions.length <= 2, s"manifests: ${ms.manifestVersions}")
+    val segDirs = new File(s"$t/man").listFiles.count(_.getName.startsWith("seg_"))
+    assert(segDirs <= 6, s"$segDirs segment dirs survived vacuum")
+    assert(ms.read.get.count() == 8)
+  }
+
   test("watermarked windowed counts over a drained stream") {
     val t = Files.createTempDirectory("stream2").toString
     val inbox = s"$t/inbox"
