@@ -844,6 +844,14 @@ object SparkEntry {
         maxHamming = 3, bits = 60, wordHash = Dedup.portableWordHash,
         blocks = 7)),
 
+    "dedup_cluster_survivors" -> ((s, d) =>
+      // quality-ranked survivor per near-dup cluster: keep the LONGEST
+      // member (ties → min id) instead of min-id — the curation-grade
+      // rule; the oracle replays the transitive closure + window rank
+      Clusters.dedupByClusterRanked(Tables.documents(s, d), "doc_id", "text",
+          order = Seq(coalesce(col("n_chars"), lit(0)).desc), threshold = 0.8)
+        .select(col("doc_id"))),
+
     "dedup_incremental" -> ((s, d) => {
       // every 5th doc plays the new ingest batch screened against the
       // rest as the accumulated corpus; survivors = batch docs with no
@@ -2350,6 +2358,36 @@ object SparkEntry {
         |FROM comp
         |JOIN (SELECT cluster_id, count(*) AS cluster_size
         |      FROM comp GROUP BY cluster_id) sz USING (cluster_id)""".stripMargin,
+
+    // dedup_clusters' closure, then one survivor per cluster by
+    // (n_chars DESC, doc_id ASC) — the quality-ranked rule
+    "dedup_cluster_survivors" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |es AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        |walk(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT es.v, walk.lbl FROM walk JOIN es ON es.u = walk.id
+        |  WHERE walk.lbl < es.v),
+        |comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        |r AS (SELECT comp.id,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY coalesce(doc.n_chars, 0) DESC, comp.id ASC) AS rk
+        |      FROM comp JOIN documents doc ON doc.doc_id = comp.id)
+        |SELECT id AS doc_id FROM r WHERE rk = 1""".stripMargin,
 
     "sample_cluster_split" ->
       // dedup_clusters' closure + sample_split_counts' md5 arithmetic,

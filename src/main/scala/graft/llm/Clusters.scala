@@ -1,6 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster assignment: connected components over the near-dup
@@ -228,6 +229,28 @@ object Clusters {
                      shingleSize: Int = 3): DataFrame = {
     val clusters = duplicateClusters(docs, idCol, textCol, threshold, numHashes, bands, shingleSize)
     val survivors = clusters.groupBy("cluster_id").agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** [[dedupByCluster]] with a QUALITY survivor rule: each cluster keeps
+    * the member ranked first by `order` (e.g. longest text, highest
+    * quality score) instead of the minimum id — curation pipelines keep
+    * a cluster's best member, not its earliest-crawled one. The id is
+    * appended as the final tie-break, so the survivor set is
+    * deterministic under any partition layout even when `order` ties.
+    * Cost over min-id: one window rank inside the cluster shuffle the
+    * labeling already pays — no extra corpus pass. */
+  def dedupByClusterRanked(docs: DataFrame, idCol: String, textCol: String,
+                           order: Seq[Column],
+                           threshold: Double = 0.8, numHashes: Int = 64,
+                           bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    require(order.nonEmpty, "dedupByClusterRanked needs a quality order")
+    val clusters = duplicateClusters(docs, idCol, textCol, threshold, numHashes, bands, shingleSize)
+    val w = Window.partitionBy("cluster_id").orderBy(order :+ col(idCol).asc: _*)
+    val survivors = docs.join(clusters.select(col(idCol), col("cluster_id")), Seq(idCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
       .select(idCol)
     docs.join(survivors, Seq(idCol), "left_semi")
   }

@@ -70,6 +70,24 @@ class ClustersSpec extends SparkSpec {
     assert(kept.toSeq == Seq(4L, 8L))
   }
 
+  test("dedupByClusterRanked keeps the quality-ranked member, id breaks ties") {
+    val docs = Seq(
+      (5L, "one two three four five six seven eight", 90),
+      (4L, "one two three four five six seven nine", 10),  // min id but LOW quality
+      (8L, "unrelated text that stands alone in the corpus today", 50)
+    ).toDF("doc_id", "text", "q")
+    val kept = Clusters.dedupByClusterRanked(docs, "doc_id", "text",
+        order = Seq(col("q").desc), threshold = 0.5, bands = 32)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(5L, 8L)) // 5 beats 4 on quality, unlike min-id
+    // equal quality → min id survives (deterministic tie-break)
+    val tied = Clusters.dedupByClusterRanked(
+        docs.withColumn("q", lit(1)), "doc_id", "text",
+        order = Seq(col("q").desc), threshold = 0.5, bands = 32)
+      .select("doc_id").as[Long].collect().sorted
+    assert(tied.toSeq == Seq(4L, 8L))
+  }
+
   test("distributed star-contraction path matches the small-graph union-find") {
     // smallGraphEdges = 0 forces the iterative path on shapes that cover
     // chains, cliques, self-loops, and duplicates — both paths must
