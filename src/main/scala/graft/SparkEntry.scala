@@ -1748,14 +1748,16 @@ object SparkEntry {
 
     // counts → n^0.5 rates (rounded to 12 dp on both engines so ulp
     // drift in the Σ n^α reduction can't flip a boundary row) → the
-    // same md5 keep decisions
+    // same md5 keep decisions; the rate join is null-safe (IS NOT
+    // DISTINCT FROM) exactly like the Spark side's <=>, so a NULL
+    // source group survives identically in both engines
     "sample_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |t AS (SELECT sum(pow(n, 0.5)) AS tot FROM c),
         |r AS (SELECT source, round(least(1.0, 250.0 * pow(n, 0.5) / tot / n), 12) AS rate
         |      FROM c, t)
         |SELECT d.source, count(*) AS n
-        |FROM documents d JOIN r ON d.source = r.source
+        |FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         |WHERE CAST(CAST('0x' || substring(md5('temperature' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0 < rate
         |GROUP BY d.source""".stripMargin,
 

@@ -97,9 +97,11 @@ object Sampling {
     require(alpha >= 0, s"alpha must be >= 0, got $alpha")
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     // NULL sources are a real group, not rows to lose: an equi-join on a
-    // raw NULL key silently drops them (same hazard md5Bucket's sentinel
-    // guards against), so group and re-join on a sentinel-coalesced key
-    val g = coalesce(col(groupCol).cast("string"), lit("__null__"))
+    // raw NULL key silently drops them, so the rate re-join is NULL-SAFE
+    // (`<=>`). No string sentinel — a source literally named "__null__"
+    // stays a distinct group from the NULL group (the collision a
+    // coalesce-sentinel would silently create).
+    val g = col(groupCol).cast("string")
     val counts = df.groupBy(g.as("__g")).agg(count(lit(1)).as("__n"))
     // Σ n^α: one scalar off a #sources-row aggregate (bounded small)
     val totRow = counts.agg(sum(pow(col("__n").cast("double"), alpha))).head()
@@ -110,7 +112,7 @@ object Sampling {
         lit(targetRows.toDouble) * pow(col("__n").cast("double"), alpha)
           / lit(tot) / col("__n").cast("double")), 12).as("__rate"))
     val u = md5Bucket(keyCols.map(col), seed).cast("double") / 65536.0
-    df.join(broadcast(rates), g === col("__g"))
+    df.join(broadcast(rates), g <=> col("__g"))
       .filter(u < col("__rate"))
       .drop("__g", "__rate")
   }

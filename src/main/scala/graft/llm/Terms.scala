@@ -93,28 +93,38 @@ object Terms {
     * docs score low). p(tok) = corpus_count(tok)/total_tokens; every
     * scored token appears in the corpus, so no smoothing is needed.
     *
-    * Shape: one explode + one token-count hash agg + one shuffle
-    * equi-join back on the token + one final per-doc agg — all partial-
-    * aggregated, nothing driver-side except the 1-value total (the same
-    * eager-literal pattern tfidfTopTerms documents). Per-token costs are
-    * QUANTIZED to integer micro-nats and summed as longs, so the per-doc
+    * Shape: ONE explode feeding a per-(doc, token) count whose lineage is
+    * cut right there (`localCheckpoint` — the same pattern
+    * [[groupOverlap]] documents): corpus token counts, the scalar total,
+    * and the score join all read the materialized tf, which is bounded by
+    * distinct (doc, token) pairs, never raw token occurrences. Without
+    * the cut the tokenizing explode re-runs for every consumer — the
+    * whole corpus re-tokenized three times. Per-token costs are
+    * QUANTIZED to integer micro-nats and summed as longs (weighted by
+    * tf, exactly equal to the per-occurrence sum), so the per-doc
     * mean is bit-identical regardless of summation order or engine (a
     * float sum would drift by summation order; ln itself differs by
     * ≤1 ulp across libms, vanishing under the 1e-6 quantization). */
   def unigramNegLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
+    val tf = docs.select(col(idCol),
         explode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")).as("__tok"))
       .filter(col("__tok") =!= "")
-    val counts = toks.groupBy("__tok").agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
+    // tiny (#distinct tokens); checkpointed because it feeds BOTH the
+    // scalar total and the score join
+    val counts = tf.groupBy("__tok").agg(sum(col("__tf")).as("__cnt"))
+      .localCheckpoint(false)
     // empty corpus → NULL sum; any value works (no rows to score)
     val totalRow = counts.agg(sum(col("__cnt"))).head()
     val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
-    toks.join(counts, "__tok")
+    tf.join(counts, "__tok")
       .withColumn("__nll",
         round(-log(col("__cnt").cast("double") / total.toDouble) * 1e6).cast("long"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum(col("__nll")).cast("double") / count(lit(1)) / 1e6).as("avg_neg_logprob"))
+      .agg(sum(col("__tf")).as("n_tokens"),
+        (sum(col("__tf") * col("__nll")).cast("double") / sum(col("__tf")) / 1e6)
+          .as("avg_neg_logprob"))
   }
 
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,

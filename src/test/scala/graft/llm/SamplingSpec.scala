@@ -168,6 +168,23 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureMix(df.limit(0), "src", Seq("id"), 0.5, 10).isEmpty)
   }
 
+  test("temperatureMix: a source literally named __null__ stays distinct from the NULL group") {
+    import spark.implicits._
+    // 300 rows of the literal string vs 100 NULL rows: under a coalesce
+    // sentinel they'd merge into one 400-row group sharing one rate
+    // (alpha=0, target=200 → rate 0.5, NULL group keeps ~50); with the
+    // null-safe join each keeps its own rate and the NULL group's rate
+    // caps at 1 — ALL 100 NULL rows survive
+    val df = ((1 to 300).map(i => (i.toLong, Option("__null__"))) ++
+      (1 to 100).map(i => (i + 5000L, Option.empty[String]))).toDF("id", "src")
+    val out = Sampling.temperatureMix(df, "src", Seq("id"), alpha = 0.0, targetRows = 200)
+    val byGroup = out.groupBy(col("src").isNull.as("isnull")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byGroup.getOrElse(true, 0L) == 100,
+      s"NULL group must get its own capped rate, not share one with '__null__': $byGroup")
+    assert(byGroup.getOrElse(false, 0L) < 150, byGroup.toString)
+  }
+
   test("md5Bucket encodes NULL keys explicitly — no silent identity collisions") {
     import spark.implicits._
     // concat_ws DROPS nulls: without the sentinel these two distinct

@@ -142,4 +142,20 @@ class TermsSpec extends SparkSpec {
     // empty corpus survives (no NPE from the scalar total)
     assert(Terms.unigramNegLogProb(corpus.limit(0), "doc_id", "text").isEmpty)
   }
+
+  test("unigramNegLogProb tokenizes once: the final plan reads the checkpointed tf, no Generate") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Terms.unigramNegLogProb(corpus, "doc_id", "text")
+    // the exploding tokenizer runs exactly once, at tf materialization;
+    // every consumer (counts, total, score join) reads the checkpointed
+    // per-(doc, token) counts — so the final plan contains NO Generate
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"explode leaked past the lineage cut:\n$plan")
+    // and the numbers are still the per-occurrence quantized means
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val nll = (c: Long) => math.round(-math.log(c / 5.0) * 1e6)
+    assert(got(1L) == ((3L, (2 * nll(2) + nll(2)).toDouble / 3 / 1e6)), got.toString)
+    assert(got(2L) == ((2L, (nll(2) + nll(1)).toDouble / 2 / 1e6)), got.toString)
+  }
 }
