@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.merge.MergeEngine
 import graft.pipeline.ManifestStore
 import graft.schema.TableConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -71,17 +72,42 @@ final class IvfIndexStore(spark: SparkSession, root: String,
       }
   }
 
-  /** Re-embed upsert for MUTABLE corpora: first deletes any row the
-    * batch's ids currently occupy (so an id whose new embedding lands in
-    * a different cell cannot leave a stale twin in the old one), then
-    * appends the fresh assignment. Two commits; a crash between them
-    * leaves the batch's ids absent — re-run the upsert to converge;
-    * duplicates across cells can never appear. Heavy re-embed pipelines
-    * should maintain an id→cell index to skip the probe scan. */
-  def upsertEmbeddings(batch: DataFrame, maxSegments: Int = 16): Seq[String] = {
-    val cleared = delete(batch)
-    (cleared ++ append(batch, maxSegments)).distinct
-  }
+  /** Re-embed upsert for MUTABLE corpora, atomic for readers: the cells
+    * a batch id currently occupies and the cells its fresh embedding
+    * lands in are resolved FIRST, then the anti-joined remainder of the
+    * old cells and the fresh assignment commit together in ONE manifest
+    * rename ([[ManifestStore.replacePartitions]]). A reader — or a crash
+    * at any point — therefore sees the fully-old or fully-new index,
+    * never a window where the batch's ids are absent (the two-commit
+    * delete-then-append shape this replaces had exactly that window).
+    * Only the touched cells are rewritten; untouched cells' segments are
+    * never read or moved. Heavy re-embed pipelines should maintain an
+    * id→cell index to skip the probe scan. Returns the cells rewritten. */
+  def upsertEmbeddings(batch: DataFrame, maxSegments: Int = 16): Seq[String] =
+    store.read match {
+      case None => append(batch, maxSegments)
+      case Some(index) =>
+        // duplicate ids within one batch collapse to one row, the same
+        // latest-per-key contract append's upsert applies
+        val fresh = MergeEngine.latestPerKey(
+          Similarity.buildIvfIndex(batch, embCol, centroids), Seq(idCol), Seq.empty)
+          .localCheckpoint(false) // feeds cell probe AND the commit union
+        val idsOnly = broadcast(fresh.select(col(idCol)).distinct())
+        val oldCells = index.join(idsOnly, Seq(idCol), "left_semi")
+          .select(col("cell").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val newCells = fresh.select(col("cell").cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        val touched = (oldCells ++ newCells).distinct
+        if (touched.isEmpty) Seq.empty // empty batch: no commit, no-op
+        else {
+          val remaining = store.readPartitions(touched).get
+            .join(idsOnly, Seq(idCol), "left_anti")
+          store.replacePartitions(remaining.unionByName(fresh), touched)
+          if (maxSegments > 0 && store.liveSegments > maxSegments) store.compact()
+          touched
+        }
+    }
 
   /** Exact-cosine top-k inside the `nprobe` cells nearest the query —
     * a partition-pruned read of `nprobe`/`k_cells` of the index. */

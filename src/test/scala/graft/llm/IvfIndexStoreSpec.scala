@@ -87,4 +87,45 @@ class IvfIndexStoreSpec extends SparkSpec {
     // deleting ids not in the index is a no-op
     assert(ivf.delete(Seq(99999L).toDF("vec_id")).isEmpty)
   }
+
+  test("upsertEmbeddings is ONE atomic commit: no manifest version ever lacks the ids") {
+    val root = freshRoot()
+    val centroids = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+    val ivf = new IvfIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.append(full)
+    // a ManifestStore over the same root sees the same on-disk state —
+    // the test's time-travel window into every committed version
+    val man = new graft.pipeline.ManifestStore(spark, root, "cell")
+    val vBefore = man.manifestVersions
+    // re-embed two ids at other clusters' centers (both must move cells)
+    val movers = Seq(3L -> centers(5).map(_.toFloat), 11L -> centers(6).map(_.toFloat))
+    ivf.upsertEmbeddings(movers.toDF("vec_id", "embedding"), maxSegments = 64)
+    val vAfter = man.manifestVersions
+    // exactly ONE new manifest: the delete-then-append double commit —
+    // whose between-commits window left the ids absent — is gone
+    assert(vAfter.size == vBefore.size + 1,
+      s"expected one commit, saw versions $vBefore -> $vAfter")
+    // EVERY committed version resolves all 400 ids: there is no state,
+    // crash-reachable or reader-visible, where the batch's ids are
+    // missing. A writer dying before the rename leaves vBefore's state;
+    // after it, vAfter's — both replayed complete here (manifest-pinned
+    // resolve: each segment filtered to the values still pointing at it,
+    // exactly ManifestStore.resolve's contract).
+    def idsAt(v: Int): Set[Long] = {
+      val m = man.readManifest(v)
+      m.groupBy(_._2).map { case (seg, entries) =>
+        spark.read.parquet(s"$root/$seg")
+          .filter($"cell".cast("string").isin(entries.keys.toSeq: _*))
+          .select("vec_id").as[Long].collect().toSet
+      }.foldLeft(Set.empty[Long])(_ ++ _)
+    }
+    for (v <- vAfter)
+      assert(idsAt(v) == pts.map(_._1).toSet, s"manifest m=$v is missing ids")
+    assert(ivf.read.get.count() == 400)
+    val cells = ivf.read.get.filter($"vec_id".isin(3L, 11L))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(3L) == 5 && cells(11L) == 6, s"movers did not land in target cells: $cells")
+    // and the ids are in exactly one cell each (no stale twin)
+    assert(ivf.read.get.groupBy("vec_id").count().filter($"count" > 1).isEmpty)
+  }
 }
