@@ -32,20 +32,15 @@ object Bench {
     // drains run their jobs on the stream thread (outside the group) —
     // those queries log per-micro-batch rows through their own hooks.
     // same env-then-property resolution as SparkEntry.stageLogger (the
-    // GRAFT_STAGE_LOG override must not silently lose the job rows),
-    // Locale.ROOT so a comma-decimal locale can't corrupt the CSV, and
-    // a lock shared with nothing else — appends from the listener-bus
-    // thread stay whole-line
-    val stageLock = new Object
+    // GRAFT_STAGE_LOG override must not silently lose the job rows), and
+    // the SAME lock: SparkEntry.stageAppend is the one append path for
+    // every stage-timing writer, so the listener-bus thread and the
+    // stream-hook threads are mutually excluded, not merely hoping
+    // O_APPEND keeps small writes whole
     def stageAppend(query: String, stage: String, sec: Double): Unit =
       sys.env.get("GRAFT_STAGE_LOG").orElse(sys.props.get("graft.stage.log")).foreach { p =>
-        try stageLock.synchronized {
-          java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-            String.format(java.util.Locale.ROOT, "%s,%s,%.3f%n", query, stage,
-              Double.box(sec)),
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        } catch { case _: Throwable => }
+        try SparkEntry.stageAppend(p, query, stage, sec)
+        catch { case _: Throwable => } // stage timings are diagnostics, never fatal
       }
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val listener = new org.apache.spark.scheduler.SparkListener {

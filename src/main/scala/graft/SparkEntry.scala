@@ -54,16 +54,24 @@ object SparkEntry {
   private def stageLogger(query: String): (String, Double) => Unit =
     sys.env.get("GRAFT_STAGE_LOG").orElse(sys.props.get("graft.stage.log")) match {
       case None => (_, _) => ()
-      case Some(path) => (stage, sec) => synchronized {
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-          // Locale.ROOT: a comma-decimal default locale would corrupt
-          // the 3-column CSV
-          String.format(java.util.Locale.ROOT, "%s,%s,%.3f%n", query, stage,
-            Double.box(sec)),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
-      }
+      case Some(path) => (stage, sec) => stageAppend(path, query, stage, sec)
     }
+
+  /** The ONE append path for stage-timing rows — every writer (the
+    * per-operator hooks here AND Bench's job listener, which runs on the
+    * listener-bus thread) goes through this lock, so concurrent rows
+    * stay whole-line by mutual exclusion, not by hoping small O_APPEND
+    * writes don't interleave. */
+  private[graft] def stageAppend(path: String, query: String, stage: String,
+                                 sec: Double): Unit = synchronized {
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      // Locale.ROOT: a comma-decimal default locale would corrupt
+      // the 3-column CSV
+      String.format(java.util.Locale.ROOT, "%s,%s,%.3f%n", query, stage,
+        Double.box(sec)),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
 
   /** documents.text with deterministic doc_id-keyed PII planted (the
     * corpus is synthetic word salad with no natural PII). The EXACT same
@@ -1448,6 +1456,58 @@ object SparkEntry {
           (col("total_value") / 100).cast("double").as("total_value"))
     }),
 
+    "stream_window_counts" -> ((s, d) => {
+      // END-TO-END watermarked streaming aggregation in APPEND mode
+      // (StreamOps.windowedCounts — the one StreamOps member that lacked
+      // a drain twin): 4 time-ordered files drained one per micro-batch,
+      // then a LATE file carrying a row whose event time sits at the
+      // stream's start — far behind the watermark (max_ts − 1h) by the
+      // time it arrives — which the watermark MUST drop: the oracle
+      // aggregates only the real events table, so a surviving late row
+      // hash-mismatches. A far-future sentinel then advances the
+      // watermark past every real window's end so append mode emits them
+      // all before AvailableNow stops (same flush construction as
+      // stream_sessionize).
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("stream_wc").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
+      val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cuts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+      // 4 sequential writes (ascending mtime) so maxFilesPerTrigger=1
+      // drains them oldest-first = time order
+      ((Seq(lo) ++ cuts) zip (cuts ++ Seq(hi + 1))).foreach { case (a, b) =>
+        ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      // the late row: NOT in the events table — its only correct fate is
+      // to be dropped by the watermark
+      Seq((new java.sql.Timestamp(lo), "late_beyond_watermark"))
+        .toDF("ts", "event_type").write.mode("append").parquet(src)
+      // sentinel: beyond hi + lateness + window, flushes all real windows
+      Seq((new java.sql.Timestamp(hi + 4L * 3600 * 1000), "__sentinel"))
+        .toDF("ts", "event_type").write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val wc = graft.streaming.StreamOps.windowedCounts(stream, "ts", "1 hour",
+        "1 hour", Seq("event_type"))
+      val outName = "wc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = wc.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.recentProgress.foreach { pr =>
+        Option(pr.durationMs.get("triggerExecution")).foreach(ms =>
+          stageLogger("stream_window_counts")(s"batch${pr.batchId}", ms.toDouble / 1e3))
+      }
+      // the sentinel's own window never closes (nothing advances the
+      // watermark past it) so it cannot appear; the filter documents that
+      s.table(outName).filter(col("event_type") =!= "__sentinel")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+                col("event_type"), col("n"))
+    }),
+
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
     "multimodal_decode" -> ((s, d) => {
       // REAL javax.imageio decode: planted solid-color PNGs (lossless →
@@ -2770,6 +2830,14 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(cents) AS DOUBLE) / 100 AS total_value
         |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // identical to w_window_counts on purpose: the watermarked streaming
+    // drain (with its injected late row DROPPED) must be
+    // indistinguishable from the batch window aggregate
+    "stream_window_counts" ->
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        | event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

@@ -95,7 +95,13 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
     * rename and the install: the live dir is missing but its `.swap_`
     * backup survives. Run before every read-for-merge so a crashed swap
     * self-heals instead of the next merge rebuilding from source alone
-    * (which would discard the backed-up history). */
+    * (which would discard the backed-up history). Also sweeps `.staging_`
+    * dirs orphaned by a writer that died BEFORE its finally-delete ran
+    * (kill -9 mid-write): they are invisible to readers (dot-prefixed),
+    * but at a 5-minute merge cadence un-swept staging bytes would grow
+    * without bound — any staging dir present here belongs to a dead
+    * writer, since a merge deletes its own before returning and
+    * concurrent writers are out of contract. */
   private def recoverCrashedSwaps(): Unit = {
     val rootP = new Path(root)
     if (!fs.exists(rootP)) return
@@ -106,6 +112,9 @@ final class PartitionedStore(spark: SparkSession, root: String, partitionCol: St
         if (!fs.exists(live)) fs.rename(b.getPath, live)
         else fs.delete(b.getPath, true) // swap completed; stale backup
       }
+    fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".staging_"))
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   def upsert(source: DataFrame, cfg: TableConfig): Seq[String] = {

@@ -109,12 +109,14 @@ object StreamOps {
                      keys: Seq[String], addCols: Seq[String],
                      checkpoint: String,
                      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    var epoch: String = null // resolved at first batch; foreachBatch is single-threaded
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        foldRollupBatch(store, batch, batchId, rollup, keys, addCols)
+        if (epoch == null) epoch = checkpointEpoch(batch.sparkSession, checkpoint)
+        foldRollupBatch(store, batch, batchId, epoch, rollup, keys, addCols)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
@@ -122,22 +124,51 @@ object StreamOps {
   }
 
   private[streaming] val BatchCol = "__last_batch"
+  private[streaming] val EpochCol = "__epoch"
 
-  /** One idempotent fold: skip if `batchId` was already applied (its
-    * stamp is read back from the stored rows — max equals the id of the
-    * last applied batch because ids are checkpoint-monotonic). Exposed
-    * package-private so the replay contract is directly testable. */
+  /** The streaming query id from the checkpoint's `metadata` file —
+    * Spark writes it before batch 0 runs, keeps it stable across
+    * restarts of the SAME checkpoint, and mints a fresh one when the
+    * checkpoint directory is replaced. Stamping it alongside the batch
+    * id makes the replay guard unambiguous: batch ids restart at 0 when
+    * a checkpoint is rebuilt, so "stamp == delivered id" alone cannot
+    * distinguish a genuine crash-replay from a NEW stream whose first id
+    * happens to collide with the stale stamp (e.g. both are 0). */
+  private[streaming] def checkpointEpoch(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"no streaming query id found in $checkpoint/metadata"))
+  }
+
+  /** One idempotent fold: skip if `batchId` was already applied by THIS
+    * stream epoch (stamp + epoch are read back from the stored rows —
+    * every row carries the same pair, so one row answers it). A stored
+    * epoch differing from the delivered one means the store was written
+    * by a different checkpoint lifetime — fail loudly even when the
+    * batch ids happen to line up (a rebuilt checkpoint restarts ids at
+    * 0, so id equality alone is ambiguous). Exposed package-private so
+    * the replay contract is directly testable. */
   private[streaming] def foldRollupBatch(store: TableStore, batch: DataFrame,
-      batchId: Long, rollup: DataFrame => DataFrame,
+      batchId: Long, epoch: String, rollup: DataFrame => DataFrame,
       keys: Seq[String], addCols: Seq[String]): Unit = {
     val prior = store.read
-    val lastApplied: Option[Long] = prior.flatMap { p =>
+    val stamped: Option[(Long, Option[String])] = prior.flatMap { p =>
       if (!p.columns.contains(BatchCol)) None
       // every row carries the SAME stamp — one row answers it, no
       // full-store aggregation per tick
-      else p.select(col(BatchCol)).limit(1).collect()
-        .headOption.map(_.getLong(0))
+      else {
+        val epochC = if (p.columns.contains(EpochCol)) col(EpochCol)
+                     else lit(null).cast("string")
+        p.select(col(BatchCol), epochC).limit(1).collect()
+          .headOption.map(r => (r.getLong(0), Option(r.getString(1))))
+      }
     }
+    requireSameEpoch(stamped.flatMap(_._2), epoch)
+    val lastApplied = stamped.map(_._1)
     // a legitimate crash-replay re-delivers exactly the last applied id;
     // anything OLDER means the checkpoint was lost or replaced while the
     // store survived — folding would silently never resume (every new id
@@ -150,11 +181,26 @@ object StreamOps {
     if (lastApplied.contains(batchId)) return // crash-replay: already folded
     val delta = rollup(batch)
     val merged = prior match {
-      case Some(p) => graft.marts.Marts.mergeRollup(p.drop(BatchCol), delta, keys, addCols)
+      case Some(p) =>
+        graft.marts.Marts.mergeRollup(p.drop(BatchCol, EpochCol), delta, keys, addCols)
       case None => delta
     }
-    store.snapshot(merged.withColumn(BatchCol, lit(batchId)))
+    store.snapshot(merged.withColumn(BatchCol, lit(batchId))
+      .withColumn(EpochCol, lit(epoch)))
   }
+
+  /** A store written under one epoch refuses folds from another: the
+    * only legitimate writers are the original checkpoint (same epoch) —
+    * a mismatch means the checkpoint was deleted/replaced while the
+    * store survived. Stores written before the epoch stamp existed
+    * (NULL stored epoch) adopt the delivered epoch on their next fold. */
+  private def requireSameEpoch(stored: Option[String], delivered: String): Unit =
+    stored.filter(_ != delivered).foreach { e =>
+      throw new IllegalStateException(
+        s"rollup store was written by stream epoch $e but this stream is epoch " +
+        s"$delivered — checkpoint and store are out of step (was the checkpoint " +
+        "directory deleted?); point the query at a fresh store or restore the checkpoint")
+    }
 
   /** Partition-scoped twin of [[maintainRollup]]: partials fold into a
     * [[graft.pipeline.ManifestStore]] keyed on one of the rollup keys
@@ -177,12 +223,14 @@ object StreamOps {
       onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     require(keys.contains(store.partitionCol),
       s"ManifestStore partition column '${store.partitionCol}' must be one of the rollup keys ${keys.mkString("[", ",", "]")}")
+    var epoch: String = null // resolved at first batch; foreachBatch is single-threaded
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        foldRollupBatchPartitioned(store, batch, batchId, rollup, keys, addCols)
+        if (epoch == null) epoch = checkpointEpoch(batch.sparkSession, checkpoint)
+        foldRollupBatchPartitioned(store, batch, batchId, epoch, rollup, keys, addCols)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
@@ -193,7 +241,7 @@ object StreamOps {
     * Package-private so the replay + write-scope contracts are directly
     * testable. */
   private[streaming] def foldRollupBatchPartitioned(store: ManifestStore,
-      batch: DataFrame, batchId: Long, rollup: DataFrame => DataFrame,
+      batch: DataFrame, batchId: Long, epoch: String, rollup: DataFrame => DataFrame,
       keys: Seq[String], addCols: Seq[String]): Unit = {
     val delta = rollup(batch)
     val touched = delta.select(col(store.partitionCol).cast("string")).distinct()
@@ -201,35 +249,49 @@ object StreamOps {
     if (touched.isEmpty) return // empty batch: nothing to fold, nothing to stamp
     // partition-pruned prior state: only the touched partitions are read
     val prior = store.readPartitions(touched)
-    def maxStamp(p: DataFrame): Option[Long] =
-      if (!p.columns.contains(BatchCol)) None
-      // stamps can differ ACROSS partitions (each carries the id of the
-      // batch that last wrote it) — max over the touched slice is the
-      // newest batch that wrote any of them
-      else p.agg(max(col(BatchCol))).collect().headOption
-        .filterNot(_.isNullAt(0)).map(_.getLong(0))
-    val lastApplied: Option[Long] = prior.flatMap(maxStamp)
-    // same out-of-step detection as foldRollupBatch: a batch OLDER than a
-    // touched partition's stamp means the checkpoint was lost while the
-    // store survived — fail loudly, never silently skip forever. When the
+    // stamps can differ ACROSS partitions (each carries the id of the
+    // batch that last wrote it) — max over the touched slice is the
+    // newest batch that wrote any of them; the epoch is store-uniform
+    // (a mismatching fold is refused before it can write), so max is
+    // just "any non-null value"
+    def stampEpoch(p: DataFrame): (Option[Long], Option[String]) =
+      if (!p.columns.contains(BatchCol)) (None, None)
+      else {
+        val epochC = if (p.columns.contains(EpochCol)) col(EpochCol)
+                     else lit(null).cast("string")
+        p.agg(max(col(BatchCol)), max(epochC)).collect().headOption
+          .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+                     Option(r.getString(1))))
+          .getOrElse((None, None))
+      }
+    val (lastApplied, touchedEpoch) = prior.map(stampEpoch).getOrElse((None, None))
+    // same out-of-step detection as foldRollupBatch, in two layers:
+    // the epoch stamp distinguishes a rebuilt checkpoint even when batch
+    // ids line up (ids restart at 0 — a stale stamp of 0 would otherwise
+    // read as a legitimate crash-replay and be silently skipped), and
+    // the batch-id ordering catches a same-epoch id regression. When the
     // touched partitions are all NEW (no stamp there — e.g. the first
-    // batch of a fresh day), fall back to a store-wide stamp check: a
+    // batch of a fresh day), fall back to a store-wide check: a
     // lost-checkpoint restart whose first batch happens to touch only
     // new days must not silently fold a new epoch onto a stale store.
-    // The full-store read is column-pruned to the stamp and happens only
+    // The full-store read is column-pruned to the stamps and happens only
     // on the new-partitions-only path (≈ once per day in steady state).
-    val epochCheck: Option[Long] =
-      if (lastApplied.isDefined) lastApplied else store.read.flatMap(maxStamp)
-    if (epochCheck.exists(_ > batchId))
+    val (checkStamp, checkEpoch) =
+      if (lastApplied.isDefined) (lastApplied, touchedEpoch)
+      else store.read.map(stampEpoch).getOrElse((None, None))
+    requireSameEpoch(checkEpoch, epoch)
+    if (checkStamp.exists(_ > batchId))
       throw new IllegalStateException(
-        s"rollup store has batch ${epochCheck.get} but the stream " +
+        s"rollup store has batch ${checkStamp.get} but the stream " +
         s"delivered $batchId — checkpoint and store are out of step (was the checkpoint " +
         "directory deleted?); point the query at a fresh store or restore the checkpoint")
     if (lastApplied.contains(batchId)) return // crash-replay: already folded
     val merged = prior match {
-      case Some(p) => graft.marts.Marts.mergeRollup(p.drop(BatchCol), delta, keys, addCols)
+      case Some(p) =>
+        graft.marts.Marts.mergeRollup(p.drop(BatchCol, EpochCol), delta, keys, addCols)
       case None => delta
     }
-    store.overwritePartitions(merged.withColumn(BatchCol, lit(batchId)))
+    store.overwritePartitions(merged.withColumn(BatchCol, lit(batchId))
+      .withColumn(EpochCol, lit(epoch)))
   }
 }

@@ -92,4 +92,53 @@ class PartitionedStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(
       Seq("a", "a2"), Seq("z", "z9")).sortBy(_.mkString("|")))
   }
+
+  test("8-batch merge cadence leaves no staging/swap litter; footprint bounded") {
+    // the same footprint discipline the TableStore and ManifestStore
+    // sinks got spec'd for: directories are overwritten in place (no
+    // version growth), and the transient .staging_/.swap_ dirs of each
+    // tick are gone by the time the merge returns — including a
+    // planted orphan from a "crashed" writer, swept by the next merge
+    val root = Files.createTempDirectory("pstore-hygiene").toString + "/t"
+    val store = new PartitionedStore(spark, root, "day")
+    for (i <- 1 to 8) {
+      store.mergeBatch(Seq(
+        ("a", i.toLong, "2024-01-01", s"a$i"),
+        ("k" + i, 1L, "2024-01-02", s"v$i")).toDF("k", "ts", "day", "v"), cfg)
+    }
+    def dirs(prefix: String): Seq[String] = {
+      val s = Files.list(Paths.get(root))
+      try {
+        val it = s.iterator(); val b = Seq.newBuilder[String]
+        while (it.hasNext) { val n = it.next().getFileName.toString; if (n.startsWith(prefix)) b += n }
+        b.result()
+      } finally s.close()
+    }
+    assert(dirs(".staging_").isEmpty, "staging litter survived a clean merge")
+    assert(dirs(".swap_").isEmpty, "swap backup survived a clean merge")
+    // answers converged: latest 'a', all 8 k-rows
+    assert(store.read.get.count() == 9)
+    assert(canon(store.read.get.filter($"k" === "a").select("v")) == Seq(Seq("a8")))
+    // footprint: exactly the two partition dirs — in-place overwrite
+    // cannot grow versions the way an unvacuumed versioned store does
+    val live = dirs("day=")
+    assert(live.toSet == Set("day=2024-01-01", "day=2024-01-02"), live)
+    // a parquet dir count that grows per tick would be the small-files
+    // failure — the clustered write keeps it at one file per writer
+    val filesDay1 = {
+      val s = Files.list(Paths.get(root, "day=2024-01-01"))
+      try { val it = s.iterator(); var n = 0
+        while (it.hasNext) { if (it.next().getFileName.toString.endsWith(".parquet")) n += 1 }; n
+      } finally s.close()
+    }
+    assert(filesDay1 <= 2, s"day=2024-01-01 holds $filesDay1 parquet files after 8 ticks")
+
+    // orphaned staging from a kill-9'd writer: invisible to readers,
+    // swept by the next merge's recovery pass
+    Files.createDirectories(Paths.get(root, ".staging_deadbeef", "day=2024-01-01"))
+    assert(store.read.get.count() == 9)
+    store.mergeBatch(Seq(("a", 99L, "2024-01-01", "a99")).toDF("k", "ts", "day", "v"), cfg)
+    assert(dirs(".staging_").isEmpty, "orphaned staging dir was not swept")
+    assert(canon(store.read.get.filter($"k" === "a").select("v")) == Seq(Seq("a99")))
+  }
 }

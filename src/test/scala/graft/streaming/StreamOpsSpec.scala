@@ -69,17 +69,55 @@ class StreamOpsSpec extends SparkSpec {
     def roll(df: org.apache.spark.sql.DataFrame) =
       df.groupBy("k").agg(count(lit(1)).as("n"))
     val batch = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
-    StreamOps.foldRollupBatch(store, batch, 0L, roll, Seq("k"), Seq("n"))
+    StreamOps.foldRollupBatch(store, batch, 0L, "e1", roll, Seq("k"), Seq("n"))
     // crash-replay: the checkpoint never committed, batch 0 re-delivers
-    StreamOps.foldRollupBatch(store, batch, 0L, roll, Seq("k"), Seq("n"))
+    StreamOps.foldRollupBatch(store, batch, 0L, "e1", roll, Seq("k"), Seq("n"))
     val counts = store.read.get.select("k", "n")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("a" -> 2L, "b" -> 1L), s"double-counted: $counts")
     // the NEXT batch id still folds
-    StreamOps.foldRollupBatch(store, Seq(("a", 9)).toDF("k", "v"), 1L, roll, Seq("k"), Seq("n"))
+    StreamOps.foldRollupBatch(store, Seq(("a", 9)).toDF("k", "v"), 1L, "e1", roll, Seq("k"), Seq("n"))
     val after = store.read.get.select("k", "n")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(after == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("a rebuilt checkpoint is refused even when batch ids line up (epoch stamp)") {
+    import org.apache.spark.sql.functions._
+    def roll(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"))
+    val batch = Seq(("a", 1)).toDF("k", "v")
+
+    // TableStore binding: store holds exactly batch 0 of epoch e1; a NEW
+    // checkpoint (epoch e2) restarts ids at 0 — before the epoch stamp
+    // this read as a crash-replay and was SILENTLY SKIPPED (the batch's
+    // rows lost); now it fails the out-of-step check
+    val t = Files.createTempDirectory("stream-epoch").toString
+    val store = new TableStore(spark, s"$t/rollup")
+    StreamOps.foldRollupBatch(store, batch, 0L, "e1", roll, Seq("k"), Seq("n"))
+    val e = intercept[IllegalStateException](
+      StreamOps.foldRollupBatch(store, batch, 0L, "e2", roll, Seq("k"), Seq("n")))
+    assert(e.getMessage.contains("epoch"))
+    // same-epoch replay of the same id still skips silently (idempotence)
+    StreamOps.foldRollupBatch(store, batch, 0L, "e1", roll, Seq("k"), Seq("n"))
+    assert(store.read.get.count() == 1)
+
+    // partitioned binding: same ambiguity, same refusal — including when
+    // the new epoch's first batch touches only the same day (stamp 0)
+    def rollP(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("day", "k").agg(count(lit(1)).as("n"))
+    val tp = Files.createTempDirectory("stream-epoch-p").toString
+    val storeP = new ManifestStore(spark, s"$tp/rollup", "day")
+    val bp = Seq(("d1", "a", 1)).toDF("day", "k", "v")
+    StreamOps.foldRollupBatchPartitioned(storeP, bp, 0L, "e1", rollP, Seq("day", "k"), Seq("n"))
+    val ep = intercept[IllegalStateException](
+      StreamOps.foldRollupBatchPartitioned(storeP, bp, 0L, "e2", rollP, Seq("day", "k"), Seq("n")))
+    assert(ep.getMessage.contains("epoch"))
+    // ...and when it touches only NEW days (store-wide fallback check)
+    val bpNew = Seq(("d9", "z", 1)).toDF("day", "k", "v")
+    val ep2 = intercept[IllegalStateException](
+      StreamOps.foldRollupBatchPartitioned(storeP, bpNew, 0L, "e2", rollP, Seq("day", "k"), Seq("n")))
+    assert(ep2.getMessage.contains("epoch"))
   }
 
   test("mergeAvailable through a ManifestStore writes O(touched partitions) per micro-batch") {
@@ -124,12 +162,12 @@ class StreamOpsSpec extends SparkSpec {
         sum(col("v").cast("decimal(18,2)")).as("total"))
 
     val b0 = Seq(("d1", "a", 1.0), ("d1", "a", 2.0), ("d2", "b", 4.0)).toDF("day", "k", "v")
-    StreamOps.foldRollupBatchPartitioned(store, b0, 0L, roll, Seq("day", "k"), Seq("n", "total"))
+    StreamOps.foldRollupBatchPartitioned(store, b0, 0L, "e1", roll, Seq("day", "k"), Seq("n", "total"))
     // crash-replay of batch 0: must fold once
-    StreamOps.foldRollupBatchPartitioned(store, b0, 0L, roll, Seq("day", "k"), Seq("n", "total"))
+    StreamOps.foldRollupBatchPartitioned(store, b0, 0L, "e1", roll, Seq("day", "k"), Seq("n", "total"))
     // batch 1 touches ONLY d2
     val b1 = Seq(("d2", "b", 6.0), ("d2", "c", 1.0)).toDF("day", "k", "v")
-    StreamOps.foldRollupBatchPartitioned(store, b1, 1L, roll, Seq("day", "k"), Seq("n", "total"))
+    StreamOps.foldRollupBatchPartitioned(store, b1, 1L, "e1", roll, Seq("day", "k"), Seq("n", "total"))
 
     val state = store.read.get.select("day", "k", "n", "total")
       .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDecimal(3).doubleValue)).toMap
@@ -145,17 +183,17 @@ class StreamOpsSpec extends SparkSpec {
     assert(mLast("d2") != mPrev("d2"))
     // stale-checkpoint detection still fires across partitions
     val e = intercept[IllegalStateException](
-      StreamOps.foldRollupBatchPartitioned(store, b1, 0L, roll, Seq("day", "k"), Seq("n", "total")))
+      StreamOps.foldRollupBatchPartitioned(store, b1, 0L, "e1", roll, Seq("day", "k"), Seq("n", "total")))
     assert(e.getMessage.contains("out of step"))
     // ...including when the replayed-from-zero batch touches ONLY NEW
     // days (no stamp in the touched slice): the store-wide epoch check
     // must still refuse to fold a new epoch onto the stale state
     val bNew = Seq(("d99", "z", 1.0)).toDF("day", "k", "v")
     val e2 = intercept[IllegalStateException](
-      StreamOps.foldRollupBatchPartitioned(store, bNew, 0L, roll, Seq("day", "k"), Seq("n", "total")))
+      StreamOps.foldRollupBatchPartitioned(store, bNew, 0L, "e1", roll, Seq("day", "k"), Seq("n", "total")))
     assert(e2.getMessage.contains("out of step"))
     // while the legitimate NEXT id on a new day folds fine
-    StreamOps.foldRollupBatchPartitioned(store, bNew, 2L, roll, Seq("day", "k"), Seq("n", "total"))
+    StreamOps.foldRollupBatchPartitioned(store, bNew, 2L, "e1", roll, Seq("day", "k"), Seq("n", "total"))
     assert(store.readPartitions(Seq("d99")).get.count() == 1)
   }
 
