@@ -47,9 +47,14 @@ final case class PslRuleSet(
 
   /** Registrable (apex) domain of `host` under these rules. Hosts are
     * matched case-insensitively; a trailing dot (FQDN form) is ignored.
-    * IDNs must already be in the same form as the rules (the standard
-    * list is punycode; no IDN normalization happens here). IPv4/IPv6
-    * literals are not meaningful inputs (same caveat as the PSL itself). */
+    * IDN contract: no punycode/Unicode conversion happens here — the
+    * host must already be in the SAME form as the rules. The standard
+    * Mozilla list is punycode (`xn--p1ai`, not `рф`), so feed punycode
+    * hosts (the form URLs carry on the wire); a raw-Unicode host will
+    * only hit the implicit `*` default rule and fall back to its last
+    * two labels. Pre-normalize with `java.net.IDN.toASCII` upstream if
+    * a corpus carries Unicode hosts. IPv4/IPv6 literals are not
+    * meaningful inputs (same caveat as the PSL itself). */
   def apex(host: String): String = {
     if (host == null || host.isEmpty) return host
     val h = {
@@ -158,7 +163,16 @@ object PslRuleSet {
     "appspot.com", "herokuapp.com", "firebaseapp.com", "web.app",
     "netlify.app", "vercel.app", "azurewebsites.net", "cloudfront.net",
     "wordpress.com", "wixsite.com", "s3.amazonaws.com", "pages.dev",
-    "workers.dev", "readthedocs.io", "surge.sh")
+    "workers.dev", "readthedocs.io", "surge.sh",
+    // next tier: high-traffic hosting/CDN/platform suffixes — a host
+    // under any of these is user content, so treating the platform
+    // domain as the apex would collapse millions of independent sites
+    // into one "domain" in per-domain caps and dedup keys
+    "myshopify.com", "tumblr.com", "webflow.io", "ghost.io", "now.sh",
+    "glitch.me", "onrender.com", "fly.dev", "repl.co", "amplifyapp.com",
+    "elasticbeanstalk.com", "ondigitalocean.app", "trycloudflare.com",
+    "r2.dev", "gitbook.io", "bitbucket.io", "codeberg.page", "deno.dev",
+    "hf.space", "cloudfunctions.net", "fastlylb.net")
 }
 
 /** Registrable-domain resolution as a native unary expression: one hash

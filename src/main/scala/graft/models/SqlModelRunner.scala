@@ -239,6 +239,19 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
   // model ref'ing the same upstream twice re-materializes the upstream,
   // which for an append-strategy incremental DUPLICATES its batch rows
   private val ranThisInvocation = mutable.LinkedHashMap[String, DataFrame]()
+  // the batch + merge keys of the incremental merge compile() just ran,
+  // consumed by the enclosing run()'s test enforcement when
+  // [[withIncrementalTests]] is on. Properly nested: an upstream's
+  // run() finishes (enforcement included) before the downstream's
+  // compile proceeds, so the stash is never clobbered across models
+  private var lastIncrementalBatch: Option[(DataFrame, Seq[String])] = None
+  private var incrementalModelTests: Boolean = false
+
+  /** Enforce tests on merge-strategy incremental models at
+    * [[scopedChecks]]' O(batch) scope — the cadence mode. Full-relation
+    * enforcement stays the default for dbt-run parity; snapshots get
+    * the incremental scope by default regardless (see [[runSnapshot]]). */
+  def withIncrementalTests(): this.type = { incrementalModelTests = true; this }
 
   /** Register (or replace — a new pipeline run) a source relation, the
     * `sources.yml` entry (reference dbt/models/sources.yml:7-16). */
@@ -264,10 +277,19 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     * into the history table (timestamp strategy — `unique_key` +
     * `updated_at` required; forward-only, replay-safe, incremental build
     * hash-equal to a one-shot recompute per scd2Merge's contract).
-    * Declared tests are enforced on the post-merge history, same
-    * `severity: error` contract as [[run]] — dbt tests snapshots like
-    * any other node, so the runner must too. */
-  def runSnapshot(name: String): DataFrame = {
+    * Declared tests are enforced with `severity: error`, same contract
+    * as [[run]] — dbt tests snapshots like any other node, so the
+    * runner must too.
+    *
+    * Test scope DEFAULTS to incremental ([[scopedChecks]]): a snapshot
+    * runs at pipeline cadence (the reference's 5-minute cycle), where
+    * re-verifying `unique`/`not_null` over the ENTIRE history every
+    * tick is O(history) compute on a table that only ever grows — at
+    * 100 TB that is the test suite becoming the bottleneck. The
+    * incremental scope checks that THIS run preserved the invariant at
+    * O(batch) cost; pass `incrementalTests = false` for dbt-parity
+    * full-relation verification (e.g. a nightly audit pass). */
+  def runSnapshot(name: String, incrementalTests: Boolean = true): DataFrame = {
     val (raw, tests) = snapshots.getOrElse(name,
       throw new NoSuchElementException(s"snapshot '$name' not registered"))
     val (cfg, body0) = ModelSql.extractConfig(ModelSql.stripComments(raw))
@@ -292,10 +314,12 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     })
     body = ModelSql.expandMacros(body, macros)
     val st = store(name)
-    st.snapshot(MergeEngine.scd2Merge(st.read, spark.sql(body),
-      cfg.uniqueKey, updatedAt))
+    val batch = spark.sql(body)
+    st.snapshot(MergeEngine.scd2Merge(st.read, batch, cfg.uniqueKey, updatedAt))
     val out = st.read.get
-    Checks.enforce(checksFor(out, tests))
+    if (incrementalTests)
+      Checks.enforce(scopedChecks(out, batch, cfg.uniqueKey, tests))
+    else Checks.enforce(checksFor(out, tests))
     out
   }
 
@@ -329,9 +353,14 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
         // row + statsd metric pair every pipeline task gets (dbt run
         // telemetry, same dimensions as the reference's airflow scrape)
         def exec(): DataFrame = {
+          lastIncrementalBatch = None
           val df = materialize(name)
           val (_, tests) = modelOf(name)
-          Checks.enforce(checksFor(df, tests))
+          val scoped = lastIncrementalBatch
+          lastIncrementalBatch = None
+          if (incrementalModelTests && scoped.isDefined)
+            Checks.enforce(scopedChecks(df, scoped.get._1, scoped.get._2, tests))
+          else Checks.enforce(checksFor(df, tests))
           df
         }
         val df = meta match {
@@ -352,6 +381,40 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     (if (t.notNull.nonEmpty) Seq(Checks.notNull(df, t.notNull)) else Nil) ++
     (if (t.unique.nonEmpty) Seq(Checks.unique(df, t.unique)) else Nil) ++
     (if (t.nonEmpty) Seq(Checks.nonEmpty(df)) else Nil)
+
+  /** Incremental test scope: verify this run PRESERVED the declared
+    * invariants at O(batch) cost instead of re-proving them over the
+    * whole relation. Sound by induction — the relation passed its tests
+    * before the run (every prior run enforced them), so any NEW
+    * violation must involve a row this run wrote, and every such row
+    * shares a merge key with the batch:
+    *   - `not_null` / `non_empty` run over the batch-key SLICE of the
+    *     post-run relation (a broadcast semi-join on the merge's own
+    *     keys — the column-pruned scan it costs is the floor for any
+    *     check; no O(history) shuffle);
+    *   - `unique` runs over the same slice WHEN the tested columns
+    *     contain the merge key (a violating pair then shares its key, so
+    *     both rows sit inside the slice — the dbt-snapshot shape, e.g.
+    *     unique on (key, valid_from)); tested columns that do NOT embed
+    *     the key fall back to the full-relation scan, because a new row
+    *     could collide with an untouched old row outside the slice.
+    * The verdict equals the full-relation verdict on every run of a
+    * relation maintained exclusively through enforced runs
+    * (SqlModelRunnerSpec proves this on a multi-run fixture); what it
+    * deliberately does NOT re-detect is pre-existing corruption written
+    * by out-of-band writers — that is the audit pass's job
+    * (`incrementalTests = false`). */
+  private def scopedChecks(full: DataFrame, batch: DataFrame, keys: Seq[String],
+                           t: ModelTests): Seq[CheckResult] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val slice = full.join(broadcast(batch.select(keys.map(col): _*).distinct()),
+      keys, "left_semi")
+    (if (t.notNull.nonEmpty) Seq(Checks.notNull(slice, t.notNull)) else Nil) ++
+    (if (t.unique.nonEmpty)
+       Seq(if (keys.forall(t.unique.contains)) Checks.unique(slice, t.unique)
+           else Checks.unique(full, t.unique)) else Nil) ++
+    (if (t.nonEmpty) Seq(Checks.nonEmpty(full)) else Nil) // limit(1) — O(1) either way
+  }
 
   /** The model's current relation — READ-ONLY: a view compiles fresh with
     * refs resolved to their stored (or recursively compiled view) state; a
@@ -445,6 +508,10 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
               case _ => MergeEngine.upsert(st.read.get, selected, tcfg)
             }
             st.snapshot(merged)
+            // batch + keys for the enclosing run()'s O(batch) test scope
+            // (only the keyed-merge shape has a sound incremental scope;
+            // append models keep full checks)
+            lastIncrementalBatch = Some((selected, cfg.uniqueKey))
           }
           // append strategy: version-additive — O(batch) bytes per run,
           // auto-compacted once the delta chain exceeds append_max_chain

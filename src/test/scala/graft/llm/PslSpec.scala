@@ -25,6 +25,26 @@ class PslSpec extends SparkSpec {
     assert(r.apex("a.user.github.io") == "user.github.io")
     assert(r.apex("github.io") == "github.io") // a public suffix passes through
     assert(r.apex("me.s3.amazonaws.com") == "me.s3.amazonaws.com")
+    // next-tier hosting/CDN suffixes: each user site is its own apex
+    assert(r.apex("shop.myshopify.com") == "shop.myshopify.com")
+    assert(r.apex("cdn.assets.shop.myshopify.com") == "shop.myshopify.com")
+    assert(r.apex("app.onrender.com") == "app.onrender.com")
+    assert(r.apex("api.my-app.fly.dev") == "my-app.fly.dev")
+    assert(r.apex("tunnel.trycloudflare.com") == "tunnel.trycloudflare.com")
+    assert(r.apex("space.hf.space") == "space.hf.space")
+  }
+
+  test("IDN contract: punycode hosts match punycode rules; raw Unicode does not") {
+    // the embedded snippet has no IDN rules — the contract is about form:
+    // a punycode host walks the rule sets like any ASCII host, while a
+    // raw-Unicode host can only hit the implicit default rule
+    val idn = PslRuleSet.parse(Seq("xn--p1ai", "com"))
+    assert(idn.apex("site.xn--p1ai") == "site.xn--p1ai")
+    assert(idn.apex("a.site.xn--p1ai") == "site.xn--p1ai")
+    // same host in Unicode form misses the punycode rule → default rule
+    assert(idn.apex("a.site.рф") == "site.рф")
+    // java.net.IDN.toASCII is the documented upstream normalizer
+    assert(java.net.IDN.toASCII("сайт.рф") == "xn--80aswg.xn--p1ai")
   }
 
   test("wildcard rules: *.ck promotes one label to a public suffix") {

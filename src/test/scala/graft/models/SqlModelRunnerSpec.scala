@@ -215,6 +215,62 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e2.getMessage.contains("never been run"))
   }
 
+  test("incremental test scope: verdict equals the full-relation verdict, O(batch) cost") {
+    // SNAPSHOT path (incremental scope is the default): three cadence
+    // runs; after each, the FULL-relation checks (r.test) must agree
+    // with the incremental verdict that let the run through
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addSnapshot("hist",
+      "{{ config(strategy='timestamp', unique_key='k', updated_at='seq') }} " +
+      "SELECT k, seq, v FROM {{ source('ods', 's') }}",
+      ModelTests(notNull = Seq("v"), unique = Seq("k", "valid_from"), nonEmpty = true))
+    val feeds = Seq(
+      Seq((1L, 1L, "v1"), (2L, 1L, "x1")),
+      Seq((1L, 5L, "v2"), (3L, 2L, "y1")),
+      Seq((2L, 9L, "x2")))
+    feeds.foreach { f =>
+      r.addSource("ods", "s", f.toDF("k", "seq", "v"))
+      r.runSnapshot("hist") // incremental scope by default
+      assert(r.test("hist").forall(_.passed),
+        "full-relation verdict diverged from the incremental one")
+    }
+    // an in-batch violation is still caught at O(batch) scope
+    r.addSource("ods", "s", Seq((3L, 9L, null.asInstanceOf[String])).toDF("k", "seq", "v"))
+    val e = intercept[IllegalStateException](r.runSnapshot("hist"))
+    assert(e.getMessage.contains("not_null"))
+
+    // MODEL path (opt-in via withIncrementalTests): merge-strategy
+    // incremental model, unique test on the merge key → sliced check
+    val r2 = new SqlModelRunner(spark, freshRoot()).withIncrementalTests()
+    r2.addModel("mart",
+      "{{ config(materialized='incremental', unique_key='k') }} " +
+      "SELECT k, v FROM {{ source('ods', 's') }}",
+      ModelTests(notNull = Seq("v"), unique = Seq("k")))
+    r2.addSource("ods", "s", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    r2.run("mart")
+    r2.addSource("ods", "s", Seq((2L, "b2"), (3L, "c")).toDF("k", "v"))
+    r2.run("mart")
+    assert(r2.test("mart").forall(_.passed))
+    // in-batch NULL caught by the slice
+    r2.addSource("ods", "s", Seq((3L, null.asInstanceOf[String])).toDF("k", "v"))
+    val e2 = intercept[IllegalStateException](r2.run("mart"))
+    assert(e2.getMessage.contains("not_null"))
+
+    // unique test on a column NOT containing the merge key: a new row
+    // colliding with an UNTOUCHED old row straddles the slice — the
+    // scope must fall back to the full-relation scan and still catch it
+    val r3 = new SqlModelRunner(spark, freshRoot()).withIncrementalTests()
+    r3.addModel("dim",
+      "{{ config(materialized='incremental', unique_key='k') }} " +
+      "SELECT k, code FROM {{ source('ods', 's') }}",
+      ModelTests(unique = Seq("code")))
+    r3.addSource("ods", "s", Seq((1L, "A"), (2L, "B")).toDF("k", "code"))
+    r3.run("dim")
+    r3.addSource("ods", "s", Seq((3L, "A")).toDF("k", "code")) // collides with k=1's code
+    val e3 = intercept[IllegalStateException](r3.run("dim"))
+    assert(e3.getMessage.contains("unique"))
+  }
+
   test("diamond DAG: a twice-ref'd upstream materializes once per invocation") {
     val root = freshRoot()
     val r = new SqlModelRunner(spark, root)
