@@ -76,11 +76,20 @@ object Bench {
     // reflect steady-state data processing at the target SF, not
     // first-evaluation compilation (which swung totals 26→78 s)
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    val warmupFailures = SparkEntry.queries.count { case (_, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to named queries —
+    // the standalone re-measure protocol for attributing cross-round
+    // swings (run the suspects alone, three passes, same JVM settings)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val warmupFailures = queries.count { case (_, fn) =>
       try { fn(spark, warmupDir).count(); false } catch { case _: Throwable => true }
     }
     if (warmupFailures > 0)
-      System.err.println(s"[bench] WARNING: $warmupFailures/${SparkEntry.queries.size} " +
+      System.err.println(s"[bench] WARNING: $warmupFailures/${queries.size} " +
         s"warmup queries failed against $warmupDir — timings include cold compilation")
     // failures are explicit: a failed query is listed in "failed" and its
     // time is excluded from the headline (no silent -1L masking);
@@ -90,14 +99,21 @@ object Bench {
     // expensive queries (round-2 bench logged dedup_neardup at 17 s vs a
     // ~2 s warm cost), which masked real regressions. Both passes stay in
     // the JSON so noise itself is visible.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def onePass(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         spark.sparkContext.setJobGroup(name, name)
         val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         } finally spark.sparkContext.clearJobGroup()
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // one WALL row per timed pass: wall − Σ job rows = the runner-
+        // level non-job cost (driver-side planning, store fs commits,
+        // checkpoint handling, test enforcement) — r9's dbt-family
+        // inflation was invisible precisely because only jobs ≥ 50 ms
+        // were logged
+        stageAppend(name, "pass_wall", sec)
+        (sec, ok)
       }
       val (t1, ok1) = onePass()
       val (t2, ok2) = if (ok1) onePass() else (t1, ok1)

@@ -28,7 +28,14 @@ object Soak {
     "dedup_exact", "dedup_neardup", "dedup_incremental", "dedup_clusters",
     "dedup_simhash_pairs", "dedup_containment", "contamination",
     "ann_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_quantized_topk",
-    "dedup_cosine_pairs", "source_overlap_sketch")
+    "dedup_cosine_pairs", "source_overlap_sketch",
+    // round-9 operators (same replica tables): n^α mixing, corpus-LM
+    // scoring, ranked survivor selection
+    "sample_temperature_mix", "text_unigram_nll", "dedup_cluster_survivors",
+    // streaming drains over the replicated events feed: per-tick cost
+    // should grow ~linearly with batch bytes while the touched-partition
+    // count (days) stays constant — O(batch), never O(table)
+    "stream_cdc_merge_manifest", "stream_day_rollup_manifest")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -103,7 +110,8 @@ object Soak {
   /** Materialize the N× replica tables (idempotent: skips if present). */
   def generate(spark: SparkSession, base: String, out: String, x: Int): Unit = {
     if (new java.io.File(s"$out/documents.parquet").exists &&
-        new java.io.File(s"$out/embeddings.parquet").exists) return
+        new java.io.File(s"$out/embeddings.parquet").exists &&
+        new java.io.File(s"$out/events.parquet").exists) return
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -131,6 +139,21 @@ object Soak {
     }.reduce(_.unionByName(_))
     embReplicas.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+
+    // events: ids/users shift per replica (distinct keys), event TIMES
+    // stay in the base range — the streaming soak's batch size grows N×
+    // while the touched-day set stays constant, which is exactly the
+    // partition-scoped sinks' claimed scale shape (O(batch) per tick)
+    val ev = graft.Tables.events(spark, base)
+    val evReplicas = (0 until x).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * 10_000_000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 10_000_000L)).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_.unionByName(_))
+    evReplicas.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
     println(s"[soak] generated ${x}x replicas of $base ($nDocs docs/replica) at $out")
   }
 }

@@ -630,7 +630,7 @@ object SparkEntry {
       val root = s"$fixtureRoot/dbt_mart"
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true) // fresh state per call
-      val r = new graft.models.SqlModelRunner(s, root)
+      val r = new graft.models.SqlModelRunner(s, root, storeFilesPerVersion = 1)
       r.addModel("stg_events",
         """{{ config(materialized='view') }}
           |SELECT event_id, user_id, ts AS dbt_updated_at, value
@@ -651,10 +651,15 @@ object SparkEntry {
           |                        FROM {{ this }})
           |{% endif %}""".stripMargin,
         graft.models.ModelTests(notNull = Seq("user_id"), unique = Seq("user_id")))
+      val log = stageLogger("dbt_incremental_mart")
+      def timed[T](stage: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val v = f
+        log(stage, (System.nanoTime() - t0) / 1e9); v
+      }
       r.addSource("ods", "events", Tables.events(s, d).filter(col("ts") < ts("2024-01-15")))
-      r.run("dim_users") // run 1: initial load
+      timed("run1_initial")(r.run("dim_users")) // run 1: initial load
       r.addSource("ods", "events", Tables.events(s, d))
-      r.run("dim_users") // run 2: incremental merge above the watermark
+      timed("run2_incremental")(r.run("dim_users")) // run 2: incremental merge above the watermark
         .select(col("user_id"), col("event_id"),
                 unix_micros(col("dbt_updated_at")).as("updated_us"), col("value"))
     }),
@@ -668,7 +673,7 @@ object SparkEntry {
       val root = s"$fixtureRoot/dbt_append"
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true) // fresh state per call
-      val r = new graft.models.SqlModelRunner(s, root)
+      val r = new graft.models.SqlModelRunner(s, root, storeFilesPerVersion = 1)
       r.addModel("fct_events",
         """{{ config(materialized='incremental', schema='marts') }}
           |SELECT event_id, user_id, ts, value
@@ -678,10 +683,15 @@ object SparkEntry {
           |  AND ts > (SELECT COALESCE(MAX(ts), TIMESTAMP '1900-01-01') FROM {{ this }})
           |{% endif %}""".stripMargin,
         graft.models.ModelTests(notNull = Seq("event_id", "user_id")))
+      val log = stageLogger("dbt_append_model")
+      def timed[T](stage: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val v = f
+        log(stage, (System.nanoTime() - t0) / 1e9); v
+      }
       r.addSource("ods", "events", Tables.events(s, d).filter(col("ts") < ts("2024-01-15")))
-      r.run("fct_events") // run 1: initial snapshot
+      timed("run1_initial")(r.run("fct_events")) // run 1: initial snapshot
       r.addSource("ods", "events", Tables.events(s, d))
-      r.run("fct_events") // run 2: append above the watermark
+      timed("run2_append")(r.run("fct_events")) // run 2: append above the watermark
         .select(col("event_id"), col("user_id"),
                 unix_micros(col("ts")).as("ts_us"), col("value"))
     }),
@@ -696,7 +706,7 @@ object SparkEntry {
       val root = s"$fixtureRoot/dbt_snapshot"
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val r = new graft.models.SqlModelRunner(s, root)
+      val r = new graft.models.SqlModelRunner(s, root, storeFilesPerVersion = 1)
       r.addSnapshot("user_hist",
         """{{ config(strategy='timestamp', unique_key='user_id', updated_at='ts') }}
           |SELECT user_id, ts, event_type, value, event_id FROM (
@@ -704,10 +714,15 @@ object SparkEntry {
           |         row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
           |  FROM {{ source('ods', 'events') }} WHERE ts IS NOT NULL)
           |WHERE rn = 1""".stripMargin)
+      val log = stageLogger("dbt_snapshot_model")
+      def timed[T](stage: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val v = f
+        log(stage, (System.nanoTime() - t0) / 1e9); v
+      }
       r.addSource("ods", "events", Tables.events(s, d).filter(col("ts") < ts("2024-01-15")))
-      r.runSnapshot("user_hist")
+      timed("snap1")(r.runSnapshot("user_hist"))
       r.addSource("ods", "events", Tables.events(s, d))
-      r.runSnapshot("user_hist")
+      timed("snap2")(r.runSnapshot("user_hist"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
                 unix_micros(col("valid_from")).as("valid_from_us"),
                 unix_micros(col("valid_to")).as("valid_to_us"), col("is_current"))
@@ -1297,7 +1312,9 @@ object SparkEntry {
       Tables.events(s, d).repartition(4).write.parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      val store = new graft.pipeline.TableStore(s, s"$tmp/store")
+      // 150-row aggregate state: 1 file per version, not 32 near-empty
+      // ones per tick (TableStore.filesPerVersion doc)
+      val store = new graft.pipeline.TableStore(s, s"$tmp/store", filesPerVersion = 1)
       graft.streaming.StreamOps.maintainRollup(stream, store,
         b => Marts.dayRollup(b, "ts", Seq("event_type"),
           Seq(count(lit(1)).as("n"),
@@ -1320,7 +1337,10 @@ object SparkEntry {
       Tables.events(s, d).repartition(4).write.parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      val store = new graft.pipeline.TableStore(s, s"$tmp/store")
+      // small-dim store: each tick's full rewrite lands as ONE file —
+      // the 32-writer default made the per-tick fixed cost (tiny write
+      // tasks + fs round-trips) dominate this drain's bench time
+      val store = new graft.pipeline.TableStore(s, s"$tmp/store", filesPerVersion = 1)
       graft.streaming.StreamOps.mergeAvailable(stream, store,
         TableConfig("stream_events", null, Seq("event_id"), cursorField = Some("ts")),
         s"$tmp/ckpt", onStage = stageLogger("stream_cdc_merge"))

@@ -226,8 +226,13 @@ object ModelSql {
   * key-join, which at cluster scale broadcasts small batches and AQE-splits
   * skewed keys; views add zero materialization cost between stages.
   */
+/** @param storeFilesPerVersion writer count for every model/snapshot
+  *   store version (TableStore.filesPerVersion): 0 = the frame's own
+  *   parallelism (large marts), small values for fixture/dimension-
+  *   scale projects where per-file fixed cost dominates tiny commits. */
 final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: String = "",
-                           meta: Option[graft.meta.MetaStore] = None) {
+                           meta: Option[graft.meta.MetaStore] = None,
+                           storeFilesPerVersion: Int = 0) {
 
   private val sources = mutable.LinkedHashMap[(String, String), DataFrame]()
   private val models  = mutable.LinkedHashMap[String, (String, ModelTests)]()
@@ -323,7 +328,8 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     out
   }
 
-  def store(name: String): TableStore = new TableStore(spark, s"$storeRoot/$name")
+  def store(name: String): TableStore =
+    new TableStore(spark, s"$storeRoot/$name", filesPerVersion = storeFilesPerVersion)
 
   /** dbt-test the model's (or snapshot's) current relation without
     * materializing — read-only: view refs compile against stored

@@ -21,8 +21,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * file-level pruning. The merge ALGORITHM is identical in all three —
   * only the sink swaps.
   */
+/** @param filesPerVersion writer count per committed version. 0 (the
+  *   default) writes at the frame's own parallelism — right for large
+  *   tables, where collapsing writers would serialize the commit. Set
+  *   1 (or small) for KNOWN-SMALL stores — dimension tables, rollup
+  *   states, dbt fixtures: at shuffle-partition parallelism a 10k-row
+  *   snapshot otherwise lands as 32 near-empty files whose per-file
+  *   task + fs cost dominates the commit, and every later read of the
+  *   version chain pays the same small-files tax again (the same
+  *   explicit-knob contract as [[PartitionedStore]]'s
+  *   `filesPerPartition`). Uses repartition, not coalesce — coalesce
+  *   would propagate the collapsed parallelism UP into the merge
+  *   computation itself. */
 final class TableStore(spark: SparkSession, root: String,
-                       mergeBatchKeepVersions: Int = 4) extends MergeSink {
+                       mergeBatchKeepVersions: Int = 4,
+                       filesPerVersion: Int = 0) extends MergeSink {
+  require(filesPerVersion >= 0, "filesPerVersion must be >= 0 (0 = frame parallelism)")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -128,7 +142,8 @@ final class TableStore(spark: SparkSession, root: String,
         .foreach(s => fs.delete(s.getPath, true))
     val v = latestVersion.getOrElse(0) + 1
     val tmp = new Path(s"$root/.tmp_v=$v")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val out = if (filesPerVersion > 0) df.repartition(filesPerVersion) else df
+    out.write.mode("overwrite").parquet(tmp.toString)
     parentDelta.foreach { parent =>
       val out = fs.create(new Path(tmp, TableStore.DeltaMarker), true)
       try out.write(parent.toString.getBytes("UTF-8")) finally out.close()
