@@ -51,6 +51,22 @@ object SparkEntry {
     * STAGE_TIMINGS.csv so the OFFICIAL per-round run leaves an
     * attributable stage split behind (the r7 dedup_clusters 7× official-
     * vs-local swing was undiagnosable without one). */
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the session value after. A stateful streaming query
+    * opens + commits one state-store instance per shuffle partition per
+    * MICRO-BATCH, so the drain's fixed cost scales with the partition
+    * count regardless of data volume; the oracle drains size it to
+    * their key cardinality the way a production stream sizes it to
+    * load. The setting is frozen into the checkpoint at first batch —
+    * each drain here starts a fresh checkpoint, so varying it is safe,
+    * and batch queries running after the restore are untouched. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def stageLogger(query: String): (String, Double) => Unit =
     sys.env.get("GRAFT_STAGE_LOG").orElse(sys.props.get("graft.stage.log")) match {
       case None => (_, _) => ()
@@ -1399,7 +1415,7 @@ object SparkEntry {
                 col("n"), col("total_value").cast("double").as("total_value"))
     }),
 
-    "stream_dedup" -> ((s, d) => {
+    "stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming exact dedup (StreamOps.dedupStream): a
       // payload fingerprint seen in ANY earlier micro-batch is dropped;
       // with the lateness horizon covering the whole event span this
@@ -1423,7 +1439,7 @@ object SparkEntry {
       s.table(outName).select(col("user_id"), col("event_type"))
     }),
 
-    "stream_sessionize" -> ((s, d) => {
+    "stream_sessionize" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END stateful streaming: flatMapGroupsWithState sessions
       // (Sessionize.sessions) over a 4-micro-batch TIME-ORDERED drain
       // hash-equal the batch window recompute (w_sessionize's oracle
@@ -1476,7 +1492,7 @@ object SparkEntry {
           (col("total_value") / 100).cast("double").as("total_value"))
     }),
 
-    "stream_window_counts" -> ((s, d) => {
+    "stream_window_counts" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END watermarked streaming aggregation in APPEND mode
       // (StreamOps.windowedCounts — the one StreamOps member that lacked
       // a drain twin): 4 time-ordered files drained one per micro-batch,
