@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Chunking, Clusters, Dedup, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
+import graft.llm.{Chunking, Clusters, Dedup, Graph, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
 import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
@@ -1255,6 +1255,28 @@ object SparkEntry {
         .select(explode(Links.urls(plantedUrlText)).as("url"))
         .select(Links.host(col("url")).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("n"))),
+
+    "graph_pagerank" -> ((s, d) => {
+      // Link-graph centrality as a document-quality prior (Page et al.
+      // 1999): nodes = source buckets + linked hosts, edges from the
+      // REAL extraction path (Links.urls/host over the planted-URL twin
+      // text) plus a deterministic host→host citation cycle so mass
+      // flows beyond one hop. Integer micro-unit arithmetic
+      // (Graph.pageRank) makes three power iterations hash-match the
+      // oracle's unrolled CTEs bit-for-bit.
+      val docs = Tables.documents(s, d)
+      val srcToHost = docs
+        .select(col("source"), explode(Links.urls(plantedUrlText)).as("url"))
+        .select(col("source").as("src"), Links.host(col("url")).as("dst"))
+      val hostCycle = docs
+        .where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(
+          concat(lit("site"), pmod(col("doc_id"), lit(20)).cast("string"),
+            lit(".example.org")).as("src"),
+          concat(lit("site"), pmod(col("doc_id") + lit(7), lit(20)).cast("string"),
+            lit(".example.org")).as("dst"))
+      Graph.pageRank(srcToHost.unionByName(hostCycle), 3)
+    }),
 
     "url_apex_counts" -> ((s, d) =>
       // registrable-domain histogram under FULL PSL semantics
@@ -2733,6 +2755,42 @@ object SparkEntry {
          |FROM (SELECT unnest(regexp_extract_all($plantedUrlSql, '(?i)https?://\\S+')) AS u
          |      FROM documents)
          |GROUP BY 1""".stripMargin,
+
+    // unrolled 3-iteration integer PageRank: every per-edge contribution
+    // is ((rank*85)//100)//deg in BIGINT, so the sum is order-independent
+    // and matches Spark's `div` arithmetic exactly; dangling nodes leak
+    // their damped mass (Brin/Page formulation), base = ((S//N)*15)//100
+    "graph_pagerank" ->
+      s"""WITH u AS (
+         |  SELECT source, regexp_extract(x, '(?i)https?://([^/\\s:]+)', 1) AS host
+         |  FROM (SELECT source, unnest(regexp_extract_all($plantedUrlSql, '(?i)https?://\\S+')) AS x
+         |        FROM documents)),
+         |e0 AS (
+         |  SELECT source AS src, host AS dst FROM u
+         |  UNION ALL
+         |  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org',
+         |         'site' || CAST((doc_id + 7) % 20 AS VARCHAR) || '.example.org'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |c AS (SELECT (1000000000000 // count(*)) AS r0,
+         |             ((1000000000000 // count(*)) * 15) // 100 AS base FROM nodes),
+         |r0 AS (SELECT node, (SELECT r0 FROM c) AS rank FROM nodes),
+         |m1 AS (SELECT ed.dst AS node, CAST(sum(((r.rank * 85) // 100) // ed.deg) AS BIGINT) AS mass
+         |       FROM ed JOIN r0 r ON r.node = ed.src GROUP BY ed.dst),
+         |r1 AS (SELECT n.node, (SELECT base FROM c) + coalesce(m.mass, 0) AS rank
+         |       FROM nodes n LEFT JOIN m1 m ON m.node = n.node),
+         |m2 AS (SELECT ed.dst AS node, CAST(sum(((r.rank * 85) // 100) // ed.deg) AS BIGINT) AS mass
+         |       FROM ed JOIN r1 r ON r.node = ed.src GROUP BY ed.dst),
+         |r2 AS (SELECT n.node, (SELECT base FROM c) + coalesce(m.mass, 0) AS rank
+         |       FROM nodes n LEFT JOIN m2 m ON m.node = n.node),
+         |m3 AS (SELECT ed.dst AS node, CAST(sum(((r.rank * 85) // 100) // ed.deg) AS BIGINT) AS mass
+         |       FROM ed JOIN r2 r ON r.node = ed.src GROUP BY ed.dst),
+         |r3 AS (SELECT n.node, (SELECT base FROM c) + coalesce(m.mass, 0) AS rank
+         |       FROM nodes n LEFT JOIN m3 m ON m.node = n.node)
+         |SELECT node, rank AS rank_micro FROM r3""".stripMargin,
 
     // replays each PSL rule-class decision: the !www.ck exception first,
     // then the private github.io suffix, the *.ck wildcard (public
