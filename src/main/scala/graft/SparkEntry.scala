@@ -137,6 +137,32 @@ object SparkEntry {
       | || CASE WHEN doc_id % 5 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/path ok' ELSE '' END
       | || CASE WHEN doc_id % 9 = 0 THEN ' ref http://blocked.example.com/x?q=1 end' ELSE '' END""".stripMargin.replace("\n", "")
 
+  /** documents.text with deterministic duplicated substrings planted —
+    * same twin-construction contract as [[plantedPiiText]]. UPPERCASE
+    * boilerplate cannot collide with the lowercase corpus vocabulary:
+    * two shared cross-doc boilerplates (docs ≡ 0 mod 30 get BOTH,
+    * adjacent — the span-merge case) plus a doc-unique fragment
+    * repeated twice back-to-back (the WITHIN-one-document duplication
+    * Lee et al. also excise; each copy is ≥ k chars so interior k-grams
+    * repeat at period |fragment|). */
+  private def plantedDupText: Column = {
+    val frag = concat(lit(" DOC"), col("doc_id").cast("string"),
+      lit(" REPEATED FRAGMENT ALPHA BETA GAMMA DELTA EPSILON ZETA"))
+    concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        lit(" SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND BREAKING NEWS")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        lit(" ALL RIGHTS RESERVED COPYRIGHT NOTICE TERMS OF SERVICE APPLY")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(15)) === 0, concat(frag, frag)).otherwise(lit("")))
+  }
+
+  private val plantedDupSql: String =
+    """text
+      | || CASE WHEN doc_id % 6 = 0 THEN ' SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND BREAKING NEWS' ELSE '' END
+      | || CASE WHEN doc_id % 10 = 0 THEN ' ALL RIGHTS RESERVED COPYRIGHT NOTICE TERMS OF SERVICE APPLY' ELSE '' END
+      | || CASE WHEN doc_id % 15 = 0 THEN repeat(' DOC' || CAST(doc_id AS VARCHAR) || ' REPEATED FRAGMENT ALPHA BETA GAMMA DELTA EPSILON ZETA', 2) ELSE '' END""".stripMargin.replace("\n", "")
+
   /** Planted hosts exercising the full PSL rule taxonomy: two-label
     * public suffixes (co.uk / com.au), an ordinary .org, a PRIVATE
     * suffix (github.io — `u<k>.pages.github.io` must group to
@@ -1172,6 +1198,18 @@ object SparkEntry {
       // df-capped shingle self-join, oracle replays it exactly
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.5, maxShingleDf = 100)),
+
+    "dedup_substring_spans" -> ((s, d) =>
+      // char-level exact-substring duplicate spans (Lee et al. ACL'22):
+      // every 32-gram occurring ≥2× corpus-wide (incl. twice within one
+      // doc) marks its positions; overlapping/adjacent windows merge
+      // into maximal spans (gaps-and-islands). Planted twin text:
+      // shared boilerplates (adjacent on mod-30 docs — the merge case)
+      // + a doc-unique back-to-back repeated fragment; dup_frac is
+      // floor-ppm-quantized so no rounding-mode divergence
+      Dedup.substringDupSpans(
+        Tables.documents(s, d).withColumn("text", plantedDupText),
+        "doc_id", "text", k = 32)),
 
     "text_tfidf_topk" -> ((s, d) =>
       // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
@@ -2651,6 +2689,38 @@ object SparkEntry {
         |       round(h * 1.0 / least(na.n, nb.n), 6) AS containment
         |FROM hits JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
         |WHERE round(h * 1.0 / least(na.n, nb.n), 6) >= 0.5""".stripMargin,
+
+    // replays the span algebra exactly: per-position 32-grams on the RAW
+    // string (no hash — engine hashes differ), count>=2 filter, island
+    // merge via running max(prev end), floor-ppm fraction (integral div
+    // — immune to round-half-up vs half-even)
+    "dedup_substring_spans" ->
+      s"""WITH d AS (SELECT doc_id, $plantedDupSql AS t FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(t) - 31)) AS pos, t
+         |       FROM d WHERE len(t) >= 32),
+         |g AS (SELECT doc_id, pos, substr(t, CAST(pos AS INTEGER), 32) AS gram FROM g0),
+         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |h AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+         |m AS (SELECT doc_id, pos,
+         |        max(pos + 31) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM h),
+         |i AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 31 AS e FROM i GROUP BY doc_id, isl),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+         |       FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+         |  coalesce(pd.dup_chars, 0) AS dup_chars,
+         |  CASE WHEN len(d.t) > 0
+         |       THEN ((coalesce(pd.dup_chars, 0) * 1000000) // len(d.t)) / 1000000.0
+         |       ELSE 0.0 END AS dup_frac
+         |FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
 
     "text_vocab" ->
       """SELECT word, count(*) AS n

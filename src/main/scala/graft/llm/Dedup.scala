@@ -453,4 +453,78 @@ object Dedup {
     simhashPairsFromSignatures(simhash(docs, idCol, textCol, bits, wordHash),
       idCol, maxHamming, bits, b, maxBucket)
   }
+
+  /** Exact-substring duplicate-SPAN detection (the character-level
+    * "dedup makes LMs better" operator — Lee et al. ACL'22 mark every
+    * substring of length ≥ k that occurs twice anywhere in the corpus,
+    * including twice within ONE document, then excise the spans; this
+    * computes those spans and per-doc coverage stats).
+    *
+    * Method: every char position opens one k-gram; a k-gram occurring
+    * ≥ 2 times corpus-wide is duplicated; a maximal run of duplicated
+    * positions (overlapping OR adjacent windows union into one
+    * interval) is a span. Span merge is the classic gaps-and-islands
+    * window: a position opens a new island iff it starts past
+    * `max(prev position + k - 1) + 1`.
+    *
+    * Grouping is on the RAW k-gram string, not a hash — a hash would be
+    * engine-specific (Spark xxhash64 ≠ DuckDB hash) and a collision
+    * would mark a false span; only (id, pos, gram) projections ever
+    * shuffle, never whole documents. Returns one row per input doc:
+    * `(id, n_dup_spans, dup_chars, dup_frac)` with `dup_frac`
+    * floor-quantized to ppm (`(chars·10^6) div len`) so the fraction is
+    * rounding-mode-independent across engines (round-half-up vs
+    * half-even diverge on exact 6-decimal ties; integral division
+    * cannot).
+    *
+    * Scale: the gram explode is O(total chars) rows of ~(8+4+k) bytes —
+    * the dominant shuffle. At 100 TB run the count pass first over
+    * k-gram HASHES only (8-byte rows, map-side combined), broadcast-or
+    * join the surviving duplicated hash set back, and only then
+    * materialize raw grams for the survivors to confirm equality; or
+    * reduce positions ~2/(w+1)× with winnowing fingerprints (Schleimer
+    * et al. SIGMOD'03) at the cost of span-boundary resolution. The
+    * suffix-array formulation (Lee et al.'s own) trades this shuffle
+    * for a global sort — same asymptotics, worse constants on Spark. */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val t = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    // one gram per char position; cut lineage — grams feed BOTH the
+    // corpus-wide count and the position join (unigramNegLogProb idiom)
+    val grams = t.where(length(col("__t")) >= k)
+      .select(col("__id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__pos"),
+        col("__t"))
+      .select(col("__id"), col("__pos"),
+        col("__t").substr(col("__pos"), lit(k)).as("__gram"))
+      .localCheckpoint(false)
+    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2).select("__gram")
+    val hits = grams.join(dup, "__gram").select(col("__id"), col("__pos"))
+    val wPrev = Window.partitionBy("__id").orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("__id").orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = hits
+      .withColumn("__prevEnd", max(col("__pos") + (k - 1)).over(wPrev))
+      .withColumn("__new",
+        when(col("__prevEnd").isNull || col("__pos") > col("__prevEnd") + 1, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy("__id", "__isl")
+      .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (k - 1)).as("__e"))
+    val perDoc = islands.groupBy("__id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("__e") - col("__s") + 1).cast("long").as("dup_chars"))
+    t.select(col("__id"), length(col("__t")).cast("long").as("__len"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("__len") > 0,
+          expr("(coalesce(dup_chars, 0L) * 1000000) div __len") / lit(1000000.0))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }
