@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Chunking, Clusters, Dedup, Graph, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
+import graft.llm.{Chunking, Classify, Clusters, Dedup, Graph, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
 import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
@@ -1157,6 +1157,21 @@ object SparkEntry {
       // mean is order- and engine-independent
       Terms.unigramNegLogProb(Tables.documents(s, d), "doc_id", "text")),
 
+    "classify_nb_lang" -> ((s, d) => {
+      // CCNet-style filter model: multinomial Naive Bayes trained on an
+      // md5-hash 80% split, applied to the held-out 20% — all
+      // aggregations and joins, micro-nat integer costs so the argmin
+      // class (tie: smaller label) is engine- and order-independent;
+      // the oracle replays the full train+apply algebra
+      val docs = Tables.documents(s, d)
+      val b = graft.llm.Sampling.md5Bucket(Seq(col("doc_id")), "nb")
+      Classify.naiveBayes(
+          docs.where(b < 52428), docs.where(b >= 52428),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"),
+          col("predicted").as("pred_lang"), col("cost_micro"))
+    }),
+
     "text_novelty" -> ((s, d) =>
       // fraction of each doc's 3-gram shingles unique to it corpus-wide
       Terms.noveltyScore(Tables.documents(s, d), "doc_id", "text")
@@ -1934,6 +1949,42 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(nll) AS DOUBLE) / count(*) / 1000000.0 AS avg_neg_logprob
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // replays NB train+apply: Laplace (cnt+1)/(tot_c+V) costs in
+    // micro-nats, unseen-token cost ln(tot_c+V), prior -ln(n_c/n),
+    // BIGINT tf-weighted sums, argmin via (cost, label) order
+    "classify_nb_lang" ->
+      """WITH b AS (SELECT doc_id, lang, text,
+        |            CAST('0x' || substring(md5('nb' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS bk
+        |           FROM documents),
+        |tr AS (SELECT * FROM b WHERE bk < 52428),
+        |te AS (SELECT * FROM b WHERE bk >= 52428),
+        |trt AS (SELECT lang, unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS tok FROM tr),
+        |cnt AS (SELECT lang, tok, count(*) AS c FROM trt GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS t FROM trt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM trt),
+        |ndoc AS (SELECT lang, count(*) AS n FROM tr GROUP BY 1),
+        |ntot AS (SELECT count(*) AS n FROM tr),
+        |cls AS (SELECT ndoc.lang,
+        |          CAST(round(-ln(CAST(ndoc.n AS DOUBLE) / (SELECT n FROM ntot)) * 1000000) AS BIGINT) AS prior,
+        |          CAST(round(ln(CAST(tot.t + (SELECT v FROM v) AS DOUBLE)) * 1000000) AS BIGINT) AS w0
+        |        FROM ndoc JOIN tot USING (lang)),
+        |w AS (SELECT cnt.lang, cnt.tok,
+        |        CAST(round(-ln(CAST(cnt.c + 1 AS DOUBLE) / CAST(tot.t + (SELECT v FROM v) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |      FROM cnt JOIN tot USING (lang)),
+        |tet AS (SELECT doc_id, tok, count(*) AS tf FROM (
+        |          SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS tok FROM te)
+        |        GROUP BY 1, 2),
+        |grid AS (SELECT te.doc_id, te.lang AS actual, c.lang AS cls, c.prior, c.w0 FROM te CROSS JOIN cls c),
+        |sc AS (SELECT g.doc_id, g.actual, g.cls,
+        |         g.prior + coalesce(CAST(sum(t.tf * coalesce(w.w, g.w0)) AS BIGINT), 0) AS total
+        |       FROM grid g
+        |       LEFT JOIN tet t ON t.doc_id = g.doc_id
+        |       LEFT JOIN w ON w.lang = g.cls AND w.tok = t.tok
+        |       GROUP BY 1, 2, 3, g.prior)
+        |SELECT doc_id, actual AS lang, cls AS pred_lang, total AS cost_micro
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY total ASC, cls ASC) AS rn FROM sc)
+        |WHERE rn = 1""".stripMargin,
 
     // coalesce(text,'') so a NULL-text doc gets the same [""] shingle the
     // Spark side produces instead of vanishing through a NULL join key
