@@ -32,6 +32,12 @@ object Soak {
     // round-9 operators (same replica tables): n^α mixing, corpus-LM
     // scoring, ranked survivor selection
     "sample_temperature_mix", "text_unigram_nll", "dedup_cluster_survivors",
+    // round-10 operators: span dedup is a corpus-chars explode (the
+    // dominant term scales with bytes), NB is one tokenize + model
+    // joins, PageRank's node/edge set is CONSTANT under replication
+    // (planted residues repeat) so it measures the extraction+distinct
+    // corpus pass, not graph growth
+    "dedup_substring_spans", "classify_nb_lang", "graph_pagerank",
     // streaming drains over the replicated events feed: per-tick cost
     // should grow ~linearly with batch bytes while the touched-partition
     // count (days) stays constant — O(batch), never O(table)

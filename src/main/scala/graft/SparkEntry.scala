@@ -943,6 +943,24 @@ object SparkEntry {
         .select(col("ida"), col("idb"), round(col("cosine"), 4).as("cosine"))
     }),
 
+    "dedup_semantic_survivors" -> ((s, d) => {
+      // SemDeDup end-to-end: planted exact-duplicate PAIRS (v+1e6) and
+      // TRIPLES (v+2e6 on mod-200 ids) are the only vectors within 0.95
+      // cosine (random embeddings never get close), so the expected
+      // clustering is exactly {v, v+1e6[, v+2e6]} with min-id survivors
+      // and every other vector a kept singleton — the oracle states
+      // that closed form while Spark runs the full LSH-bucket → CC →
+      // survivor pipeline
+      val e = Tables.embeddings(s, d)
+      val dup2 = e.filter(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val dup3 = e.filter(col("vec_id") % 200 === 0)
+        .withColumn("vec_id", col("vec_id") + 2000000L)
+      Similarity.semanticDedup(e.unionByName(dup2).unionByName(dup3),
+        "embedding", "vec_id", dim = 64, threshold = 0.95,
+        targetBucketSize = 64L)
+    }),
+
     // ── LLM-pipeline: similarity search ───────────────────────────────
     "ann_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -2374,6 +2392,20 @@ object SparkEntry {
     "dedup_cosine_pairs" ->
       """SELECT vec_id AS ida, vec_id + 1000000 AS idb, 1.0 AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // closed form of the planted clustering: pair members label back to
+    // v, triple members to v, everything else is a kept singleton
+    "dedup_semantic_survivors" ->
+      """WITH allv AS (
+        |  SELECT vec_id FROM embeddings
+        |  UNION ALL SELECT vec_id + 1000000 FROM embeddings WHERE vec_id % 100 = 0
+        |  UNION ALL SELECT vec_id + 2000000 FROM embeddings WHERE vec_id % 200 = 0),
+        |lab AS (SELECT vec_id,
+        |          CASE WHEN vec_id >= 2000000 THEN vec_id - 2000000
+        |               WHEN vec_id >= 1000000 THEN vec_id - 1000000
+        |               ELSE vec_id END AS cluster_id
+        |        FROM allv)
+        |SELECT vec_id, cluster_id, vec_id = cluster_id AS keep FROM lab""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, lang, source, n_chars

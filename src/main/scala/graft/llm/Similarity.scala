@@ -341,4 +341,36 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication in EMBEDDING space — documents whose vectors sit
+    * within `threshold` cosine of each other are one semantic
+    * duplicate group, and exactly one representative per group
+    * survives. Pipeline: LSH-bucketed cosine pairs
+    * ([[cosineNearDupPairsAuto]] — candidates only ever form inside a
+    * hyperplane-signature bucket, never all-pairs) → transitive closure
+    * via [[Clusters.connectedComponents]] (large-star/small-star) →
+    * min-id survivor (the component label IS the minimum member id, so
+    * survivor selection is a comparison, not another aggregate).
+    *
+    * SemDeDup proper clusters with k-means first and searches pairs
+    * within cells; the LSH bucketing here plays the same
+    * candidate-bounding role with a deterministic, oracle-replayable
+    * partition (and [[trainIvfCentroids]] + cell-scoped pairing is the
+    * drop-in alternative where trained cells fit the corpus better).
+    *
+    * Returns one row per input vector: `(idCol, cluster_id, keep)`. */
+  def semanticDedup(embs: DataFrame, embCol: String, idCol: String,
+                    dim: Int, threshold: Double,
+                    targetBucketSize: Long = 1024L): DataFrame = {
+    val pairs = cosineNearDupPairsAuto(embs, embCol, idCol, dim, threshold,
+        targetBucketSize)
+      .select(col("ida"), col("idb"))
+    val comp = Clusters.connectedComponents(pairs)
+    embs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol).cast("long")).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
 }
