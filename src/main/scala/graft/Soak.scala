@@ -38,6 +38,7 @@ object Soak {
     // (planted residues repeat) so it measures the extraction+distinct
     // corpus pass, not graph growth
     "dedup_substring_spans", "classify_nb_lang", "graph_pagerank",
+    "dedup_winnowed_pairs",
     // streaming drains over the replicated events feed: per-tick cost
     // should grow ~linearly with batch bytes while the touched-partition
     // count (days) stays constant — O(batch), never O(table)

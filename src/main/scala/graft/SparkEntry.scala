@@ -1244,6 +1244,19 @@ object SparkEntry {
         Tables.documents(s, d).withColumn("text", plantedDupText),
         "doc_id", "text", k = 32)),
 
+    "dedup_winnowed_pairs" -> ((s, d) =>
+      // winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): each
+      // window of 8 consecutive 16-gram hashes keeps its min (ties →
+      // rightmost), docs sharing ≥2 surviving fingerprint values pair
+      // up — the sub-linear candidate path for substring dedup; df cap
+      // kills boilerplate fingerprints exactly like containmentPairs.
+      // Same planted twin text as dedup_substring_spans; the md5-derived
+      // 60-bit gram hash is engine-neutral so the oracle replays the
+      // exact fingerprint selection
+      Dedup.winnowedPairs(
+        Tables.documents(s, d).withColumn("text", plantedDupText),
+        "doc_id", "text", k = 16, w = 8, minShared = 2, maxFpDf = 100)),
+
     "text_tfidf_topk" -> ((s, d) =>
       // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
       // over the whole corpus in two hash aggregates and one window
@@ -2804,6 +2817,33 @@ object SparkEntry {
          |       THEN ((coalesce(pd.dup_chars, 0) * 1000000) // len(d.t)) / 1000000.0
          |       ELSE 0.0 END AS dup_frac
          |FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // replays winnowing exactly: per-window min-hash via a CURRENT ROW..
+    // 7 FOLLOWING frame, rightmost tie-break recovered by re-joining the
+    // gram table on (doc, h) within the window's position range, then
+    // the df-capped fingerprint-value join
+    "dedup_winnowed_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $plantedDupSql AS t FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(t) - 15)) AS pos, t, len(t) - 15 AS n
+         |       FROM d WHERE len(t) >= 23),
+         |g AS (SELECT doc_id, pos, n,
+         |        CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 16)), 1, 15) AS BIGINT) AS h
+         |      FROM g0),
+         |t1 AS (SELECT doc_id, pos, n,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+         |       FROM g),
+         |sel AS (SELECT t1.doc_id, max(g.pos) AS pos, t1.wmin AS fp
+         |        FROM t1 JOIN g ON g.doc_id = t1.doc_id AND g.h = t1.wmin
+         |                      AND g.pos BETWEEN t1.pos AND t1.pos + 7
+         |        WHERE t1.pos <= t1.n - 7
+         |        GROUP BY t1.doc_id, t1.pos, t1.wmin),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+         |dfc AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+         |kept AS (SELECT fps.doc_id, fps.fp FROM fps JOIN dfc USING (fp) WHERE df <= 100)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared_fps
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "text_vocab" ->
       """SELECT word, count(*) AS n

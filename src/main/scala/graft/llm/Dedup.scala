@@ -486,6 +486,70 @@ object Dedup {
     * et al. SIGMOD'03) at the cost of span-boundary resolution. The
     * suffix-array formulation (Lee et al.'s own) trades this shuffle
     * for a global sort — same asymptotics, worse constants on Spark. */
+  /** Engine-neutral 60-bit content hash of a gram (top 15 hex digits of
+    * md5) — replayable as `CAST('0x'||substr(md5(g),1,15) AS BIGINT)`,
+    * the same portability contract as [[portableWordHash]]. */
+  def portableGramHash(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the
+    * MOSS algorithm): slide a window of `w` consecutive k-gram hashes
+    * and keep each window's MINIMUM (ties → rightmost position). The
+    * guarantee: any shared substring of length ≥ w+k−1 between two
+    * documents yields at least one shared fingerprint, while only
+    * ~2/(w+1) of positions are kept — this is the documented sub-linear
+    * candidate path for [[substringDupSpans]] at corpus scale.
+    *
+    * Selection is `min(struct(hash, −pos))` over a `[0, w−1]` following
+    * row frame — one sort per doc partition, no self-join — then
+    * distinct: the same (hash, pos) selected by overlapping windows is
+    * one fingerprint. Hashes come from [[portableGramHash]] so a second
+    * engine replays the exact fingerprint set. Returns
+    * `(idCol, pos, fp)` — fingerprint positions and 60-bit values. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    val t = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val grams = t.where(length(col("__t")) >= k + w - 1)
+      .select(col("__id"),
+        explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__pos"),
+        col("__t"))
+      .select(col("__id"), col("__pos"),
+        portableGramHash(col("__t").substr(col("__pos"), lit(k))).as("__h"),
+        (length(col("__t")) - (k - 1)).as("__n"))
+    val win = Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    grams
+      .withColumn("__sel", min(struct(col("__h"), (-col("__pos")).as("__np"))).over(win))
+      // only FULL windows select (a start s has w grams iff s <= n-w+1)
+      .where(col("__pos") <= col("__n") - (w - 1))
+      .select(col("__id"), (-col("__sel.__np")).as("pos"), col("__sel.__h").as("fp"))
+      .distinct()
+      .select(col("__id").as(idCol), col("pos"), col("fp"))
+  }
+
+  /** MOSS-style duplicate-candidate pairs: documents sharing at least
+    * `minShared` winnowing fingerprint VALUES. The fingerprint join is
+    * the only shuffle beyond winnowing itself, and it is equi-join on
+    * the 60-bit value — candidates only form inside a fingerprint
+    * collision group, never all-pairs (the same guardrail shape as the
+    * MinHash band join). `maxFpDf` drops fingerprints shared by more
+    * than that many docs first — boilerplate killers, same role as
+    * [[containmentPairs]]' df cap. */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, w: Int = 8, minShared: Int = 2,
+                    maxFpDf: Int = 100): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+      .localCheckpoint(false)
+    val df = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val kept = fps.join(df.where(col("__df") <= maxFpDf).select("fp"), "fp")
+    kept.toDF("fp", "ida").join(kept.toDF("fp", "idb"), Seq("fp"))
+      .where(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
+
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 32): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
