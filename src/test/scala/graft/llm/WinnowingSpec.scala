@@ -9,9 +9,9 @@ class WinnowingSpec extends SparkSpec {
   private val K = 16
   private val W = 8
 
-  private def fps(docs: Seq[(Long, String)]): Map[Long, Set[(Int, Long)]] =
+  private def fps(docs: Seq[(Long, String)]): Map[Long, Set[(Long, Long)]] =
     Dedup.winnowFingerprints(docs.toDF("doc_id", "text"), "doc_id", "text", K, W)
-      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
 
   test("winnowing guarantee: a shared substring of length >= w+k-1 yields a shared fingerprint VALUE") {
@@ -36,9 +36,9 @@ class WinnowingSpec extends SparkSpec {
     val docs = (0L until 30L).map(i => i -> s"document $i " * 6)
     val df = docs.toDF("doc_id", "text")
     val a = Dedup.winnowFingerprints(df, "doc_id", "text", K, W)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val b = Dedup.winnowFingerprints(df.repartition(11), "doc_id", "text", K, W)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b)
   }
 
