@@ -1244,6 +1244,33 @@ object SparkEntry {
         Tables.documents(s, d).withColumn("text", plantedDupText),
         "doc_id", "text", k = 32)),
 
+    "dedup_bloom_prefilter" -> ((s, d) => {
+      // 100 TB incremental-dedup pre-filter: the corpus (80% of docs)
+      // compresses into ONE 32 KiB Bloom bitmap via the BloomBuild
+      // TypedImperativeAggregate (buffer = the bitmap, OR-merged), and
+      // the batch (20%) probes it with the codegen'd
+      // bloom_might_contain expression. The salted-md5 hash family is
+      // engine-neutral, so the oracle replays membership — INCLUDING
+      // any false positive — via position-set joins. Planted true
+      // positives: mod-10 batch docs carry the text of doc_id+1, which
+      // is always a corpus doc. The driver collect is the filter
+      // itself — bounded by m, never by corpus size
+      val docs = Tables.documents(s, d)
+      val filter = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .agg(graft.functions.BloomOps.bloomBuild(
+          TextAnalysis.fingerprintMd5(col("text"))).as("f"))
+        .head().getAs[Array[Byte]](0)
+      val nextDoc = docs.select(col("doc_id").as("__nid"), col("text").as("__ntext"))
+      docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .join(nextDoc, col("__nid") === col("doc_id") + 1, "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("__ntext").isNotNull,
+            col("__ntext")).otherwise(col("text")).as("__text"))
+        .select(col("doc_id"),
+          graft.functions.BloomOps.bloomMightContain(lit(filter),
+            TextAnalysis.fingerprintMd5(col("__text"))).as("maybe_seen"))
+    }),
+
     "dedup_winnowed_pairs" -> ((s, d) =>
       // winnowing fingerprints (Schleimer SIGMOD'03 / MOSS): each
       // window of 8 consecutive 16-gram hashes keeps its min (ties →
@@ -2821,6 +2848,28 @@ object SparkEntry {
          |       THEN ((coalesce(pd.dup_chars, 0) * 1000000) // len(d.t)) / 1000000.0
          |       ELSE 0.0 END AS dup_frac
          |FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // replays the Bloom filter through its position algebra: k=4 salted
+    // 60-bit md5 positions mod 2^18; maybe_seen = all four of the
+    // batch value's positions appear in the corpus's position set —
+    // bit-for-bit the filter semantics, false positives included
+    "dedup_bloom_prefilter" ->
+      """WITH ii AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |corpus AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents WHERE doc_id % 5 <> 0),
+        |cpos AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '||' || fp), 1, 15) AS BIGINT) % 262144 AS p
+        |         FROM corpus, ii),
+        |batch AS (SELECT d.doc_id,
+        |            CASE WHEN d.doc_id % 10 = 0 AND e.text IS NOT NULL THEN e.text ELSE d.text END AS text
+        |          FROM documents d LEFT JOIN documents e ON e.doc_id = d.doc_id + 1
+        |          WHERE d.doc_id % 5 = 0),
+        |bpos AS (SELECT b.doc_id,
+        |           CAST('0x' || substr(md5(CAST(ii.i AS VARCHAR) || '||' ||
+        |             md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))), 1, 15) AS BIGINT) % 262144 AS p
+        |         FROM batch b, ii)
+        |SELECT bp.doc_id, count(cp.p) = 4 AS maybe_seen
+        |FROM bpos bp LEFT JOIN cpos cp ON cp.p = bp.p
+        |GROUP BY bp.doc_id""".stripMargin,
 
     // replays winnowing exactly: per-window min-hash via a CURRENT ROW..
     // 7 FOLLOWING frame, rightmost tie-break recovered by re-joining the
