@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Chunking, Classify, Clusters, Dedup, Graph, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
+import graft.llm.{Chunking, Classify, Clusters, Dedup, Graph, Html, Links, Multimodal, Packing, Pii, Similarity, Terms, TextAnalysis}
 import graft.marts.Marts
 import graft.merge.MergeEngine
 import graft.ops.Normalize
@@ -162,6 +162,33 @@ object SparkEntry {
       | || CASE WHEN doc_id % 6 = 0 THEN ' SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES AND BREAKING NEWS' ELSE '' END
       | || CASE WHEN doc_id % 10 = 0 THEN ' ALL RIGHTS RESERVED COPYRIGHT NOTICE TERMS OF SERVICE APPLY' ELSE '' END
       | || CASE WHEN doc_id % 15 = 0 THEN repeat(' DOC' || CAST(doc_id AS VARCHAR) || ' REPEATED FRAGMENT ALPHA BETA GAMMA DELTA EPSILON ZETA', 2) ELSE '' END""".stripMargin.replace("\n", "")
+
+  /** documents.text wrapped in deterministic HTML — same twin contract
+    * as [[plantedPiiText]]. Exercises every extraction rule: a title
+    * with an entity, a style block (mod 4) and a script block (mod 5)
+    * whose CONTENT must vanish (the script contains fake `<p>` tags),
+    * a conditional link (mod 3), a comment, and entity-escaped
+    * trailing text. */
+  private def plantedHtml: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" &amp; friends</title>"),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      lit("<style>p { color: red; }</style>")).otherwise(lit("")),
+    lit("</head><body><p>"), col("text"), lit("</p>"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("<a href=\"https://ref"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".example.org/x\">see also</a>"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("<script>var q = \"<p>not text</p>\";</script>")).otherwise(lit("")),
+    lit("<!-- footer -->&lt;end&gt; &amp;fin</body></html>"))
+
+  private val plantedHtmlSql: String =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' &amp; friends</title>'
+      | || CASE WHEN doc_id % 4 = 0 THEN '<style>p { color: red; }</style>' ELSE '' END
+      | || '</head><body><p>' || text || '</p>'
+      | || CASE WHEN doc_id % 3 = 0 THEN '<a href="https://ref' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/x">see also</a>' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN '<script>var q = "<p>not text</p>";</script>' ELSE '' END
+      | || '<!-- footer -->&lt;end&gt; &amp;fin</body></html>'""".stripMargin.replace("\n", "")
 
   /** Planted hosts exercising the full PSL rule taxonomy: two-label
     * public suffixes (co.uk / com.au), an ordinary .org, a PRIVATE
@@ -1706,7 +1733,21 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
-        .select(col("doc_id"), col("byte_size"), col("format")))
+        .select(col("doc_id"), col("byte_size"), col("format"))),
+
+    "html_extract" -> ((s, d) =>
+      // web-ingestion front door: wrap each doc in deterministic HTML
+      // (title with an entity, optional style/script blocks whose
+      // CONTENT must vanish — the script even contains fake tags — a
+      // conditional link, a comment, and entity-escaped text) and
+      // extract title/clean-text/link-count through the portable-regex
+      // pipeline; the oracle replays every strip/decode stage in RE2
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedHtml.as("html"))
+        .select(col("doc_id"),
+          Html.htmlTitle(col("html")).as("title"),
+          Html.htmlToText(col("html")).as("text_clean"),
+          Html.htmlLinkCount(col("html")).as("n_links")))
   )
 
   // ── ANN oracle building blocks ─────────────────────────────────────────
@@ -3183,6 +3224,31 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
         | 'unknown' AS format
         |FROM documents""".stripMargin,
+
+    // replays the extraction stage-for-stage in RE2: script/style/comment
+    // blocks vanish with content, tags drop, the five XML entities decode
+    // with &amp; LAST (one pass, never two), whitespace collapses
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id, $plantedHtmlSql AS html FROM documents),
+         |s1 AS (SELECT doc_id, html, regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+         |s2 AS (SELECT doc_id, html, regexp_replace(t, '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+         |s3 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+         |s4 AS (SELECT doc_id, html, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s3),
+         |e1 AS (SELECT doc_id, html, regexp_replace(t, '&(lt|#60);', '<', 'g') AS t FROM s4),
+         |e2 AS (SELECT doc_id, html, regexp_replace(t, '&(gt|#62);', '>', 'g') AS t FROM e1),
+         |e3 AS (SELECT doc_id, html, regexp_replace(t, '&(quot|#34);', '"', 'g') AS t FROM e2),
+         |e4 AS (SELECT doc_id, html, regexp_replace(t, '&(apos|#39);', '''', 'g') AS t FROM e3),
+         |e5 AS (SELECT doc_id, html, regexp_replace(t, '&(amp|#38);', '&', 'g') AS t FROM e4)
+         |SELECT doc_id,
+         |  trim(regexp_replace(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_extract(html, '(?is)<title\\b[^>]*>(.*?)</title>', 1),
+         |      '&(lt|#60);', '<', 'g'), '&(gt|#62);', '>', 'g'), '&(quot|#34);', '"', 'g'),
+         |      '&(apos|#39);', '''', 'g'), '&(amp|#38);', '&', 'g'),
+         |    '\\s+', ' ', 'g')) AS title,
+         |  trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
+         |  CAST(len(regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS BIGINT) AS n_links
+         |FROM e5""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(decoded AS BOOLEAN) AS decoded,
