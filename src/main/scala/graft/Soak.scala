@@ -38,7 +38,8 @@ object Soak {
     // (planted residues repeat) so it measures the extraction+distinct
     // corpus pass, not graph growth
     "dedup_substring_spans", "classify_nb_lang", "graph_pagerank",
-    "dedup_winnowed_pairs",
+    "dedup_winnowed_pairs", "dedup_semantic_survivors",
+    "dedup_bloom_prefilter", "html_extract",
     // streaming drains over the replicated events feed: per-tick cost
     // should grow ~linearly with batch bytes while the touched-partition
     // count (days) stays constant — O(batch), never O(table)
@@ -71,9 +72,15 @@ object Soak {
       math.min(pass(), pass())
     }
 
+    // SPARK_GRAFT_SOAK_ONLY=a,b,c restricts the run to a subset — for
+    // adding rows for new operators without re-timing the whole family
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SoakQueries)(s => SoakQueries.filter(s.contains))
+
     var sumBase = 0.0
     var sumSoak = 0.0
-    val lines = SoakQueries.map { name =>
+    val lines = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val tb = time(fn, base)
       val ts = time(fn, out)
@@ -82,6 +89,8 @@ object Soak {
     }
     lines.foreach(println)
     println(f"""{"metric":"soak_total","x":$x,"base_sec":$sumBase%.2f,"soak_sec":$sumSoak%.2f,"ratio":${sumSoak / sumBase}%.1f}""")
+
+    if (only.nonEmpty) { spark.stop(); return }
 
     // trained-IVF recall at soak scale: k=64 spherical k-means++ +
     // 2 Lloyd passes vs the LSH r=2 multiprobe, against brute force.
