@@ -163,6 +163,27 @@ object SparkEntry {
       | || CASE WHEN doc_id % 10 = 0 THEN ' ALL RIGHTS RESERVED COPYRIGHT NOTICE TERMS OF SERVICE APPLY' ELSE '' END
       | || CASE WHEN doc_id % 15 = 0 THEN repeat(' DOC' || CAST(doc_id AS VARCHAR) || ' REPEATED FRAGMENT ALPHA BETA GAMMA DELTA EPSILON ZETA', 2) ELSE '' END""".stripMargin.replace("\n", "")
 
+  /** documents.text restructured into newline-separated paragraphs —
+    * same twin contract as [[plantedPiiText]]. Three paragraphs per
+    * doc: a doc-unique intro (first 80 chars), a newsletter banner
+    * shared by mod-4 docs OR a short per-doc note (< minChars, must
+    * never dedup), and a copyright footer shared by mod-7 docs OR a
+    * doc-unique tail. */
+  private def plantedParagraphText: Column = concat_ws("\n",
+    concat(lit("intro "), substring(col("text"), 1, 80)),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      lit("subscribe to our newsletter for updates and follow us on social media today"))
+      .otherwise(concat(lit("note "), col("doc_id").cast("string"))),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit("copyright example corp all rights reserved unauthorized reproduction prohibited"))
+      .otherwise(concat(lit("tail "), substring(col("text"), 81, 60))))
+
+  private val plantedParagraphSql: String =
+    """concat_ws(chr(10),
+      | 'intro ' || substr(text, 1, 80),
+      | CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter for updates and follow us on social media today' ELSE 'note ' || CAST(doc_id AS VARCHAR) END,
+      | CASE WHEN doc_id % 7 = 0 THEN 'copyright example corp all rights reserved unauthorized reproduction prohibited' ELSE 'tail ' || substr(text, 81, 60) END)""".stripMargin.replace("\n", "")
+
   /** documents.text wrapped in deterministic HTML — same twin contract
     * as [[plantedPiiText]]. Exercises every extraction rule: a title
     * with an entity, a style block (mod 4) and a script block (mod 5)
@@ -1314,6 +1335,18 @@ object SparkEntry {
       Dedup.winnowedPairs(
         Tables.documents(s, d).withColumn("text", plantedDupText),
         "doc_id", "text", k = 24, w = 8, minShared = 2, maxFpDf = 100)),
+
+    "dedup_paragraphs" -> ((s, d) =>
+      // CCNet/RefinedWeb boilerplate stage: docs get a paragraph
+      // structure (unique intro, a newsletter banner on mod-4 docs, a
+      // copyright footer on mod-7 docs, short per-doc notes that must
+      // NEVER dedup), then corpus-wide first-occurrence paragraph
+      // dedup reassembles each doc from its surviving paragraphs
+      Dedup.paragraphDedup(
+        Tables.documents(s, d)
+          .withColumn("text", plantedParagraphText)
+          .select("doc_id", "text"),
+        "doc_id", "text", minChars = 30)),
 
     "text_tfidf_topk" -> ((s, d) =>
       // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
@@ -2889,6 +2922,22 @@ object SparkEntry {
          |       THEN ((coalesce(pd.dup_chars, 0) * 1000000) // len(d.t)) / 1000000.0
          |       ELSE 0.0 END AS dup_frac
          |FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // replays paragraph dedup: same planted construction, first
+    // occurrence by (doc_id, pos) wins per paragraph group, short
+    // paragraphs exempt, docs reassembled by position
+    "dedup_paragraphs" ->
+      s"""WITH built AS (SELECT doc_id, $plantedParagraphSql AS text FROM documents),
+         |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM built),
+         |pars AS (SELECT doc_id, UNNEST(ps) AS par, UNNEST(range(0, len(ps))) AS pos FROM sp),
+         |rn AS (SELECT doc_id, pos, par,
+         |         row_number() OVER (PARTITION BY md5(par) ORDER BY doc_id, pos) AS rn FROM pars),
+         |keepers AS (SELECT doc_id, pos, par, (len(par) < 30 OR rn = 1) AS keep FROM rn)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN keep THEN par END, chr(10) ORDER BY pos), '') AS text_clean,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+         |FROM keepers GROUP BY doc_id""".stripMargin,
 
     // replays the Bloom filter through its position algebra: k=4 salted
     // 60-bit md5 positions mod 2^18; maybe_seen = all four of the

@@ -21,7 +21,12 @@ object Verify {
     // stdout summary — a round with broken queries must never read as
     // "nothing declared" (round-1 failure mode)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=a,b,c dumps a subset (builder iteration
+    // aid; the driver never sets it, so its runs always dump everything)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s.contains(kv._1)))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -46,7 +51,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    println(s"[verify] ${SparkEntry.queries.size - errors.size}/${SparkEntry.queries.size} queries dumped" +
+    println(s"[verify] ${selected.size - errors.size}/${selected.size} queries dumped" +
       (if (errors.nonEmpty) s"; FAILED: ${errors.keys.mkString(", ")}" else ""))
     spark.stop()
   }

@@ -613,4 +613,43 @@ object Dedup {
           expr("(coalesce(dup_chars, 0L) * 1000000) div __len") / lit(1000000.0))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Paragraph-level exact dedup across the corpus — the CCNet /
+    * RefinedWeb "strip repeated boilerplate" stage: split each doc on
+    * `sep`, keep the corpus-wide FIRST occurrence (lowest (id, pos)) of
+    * every paragraph of at least `minChars` chars, drop later copies,
+    * and reassemble each doc from its surviving paragraphs in order.
+    * Paragraphs under `minChars` never dedup — blank lines and short
+    * headers are document structure, not boilerplate. Output one row
+    * per input doc: (id, text_clean, n_kept, n_removed); a doc whose
+    * every paragraph was seen earlier comes back with text_clean = "".
+    *
+    * Scale: one explode to a row per paragraph, first-occurrence
+    * selection is a single window over the 128-bit paragraph hash (all
+    * copies of a paragraph land in one hash partition; rank 1 is the
+    * earliest), reassembly is one groupBy doc collecting the survivors
+    * — every stage is O(paragraphs), and paragraph text shuffles at
+    * most twice (winner window, reassembly), never joins against
+    * itself.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 30, sep: String = "\n"): DataFrame = {
+    val pars = parallelize(docs).select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__par")))
+    val w = Window.partitionBy(md5(col("__par")))
+      .orderBy(col(idCol).asc, col("__pos").asc)
+    val kept = pars
+      .withColumn("__keep",
+        length(col("__par")) < minChars || row_number().over(w) === 1)
+    kept.groupBy(col(idCol))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__par"))))),
+          s => s("__par"))).as("text_clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
 }
