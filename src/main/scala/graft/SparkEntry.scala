@@ -1217,6 +1217,16 @@ object SparkEntry {
           Seq("doc_id"), alpha = 0.5, targetRows = 250)
         .groupBy("source").agg(count(lit(1)).as("n"))),
 
+    "sample_importance" -> ((s, d) => {
+      // DSIR: select the 100 docs whose unigram distribution most
+      // resembles the English subcorpus, drawn ∝ importance weight via
+      // deterministic Gumbel top-k; the oracle replays both LMs, the
+      // micro-nat quantization, and the md5-derived Gumbel exactly
+      val docs = Tables.documents(s, d)
+      graft.llm.Sampling.importanceResample(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", k = 100)
+    }),
+
     "text_unigram_nll" -> ((s, d) =>
       // perplexity-style quality score: mean -ln p(token) under the
       // corpus's own unigram LM, integer-quantized per token so the
@@ -2067,6 +2077,34 @@ object SparkEntry {
         |FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
         |WHERE CAST(CAST('0x' || substring(md5('temperature' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0 < rate
         |GROUP BY d.source""".stripMargin,
+
+    // DSIR replay: both add-1 unigram LMs over the union vocabulary,
+    // per-token log-ratios quantized to integer micro-nats and summed
+    // as BIGINT weighted by tf, Gumbel keys from the md5-derived
+    // uniform, top-100 by (key, doc_id) — deterministic end to end
+    "sample_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |rawtf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |rawc AS (SELECT tok, sum(tf) AS cr FROM rawtf GROUP BY 1),
+        |tgtc AS (SELECT tok, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY 1),
+        |vocab AS (SELECT coalesce(rawc.tok, tgtc.tok) AS tok,
+        |            coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+        |          FROM rawc FULL OUTER JOIN tgtc ON rawc.tok = tgtc.tok),
+        |tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM vocab),
+        |lr AS (SELECT tok, CAST(round((ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v))) * 1e6) AS BIGINT) AS lr
+        |       FROM vocab, tot),
+        |scored AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |             CAST(sum(tf * lr) AS BIGINT) AS sm
+        |           FROM rawtf JOIN lr USING (tok) GROUP BY 1),
+        |keyed AS (SELECT doc_id, n_tokens, sm,
+        |  CAST(round((sm / 1e6 - ln(-ln((CAST(CAST('0x' || substring(md5('dsir' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) + 0.5) / 65536.0))) * 1e6) AS BIGINT) AS key
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, round(sm / 1e6, 6) AS log_ratio,
+        |  CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC) AS INT) AS rank
+        |FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // token p = cnt/total over the whole corpus; per-token cost
     // quantized to integer micro-nats (round half-up matches Spark) and

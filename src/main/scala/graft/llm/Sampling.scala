@@ -158,4 +158,64 @@ object Sampling {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     splitByHash(keyed, Seq("cluster_id"), weights, seed)
   }
+
+  /** Data Selection via Importance Resampling (Xie et al.,
+    * arXiv:2302.03169): score every raw document by the log-likelihood
+    * ratio between a TARGET-corpus unigram LM and the RAW-corpus
+    * unigram LM (add-1 smoothed over their union vocabulary), then
+    * draw `k` documents without replacement with probability ∝ the
+    * importance weight w(x) = p_target(x)/p_raw(x) via Gumbel top-k
+    * (Vieira '14; Kool et al. ICML'19): take the k largest
+    * log w(x) + g_x where g_x = −ln(−ln(u_x)). The uniform u_x comes
+    * from the engine-neutral [[md5Bucket]] of the doc id, so the draw
+    * is deterministic, replay-stable, and auditable outside Spark.
+    *
+    * Per-token log-ratios are quantized to integer micro-nats and
+    * summed as longs weighted by term frequency (order-independent,
+    * cross-engine exact — the [[Terms.unigramNegLogProb]] contract);
+    * the Gumbel perturbation quantizes the same way before ranking.
+    * Output: (id, n_tokens, log_ratio, rank) for the k selected docs.
+    *
+    * Scale: two tokenize+count passes (raw corpus, target corpus), a
+    * vocabulary-sized full-outer join, one score join back to the raw
+    * term frequencies, and a distributed top-k (TakeOrdered — no
+    * global sort materializes). The raw tf is checkpointed because it
+    * feeds both its LM counts and the score join. */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+                         textCol: String, k: Int,
+                         seed: String = "dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    def tf(df: DataFrame) = df.select(col(idCol),
+        explode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val rawTf = tf(raw).localCheckpoint(false)
+    val vocab = tf(target).groupBy("__tok").agg(sum(col("__tf")).as("__ct"))
+      .join(rawTf.groupBy("__tok").agg(sum(col("__tf")).as("__cr")),
+        Seq("__tok"), "full_outer")
+      .select(col("__tok"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+      .localCheckpoint(false) // tiny (vocab-sized); feeds totals + join
+    val t = vocab.agg(sum(col("__cr")), sum(col("__ct")), count(lit(1))).head()
+    val (totR, totT, v) =
+      (if (t.isNullAt(0)) 0L else t.getLong(0),
+       if (t.isNullAt(1)) 0L else t.getLong(1), t.getLong(2))
+    val lr = vocab.select(col("__tok"),
+      round((log((col("__ct") + 1L).cast("double") / (totT + v).toDouble) -
+             log((col("__cr") + 1L).cast("double") / (totR + v).toDouble)) * 1e6)
+        .cast("long").as("__lr"))
+    val scored = rawTf.join(lr, "__tok")
+      .groupBy(idCol)
+      .agg(sum(col("__tf")).as("n_tokens"),
+        sum(col("__tf") * col("__lr")).as("__sm"))
+    val u = (md5Bucket(Seq(col(idCol)), seed).cast("double") + 0.5) / 65536.0
+    val keyed = scored.withColumn("__key",
+      round((col("__sm").cast("double") / 1e6 - log(-log(u))) * 1e6).cast("long"))
+    // distributed top-k first; the rank window runs on k rows only
+    val top = keyed.orderBy(col("__key").desc, col(idCol).asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("__key").desc, col(idCol).asc)))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sm").cast("double") / 1e6, 6).as("log_ratio"), col("rank"))
+  }
 }

@@ -195,4 +195,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.md5Bucket(Seq(col("k1"), col("k2")), "seed").as("b")).as[Long].collect()
     assert(buckets(0) != buckets(1), "NULL-position identities collided")
   }
+
+  test("importanceResample: target-like docs dominate when the score gap beats the Gumbel band") {
+    // Gumbel noise from the 16-bit md5 uniform lives in ~[-2.5, 11.8];
+    // 30-token docs at ±~2 nats/token put ~±60 between the families
+    val aaa = Array.fill(30)("alpha").mkString(" ")
+    val zzz = Array.fill(30)("omega").mkString(" ")
+    val raw = ((0L until 20L).map(i => (i, aaa)) ++ (20L until 40L).map(i => (i, zzz)))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, aaa)).toDF("doc_id", "text")
+    val out = Sampling.importanceResample(raw, target, "doc_id", "text", k = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(out.length == 20)
+    assert(out.map(_._2).sorted.toSeq == (1 to 20), "ranks must be 1..k")
+    assert(out.map(_._1).forall(_ < 20L), "every selected doc is from the target-like family")
+  }
+
+  test("importanceResample: deterministic and partition-independent") {
+    val docs = (0L until 50L).map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11} filler common words"))
+      .toDF("doc_id", "text")
+    val tgt = docs.filter(col("doc_id") % 2 === 0)
+    val a = canon(Sampling.importanceResample(docs, tgt, "doc_id", "text", k = 10))
+    val b = canon(Sampling.importanceResample(docs.repartition(7), tgt.repartition(3),
+      "doc_id", "text", k = 10))
+    assert(a == b)
+  }
 }
