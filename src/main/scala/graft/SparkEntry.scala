@@ -1198,6 +1198,15 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
         .select("doc_id", "source", "lang", "n_chars")),
 
+    "sample_token_budget" -> ((s, d) =>
+      // fixed token spend per source: docs enter in md5 hash order and
+      // the running whitespace-token total must stay ≤ 3000; the
+      // oracle replays the hash order and the window sum exactly
+      graft.llm.Sampling.tokenBudgetPerGroup(Tables.documents(s, d),
+          Seq("source"), TextAnalysis.tokenCount(col("text")),
+          Seq("doc_id"), budget = 3000)
+        .select("doc_id", "source")),
+
     "sample_weighted" -> ((s, d) =>
       // quality-weighted corpus mix: keep docs with probability
       // n_chars/400 (clamped) — every decision replayed by the oracle
@@ -2056,6 +2065,19 @@ object SparkEntry {
         |                            ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+
+    // replays the prefix-of-hash-order token budget: same md5 order,
+    // same whitespace token count, same running-sum cutoff
+    "sample_token_budget" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |      OVER (PARTITION BY source
+        |            ORDER BY CAST('0x' || substring(md5('budget' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) ASC, doc_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |WHERE cum <= 3000""".stripMargin,
 
     "sample_weighted" ->
       """SELECT lang, count(*) AS n FROM documents

@@ -159,6 +159,27 @@ object Sampling {
     splitByHash(keyed, Seq("cluster_id"), weights, seed)
   }
 
+  /** Token-budget cap per group: keep each group's rows in the
+    * engine-neutral md5 hash order (tie-broken by `keyCols` — pass a
+    * unique id for a total order) while the cumulative `tokens` count
+    * stays within `budget`. Row caps treat a tweet and a book as the
+    * same spend; token budgets are what trainers actually allocate
+    * per source/domain. The kept set is a PREFIX of the hash order,
+    * so a larger budget always yields a superset (monotone) and
+    * re-runs are replay-stable like every sampler here. One shuffle
+    * on the group key; the running sum is a single window pass. */
+  def tokenBudgetPerGroup(df: DataFrame, groupCols: Seq[String],
+                          tokens: Column, keyCols: Seq[String], budget: Long,
+                          seed: String = "budget"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy((md5Bucket(keyCols.map(col), seed).asc +: keyCols.map(col(_).asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Iterator.from(0).map(i => s"__cum$i").find(!df.columns.contains(_)).get
+    df.withColumn(cum, sum(tokens.cast("long")).over(w))
+      .filter(col(cum) <= budget).drop(cum)
+  }
+
   /** Data Selection via Importance Resampling (Xie et al.,
     * arXiv:2302.03169): score every raw document by the log-likelihood
     * ratio between a TARGET-corpus unigram LM and the RAW-corpus

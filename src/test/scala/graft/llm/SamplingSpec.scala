@@ -196,6 +196,25 @@ class SamplingSpec extends SparkSpec {
     assert(buckets(0) != buckets(1), "NULL-position identities collided")
   }
 
+  test("tokenBudgetPerGroup: budget respected, prefix is monotone in the budget, stable") {
+    val docs = (1L to 100L).map(i => (i, s"src${i % 3}",
+      Array.fill((i % 13).toInt + 1)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    val toks = TextAnalysis.tokenCount(col("text"))
+    def ids(budget: Long) = Sampling.tokenBudgetPerGroup(docs, Seq("source"), toks,
+      Seq("doc_id"), budget).select("doc_id").as[Long].collect().toSet
+    val small = ids(40)
+    val big = ids(120)
+    assert(small.nonEmpty && small.subsetOf(big), "larger budget must keep a superset")
+    // per-group spend stays within budget
+    val spent = Sampling.tokenBudgetPerGroup(docs, Seq("source"), toks, Seq("doc_id"), 40)
+      .groupBy("source").agg(sum(toks).as("t")).select("t").as[Long].collect()
+    assert(spent.forall(_ <= 40))
+    // partition-independent
+    val b = Sampling.tokenBudgetPerGroup(docs.repartition(7), Seq("source"), toks,
+      Seq("doc_id"), 40).select("doc_id").as[Long].collect().toSet
+    assert(b == small)
+  }
+
   test("importanceResample: target-like docs dominate when the score gap beats the Gumbel band") {
     // Gumbel noise from the 16-bit md5 uniform lives in ~[-2.5, 11.8];
     // 30-token docs at ±~2 nats/token put ~±60 between the families
