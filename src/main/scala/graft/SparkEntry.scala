@@ -1242,6 +1242,12 @@ object SparkEntry {
       // mean is order- and engine-independent
       Terms.unigramNegLogProb(Tables.documents(s, d), "doc_id", "text")),
 
+    "text_bigram_nll" -> ((s, d) =>
+      // word-order-aware quality score: mean -ln p(w2|w1) under the
+      // corpus's add-1 bigram LM; same micro-nat contract as the
+      // unigram scorer, so the oracle replays it exactly
+      Terms.bigramNegLogProb(Tables.documents(s, d), "doc_id", "text")),
+
     "classify_nb_lang" -> ((s, d) => {
       // CCNet-style filter model: multinomial Naive Bayes trained on an
       // md5-hash 80% split, applied to the held-out 20% — all
@@ -2143,6 +2149,26 @@ object SparkEntry {
         |        CAST(round(-ln(CAST(cnt AS DOUBLE) / (SELECT total FROM n)) * 1000000) AS BIGINT) AS nll
         |      FROM t JOIN c ON t.tok = c.tok)
         |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(nll) AS DOUBLE) / count(*) / 1000000.0 AS avg_neg_logprob
+        |FROM s GROUP BY doc_id""".stripMargin,
+
+    // replays the bigram LM: same bigram construction, add-1
+    // conditional (cnt+1)/(ctx+V) in integer micro-nats, same mean
+    "text_bigram_nll" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+        |        THEN list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1])
+        |        ELSE CAST([] AS VARCHAR[]) END) AS bg FROM w),
+        |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY bg),
+        |ctx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(cnt) AS ctxn FROM c GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS nv FROM (
+        |        SELECT unnest(list_filter(
+        |          string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS tok
+        |        FROM documents)),
+        |s AS (SELECT b.doc_id,
+        |        CAST(round(-ln((c.cnt + 1.0) / (ctx.ctxn + v.nv)) * 1000000) AS BIGINT) AS nll
+        |      FROM b JOIN c USING (bg) JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1, v)
+        |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(nll) AS DOUBLE) / count(*) / 1000000.0 AS avg_neg_logprob
         |FROM s GROUP BY doc_id""".stripMargin,
 

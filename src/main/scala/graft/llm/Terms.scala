@@ -127,6 +127,46 @@ object Terms {
           .as("avg_neg_logprob"))
   }
 
+  /** Corpus-bigram conditional negative log-likelihood — the step up
+    * from [[unigramNegLogProb]] that actually penalizes scrambled
+    * word ORDER, not just rare words: each bigram occurrence (w1,w2)
+    * costs −ln p(w2|w1) under the corpus's add-1-smoothed bigram LM,
+    * p(w2|w1) = (C(w1,w2)+1) / (C(w1,·)+V) with V the unigram
+    * vocabulary size. Same integer micro-nat quantization contract as
+    * the unigram scorer: per-bigram costs round to micro-nats and sum
+    * as longs weighted by tf, so the per-doc mean is bit-identical
+    * across engines and summation orders.
+    *
+    * Scale: one bigram explode + (doc, bigram) hash agg (checkpointed
+    * — it feeds both the model counts and the score join), bigram and
+    * context counts are model-sized aggs off that, plus one distinct
+    * pass for V. Cost is O(corpus tokens) with no self-joins. */
+  def bigramNegLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs.select(col(idCol), explode(bigrams).as("__bg"))
+      .groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
+    val bgCounts = tf.groupBy("__bg").agg(sum(col("__tf")).as("__cnt"))
+      .withColumn("__w1", element_at(split(col("__bg"), " ", 2), 1))
+      .localCheckpoint(false) // model-sized; feeds contexts + score join
+    val ctxCounts = bgCounts.groupBy("__w1").agg(sum(col("__cnt")).as("__ctx"))
+    val v = docs.select(explode(words).as("__tok"))
+      .filter(col("__tok") =!= "").distinct().count()
+    tf.join(bgCounts, "__bg")
+      .join(ctxCounts, "__w1")
+      .withColumn("__nll",
+        round(-log((col("__cnt") + 1L).cast("double") /
+          (col("__ctx") + v).cast("double")) * 1e6).cast("long"))
+      .groupBy(idCol)
+      .agg(sum(col("__tf")).as("n_bigrams"),
+        (sum(col("__tf") * col("__nll")).cast("double") / sum(col("__tf")) / 1e6)
+          .as("avg_neg_logprob"))
+  }
+
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
     // cut the lineage: sh feeds both self-join sides AND the sizes

@@ -158,4 +158,31 @@ class TermsSpec extends SparkSpec {
     assert(got(1L) == ((3L, (2 * nll(2) + nll(2)).toDouble / 3 / 1e6)), got.toString)
     assert(got(2L) == ((2L, (nll(2) + nll(1)).toDouble / 2 / 1e6)), got.toString)
   }
+
+  test("bigramNegLogProb: word order matters — scrambled text scores worse, unigram can't tell") {
+    import spark.implicits._
+    val natural = "the cat sat on the mat and the dog sat on the rug"
+    // same multiset of words, order destroyed
+    val scrambled = "mat the on dog sat rug the the and cat on sat the"
+    val corpus = ((0L until 20L).map(i => (i, natural)) :+ (99L, scrambled))
+      .toDF("doc_id", "text")
+    val bi = Terms.bigramNegLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(99L) > bi(0L), s"scrambled must cost more: $bi")
+    val uni = Terms.unigramNegLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(99L) - uni(0L)) < 1e-9, "unigram is order-blind by construction")
+  }
+
+  test("bigramNegLogProb: exact add-1 conditional; single-token and empty docs drop out") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a"), (3L, "")).toDF("doc_id", "text")
+    val out = Terms.bigramNegLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L))
+    // bigrams: "a b"×2, "b a"×1; contexts: a·=2, b·=1; V=2
+    val nab = math.round(-math.log(3.0 / 4.0) * 1e6)
+    val nba = math.round(-math.log(2.0 / 3.0) * 1e6)
+    assert(out(1L) == ((3L, (2 * nab + nba).toDouble / 3 / 1e6)), out.toString)
+  }
 }
