@@ -1248,6 +1248,24 @@ object SparkEntry {
       // unigram scorer, so the oracle replays it exactly
       Terms.bigramNegLogProb(Tables.documents(s, d), "doc_id", "text")),
 
+    "text_nfc_normalize" -> ((s, d) => {
+      // canonical composition ahead of hashing: mod-3 docs get a
+      // DECOMPOSED suffix (e + U+0301, i + U+0308), mod-5 docs the
+      // COMPOSED forms — after nfc_normalize (native codegen
+      // expression, Java Normalizer) both fingerprint identically,
+      // cross-validated against DuckDB's independent normalizer
+      val variant = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit(" cafe\u0301 nai\u0308ve")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit(" caf\u00e9 na\u00efve")).otherwise(lit("")))
+      val nfc = graft.functions.TextOps.nfcNormalize(variant)
+      Tables.documents(s, d).select(col("doc_id"),
+        octet_length(variant).as("bytes_raw"),
+        octet_length(nfc).as("bytes_nfc"),
+        md5(nfc).as("fp_nfc"))
+    }),
+
     "classify_nb_lang" -> ((s, d) => {
       // CCNet-style filter model: multinomial Naive Bayes trained on an
       // md5-hash 80% split, applied to the held-out 20% — all
@@ -2151,6 +2169,19 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |  CAST(sum(nll) AS DOUBLE) / count(*) / 1000000.0 AS avg_neg_logprob
         |FROM s GROUP BY doc_id""".stripMargin,
+
+    // DuckDB's own (utf8proc-based) NFC vs the engine's Java
+    // Normalizer — an independent implementation pair agreeing on
+    // byte length and md5 is the real cross-check
+    "text_nfc_normalize" ->
+      """WITH v AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' caf' || chr(233) || ' na' || chr(239) || 've' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(strlen(t) AS INT) AS bytes_raw,
+        |  CAST(strlen(nfc_normalize(t)) AS INT) AS bytes_nfc,
+        |  md5(nfc_normalize(t)) AS fp_nfc
+        |FROM v""".stripMargin,
 
     // replays the bigram LM: same bigram construction, add-1
     // conditional (cnt+1)/(ctx+V) in integer micro-nats, same mean

@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[FloatVectorCosine], "vector_cosine",
         "vector_cosine(a, b) - cosine similarity of two float vectors"),
       (children: Seq[Expression]) => FloatVectorCosine(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info(classOf[NfcNormalize], "nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonical composition of s"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

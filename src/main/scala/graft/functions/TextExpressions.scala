@@ -98,8 +98,53 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 }
 
+/** Shared NFC path for the interpreted and generated code of
+  * [[NfcNormalize]]; static forwarder keeps it callable from Janino. */
+object NfcUtil {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: already-composed text (all-ASCII in particular) skips
+    // the normalizer allocation entirely — the overwhelmingly common
+    // case, so the expression is ~a no-op on clean corpora
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC canonical composition as a native codegen expression
+  * (UAX #15). Visually identical strings arrive from the web in
+  * composed (U+00E9) and decomposed (U+0065 U+0301) forms; every
+  * hash-based stage downstream — exact dedup, shingling, fingerprints,
+  * URL keys — treats them as distinct documents unless text is
+  * canonicalized first. Spark ships no normalizer built-in; a UDF
+  * would break whole-stage codegen on the hottest per-row path, so
+  * this stays a primitive expression with an isNormalized fast path.
+  * NULL propagates as NULL (standard unary null semantics). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = NfcUtil.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
+}
+
 /** Column-API entry point. */
 object TextOps {
   def wordShingles(text: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(text), n))
+
+  def nfcNormalize(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
 }
