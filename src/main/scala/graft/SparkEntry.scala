@@ -178,6 +178,12 @@ object SparkEntry {
       lit("copyright example corp all rights reserved unauthorized reproduction prohibited"))
       .otherwise(concat(lit("tail "), substring(col("text"), 81, 60))))
 
+  /** Clean suffix for the mojibake twin: accents, an em-dash, and curly
+    * quotes — one 2-byte and several 3-byte UTF-8 sequences, so the
+    * planted damage exercises both signature classes. */
+  private val MojibakeCleanSuffix =
+    "caf\u00e9 na\u00efve \u2014 \u201cquoted\u201d"
+
   private val plantedParagraphSql: String =
     """concat_ws(chr(10),
       | 'intro ' || substr(text, 1, 80),
@@ -1266,6 +1272,23 @@ object SparkEntry {
         md5(nfc).as("fp_nfc"))
     }),
 
+    "text_fix_mojibake" -> ((s, d) => {
+      // ftfy-core repair: mod-6 docs get a genuinely double-encoded
+      // suffix (UTF-8 bytes of the clean string re-read as Latin-1,
+      // computed here — not hand-typed); fixMojibake must restore the
+      // clean form and leave every other doc untouched. The oracle
+      // states the closed form: planted docs end clean, changed=true
+      val moji = new String(
+        MojibakeCleanSuffix.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val variant = concat(col("text"),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit(" " + moji)).otherwise(lit("")))
+      val fixed = TextAnalysis.fixMojibake(variant)
+      Tables.documents(s, d).select(col("doc_id"),
+        fixed.as("text_fixed"),
+        (fixed =!= variant).as("changed"))
+    }),
+
     "classify_nb_lang" -> ((s, d) => {
       // CCNet-style filter model: multinomial Naive Bayes trained on an
       // md5-hash 80% split, applied to the held-out 20% — all
@@ -2182,6 +2205,17 @@ object SparkEntry {
         |  CAST(strlen(nfc_normalize(t)) AS INT) AS bytes_nfc,
         |  md5(nfc_normalize(t)) AS fp_nfc
         |FROM v""".stripMargin,
+
+    // mojibake's closed form: the planted double-encoding must come
+    // back exactly clean (chr codepoints spell the clean suffix), all
+    // other docs byte-identical and unchanged
+    "text_fix_mojibake" ->
+      """SELECT doc_id,
+        |  text || CASE WHEN doc_id % 6 = 0
+        |    THEN ' caf' || chr(233) || ' na' || chr(239) || 've ' || chr(8212) || ' ' || chr(8220) || 'quoted' || chr(8221)
+        |    ELSE '' END AS text_fixed,
+        |  (doc_id % 6 = 0) AS changed
+        |FROM documents""".stripMargin,
 
     // replays the bigram LM: same bigram construction, add-1
     // conditional (cnt+1)/(ctx+V) in integer micro-nats, same mean

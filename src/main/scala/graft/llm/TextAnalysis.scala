@@ -83,6 +83,25 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column = md5(normalized(text))
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
+  /** Mojibake repair — the core fix of ftfy (Speer,
+    * github.com/rspeer/python-ftfy): web text whose UTF-8 bytes were
+    * mis-decoded as Latin-1 once ("cafÃ©", "â€œquotedâ€") is
+    * restored by reversing the damage — re-encode as Latin-1, decode
+    * as UTF-8. Applied only when BOTH hold: the text carries a
+    * double-encoding signature (Ã/Â/â followed by chars in the
+    * Latin-1 continuation range U+0080–U+00BF — exactly what UTF-8
+    * multi-byte sequences decode to) and every char fits in Latin-1
+    * (so the re-encode is lossless). Clean text — including genuine
+    * single-encoded accents like "São" — passes through untouched.
+    * One pass fixes one layer of damage; doubly-mojibaked text needs
+    * a second application. Pure Column expression, codegen-friendly. */
+  def fixMojibake(text: Column): Column = {
+    val signature = "[\\u00c2\\u00c3][\\u0080-\\u00bf]|\\u00e2[\\u0080-\\u00bf]{2}"
+    val latin1Only = "^[\\u0000-\\u00ff]*$"
+    when(text.rlike(signature) && text.rlike(latin1Only),
+      decode(encode(text, "ISO-8859-1"), "UTF-8")).otherwise(text)
+  }
+
   /** Character-level Shannon entropy (bits/char) — the standard cheap
     * gibberish detector: natural language sits ~3.5–4.5 bits, repeated
     * padding near 0, random base64 near 6. Pure Column expression: one

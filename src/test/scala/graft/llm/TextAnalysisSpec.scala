@@ -81,4 +81,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == 0.0)
     assert(out(4L) == 2.0)
   }
+
+  test("fixMojibake reverses one layer of UTF-8-as-Latin-1 damage, touches nothing else") {
+    import spark.implicits._
+    def breakOnce(s: String) = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val clean2 = "caf\u00e9 \u2014 \u201cquoted\u201d na\u00efve"
+    val clean5 = "S\u00e3o Paulo a\u00e7a\u00ed"
+    val docs = Seq(
+      (1L, "plain ascii stays put"),
+      (2L, breakOnce(clean2)),            // damaged → must restore
+      (3L, clean2),                       // already clean accents → untouched
+      (4L, breakOnce(breakOnce(clean2))), // DOUBLE damage: one pass peels one layer
+      (5L, clean5)                        // genuine single-encoded text → untouched
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextAnalysis.fixMojibake(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "plain ascii stays put")
+    assert(out(2L) == clean2)
+    assert(out(3L) == clean2)
+    assert(out(4L) == breakOnce(clean2), "one pass peels exactly one layer")
+    assert(out(5L) == clean5)
+    // second application finishes the doubly-damaged doc
+    val twice = docs.filter(col("doc_id") === 4L)
+      .select(TextAnalysis.fixMojibake(TextAnalysis.fixMojibake(col("text"))))
+      .as[String].head()
+    assert(twice == clean2)
+  }
 }
