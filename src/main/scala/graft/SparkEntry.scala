@@ -190,6 +190,34 @@ object SparkEntry {
       | CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter for updates and follow us on social media today' ELSE 'note ' || CAST(doc_id AS VARCHAR) END,
       | CASE WHEN doc_id % 7 = 0 THEN 'copyright example corp all rights reserved unauthorized reproduction prohibited' ELSE 'tail ' || substr(text, 81, 60) END)""".stripMargin.replace("\n", "")
 
+  /** The BPE-training oracle, program-generated: k unrolled CTE layers
+    * of (pair-count p_i → argmax b_i → rewritten vocab w_i), replaying
+    * Bpe.trainMerges' exact algebra — including the two-pass padded
+    * sequential replace and the lexicographic tie-break. */
+  private def bpeOracleSql(k: Int): String = {
+    val tok = "SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word FROM documents"
+    val w0 = s"w0 AS MATERIALIZED (SELECT word, freq, array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq FROM (SELECT word, count(*) AS freq FROM ($tok) GROUP BY word))"
+    def rewrite(i: Int): String = {
+      val best = s"(SELECT pair FROM b$i)"
+      val merged = s"(SELECT replace(pair, ' ', '') FROM b$i)"
+      val pass1 = s"replace(' ' || seq || ' ', ' ' || $best || ' ', ' ' || $merged || ' ')"
+      val pass2 = s"replace($pass1, ' ' || $best || ' ', ' ' || $merged || ' ')"
+      s"w$i AS MATERIALIZED (SELECT word, freq, trim($pass2) AS seq FROM w${i - 1})"
+    }
+    val layers = (1 to k).map { i =>
+      val p = s"p$i AS MATERIALIZED (SELECT pair, sum(freq) AS n FROM (SELECT freq, " +
+        "unnest(CASE WHEN len(ss) >= 2 THEN list_transform(generate_series(1, len(ss) - 1), " +
+        s"j -> ss[j] || ' ' || ss[j + 1]) ELSE CAST([] AS VARCHAR[]) END) AS pair " +
+        s"FROM (SELECT freq, string_split(seq, ' ') AS ss FROM w${i - 1})) GROUP BY pair)"
+      val b = s"b$i AS MATERIALIZED (SELECT pair, CAST(n AS BIGINT) AS n FROM p$i ORDER BY n DESC, pair ASC LIMIT 1)"
+      Seq(p, b, rewrite(i)).mkString(",\n")
+    }
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"WITH $w0,\n${layers.mkString(",\n")}\n$union"
+  }
+
   /** documents.text wrapped in deterministic HTML — same twin contract
     * as [[plantedPiiText]]. Exercises every extraction rule: a title
     * with an entity, a style block (mod 4) and a script block (mod 5)
@@ -1272,6 +1300,13 @@ object SparkEntry {
         md5(nfc).as("fp_nfc"))
     }),
 
+    "bpe_train_merges" -> ((s, d) =>
+      // tokenizer building: 10 BPE merge rules trained on the corpus —
+      // one corpus pass to the word-frequency table, then k
+      // vocabulary-sized iterations; the oracle unrolls all ten
+      // (pair-count → argmax → rewrite) layers as CTEs
+      graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", k = 10)),
+
     "text_fix_mojibake" -> ((s, d) => {
       // ftfy-core repair: mod-6 docs get a genuinely double-encoded
       // suffix (UTF-8 bytes of the clean string re-read as Latin-1,
@@ -2205,6 +2240,11 @@ object SparkEntry {
         |  CAST(strlen(nfc_normalize(t)) AS INT) AS bytes_nfc,
         |  md5(nfc_normalize(t)) AS fp_nfc
         |FROM v""".stripMargin,
+
+    // replays BPE training: ten unrolled (pair-count → lexicographic-
+    // tie argmax → two-pass padded rewrite) CTE layers — the same
+    // sequential-replace convention both engines share
+    "bpe_train_merges" -> bpeOracleSql(10),
 
     // mojibake's closed form: the planted double-encoding must come
     // back exactly clean (chr codepoints spell the clean suffix), all

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge-rule training (Sennrich, Haddow & Birch,
+  * ACL'16) — the tokenizer-building step of an LLM data pipeline,
+  * expressed as iterative vocabulary-sized aggregation.
+  *
+  * The corpus is touched ONCE: a whitespace tokenize + count collapses
+  * it to the distinct-word frequency table, and every merge iteration
+  * after that runs over that vocabulary alone — pair counting is an
+  * explode + hash agg weighted by word frequency, the winning pair is
+  * one driver-side row, and the merge applies as a string rewrite over
+  * the same table. At 100 TB the corpus pass dominates and the k
+  * iterations cost O(k · vocab), with one single-row collect per
+  * iteration (the argmax — bounded by construction).
+  *
+  * Merge application convention: each symbol sequence is stored
+  * space-joined and the winning pair rewrites via two sequential
+  * non-overlapping padded `replace` passes. One pass alone misses
+  * adjacent occurrences that share a separator space ("x y x y"
+  * matches once, not twice); the second pass picks those up, and on
+  * alternating runs the two-pass result equals Sennrich's greedy
+  * left-to-right merge. The one remaining deviation is a run of the
+  * SAME symbol repeated ≥ 4 times ("a a a a" → "aa a a" after pass
+  * one, "aa aa" after pass two — canonical — but longer odd runs can
+  * group differently than the reference implementation). The rewrite
+  * is deterministic and byte-identical across engines (sequential
+  * `replace` scan semantics are shared by Spark and DuckDB, probed in
+  * BpeSpec), which is what the oracle contract needs.
+  *
+  * Ties in the pair argmax break lexicographically on the pair string
+  * — deterministic across engines, unlike hash order.
+  */
+object Bpe {
+
+  /** Distinct-word frequency table with the initial character-level
+    * symbol sequence ("low" → "l o w </w>"). */
+  private[llm] def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        concat(concat_ws(" ", split(col("word"), "")), lit(" </w>")))
+
+  /** Adjacent-symbol pair counts over the current vocabulary, weighted
+    * by word frequency. */
+  private[llm] def pairCounts(vocab: DataFrame): DataFrame = {
+    val syms = split(col("seq"), " ")
+    vocab.select(col("freq"), explode(
+        when(size(syms) >= 2,
+          transform(sequence(lit(0), size(syms) - 2),
+            i => concat(element_at(syms, i + 1), lit(" "), element_at(syms, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+  }
+
+  /** The two-pass padded rewrite of `pair` → its concatenation. */
+  private[llm] def applyMerge(seq: Column, pair: String): Column = {
+    val merged = pair.replace(" ", "")
+    def pass(c: Column) =
+      replace(c, lit(s" $pair "), lit(s" $merged "))
+    trim(pass(pass(concat(lit(" "), seq, lit(" ")))))
+  }
+
+  /** Train `k` merge rules on the corpus. Returns one row per learned
+    * rule: (step, pair, merged, n) — `pair` the space-separated symbol
+    * pair, `merged` its concatenation, `n` the weighted occurrence
+    * count that won the step. Stops early if no pair remains (every
+    * word fused to a single symbol). */
+  def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = Dedup.parallelize(wordVocab(docs, textCol)).localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val n = best(0).getLong(1)
+        merges += ((step, pair, pair.replace(" ", ""), n))
+        // checkpoint per iteration: the rewrite chain would otherwise
+        // re-derive every prior step's plan each time
+        vocab = vocab.withColumn("seq", applyMerge(col("seq"), pair))
+          .localCheckpoint(false)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "pair", "merged", "n")
+  }
+
+  /** Segment the vocabulary with an already-trained merge table:
+    * re-applies the rules in step order and returns (word, freq,
+    * tokens array) — the "tokenize with this tokenizer" half of the
+    * pair, same rewrite convention. `mergesLocal` is the collected
+    * rule list (it is k rows by construction — driver-sized). */
+  def segmentWords(docs: DataFrame, textCol: String,
+                   mergesLocal: Seq[(Int, String)]): DataFrame = {
+    var vocab = wordVocab(docs, textCol)
+    mergesLocal.sortBy(_._1).foreach { case (_, pair) =>
+      vocab = vocab.withColumn("seq", applyMerge(col("seq"), pair))
+    }
+    vocab.select(col("word"), col("freq"), split(col("seq"), " ").as("tokens"))
+  }
+}

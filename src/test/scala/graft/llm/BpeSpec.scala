@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the ACL'16 demo corpus: first merges are e+s, es+t, est+</w>
+  private def demo = Seq(
+    ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)
+  ).flatMap { case (w, n) => Seq.fill(n)(w) }.zipWithIndex
+    .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+
+  test("learns the textbook merges on the Sennrich demo corpus") {
+    val rules = Bpe.trainMerges(demo, "text", k = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq == Seq(
+      (1, "e s", "es", 9L),    // newest(6) + widest(3); lexicographic tie-break
+      (2, "es t", "est", 9L),
+      (3, "est </w>", "est</w>", 9L)))
+  }
+
+  test("merge application rewrites ALL adjacent occurrences sharing a separator") {
+    val out = Seq((1L, "banana")).toDF("id", "text")
+      .select(Bpe.applyMerge(lit("b a n a n a </w>"), "a n").as("s"))
+      .as[String].head()
+    assert(out == "b an an a </w>", s"got '$out'")
+  }
+
+  test("segmentation reconstructs every word; trained rules shrink token counts") {
+    val rules = Bpe.trainMerges(demo, "text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val seg = Bpe.segmentWords(demo, "text", rules)
+      .collect().map(r => (r.getString(0), r.getSeq[String](2))).toMap
+    seg.foreach { case (word, toks) =>
+      assert(toks.mkString("").stripSuffix("</w>") == word,
+        s"$word reassembles from $toks")
+    }
+    // "newest" must have fused the est</w> suffix by step 3
+    assert(seg("newest").contains("est</w>"), seg("newest").toString)
+    assert(seg("newest").size < "newest".length + 1)
+  }
+
+  test("deterministic under repartition") {
+    val a = canon(Bpe.trainMerges(demo, "text", 4))
+    val b = canon(Bpe.trainMerges(demo.repartition(7), "text", 4))
+    assert(a == b)
+  }
+
+  test("early exhaustion: single-letter corpus runs out of pairs and stops") {
+    val tiny = Seq((1L, "a a a")).toDF("doc_id", "text")
+    // vocab is one word "a" → "a </w>"; one merge fuses it, then no pairs remain
+    val rules = Bpe.trainMerges(tiny, "text", k = 10).collect()
+    assert(rules.length == 1)
+    assert(rules(0).getString(1) == "a </w>")
+  }
+}
