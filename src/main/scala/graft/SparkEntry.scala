@@ -218,6 +218,17 @@ object SparkEntry {
     s"WITH $w0,\n${layers.mkString(",\n")}\n$union"
   }
 
+  /** The segmentation twin: the training chain's final w_k layer IS the
+    * segmented vocabulary — one oracle encoding serves both queries. */
+  private def bpeSegmentOracleSql(k: Int): String = {
+    val train = bpeOracleSql(k)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT 1 AS step"))
+    s"""$ctes
+       |SELECT word, freq, seq AS segmented,
+       |  CAST(len(string_split(seq, ' ')) AS INT) AS n_tokens
+       |FROM w$k ORDER BY freq DESC, word ASC LIMIT 100""".stripMargin
+  }
+
   /** documents.text wrapped in deterministic HTML — same twin contract
     * as [[plantedPiiText]]. Exercises every extraction rule: a title
     * with an entity, a style block (mod 4) and a script block (mod 5)
@@ -1307,6 +1318,25 @@ object SparkEntry {
       // (pair-count → argmax → rewrite) layers as CTEs
       graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", k = 10)),
 
+    "bpe_segment_vocab" -> ((s, d) => {
+      // apply the freshly-trained rules back to the corpus vocabulary:
+      // top-100 words by frequency with their segmentation — the
+      // tokenize-with-this-tokenizer half, sharing the training oracle's
+      // CTE chain (its w10 layer IS the segmented vocabulary)
+      val merges = graft.llm.Bpe.trainMerges(Tables.documents(s, d), "text", k = 10)
+        .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      graft.llm.Bpe.segmentWords(Tables.documents(s, d), "text", merges)
+        .select(col("word"), col("freq"),
+          concat_ws(" ", col("tokens")).as("segmented"),
+          size(col("tokens")).as("n_tokens"))
+        .orderBy(col("freq").desc, col("word").asc).limit(100)
+    }),
+
+    "source_kl_divergence" -> ((s, d) =>
+      // source-drift detector: KL(source unigram dist ‖ corpus dist)
+      // in exact micro-nat arithmetic — replayed term-for-term
+      Terms.sourceKlDivergence(Tables.documents(s, d), "source", "text")),
+
     "text_fix_mojibake" -> ((s, d) => {
       // ftfy-core repair: mod-6 docs get a genuinely double-encoded
       // suffix (UTF-8 bytes of the clean string re-read as Latin-1,
@@ -2245,6 +2275,26 @@ object SparkEntry {
     // tie argmax → two-pass padded rewrite) CTE layers — the same
     // sequential-replace convention both engines share
     "bpe_train_merges" -> bpeOracleSql(10),
+
+    // the same unrolled chain's final vocabulary layer, segmented
+    "bpe_segment_vocab" -> bpeSegmentOracleSql(10),
+
+    // replays KL term-for-term: per-type micro-nat log-ratios of
+    // group vs corpus unigram rates, weighted by group counts
+    "source_kl_divergence" ->
+      """WITH t AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, count(*) AS cs FROM t GROUP BY 1, 2),
+        |c AS (SELECT tok, sum(cs) AS cc FROM st GROUP BY 1),
+        |tt AS (SELECT sum(cs) AS total FROM st),
+        |ts AS (SELECT source, sum(cs) AS tot FROM st GROUP BY 1),
+        |s AS (SELECT st.source, st.cs,
+        |        CAST(round(ln((CAST(st.cs AS DOUBLE) * CAST(tt.total AS DOUBLE)) / (CAST(ts.tot AS DOUBLE) * CAST(c.cc AS DOUBLE))) * 1e6) AS BIGINT) AS lr
+        |      FROM st JOIN c USING (tok) JOIN ts ON st.source IS NOT DISTINCT FROM ts.source, tt)
+        |SELECT source, CAST(sum(cs) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cs * lr) AS DOUBLE) / sum(cs) / 1e6 AS kl_nats
+        |FROM s GROUP BY source""".stripMargin,
 
     // mojibake's closed form: the planted double-encoding must come
     // back exactly clean (chr codepoints spell the clean suffix), all

@@ -167,6 +167,43 @@ object Terms {
           .as("avg_neg_logprob"))
   }
 
+  /** Per-group KL divergence from the corpus unigram distribution —
+    * the drift detector for multi-source mixes: KL(p_g ‖ q) =
+    * Σ_types p_g(t)·ln(p_g(t)/q(t)) with p_g the group's own unsmoothed
+    * unigram distribution and q the whole corpus's (every group token
+    * appears in the corpus, so q > 0 wherever p_g > 0 and no smoothing
+    * is needed). A source of generic text sits near 0; a source whose
+    * vocabulary diverges (spam, another language, boilerplate) scores
+    * high. Per-TYPE log-ratios quantize to integer micro-nats and sum
+    * as longs weighted by the group's token count, so the result is
+    * summation-order- and engine-exact; the double products inside the
+    * ln are pure IEEE and identical cross-engine.
+    *
+    * Scale: one tokenize + (group, token) hash agg (checkpointed — it
+    * feeds the corpus counts, the group totals, and the score join),
+    * then model-sized joins. O(corpus tokens) total, no self-joins. */
+  def sourceKlDivergence(docs: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val st = docs.select(col(groupCol),
+        explode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col(groupCol), col("__tok")).agg(count(lit(1)).as("__cs"))
+      .localCheckpoint(false)
+    val corpus = st.groupBy("__tok").agg(sum(col("__cs")).as("__c"))
+    val totalRow = corpus.agg(sum(col("__c"))).head()
+    val total = if (totalRow.isNullAt(0)) 1L else totalRow.getLong(0)
+    st.join(corpus, "__tok")
+      .withColumn("__lr",
+        round(log((col("__cs").cast("double") * total.toDouble) /
+          (sum(col("__cs")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(groupCol)).cast("double") * col("__c").cast("double"))) * 1e6)
+          .cast("long"))
+      .groupBy(groupCol)
+      .agg(sum(col("__cs")).as("n_tokens"),
+        (sum(col("__cs") * col("__lr")).cast("double") / sum(col("__cs")) / 1e6)
+          .as("kl_nats"))
+  }
+
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
                    shingleSize: Int = 3): DataFrame = {
     // cut the lineage: sh feeds both self-join sides AND the sizes

@@ -159,6 +159,25 @@ class TermsSpec extends SparkSpec {
     assert(got(2L) == ((2L, (nll(2) + nll(1)).toDouble / 2 / 1e6)), got.toString)
   }
 
+  test("sourceKlDivergence: identical distributions score 0, drift scores positive, exact micro-nats") {
+    import spark.implicits._
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    val sameOut = Terms.sourceKlDivergence(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(sameOut("a") == 0.0 && sameOut("b") == 0.0)
+
+    val drift = Seq(("a", "x x y"), ("b", "x y y")).toDF("source", "text")
+    val out = Terms.sourceKlDivergence(drift, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // corpus: x=3, y=3, total=6. A: x=2,y=1 → lr_x=round(ln(4/3)e6), lr_y=round(ln(2/3)e6)
+    val lrX = math.round(math.log(4.0 / 3.0) * 1e6)
+    val lrY = math.round(math.log(2.0 / 3.0) * 1e6)
+    val expectA = (2 * lrX + lrY).toDouble / 3 / 1e6
+    assert(out("a") == ((3L, expectA)), out.toString)
+    assert(out("b") == ((3L, expectA)), "symmetric corpus ⇒ symmetric KL")
+    assert(expectA > 0)
+  }
+
   test("bigramNegLogProb: word order matters — scrambled text scores worse, unigram can't tell") {
     import spark.implicits._
     val natural = "the cat sat on the mat and the dog sat on the rug"
