@@ -1467,6 +1467,16 @@ object SparkEntry {
         Tables.documents(s, d).withColumn("text", plantedDupText),
         "doc_id", "text", k = 24, w = 8, minShared = 2, maxFpDf = 100)),
 
+    "dedup_remove_spans" -> ((s, d) =>
+      // the removal half of Lee et al.: same planted twin as
+      // dedup_substring_spans, but the marked spans are CUT and the
+      // gaps reassembled; the oracle replays islands → gap slices →
+      // ordered concat
+      Dedup.removeDupSpans(
+        Tables.documents(s, d).withColumn("text", plantedDupText)
+          .select("doc_id", "text"),
+        "doc_id", "text", k = 32)),
+
     "dedup_paragraphs" -> ((s, d) =>
       // CCNet/RefinedWeb boilerplate stage: docs get a paragraph
       // structure (unique intro, a newsletter banner on mod-4 docs, a
@@ -3163,6 +3173,37 @@ object SparkEntry {
          |       THEN ((coalesce(pd.dup_chars, 0) * 1000000) // len(d.t)) / 1000000.0
          |       ELSE 0.0 END AS dup_frac
          |FROM d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // same island chain as dedup_substring_spans, then the cut: gap
+    // slices between consecutive spans plus the tail, concatenated in
+    // position order; removed_chars is emergent from the lengths
+    "dedup_remove_spans" ->
+      s"""WITH d AS (SELECT doc_id, $plantedDupSql AS t FROM documents),
+         |g0 AS (SELECT doc_id, unnest(generate_series(1, len(t) - 31)) AS pos, t
+         |       FROM d WHERE len(t) >= 32),
+         |g AS (SELECT doc_id, pos, substr(t, CAST(pos AS INTEGER), 32) AS gram FROM g0),
+         |c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |h AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+         |m AS (SELECT doc_id, pos,
+         |        max(pos + 31) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |      FROM h),
+         |i AS (SELECT doc_id, pos,
+         |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |      FROM m),
+         |sp AS (SELECT doc_id, isl, min(pos) AS s, max(pos) + 31 AS e FROM i GROUP BY doc_id, isl),
+         |gaps AS (SELECT doc_id, s, e, lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS pe FROM sp),
+         |mid AS (SELECT gp.doc_id, substr(d.t, CAST(gp.pe + 1 AS INTEGER), CAST(gp.s - gp.pe - 1 AS INTEGER)) AS piece, gp.s AS ord
+         |        FROM gaps gp JOIN d USING (doc_id)),
+         |tails AS (SELECT le.doc_id, substr(d.t, CAST(le.e + 1 AS INTEGER), CAST(len(d.t) - le.e AS INTEGER)) AS piece, 2000000000 AS ord
+         |          FROM (SELECT doc_id, max(e) AS e FROM sp GROUP BY doc_id) le JOIN d USING (doc_id)),
+         |cl AS (SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean
+         |       FROM (SELECT * FROM mid UNION ALL SELECT * FROM tails) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(cl.clean, d.t) AS text_clean,
+         |  CAST(len(d.t) - len(coalesce(cl.clean, d.t)) AS BIGINT) AS removed_chars
+         |FROM d LEFT JOIN cl USING (doc_id)""".stripMargin,
 
     // replays paragraph dedup: same planted construction, first
     // occurrence by (doc_id, pos) wins per paragraph group, short

@@ -572,11 +572,12 @@ object Dedup {
       .where(col("shared_fps") >= minShared)
   }
 
-  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 32): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val t = docs.select(col(idCol).as("__id"),
-      coalesce(col(textCol), lit("")).as("__t"))
+  /** The shared island algebra behind [[substringDupSpans]] and
+    * [[removeDupSpans]]: merged maximal duplicated-char spans
+    * (__id, __isl, __s, __e), 1-based inclusive, from the k-gram
+    * corpus count + position join + gaps-and-islands window. `t` must
+    * carry (__id, __t). */
+  private[llm] def dupIslands(t: DataFrame, k: Int): DataFrame = {
     // one gram per char position; cut lineage — grams feed BOTH the
     // corpus-wide count and the position join (unigramNegLogProb idiom)
     val grams = t.where(length(col("__t")) >= k)
@@ -593,7 +594,7 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("__id").orderBy("__pos")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val islands = hits
+    hits
       .withColumn("__prevEnd", max(col("__pos") + (k - 1)).over(wPrev))
       .withColumn("__new",
         when(col("__prevEnd").isNull || col("__pos") > col("__prevEnd") + 1, 1)
@@ -601,6 +602,14 @@ object Dedup {
       .withColumn("__isl", sum(col("__new")).over(wRun))
       .groupBy("__id", "__isl")
       .agg(min(col("__pos")).as("__s"), (max(col("__pos")) + (k - 1)).as("__e"))
+  }
+
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val t = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val islands = dupIslands(t, k)
     val perDoc = islands.groupBy("__id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("__e") - col("__s") + 1).cast("long").as("dup_chars"))
@@ -612,6 +621,47 @@ object Dedup {
         when(col("__len") > 0,
           expr("(coalesce(dup_chars, 0L) * 1000000) div __len") / lit(1000000.0))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Excise every duplicated span — the removal half of Lee et al.
+    * ACL'22 ("Deduplicating Training Data Makes Language Models
+    * Better"): cut each merged span [[substringDupSpans]] marks and
+    * keep the gaps, so duplicated boilerplate vanishes at substring
+    * granularity. Marked spans cover EVERY occurrence (the k-gram
+    * count has no first-copy exemption), so repeated text disappears
+    * from all docs — the survivor-preserving alternative at coarser
+    * granularity is [[paragraphDedup]]/[[exact]]. Output one row per
+    * doc: (id, text_clean, removed_chars); removed_chars is emergent
+    * (len(text) − len(clean)), so it cannot drift from the cut.
+    *
+    * Scale: the span side is [[dupIslands]]' cost (gram agg + position
+    * join + one per-doc window); the cut itself is one groupBy to an
+    * array of spans (a doc's island count is bounded by len/k) and a
+    * single `aggregate` fold over that array per row — no extra
+    * corpus shuffle beyond the reassembly join. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 32): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val t = docs.select(col(idCol).as("__id"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val spans = dupIslands(t, k).groupBy("__id")
+      .agg(array_sort(collect_list(struct(col("__s"), col("__e")))).as("__spans"))
+    t.join(spans, Seq("__id"), "left")
+      .select(col("__id"), col("__t"),
+        when(col("__spans").isNull, col("__t")).otherwise(
+          aggregate(col("__spans"),
+            struct(lit("").as("acc"), lit(0L).as("prev")),
+            (st, sp) => struct(
+              concat(st("acc"), col("__t").substr(
+                (st("prev") + 1).cast("int"),
+                (sp("__s") - st("prev") - 1).cast("int"))).as("acc"),
+              sp("__e").cast("long").as("prev")),
+            st => concat(st("acc"), col("__t").substr(
+              (st("prev") + 1).cast("int"),
+              greatest(length(col("__t")) - st("prev").cast("int"), lit(0))))))
+          .as("__clean"))
+      .select(col("__id").as(idCol), col("__clean").as("text_clean"),
+        (length(col("__t")) - length(col("__clean"))).cast("long").as("removed_chars"))
   }
 
   /** Paragraph-level exact dedup across the corpus — the CCNet /

@@ -89,4 +89,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("c_acctbal") && !plan.contains("c_nationkey"),
       s"scan reads pruned columns: $plan")
   }
+
+  test("paragraph dedup shuffles at most thrice: spread, winner hash, doc reassembly") {
+    val plan = planOf(SparkEntry.queries("dedup_paragraphs")(spark, sf))
+    val n = "Exchange".r.findAllIn(plan).size
+    assert(n <= 3, s"paragraph dedup grew a $n-exchange plan:\n$plan")
+    assert(plan.contains("Window"), "winner selection must be one window pass")
+  }
+
+  test("DSIR selection is a distributed top-k, not a global sort") {
+    val plan = planOf(SparkEntry.queries("sample_importance")(spark, sf))
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrderedAndProject:\n$plan")
+  }
+
+  test("mojibake and NFC queries stay narrow unshuffled maps") {
+    for (name <- Seq("text_fix_mojibake", "text_nfc_normalize")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$name shuffled a pure map:\n$plan")
+    }
+  }
 }

@@ -52,4 +52,39 @@ class SubstringDedupSpec extends SparkSpec {
     val r = spans(Seq(1L -> "", 2L -> "XY"), k = 4)
     assert(r(1L) == ((0L, 0L, 0.0)) && r(2L) == ((0L, 0L, 0.0)))
   }
+
+  private def removed(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long)] =
+    Dedup.removeDupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("removal cuts exactly the marked spans and keeps the gaps in order") {
+    val docs = Seq(
+      1L -> "XXABCDYY",        // shared ABCD cut → "XXYY"
+      2L -> "ZZABCDWW",
+      3L -> "ABCD123456ABCD",  // two spans, head AND tail cut → middle survives
+      4L -> "AB")              // sub-k → untouched
+    val r = removed(docs, k = 4)
+    assert(r(1L) == (("XXYY", 4L)))
+    assert(r(2L) == (("ZZWW", 4L)))
+    assert(r(3L) == (("123456", 8L)))
+    assert(r(4L) == (("AB", 0L)))
+  }
+
+  test("a fully-duplicated doc removes to empty; clean docs round-trip untouched") {
+    val r = removed(Seq(1L -> "SAMESAMESAME", 2L -> "SAMESAMESAME",
+      3L -> "entirely unique content here"), k = 4)
+    assert(r(1L) == (("", 12L)) && r(2L) == (("", 12L)))
+    assert(r(3L) == (("entirely unique content here", 0L)))
+  }
+
+  test("removal agrees with the marker: removed_chars equals dup_chars on every doc") {
+    val docs = Seq(
+      1L -> "XXABCDYY", 2L -> "ZZABCDWW", 3L -> "AABCDABCD",
+      4L -> "ABCD123456ABCD", 5L -> "AB", 6L -> "")
+    val marks = spans(docs, 4)
+    val cuts = removed(docs, 4)
+    docs.foreach { case (id, _) =>
+      assert(cuts(id)._2 == marks(id)._2, s"doc $id: cut ${cuts(id)._2} != marked ${marks(id)._2}")
+    }
+  }
 }
