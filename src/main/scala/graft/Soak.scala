@@ -40,6 +40,13 @@ object Soak {
     "dedup_substring_spans", "classify_nb_lang", "graph_pagerank",
     "dedup_winnowed_pairs", "dedup_semantic_survivors",
     "dedup_bloom_prefilter", "html_extract",
+    // round-10 batch 2: paragraph dedup + span removal scale with
+    // corpus bytes; DSIR/bigram/KL with tokens (vocab inflates 10×
+    // under replica tagging — the honest worst case, as with NB); BPE
+    // iterations run on the tagged vocab after one corpus pass
+    "dedup_paragraphs", "dedup_remove_spans", "sample_importance",
+    "sample_token_budget", "text_bigram_nll", "bpe_train_merges",
+    "source_kl_divergence",
     // streaming drains over the replicated events feed: per-tick cost
     // should grow ~linearly with batch bytes while the touched-partition
     // count (days) stays constant — O(batch), never O(table)
