@@ -29,6 +29,7 @@ object GraftSession {
       // vectorized reader rejects outright; read as long nanos and convert
       // at the accessor (Tables.events) — integer `div`, no double detour
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
