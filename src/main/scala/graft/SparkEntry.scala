@@ -178,6 +178,75 @@ object SparkEntry {
       lit("copyright example corp all rights reserved unauthorized reproduction prohibited"))
       .otherwise(concat(lit("tail "), substring(col("text"), 81, 60))))
 
+  /** documents.text restructured into a four-line C4 page — twin
+    * contract as [[plantedParagraphText]]. Per-line rule hits: a short
+    * no-punctuation link line (mod 3), a javascript notice (mod 4), an
+    * unpunctuated nav menu (mod 5); doc-level poison: a lorem-ipsum
+    * filler line (mod 11) and a curly-brace code line (mod 13). Docs
+    * hitting two line rules (mod 12/15/20) drop below the 3-kept-line
+    * floor and are removed whole. */
+  private def plantedC4Text: Column = concat(
+    concat_ws("\n",
+      concat(lit("intro "), substring(col("text"), 1, 60), lit(" opening line.")),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("click here"))
+        .otherwise(concat(lit("body "), substring(col("text"), 61, 50),
+          lit(" with more detail."))),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        lit("please enable javascript to continue viewing."))
+        .otherwise(lit("a closing sentence for this page!")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("home about contact sitemap"))
+        .otherwise(lit("do the final words appear here?"))),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      lit("\nfiller lorem ipsum dolor sit amet.")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(13)) === 0,
+      lit("\nfunction demo() { return 1; }")).otherwise(lit("")))
+
+  private val plantedC4Sql: String =
+    """concat_ws(chr(10),
+      | 'intro ' || substr(text, 1, 60) || ' opening line.',
+      | CASE WHEN doc_id % 3 = 0 THEN 'click here' ELSE 'body ' || substr(text, 61, 50) || ' with more detail.' END,
+      | CASE WHEN doc_id % 4 = 0 THEN 'please enable javascript to continue viewing.' ELSE 'a closing sentence for this page!' END,
+      | CASE WHEN doc_id % 5 = 0 THEN 'home about contact sitemap' ELSE 'do the final words appear here?' END)
+      | || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'filler lorem ipsum dolor sit amet.' ELSE '' END
+      | || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function demo() { return 1; }' ELSE '' END""".stripMargin.replace("\n", "")
+
+  /** 45 stopword-rich filler words prepended to every doc so the Gopher
+    * base corpus clears the 50-word floor and the 2-stopword rule (the
+    * synthetic corpus contains only "the" from the required set). */
+  private val GopherBasePrefix =
+    "the pipeline needs to keep track of the rows that arrive and that " +
+      "it must have synced with the store before the next pass begins and " +
+      "the counts settle into place over time with care while the totals " +
+      "hold the line as data flows in"
+
+  /** Gopher twin: a passing base (prefix + doc text), with one planted
+    * violation class per prime modulus — each fails exactly one rule.
+    * First matching branch wins, mirrored as a SQL CASE chain. */
+  private def plantedGopherText: Column = {
+    def m(k: Int) = pmod(col("doc_id"), lit(k)) === 0
+    when(m(17), lit("the doc stays tiny and short."))
+      .when(m(19), concat(lit(GopherBasePrefix), lit(" "), col("text"),
+        lit(" "), rtrim(repeat(lit("ax## "), 15))))
+      .when(m(23), rtrim(repeat(lit("• the quick and steady line item goes here\n"), 10)))
+      .when(m(29), concat(lit(GopherBasePrefix), lit(" "), col("text"),
+        lit("\nand then the line trails away…")))
+      .when(m(31), concat(lit(GopherBasePrefix), lit(" "), col("text"),
+        lit(" "), rtrim(repeat(lit("12345 "), 60))))
+      .when(m(37), rtrim(repeat(lit("lorem dolor amet consectetur adipiscing elit sed eiusmod "), 8)))
+      .when(m(41), concat(lit("the of "), rtrim(repeat(lit("a b c d e f g h i j "), 10))))
+      .otherwise(concat(lit(GopherBasePrefix), lit(" "), col("text")))
+  }
+
+  private val plantedGopherSql: String =
+    s"""CASE WHEN doc_id % 17 = 0 THEN 'the doc stays tiny and short.'
+       | WHEN doc_id % 19 = 0 THEN '$GopherBasePrefix' || ' ' || text || ' ' || rtrim(repeat('ax## ', 15))
+       | WHEN doc_id % 23 = 0 THEN rtrim(repeat('• the quick and steady line item goes here' || chr(10), 10))
+       | WHEN doc_id % 29 = 0 THEN '$GopherBasePrefix' || ' ' || text || chr(10) || 'and then the line trails away…'
+       | WHEN doc_id % 31 = 0 THEN '$GopherBasePrefix' || ' ' || text || ' ' || rtrim(repeat('12345 ', 60))
+       | WHEN doc_id % 37 = 0 THEN rtrim(repeat('lorem dolor amet consectetur adipiscing elit sed eiusmod ', 8))
+       | WHEN doc_id % 41 = 0 THEN 'the of ' || rtrim(repeat('a b c d e f g h i j ', 10))
+       | ELSE '$GopherBasePrefix' || ' ' || text END""".stripMargin.replace("\n", "")
+
   /** Clean suffix for the mojibake twin: accents, an em-dash, and curly
     * quotes — one 2-byte and several 3-byte UTF-8 sequences, so the
     * planted damage exercises both signature classes. */
@@ -1488,6 +1557,25 @@ object SparkEntry {
           .withColumn("text", plantedParagraphText)
           .select("doc_id", "text"),
         "doc_id", "text", minChars = 30)),
+
+    "c4_line_filter" -> ((s, d) =>
+      // C4's line-level cleaning (Raffel et al. 2020): docs become
+      // four-line pages with planted rule hits — unpunctuated link
+      // lines, javascript notices, nav menus, lorem-ipsum filler, and
+      // code braces; kept lines reassemble, poisoned docs drop whole
+      graft.llm.Curation.c4Filter(
+        Tables.documents(s, d).withColumn("text", plantedC4Text)
+          .select("doc_id", "text"),
+        "doc_id", "text")),
+
+    "gopher_quality_filter" -> ((s, d) =>
+      // Gopher's document quality rules (Rae et al. 2021): a passing
+      // stopword-rich base plus one planted violation class per prime
+      // modulus, each tripping exactly one of the seven rules
+      graft.llm.Curation.gopherStats(
+        Tables.documents(s, d).withColumn("text", plantedGopherText)
+          .select("doc_id", "text"),
+        "doc_id", "text")),
 
     "text_tfidf_topk" -> ((s, d) =>
       // top-5 keywords per doc by smoothed TF-IDF — keyword extraction
@@ -3275,6 +3363,44 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    // replays C4 line cleaning over the planted four-line pages: the
+    // same per-line keep lambda, then the three doc-level gates
+    "c4_line_filter" ->
+      s"""WITH built AS (SELECT doc_id, $plantedC4Sql AS text FROM documents),
+         |sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built),
+         |k AS (SELECT doc_id, text, ls,
+         |        list_filter(ls, l -> regexp_matches(l, '[.!?"”]\\s*${"$"}')
+         |          AND len(regexp_extract_all(l, '\\S+')) >= 3
+         |          AND NOT contains(lower(l), 'javascript')) AS kl FROM sp),
+         |v AS (SELECT doc_id, ls, kl,
+         |        (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+         |         AND len(kl) >= 3) AS kept FROM k)
+         |SELECT doc_id, kept, CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(len(kl) AS BIGINT) AS n_kept,
+         |  CASE WHEN kept THEN array_to_string(kl, chr(10)) END AS text_clean
+         |FROM v""".stripMargin,
+
+    // replays the seven Gopher rules metric-for-metric on the planted
+    // twin; pass is decided on the 6-dp rounded values in both engines
+    "gopher_quality_filter" ->
+      s"""WITH built AS (SELECT doc_id, $plantedGopherSql AS text FROM documents),
+         |m AS (SELECT doc_id, text,
+         |        regexp_extract_all(text, '\\S+') AS ws,
+         |        string_split(text, chr(10)) AS ls FROM built),
+         |r AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  round(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(ws), 6) AS mean_word_len,
+         |  round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+         |       + CAST(len(text) - len(replace(text, '…', '')) AS DOUBLE)) / len(ws), 6) AS symbol_ratio,
+         |  round(CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / len(ls), 6) AS bullet_frac,
+         |  round(CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) / len(ls), 6) AS ellipsis_frac,
+         |  round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ws), 6) AS alpha_frac,
+         |  CAST(${graft.llm.Curation.GopherStopwords.map(w => s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS stop_hits
+         |FROM m)
+         |SELECT *, (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |  AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+         |  AND alpha_frac >= 0.8 AND stop_hits >= 2) AS pass FROM r""".stripMargin,
 
     "text_tfidf_topk" ->
       // smooth idf = ln((N+1)/(df+1)) + 1; ln of identical rational
