@@ -113,6 +113,34 @@ object SparkEntry {
              lit(".25 up"))).otherwise(lit(""))
   )
 
+  /** Card-candidate twin for the Luhn layer: two valid test PANs (one
+    * dashed, one spaced), a checksum-broken copy, a random digit run,
+    * and a doc_id-derived last-4 group whose validity varies across the
+    * corpus — so the oracle replays the mod-10 arithmetic itself, not a
+    * fixed answer list. */
+  private def plantedLuhnText: Column = concat(
+    col("text"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" num 4024-0071-9896-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" end"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit(" pay 4539-1488-0343-6467 now")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit(" alt 4916 3385 0608 2832 ok")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(9)) === 0,
+      lit(" ref 4539-1488-0343-6468 no")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      lit(" junk 1234-5678-9012-3456 id")).otherwise(lit("")))
+
+  private val plantedLuhnSql: String =
+    """text
+      | || CASE WHEN doc_id % 3 = 0 THEN ' num 4024-0071-9896-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' end' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ' pay 4539-1488-0343-6467 now' ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN ' alt 4916 3385 0608 2832 ok' ELSE '' END
+      | || CASE WHEN doc_id % 9 = 0 THEN ' ref 4539-1488-0343-6468 no' ELSE '' END
+      | || CASE WHEN doc_id % 11 = 0 THEN ' junk 1234-5678-9012-3456 id' ELSE '' END""".stripMargin.replace("\n", "")
+
   private val plantedPiiSql: String =
     """text
       | || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
@@ -1626,6 +1654,17 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), plantedPiiText.as("t"))
         .select(col("doc_id"), Pii.redact(col("t")).as("redacted"))),
+
+    "pii_luhn" -> ((s, d) =>
+      // the policy layer behind the card regex: every 4-4-4-4 candidate
+      // is validated by the native LuhnCheck expression — the oracle
+      // replays the mod-10 double-every-second-digit arithmetic in SQL
+      Tables.documents(s, d)
+        .select(col("doc_id"), plantedLuhnText.as("t"))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("t"), lit(Pii.cardPattern), lit(0)))
+            .as("candidate"))
+        .withColumn("luhn_ok", graft.functions.TextOps.luhnValid(col("candidate")))),
 
     "url_extract" -> ((s, d) =>
       Tables.documents(s, d)
@@ -3467,6 +3506,22 @@ object SparkEntry {
          |   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
          |  '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS redacted
          |FROM (SELECT doc_id, $plantedPiiSql AS t FROM documents)""".stripMargin,
+
+    // replays LuhnCheck digit-for-digit: reverse the digit string, double
+    // every second digit (subtract 9 above 9), sum mod 10
+    "pii_luhn" ->
+      s"""WITH built AS (SELECT doc_id, $plantedLuhnSql AS t FROM documents),
+         |cand AS (SELECT doc_id,
+         |  unnest(regexp_extract_all(t, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS candidate FROM built),
+         |dg AS (SELECT doc_id, candidate,
+         |  string_split(reverse(regexp_replace(candidate, '[^0-9]', '', 'g')), '') AS ds FROM cand)
+         |SELECT doc_id, candidate,
+         |  (len(ds) BETWEEN 12 AND 19 AND
+         |   list_sum(list_transform(generate_series(1, len(ds)),
+         |     i -> CASE WHEN i % 2 = 0
+         |          THEN CASE WHEN 2 * CAST(ds[i] AS INT) > 9 THEN 2 * CAST(ds[i] AS INT) - 9 ELSE 2 * CAST(ds[i] AS INT) END
+         |          ELSE CAST(ds[i] AS INT) END)) % 10 = 0) AS luhn_ok
+         |FROM dg""".stripMargin,
 
     "url_extract" ->
       s"""SELECT doc_id,

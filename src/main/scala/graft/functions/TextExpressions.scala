@@ -140,6 +140,58 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfc_normalize"
 }
 
+/** Shared Luhn mod-10 path for [[LuhnCheck]]'s interpreted and generated
+  * code; static forwarder keeps it callable from Janino. */
+object LuhnUtil {
+  /** True iff `s` is a Luhn-valid payment-card candidate: 12–19 digits,
+    * optionally grouped by spaces or dashes, any other character makes
+    * the candidate invalid outright. Right-to-left double-every-second
+    * digit, subtract 9 above 9, sum divisible by 10 (ISO/IEC 7812). */
+  def valid(s: UTF8String): Boolean = {
+    val str = s.toString
+    var sum = 0
+    var nDigits = 0
+    var i = str.length - 1
+    while (i >= 0) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var d = c - '0'
+        if (nDigits % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        nDigits += 1
+      } else if (c != ' ' && c != '-') return false
+      i -= 1
+    }
+    nDigits >= 12 && nDigits <= 19 && sum % 10 == 0
+  }
+}
+
+/** Luhn checksum validation as a native codegen expression. The PII
+  * regex layer ([[graft.llm.Pii]]) flags 4-4-4-4 digit runs as card
+  * CANDIDATES; this is the policy layer's validator that separates real
+  * card numbers from random digit runs (phone fragments, order ids)
+  * before a redaction decision. A boolean primitive keeps the check
+  * inside whole-stage codegen next to the extraction regex. NULL
+  * propagates as NULL. */
+case class LuhnCheck(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = LuhnUtil.valid(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LuhnUtil.valid($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "luhn_check"
+}
+
 /** Column-API entry point. */
 object TextOps {
   def wordShingles(text: Column, n: Int): Column =
@@ -147,4 +199,7 @@ object TextOps {
 
   def nfcNormalize(text: Column): Column =
     GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
+  def luhnValid(candidate: Column): Column =
+    GraftBridge.column(LuhnCheck(GraftBridge.expression(candidate)))
 }
