@@ -610,6 +610,27 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"))),
 
+    "score_quantile_sketch" -> ((s, d) =>
+      // mergeable KLL-family sketch (native TypedImperativeAggregate):
+      // one hash aggregate instead of a global sort. At verify scale the
+      // per-group counts sit inside the sketch capacity, so every value
+      // is the exact floor(p*(n-1)) order statistic the oracle indexes;
+      // at bench scale (600k rows) the deterministic compactor engages
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.SketchOps.quantileSketch(
+            col("l_extendedprice").cast("double"),
+            Seq(0.25, 0.5, 0.75, 0.9, 0.99)).as("qs"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 6).as("p25"),
+          round(element_at(col("qs"), 2), 6).as("p50"),
+          round(element_at(col("qs"), 3), 6).as("p75"),
+          round(element_at(col("qs"), 4), 6).as("p90"),
+          round(element_at(col("qs"), 5), 6).as("p99"),
+          col("n_rows"))),
+
     "p_json_extract" -> ((s, d) =>
       // semi-structured column: the reference carries JSON text opaquely
       // (addon_json etc.); extracting typed fields is one expression
@@ -2647,6 +2668,21 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 6) AS p50,
         | round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // exact replay of the sketch's exact mode: rank floor(p*(n-1)) into
+    // the per-group sorted value list
+    "score_quantile_sketch" ->
+      """WITH s AS (SELECT l_returnflag, list_sort(list(CAST(l_extendedprice AS DOUBLE))) AS vs,
+        |                  count(*) AS n
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        | round(vs[CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1], 6) AS p25,
+        | round(vs[CAST(floor(0.5  * (n - 1)) AS BIGINT) + 1], 6) AS p50,
+        | round(vs[CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1], 6) AS p75,
+        | round(vs[CAST(floor(0.9  * (n - 1)) AS BIGINT) + 1], 6) AS p90,
+        | round(vs[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1], 6) AS p99,
+        | CAST(n AS BIGINT) AS n_rows
+        |FROM s""".stripMargin,
 
     "p_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
