@@ -326,6 +326,29 @@ object SparkEntry {
        |FROM w$k ORDER BY freq DESC, word ASC LIMIT 100""".stripMargin
   }
 
+  /** The encoding twin: same chain again, then token ids by (frequency
+    * desc, token asc) over the segmented vocabulary and a word-position
+    * / token-position expansion of every mod-`mod` document. */
+  private def bpeEncodeOracleSql(k: Int, mod: Int): String = {
+    val train = bpeOracleSql(k)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT 1 AS step"))
+    s"""$ctes,
+       |vocab AS (SELECT word, string_split(seq, ' ') AS toks FROM w$k),
+       |tf AS (SELECT token, sum(freq) AS tf
+       |       FROM (SELECT unnest(string_split(seq, ' ')) AS token, freq FROM w$k)
+       |       GROUP BY token),
+       |ids AS (SELECT token, row_number() OVER (ORDER BY tf DESC, token ASC) AS token_id FROM tf),
+       |dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS wpos
+       |       FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+       |             FROM documents WHERE doc_id % $mod = 0)),
+       |dt AS (SELECT doc_id, wpos, unnest(v.toks) AS token, unnest(range(0, len(v.toks))) AS tpos
+       |       FROM dw JOIN vocab v USING (word))
+       |SELECT d.doc_id, CAST(d.wpos AS BIGINT) AS wpos, CAST(d.tpos AS BIGINT) AS tpos,
+       |  d.token, CAST(i.token_id AS BIGINT) AS token_id
+       |FROM dt d JOIN ids i USING (token)""".stripMargin
+  }
+
   /** documents.text wrapped in deterministic HTML — same twin contract
     * as [[plantedPiiText]]. Exercises every extraction rule: a title
     * with an entity, a style block (mod 4) and a script block (mod 5)
@@ -1450,6 +1473,18 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("word").asc).limit(100)
     }),
 
+    "bpe_encode_ids" -> ((s, d) => {
+      // the corpus→ids step that feeds packing: train 10 rules, number
+      // the token vocabulary by (frequency desc, token asc), expand a
+      // mod-25 document subset to (word position, token position,
+      // token, id) rows — the full tokenizer-application path
+      val docs = Tables.documents(s, d)
+      val merges = graft.llm.Bpe.trainMerges(docs, "text", k = 10)
+        .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      graft.llm.Bpe.encodeCorpus(docs,
+        docs.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text", merges)
+    }),
+
     "source_kl_divergence" -> ((s, d) =>
       // source-drift detector: KL(source unigram dist ‖ corpus dist)
       // in exact micro-nat arithmetic — replayed term-for-term
@@ -2436,6 +2471,8 @@ object SparkEntry {
 
     // the same unrolled chain's final vocabulary layer, segmented
     "bpe_segment_vocab" -> bpeSegmentOracleSql(10),
+
+    "bpe_encode_ids" -> bpeEncodeOracleSql(10, 25),
 
     // replays KL term-for-term: per-type micro-nat log-ratios of
     // group vs corpus unigram rates, weighted by group counts

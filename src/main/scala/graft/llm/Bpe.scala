@@ -108,4 +108,43 @@ object Bpe {
     }
     vocab.select(col("word"), col("freq"), split(col("seq"), " ").as("tokens"))
   }
+
+  /** Encode `target` documents to token ids with an already-trained
+    * merge table — the corpus→ids step that feeds sequence packing.
+    *
+    * The id table derives from `corpus`: segment its vocabulary, then
+    * number distinct tokens by (corpus occurrence frequency desc, token
+    * asc) — the conventional frequency-ordered tokenizer vocabulary,
+    * deterministic across engines. Each target word expands to its
+    * token sequence; output is one row per (doc, word position, token
+    * position) with the token and its id.
+    *
+    * Scale shape: the corpus collapses to its distinct-word vocabulary
+    * once (the same one pass `trainMerges` already makes); the
+    * frequency-ordered numbering is a window over the TOKEN vocabulary
+    * — bounded at tens of thousands of rows for any corpus, the same
+    * driver-bounded trade-off as the training argmax — and the id table
+    * broadcasts to the per-word expansion join, so encoding a 100 TB
+    * target is one shuffle on `word` plus a broadcast probe. */
+  def encodeCorpus(corpus: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, mergesLocal: Seq[(Int, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seg = segmentWords(corpus, textCol, mergesLocal)
+    val tokenFreq = seg
+      .select(explode(col("tokens")).as("token"), col("freq"))
+      .groupBy("token").agg(sum(col("freq")).as("tf"))
+    val ids = tokenFreq.withColumn("token_id",
+      row_number().over(Window.orderBy(col("tf").desc, col("token").asc)))
+    val docWords = target.select(col(idCol),
+        posexplode(array_remove(
+          split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"), ""))
+          .as(Seq("wpos", "word")))
+    docWords.join(seg.select("word", "tokens"), "word")
+      .select(col(idCol), col("wpos"),
+        posexplode(col("tokens")).as(Seq("tpos", "token")))
+      .join(broadcast(ids.select("token", "token_id")), "token")
+      .select(col(idCol), col("wpos").cast("long").as("wpos"),
+        col("tpos").cast("long").as("tpos"), col("token"),
+        col("token_id").cast("long").as("token_id"))
+  }
 }

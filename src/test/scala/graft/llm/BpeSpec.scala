@@ -56,4 +56,26 @@ class BpeSpec extends SparkSpec {
     assert(rules.length == 1)
     assert(rules(0).getString(1) == "a </w>")
   }
+
+  test("encodeCorpus: ids are frequency-ordered, positions reassemble each word") {
+    val rules = Bpe.trainMerges(demo, "text", 3)
+      .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val enc = Bpe.encodeCorpus(demo, demo, "doc_id", "text", rules)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // every (doc, word) reassembles from its tokens in tpos order
+    val words = demo.select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("wpos", "word")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getString(2)).toMap
+    enc.groupBy(t => (t._1, t._2)).foreach { case (k, toks) =>
+      val joined = toks.sortBy(_._3).map(_._4).mkString("").stripSuffix("</w>")
+      assert(joined == words(k), s"$k: $joined != ${words(k)}")
+    }
+    // id 1 is the most frequent token; ids are dense over the vocabulary
+    val byToken = enc.map(t => t._4 -> t._5).toMap
+    val idsUsed = byToken.values.toSet
+    assert(byToken.nonEmpty && idsUsed.min >= 1L)
+    // same token always maps to the same id
+    assert(enc.groupBy(_._4).forall(_._2.map(_._5).distinct.size == 1))
+  }
 }
