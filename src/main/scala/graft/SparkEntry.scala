@@ -1936,6 +1936,39 @@ object SparkEntry {
                 col("n"), col("total_value").cast("double").as("total_value"))
     }),
 
+    "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
+      // END-TO-END streaming ingest front door: C4 line cleaning (a
+      // stateless whole-stage-codegen map inside the micro-batch) chained
+      // into dedup-within-watermark on the CLEANED fingerprint. Mod-10
+      // docs collapse to one canonical page, so the drain must both
+      // filter and dedup; the output is the split-invariant distinct
+      // fingerprint set of surviving pages.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_qf").toString
+      val src = s"$tmp/src"
+      Tables.documents(s, d)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 0,
+            lit("the canonical page body repeats here.\nsecond canonical line stays too!\nthird canonical line closes it out."))
+            .otherwise(plantedC4Text))
+        .withColumn("ts",
+          timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+        .select("doc_id", "ts", "text")
+        .repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val cleaned = graft.llm.Curation
+        .c4Filter(stream, "doc_id", "text", passthrough = Seq("ts"))
+        .filter(col("kept"))
+        .select(col("ts"), md5(col("text_clean")).as("fp"))
+      val dd = graft.streaming.StreamOps.dedupStream(cleaned, "ts", "3650 days", Seq("fp"))
+      val outName = "sqf_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dd.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).select(col("fp"))
+    }),
+
     "stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming exact dedup (StreamOps.dedupStream): a
       // payload fingerprint seen in ANY earlier micro-batch is dropped;
@@ -3775,6 +3808,26 @@ object SparkEntry {
     // are not (see the query comment)
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // replays the streaming front door in batch: the c4 keep lambda over
+    // the same planted pages (mod-10 docs forced to one canonical page),
+    // then DISTINCT over the cleaned-text fingerprints
+    "stream_quality_filter" ->
+      s"""WITH built AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0
+         |       THEN 'the canonical page body repeats here.' || chr(10) ||
+         |            'second canonical line stays too!' || chr(10) ||
+         |            'third canonical line closes it out.'
+         |       ELSE $plantedC4Sql END AS text FROM documents),
+         |sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built),
+         |k AS (SELECT doc_id, text,
+         |        list_filter(ls, l -> regexp_matches(l, '[.!?"”]\\s*${"$"}')
+         |          AND len(regexp_extract_all(l, '\\S+')) >= 3
+         |          AND NOT contains(lower(l), 'javascript')) AS kl FROM sp),
+         |v AS (SELECT doc_id, kl,
+         |        (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+         |         AND len(kl) >= 3) AS kept FROM k)
+         |SELECT DISTINCT md5(array_to_string(kl, chr(10))) AS fp FROM v WHERE kept""".stripMargin,
 
     // the streaming drain must be indistinguishable from the batch
     // window recompute — same construction as w_sessionize (1-hour gap),

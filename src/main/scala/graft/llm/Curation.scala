@@ -36,18 +36,20 @@ object Curation {
     * `text_clean` (NULL for dropped docs).
     */
   def c4Filter(docs: DataFrame, idCol: String, textCol: String,
-               minWords: Int = 3, minKeptLines: Int = 3): DataFrame = {
+               minWords: Int = 3, minKeptLines: Int = 3,
+               passthrough: Seq[String] = Nil): DataFrame = {
     val lines = split(col(textCol), "\n")
     val keptLines = filter(lines, l => c4LineKeep(l, minWords))
     val kept = !lower(col(textCol)).contains("lorem ipsum") &&
       !col(textCol).contains("{") &&
       size(keptLines) >= minKeptLines
     docs.select(
-      col(idCol),
-      kept.as("kept"),
-      size(lines).cast("long").as("n_lines"),
-      size(keptLines).cast("long").as("n_kept"),
-      when(kept, concat_ws("\n", keptLines)).as("text_clean"))
+      col(idCol) +:
+        kept.as("kept") +:
+        size(lines).cast("long").as("n_lines") +:
+        size(keptLines).cast("long").as("n_kept") +:
+        when(kept, concat_ws("\n", keptLines)).as("text_clean") +:
+        passthrough.map(col): _*)
   }
 
   /** The eight Gopher "required stopwords" — a document must contain at
