@@ -1143,6 +1143,23 @@ object SparkEntry {
         maxHamming = 3, bits = 60, wordHash = Dedup.portableWordHash,
         blocks = 7)),
 
+    "dedup_edit_verify" -> ((s, d) => {
+      // the precision layer behind candidate generation: mod-9 docs get
+      // a suffix-append twin (the boilerplate-tail duplicate family),
+      // prefix blocking finds every such pair with recall exactly 1,
+      // and character-level levenshtein similarity separates true dups
+      // (long docs, small relative edit) from short docs whose tail is
+      // a large relative change — both engines replay both stages
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val twins = base.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tail note appended for edit distance checks")).as("text"))
+      val corpus = base.union(twins)
+      Dedup.editVerify(
+        Dedup.prefixCandidates(corpus, "doc_id", "text"),
+        corpus, "doc_id", "text", minSim = 0.8)
+    }),
+
     "dedup_cluster_survivors" -> ((s, d) =>
       // quality-ranked survivor per near-dup cluster: keep the LONGEST
       // member (ties → min id) instead of min-id — the curation-grade
@@ -3149,6 +3166,22 @@ object SparkEntry {
         |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
+
+    // replays prefix blocking + levenshtein ratio exactly — both engines
+    // share unit-cost edit distance, so the similarity values hash-match
+    "dedup_edit_verify" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' tail note appended for edit distance checks'
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |k AS (SELECT doc_id, text, md5(substr(lower(trim(text)), 1, 32)) AS pk FROM corpus),
+        |cand AS (SELECT a.doc_id AS ida, a.text AS ta, b.doc_id AS idb, b.text AS tb
+        |         FROM k a JOIN k b ON a.pk = b.pk AND a.doc_id < b.doc_id),
+        |v AS (SELECT ida, idb,
+        |        round(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE) / greatest(len(ta), len(tb)), 6) AS edit_sim
+        |      FROM cand)
+        |SELECT ida, idb, edit_sim FROM v WHERE edit_sim >= 0.8""".stripMargin,
 
     // coalesce(text,'') mirrors WordShingles' NULL → [""] contract (same
     // rationale as text_novelty)

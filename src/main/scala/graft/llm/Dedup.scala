@@ -144,6 +144,50 @@ object Dedup {
       .select(col("ida"), col("idb"), (inter / uni).as("jaccard"))
   }
 
+  /** Candidate pairs by shared normalized text prefix — the sound
+    * blocking key for the suffix-edit duplicate family (boilerplate or
+    * tracking tails appended to an otherwise-identical page, the common
+    * scraped-web case). Any pair differing only after `prefixLen`
+    * normalized characters lands in the same bucket by construction, so
+    * unlike probabilistic banding this generator has recall exactly 1
+    * on that family. One shuffle on the prefix hash; bucket width is
+    * the identical-prefix family size, never corpus size. */
+  def prefixCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       prefixLen: Int = 32): DataFrame = {
+    val key = md5(substring(lower(trim(col(textCol))), 1, prefixLen))
+    val a = docs.select(col(idCol).as("ida"), key.as("__k"))
+    val b = docs.select(col(idCol).as("idb"), key.as("__k"))
+    a.join(b, Seq("__k")).filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** Verify candidate pairs with exact character-level edit similarity
+    * `1 - levenshtein/max(len)` — the precision layer behind ANY
+    * candidate generator (prefix blocks, MinHash bands, SimHash bands).
+    * Levenshtein is O(len²) per pair, which is exactly why it must
+    * never see the corpus: cost is O(|pairs|), and the `prefilterDocs`
+    * semi-join (same contract as [[jaccardVerify]]) keeps the text
+    * join from scanning docs the pair set never mentions. */
+  def editVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                 minSim: Double, prefilterDocs: Boolean = true): DataFrame = {
+    val base =
+      if (!prefilterDocs) docs
+      else {
+        val wanted = pairs.select(col("ida").as(idCol))
+          .union(pairs.select(col("idb").as(idCol))).distinct()
+        docs.join(wanted, Seq(idCol), "left_semi")
+      }
+    val t = base.select(col(idCol), col(textCol))
+    pairs
+      .join(t.toDF("ida", "ta"), Seq("ida"))
+      .join(t.toDF("idb", "tb"), Seq("idb"))
+      .withColumn("edit_sim",
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select("ida", "idb", "edit_sim")
+  }
+
   /** End-to-end MinHash-LSH near-dedup: drop every doc that is a verified
     * near-duplicate (Jaccard ≥ threshold) of a lower-id doc. */
   def nearDedup(docs: DataFrame, idCol: String, textCol: String,

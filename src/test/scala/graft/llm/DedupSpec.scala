@@ -140,4 +140,29 @@ class DedupSpec extends SparkSpec {
     // corpus is never filtered, only the batch side returns
     assert(!kept.contains(1L) && !kept.contains(2L))
   }
+
+  test("prefixCandidates: recall 1 on suffix edits, no cross-prefix pairs") {
+    val longA = "shared leading prefix well beyond thirty-two characters " + "x" * 40
+    val docs = Seq(
+      (1L, longA),
+      (2L, longA + " appended boilerplate tail"),
+      (3L, "a different document altogether with its own opening run"),
+      (4L, "A Different Document Altogether with its own opening run")  // case-folds to 3
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.prefixCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("editVerify: similarity is 1 - lev/maxlen, threshold filters, nulls safe") {
+    val docs = Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghiX"),          // lev 1, sim 0.9
+      (3L, "abcdefghij"), (4L, "zzzzzzzzzz"),          // lev 10, sim 0.0
+      (5L, "short"), (6L, "short plus a long tail appended")) // big relative edit
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("ida", "idb")
+    val got = Dedup.editVerify(pairs, docs, "doc_id", "text", minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 2L, 0.9)))
+  }
 }
