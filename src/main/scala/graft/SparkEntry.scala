@@ -275,6 +275,56 @@ object SparkEntry {
        | WHEN doc_id % 41 = 0 THEN 'the of ' || rtrim(repeat('a b c d e f g h i j ', 10))
        | ELSE '$GopherBasePrefix' || ' ' || text END""".stripMargin.replace("\n", "")
 
+  /** Script-mix twin: per-script suffixes on prime moduli, one fully
+    * Cyrillic replacement (mod 23) so the dominance argmax flips. */
+  private def plantedScriptText: Column =
+    when(pmod(col("doc_id"), lit(23)) === 0,
+      lit("привет мир это полностью кириллический документ без латиницы"))
+      .otherwise(concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" привет мир снова здесь")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(" 機器學習 模型 訓練")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(" مرحبا بالعالم اليوم")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0, lit(" γειά σου κόσμε πάλι")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(19)) === 0, lit(" 1234567890 42 2718281828")).otherwise(lit(""))))
+
+  private val plantedScriptSql: String =
+    """CASE WHEN doc_id % 23 = 0 THEN 'привет мир это полностью кириллический документ без латиницы'
+      | ELSE text
+      |  || CASE WHEN doc_id % 7 = 0 THEN ' привет мир снова здесь' ELSE '' END
+      |  || CASE WHEN doc_id % 11 = 0 THEN ' 機器學習 模型 訓練' ELSE '' END
+      |  || CASE WHEN doc_id % 13 = 0 THEN ' مرحبا بالعالم اليوم' ELSE '' END
+      |  || CASE WHEN doc_id % 17 = 0 THEN ' γειά σου κόσμε πάλι' ELSE '' END
+      |  || CASE WHEN doc_id % 19 = 0 THEN ' 1234567890 42 2718281828' ELSE '' END
+      | END""".stripMargin.replace("\n", "")
+
+  /** Script-mix oracle generated from the SAME class list the engine
+    * uses ([[graft.llm.TextAnalysis.Scripts]]) — ranges, fraction
+    * rounding, and the argmax tie-break chain cannot drift apart. */
+  private def scriptMixOracleSql: String = {
+    val classes = graft.llm.TextAnalysis.Scripts
+    def cnt(re: String) = s"len(t) - len(regexp_replace(t, '$re', '', 'g'))"
+    val countCols = classes.map { case (n, re) => s"${cnt(re)} AS ${n}_c" }.mkString(",\n  ")
+    val listedSum = classes.map { case (n, _) => s"${n}_c" }.mkString(" + ")
+    val names = classes.map(_._1) :+ "other"
+    val fracCols = names.map(n => s"round(CAST(${n}_c AS DOUBLE) / n_chars, 6) AS ${n}_frac")
+      .mkString(",\n  ")
+    val dominant = names.zipWithIndex.map { case (n, i) =>
+      val beats = names.drop(i + 1).map(m => s"${m}_c <= ${n}_c")
+      val cond = (s"${n}_c > 0" +: beats).mkString(" AND ")
+      s"WHEN $cond THEN '$n'"
+    }.mkString("\n    ")
+    s"""WITH built AS (SELECT doc_id, $plantedScriptSql AS t FROM documents),
+       |c AS (SELECT doc_id,
+       |  CAST(len(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS n_chars,
+       |  $countCols FROM built),
+       |c2 AS (SELECT *, n_chars - ($listedSum) AS other_c FROM c)
+       |SELECT doc_id, n_chars,
+       |  $fracCols,
+       |  CASE $dominant ELSE 'none' END AS dominant
+       |FROM c2""".stripMargin
+  }
+
   /** Clean suffix for the mojibake twin: accents, an em-dash, and curly
     * quotes — one 2-byte and several 3-byte UTF-8 sequences, so the
     * planted damage exercises both signature classes. */
@@ -1658,6 +1708,15 @@ object SparkEntry {
           .withColumn("text", plantedParagraphText)
           .select("doc_id", "text"),
         "doc_id", "text", minChars = 30)),
+
+    "text_script_mix" -> ((s, d) =>
+      // multilingual triage: per-script codepoint fractions + dominant
+      // script, on docs with planted Cyrillic/CJK/Arabic/Greek/digit
+      // suffixes and one full-Cyrillic replacement class
+      graft.llm.TextAnalysis.scriptMix(
+        Tables.documents(s, d).withColumn("text", plantedScriptText)
+          .select("doc_id", "text"),
+        "doc_id", "text")),
 
     "c4_line_filter" -> ((s, d) =>
       // C4's line-level cleaning (Raffel et al. 2020): docs become
@@ -3541,6 +3600,8 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    "text_script_mix" -> scriptMixOracleSql,
 
     // replays C4 line cleaning over the planted four-line pages: the
     // same per-line keep lambda, then the three doc-level gates

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: token counting, language ID,
@@ -143,5 +143,49 @@ object TextAnalysis {
       i => concat_ws(" ", slice(words, i + 1, lit(n))))
     when(total <= 0, 0.0)
       .otherwise((total - size(array_distinct(grams))).cast("double") / total.cast("double"))
+  }
+
+  // ── script mix ───────────────────────────────────────────────────────
+
+  /** Script classes and their codepoint ranges (BMP only — each listed
+    * char is one codepoint in both engines' length()). Order is the
+    * deterministic dominance tie-break: earlier wins on equal counts. */
+  val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]", // han + kana
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "digit" -> "[0-9]")
+
+  /** Per-document Unicode script profile — the triage step of a
+    * multilingual pipeline (route by script before n-gram language ID,
+    * catch mojibake and binary-junk pages as `other`). One narrow
+    * codegen map: per-class counts are length deltas under
+    * `regexp_replace`, fractions are over non-whitespace codepoints,
+    * `dominant` is the count argmax with the [[Scripts]] order breaking
+    * ties, `other` covering punctuation and unlisted scripts. */
+  def scriptMix(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val nonSpace = length(regexp_replace(text, "\\s", "")).cast("long")
+    def count(re: String): Column =
+      (length(text) - length(regexp_replace(text, re, ""))).cast("long")
+    val counts = Scripts.map { case (name, re) => name -> count(re) }
+    val listed = counts.map(_._2).reduce(_ + _)
+    val withOther = counts :+ ("other" -> (nonSpace - listed))
+    // argmax with list-order tie-break: name_i wins iff its count is
+    // >= every later count and > every earlier one (earlier already lost)
+    val dominant = withOther.zipWithIndex.foldRight(lit("none")) {
+      case (((name, c), i), els) =>
+        val beatsRest = withOther.drop(i + 1).map(_._2 <= c).foldLeft(lit(true))(_ && _)
+        when(c > 0 && beatsRest, lit(name)).otherwise(els)
+    }
+    docs.select(
+      col(idCol) +:
+        nonSpace.as("n_chars") +:
+        withOther.map { case (name, c) =>
+          round(c.cast("double") / nonSpace.cast("double"), 6).as(s"${name}_frac")
+        } :+
+        dominant.as("dominant"): _*)
   }
 }

@@ -109,4 +109,26 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].head()
     assert(twice == clean2)
   }
+
+  test("scriptMix: fractions by codepoint class, dominance with list-order ties") {
+    val docs = Seq(
+      (1L, "hello world"),              // pure latin
+      (2L, "привет мир"),               // pure cyrillic
+      (3L, "hi 機器學習 there"),          // mixed latin + cjk, latin dominant
+      (4L, "ab гд"),                    // 2 latin vs 2 cyrillic → tie, latin first
+      (5L, "12345 678")                 // digits only
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.scriptMix(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String) =
+      rows(id).getDouble(rows(id).schema.fieldIndex(s"${name}_frac"))
+    def dom(id: Long) = rows(id).getString(rows(id).schema.fieldIndex("dominant"))
+    assert(f(1L, "latin") == 1.0 && dom(1L) == "latin")
+    assert(f(2L, "cyrillic") == 1.0 && dom(2L) == "cyrillic")
+    assert(rows(3L).getLong(1) == 11L) // hi + 4 han + there, spaces excluded
+    assert(f(3L, "cjk") == 0.363636 && dom(3L) == "latin")
+    assert(dom(4L) == "latin", "equal counts resolve by Scripts order")
+    assert(f(5L, "digit") == 1.0 && dom(5L) == "digit")
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(id => f(id, "other") == 0.0))
+  }
 }
