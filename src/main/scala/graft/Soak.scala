@@ -50,7 +50,17 @@ object Soak {
     // streaming drains over the replicated events feed: per-tick cost
     // should grow ~linearly with batch bytes while the touched-partition
     // count (days) stays constant — O(batch), never O(table)
-    "stream_cdc_merge_manifest", "stream_day_rollup_manifest")
+    "stream_cdc_merge_manifest", "stream_day_rollup_manifest",
+    // round-10 batch 3: curation filters and script mix are narrow
+    // byte-proportional maps; edit verify is O(planted pairs) after the
+    // prefix-block shuffle; encode adds the id window + broadcast probe
+    // over a 10×-tagged vocabulary; the streaming front door drains the
+    // 10× corpus through filter+dedup state. (score_quantile_sketch is
+    // lineitem-based — outside the replica tables — its scale path is
+    // exercised by Bench at sf0.1 instead.)
+    "c4_line_filter", "gopher_quality_filter", "text_script_mix",
+    "pii_luhn", "dedup_edit_verify", "bpe_encode_ids",
+    "stream_quality_filter")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
