@@ -1271,6 +1271,23 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_hard_negatives" -> ((s, d) => {
+      // contrastive-pair mining: for the first five vectors as anchors,
+      // the 5 nearest vectors with a DIFFERENT label; anchors expand via
+      // a literal-array explode, so the plan is one scan + one window
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding", "label").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+        .toSeq.sortBy(_._1)
+      Similarity.hardNegatives(e, "embedding", "vec_id", "label", anchors, k = 5)
+    }),
+
+    "embedding_label_drift" -> ((s, d) =>
+      // embedding-space distribution monitor: per-label centroid norm
+      // and cosine to the global centroid, dimension-parallel
+      Similarity.labelCentroidDrift(Tables.embeddings(s, d), "embedding", "label")),
+
     "ann_quantized_topk" -> ((s, d) => {
       // two-phase quantized search: int8 coarse scan (bit-exact across
       // engines — integer sums) → float re-rank of 50 candidates
@@ -3104,6 +3121,33 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+
+    // per-anchor brute force restricted to label mismatch; rank on full
+    // precision, round after — same contract as topkSql
+    "ann_hard_negatives" ->
+      s"""WITH emb AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |anchors AS (SELECT vec_id AS anchor_id, label AS alabel, e AS ae FROM emb WHERE vec_id < 5),
+         |scored AS (SELECT a.anchor_id, m.vec_id, ${cosSql("m.e", "a.ae")} AS cos
+         |           FROM emb m JOIN anchors a ON m.label <> a.alabel),
+         |r AS (SELECT anchor_id, vec_id, cos,
+         |        row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |      FROM scored)
+         |SELECT anchor_id, vec_id, round(cos, 4) AS cosine FROM r WHERE rn <= 5""".stripMargin,
+
+    // dimension-parallel replay: zipped unnest, per-label and global
+    // per-dim means, then norms and the centroid→global cosine
+    "embedding_label_drift" ->
+      """WITH d AS (SELECT label, unnest(embedding) AS v, unnest(range(0, len(embedding))) AS dim
+        |           FROM embeddings),
+        |pl AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m, count(*) AS n FROM d GROUP BY label, dim),
+        |g AS (SELECT dim, avg(CAST(v AS DOUBLE)) AS gm FROM d GROUP BY dim),
+        |s AS (SELECT pl.label, max(pl.n) AS n_vecs, sum(pl.m * g.gm) AS dot,
+        |        sum(pl.m * pl.m) AS nl, sum(g.gm * g.gm) AS ng
+        |      FROM pl JOIN g USING (dim) GROUP BY pl.label)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  round(sqrt(nl), 6) AS centroid_norm,
+        |  round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global
+        |FROM s""".stripMargin,
 
     "ann_topk" ->
       """WITH q AS (

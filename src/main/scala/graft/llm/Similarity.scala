@@ -373,4 +373,57 @@ object Similarity {
         coalesce(col("component"), col(idCol).cast("long")).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
+
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the `k` highest-cosine vectors carrying a DIFFERENT label — the
+    * near-miss examples a retrieval/embedding model learns most from.
+    *
+    * No join appears in the plan: the anchor set (driver-sized by
+    * contract, like every query vector in this file) ships as a literal
+    * struct array and expands via `explode` — a Generate over one
+    * corpus scan, never a BroadcastNestedLoopJoin — followed by one
+    * per-anchor window. Cost is O(anchors · corpus) dot products inside
+    * whole-stage codegen, the same envelope as `bruteForceTopK` per
+    * anchor, and the natural cell-pruned variant drops in via the IVF
+    * index when the anchor count grows. */
+  def hardNegatives(embs: DataFrame, embCol: String, idCol: String, labelCol: String,
+                    anchors: Seq[(Long, Array[Float], Int)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(anchors.nonEmpty, "anchor set must not be empty")
+    val anchorArr = array(anchors.map { case (id, vec, lab) =>
+      struct(lit(id).as("anchor_id"),
+        VectorOps.floatVectorLit(vec).as("avec"), lit(lab).as("alabel"))
+    }: _*)
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col(idCol).asc)
+    embs.select(col(idCol), col(labelCol), col(embCol), explode(anchorArr).as("a"))
+      .filter(col(labelCol) =!= col("a.alabel"))
+      .select(col("a.anchor_id").as("anchor_id"), col(idCol),
+        VectorOps.vectorCosine(col(embCol), col("a.avec")).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("anchor_id"), col(idCol), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Per-label centroid drift — the embedding-space distribution monitor
+    * (does source/label X point the same way the corpus does?). Two hash
+    * aggregates over the dimension explode (per-label and global per-dim
+    * means), a broadcast join on the 1-per-dim global rows, and one final
+    * label aggregate for norms and the centroid→global cosine. No vector
+    * ever collects to the driver; everything is dimension-parallel. */
+  def labelCentroidDrift(embs: DataFrame, embCol: String, labelCol: String): DataFrame = {
+    val dims = embs.select(col(labelCol).as("label"),
+      posexplode(col(embCol)).as(Seq("dim", "v")))
+    val perLabel = dims.groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+    val global = dims.groupBy(col("dim")).agg(avg(col("v")).as("gm"))
+    perLabel.join(broadcast(global), Seq("dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sum(col("m") * col("gm")).as("dot"),
+        sum(col("m") * col("m")).as("nl"),
+        sum(col("gm") * col("gm")).as("ng"))
+      .select(col("label"), col("n_vecs"),
+        round(sqrt(col("nl")), 6).as("centroid_norm"),
+        round(col("dot") / (sqrt(col("nl")) * sqrt(col("ng"))), 6).as("cos_to_global"))
+  }
 }

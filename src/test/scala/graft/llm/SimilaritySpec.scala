@@ -181,4 +181,33 @@ class SimilaritySpec extends SparkSpec {
     val full = Similarity.cosineNearDupPairs(skewed, "embedding", "vec_id", planes, 0.999)
     assert(full.count() >= 1770L)
   }
+
+  test("hardNegatives: same-label vectors never surface, nearest negative wins") {
+    // label 0: anchor at e1 plus a decoy ON e1 (cos 1.0, must be excluded);
+    // label 1: two negatives, one almost parallel, one orthogonal
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),   // anchor
+      (1L, Array(1f, 0f, 0f, 0f), 0),   // same label — excluded
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 1),
+      (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(0f, 0f, 1f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val anchors = Seq((0L, Array(1f, 0f, 0f, 0f), 0))
+    val got = Similarity.hardNegatives(vecs, "embedding", "vec_id", "label", anchors, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._2) == Seq(2L, 3L), s"got $got") // decoy 1L absent, nearest first
+    assert(got.head._3 > 0.99 && got(1)._3 == 0.0)
+  }
+
+  test("labelCentroidDrift: aligned label → cosine 1, opposed label → -1") {
+    // two labels pointing opposite ways; global centroid = (0.5-0.5)/2 axis
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0),
+      (3L, Array(-1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidDrift(vecs, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(0) == ((3L, 1.0, 1.0)))   // centroid (1,0), global (0.5,0): aligned
+    assert(got(1) == ((1L, 1.0, -1.0)))  // centroid (-1,0): opposed
+  }
 }
