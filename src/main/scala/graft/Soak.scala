@@ -60,7 +60,10 @@ object Soak {
     // exercised by Bench at sf0.1 instead.)
     "c4_line_filter", "gopher_quality_filter", "text_script_mix",
     "pii_luhn", "dedup_edit_verify", "bpe_encode_ids",
-    "stream_quality_filter")
+    "stream_quality_filter",
+    // round-10 batch 4: negatives scan is O(anchors·corpus) codegen dot
+    // products; drift is two per-dim hash aggs over the dimension explode
+    "ann_hard_negatives", "embedding_label_drift")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
