@@ -376,6 +376,36 @@ object SparkEntry {
        |FROM w$k ORDER BY freq DESC, word ASC LIMIT 100""".stripMargin
   }
 
+  /** The fertility twin: the encoding chain over ALL docs, joined back
+    * to sources — word counts from the word expansion, token/OOV counts
+    * from the token expansion under a top-`v` id budget. */
+  private def bpeFertilityOracleSql(k: Int, v: Int): String = {
+    val train = bpeOracleSql(k)
+    val ctes = train.substring(0, train.lastIndexOf("\nSELECT 1 AS step"))
+    s"""$ctes,
+       |vocab AS (SELECT word, string_split(seq, ' ') AS toks FROM w$k),
+       |tf AS (SELECT token, sum(freq) AS tf
+       |       FROM (SELECT unnest(string_split(seq, ' ')) AS token, freq FROM w$k)
+       |       GROUP BY token),
+       |ids AS (SELECT token, row_number() OVER (ORDER BY tf DESC, token ASC) AS token_id FROM tf),
+       |dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS wpos
+       |       FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+       |             FROM documents)),
+       |dt AS (SELECT doc_id, wpos, unnest(v.toks) AS token FROM dw JOIN vocab v USING (word)),
+       |words_by_src AS (SELECT doc.source, count(*) AS n_words
+       |       FROM dw JOIN documents doc USING (doc_id) GROUP BY doc.source),
+       |toks_by_src AS (SELECT doc.source, count(*) AS n_tokens,
+       |         sum(CASE WHEN i.token_id > $v THEN 1 ELSE 0 END) AS n_oov
+       |       FROM dt JOIN ids i USING (token) JOIN documents doc USING (doc_id)
+       |       GROUP BY doc.source)
+       |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+       |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_frac
+       |FROM words_by_src JOIN toks_by_src USING (source)""".stripMargin
+  }
+
   /** The encoding twin: same chain again, then token ids by (frequency
     * desc, token asc) over the segmented vocabulary and a word-position
     * / token-position expansion of every mod-`mod` document. */
@@ -1569,6 +1599,17 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text", merges)
     }),
 
+    "bpe_source_fertility" -> ((s, d) => {
+      // tokenizer QA: tokens-per-word and OOV fraction (ids beyond a
+      // top-20 budget) per source — the "does this tokenizer fit this
+      // corpus slice" dashboard, one encode pass + one hash aggregate
+      val docs = Tables.documents(s, d)
+      val merges = graft.llm.Bpe.trainMerges(docs, "text", k = 10)
+        .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      graft.llm.Bpe.sourceFertility(docs, "doc_id", "text", "source", merges,
+        vocabSize = 20)
+    }),
+
     "source_kl_divergence" -> ((s, d) =>
       // source-drift detector: KL(source unigram dist ‖ corpus dist)
       // in exact micro-nat arithmetic — replayed term-for-term
@@ -2599,6 +2640,8 @@ object SparkEntry {
     "bpe_segment_vocab" -> bpeSegmentOracleSql(10),
 
     "bpe_encode_ids" -> bpeEncodeOracleSql(10, 25),
+
+    "bpe_source_fertility" -> bpeFertilityOracleSql(10, 20),
 
     // replays KL term-for-term: per-type micro-nat log-ratios of
     // group vs corpus unigram rates, weighted by group counts

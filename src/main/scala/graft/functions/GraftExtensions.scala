@@ -32,5 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[NfcNormalize], "nfc_normalize",
         "nfc_normalize(s) - Unicode NFC canonical composition of s"),
       (children: Seq[Expression]) => NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("luhn_check"),
+      info(classOf[LuhnCheck], "luhn_check",
+        "luhn_check(s) - true iff s is a Luhn-valid card-number candidate"),
+      (children: Seq[Expression]) => LuhnCheck(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info(classOf[WordShingles], "word_shingles",
+        "word_shingles(s, n) - distinct word n-grams of s (n a literal int)"),
+      (children: Seq[Expression]) => WordShingles(children.head,
+        children(1).eval().asInstanceOf[Int])))
   }
 }

@@ -147,4 +147,26 @@ object Bpe {
         col("tpos").cast("long").as("tpos"), col("token"),
         col("token_id").cast("long").as("token_id"))
   }
+
+  /** Tokenizer QA per source: fertility (tokens emitted per word — the
+    * standard "is this tokenizer a fit for this corpus slice" number)
+    * and the OOV fraction under a top-`vocabSize` id budget. A slice
+    * whose fertility or OOV rate runs hot is being shredded into rare
+    * tokens — retrain or re-weight before it burns sequence length.
+    * One [[encodeCorpus]] pass plus a per-source hash aggregate. */
+  def sourceFertility(docs: DataFrame, idCol: String, textCol: String,
+                      groupCol: String, mergesLocal: Seq[(Int, String)],
+                      vocabSize: Int): DataFrame = {
+    val enc = encodeCorpus(docs, docs, idCol, textCol, mergesLocal)
+    enc.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(
+        countDistinct(col(idCol), col("wpos")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id") > vocabSize, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol),
+        col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_frac"))
+  }
 }

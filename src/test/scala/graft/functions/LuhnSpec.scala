@@ -52,4 +52,11 @@ class LuhnSpec extends SparkSpec {
     // filter forces the predicate through the non-codegen eval path too
     assert(df.filter(TextOps.luhnValid(col("c"))).count() == 1L)
   }
+
+  test("registered as a SQL function via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT luhn_check('4539-1488-0343-6467'), luhn_check('1234567890123456')")
+      .head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
 }

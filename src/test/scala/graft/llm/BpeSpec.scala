@@ -78,4 +78,24 @@ class BpeSpec extends SparkSpec {
     // same token always maps to the same id
     assert(enc.groupBy(_._4).forall(_._2.map(_._5).distinct.size == 1))
   }
+
+  test("sourceFertility: token/word ratio per group; OOV counts ids beyond the budget") {
+    val docs = Seq(
+      (1L, "low low lower", "a"),
+      (2L, "newest widest", "b")
+    ).toDF("doc_id", "text", "source")
+    val rules = Bpe.trainMerges(docs, "text", 2)
+      .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // budget 0: every token is OOV — oov_frac must be exactly 1
+    val all = Bpe.sourceFertility(docs, "doc_id", "text", "source", rules, vocabSize = 0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(all("a")._1 == 3L && all("b")._1 == 2L)
+    assert(all("a")._4 == 1.0 && all("b")._4 == 1.0)
+    assert(all("a")._3 == math.round(all("a")._2.toDouble / 3 * 1e6) / 1e6)
+    // a huge budget drives OOV to zero without touching fertility
+    val none = Bpe.sourceFertility(docs, "doc_id", "text", "source", rules, vocabSize = 1000)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(none.values.forall(_ == 0.0))
+  }
 }
