@@ -1767,6 +1767,18 @@ object SparkEntry {
           .select("doc_id", "text"),
         "doc_id", "text", minChars = 30)),
 
+    "text_heavy_hitters" -> ((s, d) =>
+      // boilerplate radar without a full-vocabulary shuffle: Misra-Gries
+      // top-20 tokens (native mergeable aggregate, O(cap) per partition);
+      // the corpus vocabulary sits inside the capacity so counts are
+      // exact and the oracle is the plain GROUP BY top-20
+      Tables.documents(s, d)
+        .select(explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .agg(graft.functions.FreqOps.freqTopK(col("token"), 20).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.est_count").as("est_count"))),
+
     "text_script_mix" -> ((s, d) =>
       // multilingual triage: per-script codepoint fractions + dominant
       // script, on docs with planted Cyrillic/CJK/Arabic/Greek/digit
@@ -3687,6 +3699,12 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """SELECT word AS item, CAST(count(*) AS BIGINT) AS est_count
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
 
     "text_script_mix" -> scriptMixOracleSql,
 
