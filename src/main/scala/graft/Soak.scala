@@ -63,7 +63,12 @@ object Soak {
     "stream_quality_filter",
     // round-10 batch 4: negatives scan is O(anchors·corpus) codegen dot
     // products; drift is two per-dim hash aggs over the dimension explode
-    "ann_hard_negatives", "embedding_label_drift")
+    "ann_hard_negatives", "embedding_label_drift",
+    // round-10 batch 5: fertility re-runs the BPE train + encode over
+    // the 10×-tagged vocabulary; heavy hitters is one tokenize + the
+    // O(cap)-per-partition MG aggregate (vocab inflates 10× under
+    // replica tagging but stays inside the exact-mode capacity)
+    "bpe_source_fertility", "text_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
