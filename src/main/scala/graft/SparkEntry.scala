@@ -2082,6 +2082,32 @@ object SparkEntry {
                 col("n"), col("total_value").cast("double").as("total_value"))
     }),
 
+    "stream_heavy_hitters" -> ((s, d) => withShufflePartitions(s, 8) {
+      // END-TO-END streaming aggregation with the CUSTOM MG aggregate:
+      // complete-mode state is the serialized sketch itself, merged
+      // across 4 micro-batches; inside exact mode the drained result
+      // must equal the batch GROUP BY top-20 (same oracle as
+      // text_heavy_hitters) — proving the aggregate's serialize/merge
+      // path through the streaming state store, not just shuffle
+      val tmp = java.nio.file.Files.createTempDirectory("stream_hh").toString
+      val src = s"$tmp/src"
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val toks = stream
+        .select(explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val outName = "shh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = toks.agg(graft.functions.FreqOps.freqTopK(col("token"), 20).as("hh"))
+        .writeStream.format("memory").queryName(outName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.est_count").as("est_count"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -3701,6 +3727,14 @@ object SparkEntry {
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
 
     "text_heavy_hitters" ->
+      """SELECT word AS item, CAST(count(*) AS BIGINT) AS est_count
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
+        |      FROM documents)
+        |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
+
+    // the drained complete-mode result must equal the one-shot batch
+    // aggregate — text_heavy_hitters' oracle verbatim
+    "stream_heavy_hitters" ->
       """SELECT word AS item, CAST(count(*) AS BIGINT) AS est_count
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
         |      FROM documents)
