@@ -275,6 +275,24 @@ object SparkEntry {
        | WHEN doc_id % 41 = 0 THEN 'the of ' || rtrim(repeat('a b c d e f g h i j ', 10))
        | ELSE '$GopherBasePrefix' || ' ' || text END""".stripMargin.replace("\n", "")
 
+  /** CJK near-dup twin (mod-8 docs only): a shared 17-char Han prefix,
+    * one of three 12-char variant suffixes by doc_id%3, and the doc id
+    * as a uniqueness tail. Same-variant pairs sit near Jaccard ~0.87,
+    * cross-variant ~0.35 — the 0.6 threshold separates them. */
+  private def plantedCjkText: Column = concat(
+    lit("機器學習模型訓練需要大量高質量數據"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit("清洗流程確保質量穩定提升"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit("去重策略減少冗餘樣本數量"))
+      .otherwise(lit("標註規範提高下游任務表現")),
+    col("doc_id").cast("string"))
+
+  private val plantedCjkSql: String =
+    """'機器學習模型訓練需要大量高質量數據'
+      | || CASE WHEN doc_id % 3 = 0 THEN '清洗流程確保質量穩定提升'
+      |         WHEN doc_id % 3 = 1 THEN '去重策略減少冗餘樣本數量'
+      |         ELSE '標註規範提高下游任務表現' END
+      | || CAST(doc_id AS VARCHAR)""".stripMargin.replace("\n", "")
+
   /** Script-mix twin: per-script suffixes on prime moduli, one fully
     * Cyrillic replacement (mod 23) so the dominance argmax flips. */
   private def plantedScriptText: Column =
@@ -1239,6 +1257,17 @@ object SparkEntry {
         Dedup.prefixCandidates(corpus, "doc_id", "text"),
         corpus, "doc_id", "text", minSim = 0.8)
     }),
+
+    "dedup_char_jaccard" -> ((s, d) =>
+      // CJK-capable near-dup: character-3-gram Jaccard over docs with no
+      // word boundaries (word shingling degenerates there); pairs form
+      // inside shared-shingle buckets via the inverted index, and the
+      // 0.6 threshold keeps same-variant pairs while dropping the
+      // shared-prefix cross-variant ones
+      Dedup.charJaccardPairs(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(8)) === 0)
+          .withColumn("text", plantedCjkText).select("doc_id", "text"),
+        "doc_id", "text", n = 3, threshold = 0.6)),
 
     "dedup_cluster_survivors" -> ((s, d) =>
       // quality-ranked survivor per near-dup cluster: keep the LONGEST
@@ -3350,6 +3379,24 @@ object SparkEntry {
         |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
+
+    // replays char-shingling + exact pairwise Jaccard on the planted CJK
+    // subset; filter on the unrounded ratio, output rounded — integer
+    // set sizes make the doubles bit-identical across engines
+    "dedup_char_jaccard" ->
+      s"""WITH built AS (SELECT doc_id, $plantedCjkSql AS t0 FROM documents WHERE doc_id % 8 = 0),
+         |nrm AS (SELECT doc_id, regexp_replace(lower(trim(t0)), '\\s+', ' ', 'g') AS t FROM built),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(CASE WHEN len(t) >= 3
+         |           THEN list_transform(generate_series(1, len(t) - 2), i -> substr(t, i, 3))
+         |           ELSE [t] END) AS s
+         |       FROM nrm),
+         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |        len(list_intersect(a.s, b.s)) AS i, len(a.s) AS na, len(b.s) AS nb
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT ida, idb,
+         |  round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+         |FROM p WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.6""".stripMargin,
 
     // replays prefix blocking + levenshtein ratio exactly — both engines
     // share unit-cost edit distance, so the similarity values hash-match

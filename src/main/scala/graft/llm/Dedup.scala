@@ -144,6 +144,51 @@ object Dedup {
       .select(col("ida"), col("idb"), (inter / uni).as("jaccard"))
   }
 
+  /** Distinct character n-grams of whitespace-normalized lowercase
+    * text — the shingle unit for scripts WITHOUT word boundaries (CJK,
+    * Thai), where [[shingles]]' whitespace split degenerates to whole
+    * sentences. Same short-text convention: below n characters the
+    * whole text is the one shingle. */
+  def charShingles(textCol: Column, n: Int = 3): Column = {
+    val t = regexp_replace(lower(trim(textCol)), "\\s+", " ")
+    when(length(t) >= n,
+      array_distinct(transform(sequence(lit(0), length(t) - n),
+        i => t.substr(i + 1, lit(n)))))
+      .otherwise(array(t))
+  }
+
+  /** Character-n-gram Jaccard pairs via a shingle inverted index — the
+    * CJK-capable near-dup detector. One explode + equi-join on the
+    * shingle value builds intersection counts (pairs form only inside
+    * shared-shingle buckets, like every banded operator here), then set
+    * sizes close the Jaccard. `maxDf` drops stop-grams whose bucket
+    * would otherwise quadratically dominate — the same df-cap contract
+    * as [[containmentPairs]]; a dropped gram can only LOWER a pair's
+    * computed intersection, so the threshold stays conservative. */
+  def charJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.6,
+                       maxDf: Long = Long.MaxValue): DataFrame = {
+    val sh = parallelize(docs)
+      .select(col(idCol).as("__id"), charShingles(col(textCol), n).as("__sh"))
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val inv0 = sh.select(col("__id"), explode(col("__sh")).as("__g"))
+    val inv = (if (maxDf == Long.MaxValue) inv0
+      else {
+        val df = inv0.groupBy("__g").agg(count(lit(1)).as("__df"))
+        inv0.join(df.filter(col("__df") <= maxDf).select("__g"), Seq("__g"))
+      }).select("__id", "__g")
+    val inter = inv.toDF("ida", "ga").join(inv.toDF("idb", "gb"),
+        col("ga") === col("gb") && col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("__inter"))
+    val j = col("__inter").cast("double") /
+      (col("__na") + col("__nb") - col("__inter")).cast("double")
+    inter
+      .join(sizes.toDF("ida", "__na"), Seq("ida"))
+      .join(sizes.toDF("idb", "__nb"), Seq("idb"))
+      .filter(j >= threshold)
+      .select(col("ida"), col("idb"), round(j, 6).as("jaccard"))
+  }
+
   /** Candidate pairs by shared normalized text prefix — the sound
     * blocking key for the suffix-edit duplicate family (boilerplate or
     * tracking tails appended to an otherwise-identical page, the common

@@ -154,6 +154,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("charShingles + charJaccardPairs: boundary-free near-dups, df cap bounds buckets") {
+    // 3-gram sets: shared 6-char prefix, divergent tails
+    val docs = Seq(
+      (1L, "機器學習模型訓練需要數據"),
+      (2L, "機器學習模型訓練需要樣本"),   // differs in last 2 chars → high J
+      (3L, "標註規範提高任務表現水平"),   // disjoint
+      (4L, "ab")                          // below n → whole-text shingle
+    ).toDF("doc_id", "text")
+    val sh = docs.select(Dedup.charShingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).length == 10 && sh(0).head == "機器學")
+    assert(sh(3) == Seq("ab"))
+    val pairs = Dedup.charJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // J(1,2) = 8 shared / (10+10-8) = 0.666667; no other pair qualifies
+    assert(pairs == Seq((1L, 2L, 0.666667)))
+    // a df cap of 1 kills every shared gram → no pairs at all
+    assert(Dedup.charJaccardPairs(docs, "doc_id", "text", 3, 0.1, maxDf = 1).count() == 0L)
+  }
+
   test("editVerify: similarity is 1 - lev/maxlen, threshold filters, nulls safe") {
     val docs = Seq(
       (1L, "abcdefghij"), (2L, "abcdefghiX"),          // lev 1, sim 0.9
