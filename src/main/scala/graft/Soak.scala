@@ -68,7 +68,10 @@ object Soak {
     // the 10×-tagged vocabulary; heavy hitters is one tokenize + the
     // O(cap)-per-partition MG aggregate (vocab inflates 10× under
     // replica tagging but stays inside the exact-mode capacity)
-    "bpe_source_fertility", "text_heavy_hitters")
+    "bpe_source_fertility", "text_heavy_hitters",
+    // char-gram inverted index over the planted CJK subset (mod-8 docs,
+    // so the subset itself grows 10× with distinct ids per replica)
+    "dedup_char_jaccard", "stream_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
