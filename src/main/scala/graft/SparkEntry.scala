@@ -275,6 +275,32 @@ object SparkEntry {
        | WHEN doc_id % 41 = 0 THEN 'the of ' || rtrim(repeat('a b c d e f g h i j ', 10))
        | ELSE '$GopherBasePrefix' || ' ' || text END""".stripMargin.replace("\n", "")
 
+  /** Sentence twin: four terminal-punctuated sentences per doc; mod-6
+    * docs share a fixed closing three-sentence triplet (C4's dedup
+    * unit), every other window is doc-unique via intro/ids. */
+  private def plantedSentenceText: Column = concat_ws(" ",
+    concat(lit("intro "), substring(col("text"), 1, 40), lit(".")),
+    when(pmod(col("doc_id"), lit(6)) === 0, lit("the pipeline runs every night."))
+      .otherwise(concat(lit("body "), substring(col("text"), 41, 30), lit("."))),
+    when(pmod(col("doc_id"), lit(6)) === 0, lit("the results land in the mart!"))
+      .otherwise(concat(lit("tail "), substring(col("text"), 71, 30), lit("?"))),
+    when(pmod(col("doc_id"), lit(6)) === 0, lit("the report goes out at dawn."))
+      .otherwise(concat(lit("end "), col("doc_id").cast("string"), lit("."))))
+
+  private val plantedSentenceSql: String =
+    """concat_ws(' ',
+      | 'intro ' || substr(text, 1, 40) || '.',
+      | CASE WHEN doc_id % 6 = 0 THEN 'the pipeline runs every night.' ELSE 'body ' || substr(text, 41, 30) || '.' END,
+      | CASE WHEN doc_id % 6 = 0 THEN 'the results land in the mart!' ELSE 'tail ' || substr(text, 71, 30) || '?' END,
+      | CASE WHEN doc_id % 6 = 0 THEN 'the report goes out at dawn.' ELSE 'end ' || CAST(doc_id AS VARCHAR) || '.' END)""".stripMargin.replace("\n", "")
+
+  /** Shared sentence-split SQL: replace-then-split on chr(1) — the same
+    * no-lookbehind contract as [[graft.llm.Sentences.splitSentences]]. */
+  private val sentenceSplitSql: String =
+    """list_filter(list_transform(
+      |  string_split(regexp_replace(t, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+      |  s -> trim(s)), s -> len(s) > 0)""".stripMargin.replace("\n", "")
+
   /** CJK near-dup twin (mod-8 docs only): a shared 17-char Han prefix,
     * one of three 12-char variant suffixes by doc_id%3, and the doc id
     * as a uniqueness tail. Same-variant pairs sit near Jaccard ~0.87,
@@ -1795,6 +1821,23 @@ object SparkEntry {
           .withColumn("text", plantedParagraphText)
           .select("doc_id", "text"),
         "doc_id", "text", minChars = 30)),
+
+    "text_sentences" -> ((s, d) =>
+      // sentence segmentation under the portable no-lookbehind boundary
+      // contract — the unit C4's span dedup and chunkers build on
+      graft.llm.Sentences.sentences(
+        Tables.documents(s, d).withColumn("text", plantedSentenceText)
+          .select("doc_id", "text"),
+        "doc_id", "text")),
+
+    "c4_span_dedup" -> ((s, d) =>
+      // C4's ACTUAL dedup unit: three-sentence sliding windows hashed
+      // corpus-wide, min-doc-id ownership, per-doc dup counts; mod-6
+      // docs share a planted closing triplet the rest never produce
+      graft.llm.Sentences.spanDedup(
+        Tables.documents(s, d).withColumn("text", plantedSentenceText)
+          .select("doc_id", "text"),
+        "doc_id", "text", span = 3)),
 
     "text_heavy_hitters" -> ((s, d) =>
       // boilerplate radar without a full-vocabulary shuffle: Misra-Gries
@@ -3772,6 +3815,32 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents)
         |WHERE length(word) > 0
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 100""".stripMargin,
+
+    "text_sentences" ->
+      s"""WITH built AS (SELECT doc_id, $plantedSentenceSql AS t FROM documents),
+         |sp AS (SELECT doc_id, $sentenceSplitSql AS ss FROM built)
+         |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence
+         |FROM (SELECT doc_id, unnest(ss) AS sentence, unnest(range(0, len(ss))) AS sent_idx FROM sp)""".stripMargin,
+
+    // replays the span algebra: slide, hash with a chr(2)-joined window,
+    // min-id ownership, per-doc dup counts, zero-span docs kept
+    "c4_span_dedup" ->
+      s"""WITH built AS (SELECT doc_id, $plantedSentenceSql AS t FROM documents),
+         |sp AS (SELECT doc_id, $sentenceSplitSql AS ss FROM built),
+         |spans AS (SELECT doc_id,
+         |    CASE WHEN len(ss) >= 3
+         |      THEN list_transform(generate_series(1, len(ss) - 2),
+         |             i -> md5(array_to_string(list_slice(ss, i, i + 2), chr(2))))
+         |      ELSE CAST([] AS VARCHAR[]) END AS sp FROM sp),
+         |ex AS (SELECT doc_id, unnest(sp) AS h FROM spans),
+         |own AS (SELECT h, min(doc_id) AS owner FROM ex GROUP BY h),
+         |pd AS (SELECT doc_id, count(*) AS n_spans,
+         |         sum(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS dup_spans
+         |       FROM ex JOIN own USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(pd.dup_spans, 0) AS BIGINT) AS dup_spans,
+         |  coalesce(pd.dup_spans, 0) > 0 AS has_dup
+         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     "text_heavy_hitters" ->
       """SELECT word AS item, CAST(count(*) AS BIGINT) AS est_count
