@@ -71,7 +71,10 @@ object Soak {
     "bpe_source_fertility", "text_heavy_hitters",
     // char-gram inverted index over the planted CJK subset (mod-8 docs,
     // so the subset itself grows 10× with distinct ids per replica)
-    "dedup_char_jaccard", "stream_heavy_hitters")
+    "dedup_char_jaccard", "stream_heavy_hitters",
+    // sentence split is a narrow map; span dedup shuffles md5 hashes
+    // only (planted triplet family grows 10× with per-replica owners)
+    "text_sentences", "c4_span_dedup")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
