@@ -1851,6 +1851,20 @@ object SparkEntry {
         .select(explode(col("hh")).as("h"))
         .select(col("h.item").as("item"), col("h.est_count").as("est_count"))),
 
+    "source_heavy_hitters" -> ((s, d) =>
+      // the boilerplate radar PER SOURCE: grouped MG aggregation — cap
+      // counters per (group, partition) partial, no vocabulary shuffle;
+      // per-source vocab sits inside the capacity so exact mode holds
+      Tables.documents(s, d)
+        .select(col("source"),
+          explode(split(lower(trim(coalesce(col("text"), lit("")))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("source"))
+        .agg(graft.functions.FreqOps.freqTopK(col("token"), 5).as("hh"))
+        .select(col("source"), posexplode(col("hh")).as(Seq("rank", "h")))
+        .select(col("source"), (col("rank") + 1).cast("long").as("rank"),
+          col("h.item").as("item"), col("h.est_count").as("est_count"))),
+
     "text_script_mix" -> ((s, d) =>
       // multilingual triage: per-script codepoint fractions + dominant
       // script, on docs with planted Cyrillic/CJK/Arabic/Greek/digit
@@ -2340,6 +2354,43 @@ object SparkEntry {
       s.table(outName).filter(col("event_type") =!= "__sentinel")
         .select(unix_micros(col("window_start")).as("window_start_us"),
                 col("event_type"), col("n"))
+    }),
+
+    "stream_window_quantiles" -> ((s, d) => withShufflePartitions(s, 8) {
+      // windowed PERCENTILES through streaming state: the KLL sketch is
+      // the per-window aggregation buffer, merged across a time-ordered
+      // 4-file drain (same late-row + sentinel construction as
+      // stream_window_counts); exact mode makes the emitted p50/p95 the
+      // precise order statistics the batch oracle indexes
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("stream_wq").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+      val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cuts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+      ((Seq(lo) ++ cuts) zip (cuts ++ Seq(hi + 1))).foreach { case (a, b) =>
+        ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      // late row far behind the watermark: must be dropped, or the p50
+      // of its window shifts and the hash mismatches
+      Seq((new java.sql.Timestamp(lo), "late_beyond_watermark", 1e9))
+        .toDF("ts", "event_type", "value").write.mode("append").parquet(src)
+      Seq((new java.sql.Timestamp(hi + 4L * 3600 * 1000), "__sentinel", 0.0))
+        .toDF("ts", "event_type", "value").write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val wq = graft.streaming.StreamOps.windowedQuantiles(stream, "ts", "value",
+        "1 hour", "1 hour", Seq("event_type"), Seq(0.5, 0.95))
+      val outName = "wq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = wq.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).filter(col("event_type") =!= "__sentinel")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("p50"), col("p95"), col("n"))
     }),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
@@ -3856,6 +3907,18 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
 
+    // per-source top-5 with the same (count desc, token asc) total order
+    // the sketch's exact mode emits
+    "source_heavy_hitters" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
+        |            FROM documents),
+        |c AS (SELECT source, word, count(*) AS n FROM tok GROUP BY source, word),
+        |r AS (SELECT source, word, n,
+        |        row_number() OVER (PARTITION BY source ORDER BY n DESC, word ASC) AS rank
+        |      FROM c)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, word AS item, CAST(n AS BIGINT) AS est_count
+        |FROM r WHERE rank <= 5""".stripMargin,
+
     "text_script_mix" -> scriptMixOracleSql,
 
     // replays C4 line cleaning over the planted four-line pages: the
@@ -4206,6 +4269,18 @@ object SparkEntry {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // batch replay of the windowed sketch's exact mode: rank
+    // floor(p*(n-1)) into each window's sorted values
+    "stream_window_quantiles" ->
+      """WITH w AS (SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        |             event_type, list_sort(list(CAST(value AS DOUBLE))) AS vs, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT window_start_us, event_type,
+        |  round(vs[CAST(floor(0.5  * (n - 1)) AS BIGINT) + 1], 6) AS p50,
+        |  round(vs[CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1], 6) AS p95,
+        |  CAST(n AS BIGINT) AS n
+        |FROM w""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,

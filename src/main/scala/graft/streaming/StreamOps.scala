@@ -32,6 +32,28 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start") +: keys.map(col) :+ col("n"): _*)
 
+  /** Windowed percentiles via the mergeable KLL sketch
+    * ([[graft.functions.QuantileSketchAgg]]): per-window state is the
+    * serialized sketch, merged across micro-batches and evicted with
+    * the watermark like any windowed aggregate — percentile monitoring
+    * over an unbounded stream with O(cap) state per open window.
+    * Within the exactness capacity the emitted values are the exact
+    * floor(p·(n-1)) order statistics of the window's rows. */
+  def windowedQuantiles(stream: DataFrame, tsCol: String, valueCol: String,
+                        windowDur: String, lateness: String, keys: Seq[String],
+                        ps: Seq[Double], cap: Int = 1 << 16): DataFrame = {
+    val qs = graft.functions.SketchOps
+      .quantileSketch(col(valueCol).cast("double"), ps, cap)
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur) +: keys.map(col).toSeq: _*)
+      .agg(qs.as("__qs"), count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +: keys.map(col) ++:
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("__qs"), i + 1), 6)
+            .as("p" + math.round(p * 100))
+        } :+ col("n"): _*)
+  }
+
   /** Streaming exact dedup: drop any row whose content fingerprint was
     * already seen, with state bounded by the event-time watermark (a
     * duplicate arriving later than `lateness` after the original is no
