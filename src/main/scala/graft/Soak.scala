@@ -74,7 +74,10 @@ object Soak {
     "dedup_char_jaccard", "stream_heavy_hitters",
     // sentence split is a narrow map; span dedup shuffles md5 hashes
     // only (planted triplet family grows 10× with per-replica owners)
-    "text_sentences", "c4_span_dedup")
+    "text_sentences", "c4_span_dedup",
+    // grouped MG over documents; windowed sketch over the replicated
+    // events feed (10× rows per window, state O(cap·windows))
+    "source_heavy_hitters", "stream_window_quantiles")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
