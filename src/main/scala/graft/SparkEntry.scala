@@ -778,6 +778,13 @@ object SparkEntry {
           round(element_at(col("qs"), 5), 6).as("p99"),
           col("n_rows"))),
 
+    "w_funnel" -> ((s, d) =>
+      // ordered funnel: per user the greedy-earliest view→click→purchase
+      // completion times and the deepest step reached — one filtered agg
+      // + one co-partitioned join per step, all on the user key
+      graft.ops.Funnel.funnelTimes(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
+
     "p_json_extract" -> ((s, d) =>
       // semi-structured column: the reference carries JSON text opaquely
       // (addon_json etc.); extracting typed fields is one expression
@@ -3050,6 +3057,20 @@ object SparkEntry {
         | round(vs[CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1], 6) AS p99,
         | CAST(n AS BIGINT) AS n_rows
         |FROM s""".stripMargin,
+
+    // greedy-earliest funnel replayed join-for-join: each step's min ts
+    // strictly after the previous step's time
+    "w_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id, epoch_us(s1.t1) AS t1_us, epoch_us(s2.t2) AS t2_us, epoch_us(s3.t3) AS t3_us,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "p_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
