@@ -77,7 +77,9 @@ object Soak {
     "text_sentences", "c4_span_dedup",
     // grouped MG over documents; windowed sketch over the replicated
     // events feed (10× rows per window, state O(cap·windows))
-    "source_heavy_hitters", "stream_window_quantiles")
+    "source_heavy_hitters", "stream_window_quantiles",
+    // per-step filtered agg + user-key join over the 10× events feed
+    "w_funnel")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
