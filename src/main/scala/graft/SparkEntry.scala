@@ -1950,6 +1950,19 @@ object SparkEntry {
         .select(col("doc_id"), plantedPiiText.as("t"))
         .select(col("doc_id"), Pii.redact(col("t")).as("redacted"))),
 
+    "corpus_datacard" -> ((s, d) =>
+      // the release data card per source: volume, token mass, mean
+      // quality, PII exposure, exact-dup rate — one dedup-shaped pass
+      // over docs carrying planted PII suffixes and a mod-25 shared
+      // boilerplate page (so pii_frac and dup_frac are non-trivial)
+      graft.llm.Datacard.sourceDatacard(
+        Tables.documents(s, d).withColumn("text",
+          when(pmod(col("doc_id"), lit(25)) === 0,
+            lit("shared boilerplate page body for datacard dedup checks"))
+            .otherwise(plantedPiiText))
+          .select("doc_id", "source", "text"),
+        "doc_id", "text", "source")),
+
     "pii_luhn" -> ((s, d) =>
       // the policy layer behind the card regex: every 4-4-4-4 candidate
       // is validated by the native LuhnCheck expression — the oracle
@@ -4045,6 +4058,34 @@ object SparkEntry {
          |   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
          |  '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS redacted
          |FROM (SELECT doc_id, $plantedPiiSql AS t FROM documents)""".stripMargin,
+
+    // composes three already-oracle-checked signals (quality formula,
+    // PII class regexes, exact-dup fingerprint window) per source
+    "corpus_datacard" ->
+      s"""WITH built AS (SELECT doc_id, source,
+         |  CASE WHEN doc_id % 25 = 0 THEN 'shared boilerplate page body for datacard dedup checks'
+         |       ELSE $plantedPiiSql END AS t FROM documents),
+         |f AS (SELECT doc_id, source, t,
+         |        row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g'))
+         |                           ORDER BY doc_id) > 1 AS dup
+         |      FROM built),
+         |q AS (SELECT source, dup,
+         |  CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT) AS toks,
+         |  round(least(len(string_split_regex(trim(t), '\\s+')) / 100.0, 1.0) * 0.4 +
+         |        (CASE WHEN length(trim(t)) * 1.0 / len(string_split_regex(trim(t), '\\s+')) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
+         |        (1.0 - least(length(regexp_replace(t, '[^[:punct:]]', '', 'g')) * 1.0 / length(t) * 5.0, 1.0)) * 0.2 +
+         |        (1.0 - least(length(regexp_replace(t, '[^A-Z]', '', 'g')) * 1.0 / length(t) * 5.0, 1.0)) * 0.2, 6) AS quality,
+         |  (len(regexp_extract_all(t, '${graft.llm.Pii.emailPattern}'))
+         |   + len(regexp_extract_all(t, '${graft.llm.Pii.phonePattern}'))
+         |   + len(regexp_extract_all(t, '${graft.llm.Pii.cardPattern}'))
+         |   + len(regexp_extract_all(t, '${graft.llm.Pii.ssnPattern}'))
+         |   + len(regexp_extract_all(t, '${graft.llm.Pii.ipv4Pattern}'))) > 0 AS pii
+         |FROM f)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  round(avg(quality), 6) AS mean_quality,
+         |  round(avg(CASE WHEN pii THEN 1.0 ELSE 0.0 END), 6) AS pii_frac,
+         |  round(avg(CASE WHEN dup THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+         |FROM q GROUP BY source""".stripMargin,
 
     // replays LuhnCheck digit-for-digit: reverse the digit string, double
     // every second digit (subtract 9 above 9), sum mod 10
