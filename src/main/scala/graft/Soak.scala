@@ -79,7 +79,7 @@ object Soak {
     // events feed (10× rows per window, state O(cap·windows))
     "source_heavy_hitters", "stream_window_quantiles",
     // per-step filtered agg + user-key join over the 10× events feed
-    "w_funnel")
+    "w_funnel", "corpus_datacard")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
