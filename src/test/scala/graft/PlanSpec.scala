@@ -108,4 +108,35 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"$name shuffled a pure map:\n$plan")
     }
   }
+
+  test("curation filters and script mix stay narrow unshuffled maps") {
+    for (name <- Seq("c4_line_filter", "gopher_quality_filter", "text_script_mix")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(!plan.contains("Exchange"), s"$name shuffled a pure map:\n$plan")
+    }
+  }
+
+  test("BPE encode probes a broadcast id table; hard negatives use no join at all") {
+    val enc = planOf(SparkEntry.queries("bpe_encode_ids")(spark, sf))
+    assert(enc.contains("BroadcastHashJoin"), s"id probe not broadcast:\n$enc")
+    val hn = planOf(SparkEntry.queries("ann_hard_negatives")(spark, sf))
+    assert(!hn.contains("Join"), s"anchor expansion must be a Generate, not a join:\n$hn")
+    assert(hn.contains("Generate") && hn.contains("Window"), s"expected explode+window:\n$hn")
+  }
+
+  test("sketch aggregates are partial+final (map-side combine ships sketches)") {
+    for (name <- Seq("score_quantile_sketch", "text_heavy_hitters")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+        s"$name lost partial aggregation:\n$plan")
+    }
+  }
+
+  test("span dedup ships only hashes; funnel keeps one logical shuffle key") {
+    val sp = planOf(SparkEntry.queries("c4_span_dedup")(spark, sf))
+    assert("HashAggregate".r.findAllIn(sp).size >= 2, s"span agg not partial+final:\n$sp")
+    val fn = planOf(SparkEntry.queries("w_funnel")(spark, sf))
+    assert(!fn.contains("CartesianProduct") && !fn.contains("BroadcastNestedLoopJoin"),
+      s"funnel fell off equi-joins:\n$fn")
+  }
 }
