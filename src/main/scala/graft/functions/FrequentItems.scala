@@ -27,50 +27,110 @@ import org.apache.spark.unsafe.types.UTF8String
   * order — the correctness gate runs there. Beyond `cap`, every
   * reported count undercounts by at most n/cap (the classic MG bound)
   * and heavy hitters above that threshold are guaranteed present.
+  *
+  * The decrement is LAZY (the standard offset trick): "all live
+  * counters down 1" is one `base += 1`; a counter's reported count is
+  * `stored − base`, a counter dies when `stored` falls to `base`
+  * (tracked through a stored-value histogram, so detecting deaths is
+  * O(deaths·log cap), not an O(cap) sweep per uncovered insert), and
+  * dead entries are physically evicted in bulk only when the backing
+  * map doubles past `cap` — ≥ cap evictions per O(cap) sweep, O(1)
+  * amortized. Observable behavior (live set + reported counts after
+  * every operation) is EXACTLY eager Misra–Gries, differentially
+  * tested in FrequentItemsSpec.
   */
 final class FreqSketch(val cap: Int) extends Serializable {
-  private[functions] val counts = mutable.HashMap.empty[String, Long]
+  // stored counts; an entry is LIVE iff stored > base. Dead entries may
+  // linger physically until the next compaction but are never reported.
+  private val stored = mutable.HashMap.empty[String, Long]
+  private var base = 0L
+  private var live = 0
+  // histogram of stored values over LIVE entries: stored value -> #keys
+  private val hist = new java.util.TreeMap[Long, Int]()
+
+  private def histInc(v: Long): Unit =
+    hist.merge(v, 1, (a, b) => a + b)
+  private def histDec(v: Long): Unit = {
+    val n = hist.get(v) - 1
+    if (n == 0) hist.remove(v) else hist.put(v, n)
+  }
 
   def insert(v: String): Unit = {
-    counts.get(v) match {
-      case Some(c) => counts.update(v, c + 1)
-      case None =>
-        if (counts.size < cap) counts.update(v, 1L)
-        else { // MG decrement step: all counters down 1, drop zeros
-          val dead = mutable.ArrayBuffer.empty[String]
-          counts.mapValuesInPlace { (_, c) => c - 1 }
-          counts.foreach { case (k, c) => if (c <= 0) dead += k }
-          dead.foreach(counts.remove)
-        }
+    val s = stored.getOrElse(v, Long.MinValue)
+    if (s > base) { // live covered key: count up
+      histDec(s); histInc(s + 1)
+      stored.update(v, s + 1)
+    } else if (live < cap) { // new (or dead ⇒ forgotten) key with room
+      stored.update(v, base + 1) // a dead entry's hist slot was already drained
+      histInc(base + 1)
+      live += 1
+      if (stored.size > 2 * cap) compact()
+    } else { // MG decrement: every live counter −1, zeros die
+      base += 1
+      var f = hist.firstEntry()
+      while (f != null && f.getKey <= base) {
+        live -= f.getValue; hist.remove(f.getKey); f = hist.firstEntry()
+      }
+    }
+  }
+
+  /** Live (key, reported count) pairs — the logical summary. */
+  private[functions] def liveCounts: Iterator[(String, Long)] =
+    stored.iterator.collect { case (k, s) if s > base => (k, s - base) }
+
+  private def compact(): Unit = {
+    val dead = stored.iterator.collect { case (k, s) if s <= base => k }.toArray
+    dead.foreach(stored.remove)
+  }
+
+  /** Install one wire entry into a fresh (base = 0) sketch. */
+  private[functions] def reviveFromWire(k: String, c: Long): Unit = {
+    stored.update(k, c); histInc(c); live += 1
+  }
+
+  /** Reset state to exactly `entries` (effective counts, base 0). */
+  private def reset(entries: Iterator[(String, Long)]): Unit = {
+    stored.clear(); hist.clear(); base = 0L; live = 0
+    entries.foreach { case (k, c) =>
+      stored.update(k, c); histInc(c); live += 1
     }
   }
 
   def merge(other: FreqSketch): FreqSketch = {
-    other.counts.foreach { case (k, c) =>
-      counts.update(k, counts.getOrElse(k, 0L) + c)
+    val sum = mutable.HashMap.empty[String, Long]
+    liveCounts.foreach { case (k, c) => sum.update(k, c) }
+    other.liveCounts.foreach { case (k, c) =>
+      sum.update(k, sum.getOrElse(k, 0L) + c)
     }
-    if (counts.size > cap) {
+    if (sum.size > cap) {
       // subtract the (cap+1)-th largest count, drop non-positives —
       // deterministic in the merged multiset (a VALUE, not a choice)
-      val pivot = counts.values.toArray.sorted(Ordering[Long].reverse).apply(cap)
-      val dead = mutable.ArrayBuffer.empty[String]
-      counts.mapValuesInPlace { (_, c) => c - pivot }
-      counts.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.foreach(counts.remove)
+      val pivot = sum.values.toArray.sorted(Ordering[Long].reverse).apply(cap)
+      val dead = sum.iterator.collect { case (k, c) if c <= pivot => k }.toArray
+      dead.foreach(sum.remove)
+      sum.mapValuesInPlace { (_, c) => c - pivot }
     }
+    reset(sum.iterator)
     this
   }
 
   /** Top `k` surviving counters by (count desc, key asc). */
   def topK(k: Int): Seq[(String, Long)] =
-    counts.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
+    liveCounts.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
 
+  /** Length-prefixed raw UTF-8 framing (writeUTF would throw on keys
+    * whose encoding exceeds 64 KiB — base64 blobs, boundary-free CJK
+    * lines), mirroring QuantileSketch's explicit framing. Only live
+    * effective counts ship — the offset is a process-local detail. */
   def serialize(): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(cap)
-    out.writeInt(counts.size)
-    counts.foreach { case (k, c) => out.writeUTF(k); out.writeLong(c) }
+    out.writeInt(live)
+    liveCounts.foreach { case (k, c) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -82,7 +142,14 @@ object FreqSketch {
     val s = new FreqSketch(in.readInt())
     val n = in.readInt()
     var i = 0
-    while (i < n) { s.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val key = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      s.reviveFromWire(key, in.readLong())
+      i += 1
+    }
     s
   }
 }

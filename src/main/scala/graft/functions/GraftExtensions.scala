@@ -42,6 +42,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[WordShingles], "word_shingles",
         "word_shingles(s, n) - distinct word n-grams of s (n a literal int)"),
       (children: Seq[Expression]) => WordShingles(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        shingleWidth(children))))
+  }
+
+  /** The shingle width must be a foldable INT — anything else (BIGINT
+    * literal, NULL, a column) gets a proper analysis error naming the
+    * function instead of a bare ClassCastException/NPE at registration. */
+  private def shingleWidth(children: Seq[Expression]): Int = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          (s"word_shingles(s, n): the second argument must be a foldable INT " +
+            s"literal (the shingle width), got $got")))
+    if (children.size != 2) fail(s"${children.size} argument(s)")
+    val n = children(1)
+    if (!n.foldable) fail(s"non-foldable expression ${n.sql}")
+    n.eval() match {
+      case i: Int => i
+      case null => fail("NULL")
+      case other =>
+        fail(s"${n.dataType.simpleString} value $other (cast it to INT)")
+    }
   }
 }

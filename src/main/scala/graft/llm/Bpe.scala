@@ -95,6 +95,92 @@ object Bpe {
     merges.toSeq.toDF("step", "pair", "merged", "n")
   }
 
+  /** Candidate-window size for one batched round: both engines scan the
+    * SAME top-C ranked pairs when choosing a round's batch, so the
+    * selection is a deterministic function of the pair-count table on
+    * either side of the oracle. 8·m leaves room to skip conflicting
+    * candidates; the floor keeps tiny batches from starving on skewed
+    * fixtures. */
+  private[graft] def candidateWindow(m: Int): Int = math.max(16, 8 * m)
+
+  /** Greedy prefix-of-ranked selection of mutually INDEPENDENT pairs:
+    * walk the ranked candidates in (count desc, pair asc) order and take
+    * a pair unless either of its symbols OR its merged output collides
+    * with a symbol or merged output of an already-taken pair. Under that
+    * disjointness the round's rewrites commute, no selected pair's
+    * occurrence count is disturbed by the others, and applying them in
+    * one pass is well-defined — the independence condition of batched
+    * ("multi-merge") BPE. Once nothing in the window is admissible the
+    * round closes early (the used set only grows). */
+  private[llm] def selectIndependent(ranked: Seq[(String, Long)],
+                                     want: Int): Seq[(String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    ranked.iterator.takeWhile(_ => out.size < want).foreach { case (pair, n) =>
+      val Array(a, b) = pair.split(" ", 2)
+      val parts = Seq(a, b, a + b)
+      if (parts.forall(!used.contains(_))) {
+        out += ((pair, n)); used ++= parts
+      }
+    }
+    out.toSeq
+  }
+
+  /** Batched multi-merge training — the scale path [[trainMerges]]'
+    * exact-greedy loop cannot reach: a production tokenizer needs
+    * k ≈ 30k–100k merges, and one sequential Spark job per merge puts
+    * the DRIVER ROUND-TRIP COUNT, not the corpus, on the critical path.
+    * Each round here counts pairs ONCE, selects up to `m` mutually
+    * independent pairs from the top-[[candidateWindow]] ranked
+    * candidates ([[selectIndependent]]), and applies them in ONE rewrite
+    * pass — ⌈k/m⌉ driver round-trips instead of k, with per-round cost
+    * unchanged (one vocabulary-sized job + one ≤C-row collect).
+    *
+    * Semantics: with `m = 1` the selection degenerates to the exact
+    * greedy argmax and the result EQUALS [[trainMerges]] row for row
+    * (BpeSpec proves it on the fixture). With `m > 1` the rule is the
+    * standard batched-BPE approximation: the top-m independent pairs are
+    * taken with counts measured at ROUND start, so a later selection's
+    * count ignores this round's earlier merges — independence makes the
+    * rewrites commute, and the fixture shows the resulting vocabulary is
+    * fertility-equivalent to exact greedy. `k` is a merge BUDGET: a
+    * round whose candidate window holds fewer than `m` admissible pairs
+    * under-fills rather than borrowing from later rounds (the round
+    * structure — ⌈k/m⌉ rounds of up to `min(m, k − m·(r−1))` picks — is
+    * FIXED, which is what lets a second engine replay the selection).
+    *
+    * Returns (step, round, pair, merged, n): `step` numbers selections
+    * globally in pick order, `n` is the round-start weighted count. */
+  def trainMergesBatched(docs: DataFrame, textCol: String, k: Int, m: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(m >= 1, "m must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = Dedup.parallelize(wordVocab(docs, textCol)).localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    val rounds = (k + m - 1) / m
+    var step = 1
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val want = math.min(m, k - m * (r - 1))
+      val ranked = pairCounts(vocab)
+        .orderBy(col("n").desc, col("pair").asc).limit(candidateWindow(m))
+        .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+      val chosen = selectIndependent(ranked, want)
+      if (chosen.isEmpty) exhausted = true
+      else {
+        chosen.foreach { case (pair, n) =>
+          merges += ((step, r, pair, pair.replace(" ", ""), n))
+          step += 1
+        }
+        vocab = vocab.withColumn("seq",
+            chosen.foldLeft(col("seq")) { case (c, (pair, _)) => applyMerge(c, pair) })
+          .localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("step", "round", "pair", "merged", "n")
+  }
+
   /** Segment the vocabulary with an already-trained merge table:
     * re-applies the rules in step order and returns (word, freq,
     * tokens array) — the "tokenize with this tokenizer" half of the

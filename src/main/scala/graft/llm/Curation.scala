@@ -76,11 +76,16 @@ object Curation {
     val nLines = size(lines).cast("double")
     def occurrences(ch: String): Column = // ch must not be regex-special
       (length(text) - length(regexp_replace(text, ch, ""))).cast("double")
-    val meanLen = round(length(regexp_replace(text, "\\s", "")).cast("double") / nWords, 6)
-    val symbolRatio = round((occurrences("#") + occurrences("…")) / nWords, 6)
+    // per-word ratios are explicitly NULL for word-free documents (n=0)
+    // rather than riding each engine's divide-by-zero convention — both
+    // engines then agree by construction (the oracle carries the same
+    // CASE), and `pass` stays false through `0 BETWEEN minWords ...`
+    def perWord(c: Column): Column = when(nWords > 0, round(c / nWords, 6))
+    val meanLen = perWord(length(regexp_replace(text, "\\s", "")).cast("double"))
+    val symbolRatio = perWord(occurrences("#") + occurrences("…"))
     val bulletFrac = round(size(filter(lines, l => ltrim(l).rlike("^[-*•]"))) / nLines, 6)
     val ellipsisFrac = round(size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))) / nLines, 6)
-    val alphaFrac = round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 6)
+    val alphaFrac = perWord(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double"))
     val stopHits = GopherStopwords
       .map(w => when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
       .reduce(_ + _).cast("long")

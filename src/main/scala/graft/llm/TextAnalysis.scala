@@ -184,7 +184,9 @@ object TextAnalysis {
       col(idCol) +:
         nonSpace.as("n_chars") +:
         withOther.map { case (name, c) =>
-          round(c.cast("double") / nonSpace.cast("double"), 6).as(s"${name}_frac")
+          // NULL, not an engine-specific 0/0, for all-whitespace docs
+          when(nonSpace > 0,
+            round(c.cast("double") / nonSpace.cast("double"), 6)).as(s"${name}_frac")
         } :+
         dominant.as("dominant"): _*)
   }

@@ -42,6 +42,10 @@ object StreamOps {
   def windowedQuantiles(stream: DataFrame, tsCol: String, valueCol: String,
                         windowDur: String, lateness: String, keys: Seq[String],
                         ps: Seq[Double], cap: Int = 1 << 16): DataFrame = {
+    val labels = ps.map(quantileLabel)
+    require(labels.distinct.size == labels.size,
+      s"windowedQuantiles probabilities $ps map to colliding column names " +
+        s"$labels — every probability needs a distinct label")
     val qs = graft.functions.SketchOps
       .quantileSketch(col(valueCol).cast("double"), ps, cap)
     stream.withWatermark(tsCol, lateness)
@@ -49,9 +53,17 @@ object StreamOps {
       .agg(qs.as("__qs"), count(lit(1)).as("n"))
       .select(col("window.start").as("window_start") +: keys.map(col) ++:
         ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("__qs"), i + 1), 6)
-            .as("p" + math.round(p * 100))
+          round(element_at(col("__qs"), i + 1), 6).as(labels(i))
         } :+ col("n"): _*)
+  }
+
+  /** Column label from the FULL probability, not a rounded percent:
+    * 0.5 → p50, 0.95 → p95, 0.999 → p99_9, 0.9995 → p99_95 — so
+    * sub-percent quantiles and probabilities that round to the same
+    * percent (0.995 vs 1.0) stay distinct instead of colliding. */
+  private[streaming] def quantileLabel(p: Double): String = {
+    val pct = (BigDecimal(p) * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + pct.replace(".", "_")
   }
 
   /** Streaming exact dedup: drop any row whose content fingerprint was

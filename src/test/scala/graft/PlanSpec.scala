@@ -119,6 +119,23 @@ class PlanSpec extends SparkSpec {
   test("BPE encode probes a broadcast id table; hard negatives use no join at all") {
     val enc = planOf(SparkEntry.queries("bpe_encode_ids")(spark, sf))
     assert(enc.contains("BroadcastHashJoin"), s"id probe not broadcast:\n$enc")
+    // the ONLY global (partition-free) window in this plan is the token-id
+    // numbering, and its input must be the token-VOCABULARY aggregate —
+    // bounded at tens of thousands of rows — never the corpus itself. In
+    // the plan-string tree a node's inputs print below it, so every
+    // Window line must be followed by a HashAggregate descendant before
+    // any scan; a vocabulary explosion that widens this input should
+    // fail here loudly rather than silently serializing a corpus sort.
+    val lines = enc.linesIterator.toVector
+    val winIdx = lines.zipWithIndex.collect { case (l, i) if l.contains("Window ") => i }
+    assert(winIdx.nonEmpty, s"expected the token-id Window:\n$enc")
+    winIdx.foreach { i =>
+      val below = lines.drop(i + 1)
+      val agg = below.indexWhere(_.contains("HashAggregate"))
+      val scan = below.indexWhere(_.contains("FileScan"))
+      assert(agg >= 0 && (scan < 0 || agg < scan),
+        s"global window input is not the vocabulary aggregate:\n$enc")
+    }
     val hn = planOf(SparkEntry.queries("ann_hard_negatives")(spark, sf))
     assert(!hn.contains("Join"), s"anchor expansion must be a Generate, not a join:\n$hn")
     assert(hn.contains("Generate") && hn.contains("Window"), s"expected explode+window:\n$hn")
@@ -138,5 +155,11 @@ class PlanSpec extends SparkSpec {
     val fn = planOf(SparkEntry.queries("w_funnel")(spark, sf))
     assert(!fn.contains("CartesianProduct") && !fn.contains("BroadcastNestedLoopJoin"),
       s"funnel fell off equi-joins:\n$fn")
+    // step-1 spine: the plan carries NO distinct over all event users
+    // (that was the r10 shape — an extra exchange and an O(all users)
+    // join spine) and no window over the event history
+    assert(!fn.contains("Window"), s"funnel must not window the history:\n$fn")
+    val aggs = "HashAggregate".r.findAllIn(fn).size
+    assert(aggs <= 2 * 3, s"funnel grew beyond one partial+final agg per step:\n$fn")
   }
 }

@@ -41,6 +41,47 @@ class FrequentItemsSpec extends SparkSpec {
     assert(top("HEAVY_B") <= 2000 && top("HEAVY_B") >= 2000 - n / cap)
   }
 
+  test("lazy-offset decrement is observably identical to eager Misra-Gries") {
+    // eager reference: the textbook O(cap)-sweep formulation the lazy
+    // sketch replaced — every (live set, count) must match it exactly,
+    // including key deaths and revives beyond capacity
+    final class Eager(cap: Int) {
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      def insert(v: String): Unit = counts.get(v) match {
+        case Some(c) => counts.update(v, c + 1)
+        case None =>
+          if (counts.size < cap) counts.update(v, 1L)
+          else {
+            counts.mapValuesInPlace((_, c) => c - 1)
+            counts.filterInPlace((_, c) => c > 0)
+          }
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    for (cap <- Seq(1, 4, 16)) {
+      val lazySk = new FreqSketch(cap)
+      val eager = new Eager(cap)
+      // skewed stream: few hot keys + a long distinct tail forces
+      // constant decrements, deaths, and revives of previously-dead keys
+      (1 to 5000).foreach { i =>
+        val v = if (rnd.nextInt(3) == 0) s"hot${rnd.nextInt(cap)}"
+                else s"tail${rnd.nextInt(40)}"
+        lazySk.insert(v); eager.insert(v)
+        if (i % 997 == 0)
+          assert(lazySk.liveCounts.toMap == eager.counts.toMap, s"cap=$cap step=$i")
+      }
+      assert(lazySk.liveCounts.toMap == eager.counts.toMap, s"cap=$cap final")
+    }
+  }
+
+  test("serialize handles keys whose UTF-8 encoding exceeds 64 KiB") {
+    val s = new FreqSketch(4)
+    val big = "世界" * 40000 // 240 KB of UTF-8 — writeUTF would throw
+    s.insert(big); s.insert(big); s.insert("small")
+    val back = FreqSketch.deserialize(s.serialize())
+    assert(back.topK(2) == Seq((big, 2L), ("small", 1L)))
+  }
+
   test("serialization round-trips; nulls are skipped in the aggregate") {
     val s = new FreqSketch(8)
     Seq("a", "b", "a", "c", "a").foreach(s.insert)

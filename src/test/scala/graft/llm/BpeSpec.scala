@@ -57,6 +57,56 @@ class BpeSpec extends SparkSpec {
     assert(rules(0).getString(1) == "a </w>")
   }
 
+  test("batched training with m=1 equals exact greedy row for row") {
+    for (k <- Seq(3, 6)) {
+      val exact = Bpe.trainMerges(demo, "text", k)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val batched = Bpe.trainMergesBatched(demo, "text", k, m = 1)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+      assert(batched == exact, s"k=$k: m=1 must degenerate to exact greedy")
+    }
+  }
+
+  test("batched training with m>1: independent picks, fertility-equivalent vocabulary") {
+    // a corpus wide enough that one round holds several independent pairs
+    val wide = Seq(
+      ("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+      ("bid", 4), ("bids", 2), ("crop", 4), ("crops", 3)
+    ).flatMap { case (w, n) => Seq.fill(n)(w) }.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val k = 8
+    val rows = Bpe.trainMergesBatched(wide, "text", k, m = 4)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1 to rows.length))
+    // within every round the picked pairs are mutually independent:
+    // symbols and merged outputs pairwise disjoint
+    rows.groupBy(_._2).foreach { case (round, picks) =>
+      val parts = picks.flatMap { case (_, _, pair, merged, _) =>
+        pair.split(" ", 2).toSeq :+ merged }
+      assert(parts.distinct.size == parts.size,
+        s"round $round picks collide: ${picks.map(_._3).toSeq}")
+    }
+    // fewer driver rounds than merges — the point of the gear
+    assert(rows.map(_._2).distinct.length <= (k + 3) / 4)
+    // fertility equivalence: segmenting with the batched rules compresses
+    // the corpus to within one token-per-word of the exact-greedy rules
+    // trained to the same budget
+    def fertility(rules: Seq[(Int, String)]): Double = {
+      val seg = Bpe.segmentWords(wide, "text", rules)
+        .select(sum(col("freq") * size(col("tokens"))).cast("double"),
+          sum(col("freq")).cast("double")).head()
+      seg.getDouble(0) / seg.getDouble(1)
+    }
+    val exactRules = Bpe.trainMerges(wide, "text", k)
+      .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val batchedRules = rows.map(t => (t._1, t._3)).toSeq
+    val (fe, fb) = (fertility(exactRules), fertility(batchedRules))
+    assert(math.abs(fe - fb) <= 0.35, s"exact $fe vs batched $fb")
+  }
+
   test("encodeCorpus: ids are frequency-ordered, positions reassemble each word") {
     val rules = Bpe.trainMerges(demo, "text", 3)
       .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq

@@ -79,4 +79,14 @@ class CurationSpec extends SparkSpec {
     val men = gopherRow("the of " + Seq.fill(10)("a b c d e f g h i j").mkString(" "))
     assert(men.getDouble(2) < 3.0 && !men.getBoolean(8))
   }
+
+  test("gopherStats: word-free docs get NULL per-word ratios and pass=false") {
+    for (text <- Seq("", "   \n\t  ")) {
+      val r = gopherRow(text)
+      assert(r.getLong(1) == 0L, "no words")
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(6),
+        "per-word ratios must be NULL, not an engine's 0/0 convention")
+      assert(!r.getBoolean(8), "the n_words floor still fails the doc outright")
+    }
+  }
 }

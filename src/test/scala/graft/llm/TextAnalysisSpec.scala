@@ -131,4 +131,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f(5L, "digit") == 1.0 && dom(5L) == "digit")
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(id => f(id, "other") == 0.0))
   }
+
+  test("scriptMix: empty and whitespace-only docs yield NULL fractions, dominant none") {
+    val rows = TextAnalysis.scriptMix(
+      Seq((1L, ""), (2L, "   \t\n ")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = rows(id)
+      assert(r.getLong(r.schema.fieldIndex("n_chars")) == 0L)
+      assert(r.isNullAt(r.schema.fieldIndex("latin_frac")),
+        "zero-char docs must emit NULL, not an engine's 0/0 convention")
+      assert(r.isNullAt(r.schema.fieldIndex("other_frac")))
+      assert(r.getString(r.schema.fieldIndex("dominant")) == "none")
+    }
+  }
 }
