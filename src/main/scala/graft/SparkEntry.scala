@@ -370,6 +370,14 @@ object SparkEntry {
        |FROM c2""".stripMargin
   }
 
+  /** Shared long page for the datacard's near-dup family: 23 words, so
+    * the one-token per-subgroup tail changes only the last three
+    * shingles and the band signatures collide across subgroups. */
+  private val DatacardNearBase =
+    "the long shared boilerplate body used to exercise near duplicate " +
+      "banding stays identical across documents in every source slice " +
+      "of the corpus"
+
   /** Clean suffix for the mojibake twin: accents, an em-dash, and curly
     * quotes — one 2-byte and several 3-byte UTF-8 sequences, so the
     * planted damage exercises both signature classes. */
@@ -2033,13 +2041,20 @@ object SparkEntry {
 
     "corpus_datacard" -> ((s, d) =>
       // the release data card per source: volume, token mass, mean
-      // quality, PII exposure, exact-dup rate — one dedup-shaped pass
-      // over docs carrying planted PII suffixes and a mod-25 shared
-      // boilerplate page (so pii_frac and dup_frac are non-trivial)
+      // quality, PII exposure, exact-dup rate, NEAR-dup candidate rate,
+      // token-length quantiles — one dedup-shaped pass over docs
+      // carrying planted PII suffixes, a mod-25 shared boilerplate page
+      // (exact dups), and a mod-25≡7 family sharing a long page with a
+      // tiny per-(doc_id%3) tail (exact dups only WITHIN each tail
+      // subgroup, near-dup band collisions across them — so near_frac
+      // strictly exceeds dup_frac by each subgroup's first row)
       graft.llm.Datacard.sourceDatacard(
         Tables.documents(s, d).withColumn("text",
           when(pmod(col("doc_id"), lit(25)) === 0,
             lit("shared boilerplate page body for datacard dedup checks"))
+          .when(pmod(col("doc_id"), lit(25)) === 7,
+            concat(lit(DatacardNearBase + " r"),
+              pmod(col("doc_id"), lit(3)).cast("string")))
             .otherwise(plantedPiiText))
           .select("doc_id", "source", "text"),
         "doc_id", "text", "source")),
@@ -4143,17 +4158,34 @@ object SparkEntry {
          |  '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS redacted
          |FROM (SELECT doc_id, $plantedPiiSql AS t FROM documents)""".stripMargin,
 
-    // composes three already-oracle-checked signals (quality formula,
-    // PII class regexes, exact-dup fingerprint window) per source
-    "corpus_datacard" ->
+    // composes five already-oracle-checked signals (quality formula,
+    // PII class regexes, exact-dup fingerprint, portable minhash
+    // banding, exact order-statistic quantiles) per source; near and
+    // dup both derive from the band-signature partition, replaying the
+    // card's single-shuffle shape
+    "corpus_datacard" -> {
+      def mh(fam: Int) =
+        s"CAST(list_min(list_transform(s, x -> CAST('0x' || substr(md5('$fam:' || x), 1, 15) AS BIGINT))) AS VARCHAR)"
+      val sigExpr = (0 until 4).map(mh).mkString(" || '|' || ")
       s"""WITH built AS (SELECT doc_id, source,
          |  CASE WHEN doc_id % 25 = 0 THEN 'shared boilerplate page body for datacard dedup checks'
+         |       WHEN doc_id % 25 = 7 THEN '$DatacardNearBase r' || CAST(doc_id % 3 AS VARCHAR)
          |       ELSE $plantedPiiSql END AS t FROM documents),
-         |f AS (SELECT doc_id, source, t,
-         |        row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g'))
-         |                           ORDER BY doc_id) > 1 AS dup
-         |      FROM built),
-         |q AS (SELECT source, dup,
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM (SELECT doc_id, string_split_regex(lower(trim(coalesce(t, ''))), '\\s+') AS ws FROM built)),
+         |sg AS (SELECT doc_id, $sigExpr AS sig FROM sh),
+         |f AS (SELECT b.doc_id, b.source, b.t, sg.sig,
+         |        md5(regexp_replace(lower(trim(b.t)), '\\s+', ' ', 'g')) AS fp
+         |      FROM built b JOIN sg USING (doc_id)),
+         |g AS (SELECT *,
+         |        count(*) OVER (PARTITION BY sig) > 1 AS near,
+         |        coalesce(fp = lag(fp) OVER (PARTITION BY sig ORDER BY fp, doc_id), false) AS dup
+         |      FROM f),
+         |q AS (SELECT source, dup, near,
          |  CAST(len(string_split_regex(trim(t), '\\s+')) AS BIGINT) AS toks,
          |  round(least(len(string_split_regex(trim(t), '\\s+')) / 100.0, 1.0) * 0.4 +
          |        (CASE WHEN length(trim(t)) * 1.0 / len(string_split_regex(trim(t), '\\s+')) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.2 +
@@ -4164,12 +4196,20 @@ object SparkEntry {
          |   + len(regexp_extract_all(t, '${graft.llm.Pii.cardPattern}'))
          |   + len(regexp_extract_all(t, '${graft.llm.Pii.ssnPattern}'))
          |   + len(regexp_extract_all(t, '${graft.llm.Pii.ipv4Pattern}'))) > 0 AS pii
-         |FROM f)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |FROM g),
+         |agg AS (SELECT source, count(*) AS n_docs, sum(toks) AS n_tokens,
          |  round(avg(quality), 6) AS mean_quality,
          |  round(avg(CASE WHEN pii THEN 1.0 ELSE 0.0 END), 6) AS pii_frac,
-         |  round(avg(CASE WHEN dup THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
-         |FROM q GROUP BY source""".stripMargin,
+         |  round(avg(CASE WHEN dup THEN 1.0 ELSE 0.0 END), 6) AS dup_frac,
+         |  round(avg(CASE WHEN near THEN 1.0 ELSE 0.0 END), 6) AS near_frac,
+         |  list_sort(list(CAST(toks AS DOUBLE))) AS vs, count(*) AS n
+         |FROM q GROUP BY source)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  mean_quality, pii_frac, dup_frac, near_frac,
+         |  round(vs[CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1], 6) AS tok_p50,
+         |  round(vs[CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1], 6) AS tok_p90
+         |FROM agg""".stripMargin
+    },
 
     // replays LuhnCheck digit-for-digit: reverse the digit string, double
     // every second digit (subtract 9 above 9), sum mod 10

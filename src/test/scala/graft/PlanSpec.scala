@@ -149,6 +149,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("data card: one band-signature shuffle feeds both dup flags, sketch agg partial+final") {
+    val plan = planOf(SparkEntry.queries("corpus_datacard")(spark, sf))
+    // ONE row-level exchange (the band-signature hash partitioning both
+    // windows share) + the per-source aggregate exchange — r10's shape,
+    // with near-dup and quantiles riding for free
+    val n = "Exchange".r.findAllIn(plan).size
+    assert(n <= 2, s"data card grew a $n-exchange plan:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"token-length sketch lost partial aggregation:\n$plan")
+  }
+
   test("span dedup ships only hashes; funnel keeps one logical shuffle key") {
     val sp = planOf(SparkEntry.queries("c4_span_dedup")(spark, sf))
     assert("HashAggregate".r.findAllIn(sp).size >= 2, s"span agg not partial+final:\n$sp")
