@@ -1516,14 +1516,17 @@ object SparkEntry {
       // re-embed every vec_id%10==3 vector as its NEGATION (most flip
       // cells) through upsertEmbeddings — the delete+append pass must
       // evict every stale row, or the probe would surface ghost vectors.
-      // The oracle recomputes the same frozen-centroid IVF over the
-      // mutated corpus; answers must match exactly.
+      // The id→cell secondary index is ON: cell resolution is the
+      // bucket-pruned equi-join, not the probe scan (the heavy-re-embed
+      // configuration). The oracle recomputes the same frozen-centroid
+      // IVF over the mutated corpus; answers must match exactly.
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
       val tmp = java.nio.file.Files.createTempDirectory("ivf_mut").toString
-      val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id", centroids)
+      val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id",
+        centroids, idIndex = true)
       ivf.append(e)
       val mutated = e.filter(pmod(col("vec_id"), lit(10)) === 3)
         .withColumn("embedding", transform(col("embedding"), x => -x))

@@ -128,4 +128,63 @@ class IvfIndexStoreSpec extends SparkSpec {
     // and the ids are in exactly one cell each (no stale twin)
     assert(ivf.read.get.groupBy("vec_id").count().filter($"count" > 1).isEmpty)
   }
+
+  test("id index: same answers, probe scan replaced by the bucket-pruned equi-join") {
+    val centroids = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+    def build(root: String, withIdx: Boolean) = {
+      val s = new IvfIndexStore(spark, root, "embedding", "vec_id", centroids, idIndex = withIdx)
+      s.append(base); s.append(late); s
+    }
+    val plain = build(freshRoot(), withIdx = false)
+    val fast = build(freshRoot(), withIdx = true)
+    // identical mutation sequence on both stores
+    val movers = Seq(3L -> centers(5).map(_.toFloat), 11L -> centers(6).map(_.toFloat))
+    plain.upsertEmbeddings(movers.toDF("vec_id", "embedding"))
+    fast.upsertEmbeddings(movers.toDF("vec_id", "embedding"))
+    plain.delete(Seq(42L).toDF("vec_id"))
+    fast.delete(Seq(42L).toDF("vec_id"))
+    // the main indexes agree row for row
+    val a = plain.read.get.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    val b = fast.read.get.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(a == b, "id-indexed store diverged from the probe-scan store")
+    assert(fast.read.get.count() == 399)
+
+    // probe-scan ELIMINATION: the cell-resolution frame's file scans
+    // touch only the __ids secondary store, never the main segments
+    val probe = fast.cellProbeFrame(Seq(3L, 11L).toDF("vec_id")).get
+    val scanned = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/__ids/")),
+      s"cell resolution read outside the secondary index: $scanned")
+    // and the secondary index resolves the cells the main index holds
+    val cells = probe.as[String].collect().toSet
+    val want = fast.read.get.filter($"vec_id".isin(3L, 11L))
+      .select($"cell".cast("string")).as[String].collect().toSet
+    assert(want subsetOf cells, s"index cells $cells must cover live cells $want")
+  }
+
+  test("id index enabled over a pre-existing store falls back to the probe scan") {
+    val root = freshRoot()
+    val centroids = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+    new IvfIndexStore(spark, root, "embedding", "vec_id", centroids).append(full)
+    // reopen WITH the index flag: no secondary store exists yet — cell
+    // resolution must not silently under-probe
+    val reopened = new IvfIndexStore(spark, root, "embedding", "vec_id", centroids,
+      idIndex = true)
+    val moverId = 7L
+    val oldCell = reopened.read.get.filter($"vec_id" === moverId)
+      .select("cell").as[Int].head()
+    val movedVec = centers((oldCell + 1) % 8).map(_.toFloat)
+    reopened.upsertEmbeddings(Seq(moverId -> movedVec).toDF("vec_id", "embedding"))
+    val rows = reopened.read.get.filter($"vec_id" === moverId)
+      .select("cell").as[Int].collect().toSeq
+    assert(rows.length == 1 && rows.head != oldCell,
+      s"fallback probe missed the old cell: $rows")
+  }
 }
