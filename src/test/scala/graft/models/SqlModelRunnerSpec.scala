@@ -239,9 +239,9 @@ class SqlModelRunnerSpec extends SparkSpec {
     val e = intercept[IllegalStateException](r.runSnapshot("hist"))
     assert(e.getMessage.contains("not_null"))
 
-    // MODEL path (opt-in via withIncrementalTests): merge-strategy
+    // MODEL path (the DEFAULT since r11 — no opt-in): merge-strategy
     // incremental model, unique test on the merge key → sliced check
-    val r2 = new SqlModelRunner(spark, freshRoot()).withIncrementalTests()
+    val r2 = new SqlModelRunner(spark, freshRoot())
     r2.addModel("mart",
       "{{ config(materialized='incremental', unique_key='k') }} " +
       "SELECT k, v FROM {{ source('ods', 's') }}",
@@ -259,7 +259,7 @@ class SqlModelRunnerSpec extends SparkSpec {
     // unique test on a column NOT containing the merge key: a new row
     // colliding with an UNTOUCHED old row straddles the slice — the
     // scope must fall back to the full-relation scan and still catch it
-    val r3 = new SqlModelRunner(spark, freshRoot()).withIncrementalTests()
+    val r3 = new SqlModelRunner(spark, freshRoot())
     r3.addModel("dim",
       "{{ config(materialized='incremental', unique_key='k') }} " +
       "SELECT k, code FROM {{ source('ods', 's') }}",
@@ -269,6 +269,32 @@ class SqlModelRunnerSpec extends SparkSpec {
     r3.addSource("ods", "s", Seq((3L, "A")).toDF("k", "code")) // collides with k=1's code
     val e3 = intercept[IllegalStateException](r3.run("dim"))
     assert(e3.getMessage.contains("unique"))
+
+    // withFullTests (the nightly-audit opt-out): full-relation scope
+    // re-detects pre-existing corruption the O(batch) slice deliberately
+    // skips — here an out-of-band writer breaks an UNTOUCHED key's row,
+    // and only the audit mode notices on the next (disjoint) run
+    val root4 = freshRoot()
+    def runner4() = new SqlModelRunner(spark, root4)
+    val mkModel = "{{ config(materialized='incremental', unique_key='k') }} " +
+      "SELECT k, v FROM {{ source('ods', 's') }}"
+    val rSeed = runner4().addModel("mart", mkModel, ModelTests(notNull = Seq("v")))
+    rSeed.addSource("ods", "s", Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    rSeed.run("mart")
+    // out-of-band corruption: rewrite the stored relation with a NULL v
+    // on key 1 (bypassing every enforced run)
+    val store = rSeed.store("mart")
+    store.snapshot(store.read.get.withColumn("v",
+      when(col("k") === 1L, lit(null).cast("string")).otherwise(col("v"))))
+    val batch3 = Seq((3L, "c")).toDF("k", "v")
+    val rQuiet = runner4().addModel("mart", mkModel, ModelTests(notNull = Seq("v")))
+    rQuiet.addSource("ods", "s", batch3)
+    rQuiet.run("mart") // O(batch) default: disjoint slice passes — by design
+    val rAudit = runner4().addModel("mart", mkModel, ModelTests(notNull = Seq("v")))
+      .withFullTests()
+    rAudit.addSource("ods", "s", Seq((4L, "d")).toDF("k", "v"))
+    val e4 = intercept[IllegalStateException](rAudit.run("mart"))
+    assert(e4.getMessage.contains("not_null"), "audit mode must re-detect corruption")
   }
 
   test("diamond DAG: a twice-ref'd upstream materializes once per invocation") {
