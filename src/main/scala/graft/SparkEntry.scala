@@ -45,6 +45,24 @@ object SparkEntry {
 
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
+  /** Lakehouse layout fixtures (clustered + zone-mapped lineitem
+    * copies), one per (layout kind, sf dir) per JVM: the write IS an
+    * operator too, but production writes a layout once and reads it
+    * many times — re-clustering per invocation would make the bench
+    * measure write+read instead of the pruned scan under test. A cache
+    * miss logs a `layout_write` stage row for attribution. */
+  private val layoutDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def layoutDir(s: SparkSession, d: String, kind: String)
+                       (build: String => Unit): String =
+    layoutDirs.computeIfAbsent(s"$kind|$d", { _ =>
+      val dir = fixtureRoot.resolve(
+        s"layout_${kind}_${math.abs(d.hashCode).toString}").toString
+      val t0 = System.nanoTime()
+      build(dir)
+      stageLogger(s"layout_$kind")("layout_write", (System.nanoTime() - t0) / 1e9)
+      dir
+    })
+
   /** Per-stage wall-time logger, enabled by GRAFT_STAGE_LOG=<file> (env)
     * or -Dgraft.stage.log=<file>: appends `query,stage,seconds` lines.
     * No-op when neither is set. Bench sets the property to
@@ -2539,6 +2557,60 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
         .select(col("doc_id"), col("byte_size"), col("format"))),
 
+    // ── Lakehouse file layout: zone maps + Z-order file skipping ──────
+    "zorder_key" -> ((s, d) =>
+      // Morton key bit semantics cross-engine: the oracle evaluates the
+      // generated bit-arithmetic twin (Layout.zorderKeySql, the same
+      // (i,j) loop rendered as SQL) over the same modular-reduced
+      // part/supplier keys — bit-for-bit equality, 60k rows.
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.pipeline.Layout.zorderKey(
+          Seq(pmod(col("l_partkey"), lit(1024)), pmod(col("l_suppkey"), lit(1024))),
+          bits = 10).as("z"))),
+
+    "layout_zonemap_scan" -> ((s, d) => {
+      // file-skipping scan over a LINEAR layout: lineitem clustered and
+      // zone-mapped on l_shipdate (written once per JVM — production
+      // writes once, reads many), a half-year range pruned at the FILE
+      // grain before Spark plans the scan, residual filter re-applied.
+      // The answer must equal a plain filtered aggregate over the raw
+      // table — pruning is an optimization, never a semantic.
+      import graft.pipeline.Layout
+      val dir = layoutDir(s, d, "lin") { p =>
+        Layout.writeClustered(Tables.lineitem(s, d), p,
+          Seq("l_shipdate"), files = 16, statsCols = Seq("l_shipdate")) }
+      val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
+      val (df, stats) = Layout.prunedRead(s, dir,
+        Seq(Layout.RangePred("l_shipdate", Some(lo), Some(hi))))
+      stageLogger("layout_zonemap_scan")(
+        s"files_selected_of_${stats.totalFiles}", stats.selectedFiles.toDouble)
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    "layout_zorder_scan" -> ((s, d) => {
+      // the multi-column-skipping case: lineitem Z-ORDERED on
+      // (l_partkey, l_suppkey) so each file covers a small
+      // hyper-rectangle of the key plane — a conjunctive range on BOTH
+      // columns prunes in each dimension, which no linear sort layout
+      // can give (LayoutSpec measures z-order strictly beating linear
+      // on the non-lead column).
+      import graft.pipeline.Layout
+      val dir = layoutDir(s, d, "z") { p =>
+        Layout.writeZOrdered(Tables.lineitem(s, d), p,
+          Seq("l_partkey", "l_suppkey"), bits = 15, files = 16,
+          statsCols = Seq("l_partkey", "l_suppkey")) }
+      val (df, stats) = Layout.prunedRead(s, dir, Seq(
+        Layout.RangePred("l_partkey", Some(100L), Some(300L)),
+        Layout.RangePred("l_suppkey", Some(10L), Some(50L))))
+      stageLogger("layout_zorder_scan")(
+        s"files_selected_of_${stats.totalFiles}", stats.selectedFiles.toDouble)
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("qty"))
+    }),
+
     "html_extract" -> ((s, d) =>
       // web-ingestion front door: wrap each doc in deterministic HTML
       // (title with an entity, optional style/script blocks whose
@@ -4475,6 +4547,31 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
         | 'unknown' AS format
         |FROM documents""".stripMargin,
+
+    // the generated bit-arithmetic twin of Layout.zorderKey — same
+    // (i,j) interleave loop rendered as DuckDB SQL, bit-for-bit
+    "zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         | (${graft.pipeline.Layout.zorderKeySql(
+               Seq("l_partkey % 1024", "l_suppkey % 1024"), 10)}) AS z
+         |FROM lineitem""".stripMargin,
+
+    // the layout scans must equal plain filtered aggregates over the
+    // RAW table: file skipping is invisible to answers by construction
+    "layout_zonemap_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1996-06-30 23:59:59'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "layout_zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
+        |GROUP BY l_returnflag""".stripMargin,
 
     // replays the extraction stage-for-stage in RE2: script/style/comment
     // blocks vanish with content, tags drop, the five XML entities decode

@@ -1,0 +1,198 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-layout control for parquet tables: Z-order (Morton) clustering
+  * plus file-level zone maps — per-file min/max/null-count statistics —
+  * with predicate-driven FILE skipping at read time.
+  *
+  * Reference analog: the reference's warehouse relies on engine-side
+  * partition/index pruning (its MERGE templates filter on load-date
+  * partitions; see reference dbt macros `incremental_predicates`
+  * usage in models/staging). This module is the lakehouse form of the
+  * same idea: data files carry covering statistics, and a scan consults
+  * the statistics BEFORE listing files into the Spark job.
+  *
+  * Why this matters at 100 TB: partition pruning stops at the partition
+  * grain (a day, a source). Zone maps prune at the FILE grain inside a
+  * partition, and Z-ordering makes multi-column pruning effective — a
+  * linear sort clusters only its leading column, so a predicate on the
+  * second column touches every file; the Morton key interleaves bits so
+  * each file covers a small hyper-rectangle of the key space and a range
+  * predicate on ANY interleaved column skips most files. The stats table
+  * is one row per file (KB–MB scale for a 100 TB table) and is consulted
+  * on the driver before the scan is planned, exactly like
+  * Delta/Iceberg data skipping.
+  *
+  * The pruning is an OPTIMIZATION, never a semantic: [[prunedRead]]
+  * re-applies the full residual predicate to the surviving files, so a
+  * stale or missing zone map can only cost time, not correctness.
+  */
+object Layout {
+
+  /** Morton (Z-order) key over k non-negative integer columns, composed
+    * entirely from built-in bitwise expressions so the key computation
+    * stays inside WholeStageCodegen — no custom Expression needed.
+    *
+    * Semantics (mirrored verbatim by the DuckDB oracle): each input is
+    * cast to long and clamped into [0, 2^bits); result bit `i*k + j` is
+    * bit `i` of input `j`. Requires k*bits <= 63 so the key fits a
+    * signed long. NULL in any input propagates to a NULL key (standard
+    * SQL null semantics) — callers that need nulls clustered should
+    * coalesce to a sentinel first.
+    */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    require(bits > 0 && cols.size * bits <= 63,
+      s"k*bits must be in (0, 63]: k=${cols.size}, bits=$bits")
+    val k = cols.size
+    val hi = (1L << bits) - 1
+    // Spark's least/greatest SKIP nulls, so propagation must be explicit
+    val clamped = cols.map { c =>
+      val v = c.cast("long")
+      when(v.isNull, lit(null).cast("long"))
+        .otherwise(least(greatest(v, lit(0L)), lit(hi)))
+    }
+    val terms = for { i <- 0 until bits; j <- 0 until k }
+      yield shiftleft(shiftright(clamped(j), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** The identical key as DuckDB SQL over column expressions — the
+    * oracle twin of [[zorderKey]], generated from the same (i, j) loop
+    * so the two engines agree bit for bit. */
+  def zorderKeySql(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    val hi = (1L << bits) - 1
+    val clamped = cols.map(c =>
+      s"CASE WHEN CAST(($c) AS BIGINT) IS NULL THEN NULL" +
+        s" ELSE LEAST(GREATEST(CAST(($c) AS BIGINT), 0), $hi) END")
+    (for { i <- 0 until bits; j <- 0 until k }
+      yield s"((((${clamped(j)}) >> $i) & 1) << ${i * k + j})").mkString(" | ")
+  }
+
+  /** Hidden metadata directory under the table dir. Underscore-prefixed
+    * paths are invisible to Spark's file listing, so a plain
+    * `spark.read.parquet(dir)` never sees the stats as data. */
+  val ZoneMapDir = "_zonemaps"
+
+  /** Build per-file zone maps for `cols`: one row per data file with
+    * `rows`, `min_<c>`, `max_<c>`, `nulls_<c>`. One aggregate pass
+    * grouped on `input_file_name()` — at production scale these stats
+    * come free from the parquet footers the writer already produced; the
+    * aggregate form keeps the layer portable across file formats and
+    * costs one scan at WRITE time, amortized over every pruned read. */
+  def buildZoneMaps(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "zone maps need at least one stats column")
+    val df = spark.read.parquet(dir)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
+    val allAggs = count(lit(1)).as("rows") +: aggs
+    df.groupBy(input_file_name().as("file"))
+      .agg(allAggs.head, allAggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/$ZoneMapDir")
+  }
+
+  /** Linear clustering: range-partition + in-partition sort on
+    * `sortCols`, so each of the `files` output files covers a tight
+    * range of the LEADING sort column. Zone maps on `statsCols` are
+    * built in the same call — layout and statistics are one operation,
+    * the way a table-format writer records footer stats at commit. */
+  def writeClustered(df: DataFrame, dir: String, sortCols: Seq[String],
+                     files: Int, statsCols: Seq[String]): Unit = {
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(dir)
+    buildZoneMaps(df.sparkSession, dir, statsCols)
+  }
+
+  /** Z-order clustering: range-partition + sort on the Morton key of
+    * `zCols`, so each file covers a small hyper-rectangle of the
+    * interleaved key space and range predicates on ANY of the z-columns
+    * prune files (the multi-column skipping a linear sort cannot give).
+    * The key column is dropped before the write — it is a layout
+    * decision, not data. */
+  def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String], bits: Int,
+                    files: Int, statsCols: Seq[String]): Unit = {
+    val keyed = df.withColumn("__zorder", zorderKey(zCols.map(col), bits))
+    keyed.repartitionByRange(files, col("__zorder"))
+      .sortWithinPartitions("__zorder")
+      .drop("__zorder")
+      .write.mode("overwrite").parquet(dir)
+    buildZoneMaps(df.sparkSession, dir, statsCols)
+  }
+
+  /** Closed-interval range predicate on one column; an absent bound is
+    * unbounded on that side. NULL column values never match (SQL
+    * three-valued logic), which is what lets an all-null file be
+    * skipped. */
+  final case class RangePred(column: String, lo: Option[Any], hi: Option[Any]) {
+    /** The exact filter re-applied to surviving files. */
+    def residual: Column = {
+      val c = col(column)
+      val lower = lo.map(v => c >= lit(v))
+      val upper = hi.map(v => c <= lit(v))
+      (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(c.isNotNull)
+    }
+  }
+
+  final case class PruneStats(totalFiles: Int, selectedFiles: Int) {
+    def skipped: Int = totalFiles - selectedFiles
+  }
+
+  /** Total order over the stat value types zone maps carry (integral,
+    * floating, string, date/time). Integral pairs compare exactly (no
+    * double round-trip — a long above 2^53 would alias); mixed numeric
+    * pairs via double; everything else via natural Comparable order,
+    * which is also the order Spark used to compute the min/max. */
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Int)      => java.lang.Long.compare(x, y.toLong)
+    case (x: Int, y: Long)      => java.lang.Long.compare(x.toLong, y)
+    case (x: Number, y: Number) =>
+      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: Comparable[_], _)  => x.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalArgumentException(
+      s"unorderable zone-map bound: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Zone-map-pruned read: consult the stats table on the driver, keep
+    * only files whose [min, max] interval can intersect EVERY
+    * predicate's range, then read just those files and re-apply the
+    * full residual predicate. A file whose min stat is NULL holds only
+    * NULLs for that column and is skipped (no null matches a range).
+    * Files are skipped conservatively: a missing stats column keeps the
+    * file.
+    *
+    * Returns the filtered frame plus (total, selected) file counts —
+    * the skipping effectiveness a caller asserts in tests and logs in
+    * production telemetry. */
+  def prunedRead(spark: SparkSession, dir: String,
+                 preds: Seq[RangePred]): (DataFrame, PruneStats) = {
+    require(preds.nonEmpty, "prunedRead needs at least one predicate")
+    val zm = spark.read.parquet(s"$dir/$ZoneMapDir")
+    val statCols = zm.columns.toSet
+    val rows = zm.collect()
+    val survivors = rows.filter { r =>
+      preds.forall { p =>
+        if (!statCols.contains(s"min_${p.column}")) true
+        else {
+          val minV = r.getAs[Any](s"min_${p.column}")
+          val maxV = r.getAs[Any](s"max_${p.column}")
+          if (minV == null || maxV == null) false // all-null file for this column
+          else p.hi.forall(h => cmp(minV, h) <= 0) &&
+               p.lo.forall(l => cmp(maxV, l) >= 0)
+        }
+      }
+    }.map(_.getAs[String]("file"))
+    val residual = preds.map(_.residual).reduce(_ && _)
+    val df =
+      if (survivors.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.parquet(survivors.toIndexedSeq: _*).filter(residual)
+    (df, PruneStats(rows.length, survivors.length))
+  }
+}
