@@ -107,6 +107,21 @@ object SparkEntry {
       java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** PQ codebooks per (sf dir) per JVM — training is one collect + one
+    * aggregate pass, but the three PQ queries share one trained model
+    * the way production amortizes a codebook across every search; a
+    * cache miss logs a `pq_train` stage row for attribution. */
+  private val pqBooksCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Pq.Codebooks]()
+  private def pqBooks(s: SparkSession, d: String): graft.llm.Pq.Codebooks =
+    pqBooksCache.computeIfAbsent(d, { _ =>
+      val t0 = System.nanoTime()
+      val b = graft.llm.Pq.trainCodebooks(Tables.embeddings(s, d),
+        "embedding", "vec_id", m = 8, ksub = 8)
+      stageLogger("ann_pq")("pq_train", (System.nanoTime() - t0) / 1e9)
+      b
+    })
+
   /** documents.text with deterministic doc_id-keyed PII planted (the
     * corpus is synthetic word salad with no natural PII). The EXACT same
     * construction exists as SQL in [[plantedPiiSql]] — both engines see
@@ -1579,6 +1594,49 @@ object SparkEntry {
         .unionByName(recall("quantized", quant))
     }),
 
+    // ── ANN: product quantization (Jégou et al., TPAMI 2011) ──────────
+    "ann_pq_encode" -> ((s, d) => {
+      // 32× vector compression: train per-subspace codebooks with the
+      // engine-neutral rule (lowest-id seeds + one Lloyd step — the IVF
+      // oracle precedent), then encode every vector to its m=8 code
+      // word through the narrow argmin expression. Emitted exploded
+      // (vec_id, s, code) so the oracle hash-checks every assignment.
+      val e = Tables.embeddings(s, d)
+      val books = pqBooks(s, d)
+      e.select(col("vec_id"),
+        posexplode(graft.llm.Pq.encode(col("embedding"), books)).as(Seq("s", "code")))
+    }),
+
+    "ann_pq_topk" -> ((s, d) => {
+      // ADC search over the codes alone: integer micro-distance table
+      // lookups summed per row (order-independent, bit-identical cross-
+      // engine), exchange-free until the final top-k. In production the
+      // scan reads the 8-byte code table, not the 256-byte vectors.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      graft.llm.Pq.adcTopK(e, "embedding", "vec_id", q, 10, pqBooks(s, d))
+    }),
+
+    "ann_pq_recall" -> ((s, d) => {
+      // measured PQ quality: recall@10 of raw ADC and of ADC+exact-
+      // cosine re-rank (the standard PQ refine pipeline) against the
+      // brute-force top-10 — the oracle replays all three searches.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val books = pqBooks(s, d)
+      val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10).select("vec_id")
+      val adc = graft.llm.Pq.adcTopK(e, "embedding", "vec_id", q, 10, books).select("vec_id")
+      val rr = graft.llm.Pq.adcTopK(e, "embedding", "vec_id", q, 10, books,
+        rerank = 50).select("vec_id")
+      def recall(m: String, approx: DataFrame) =
+        approx.intersect(brute)
+          .agg((count(lit(1)) / 10.0).cast("double").as("recall_at_10"))
+          .select(lit(m).as("method"), col("recall_at_10"))
+      recall("pq_adc", adc).unionByName(recall("pq_adc_rerank", rr))
+    }),
+
     "sample_stratified_counts" -> ((s, d) =>
       // deterministic fixed-size stratified sample; per-stratum counts are
       // exactly min(n, stratum size) — oracle-checkable even though hash
@@ -2720,6 +2778,54 @@ object SparkEntry {
     s"""SELECT vec_id, round(cos, 4) AS cosine FROM (
        |  SELECT $candCte.vec_id, ${cosSql("e", "qe")} AS cos FROM $candCte, q)
        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  /** CTEs replaying product quantization end-to-end: subspace slicing,
+    * lowest-id seeds, one Lloyd step (REAL-cast refinement — the same
+    * float rounding Spark's .toFloat applies), re-assignment to the m=8
+    * ksub=8 refined codebooks, and the integer micro-distance ADC table
+    * for the vec_id=0 query. Distance is composed EXACTLY as
+    * Pq.distExpr composes it: dot(v,v) - 2*dot(v,c) + dot(c,c).
+    * Defines `codes` (vec_id, s, code) and `adc` (vec_id, adc_micro);
+    * expects nothing — brings its own `emb`. */
+  private def pqCtes: String = {
+    val dsub = 8
+    def dist(v: String, c: String): String =
+      s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
+    s"""emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |subsp AS (SELECT unnest(range(0, 8)) AS s),
+       |sub AS (SELECT vec_id, s, list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS v
+       |        FROM emb CROSS JOIN subsp),
+       |seedv AS (SELECT vec_id, e FROM emb ORDER BY vec_id ASC LIMIT 8),
+       |seedsub AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS c,
+       |                   list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS cv
+       |            FROM seedv CROSS JOIN subsp),
+       |d0 AS (SELECT sub.vec_id, sub.s, seedsub.c, sub.v, ${dist("v", "cv")} AS dist
+       |       FROM sub JOIN seedsub ON sub.s = seedsub.s),
+       |a0 AS (SELECT vec_id, s, c, v FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+       |         FROM d0) WHERE rn = 1),
+       |comp AS (SELECT s, c, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM a0),
+       |compavg AS (SELECT s, c, p, avg(x) AS mu FROM comp GROUP BY s, c, p),
+       |cbr AS (SELECT s, c, list_transform(list(CAST(mu AS REAL) ORDER BY p ASC),
+       |                                    x -> CAST(x AS DOUBLE)) AS cv
+       |        FROM compavg GROUP BY s, c),
+       |refined AS (SELECT ss.s, ss.c, coalesce(r.cv, ss.cv) AS cv
+       |            FROM seedsub ss LEFT JOIN cbr r ON ss.s = r.s AND ss.c = r.c),
+       |d1 AS (SELECT sub.vec_id, sub.s, refined.c, ${dist("v", "cv")} AS dist
+       |       FROM sub JOIN refined ON sub.s = refined.s),
+       |codes AS (SELECT vec_id, s, c AS code FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+       |            FROM d1) WHERE rn = 1),
+       |pq_q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+       |qsub AS (SELECT s, list_slice(qe, s*$dsub + 1, s*$dsub + $dsub) AS qv
+       |         FROM pq_q CROSS JOIN subsp),
+       |micro AS (SELECT r.s, r.c,
+       |                 CAST(floor((${dist("qv", "cv")}) * 1e6 + 0.5) AS BIGINT) AS md
+       |          FROM refined r JOIN qsub ON r.s = qsub.s),
+       |adc AS (SELECT codes.vec_id, CAST(sum(md) AS BIGINT) AS adc_micro
+       |        FROM codes JOIN micro ON codes.s = micro.s AND codes.code = micro.c
+       |        GROUP BY codes.vec_id)""".stripMargin
+  }
 
   /** CTEs replaying the portable 60-bit SimHash exactly — md5-derived
     * token hashes (identical in any engine), one sign-sum per bit, then
@@ -4547,6 +4653,34 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
         | 'unknown' AS format
         |FROM documents""".stripMargin,
+
+    // PQ: training + encode + ADC replayed end-to-end in SQL
+    "ann_pq_encode" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, CAST(s AS INT) AS s, CAST(code AS INT) AS code FROM codes""".stripMargin,
+
+    "ann_pq_topk" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, adc_micro FROM adc
+         |ORDER BY adc_micro ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "ann_pq_recall" ->
+      s"""WITH $pqCtes,
+         |brute AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id, ${cosSql("e", "qe")} AS cos FROM emb, pq_q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |adc_top AS (SELECT vec_id FROM adc ORDER BY adc_micro ASC, vec_id ASC LIMIT 10),
+         |adc_cand AS (SELECT vec_id FROM adc ORDER BY adc_micro ASC, vec_id ASC LIMIT 50),
+         |rr_top AS (
+         |  SELECT vec_id FROM (
+         |    SELECT emb.vec_id, ${cosSql("e", "qe")} AS cos FROM emb JOIN adc_cand USING (vec_id), pq_q)
+         |  WHERE cos IS NOT NULL
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10)
+         |SELECT 'pq_adc' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM adc_top INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'pq_adc_rerank' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM rr_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
 
     // the generated bit-arithmetic twin of Layout.zorderKey — same
     // (i,j) interleave loop rendered as DuckDB SQL, bit-for-bit

@@ -1,0 +1,162 @@
+package graft.llm
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid, TPAMI 2011) for the
+  * embedding store: split each dim-d vector into `m` subvectors of
+  * d/m components, vector-quantize each subspace against its own
+  * `ksub`-centroid codebook, and represent the vector by the m code
+  * bytes — 64-dim float32 (256 B) becomes m=8 codes (8 B), a 32×
+  * compression, with distances answered from the codes alone.
+  *
+  * Scale design (100 TB of embeddings):
+  *  - the codebooks are m·ksub·(d/m) floats — KBs; they broadcast as
+  *    plan literals, never shuffle;
+  *  - [[encode]] and [[adcMicroScore]] are NARROW codegen'd column
+  *    expressions (argmin over an array of native-dot distances — the
+  *    same O(k) array_position(array_min) shape as IVF's cellOf, never
+  *    a k-deep re-evaluating when-chain): the encode pass is
+  *    exchange-free map work, and an ADC scan reads the 8-byte codes
+  *    instead of the 256-byte vectors — at corpus scale the scan is
+  *    bandwidth-bound, so that 32× is the wall-clock;
+  *  - ADC scores are INTEGER micro-distances (floor(d·1e6 + 0.5), the
+  *    same micro-quantization the NLL family uses) so the per-subspace
+  *    sum is order-independent and bit-identical across engines;
+  *  - training is the lowest-id-seed + one-Lloyd-step rule the IVF
+  *    oracle established (engine-neutral, DuckDB-replayable): seeds
+  *    collect ksub rows to the driver, the Lloyd step is one
+  *    explode + partial+final aggregate over the corpus, m·ksub·(d/m)
+  *    skinny rows back. A production tokenizer would iterate Lloyd —
+  *    each further step is the same one-pass aggregate.
+  *
+  * Determinism contract (hash-checked by the DuckDB oracle):
+  * subspace distance is composed as dot(v,v) − 2·dot(v,c) + dot(c,c)
+  * from the native double-accumulating dot (bit-identical to DuckDB's
+  * list_dot_product over the same values); refined centroids round
+  * through float (CAST AS REAL) so sub-ulp double aggregation noise
+  * cannot flip near-tie assignments; argmin ties resolve to the lowest
+  * code on both engines.
+  */
+object Pq {
+
+  /** [m][ksub][d/m] codebooks. */
+  final case class Codebooks(cb: Array[Array[Array[Float]]]) {
+    def m: Int = cb.length
+    def ksub: Int = cb.head.length
+    def dsub: Int = cb.head.head.length
+  }
+
+  /** Squared L2 distance between a subvector column and a centroid
+    * literal, composed EXACTLY as the oracle composes it. */
+  private def distExpr(v: Column, c: Array[Float]): Column = {
+    val cl = VectorOps.floatVectorLit(c)
+    VectorOps.vectorDot(v, v) - lit(2.0d) * VectorOps.vectorDot(v, cl) +
+      VectorOps.vectorDot(cl, cl)
+  }
+
+  /** 1-based slice of subspace j (Spark's `slice` convention). */
+  private def sub(emb: Column, j: Int, dsub: Int): Column =
+    slice(emb, j * dsub + 1, dsub)
+
+  /** Code of subspace j: argmin distance over the ksub centroids, ties
+    * to the lowest code (array_position finds the FIRST minimum;
+    * `ORDER BY dist ASC, c ASC` in the oracle). */
+  def subCode(emb: Column, j: Int, books: Codebooks): Column = {
+    val v = sub(emb, j, books.dsub)
+    val dists = array(books.cb(j).map(c => distExpr(v, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The full code word as array<int> of length m — one narrow
+    * expression, no shuffle, no explode. */
+  def encode(emb: Column, books: Codebooks): Column =
+    array((0 until books.m).map(j => subCode(emb, j, books)): _*)
+
+  /** Train per-subspace codebooks with the engine-neutral rule: seeds
+    * are the subvectors of the `ksub` lowest-id corpus rows; one Lloyd
+    * refinement assigns every subvector to its nearest seed and
+    * averages each (subspace, code) cell (empty cell keeps its seed).
+    * The corpus-side pass is ONE explode + aggregate; only
+    * m·ksub·(d/m) component means collect back. */
+  def trainCodebooks(embs: DataFrame, embCol: String, idCol: String,
+                     m: Int, ksub: Int): Codebooks = {
+    val seeds = embs.orderBy(col(idCol).asc).limit(ksub)
+      .select(embCol).collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length == ksub, s"corpus smaller than ksub=$ksub")
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val seedBooks = Codebooks(Array.tabulate(m, ksub)((j, c) =>
+      seeds(c).slice(j * dsub, (j + 1) * dsub)))
+
+    // one Lloyd step: skinny (subspace, code, pos, component) aggregate
+    val subRows = embs.select(explode(array((0 until m).map(j =>
+      struct(lit(j).as("s"),
+        subCode(col(embCol), j, seedBooks).as("c"),
+        sub(col(embCol), j, dsub).as("v"))): _*)).as("sv"))
+      .select(col("sv.s").as("s"), col("sv.c").as("c"), col("sv.v").as("v"))
+    val comps = subRows
+      .select(col("s"), col("c"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("s", "c", "p").agg(avg(col("x").cast("double")).as("mu"))
+      .collect()
+    val refined = Array.tabulate(m, ksub)((j, c) => seedBooks.cb(j)(c).clone())
+    comps.foreach { r =>
+      refined(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+    }
+    Codebooks(refined)
+  }
+
+  /** Integer micro-distance table for a query: micro(j)(c) =
+    * floor(1e6 · ||q_j − c||² + 0.5), computed driver-side with the
+    * SAME left-to-right double accumulation as the engines. */
+  def queryMicroDists(query: Array[Float], books: Codebooks): Array[Array[Long]] = {
+    require(query.length == books.m * books.dsub, "query/codebook dim mismatch")
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    Array.tabulate(books.m) { j =>
+      val q = query.slice(j * books.dsub, (j + 1) * books.dsub).map(_.toDouble)
+      books.cb(j).map { c =>
+        val cd = c.map(_.toDouble)
+        val dist = dot(q, q) - 2.0 * dot(q, cd) + dot(cd, cd)
+        math.floor(dist * 1e6 + 0.5).toLong
+      }
+    }
+  }
+
+  /** Asymmetric-distance (ADC) score of a vector against the query:
+    * the sum of the m table lookups on the vector's codes — a narrow
+    * integer expression over the code word, no shuffle, exchange-free
+    * until the final top-k. */
+  def adcMicroScore(emb: Column, books: Codebooks, query: Array[Float]): Column = {
+    val micro = queryMicroDists(query, books)
+    (0 until books.m).map { j =>
+      val tbl = array(micro(j).map(lit): _*)
+      element_at(tbl, subCode(emb, j, books) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** ADC top-k: scan the codes (in production, the 8-byte code table —
+    * 32× less bandwidth than the vectors), rank by integer ADC score
+    * ascending with id ties, optionally re-rank the top `rerank`
+    * candidates by EXACT float cosine (the standard PQ + refine
+    * pipeline). */
+  def adcTopK(embs: DataFrame, embCol: String, idCol: String,
+              query: Array[Float], k: Int, books: Codebooks,
+              rerank: Int = 0): DataFrame = {
+    val scored = embs.select(col(idCol), col(embCol),
+      adcMicroScore(col(embCol), books, query).as("adc_micro"))
+      .orderBy(col("adc_micro").asc, col(idCol).asc)
+    if (rerank <= 0) scored.limit(k).select(idCol, "adc_micro")
+    else scored.limit(math.max(rerank, k))
+      .select(col(idCol),
+        VectorOps.vectorCosine(col(embCol),
+          VectorOps.floatVectorLit(query)).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol).asc).limit(k)
+  }
+}
