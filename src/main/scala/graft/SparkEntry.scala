@@ -901,6 +901,30 @@ object SparkEntry {
       graft.ops.Funnel.funnelTimes(Tables.events(s, d), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
 
+    "w_retention" -> ((s, d) =>
+      // cohort retention matrix: users bucketed by first-event day,
+      // activity counted in fixed 7-day periods anchored at each
+      // user's own cohort day (not calendar weeks — engine-neutral).
+      // Two user-keyed aggregates + one co-partitioned join; the
+      // cohort-size join is broadcast.
+      graft.ops.Retention.retentionMatrix(Tables.events(s, d), "user_id", "ts",
+        periodDays = 7, maxPeriods = 12)
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("period_n"), col("n_active"), col("n_cohort"), col("retention_rate"))),
+
+    "v_metric_anomaly" -> ((s, d) =>
+      // robust guardrail over the per-type daily volume series: exact
+      // decimal daily sums (engine-exact), then the modified z-score
+      // (0.6745·(x−median)/MAD) per series — a spike is flagged
+      // without dragging the baseline the way mean/stddev gates do.
+      graft.validate.Anomaly.madOutliers(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(decSum(col("value")).as("metric")),
+        keyCols = Seq("event_type"), valueCol = "metric", threshold = 2.5)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("metric"), col("robust_z"), col("is_anomaly"))),
+
     "p_json_extract" -> ((s, d) =>
       // semi-structured column: the reference carries JSON text opaquely
       // (addon_json etc.); extracting typed fields is one expression
@@ -3368,6 +3392,35 @@ object SparkEntry {
     "p_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events""".stripMargin,
+
+    "w_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id),
+        |acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |per AS (
+        |  SELECT DISTINCT a.user_id, f.cohort_day,
+        |         CAST(floor(date_diff('day', f.cohort_day, a.d) / 7) AS INT) AS period_n
+        |  FROM acts a JOIN firsts f USING (user_id)),
+        |sizes AS (SELECT cohort_day, count(*) AS n_cohort FROM firsts GROUP BY cohort_day)
+        |SELECT strftime(p.cohort_day, '%Y-%m-%d') AS cohort_day, p.period_n,
+        |  count(*) AS n_active, s.n_cohort,
+        |  round(count(*) / CAST(s.n_cohort AS DOUBLE), 6) AS retention_rate
+        |FROM per p JOIN sizes s USING (cohort_day)
+        |WHERE p.period_n <= 12
+        |GROUP BY p.cohort_day, p.period_n, s.n_cohort""".stripMargin,
+
+    "v_metric_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS metric
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |st AS (SELECT *, quantile_cont(metric, 0.5) OVER (PARTITION BY event_type) AS med FROM daily),
+        |md AS (SELECT *, quantile_cont(abs(metric - med), 0.5) OVER (PARTITION BY event_type) AS mad FROM st),
+        |z AS (SELECT *, CASE WHEN mad = 0 THEN NULL
+        |                     ELSE round(0.6745 * (metric - med) / mad, 6) END AS robust_z FROM md)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, metric, robust_z,
+        |  coalesce(abs(robust_z) > 2.5, FALSE) AS is_anomaly
+        |FROM z""".stripMargin,
 
     "w1_dedup_latest" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
