@@ -2661,7 +2661,8 @@ object SparkEntry {
       import graft.pipeline.Layout
       val dir = layoutDir(s, d, "lin") { p =>
         Layout.writeClustered(Tables.lineitem(s, d), p,
-          Seq("l_shipdate"), files = 16, statsCols = Seq("l_shipdate")) }
+          Seq("l_shipdate"), files = 16, statsCols = Seq("l_shipdate"),
+          bloomCols = Seq("l_orderkey")) }
       val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
       val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
       val (df, stats) = Layout.prunedRead(s, dir,
@@ -2670,6 +2671,25 @@ object SparkEntry {
         s"files_selected_of_${stats.totalFiles}", stats.selectedFiles.toDouble)
       df.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), decSum(col("l_extendedprice")).as("revenue"))
+    }),
+
+    "layout_bloom_scan" -> ((s, d) => {
+      // point lookup on a column the shipdate sort does NOT cluster:
+      // the zone map admits every file for l_orderkey, but the
+      // per-file Bloom filter (engine-neutral salted-md5 family)
+      // rejects the files that cannot hold the key — the equality-
+      // skipping path of the layout layer. Same fixture as
+      // layout_zonemap_scan: one layout serves both predicate shapes.
+      import graft.pipeline.Layout
+      val dir = layoutDir(s, d, "lin") { p =>
+        Layout.writeClustered(Tables.lineitem(s, d), p,
+          Seq("l_shipdate"), files = 16, statsCols = Seq("l_shipdate"),
+          bloomCols = Seq("l_orderkey")) }
+      val (df, stats) = Layout.prunedRead(s, dir,
+        Seq(Layout.EqPred("l_orderkey", 642L)))
+      stageLogger("layout_bloom_scan")(
+        s"files_selected_of_${stats.totalFiles}", stats.selectedFiles.toDouble)
+      df.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
     "layout_zorder_scan" -> ((s, d) => {
@@ -4752,6 +4772,10 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate <= TIMESTAMP '1996-06-30 23:59:59'
         |GROUP BY l_returnflag""".stripMargin,
+
+    "layout_bloom_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_orderkey = 642""".stripMargin,
 
     "layout_zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -77,18 +77,34 @@ object Layout {
     * `spark.read.parquet(dir)` never sees the stats as data. */
   val ZoneMapDir = "_zonemaps"
 
+  /** Hash count of the per-file Bloom filters — fixed so build and
+    * probe agree without carrying it per row; the bitmap length itself
+    * travels with the filter (mBits = 8·bytes). */
+  val BloomK = 4
+
   /** Build per-file zone maps for `cols`: one row per data file with
-    * `rows`, `min_<c>`, `max_<c>`, `nulls_<c>`. One aggregate pass
-    * grouped on `input_file_name()` — at production scale these stats
-    * come free from the parquet footers the writer already produced; the
-    * aggregate form keeps the layer portable across file formats and
-    * costs one scan at WRITE time, amortized over every pruned read. */
-  def buildZoneMaps(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "zone maps need at least one stats column")
+    * `rows`, `min_<c>`, `max_<c>`, `nulls_<c>`, plus an optional
+    * per-file Bloom filter `bloom_<c>` for each of `bloomCols` — the
+    * equality-skipping companion for columns the sort order does NOT
+    * cluster (a zone map on an unclustered high-cardinality column
+    * admits every file; the Bloom filter still rejects most of them
+    * for a point lookup). One aggregate pass grouped on
+    * `input_file_name()` — at production scale the min/max come free
+    * from parquet footers and the Bloom is the same pass Delta/Iceberg
+    * writers fold into the commit; the aggregate form keeps the layer
+    * portable across file formats and costs one scan at WRITE time,
+    * amortized over every pruned read. */
+  def buildZoneMaps(spark: SparkSession, dir: String, cols: Seq[String],
+                    bloomCols: Seq[String] = Nil,
+                    bloomBits: Int = 1 << 15): Unit = {
+    require(cols.nonEmpty || bloomCols.nonEmpty,
+      "zone maps need at least one stats or bloom column")
     val df = spark.read.parquet(dir)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-      sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
+      sum(col(c).isNull.cast("long")).as(s"nulls_$c"))) ++
+      bloomCols.map(c => graft.functions.BloomOps
+        .bloomBuild(col(c).cast("string"), bloomBits, BloomK).as(s"bloom_$c"))
     val allAggs = count(lit(1)).as("rows") +: aggs
     df.groupBy(input_file_name().as("file"))
       .agg(allAggs.head, allAggs.tail: _*)
@@ -102,11 +118,12 @@ object Layout {
     * built in the same call — layout and statistics are one operation,
     * the way a table-format writer records footer stats at commit. */
   def writeClustered(df: DataFrame, dir: String, sortCols: Seq[String],
-                     files: Int, statsCols: Seq[String]): Unit = {
+                     files: Int, statsCols: Seq[String],
+                     bloomCols: Seq[String] = Nil): Unit = {
     df.repartitionByRange(files, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
-    buildZoneMaps(df.sparkSession, dir, statsCols)
+    buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols)
   }
 
   /** Z-order clustering: range-partition + sort on the Morton key of
@@ -116,27 +133,46 @@ object Layout {
     * The key column is dropped before the write — it is a layout
     * decision, not data. */
   def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String], bits: Int,
-                    files: Int, statsCols: Seq[String]): Unit = {
+                    files: Int, statsCols: Seq[String],
+                    bloomCols: Seq[String] = Nil): Unit = {
     val keyed = df.withColumn("__zorder", zorderKey(zCols.map(col), bits))
     keyed.repartitionByRange(files, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
       .write.mode("overwrite").parquet(dir)
-    buildZoneMaps(df.sparkSession, dir, statsCols)
+    buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols)
+  }
+
+  /** A file-skipping predicate: `residual` is the exact filter
+    * re-applied to surviving files; `column` names the stats used. */
+  sealed trait FilePred {
+    def column: String
+    def residual: Column
   }
 
   /** Closed-interval range predicate on one column; an absent bound is
     * unbounded on that side. NULL column values never match (SQL
     * three-valued logic), which is what lets an all-null file be
-    * skipped. */
-  final case class RangePred(column: String, lo: Option[Any], hi: Option[Any]) {
-    /** The exact filter re-applied to surviving files. */
+    * skipped. Prunes via the min/max zone map. */
+  final case class RangePred(column: String, lo: Option[Any], hi: Option[Any])
+      extends FilePred {
     def residual: Column = {
       val c = col(column)
       val lower = lo.map(v => c >= lit(v))
       val upper = hi.map(v => c <= lit(v))
       (lower.toSeq ++ upper.toSeq).reduceOption(_ && _).getOrElse(c.isNotNull)
     }
+  }
+
+  /** Point-lookup predicate. Prunes via the min/max zone map (as the
+    * degenerate range [v, v]) AND, when a `bloom_<column>` filter was
+    * built, via a driver-side Bloom membership probe — the skipping
+    * path for columns the sort order does NOT cluster. The Bloom probe
+    * hashes the SAME string form the build hashed (`CAST(c AS
+    * STRING)`), so use string/integral-typed values whose string
+    * rendering is canonical. */
+  final case class EqPred(column: String, value: Any) extends FilePred {
+    def residual: Column = col(column) === lit(value)
   }
 
   final case class PruneStats(totalFiles: Int, selectedFiles: Int) {
@@ -172,21 +208,34 @@ object Layout {
     * the skipping effectiveness a caller asserts in tests and logs in
     * production telemetry. */
   def prunedRead(spark: SparkSession, dir: String,
-                 preds: Seq[RangePred]): (DataFrame, PruneStats) = {
+                 preds: Seq[FilePred]): (DataFrame, PruneStats) = {
     require(preds.nonEmpty, "prunedRead needs at least one predicate")
     val zm = spark.read.parquet(s"$dir/$ZoneMapDir")
     val statCols = zm.columns.toSet
     val rows = zm.collect()
+    def rangeAdmits(r: org.apache.spark.sql.Row, column: String,
+                    lo: Option[Any], hi: Option[Any]): Boolean =
+      if (!statCols.contains(s"min_$column")) true
+      else {
+        val minV = r.getAs[Any](s"min_$column")
+        val maxV = r.getAs[Any](s"max_$column")
+        if (minV == null || maxV == null) false // all-null file for this column
+        else hi.forall(h => cmp(minV, h) <= 0) && lo.forall(l => cmp(maxV, l) >= 0)
+      }
+    def bloomAdmits(r: org.apache.spark.sql.Row, column: String, v: Any): Boolean =
+      if (!statCols.contains(s"bloom_$column")) true
+      else {
+        val bits = r.getAs[Array[Byte]](s"bloom_$column")
+        if (bits == null) true
+        else graft.functions.BloomUtil.mightContain(bits,
+          org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(v)),
+          BloomK, bits.length * 8)
+      }
     val survivors = rows.filter { r =>
-      preds.forall { p =>
-        if (!statCols.contains(s"min_${p.column}")) true
-        else {
-          val minV = r.getAs[Any](s"min_${p.column}")
-          val maxV = r.getAs[Any](s"max_${p.column}")
-          if (minV == null || maxV == null) false // all-null file for this column
-          else p.hi.forall(h => cmp(minV, h) <= 0) &&
-               p.lo.forall(l => cmp(maxV, l) >= 0)
-        }
+      preds.forall {
+        case RangePred(c, lo, hi) => rangeAdmits(r, c, lo, hi)
+        case EqPred(c, v) =>
+          rangeAdmits(r, c, Some(v), Some(v)) && bloomAdmits(r, c, v)
       }
     }.map(_.getAs[String]("file"))
     val residual = preds.map(_.residual).reduce(_ && _)

@@ -127,6 +127,29 @@ class LayoutSpec extends SparkSpec {
     assert(canon(got) == Seq(Seq("2", "20")))
   }
 
+  test("bloom filters skip files for point lookups the sort order cannot cluster") {
+    val dir = Files.createTempDirectory("layout-bloom").toString + "/t"
+    // cluster on a, bloom on the UNclustered v (v = id, scattered by a)
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("a"), ((col("id") * 2654435761L) % 100000L).as("v"))
+    Layout.writeClustered(df, dir, Seq("a"), files = 16,
+      statsCols = Seq("a"), bloomCols = Seq("v"))
+    val target = df.filter(col("id") === 777).select("v").head().getLong(0)
+    // zone maps alone cannot prune v (no stats); bloom must
+    val (got, stats) = Layout.prunedRead(spark, dir,
+      Seq(Layout.EqPred("v", target)))
+    assert(stats.selectedFiles < stats.totalFiles,
+      s"bloom should skip files for a point lookup: $stats")
+    assert(got.count() >= 1)
+    assertSameRows(got.orderBy("a"), df.filter(col("v") === target)
+      .select("a", "v").orderBy("a"))
+    // an absent value prunes everything (no false-positive in 16 tries
+    // would be luck — accept <= total, but the residual must be empty)
+    val (none, _) = Layout.prunedRead(spark, dir,
+      Seq(Layout.EqPred("v", -12345L)))
+    assert(none.count() == 0)
+  }
+
   test("timestamp bounds prune and compare correctly") {
     val dir = Files.createTempDirectory("layout-ts").toString + "/t"
     val df = spark.range(100).select(
