@@ -1121,6 +1121,39 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
     }),
 
+    "m1_manifest_pruned" -> ((s, d) => {
+      // the table format composing with the layout layer: same merge
+      // algebra, but the store writes ts-clustered segments carrying
+      // their OWN per-file zone maps (O(batch) statistics maintenance —
+      // committed segments' stats are never recomputed), and the scan
+      // consults them to skip files before Spark plans the read. The
+      // oracle is the shared merge SQL filtered to the same window —
+      // stats can only save IO, never change the answer.
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      def bucketed(df: DataFrame) = df.withColumn("bucket", pmod(col("user_id"), lit(8L)))
+      val target = bucketed(latest(ev.filter(col("ts") < ts("2024-01-15"))))
+      val source = bucketed(latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))))
+      val cfg = TableConfig("ods.events_manifest_pruned", null, Seq("user_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      val root = s"$fixtureRoot/m1mp/events"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val store = new graft.pipeline.ManifestStore(s, root, "bucket",
+        clusterCols = Seq("ts"), statsCols = Seq("ts"), clusterFiles = 8)
+      store.snapshot(target)
+      store.upsert(source, cfg)
+      val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
+      val hi = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-07T23:59:59.999999Z"))
+      val (df, stats) = store.readPruned(
+        Seq(graft.pipeline.Layout.RangePred("ts", Some(lo), Some(hi)))).get
+      stageLogger("m1_manifest_pruned")(
+        s"files_selected_of_${stats.totalFiles}", stats.selectedFiles.toDouble)
+      df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+    }),
+
     "m3_snapshot" -> ((s, d) =>
       MergeEngine.snapshot(
         Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
@@ -3562,6 +3595,12 @@ object SparkEntry {
     // the manifest-committed sink must produce the exact same relation as
     // the directory-swap sink — the shared oracle is the proof
     "m1_manifest" -> guardedPartitionedMergeSql,
+
+    // the merged table filtered to the pruned window — epoch bounds are
+    // the UTC micros of 2024-01-05T00:00:00 .. 2024-01-07T23:59:59.999999
+    "m1_manifest_pruned" ->
+      s"""SELECT * FROM ($guardedPartitionedMergeSql)
+         |WHERE ts_us BETWEEN 1704412800000000 AND 1704671999999999""".stripMargin,
 
     "m3_snapshot" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",

@@ -37,7 +37,10 @@ import org.apache.spark.sql.functions._
   */
 final class ManifestStore(spark: SparkSession, root: String, val partitionCol: String,
                           mergeBatchMaxSegments: Int = 16,
-                          mergeBatchKeepManifests: Int = 8) extends MergeSink {
+                          mergeBatchKeepManifests: Int = 8,
+                          clusterCols: Seq[String] = Nil,
+                          statsCols: Seq[String] = Nil,
+                          clusterFiles: Int = 0) extends MergeSink {
 
   /** [[MergeSink]] binding: partition-scoped upsert — a micro-batch
     * writes ONE segment holding only the touched partitions' merged
@@ -114,11 +117,35 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
   }
 
   /** One immutable segment: clustered and sorted on the partition column
-    * so parquet row-group min/max stats prune reads within the segment. */
+    * so parquet row-group min/max stats prune reads within the segment.
+    *
+    * With `clusterCols` set the segment is RANGE-partitioned and sorted
+    * on (partitionCol, clusterCols…) — partition values stay contiguous
+    * (the manifest's partition pruning is unchanged) and each file
+    * covers a tight cluster-column range. With `statsCols` set the
+    * segment carries its own `_zonemaps`, built from THIS segment only
+    * at write time: statistics maintenance is O(batch) per commit —
+    * committed segments' stats are immutable alongside their data, and
+    * compaction produces a fresh segment with fresh stats. */
   private def writeSegment(df: DataFrame): String = {
     val name = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol)
-      .write.parquet(s"$root/$name")
+    val sorted =
+      if (clusterCols.isEmpty)
+        df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol)
+      else {
+        val keys = (partitionCol +: clusterCols).map(col)
+        // clusterFiles = 0 leaves the file count to the engine (AQE
+        // coalesces small batches — the right default at streaming
+        // cadence); an explicit count pins the clustering granularity
+        // so zone maps have per-file ranges worth pruning
+        val ranged =
+          if (clusterFiles > 0) df.repartitionByRange(clusterFiles, keys: _*)
+          else df.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
+      }
+    sorted.write.parquet(s"$root/$name")
+    if (statsCols.nonEmpty)
+      Layout.buildZoneMaps(spark, s"$root/$name", statsCols)
     name
   }
 
@@ -140,6 +167,43 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     val man = readManifest(n)
     if (man.isEmpty) None else Some(resolve(man))
   }
+
+  /** Zone-map-pruned read: [[read]], but each live segment's per-file
+    * statistics drop the files whose [min, max] / Bloom cannot satisfy
+    * `preds` BEFORE the scan is planned — the manifest's partition
+    * pruning and the layout layer's file skipping compose. Segments
+    * written before `statsCols` was configured carry no stats and are
+    * read whole (listed file count still reported, so the prune ratio
+    * stays honest); residual predicates are re-applied either way, so
+    * the answer NEVER depends on the statistics. Returns None on the
+    * same empty-manifest contract as [[read]]. */
+  def readPruned(preds: Seq[Layout.FilePred]): Option[(DataFrame, Layout.PruneStats)] =
+    latestManifestVersion.flatMap { n =>
+      val man = readManifest(n)
+      if (man.isEmpty) None
+      else {
+        require(preds.nonEmpty, "readPruned needs at least one predicate")
+        val residual = preds.map(_.residual).reduce(_ && _)
+        val bySeg = man.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+        var total = 0; var selected = 0
+        val parts = bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
+          val segDir = s"$root/$seg"
+          val df =
+            if (fs.exists(new Path(s"$segDir/${Layout.ZoneMapDir}"))) {
+              val (pruned, st) = Layout.prunedRead(spark, segDir, preds)
+              total += st.totalFiles; selected += st.selectedFiles
+              pruned
+            } else {
+              val files = fs.listStatus(new Path(segDir)).toSeq
+                .count(_.getPath.getName.endsWith(".parquet"))
+              total += files; selected += files
+              spark.read.parquet(segDir).filter(residual)
+            }
+          df.filter(valueFilter(values))
+        }
+        Some((parts.reduce(_.unionByName(_)), Layout.PruneStats(total, selected)))
+      }
+    }
 
   /** Partition-pruned read: only segments referenced by `values` are
     * scanned. Same empty-manifest contract as [[read]]. */

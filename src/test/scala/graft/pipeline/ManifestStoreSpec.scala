@@ -155,4 +155,50 @@ class ManifestStoreSpec extends SparkSpec {
     store.upsert(Seq((9L, 1L, "z", "p9")).toDF("k", "seq", "v", "p"), cfg)
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("9", "z")))
   }
+
+  test("clustered segments carry O(batch) zone maps; readPruned skips files, never rows") {
+    val root = Files.createTempDirectory("manifest-zm").toString + "/t"
+    val store = new ManifestStore(spark, root, "p",
+      clusterCols = Seq("x"), statsCols = Seq("x"), clusterFiles = 4)
+    // two partitions × x in [0, 1000): range clustering puts tight x
+    // ranges in each of the 4 pinned files per segment
+    val base = spark.range(1000).selectExpr(
+      "id AS k", "1L AS seq", "CAST(id AS STRING) AS v",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS p", "id AS x")
+    store.snapshot(base)
+    // second segment from an upsert batch (gets its OWN stats)
+    store.upsert(spark.range(1000, 1100).selectExpr(
+      "id AS k", "2L AS seq", "'new' AS v", "'a' AS p", "id AS x"), cfg)
+    val (df, stats) = store.readPruned(
+      Seq(graft.pipeline.Layout.RangePred("x", Some(100L), Some(200L)))).get
+    assert(stats.selectedFiles < stats.totalFiles,
+      s"clustered segments must skip files for an x range: $stats")
+    // answers equal the unpruned read under the same residual
+    assertSameRows(
+      df.select("k", "v", "x").orderBy("k"),
+      store.read.get.filter(col("x").between(100L, 200L))
+        .select("k", "v", "x").orderBy("k"))
+    // both segments have their own stats dir (O(batch) maintenance)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_"))
+    assert(segs.nonEmpty && segs.forall(s => fs.exists(
+      new org.apache.hadoop.fs.Path(s.getPath, graft.pipeline.Layout.ZoneMapDir))))
+  }
+
+  test("readPruned falls back to whole-segment reads where stats are absent") {
+    val root = Files.createTempDirectory("manifest-nozm").toString + "/t"
+    // segment 1 written WITHOUT stats (feature off), then the store is
+    // reopened with stats on and a second segment merged in
+    val plain = new ManifestStore(spark, root, "p")
+    plain.snapshot(Seq((1L, 1L, "a", "p1", 10L)).toDF("k", "seq", "v", "p", "x"))
+    val statted = new ManifestStore(spark, root, "p",
+      clusterCols = Seq("x"), statsCols = Seq("x"))
+    statted.upsert(Seq((2L, 1L, "b", "p2", 20L)).toDF("k", "seq", "v", "p", "x"), cfg)
+    val (df, stats) = statted.readPruned(
+      Seq(graft.pipeline.Layout.RangePred("x", Some(0L), Some(100L)))).get
+    assert(stats.totalFiles >= 2 && stats.selectedFiles >= 1)
+    assert(canon(df.select("k", "v")) == Seq(Seq("1", "a"), Seq("2", "b")))
+  }
 }
