@@ -1154,6 +1154,33 @@ object SparkEntry {
       df.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
     }),
 
+    "m_version_diff" -> ((s, d) => {
+      // time-travel CDC: the row-level diff between the pre-merge and
+      // post-merge manifest versions — inserts are users the merge
+      // introduced, updates are guard-passed newer rows (post-image).
+      // Partitions whose segment pointer did not move are provably
+      // untouched and never read: the diff costs O(changed partitions).
+      // The oracle recomputes the same diff from the merge algebra.
+      val ev = Tables.events(s, d)
+      def latest(df: DataFrame) =
+        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+          .select("user_id", "event_id", "ts", "value")
+      def bucketed(df: DataFrame) = df.withColumn("bucket", pmod(col("user_id"), lit(8L)))
+      val target = bucketed(latest(ev.filter(col("ts") < ts("2024-01-15"))))
+      val source = bucketed(latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))))
+      val cfg = TableConfig("ods.events_vdiff", null, Seq("user_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      val root = s"$fixtureRoot/mvd/events"
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val store = new graft.pipeline.ManifestStore(s, root, "bucket")
+      store.snapshot(target) // version 1
+      store.upsert(source, cfg) // version 2
+      store.changes(1, 2, Seq("user_id"))
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("value"), col("_change"))
+    }),
+
     "m3_snapshot" -> ((s, d) =>
       MergeEngine.snapshot(
         Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
@@ -3601,6 +3628,23 @@ object SparkEntry {
     "m1_manifest_pruned" ->
       s"""SELECT * FROM ($guardedPartitionedMergeSql)
          |WHERE ts_us BETWEEN 1704412800000000 AND 1704671999999999""".stripMargin,
+
+    // the diff the merge SHOULD produce: merged rows vs the pre-merge
+    // target, null-safe column compare — inserts where the target had
+    // no key, updates where any column moved, nothing for no-op rows
+    "m_version_diff" ->
+      s"""WITH pre AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         |m AS ($guardedPartitionedMergeSql)
+         |SELECT m.user_id, m.event_id, m.ts_us, m.value,
+         |  CASE WHEN pre.user_id IS NULL THEN 'insert' ELSE 'update' END AS _change
+         |FROM m LEFT JOIN pre ON m.user_id = pre.user_id
+         |WHERE pre.user_id IS NULL
+         |   OR m.event_id IS DISTINCT FROM pre.event_id
+         |   OR m.ts_us IS DISTINCT FROM pre.ts_us
+         |   OR m.value IS DISTINCT FROM pre.value""".stripMargin,
 
     "m3_snapshot" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",

@@ -156,6 +156,30 @@ class ManifestStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("9", "z")))
   }
 
+  test("version diff: insert/update/delete between commits, O(changed partitions)") {
+    val (store, _) = fresh()
+    store.snapshot(Seq(
+      (1L, 1L, "a", "p1"), (2L, 1L, "b", "p2"), (3L, 1L, "c", "p3")
+    ).toDF("k", "seq", "v", "p"))                      // version 1
+    store.upsert(Seq(
+      (1L, 2L, "a2", "p1"), (4L, 1L, "d", "p1")
+    ).toDF("k", "seq", "v", "p"), cfg)                 // version 2: p1 only
+    // only p1's pointer moved — p2/p3 provably untouched, never read
+    assert(store.changedValues(1, 2) == Seq("p1"))
+    val d12 = store.changes(1, 2, Seq("k"))
+    assert(canon(d12.select("k", "v", "_change")) == Seq(
+      Seq("1", "a2", "update"), Seq("4", "d", "insert")))
+    // drop p2 entirely → version 3: one delete, pre-image carried
+    store.replacePartitions(Seq.empty[(Long, Long, String, String)]
+      .toDF("k", "seq", "v", "p"), clear = Seq("p2"))
+    val d23 = store.changes(2, 3, Seq("k"))
+    assert(canon(d23.select("k", "v", "_change")) == Seq(Seq("2", "b", "delete")))
+    // same version → empty diff; re-upserting identical rows → empty diff
+    assert(store.changes(2, 2, Seq("k")).count() == 0)
+    store.upsert(Seq((1L, 2L, "a2", "p1")).toDF("k", "seq", "v", "p"), cfg) // v4, no-op rows
+    assert(store.changes(3, 4, Seq("k")).count() == 0)
+  }
+
   test("clustered segments carry O(batch) zone maps; readPruned skips files, never rows") {
     val root = Files.createTempDirectory("manifest-zm").toString + "/t"
     val store = new ManifestStore(spark, root, "p",
