@@ -1122,27 +1122,27 @@ object SparkEntry {
     }),
 
     "m1_manifest_pruned" -> ((s, d) => {
-      // the table format composing with the layout layer: same merge
-      // algebra, but the store writes ts-clustered segments carrying
-      // their OWN per-file zone maps (O(batch) statistics maintenance —
-      // committed segments' stats are never recomputed), and the scan
-      // consults them to skip files before Spark plans the read. The
-      // oracle is the shared merge SQL filtered to the same window —
-      // stats can only save IO, never change the answer.
+      // the table format composing with the layout layer: an
+      // EVENT-grain store (keys = event_id, so the table retains full
+      // history — the shape of a CDC-fed fact table) whose segments are
+      // ts-clustered with their OWN per-file zone maps (O(batch)
+      // statistics maintenance — committed segments' stats are never
+      // recomputed). clusterFiles exceeds the bucket count so each
+      // bucket splits into time slices — the axis the window predicate
+      // prunes. The oracle is the union-of-windows merge filtered to
+      // the probe window — stats can only save IO, never change rows.
       val ev = Tables.events(s, d)
-      def latest(df: DataFrame) =
-        MergeEngine.latestPerKey(df, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
-          .select("user_id", "event_id", "ts", "value")
-      def bucketed(df: DataFrame) = df.withColumn("bucket", pmod(col("user_id"), lit(8L)))
-      val target = bucketed(latest(ev.filter(col("ts") < ts("2024-01-15"))))
-      val source = bucketed(latest(ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))))
-      val cfg = TableConfig("ods.events_manifest_pruned", null, Seq("user_id"),
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("bucket", pmod(col("user_id"), lit(8L)))
+      val target = ev.filter(col("ts") < ts("2024-01-15"))
+      val source = ev.filter(col("ts") >= ts("2024-01-10") && col("ts") < ts("2024-01-20"))
+      val cfg = TableConfig("ods.events_manifest_pruned", null, Seq("event_id"),
         cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
       val root = s"$fixtureRoot/m1mp/events"
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val store = new graft.pipeline.ManifestStore(s, root, "bucket",
-        clusterCols = Seq("ts"), statsCols = Seq("ts"), clusterFiles = 8)
+        clusterCols = Seq("ts"), statsCols = Seq("ts"), clusterFiles = 32)
       store.snapshot(target)
       store.upsert(source, cfg)
       val lo = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z"))
@@ -2722,7 +2722,9 @@ object SparkEntry {
       val dir = layoutDir(s, d, "lin") { p =>
         Layout.writeClustered(Tables.lineitem(s, d), p,
           Seq("l_shipdate"), files = 16, statsCols = Seq("l_shipdate"),
-          bloomCols = Seq("l_orderkey")) }
+          // 2^20 bits ≈ 10 bits/key at sf0.1's ~37k keys per file —
+          // an undersized bloom saturates and stops skipping
+          bloomCols = Seq("l_orderkey"), bloomBits = 1 << 20) }
       val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
       val hi = java.sql.Timestamp.valueOf("1996-06-30 23:59:59")
       val (df, stats) = Layout.prunedRead(s, dir,
@@ -2744,7 +2746,9 @@ object SparkEntry {
       val dir = layoutDir(s, d, "lin") { p =>
         Layout.writeClustered(Tables.lineitem(s, d), p,
           Seq("l_shipdate"), files = 16, statsCols = Seq("l_shipdate"),
-          bloomCols = Seq("l_orderkey")) }
+          // 2^20 bits ≈ 10 bits/key at sf0.1's ~37k keys per file —
+          // an undersized bloom saturates and stops skipping
+          bloomCols = Seq("l_orderkey"), bloomBits = 1 << 20) }
       val (df, stats) = Layout.prunedRead(s, dir,
         Seq(Layout.EqPred("l_orderkey", 642L)))
       stageLogger("layout_bloom_scan")(
@@ -2764,9 +2768,11 @@ object SparkEntry {
         Layout.writeZOrdered(Tables.lineitem(s, d), p,
           Seq("l_partkey", "l_suppkey"), bits = 15, files = 16,
           statsCols = Seq("l_partkey", "l_suppkey")) }
+      // bounds chosen non-empty at EVERY sf (sf0.001 has only ~10
+      // suppliers, so a [10,50] band would be empty there)
       val (df, stats) = Layout.prunedRead(s, dir, Seq(
-        Layout.RangePred("l_partkey", Some(100L), Some(300L)),
-        Layout.RangePred("l_suppkey", Some(10L), Some(50L))))
+        Layout.RangePred("l_partkey", Some(40L), Some(160L)),
+        Layout.RangePred("l_suppkey", Some(2L), Some(6L))))
       stageLogger("layout_zorder_scan")(
         s"files_selected_of_${stats.totalFiles}", stats.selectedFiles.toDouble)
       df.groupBy("l_returnflag")
@@ -3623,11 +3629,14 @@ object SparkEntry {
     // the directory-swap sink — the shared oracle is the proof
     "m1_manifest" -> guardedPartitionedMergeSql,
 
-    // the merged table filtered to the pruned window — epoch bounds are
-    // the UTC micros of 2024-01-05T00:00:00 .. 2024-01-07T23:59:59.999999
+    // event-grain merge = union of the two windows distinct on
+    // event_id = all events before 2024-01-20; filtered to the probe
+    // window (UTC micros of 01-05T00:00:00 .. 01-07T23:59:59.999999)
     "m1_manifest_pruned" ->
-      s"""SELECT * FROM ($guardedPartitionedMergeSql)
-         |WHERE ts_us BETWEEN 1704412800000000 AND 1704671999999999""".stripMargin,
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20'
+        |  AND epoch_us(ts) BETWEEN 1704412800000000 AND 1704671999999999""".stripMargin,
 
     // the diff the merge SHOULD produce: merged rows vs the pre-merge
     // target, null-safe column compare — inserts where the target had
@@ -4864,7 +4873,7 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
+        |WHERE l_partkey BETWEEN 40 AND 160 AND l_suppkey BETWEEN 2 AND 6
         |GROUP BY l_returnflag""".stripMargin,
 
     // replays the extraction stage-for-stage in RE2: script/style/comment

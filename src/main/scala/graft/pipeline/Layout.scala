@@ -93,7 +93,14 @@ object Layout {
     * from parquet footers and the Bloom is the same pass Delta/Iceberg
     * writers fold into the commit; the aggregate form keeps the layer
     * portable across file formats and costs one scan at WRITE time,
-    * amortized over every pruned read. */
+    * amortized over every pruned read.
+    *
+    * Size `bloomBits` ≈ 10× the expected DISTINCT keys per file (~1%
+    * false positives at k=4). An undersized filter saturates and
+    * admits every file: skipping silently degrades to none — never to
+    * wrong answers (the residual still filters), but the scan cost
+    * returns. At production file sizes (~1M keys per 128 MB file) that
+    * means 2^23 bits ≈ 1 MiB per file per column. */
   def buildZoneMaps(spark: SparkSession, dir: String, cols: Seq[String],
                     bloomCols: Seq[String] = Nil,
                     bloomBits: Int = 1 << 15): Unit = {
@@ -119,11 +126,12 @@ object Layout {
     * the way a table-format writer records footer stats at commit. */
   def writeClustered(df: DataFrame, dir: String, sortCols: Seq[String],
                      files: Int, statsCols: Seq[String],
-                     bloomCols: Seq[String] = Nil): Unit = {
+                     bloomCols: Seq[String] = Nil,
+                     bloomBits: Int = 1 << 18): Unit = {
     df.repartitionByRange(files, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
-    buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols)
+    buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols, bloomBits)
   }
 
   /** Z-order clustering: range-partition + sort on the Morton key of
@@ -134,13 +142,14 @@ object Layout {
     * decision, not data. */
   def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String], bits: Int,
                     files: Int, statsCols: Seq[String],
-                    bloomCols: Seq[String] = Nil): Unit = {
+                    bloomCols: Seq[String] = Nil,
+                    bloomBits: Int = 1 << 18): Unit = {
     val keyed = df.withColumn("__zorder", zorderKey(zCols.map(col), bits))
     keyed.repartitionByRange(files, col("__zorder"))
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
       .write.mode("overwrite").parquet(dir)
-    buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols)
+    buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols, bloomBits)
   }
 
   /** A file-skipping predicate: `residual` is the exact filter
