@@ -2396,6 +2396,40 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
     }),
 
+    "stream_cdc_rollup_cdf" -> ((s, d) => {
+      // CDC stream WITH CORRECTIONS: 4 insert files plus one
+      // restatement file (every event_id%10==3 re-emitted 25 days
+      // later with doubled value — updates that move rows across day
+      // groups). An additive fold would double-count the restated
+      // facts; the change-feed fold subtracts each pre-image, so the
+      // maintained rollup must equal a from-scratch rollup over the
+      // final table state — which is exactly what the oracle computes.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_cdf").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "ts", "value")
+      ev.repartition(4).write.parquet(src)
+      ev.filter(pmod(col("event_id"), lit(10)) === 3)
+        .withColumn("ts", col("ts") + expr("INTERVAL 25 DAYS"))
+        .withColumn("value", col("value") * 2)
+        .coalesce(1).write.mode("append").parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("bucket", pmod(col("event_id"), lit(8L)))
+      val store = new graft.pipeline.ManifestStore(s, s"$tmp/store", "bucket")
+      val rollupStore = new graft.pipeline.TableStore(s, s"$tmp/rollup", filesPerVersion = 1)
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamOps.maintainRollupCdf(stream, store,
+          TableConfig("stream_cdf_events", null, Seq("event_id"),
+            cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts")),
+          rollupStore, Seq("event_type", "day"), "value", s"$tmp/ckpt",
+          onStage = stageLogger("stream_cdc_rollup_cdf"))
+      }
+      rollupStore.read.get
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+    }),
+
     "stream_cdc_merge_manifest" -> ((s, d) => {
       // SAME drain and oracle as stream_cdc_merge, but the sink is the
       // partition-scoped ManifestStore keyed on event day: each
@@ -4747,6 +4781,25 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // from-scratch rollup over the FINAL table state: originals union
+    // the restatements, latest ts per event_id wins (the guard's
+    // verdict), then the same decimal day/type rollup — the CDF-folded
+    // increments must land exactly here
+    "stream_cdc_rollup_cdf" ->
+      """WITH corr AS (
+        |  SELECT event_id, user_id, event_type, ts + INTERVAL 25 DAY AS ts, value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 3),
+        |allr AS (
+        |  SELECT event_id, user_id, event_type, ts, value FROM events
+        |  UNION ALL SELECT * FROM corr),
+        |win AS (SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+        |  FROM allr) WHERE rn = 1)
+        |SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM win GROUP BY event_type, day""".stripMargin,
 
     // survivor identity is arrival-dependent; the fingerprint columns
     // are not (see the query comment)

@@ -286,7 +286,9 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     * disappearing). Immutable segments make this EXACT, not heuristic:
     * an identical pointer means identical bytes. */
   private[graft] def changedValues(fromV: Int, toV: Int): Seq[String] = {
-    val mf = readManifest(fromV); val mt = readManifest(toV)
+    def man(v: Int): Map[String, String] =
+      if (v == 0) Map.empty else readManifest(v)
+    val mf = man(fromV); val mt = man(toV)
     (mf.keySet ++ mt.keySet).filter(v => mf.get(v) != mt.get(v)).toSeq.sorted
   }
 
@@ -301,10 +303,25 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     * segment pointer is unchanged between the two manifests is provably
     * untouched and is NEVER read — at 100 TB a merge cycle touches a
     * handful of partitions, and so does its diff. */
-  def changes(fromV: Int, toV: Int, keys: Seq[String]): DataFrame = {
+  def changes(fromV: Int, toV: Int, keys: Seq[String]): DataFrame =
+    changes(fromV, toV, keys, updatePreimage = false)
+
+  /** [[changes]] with the update shape chosen by the consumer:
+    * `updatePreimage = true` emits updates as TWO rows —
+    * `update_preimage` (the before-row) and `update_postimage` (the
+    * after-row) — which is what incremental AGGREGATE maintenance
+    * needs (subtract the old contribution, add the new one;
+    * [[CdfRollup.applyCdf]] consumes exactly this shape). `fromV = 0`
+    * reads as the empty store, so the first commit's diff is
+    * all-inserts. */
+  def changes(fromV: Int, toV: Int, keys: Seq[String],
+              updatePreimage: Boolean): DataFrame = {
     require(keys.nonEmpty, "changes needs at least one key column")
-    val mf = readManifest(fromV); val mt = readManifest(toV)
-    val changed = changedValues(fromV, toV)
+    def man(v: Int): Map[String, String] =
+      if (v == 0) Map.empty else readManifest(v)
+    val mf = man(fromV); val mt = man(toV)
+    val changed = (mf.keySet ++ mt.keySet)
+      .filter(v => mf.get(v) != mt.get(v)).toSeq.sorted
     def slice(man: Map[String, String]): Option[DataFrame] = {
       val sub = man.view.filterKeys(changed.contains).toMap
       if (sub.isEmpty) None else Some(resolve(sub))
@@ -326,12 +343,23 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
       .when(col("__in_a").isNull, lit("delete"))
       .when(unchanged, lit(null).cast("string"))
       .otherwise(lit("update"))
-    after.join(before, cond, "full_outer")
+    val joined = after.join(before, cond, "full_outer")
       .withColumn("_change", change)
       .filter(col("_change").isNotNull)
-      .select(dataCols.map(c =>
-        when(col("__in_a").isNotNull, col(c)).otherwise(col("__b_" + c)).as(c)) :+
-        col("_change"): _*)
+    // the surviving image: post where the key exists in `after`,
+    // pre for deletes
+    def image(df: DataFrame, changeAs: Column) = df.select(dataCols.map(c =>
+      when(col("__in_a").isNotNull, col(c)).otherwise(col("__b_" + c)).as(c)) :+
+      changeAs.as("_change"): _*)
+    if (!updatePreimage) image(joined, col("_change"))
+    else {
+      val upd = joined.filter(col("_change") === "update")
+      image(joined.filter(col("_change") =!= "update"), col("_change"))
+        .unionByName(upd.select(dataCols.map(c => col("__b_" + c).as(c)) :+
+          lit("update_preimage").as("_change"): _*))
+        .unionByName(upd.select(dataCols.map(col) :+
+          lit("update_postimage").as("_change"): _*))
+    }
   }
 
   /** Number of distinct segments the latest manifest references — the

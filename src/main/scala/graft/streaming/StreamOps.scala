@@ -328,4 +328,60 @@ object StreamOps {
     store.overwritePartitions(merged.withColumn(BatchCol, lit(batchId))
       .withColumn(EpochCol, lit(epoch)))
   }
+
+  /** CDC drain with CHANGE-FEED-driven rollup maintenance — the
+    * update/delete-correct twin of [[maintainRollup]]: each micro-batch
+    * is keyed-upserted into the ManifestStore, the store's row-level
+    * change feed across the commit ([[ManifestStore.changes]] with
+    * pre/post update images, O(changed partitions)) folds into the
+    * rollup via [[graft.pipeline.CdfRollup.applyCdf]]. An additive fold
+    * double-counts a correction that REPLACES an earlier row; the CDF
+    * fold subtracts the pre-image first, so restated facts (even ones
+    * that move across group boundaries) stay exact.
+    *
+    * Effectively-once without batch-id stamps: the rollup rows carry
+    * the store version they have folded up to (`__folded_v`, written
+    * atomically with the rollup snapshot), and every tick folds
+    * `changes(folded_v, latest)` AFTER its upsert. A crash between the
+    * base-table commit and the rollup commit just widens the next
+    * tick's version range — the gap delta is folded then, nothing is
+    * lost or double-applied. An EMPTY durable rollup reads as
+    * folded_v = 0, and folding changes(0, latest) into nothing is a
+    * full recompute — also correct. [[cdfRollupTick]] is the per-batch
+    * body, exposed so the spec can inject exactly that crash. */
+  def maintainRollupCdf(stream: DataFrame, store: ManifestStore, cfg: TableConfig,
+                        rollupStore: TableStore, groupCols: Seq[String],
+                        valueCol: String, checkpoint: String,
+                        onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        cdfRollupTick(batch, store, cfg, rollupStore, groupCols, valueCol)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private[graft] val FoldedVersionCol = "__folded_v"
+
+  /** One tick of [[maintainRollupCdf]]: upsert, widen the CDF range
+    * from the rollup's durable fold marker, fold, snapshot. */
+  private[graft] def cdfRollupTick(batch: DataFrame, store: ManifestStore,
+                                   cfg: TableConfig, rollupStore: TableStore,
+                                   groupCols: Seq[String], valueCol: String): Unit = {
+    val prior = rollupStore.read
+    val foldedV = prior.flatMap { df =>
+      val r = df.select(max(col(FoldedVersionCol))).head()
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    }.getOrElse(0)
+    store.upsert(batch, cfg)
+    val newV = store.latestManifestVersion.getOrElse(0)
+    val cdf = store.changes(foldedV, newV, cfg.keys, updatePreimage = true)
+    val next = graft.pipeline.CdfRollup.applyCdf(
+      prior.map(_.drop(FoldedVersionCol)), cdf, groupCols, valueCol)
+    rollupStore.snapshot(next.withColumn(FoldedVersionCol, lit(newV)))
+  }
 }
