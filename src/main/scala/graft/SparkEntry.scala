@@ -1702,6 +1702,21 @@ object SparkEntry {
       graft.llm.Pq.adcTopK(e, "embedding", "vec_id", q, 10, pqBooks(s, d))
     }),
 
+    "ann_ivfpq_topk" -> ((s, d) => {
+      // IVF-PQ: coarse cells prune the corpus to nprobe partitions,
+      // ADC ranks inside them from the 8-byte codes — cell pruning
+      // multiplied by 32× code compression, the production vector-
+      // search shape. The oracle composes the IVF cell CTEs with the
+      // PQ code/ADC CTEs over the same corpus.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val idx = Similarity.buildIvfIndex(e, "embedding", centroids)
+      graft.llm.Pq.ivfAdcTopK(idx, "embedding", "vec_id", q, 10,
+        centroids, pqBooks(s, d), nprobe = 3)
+    }),
+
     "ann_pq_recall" -> ((s, d) => {
       // measured PQ quality: recall@10 of raw ADC and of ADC+exact-
       // cosine re-rank (the standard PQ refine pipeline) against the
@@ -2937,35 +2952,35 @@ object SparkEntry {
       s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
     s"""emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
        |subsp AS (SELECT unnest(range(0, 8)) AS s),
-       |sub AS (SELECT vec_id, s, list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS v
-       |        FROM emb CROSS JOIN subsp),
-       |seedv AS (SELECT vec_id, e FROM emb ORDER BY vec_id ASC LIMIT 8),
-       |seedsub AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS c,
-       |                   list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS cv
-       |            FROM seedv CROSS JOIN subsp),
-       |d0 AS (SELECT sub.vec_id, sub.s, seedsub.c, sub.v, ${dist("v", "cv")} AS dist
-       |       FROM sub JOIN seedsub ON sub.s = seedsub.s),
-       |a0 AS (SELECT vec_id, s, c, v FROM (
-       |         SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
-       |         FROM d0) WHERE rn = 1),
-       |comp AS (SELECT s, c, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM a0),
-       |compavg AS (SELECT s, c, p, avg(x) AS mu FROM comp GROUP BY s, c, p),
-       |cbr AS (SELECT s, c, list_transform(list(CAST(mu AS REAL) ORDER BY p ASC),
-       |                                    x -> CAST(x AS DOUBLE)) AS cv
-       |        FROM compavg GROUP BY s, c),
-       |refined AS (SELECT ss.s, ss.c, coalesce(r.cv, ss.cv) AS cv
-       |            FROM seedsub ss LEFT JOIN cbr r ON ss.s = r.s AND ss.c = r.c),
-       |d1 AS (SELECT sub.vec_id, sub.s, refined.c, ${dist("v", "cv")} AS dist
-       |       FROM sub JOIN refined ON sub.s = refined.s),
+       |pq_sub AS (SELECT vec_id, s, list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS v
+       |           FROM emb CROSS JOIN subsp),
+       |pq_seedv AS (SELECT vec_id, e FROM emb ORDER BY vec_id ASC LIMIT 8),
+       |pq_seedsub AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS c,
+       |                      list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS cv
+       |               FROM pq_seedv CROSS JOIN subsp),
+       |pq_d0 AS (SELECT pq_sub.vec_id, pq_sub.s, pq_seedsub.c, pq_sub.v, ${dist("v", "cv")} AS dist
+       |          FROM pq_sub JOIN pq_seedsub ON pq_sub.s = pq_seedsub.s),
+       |pq_a0 AS (SELECT vec_id, s, c, v FROM (
+       |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+       |            FROM pq_d0) WHERE rn = 1),
+       |pq_comp AS (SELECT s, c, generate_subscripts(v, 1) AS p, unnest(v) AS x FROM pq_a0),
+       |pq_compavg AS (SELECT s, c, p, avg(x) AS mu FROM pq_comp GROUP BY s, c, p),
+       |pq_cbr AS (SELECT s, c, list_transform(list(CAST(mu AS REAL) ORDER BY p ASC),
+       |                                       x -> CAST(x AS DOUBLE)) AS cv
+       |           FROM pq_compavg GROUP BY s, c),
+       |pq_refined AS (SELECT ss.s, ss.c, coalesce(r.cv, ss.cv) AS cv
+       |               FROM pq_seedsub ss LEFT JOIN pq_cbr r ON ss.s = r.s AND ss.c = r.c),
+       |pq_d1 AS (SELECT pq_sub.vec_id, pq_sub.s, pq_refined.c, ${dist("v", "cv")} AS dist
+       |          FROM pq_sub JOIN pq_refined ON pq_sub.s = pq_refined.s),
        |codes AS (SELECT vec_id, s, c AS code FROM (
        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
-       |            FROM d1) WHERE rn = 1),
+       |            FROM pq_d1) WHERE rn = 1),
        |pq_q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
        |qsub AS (SELECT s, list_slice(qe, s*$dsub + 1, s*$dsub + $dsub) AS qv
        |         FROM pq_q CROSS JOIN subsp),
        |micro AS (SELECT r.s, r.c,
        |                 CAST(floor((${dist("qv", "cv")}) * 1e6 + 0.5) AS BIGINT) AS md
-       |          FROM refined r JOIN qsub ON r.s = qsub.s),
+       |          FROM pq_refined r JOIN qsub ON r.s = qsub.s),
        |adc AS (SELECT codes.vec_id, CAST(sum(md) AS BIGINT) AS adc_micro
        |        FROM codes JOIN micro ON codes.s = micro.s AND codes.code = micro.c
        |        GROUP BY codes.vec_id)""".stripMargin
@@ -4881,6 +4896,17 @@ object SparkEntry {
       s"""WITH $pqCtes
          |SELECT vec_id, adc_micro FROM adc
          |ORDER BY adc_micro ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // IVF cell CTEs (which expect `emb` and `q` in scope) composed
+    // over the PQ chain's own emb/pq_q — ADC ranking restricted to the
+    // nprobe probe cells
+    "ann_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT qe FROM pq_q),
+         |$ivfCtes
+         |SELECT adc.vec_id AS vec_id, adc.adc_micro AS adc_micro
+         |FROM adc JOIN ivf_cand ON adc.vec_id = ivf_cand.vec_id
+         |ORDER BY adc.adc_micro ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_pq_recall" ->
       s"""WITH $pqCtes,

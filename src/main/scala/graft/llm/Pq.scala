@@ -140,6 +140,23 @@ object Pq {
     }.reduce(_ + _)
   }
 
+  /** IVF-PQ (the FAISS IndexIVFPQ composition, non-residual form):
+    * coarse quantization picks the nprobe cells nearest the query, ADC
+    * ranks inside them from the codes alone. At 100 TB this is THE
+    * vector-search deployment shape: the code table is cell-partitioned
+    * (IvfIndexStore's layout), a probe reads nprobe partitions of
+    * 8-byte codes — cell pruning multiplies with the 32× code
+    * compression. `index` must carry the `cell` column
+    * ([[Similarity.buildIvfIndex]] / the IvfIndexStore layout). */
+  def ivfAdcTopK(index: DataFrame, embCol: String, idCol: String,
+                 query: Array[Float], k: Int, centroids: Array[Array[Float]],
+                 books: Codebooks, nprobe: Int = 2, rerank: Int = 0): DataFrame = {
+    val cells = centroids.indices
+      .sortBy(c => -Similarity.cosArr(query, centroids(c))).take(nprobe)
+    adcTopK(index.filter(col("cell").isin(cells: _*)), embCol, idCol,
+      query, k, books, rerank)
+  }
+
   /** ADC top-k: scan the codes (in production, the 8-byte code table —
     * 32× less bandwidth than the vectors), rank by integer ADC score
     * ascending with id ties, optionally re-rank the top `rerank`
