@@ -151,12 +151,16 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
 
   /** Union of the manifest's segments, each filtered to the values that
     * still point at it (an old segment may hold superseded rows of values
-    * that have since re-pointed — the filter is what retires them). */
+    * that have since re-pointed — the filter is what retires them).
+    * Schema EVOLUTION across segments: allowMissingColumns unions by
+    * name, so a column added after earlier segments were committed reads
+    * as NULL from them — additive evolution without rewriting history
+    * (the same contract parquet-on-Hive and the table formats give). */
   private def resolve(man: Map[String, String]): DataFrame = {
     val bySeg = man.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
       spark.read.parquet(s"$root/$seg").filter(valueFilter(values))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** None when no manifest was ever committed OR the latest manifest is
@@ -201,7 +205,8 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
             }
           df.filter(valueFilter(values))
         }
-        Some((parts.reduce(_.unionByName(_)), Layout.PruneStats(total, selected)))
+        Some((parts.reduce(_.unionByName(_, allowMissingColumns = true)),
+          Layout.PruneStats(total, selected)))
       }
     }
 
@@ -252,6 +257,46 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
         affected
     }
 
+  /** Write-audit-publish (the Iceberg WAP pattern): merge, stage the
+    * result as an UNREFERENCED segment (invisible to every reader by
+    * construction), audit the STAGED BYTES — the audit reads the
+    * parquet a reader would read, so write-path corruption is caught,
+    * not just logical errors — and only on a clean audit commit the
+    * manifest pointer. A failed audit deletes the staged segment and
+    * returns the failures; the table is untouched, readers never saw a
+    * row. This is the quality gate a 100 TB ingest wants in the COMMIT
+    * path rather than as an after-the-fact alert. */
+  def upsertAudited(source: DataFrame, cfg: TableConfig,
+                    audit: DataFrame => Seq[graft.validate.CheckResult])
+      : Either[Seq[graft.validate.CheckResult], Seq[String]] = {
+    val (merged, affected, man) = latestManifestVersion match {
+      case None =>
+        val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
+        val deduped = MergeEngine.latestPerKey(source, cfg.keys, cursorOrder)
+        (deduped, partitionValues(deduped), Map.empty[String, String])
+      case Some(n) =>
+        val man0 = readManifest(n)
+        val aff = partitionValues(source)
+        val touched = man0.view.filterKeys(aff.contains).toMap
+        val target =
+          if (touched.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+          else resolve(touched)
+        (MergeEngine.upsert(target, source, cfg), aff, man0)
+    }
+    val seg = writeSegment(merged)
+    val staged = spark.read.parquet(s"$root/$seg")
+    val failures = audit(staged).filterNot(_.passed)
+    if (failures.nonEmpty) {
+      fs.delete(new Path(s"$root/$seg"), true)
+      Left(failures)
+    } else {
+      commit(man ++ affected.map(_ -> seg))
+      Right(affected)
+    }
+  }
+
   /** M4 — replace whole partitions from the source atomically. */
   def overwritePartitions(source: DataFrame): Seq[String] = {
     val affected = partitionValues(source)
@@ -279,6 +324,18 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
       commit(man ++ affected.map(_ -> seg))
       affected
     }
+  }
+
+  /** Roll the table back to committed version `v`: COMMIT a new
+    * manifest carrying version v's pointers — history is preserved
+    * (the bad versions stay readable for forensics via [[readManifest]]
+    * until [[vacuum]]'s horizon passes them), readers flip atomically,
+    * and the rolled-back-to segments are re-referenced by the NEW head
+    * so vacuum keeps them. The recovery lever after a bad merge or a
+    * poisoned upstream batch — O(manifest) cost, zero data movement. */
+  def rollbackTo(v: Int): Int = {
+    require(manifestVersions.contains(v), s"version $v is not committed in $root")
+    commit(readManifest(v))
   }
 
   /** Changed partition values between two committed versions — the

@@ -156,6 +156,57 @@ class ManifestStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a"), Seq("9", "z")))
   }
 
+  test("rollback commits old pointers as a new version; vacuum keeps re-referenced segments") {
+    val (store, _) = fresh()
+    store.snapshot(Seq((1L, 1L, "good", "p1")).toDF("k", "seq", "v", "p")) // v1
+    store.upsert(Seq((1L, 2L, "BAD", "p1")).toDF("k", "seq", "v", "p"), cfg) // v2
+    assert(canon(store.read.get.select("v")) == Seq(Seq("BAD")))
+    val v3 = store.rollbackTo(1)
+    assert(v3 == 3 && store.manifestVersions == Seq(1, 2, 3))
+    assert(canon(store.read.get.select("v")) == Seq(Seq("good")))
+    // vacuum to the rolled-back head only: v1's segment is re-referenced
+    // by v3 and must survive; the bad segment is swept
+    store.vacuum(keepManifests = 1)
+    assert(canon(store.read.get.select("v")) == Seq(Seq("good")))
+    intercept[IllegalArgumentException](store.rollbackTo(99))
+  }
+
+  test("schema evolution: a column added later reads as NULL from old segments") {
+    val (store, _) = fresh()
+    store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))
+    // new batch carries an extra column; old segment lacks it
+    store.upsert(
+      Seq((2L, 1L, "b", "p2", "extra")).toDF("k", "seq", "v", "p", "tag"), cfg)
+    val got = store.read.get
+    assert(got.columns.contains("tag"))
+    assert(canon(got.select("k", "tag")) == Seq(Seq("1", "null"), Seq("2", "extra")))
+  }
+
+  test("write-audit-publish: a failed audit leaves the table untouched and unreadable-by-anyone") {
+    import graft.validate.{CheckResult, Checks}
+    val (store, root) = fresh()
+    store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p")) // v1
+    // audit rejects NULL v — the poisoned batch must never publish
+    def audit(df: org.apache.spark.sql.DataFrame): Seq[CheckResult] =
+      Seq(Checks.notNull(df, Seq("v")), Checks.unique(df, Seq("k")))
+    val bad = Seq((2L, 1L, Option.empty[String], "p1")).toDF("k", "seq", "v", "p")
+    val res = store.upsertAudited(bad, cfg, audit)
+    assert(res.isLeft && res.left.toOption.get.exists(!_.passed))
+    assert(store.manifestVersions == Seq(1), "no manifest committed")
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
+    // staged segment was deleted — only v1's segment remains on disk
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segs = fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .count(_.getPath.getName.startsWith("seg_"))
+    assert(segs == 1, s"staged segment must be cleaned, found $segs")
+    // a clean batch publishes normally through the same gate
+    val good = Seq((2L, 1L, Option("b"), "p1")).toDF("k", "seq", "v", "p")
+    assert(store.upsertAudited(good, cfg, audit).isRight)
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("1", "a"), Seq("2", "b")))
+  }
+
   test("version diff: insert/update/delete between commits, O(changed partitions)") {
     val (store, _) = fresh()
     store.snapshot(Seq(
