@@ -1717,6 +1717,25 @@ object SparkEntry {
         centroids, pqBooks(s, d), nprobe = 3)
     }),
 
+    "ann_ivfpq_store" -> ((s, d) => {
+      // PERSISTENT IVF-PQ: codes encoded once at append time into the
+      // cell-partitioned store; the probe prunes to nprobe cell
+      // partitions AND reads only the stored 8-byte code words
+      // (column pruning — the vector column never leaves disk).
+      // Incremental build in two appends; the oracle is
+      // ann_ivfpq_topk's verbatim: maintenance must not change answers.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+      val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id",
+        centroids, books = Some(pqBooks(s, d)))
+      ivf.append(e.filter(pmod(col("vec_id"), lit(10)) =!= 9))
+      ivf.append(e.filter(pmod(col("vec_id"), lit(10)) === 9))
+      ivf.topKAdc(q, 10, nprobe = 3)
+    }),
+
     "ann_pq_recall" -> ((s, d) => {
       // measured PQ quality: recall@10 of raw ADC and of ADC+exact-
       // cosine re-rank (the standard PQ refine pipeline) against the
@@ -4901,6 +4920,16 @@ object SparkEntry {
     // over the PQ chain's own emb/pq_q — ADC ranking restricted to the
     // nprobe probe cells
     "ann_ivfpq_topk" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT qe FROM pq_q),
+         |$ivfCtes
+         |SELECT adc.vec_id AS vec_id, adc.adc_micro AS adc_micro
+         |FROM adc JOIN ivf_cand ON adc.vec_id = ivf_cand.vec_id
+         |ORDER BY adc.adc_micro ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the persistent store must answer exactly like the in-memory
+    // composition — incremental maintenance never changes answers
+    "ann_ivfpq_store" ->
       s"""WITH $pqCtes,
          |q AS (SELECT qe FROM pq_q),
          |$ivfCtes

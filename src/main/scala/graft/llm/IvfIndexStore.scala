@@ -49,7 +49,8 @@ import org.apache.spark.sql.functions.{abs, broadcast, col, lit, pmod, xxhash64}
 final class IvfIndexStore(spark: SparkSession, root: String,
                           embCol: String, idCol: String,
                           centroids: Array[Array[Float]],
-                          idIndex: Boolean = false) {
+                          idIndex: Boolean = false,
+                          books: Option[Pq.Codebooks] = None) {
   require(centroids.nonEmpty, "IvfIndexStore needs at least one centroid")
 
   private val store = new ManifestStore(spark, root, "cell")
@@ -108,8 +109,16 @@ final class IvfIndexStore(spark: SparkSession, root: String,
 
   /** Assign `batch` to cells and merge — touched cells only. Returns the
     * cell values written. */
+  /** Cell assignment plus, when the store carries PQ codebooks, the
+    * stored code word — encoded once at WRITE time so probes can scan
+    * codes without touching the vectors. */
+  private def buildRows(batch: DataFrame): DataFrame = {
+    val b = Similarity.buildIvfIndex(batch, embCol, centroids)
+    books.fold(b)(bk => b.withColumn("pq_codes", Pq.encode(col(embCol), bk)))
+  }
+
   def append(batch: DataFrame, maxSegments: Int = 16): Seq[String] = {
-    val built = Similarity.buildIvfIndex(batch, embCol, centroids)
+    val built = buildRows(batch)
     // checkpoint only when the assignment feeds BOTH stores
     val assigned = if (idIndex) built.localCheckpoint(false) else built
     indexAdd(assigned)
@@ -168,7 +177,7 @@ final class IvfIndexStore(spark: SparkSession, root: String,
         // duplicate ids within one batch collapse to one row, the same
         // latest-per-key contract append's upsert applies
         val fresh = MergeEngine.latestPerKey(
-          Similarity.buildIvfIndex(batch, embCol, centroids), Seq(idCol), Seq.empty)
+          buildRows(batch), Seq(idCol), Seq.empty)
           .localCheckpoint(false) // feeds cell probe AND the commit union
         val idsOnly = broadcast(fresh.select(col(idCol)).distinct())
         val oldCells = resolveCells(idsOnly)
@@ -195,5 +204,35 @@ final class IvfIndexStore(spark: SparkSession, root: String,
     val probed = store.readPartitions(cells.map(_.toString))
       .getOrElse(throw new IllegalStateException(s"IVF index at $root is empty"))
     Similarity.bruteForceTopK(probed, embCol, idCol, query, k)
+  }
+
+  /** The persistent IVF-PQ probe: partition pruning cuts the scan to
+    * `nprobe` cells, and inside them ONLY the stored 8-byte code words
+    * are read (parquet column pruning — the vector column never leaves
+    * disk unless `rerank` > 0 asks for the exact-cosine refine). This
+    * is the compound bandwidth story: nprobe/k_cells × 1/32 of the
+    * index bytes per query. Requires the store to have been built with
+    * `books`. */
+  def topKAdc(query: Array[Float], k: Int, nprobe: Int = 2,
+              rerank: Int = 0): DataFrame = {
+    val bk = books.getOrElse(throw new IllegalStateException(
+      s"IVF index at $root was built without PQ codebooks"))
+    val cells = centroids.indices
+      .sortBy(c => -Similarity.cosArr(query, centroids(c))).take(nprobe)
+    val probed = store.readPartitions(cells.map(_.toString))
+      .getOrElse(throw new IllegalStateException(s"IVF index at $root is empty"))
+    val scored = probed
+      .select(col(idCol) +: col("pq_codes") +:
+        (if (rerank > 0) Seq(col(embCol)) else Nil): _*)
+      .withColumn("adc_micro",
+        Pq.adcMicroScoreFromCodes(col("pq_codes"), bk, query))
+      .orderBy(col("adc_micro").asc, col(idCol).asc)
+    if (rerank <= 0) scored.limit(k).select(idCol, "adc_micro")
+    else scored.limit(math.max(rerank, k))
+      .select(col(idCol),
+        graft.functions.VectorOps.vectorCosine(col(embCol),
+          graft.functions.VectorOps.floatVectorLit(query)).as("cosine"))
+      .filter(col("cosine").isNotNull)
+      .orderBy(col("cosine").desc, col(idCol).asc).limit(k)
   }
 }

@@ -140,6 +140,17 @@ object Pq {
     }.reduce(_ + _)
   }
 
+  /** ADC score over a STORED code word (array<int> of length m) — the
+    * scan shape of a persisted code table: no vector column is
+    * touched, parquet column pruning reads the 8-byte codes only. */
+  def adcMicroScoreFromCodes(codes: Column, books: Codebooks,
+                             query: Array[Float]): Column = {
+    val micro = queryMicroDists(query, books)
+    (0 until books.m).map { j =>
+      element_at(array(micro(j).map(lit): _*), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
   /** IVF-PQ (the FAISS IndexIVFPQ composition, non-residual form):
     * coarse quantization picks the nprobe cells nearest the query, ADC
     * ranks inside them from the codes alone. At 100 TB this is THE

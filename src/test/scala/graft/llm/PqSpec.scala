@@ -50,6 +50,22 @@ class PqSpec extends SparkSpec {
     assert(cosines.sorted.reverse.sameElements(cosines))
   }
 
+  test("IVF-PQ probes only the nearest cells and ranks by ADC inside them") {
+    val b = Pq.trainCodebooks(corpus(), "embedding", "vec_id", m = 2, ksub = 2)
+    val cents = Similarity.ivfCentroids(corpus(), "embedding", "vec_id", k = 2)
+    val idx = Similarity.buildIvfIndex(corpus(), "embedding", cents)
+    val q = Array(0.5f, 0.5f, 9.5f, 9.5f) // cluster A
+    val got = Pq.ivfAdcTopK(idx, "embedding", "vec_id", q, 3, cents, b, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(0L, 1L, 2L), s"nprobe=1 should stay in cluster A: $got")
+    // nprobe = all cells degenerates to plain ADC
+    val all = Pq.ivfAdcTopK(idx, "embedding", "vec_id", q, 6, cents, b, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val plain = Pq.adcTopK(corpus(), "embedding", "vec_id", q, 6, b)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == plain)
+  }
+
   test("micro-distance table matches an independent elementwise computation") {
     val b = Pq.trainCodebooks(corpus(), "embedding", "vec_id", m = 2, ksub = 2)
     val q = Array(1f, 2f, 3f, 4f)
