@@ -912,6 +912,18 @@ object SparkEntry {
         .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
           col("period_n"), col("n_active"), col("n_cohort"), col("retention_rate"))),
 
+    "w_rolling_7d" -> ((s, d) =>
+      // trailing 7-day rolling features per event_type: one hash agg
+      // to daily grain (the only pass over the raw events), then RANGE
+      // window functions over the tiny daily series — gap-correct by
+      // frame VALUE, decimal-exact sums, ratios double only at the end
+      graft.ops.TimeSeries.rollingDaily(Tables.events(s, d), "ts",
+        Seq("event_type"), "value", windowDays = 7)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("total").cast("double").as("total"),
+          col("rolling_n"), col("rolling_total").cast("double").as("rolling_total"),
+          col("rolling_avg"), col("delta_total").cast("double").as("delta_total"))),
+
     "v_metric_anomaly" -> ((s, d) =>
       // robust guardrail over the per-type daily volume series: exact
       // decimal daily sums (engine-exact), then the modified z-score
@@ -2158,6 +2170,26 @@ object SparkEntry {
         .select(col("source"), (col("rank") + 1).cast("long").as("rank"),
           col("h.item").as("item"), col("h.est_count").as("est_count"))),
 
+    "distinct_hll" -> ((s, d) => {
+      // approximate COUNT DISTINCT via the mergeable HLL aggregate:
+      // per-group state is 2^p bytes instead of the full distinct-key
+      // shuffle COUNT(DISTINCT) needs — the 100 TB cardinality probe.
+      // The estimate itself is hash-checked: md5-derived buckets/ranks
+      // mean the oracle replays the exact register array AND the exact
+      // float estimate, with the exact count alongside to keep the
+      // error honest (m=256 → ~6.5% expected). n_exact stays above the
+      // 2.5m linear-counting threshold at every fixture SF, so both
+      // engines sit in the raw-estimate branch whose arithmetic is
+      // bit-identical by construction (integer register sums).
+      val est = round(graft.functions.HllOps.hllDistinct(
+        col("l_orderkey").cast("string"), p = 8), 2)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"), est.as("hll_est"))
+        .withColumn("rel_err",
+          round(abs(col("hll_est") - col("n_exact")) / col("n_exact"), 4))
+    }),
+
     "text_script_mix" -> ((s, d) =>
       // multilingual triage: per-script codepoint fractions + dominant
       // script, on docs with planted Cyrillic/CJK/Arabic/Greek/digit
@@ -2430,6 +2462,103 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
     }),
 
+    "m_merge_on_read" -> ((s, d) => {
+      // MERGE-ON-READ table (MorStore): base load, a restatement batch,
+      // a mid-stream COMPACT, then equality-delete tombstones — each
+      // write is an O(batch) append (no data segment read), and the
+      // scan-time reconcile (cursor-latest per key, tombstones win by
+      // cursor) must equal the plain final state the oracle computes.
+      // The tombstones land AFTER the compact, so they must kill
+      // already-materialized rows, not just delta rows.
+      val tmp = java.nio.file.Files.createTempDirectory("mor").toString
+      val store = new graft.pipeline.MorStore(s, s"$tmp/t", "event_type",
+        TableConfig("mor_events", null, Seq("event_id"), cursorField = Some("ts")))
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      store.appendDelta(ev)
+      store.appendDelta(ev.filter(col("event_id") % 7 === 2)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("value", col("value") * 2))
+      store.compact()
+      store.delete(ev.filter(col("event_id") % 10 === 7)
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 DAYS"))
+        .select("event_type", "event_id", "ts"))
+      store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), round(col("value"), 6).as("value"))
+    }),
+
+    "m_join_view_incremental" -> ((s, d) => {
+      // incrementally-maintained MATERIALIZED JOIN VIEW (orders ⟕
+      // customer): bootstrap tick, then a fact restatement, a dim
+      // attribute update, a dim-partition delete, and a fact-partition
+      // delete all fold through JoinView.maintain — CDF-scoped on both
+      // sides, dim broadcast, view rows upserted/tombstoned in a
+      // MorStore. The final view must equal the from-scratch join of
+      // the final table states, which is what the oracle computes.
+      val tmp = java.nio.file.Files.createTempDirectory("jv").toString
+      val orders = Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val cust = Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
+      val factCfg = TableConfig("jv_orders", null, Seq("o_orderkey"))
+      val dimCfg = TableConfig("jv_customer", null, Seq("o_custkey"))
+      val fact = new graft.pipeline.ManifestStore(s, s"$tmp/fact", "month")
+      val dim = new graft.pipeline.ManifestStore(s, s"$tmp/dim", "c_nationkey")
+      val view = new graft.pipeline.MorStore(s, s"$tmp/view", "month",
+        TableConfig("jv_view", null, Seq("o_orderkey")))
+      def tick() = graft.pipeline.JoinView.maintain(s, s"$tmp/view", view,
+        fact, dim, Seq("o_orderkey"), "o_custkey")
+      fact.upsert(orders, factCfg)
+      dim.upsert(cust, dimCfg)
+      tick() // bootstrap builds the full view through the same delta path
+      // fact restatement: tripled totalprice for %13==1 (an integer
+      // multiplier keeps the product exactly 2-decimal — a 1.1-style
+      // factor lands on 3rd-decimal halves where the engines' rounding
+      // conventions diverge)
+      fact.upsert(orders.filter(col("o_orderkey") % 13 === 1)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2)), factCfg)
+      // dim update: segment rewrite for %17==3
+      dim.upsert(cust.filter(col("o_custkey") % 17 === 3)
+        .withColumn("c_mktsegment", lit("UPDATED")), dimCfg)
+      // dim delete: nation-0 customers with %3==0 vanish → their orders
+      // must show NULL dim attributes after the tick
+      dim.replacePartitions(
+        dim.readPartitions(Seq("0")).get
+          .filter(!(col("o_custkey") % 3 === 0)), Seq("0"))
+      // fact delete: %5==0 orders of the earliest month vanish → view
+      // rows tombstoned
+      val m0 = orders.agg(min(col("month"))).head.getString(0)
+      fact.replacePartitions(
+        fact.readPartitions(Seq(m0)).get
+          .filter(!(col("o_orderkey") % 5 === 0)), Seq(m0))
+      tick()
+      view.read.get.select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("c_mktsegment"))
+    }),
+
+    "stream_cdc_merge_mor" -> ((s, d) => {
+      // the CDC drain through the MERGE-ON-READ sink: each micro-batch
+      // is a write-only delta append (O(batch) bytes/tick — the 100 TB
+      // hot-partition shape copy-on-write can't give), auto-compacting
+      // past 2 live segments so read fan-in stays bounded mid-drain.
+      // event_id is unique, so the reconciled final state equals the
+      // full events table regardless of batch split or compaction
+      // timing — same oracle as stream_cdc_merge.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_mor").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val morCfg = TableConfig("stream_events_mor", null, Seq("event_id"),
+        cursorField = Some("ts"))
+      val store = new graft.pipeline.MorStore(s, s"$tmp/store", "event_type",
+        morCfg, compactSegments = 2)
+      graft.streaming.StreamOps.mergeAvailable(stream, store, morCfg,
+        s"$tmp/ckpt", onStage = stageLogger("stream_cdc_merge_mor"))
+      store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+    }),
+
     "stream_cdc_rollup_cdf" -> ((s, d) => {
       // CDC stream WITH CORRECTIONS: 4 insert files plus one
       // restatement file (every event_id%10==3 re-emitted 25 days
@@ -2572,6 +2701,41 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(outName).select(col("fp"))
+    }),
+
+    "stream_interval_join" -> ((s, d) => withShufflePartitions(s, 8) {
+      // END-TO-END stream-stream interval join (StreamOps.intervalJoin):
+      // the view feed and the purchase feed land as SEPARATE streams in
+      // interleaved micro-batches; a purchase matches a view by the same
+      // user within [view_ts, view_ts + 6h]. The time bound is what
+      // bounds the join state (evictable once the watermark passes
+      // view_ts + 6h + lateness); inner matches emit eagerly, so the
+      // drained result must equal the one-shot batch join regardless of
+      // how the files split into micro-batches — that IS the oracle.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_ij").toString
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+        .repartition(3).write.parquet(s"$tmp/views")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+        .repartition(3).write.parquet(s"$tmp/purchases")
+      def feed(sub: String) = s.readStream
+        .schema(s.read.parquet(s"$tmp/$sub").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/$sub")
+      val joined = graft.streaming.StreamOps.intervalJoin(
+        feed("views"), feed("purchases"),
+        leftTs = "view_ts", rightTs = "purchase_ts", keys = Seq("user_id"),
+        within = "6 hours", lateness = "3650 days")
+      val outName = "sij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        round(col("purchase_value"), 6).as("purchase_value"))
     }),
 
     "stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
@@ -2738,6 +2902,44 @@ object SparkEntry {
       s.table(outName).filter(col("event_type") =!= "__sentinel")
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("p50"), col("p95"), col("n"))
+    }),
+
+    "stream_window_distinct" -> ((s, d) => withShufflePartitions(s, 8) {
+      // windowed APPROXIMATE DISTINCT through streaming state: the HLL
+      // register array is the per-window aggregation buffer, merged
+      // across a time-ordered 4-file drain. The late row carries a
+      // BRAND-NEW user id — if the watermark failed to drop it, its
+      // window's estimate and its 'late_user' group would both surface
+      // and the hash would mismatch. Same md5 register algebra as
+      // distinct_hll, so even the approximate estimates hash-check.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("stream_wd").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("user_id").cast("string").as("uid"))
+      val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cuts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+      ((Seq(lo) ++ cuts) zip (cuts ++ Seq(hi + 1))).foreach { case (a, b) =>
+        ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      Seq((new java.sql.Timestamp(lo), "late_user", "999999999"))
+        .toDF("ts", "event_type", "uid").write.mode("append").parquet(src)
+      Seq((new java.sql.Timestamp(hi + 96L * 3600 * 1000), "__sentinel", "0"))
+        .toDF("ts", "event_type", "uid").write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val wd = graft.streaming.StreamOps.windowedDistinct(stream, "ts", "uid",
+        "1 day", "1 hour", Seq("event_type"), p = 8)
+      val outName = "wd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = wd.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).filter(col("event_type") =!= "__sentinel")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n_distinct_est"), col("n"))
     }),
 
     // ── LLM-pipeline: multimodal plumbing ─────────────────────────────
@@ -3562,6 +3764,29 @@ object SparkEntry {
         |FROM per p JOIN sizes s USING (cohort_day)
         |WHERE p.period_n <= 12
         |GROUP BY p.cohort_day, p.period_n, s.n_cohort""".stripMargin,
+
+    // trailing RANGE frame over the epoch-day integer — gap-correct by
+    // value; sums decimal-exact through the window, double at the end
+    "w_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, n, total,
+        |        CAST(sum(n) OVER w AS BIGINT) AS rolling_n,
+        |        sum(total) OVER w AS rolling_total,
+        |        total - coalesce(lag(total) OVER (PARTITION BY event_type ORDER BY day),
+        |                         0) AS delta_total
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY event_type
+        |                   ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  CAST(total AS DOUBLE) AS total, rolling_n,
+        |  CAST(rolling_total AS DOUBLE) AS rolling_total,
+        |  round(CAST(rolling_total AS DOUBLE) / rolling_n, 6) AS rolling_avg,
+        |  CAST(delta_total AS DOUBLE) AS delta_total
+        |FROM r""".stripMargin,
 
     "v_metric_anomaly" ->
       """WITH daily AS (
@@ -4454,6 +4679,19 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
 
+    // the drained stream-stream join must equal the one-shot batch
+    // interval join of the same two feeds (inner matches emit eagerly;
+    // the lateness horizon covers the whole fixture, so nothing drops)
+    "stream_interval_join" ->
+      """SELECT v.user_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  round(p.value, 6) AS purchase_value
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin,
+
     // per-source top-5 with the same (count desc, token asc) total order
     // the sketch's exact mode emits
     "source_heavy_hitters" ->
@@ -4465,6 +4703,38 @@ object SparkEntry {
         |      FROM c)
         |SELECT source, CAST(rank AS BIGINT) AS rank, word AS item, CAST(n AS BIGINT) AS est_count
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // the APPROXIMATE estimate is hash-checked, not just bounded: the
+    // md5-derived bucket (first 16 hash bits mod m) and rank (leading
+    // zeros of the next 48 bits, scanned from the hex form) replay the
+    // exact register array; the integer-domain register sum (Σ 2^(49-r)
+    // as BIGINT) and the shared float expression replay the estimate
+    "distinct_hll" ->
+      """WITH h AS (SELECT DISTINCT l_returnflag, md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem),
+        |br AS (SELECT l_returnflag,
+        |         CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 256 AS bucket,
+        |         CASE WHEN ltrim(substr(hx, 5, 12), '0') = '' THEN 49
+        |              ELSE 4 * (12 - length(ltrim(substr(hx, 5, 12), '0')))
+        |                   + CASE WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) = '1' THEN 3
+        |                          WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) IN ('2', '3') THEN 2
+        |                          WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                          ELSE 0 END + 1 END AS rho
+        |       FROM h),
+        |regs AS (SELECT l_returnflag, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+        |agg AS (SELECT l_returnflag, count(*) AS nz,
+        |          sum(CAST(pow(2, 49 - r) AS BIGINT)) AS isum FROM regs GROUP BY 1),
+        |est AS (SELECT l_returnflag, 256 - nz AS zeros,
+        |          (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |            / ((isum + (256 - nz) * CAST(pow(2, 49) AS BIGINT)) / pow(2.0, 49)) AS raw
+        |        FROM agg),
+        |fin AS (SELECT l_returnflag,
+        |          round(CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+        |                     THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS hll_est
+        |        FROM est),
+        |ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag, n_exact, hll_est,
+        |       round(abs(hll_est - n_exact) / n_exact, 4) AS rel_err
+        |FROM ex JOIN fin USING (l_returnflag)""".stripMargin,
 
     "text_script_mix" -> scriptMixOracleSql,
 
@@ -4811,6 +5081,45 @@ object SparkEntry {
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events""".stripMargin,
 
+    // unique event_id → the reconciled merge-on-read state IS the table,
+    // whatever the micro-batch split and compaction timing did
+    "stream_cdc_merge_mor" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events""".stripMargin,
+
+    // from-scratch LEFT join of the FINAL table states: restated fact
+    // prices, updated dim segments, nation-0 %3 dims deleted (NULL
+    // attributes), earliest-month %5 facts deleted — the incrementally
+    // maintained view must land exactly here
+    "m_join_view_incremental" ->
+      """WITH o2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |         CASE WHEN o_orderkey % 13 = 1 THEN round(o_totalprice * 3, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |m0 AS (SELECT min(strftime(o_orderdate, '%Y-%m')) AS m FROM orders),
+        |o3 AS (SELECT * FROM o2
+        |       WHERE NOT (strftime(o_orderdate, '%Y-%m') = (SELECT m FROM m0)
+        |                  AND o_orderkey % 5 = 0)),
+        |c2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 17 = 3 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |       FROM customer
+        |       WHERE NOT (c_nationkey = 0 AND c_custkey % 3 = 0))
+        |SELECT o3.o_orderkey, strftime(o3.o_orderdate, '%Y-%m-%d') AS o_date,
+        |  round(o3.o_totalprice, 2) AS o_totalprice, c2.c_mktsegment
+        |FROM o3 LEFT JOIN c2 ON o3.o_custkey = c2.c_custkey""".stripMargin,
+
+    // plain final state: %7==2 keys restated (+1h cursor, doubled value),
+    // %10==7 keys tombstoned with a dominating cursor — a key in both
+    // classes is deleted (the tombstone's +2d cursor beats the +1h update)
+    "m_merge_on_read" ->
+      """SELECT event_id,
+        |  epoch_us(CASE WHEN event_id % 7 = 2 THEN ts + INTERVAL 1 HOUR ELSE ts END) AS ts_us,
+        |  user_id, event_type,
+        |  round(CASE WHEN event_id % 7 = 2 THEN value * 2 ELSE value END, 6) AS value
+        |FROM events
+        |WHERE event_id % 10 <> 7""".stripMargin,
+
     "stream_day_rollup_manifest" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -4888,6 +5197,38 @@ object SparkEntry {
       """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
         | event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // per-window replay of the HLL register algebra (same construction
+    // as distinct_hll, grouped by the tumbling day window); the late
+    // 'late_user' row is absent here — if the stream failed to drop it,
+    // the extra group would break the hash compare
+    "stream_window_distinct" ->
+      """WITH base AS (SELECT time_bucket(INTERVAL '1 day', ts) AS w, event_type,
+        |                     CAST(user_id AS VARCHAR) AS uid FROM events),
+        |cnt AS (SELECT w, event_type, count(*) AS n FROM base GROUP BY 1, 2),
+        |h AS (SELECT DISTINCT w, event_type, md5(uid) AS hx FROM base),
+        |br AS (SELECT w, event_type,
+        |         CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 256 AS bucket,
+        |         CASE WHEN ltrim(substr(hx, 5, 12), '0') = '' THEN 49
+        |              ELSE 4 * (12 - length(ltrim(substr(hx, 5, 12), '0')))
+        |                   + CASE WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) = '1' THEN 3
+        |                          WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) IN ('2', '3') THEN 2
+        |                          WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                          ELSE 0 END + 1 END AS rho
+        |       FROM h),
+        |regs AS (SELECT w, event_type, bucket, max(rho) AS r FROM br GROUP BY 1, 2, 3),
+        |agg AS (SELECT w, event_type, count(*) AS nz,
+        |          sum(CAST(pow(2, 49 - r) AS BIGINT)) AS isum FROM regs GROUP BY 1, 2),
+        |est AS (SELECT w, event_type, 256 - nz AS zeros,
+        |          (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |            / ((isum + (256 - nz) * CAST(pow(2, 49) AS BIGINT)) / pow(2.0, 49)) AS raw
+        |        FROM agg),
+        |fin AS (SELECT w, event_type,
+        |          round(CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+        |                     THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS n_distinct_est
+        |        FROM est)
+        |SELECT epoch_us(f.w) AS window_start_us, f.event_type, f.n_distinct_est, c.n
+        |FROM fin f JOIN cnt c ON f.w = c.w AND f.event_type = c.event_type""".stripMargin,
 
     // batch replay of the windowed sketch's exact mode: rank
     // floor(p*(n-1)) into each window's sorted values

@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a materialized JOIN view — the missing
+  * half of incremental models: [[graft.streaming.StreamOps.maintainRollupCdf]]
+  * keeps an AGGREGATE current from a change feed; this keeps
+  * `V = fact ⟕ dim` current when EITHER side changes, without ever
+  * re-joining the full fact table. The dbt shape it replaces is the
+  * "incremental model joining dims" that silently serves stale dim
+  * attributes until the next full refresh — here a dim update
+  * propagates to exactly the fact rows that reference it, in the next
+  * tick.
+  *
+  * Delta algebra per tick (classic DBToaster-style view maintenance,
+  * restricted to the N:1 mart join with unique dim keys):
+  *   - fact inserts/updates (post-images from [[ManifestStore.changes]],
+  *     O(changed fact partitions)) re-join against the CURRENT dim and
+  *     upsert into the view;
+  *   - fact deletes become view tombstones;
+  *   - dim changes (inserts/updates/deletes, O(changed dim partitions))
+  *     reduce to their key set; fact rows referencing those keys are
+  *     re-joined and upserted — a dim DELETE correctly nulls the dim
+  *     columns of its referencing rows (left-join semantics). When no
+  *     dim key changed, the fact table is NEVER scanned (the steady
+  *     state at CDC cadence).
+  *
+  * The view lives in a [[MorStore]]: refreshed rows are O(batch)
+  * appends, fact deletes are equality tombstones, commit-sequence
+  * reconciliation makes re-folding the same delta idempotent — which
+  * is the crash contract: fold markers (the folded-up-to versions of
+  * both stores) advance AFTER the view commits, so a crash between
+  * them just re-folds an identical delta next tick.
+  *
+  * Scale: the dim side of both joins is `broadcast()` (mart dims are
+  * broadcast-size by definition — a billion-row "dim" wants the
+  * co-partitioned copy-on-write mart instead); the dim-touched fact
+  * scan is a broadcast SEMI join over only the changed keys, which the
+  * layout layer's Bloom/zone-map skipping prunes further when the fact
+  * store carries stats on the dim key.
+  */
+object JoinView {
+
+  private val StateFile = "_joinview_state"
+
+  /** (folded fact version, folded dim version); (0, 0) before the
+    * first tick — `changes(0, v)` reads as all-inserts, so the
+    * bootstrap tick IS a full build through the same code path. */
+  def foldedVersions(spark: SparkSession, viewRoot: String): (Int, Int) = {
+    val p = new Path(viewRoot, StateFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0, 0)
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val Array(f, d) = text.trim.split("\\s+", 2)
+      (f.toInt, d.toInt)
+    }
+  }
+
+  private def writeFolded(spark: SparkSession, viewRoot: String, f: Int, d: Int): Unit = {
+    val dir = new Path(viewRoot)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val tmp = new Path(viewRoot, s".tmp_$StateFile")
+    val out = fs.create(tmp, true)
+    try out.write(s"$f $d".getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(viewRoot, StateFile), false)
+    if (!fs.rename(tmp, new Path(viewRoot, StateFile)))
+      throw new java.io.IOException(s"failed to commit join-view state of $viewRoot")
+  }
+
+  /** One maintenance tick: fold everything committed to `fact` and
+    * `dim` since the last tick into `view`. `factKeys` is the view's
+    * row identity; `dimKey` the N:1 join key (present in both sides,
+    * unique in `dim`); non-key dim columns must be disjoint from fact
+    * columns. Returns the folded-up-to (factV, dimV). */
+  def maintain(spark: SparkSession, viewRoot: String, view: MorStore,
+               fact: ManifestStore, dim: ManifestStore,
+               factKeys: Seq[String], dimKey: String): (Int, Int) = {
+    val (f0, d0) = foldedVersions(spark, viewRoot)
+    val f1 = fact.latestManifestVersion.getOrElse(0)
+    val d1 = dim.latestManifestVersion.getOrElse(0)
+    if (f0 == f1 && d0 == d1) return (f1, d1)
+
+    val dimNow = dim.read.getOrElse(
+      throw new IllegalStateException("join view needs a committed dim table"))
+    val overlap = (dimNow.columns.toSet - dimKey)
+      .intersect(fact.read.map(_.columns.toSet).getOrElse(Set.empty))
+    require(overlap.isEmpty,
+      s"non-key dim columns must be disjoint from fact columns, both have: ${overlap.mkString(", ")}")
+
+    // fact-side delta: post-images refresh, deletes tombstone
+    val fcdf = if (f0 == f1) None else Some(fact.changes(f0, f1, factKeys))
+    val fUpserts = fcdf.map(_.filter(col("_change") =!= "delete").drop("_change"))
+    val fDeletes = fcdf.map(_.filter(col("_change") === "delete").drop("_change"))
+
+    // dim-side delta: the changed key set (tiny — collect to decide the
+    // steady-state skip and drive a broadcast semi-join otherwise)
+    val dChangedKeys =
+      if (d0 == d1) Seq.empty[Any]
+      else dim.changes(d0, d1, Seq(dimKey)).select(dimKey).distinct()
+        .collect().map(_.get(0)).toSeq
+    val dimTouched =
+      if (dChangedKeys.isEmpty) None
+      else fact.read.map(_.filter(col(dimKey).isin(dChangedKeys: _*)))
+
+    val refresh = (fUpserts.toSeq ++ dimTouched.toSeq)
+      .reduceOption(_.unionByName(_))
+      // a row can arrive via both paths (restated fact whose dim also
+      // changed) — both copies are the same post-image, keep one
+      .map(u => graft.merge.MergeEngine.latestPerKey(u, factKeys, Seq.empty))
+    refresh.foreach { r =>
+      val joined = r.join(broadcast(dimNow), Seq(dimKey), "left")
+      view.appendDelta(joined)
+    }
+    fDeletes.foreach { dels =>
+      val delKeys = dels.select((view.partitionCol +: factKeys).distinct.map(col): _*)
+      if (!delKeys.isEmpty) view.delete(delKeys)
+    }
+    writeFolded(spark, viewRoot, f1, d1)
+    (f1, d1)
+  }
+}

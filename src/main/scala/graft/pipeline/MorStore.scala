@@ -1,0 +1,255 @@
+package graft.pipeline
+
+import graft.merge.MergeEngine
+import graft.schema.TableConfig
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-ON-READ twin of [[ManifestStore]] (Iceberg's equality-delete /
+  * Hudi's MOR table idea in the same minimal manifest-file form): a CDC
+  * tick APPENDS its rows as an immutable delta segment — upserts and
+  * tombstones alike — and readers reconcile at scan time by taking the
+  * newest version of each key. Writes never read data files at all.
+  *
+  * Why it exists next to the copy-on-write store: [[ManifestStore.upsert]]
+  * rewrites the touched partitions' merged slice every tick, so a hot
+  * 1-billion-row partition taking 100-row CDC updates pays O(partition)
+  * write amplification per tick. Here the tick costs O(batch) bytes —
+  * the 100 TB steady-state ingest shape — and the reconcile cost moves
+  * to readers, bounded by [[compactPartitions]] (the `mergeBatch`
+  * binding auto-compacts any partition whose segment list outgrows
+  * `compactSegments` — O(hot partitions), the same amortized-O(batch)
+  * argument as `TableStore.append(df, maxChain)`).
+  *
+  * Layout:
+  *   - delta/base segments are immutable dirs `seg_<commit>_<uuid>`; the
+  *     commit index in the name is the segment's global SEQUENCE NUMBER;
+  *   - every stored row carries `__deleted` (tombstones are rows whose
+  *     non-key columns are NULL and `__deleted` is true);
+  *   - the manifest maps each partition value to its ORDERED segment
+  *     list; commits are staged-write + one atomic rename, so readers
+  *     see all-old or all-new — the same crash contract as
+  *     [[ManifestStore]] (MorStoreSpec injects the crashes).
+  *
+  * Reconciliation order: per key, highest `cursorField` wins (CDC
+  * restatements beat arrival order — a key's updates may land out of
+  * order across micro-batches), sequence number breaks cursor ties
+  * (later commit wins), so the reconciled view equals the cursor-latest
+  * batch merge regardless of how the feed was split. Guarded-merge
+  * variants (M1 `<`/`>=` guards against the CURRENT target row) need
+  * the copy-on-write path — a read-side reconcile sees versions, not
+  * the merge-time target, and the class refuses configs it cannot honor.
+  */
+final class MorStore(spark: SparkSession, root: String, val partitionCol: String,
+                     cfg: TableConfig,
+                     compactSegments: Int = 8,
+                     keepManifests: Int = 8) extends MergeSink {
+  require(cfg.keys.nonEmpty, s"${cfg.name}: merge-on-read needs key columns")
+  require(cfg.guard == graft.schema.MergeGuard.None ||
+    cfg.cursorField.exists(c => cfg.guard == graft.schema.MergeGuard.TargetOlder(c) ||
+      cfg.guard == graft.schema.MergeGuard.SourceNotOlder(c)),
+    s"${cfg.name}: merge-on-read reconciles by (cursor, commit seq) — a guard over " +
+      "a non-cursor column compares against the merge-time target row, which only " +
+      "the copy-on-write ManifestStore path can see")
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manDir = new Path(s"$root/_manifests")
+
+  private[graft] val DeletedCol = "__deleted"
+  private val SeqCol = "__seq"
+
+  def manifestVersions: Seq[Int] =
+    if (!fs.exists(manDir)) Seq.empty
+    else fs.listStatus(manDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("m=")).map(_.stripPrefix("m=").toInt).sorted
+
+  def latestManifestVersion: Option[Int] = manifestVersions.lastOption
+
+  private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
+  private val NullToken = "__HIVE_DEFAULT_PARTITION__"
+
+  /** value → ordered segment list (commit order). */
+  private[graft] def readManifest(n: Int): Map[String, Seq[String]] = {
+    val in = fs.open(new Path(manDir, s"m=$n"))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(v, segs) = line.split("\t", 2)
+      dec(v) -> segs.split(",").toSeq
+    }.toMap
+  }
+
+  private def commit(m: Map[String, Seq[String]]): Int = {
+    fs.mkdirs(manDir)
+    fs.listStatus(manDir).toSeq.filter(_.getPath.getName.startsWith(".tmp_"))
+      .foreach(s => fs.delete(s.getPath, true))
+    val n = latestManifestVersion.getOrElse(0) + 1
+    val tmp = new Path(manDir, s".tmp_m=$n")
+    val out = fs.create(tmp, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (v, segs) => s"${enc(v)}\t${segs.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(manDir, s"m=$n")))
+      throw new java.io.IOException(s"failed to commit manifest $n of $root")
+    n
+  }
+
+  private def partitionValues(df: DataFrame): Seq[String] =
+    df.select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(NullToken)).toSeq
+
+  private def valueFilter(values: Seq[String]): Column = {
+    val nonNull = values.filterNot(_ == NullToken)
+    val base: Column =
+      if (nonNull.isEmpty) lit(false)
+      else col(partitionCol).cast("string").isin(nonNull: _*)
+    if (values.contains(NullToken)) base || col(partitionCol).isNull else base
+  }
+
+  private def segSeq(name: String): Int =
+    name.stripPrefix("seg_").takeWhile(_ != '_').toInt
+
+  private def writeSegment(df: DataFrame, commitIdx: Int): String = {
+    val name = f"seg_$commitIdx%06d_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol)
+      .write.parquet(s"$root/$name")
+    name
+  }
+
+  /** Append one CDC batch as a delta segment: write-only — no data
+    * segment is ever read (MorStoreSpec proves it by breaking them).
+    * The batch is pre-deduped to one row per key (cursor-latest) so a
+    * segment never carries two versions of a key. */
+  def appendDelta(batch: DataFrame): Seq[String] = appendRows(batch, deleted = false)
+
+  /** Append equality-delete tombstones. `keysDf` carries the partition
+    * column, the key columns, and (when configured) the cursor column —
+    * a tombstone beats exactly the versions its cursor dominates, so a
+    * later-cursor re-insert of the key survives it. */
+  def delete(keysDf: DataFrame): Seq[String] = {
+    val needed = (partitionCol +: cfg.keys) ++ cfg.cursorField.toSeq
+    val missing = needed.filterNot(keysDf.columns.contains)
+    require(missing.isEmpty,
+      s"${cfg.name}: delete batch must carry ${needed.mkString(", ")} — missing ${missing.mkString(", ")}")
+    appendRows(keysDf.select(needed.map(col): _*), deleted = true)
+  }
+
+  private def appendRows(batch: DataFrame, deleted: Boolean): Seq[String] = {
+    val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
+    val deduped = MergeEngine.latestPerKey(batch, cfg.keys, cursorOrder)
+      .withColumn(DeletedCol, lit(deleted))
+    val affected = partitionValues(deduped)
+    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
+    val idx = latestManifestVersion.getOrElse(0) + 1
+    val seg = writeSegment(deduped, idx)
+    commit(man ++ affected.map(v => v -> (man.getOrElse(v, Seq.empty) :+ seg)))
+    affected
+  }
+
+  /** Scan-time reconcile over the wanted partition values: union the
+    * referenced segments (each filtered to the values that list it),
+    * keep the newest version per key — cursor first, commit sequence
+    * as tiebreak — and drop tombstoned keys. One shuffle on the keys;
+    * schema evolution across segments reads missing columns as NULL,
+    * the same additive contract as [[ManifestStore]]. */
+  private def reconcile(man: Map[String, Seq[String]]): DataFrame = {
+    val bySeg = man.toSeq.flatMap { case (v, segs) => segs.map(_ -> v) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val parts = bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
+      spark.read.parquet(s"$root/$seg").filter(valueFilter(values))
+        .withColumn(SeqCol, lit(segSeq(seg)))
+    }
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val order = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq :+ col(SeqCol).desc
+    MergeEngine.latestPerKey(all, cfg.keys, order)
+      .filter(!col(DeletedCol))
+      .drop(SeqCol, DeletedCol)
+  }
+
+  /** Reconciled current table state; None before any commit or when the
+    * latest manifest is empty. */
+  def read: Option[DataFrame] = latestManifestVersion.flatMap { n =>
+    val man = readManifest(n)
+    if (man.isEmpty) None else Some(reconcile(man))
+  }
+
+  /** Partition-pruned reconciled read — only the wanted values' segment
+    * lists are scanned. */
+  def readPartitions(values: Seq[String]): Option[DataFrame] =
+    latestManifestVersion.flatMap { n =>
+      val full = readManifest(n)
+      if (full.isEmpty) None
+      else {
+        val man = full.view.filterKeys(values.contains).toMap
+        if (man.isEmpty) Some(reconcile(full).filter(lit(false)))
+        else Some(reconcile(man))
+      }
+    }
+
+  /** Segments the latest manifest references — the reconcile fan-in of a
+    * full read (and the compaction trigger). */
+  def liveSegments: Int =
+    latestManifestVersion.map(readManifest(_).values.flatten.toSet.size).getOrElse(0)
+
+  /** Materialize the reconciled view into ONE base segment: reads pay
+    * the reconcile window until the next deltas arrive, then only over
+    * base + fresh deltas. Atomic like every commit; a crash leaves an
+    * unreferenced segment for [[vacuum]]. */
+  def compact(): Unit = read.foreach { df =>
+    val materialized = df.withColumn(DeletedCol, lit(false))
+    val idx = latestManifestVersion.getOrElse(0) + 1
+    val seg = writeSegment(materialized, idx)
+    commit(partitionValues(materialized).map(_ -> Seq(seg)).toMap)
+  }
+
+  /** PARTITION-SCOPED compaction — the one production runs on a
+    * cadence: materialize only `values`' reconciled slices (tombstones
+    * fall out) and re-point exactly those values, leaving cold
+    * partitions' segment lists untouched. Cost is O(hot partitions),
+    * never O(table) — a store where one hot partition takes every CDC
+    * tick compacts that partition alone. */
+  def compactPartitions(values: Seq[String]): Unit = {
+    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
+    val hot = man.view.filterKeys(values.contains).toMap
+    if (hot.isEmpty) return
+    val slice = reconcile(hot).withColumn(DeletedCol, lit(false))
+    val idx = latestManifestVersion.getOrElse(0) + 1
+    val seg = writeSegment(slice, idx)
+    // a fully-tombstoned value re-points too: its slice holds no rows,
+    // so it reads empty — and its tombstones are reclaimed with the
+    // retired delta segments at the next vacuum
+    commit(man ++ hot.keys.map(_ -> Seq(seg)))
+  }
+
+  /** Drop segments no kept manifest references and manifests beyond the
+    * retention horizon — same crash-safety argument as
+    * [[ManifestStore.vacuum]]. */
+  def vacuum(keepManifests: Int = 2): Unit = {
+    val keep = manifestVersions.takeRight(keepManifests)
+    val referenced = keep.flatMap(readManifest(_).values.flatten).toSet
+    val rootP = new Path(root)
+    if (fs.exists(rootP))
+      fs.listStatus(rootP).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_") &&
+          !referenced.contains(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+    manifestVersions.dropRight(keepManifests)
+      .foreach(v => fs.delete(new Path(manDir, s"m=$v"), false))
+  }
+
+  /** [[MergeSink]] binding: O(batch) append per tick, PARTITION-SCOPED
+    * compaction of exactly the values whose segment list outgrew
+    * `compactSegments` (the manifest already carries per-value fan-in —
+    * no data read decides it), retention vacuum — bounded read
+    * amplification AND bounded disk under an unbounded streaming
+    * cadence, at O(hot partitions) maintenance cost. */
+  override def mergeBatch(batch: DataFrame, batchCfg: TableConfig): Unit = {
+    appendDelta(batch)
+    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
+    val hot = man.collect { case (v, segs) if segs.length > compactSegments => v }.toSeq
+    if (hot.nonEmpty) compactPartitions(hot)
+    vacuum(keepManifests)
+  }
+}

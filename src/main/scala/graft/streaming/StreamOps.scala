@@ -57,6 +57,25 @@ object StreamOps {
         } :+ col("n"): _*)
   }
 
+  /** Windowed approximate DISTINCT counting via the mergeable HLL
+    * sketch ([[graft.functions.HllDistinctAgg]]): per-window state is
+    * the 2^p-byte register array, merged across micro-batches and
+    * evicted with the watermark — live-audience / unique-key monitoring
+    * over an unbounded stream without the per-window distinct-set state
+    * an exact COUNT DISTINCT would hoard. `valueCol` must be STRING
+    * (cast first — the hash contract is over the string form, which is
+    * what keeps the estimate SQL-replayable). */
+  def windowedDistinct(stream: DataFrame, tsCol: String, valueCol: String,
+                       windowDur: String, lateness: String, keys: Seq[String],
+                       p: Int = 12): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDur) +: keys.map(col).toSeq: _*)
+      .agg(round(graft.functions.HllOps.hllDistinct(col(valueCol), p), 2)
+             .as("n_distinct_est"),
+           count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start") +: keys.map(col) :+
+        col("n_distinct_est") :+ col("n"): _*)
+
   /** Column label from the FULL probability, not a rounded percent:
     * 0.5 → p50, 0.95 → p95, 0.999 → p99_9, 0.9995 → p99_95 — so
     * sub-percent quantiles and probabilities that round to the same
@@ -87,6 +106,39 @@ object StreamOps {
       // dropDuplicates on a non-event-time column would grow state forever
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Stream-stream INNER interval join — the two-feed correlation
+    * Structured Streaming is built for (impressions ⋈ conversions,
+    * requests ⋈ responses): match `left` and `right` rows sharing
+    * `keys` where `right`'s event time falls in
+    * `[left.ts, left.ts + within]`. Both sides carry the `lateness`
+    * watermark, and the time-bound condition is what lets Spark EVICT
+    * join state: a buffered left row is droppable once the right
+    * watermark passes `left.ts + within + lateness`, so state is
+    * O(in-flight window), not O(stream history) — the property that
+    * makes the join runnable forever at CDC cadence.
+    *
+    * Inner-join matches are emitted eagerly as both sides arrive (no
+    * watermark hold-back), so a drained run equals the batch join of
+    * the same inputs regardless of micro-batch split — that equality
+    * is the oracle. Column names must be disjoint across the sides
+    * except `keys` (the joined frame keeps the left copy). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftTs: String, rightTs: String, keys: Seq[String],
+                   within: String, lateness: String): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin needs at least one equi-key")
+    val overlap = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across the sides, both have: ${overlap.mkString(", ")}")
+    val l = left.withWatermark(leftTs, lateness).alias("l")
+    val r = right.withWatermark(rightTs, lateness).alias("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val timeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $within")
+    val joined = l.join(r, keyCond && timeCond, "inner")
+    keys.foldLeft(joined)((df, k) => df.drop(col(s"r.$k")))
+  }
 
   /** Drain all available input and merge each micro-batch into the sink.
     * Checkpoint + idempotent merge = effectively-once upserts; rerunning

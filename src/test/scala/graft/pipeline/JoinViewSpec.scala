@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.schema.TableConfig
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-join-view maintenance: delta folding from
+  * both sides' change feeds, steady-state skips, crash idempotence. */
+class JoinViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val factCfg = TableConfig("jv.fact", null, Seq("id"))
+  private val dimCfg = TableConfig("jv.dim", null, Seq("ck"))
+  private val viewCfg = TableConfig("jv.view", null, Seq("id"))
+
+  private def setup() = {
+    val t = Files.createTempDirectory("jv").toString
+    val fact = new ManifestStore(spark, s"$t/fact", "p")
+    val dim = new ManifestStore(spark, s"$t/dim", "dp")
+    val view = new MorStore(spark, s"$t/view", "p", viewCfg)
+    (t, fact, dim, view)
+  }
+
+  private def tick(t: String, view: MorStore, fact: ManifestStore, dim: ManifestStore) =
+    JoinView.maintain(spark, s"$t/view", view, fact, dim, Seq("id"), "ck")
+
+  private def recompute(fact: ManifestStore, dim: ManifestStore) =
+    fact.read.get.join(dim.read.get, Seq("ck"), "left")
+
+  test("bootstrap tick builds the full view; later ticks fold deltas") {
+    val (t, fact, dim, view) = setup()
+    fact.upsert(Seq((1L, 10L, "p1", 5.0), (2L, 20L, "p1", 6.0), (3L, 10L, "p2", 7.0))
+      .toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert(Seq((10L, "d1", "gold"), (20L, "d1", "silver")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
+      recompute(fact, dim).select("id", "ck", "v", "seg"))
+
+    // fact-side delta: restate id=1, insert id=4
+    fact.upsert(Seq((1L, 10L, "p1", 50.0), (4L, 20L, "p2", 8.0)).toDF("id", "ck", "p", "v"), factCfg)
+    tick(t, view, fact, dim)
+    assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
+      recompute(fact, dim).select("id", "ck", "v", "seg"))
+
+    // dim-side delta: seg change for ck=10 must reach ids 1 and 3
+    dim.upsert(Seq((10L, "d1", "platinum")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    val segs = view.read.get.select("id", "seg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(segs == Map(1L -> "platinum", 2L -> "silver", 3L -> "platinum", 4L -> "silver"))
+  }
+
+  test("fact deletes tombstone view rows; dim deletes null the dim columns") {
+    val (t, fact, dim, view) = setup()
+    fact.upsert(Seq((1L, 10L, "p1", 5.0), (2L, 20L, "p2", 6.0)).toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert(Seq((10L, "d1", "gold"), (20L, "d1", "silver")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    // delete fact id=1 by replacing partition p1 with nothing
+    fact.replacePartitions(fact.read.get.filter(lit(false)), Seq("p1"))
+    // delete dim ck=20 the same way
+    dim.replacePartitions(dim.read.get.filter(lit(false)), Seq("d1")) // drops both dims!
+    dim.upsert(Seq((10L, "d1", "gold")).toDF("ck", "dp", "seg"), dimCfg) // re-add ck=10 unchanged
+    tick(t, view, fact, dim)
+    val rows = view.read.get.select("id", "seg").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq((2L, None))) // id=1 gone; id=2 keeps fact row, dim nulled
+  }
+
+  test("steady state: a tick with no changes reads NOTHING from either store") {
+    val (t, fact, dim, view) = setup()
+    fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert(Seq((10L, "d1", "gold")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    // break every data segment in both stores — any read would now fail
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hide(root: String): Seq[(Path, Path)] =
+      fs.listStatus(new Path(root)).filter(_.getPath.getName.startsWith("seg_")).toSeq
+        .map { s =>
+          val to = new Path(root, "x_" + s.getPath.getName)
+          fs.rename(s.getPath, to); (s.getPath, to)
+        }
+    val hidden = hide(s"$t/fact") ++ hide(s"$t/dim")
+    val (f, dv) = tick(t, view, fact, dim) // must not touch a single data file
+    assert((f, dv) == (1, 1))
+    hidden.foreach { case (orig, to) => fs.rename(to, orig) }
+  }
+
+  test("a fact-only tick never reads untouched fact partitions") {
+    val (t, fact, dim, view) = setup()
+    fact.upsert(Seq((1L, 10L, "p1", 5.0), (2L, 10L, "p2", 6.0)).toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert(Seq((10L, "d1", "gold")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    // the delta touches only p1; p2's segment is re-pointed... verify by
+    // hiding the ORIGINAL segment once p1's upsert re-points p1 away from it.
+    fact.upsert(Seq((1L, 10L, "p1", 50.0)).toDF("id", "ck", "p", "v"), factCfg)
+    // with no dim change the only fact read is the CDF, and the CDF's
+    // scope is the changed partition set — p1 alone
+    val changed = fact.changes(1, fact.latestManifestVersion.get, Seq("id"))
+      .select("p").distinct().collect().map(_.getString(0)).toSeq
+    assert(changed == Seq("p1"))
+    tick(t, view, fact, dim)
+    assertSameRows(view.read.get.select("id", "v", "seg"),
+      recompute(fact, dim).select("id", "v", "seg"))
+  }
+
+  test("re-folding the same delta is idempotent (crash before marker advance)") {
+    val (t, fact, dim, view) = setup()
+    fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert(Seq((10L, "d1", "gold")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    fact.upsert(Seq((1L, 10L, "p1", 9.0), (2L, 10L, "p1", 3.0)).toDF("id", "ck", "p", "v"), factCfg)
+    tick(t, view, fact, dim)
+    val after = canon(view.read.get.select("id", "v", "seg"))
+    // crash simulation: rewind the marker to before the second tick and
+    // re-fold the identical delta
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$t/view/_joinview_state"), true)
+    out.write("1 1".getBytes("UTF-8")); out.close()
+    tick(t, view, fact, dim)
+    assert(canon(view.read.get.select("id", "v", "seg")) == after)
+    assert(JoinView.foldedVersions(spark, s"$t/view") == (2, 1))
+  }
+
+  test("colliding non-key columns between fact and dim are refused") {
+    val (t, fact, dim, view) = setup()
+    fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert(Seq((10L, "d1", 1.0)).toDF("ck", "dp", "v"), dimCfg) // v collides
+    val e = intercept[IllegalArgumentException] { tick(t, view, fact, dim) }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}

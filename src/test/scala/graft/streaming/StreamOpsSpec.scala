@@ -261,4 +261,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept.count(_ == "other text") == 1)
     assert(kept.count(_ == null) == 1)
   }
+
+  test("stream-stream interval join: drained result equals the batch join, any split") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("stream-ij").toString
+    val views = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 14:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00")),
+      (3L, Timestamp.valueOf("2024-01-01 09:00:00"))).toDF("user_id", "view_ts")
+    val buys = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 11:30:00"), 5.0),  // in window of view 1 only
+      (1L, Timestamp.valueOf("2024-01-01 15:00:00"), 7.0),  // in window of view 2 (and 1 at 5h? no: >2h)
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 9.0),  // BEFORE the view: no match
+      (4L, Timestamp.valueOf("2024-01-01 10:45:00"), 3.0))  // no view for user: no match
+      .toDF("user_id", "purchase_ts", "v")
+    // split each side into single-row files → maximally interleaved micro-batches
+    views.repartition(4).write.parquet(s"$t/views")
+    buys.repartition(4).write.parquet(s"$t/buys")
+    def feed(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(s"$t/$sub")
+    val joined = StreamOps.intervalJoin(
+      feed("views", views.schema), feed("buys", buys.schema),
+      "view_ts", "purchase_ts", Seq("user_id"), within = "2 hours", lateness = "10 days")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batch = views.alias("l").join(buys.alias("r"),
+      col("l.user_id") === col("r.user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 2 hours"))
+      .drop(col("r.user_id"))
+    assertSameRows(
+      spark.table("ij").select("user_id", "view_ts", "purchase_ts", "v"),
+      batch.select("user_id", "view_ts", "purchase_ts", "v"))
+    // the unmatched rows really are unmatched
+    assert(spark.table("ij").filter(col("user_id").isin(3L, 4L)).count() == 0)
+  }
+
+  test("intervalJoin rejects colliding non-key column names") {
+    val a = Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), "x")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.intervalJoin(a, a, "ts", "ts", Seq("k"), "1 hour", "1 day")
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
 }
