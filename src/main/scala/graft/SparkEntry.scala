@@ -901,6 +901,17 @@ object SparkEntry {
       graft.ops.Funnel.funnelTimes(Tables.events(s, d), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase"))),
 
+    "w_attribution" -> ((s, d) =>
+      // multi-touch linear attribution: each purchase's credit splits
+      // across its preceding view/click touches within 24h, untouched
+      // purchases land in '(direct)'. Credit travels as integer ppm /
+      // micro-cents (exact sums, engine-portable); one user-key join +
+      // one conversion-id window — no non-equi join
+      graft.ops.Attribution.linearAttribution(Tables.events(s, d),
+        "event_id", "user_id", "ts", "event_type", "value",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookback = "24 hours")),
+
     "w_retention" -> ((s, d) =>
       // cohort retention matrix: users bucketed by first-event day,
       // activity counted in fixed 7-day periods anchored at each
@@ -2462,7 +2473,7 @@ object SparkEntry {
         col("user_id"), col("event_type"), col("value"))
     }),
 
-    "m_merge_on_read" -> ((s, d) => {
+    "m_merge_on_read" -> ((s, d) => withShufflePartitions(s, 4) {
       // MERGE-ON-READ table (MorStore): base load, a restatement batch,
       // a mid-stream COMPACT, then equality-delete tombstones — each
       // write is an O(batch) append (no data segment read), and the
@@ -2487,7 +2498,7 @@ object SparkEntry {
         col("user_id"), col("event_type"), round(col("value"), 6).as("value"))
     }),
 
-    "m_join_view_incremental" -> ((s, d) => {
+    "m_join_view_incremental" -> ((s, d) => withShufflePartitions(s, 4) {
       // incrementally-maintained MATERIALIZED JOIN VIEW (orders ⟕
       // customer): bootstrap tick, then a fact restatement, a dim
       // attribute update, a dim-partition delete, and a fact-partition
@@ -2495,6 +2506,9 @@ object SparkEntry {
       // sides, dim broadcast, view rows upserted/tombstoned in a
       // MorStore. The final view must equal the from-scratch join of
       // the final table states, which is what the oracle computes.
+      // Writer parallelism is pinned low: the fixture commits ~10
+      // segments and the 32-way default would fan each into near-empty
+      // files — the r10 TableStore small-file lesson applied here.
       val tmp = java.nio.file.Files.createTempDirectory("jv").toString
       val orders = Tables.orders(s, d)
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
@@ -2536,7 +2550,7 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"), col("c_mktsegment"))
     }),
 
-    "stream_cdc_merge_mor" -> ((s, d) => {
+    "stream_cdc_merge_mor" -> ((s, d) => withShufflePartitions(s, 4) {
       // the CDC drain through the MERGE-ON-READ sink: each micro-batch
       // is a write-only delta append (O(batch) bytes/tick — the 100 TB
       // hot-partition shape copy-on-write can't give), auto-compacting
@@ -3748,6 +3762,30 @@ object SparkEntry {
     "p_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events""".stripMargin,
+
+    // integer ppm / micro-cent credit replay: floor(1e6/n) per touch,
+    // floor(cents·1e6/n) monetary — exact integer sums in both engines
+    "w_attribution" ->
+      """WITH convs AS (SELECT event_id AS cid, user_id AS u, ts AS cts,
+        |                      CAST(round(value * 100) AS BIGINT) AS cents
+        |               FROM events WHERE event_type = 'purchase'),
+        |touches AS (SELECT user_id AS u, ts AS tts, event_type AS channel
+        |            FROM events WHERE event_type IN ('view', 'click')),
+        |paired AS (SELECT c.cid, c.cents, t.channel FROM convs c JOIN touches t
+        |           ON c.u = t.u AND t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 24 HOUR),
+        |nn AS (SELECT cid, count(*) AS n FROM paired GROUP BY cid),
+        |credited AS (SELECT p.channel,
+        |               CAST(floor(1000000 / n.n) AS BIGINT) AS credit_ppm,
+        |               CAST(floor(p.cents * 1000000 / n.n) AS BIGINT) AS value_microcents
+        |             FROM paired p JOIN nn n USING (cid)),
+        |direct AS (SELECT '(direct)' AS channel, CAST(1000000 AS BIGINT) AS credit_ppm,
+        |                  cents * 1000000 AS value_microcents
+        |           FROM convs WHERE cid NOT IN (SELECT DISTINCT cid FROM paired)),
+        |allc AS (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+        |SELECT channel, count(*) AS n_credited,
+        |  round(sum(credit_ppm) / 1e6, 6) AS attributed_conversions,
+        |  round(sum(value_microcents) / 1e8, 6) AS attributed_value
+        |FROM allc GROUP BY channel""".stripMargin,
 
     "w_retention" ->
       """WITH firsts AS (

@@ -217,4 +217,31 @@ class PlanSpec extends SparkSpec {
     val aggs = "HashAggregate".r.findAllIn(fn).size
     assert(aggs <= 14, s"funnel grew beyond one partial+final agg per step:\n$fn")
   }
+
+  test("HLL distinct is partial+final; rolling windows stay two-exchange") {
+    val hll = planOf(SparkEntry.queries("distinct_hll")(spark, sf))
+    // the register array is the aggregation buffer — it must ship as a
+    // map-side partial, never raw keys
+    assert("ObjectHashAggregate".r.findAllIn(hll).size >= 2,
+      s"HLL lost partial aggregation:\n$hll")
+    val roll = planOf(SparkEntry.queries("w_rolling_7d")(spark, sf))
+    // one exchange for the daily-grain aggregate, one for the per-key
+    // window over the tiny daily series — the raw events shuffle once
+    assert("Exchange".r.findAllIn(roll).size <= 2,
+      s"rolling features grew extra shuffles:\n$roll")
+    assert(roll.contains("Window"), s"expected the RANGE-frame window:\n$roll")
+  }
+
+  test("merge-on-read reconcile is a single key-window over unioned segments") {
+    for (name <- Seq("m_merge_on_read", "m_join_view_incremental")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      // scan-time reconcile: one hash-partitioned exchange feeding the
+      // cursor-latest window; no join, no global sort in the read path
+      assert(plan.contains("Window"), s"$name lost the reconcile window:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1,
+        s"$name reconcile grew extra shuffles:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name read path must not join:\n$plan")
+    }
+  }
 }
