@@ -470,6 +470,71 @@ object SparkEntry {
       rules
     })
 
+  /** Shared CTE chain ending in `uvocab` (piece, n, cost) — the
+    * unigram seed vocabulary of [[graft.llm.Unigram.seedVocab]]
+    * replayed: substring counting with multiplicity, char coverage,
+    * top-(V−chars) multi-char pieces by (count desc, piece asc),
+    * micro-nat costs normalized over the kept set. */
+  private def unigramVocabCtes(vocabSize: Int, maxPieceLen: Int): String =
+    s"""uw AS (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word
+       |  FROM documents) GROUP BY word),
+       |usub AS (SELECT freq, unnest(flatten(list_transform(generate_series(1, length(word)),
+       |           i -> list_transform(generate_series(1, least($maxPieceLen, length(word) - i + 1)),
+       |                  len -> substr(word, i, len))))) AS piece
+       |         FROM uw),
+       |upc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n FROM usub GROUP BY piece),
+       |uchars AS (SELECT piece, n FROM upc WHERE length(piece) = 1),
+       |umulti AS (SELECT piece, n FROM (
+       |    SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece ASC) AS rn
+       |    FROM upc WHERE length(piece) > 1)
+       |  WHERE rn <= $vocabSize - (SELECT count(*) FROM uchars)),
+       |ukept AS (SELECT piece, n FROM uchars UNION ALL SELECT piece, n FROM umulti),
+       |utot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ukept),
+       |uvocab AS (SELECT piece, n,
+       |    CAST(round(ln(CAST((SELECT t FROM utot) AS DOUBLE) / n) * 1e6) AS BIGINT) AS cost
+       |  FROM ukept)""".stripMargin
+
+  /** Exhaustive Viterbi replay: enumerate EVERY segmentation of every
+    * word via a recursive CTE over `uvocab` pieces, then keep the
+    * (cost, piece count, lexicographic path) minimum — the global
+    * tie-break the DP is proven to implement. Ends in `useg`
+    * (word, cost, np, ps). Word lengths are bounded by the corpus
+    * (max 8 here), so the enumeration is small by construction. */
+  private def unigramSegCtes(vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    s"""${unigramVocabCtes(vocabSize, maxPieceLen)},
+       |upaths(word, j, cost, np, path) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), 0, '' FROM uw WHERE length(word) <= $maxWordLen
+       |  UNION ALL
+       |  SELECT p.word, p.j + length(v.piece), p.cost + v.cost, p.np + 1,
+       |         CASE WHEN p.path = '' THEN v.piece ELSE p.path || ' ' || v.piece END
+       |  FROM upaths p JOIN uvocab v ON substr(p.word, p.j + 1, length(v.piece)) = v.piece
+       |  WHERE p.j < length(p.word)),
+       |ubest AS (SELECT word, cost, np, path,
+       |    row_number() OVER (PARTITION BY word ORDER BY cost ASC, np ASC, path ASC) AS rn
+       |  FROM upaths WHERE j = length(word)),
+       |useg AS (SELECT word, cost, np, string_split(path, ' ') AS ps FROM ubest WHERE rn = 1)""".stripMargin
+
+  /** Memoized unigram seed vocabulary, keyed by sf dir (fixed
+    * vocabSize=60 / maxPieceLen=4 across the three sp_* queries) —
+    * the same train-once-per-fixture amortization as
+    * [[trainedMergeRules]]. Cached as local rows (piece, n, cost);
+    * tiny by construction. */
+  private val unigramVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Long)]]()
+  private def unigramSeedVocab(s: SparkSession, d: String): DataFrame = {
+    val rows = unigramVocabCache.computeIfAbsent(d, _ => {
+      val t0 = System.nanoTime()
+      val v = graft.llm.Unigram
+        .seedVocab(Tables.documents(s, d), "text", vocabSize = 60, maxPieceLen = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      stageLogger("sp_shared")("unigram_seed", (System.nanoTime() - t0) / 1e9)
+      v
+    })
+    import s.implicits._
+    rows.toDF("piece", "n", "cost")
+  }
+
   /** The batched-training oracle: ⌈k/m⌉ unrolled ROUND layers, each
     * (pair-count p_r → top-C ranked window c_r → m unrolled greedy
     * independent selections s_r_j → one nested rewrite w_r), replaying
@@ -1979,6 +2044,42 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.llm.Bpe.sourceFertility(docs, "doc_id", "text", "source",
         trainedMergeRules(s, d, k = 10), vocabSize = 20)
+    }),
+
+    "sp_seed_vocab" -> ((s, d) =>
+      // unigram-LM tokenizer (Kudo ACL'18), stage 1: substring seed
+      // vocabulary — chars always kept for coverage, top multi-char
+      // pieces by weighted count, integer micro-nat costs over the
+      // kept set (the NLL family's quantization convention)
+      unigramSeedVocab(s, d)),
+
+    "sp_viterbi_segment" -> ((s, d) => {
+      // stage 2: min-cost Viterbi segmentation of every distinct word
+      // — the DP is ONE narrow aggregate-fold expression per word over
+      // the word VOCABULARY (never the corpus), vocab broadcast into
+      // the candidate expansion. The tie-break is globally defined
+      // (cost, then piece count, then lexicographic path), so the
+      // oracle replays it by exhaustively enumerating EVERY
+      // segmentation per word in a recursive CTE and sorting by the
+      // same triple — the approximate-free proof that local DP minima
+      // compose to the global optimum.
+      val words = graft.llm.Unigram.wordTable(Tables.documents(s, d), "text")
+      graft.llm.Unigram.viterbiSegment(words, unigramSeedVocab(s, d),
+          maxPieceLen = 4, maxWordLen = 16)
+        .select(col("word"), col("freq"), col("cost"), col("n_pieces"),
+          posexplode(col("pieces")).as(Seq("pos0", "piece")))
+        .select(col("word"), col("freq"), (col("pos0") + 1).cast("long").as("pos"),
+          col("piece"), col("cost"), col("n_pieces"))
+    }),
+
+    "sp_em_recount" -> ((s, d) => {
+      // stage 3: one hard-EM round — pieces recounted from the chosen
+      // segmentations (weighted by word frequency), unused seed pieces
+      // pruned, costs re-derived: the peaking step that turns the
+      // permissive substring seed into a tokenizer vocabulary
+      val words = graft.llm.Unigram.wordTable(Tables.documents(s, d), "text")
+      graft.llm.Unigram.emRound(words, unigramSeedVocab(s, d),
+        maxPieceLen = 4, maxWordLen = 16)
     }),
 
     "source_kl_divergence" -> ((s, d) =>
@@ -3498,6 +3599,29 @@ object SparkEntry {
     "bpe_encode_ids" -> bpeEncodeOracleSql(10, 25),
 
     "bpe_source_fertility" -> bpeFertilityOracleSql(10, 20),
+
+    "sp_seed_vocab" ->
+      s"WITH ${unigramVocabCtes(60, 4)}\nSELECT piece, n, cost FROM uvocab",
+
+    "sp_viterbi_segment" ->
+      s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
+         |uexp AS (SELECT s.word, w.freq, s.cost, s.np, s.ps,
+         |           unnest(generate_series(1, s.np)) AS pos
+         |         FROM useg s JOIN uw w USING (word))
+         |SELECT word, freq, CAST(pos AS BIGINT) AS pos, ps[pos] AS piece,
+         |  cost, CAST(np AS BIGINT) AS n_pieces
+         |FROM uexp""".stripMargin,
+
+    "sp_em_recount" ->
+      s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
+         |ucnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+         |         FROM (SELECT w.freq, unnest(s.ps) AS piece
+         |               FROM useg s JOIN uw w USING (word))
+         |         GROUP BY piece),
+         |utot2 AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM ucnt)
+         |SELECT piece, n,
+         |  CAST(round(ln(CAST((SELECT t FROM utot2) AS DOUBLE) / n) * 1e6) AS BIGINT) AS cost
+         |FROM ucnt""".stripMargin,
 
     // replays KL term-for-term: per-type micro-nat log-ratios of
     // group vs corpus unigram rates, weighted by group counts

@@ -5,8 +5,7 @@ import org.apache.spark.sql.SparkSession
   * local[8], median reported — the established protocol. */
 object SoakR11b {
   def main(args: Array[String]): Unit = {
-    val qs = Seq("m_merge_on_read", "m_join_view_incremental",
-      "stream_cdc_merge_mor", "w_attribution")
+    val qs = Seq("sp_seed_vocab", "sp_viterbi_segment", "sp_em_recount")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("soak-r11b")
