@@ -1269,6 +1269,26 @@ object SparkEntry {
           col("value"), col("_change"))
     }),
 
+    "m_time_travel" -> ((s, d) => withShufflePartitions(s, 4) {
+      // TIME-TRAVEL read: after a restatement merge, readAt(v1) must
+      // return the pre-merge table byte-for-byte (immutable segments
+      // make old versions free until vacuum's horizon) — while the
+      // head has moved on. The oracle is simply the ORIGINAL table;
+      // the restated head leaking through would break every %9==4 row.
+      val tmp = java.nio.file.Files.createTempDirectory("mtt").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      val cfg = TableConfig("tt_events", null, Seq("event_id"), cursorField = Some("ts"))
+      val store = new graft.pipeline.ManifestStore(s, s"$tmp/t", "day")
+      store.upsert(ev, cfg) // version 1
+      store.upsert(ev.filter(col("event_id") % 9 === 4)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("value", col("value") * 5), cfg) // version 2: restated head
+      store.readAt(1).get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), round(col("value"), 6).as("value"))
+    }),
+
     "m3_snapshot" -> ((s, d) =>
       MergeEngine.snapshot(
         Tables.customer(s, d).select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
@@ -1516,6 +1536,20 @@ object SparkEntry {
     }),
 
     // ── validation (SURVEY §2.10) ─────────────────────────────────────
+    "v_fk_orphans" -> ((s, d) => {
+      // referential integrity (the dbt `relationships` test): lineitems
+      // whose order no longer exists (parent thinned by %97), with
+      // planted NULL foreign keys that must NOT count as orphans (SQL
+      // FK semantics). One left-anti join; failing rows, not just a count.
+      val child = Tables.lineitem(s, d)
+        .withColumn("fk", when(col("l_orderkey") % 53 === 0, lit(null))
+          .otherwise(col("l_orderkey")))
+        .select(col("fk"), col("l_linenumber"))
+      val parent = Tables.orders(s, d).filter(col("o_orderkey") % 97 =!= 0)
+      graft.validate.Checks.fkOrphans(child, Seq("fk"), parent, Seq("o_orderkey"))
+        .select(col("fk").as("l_orderkey"), col("l_linenumber"))
+    }),
+
     "v2_unique_violations" -> ((s, d) =>
       Checks.duplicateKeys(Tables.lineitem(s, d), Seq("l_orderkey"))),
 
@@ -4112,6 +4146,22 @@ object SparkEntry {
 
     "m3_snapshot" ->
       "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer",
+
+    // readAt(v1) must see THROUGH the restatement: the oracle is the
+    // untouched original table
+    "m_time_travel" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, round(value, 6) AS value
+        |FROM events""".stripMargin,
+
+    // NULL foreign keys are unknown, not dangling — only non-null keys
+    // missing from the thinned parent are failing rows
+    "v_fk_orphans" ->
+      """WITH c AS (SELECT CASE WHEN l_orderkey % 53 = 0 THEN NULL ELSE l_orderkey END AS fk,
+        |                  l_linenumber
+        |           FROM lineitem),
+        |p AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT c.fk AS l_orderkey, c.l_linenumber
+        |FROM c WHERE c.fk IS NOT NULL AND c.fk NOT IN (SELECT o_orderkey FROM p)""".stripMargin,
 
     "m4_partition_overwrite" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day, value FROM events

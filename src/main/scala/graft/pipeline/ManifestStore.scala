@@ -172,6 +172,20 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     if (man.isEmpty) None else Some(resolve(man))
   }
 
+  /** TIME-TRAVEL read: the table exactly as of committed version `v`
+    * (any version inside [[vacuum]]'s retention horizon). Immutable
+    * segments make this free — an old manifest's pointers still resolve
+    * byte-identically until vacuum passes them. The query-side
+    * companion of [[rollbackTo]]: rollback REPOINTS the head, readAt
+    * just looks; together with [[changes]] they are the audit loop
+    * (what did version v say / what changed since / put it back). */
+  def readAt(v: Int): Option[DataFrame] = {
+    require(manifestVersions.contains(v),
+      s"version $v is not committed in $root (retained: ${manifestVersions.mkString(",")})")
+    val man = readManifest(v)
+    if (man.isEmpty) None else Some(resolve(man))
+  }
+
   /** Zone-map-pruned read: [[read]], but each live segment's per-file
     * statistics drop the files whose [min, max] / Bloom cannot satisfy
     * `preds` BEFORE the scan is planned — the manifest's partition

@@ -71,6 +71,31 @@ object Checks {
   def rowCountReconciles(expected: Long, actual: Long): CheckResult =
     CheckResult("row_count", expected == actual, s"expected=$expected actual=$actual")
 
+  /** Referential-integrity violations (the dbt `relationships` test's
+    * failing-rows query): child rows whose foreign key resolves to no
+    * parent. NULL foreign keys are NOT orphans (SQL FK semantics — a
+    * NULL reference is "unknown", not "dangling"). One left-anti join
+    * on the key; with a dimension-sized parent it broadcasts, with a
+    * fact-sized parent it is the same single key shuffle as the merge
+    * path. */
+  def fkOrphans(child: DataFrame, childKeys: Seq[String],
+                parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+      s"childKeys/parentKeys must be non-empty and aligned, got $childKeys vs $parentKeys")
+    val p = parent.select(parentKeys.map(col): _*).toDF(childKeys: _*).distinct()
+    child.filter(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      .join(p, childKeys, "left_anti")
+  }
+
+  /** The pass/fail wrapper over [[fkOrphans]] — the dbt
+    * `relationships` test verdict. */
+  def referentialIntegrity(child: DataFrame, childKeys: Seq[String],
+                           parent: DataFrame, parentKeys: Seq[String]): CheckResult = {
+    val n = fkOrphans(child, childKeys, parent, parentKeys).count()
+    CheckResult("relationships", n == 0,
+      if (n == 0) "all references resolve" else s"$n orphaned child rows")
+  }
+
   /** Run a batch of checks, failing fast like the reference's in-operator
     * Soda scan (raise on first failed batch). */
   def enforce(checks: Seq[CheckResult]): Unit = {

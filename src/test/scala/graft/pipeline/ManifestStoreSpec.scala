@@ -171,6 +171,23 @@ class ManifestStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.rollbackTo(99))
   }
 
+  test("readAt: every retained version reads byte-identically; vacuumed versions refuse") {
+    val (store, _) = fresh()
+    store.snapshot(Seq((1L, 1L, "v1", "p1")).toDF("k", "seq", "v", "p")) // v1
+    store.upsert(Seq((1L, 2L, "v2", "p1")).toDF("k", "seq", "v", "p"), cfg) // v2
+    store.upsert(Seq((2L, 1L, "new", "p2")).toDF("k", "seq", "v", "p"), cfg) // v3
+    assert(canon(store.readAt(1).get.select("k", "v")) == Seq(Seq("1", "v1")))
+    assert(canon(store.readAt(2).get.select("k", "v")) == Seq(Seq("1", "v2")))
+    assert(canon(store.readAt(3).get.select("k", "v")) ==
+      Seq(Seq("1", "v2"), Seq("2", "new")))
+    // head read and readAt(latest) agree
+    assert(canon(store.read.get) == canon(store.readAt(3).get))
+    store.vacuum(keepManifests = 1)
+    intercept[IllegalArgumentException](store.readAt(1))
+    assert(canon(store.readAt(3).get.select("k", "v")) ==
+      Seq(Seq("1", "v2"), Seq("2", "new")))
+  }
+
   test("schema evolution: a column added later reads as NULL from old segments") {
     val (store, _) = fresh()
     store.snapshot(Seq((1L, 1L, "a", "p1")).toDF("k", "seq", "v", "p"))

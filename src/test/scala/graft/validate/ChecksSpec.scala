@@ -26,6 +26,28 @@ class ChecksSpec extends SparkSpec {
     assert(canon(Checks.duplicateKeys(df, Seq("v"))) == Seq(Seq("a", "2")))
   }
 
+  test("fkOrphans: dangling references surface, NULL keys never do") {
+    import spark.implicits._
+    val child = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"), (Some(2L), "d"))
+      .toDF("fk", "payload")
+    val parent = Seq(1L).toDF("pk")
+    val orphans = Checks.fkOrphans(child, Seq("fk"), parent, Seq("pk"))
+    // both fk=2 rows are orphans; the NULL-key row is not
+    assert(canon(orphans.select("fk", "payload")) ==
+      Seq(Seq("2", "b"), Seq("2", "d")))
+    assert(!Checks.referentialIntegrity(child, Seq("fk"), parent, Seq("pk")).passed)
+    val ok = Seq((Some(1L), "a"), (None, "b")).toDF("fk", "payload")
+    assert(Checks.referentialIntegrity(ok, Seq("fk"), parent, Seq("pk")).passed)
+  }
+
+  test("fkOrphans: composite keys align positionally across differing names") {
+    import spark.implicits._
+    val child = Seq((1L, "x", 10), (1L, "y", 20)).toDF("a", "b", "v")
+    val parent = Seq((1L, "x")).toDF("pa", "pb")
+    val orphans = Checks.fkOrphans(child, Seq("a", "b"), parent, Seq("pa", "pb"))
+    assert(canon(orphans.select("a", "b")) == Seq(Seq("1", "y")))
+  }
+
   test("A3 rowCountReconciles + enforce throws on failure") {
     assert(Checks.rowCountReconciles(5, 5).passed)
     assert(!Checks.rowCountReconciles(5, 4).passed)
