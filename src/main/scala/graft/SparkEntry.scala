@@ -2177,6 +2177,15 @@ object SparkEntry {
       Terms.groupOverlapSketch(Tables.documents(s, d), "source", "text", k = 128)
         .withColumn("jaccard_est", round(col("jaccard_est"), 6))),
 
+    "source_set_sketch_ops" -> ((s, d) =>
+      // the sketch grown into full SET ALGEBRA: |A|, |B|, |A∪B|, |A∩B|,
+      // |A∖B| estimates per source pair from the same bottom-k
+      // signatures — "how much NEW data does B add over A" at corpus
+      // scale. Every estimator is md5-derived, so even the approximate
+      // cardinalities hash-check against the oracle's exact replay.
+      Terms.groupSetSketchOps(Tables.documents(s, d), "source", "text",
+        k = 128, shingleSize = 3)),
+
     "contamination" -> ((s, d) => {
       // eval-set decontamination: every 10th doc plays the benchmark set;
       // pairs where >=50% of the eval doc's 3-grams appear in a train doc
@@ -2885,6 +2894,30 @@ object SparkEntry {
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         round(col("purchase_value"), 6).as("purchase_value"))
+    }),
+
+    "stream_enrich_static" -> ((s, d) => withShufflePartitions(s, 8) {
+      // stream-STATIC enrichment join: each micro-batch of the event
+      // feed joins the broadcast customer dim — stateless per row (no
+      // watermark, no join state), the front-door dim-decoration every
+      // CDC feed passes through before landing. The drained result
+      // must equal the one-shot batch join whatever the file split.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_es").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).select("event_id", "user_id", "value")
+        .repartition(3).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      val joined = stream.join(dim, Seq("user_id"), "left")
+      val outName = "ses_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).select(col("event_id"), col("user_id"),
+        col("c_mktsegment"), round(col("value"), 6).as("value"))
     }),
 
     "stream_dedup" -> ((s, d) => withShufflePartitions(s, 8) {
@@ -3779,6 +3812,46 @@ object SparkEntry {
         |         WHERE rn <= 128)
         |SELECT ga, gb, round(sum(inA * inB) * 1.0 / count(*), 6) AS jaccard_est
         |FROM topk GROUP BY 1, 2""".stripMargin,
+
+    // the sketch's set-algebra replay: sizes and unions via the KMV
+    // estimator ((k−1)·2^60 / kth-min, exact below k), intersections
+    // via J·|A∪B|, differences clamped at 0
+    "source_set_sketch_ops" ->
+      """WITH d AS (SELECT source, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh0 AS (SELECT source,
+        |          unnest(CASE WHEN len(ws) >= 3
+        |               THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                      i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |               ELSE [array_to_string(ws, ' ')] END) AS s
+        |        FROM d),
+        |hs AS (SELECT DISTINCT source AS g, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh0),
+        |kmv AS (SELECT g, h FROM (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs)
+        |        WHERE rn <= 128),
+        |sizes AS (SELECT g, round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+        |            ELSE 127.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE) END, 2) AS e
+        |          FROM kmv GROUP BY g),
+        |cand AS (SELECT DISTINCT a.g AS ga, b.g AS gb FROM kmv a JOIN kmv b ON a.h = b.h AND a.g < b.g),
+        |uni AS (SELECT ga, gb, h, max(inA) AS inA, max(inB) AS inB FROM (
+        |          SELECT c.ga, c.gb, k.h, 1 AS inA, 0 AS inB FROM cand c JOIN kmv k ON k.g = c.ga
+        |          UNION ALL
+        |          SELECT c.ga, c.gb, k.h, 0 AS inA, 1 AS inB FROM cand c JOIN kmv k ON k.g = c.gb)
+        |        GROUP BY 1, 2, 3),
+        |topk AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM uni)
+        |         WHERE rn <= 128),
+        |pair AS (SELECT ga, gb, count(*) AS t, max(h) AS kth, sum(inA * inB) AS nboth
+        |         FROM topk GROUP BY 1, 2),
+        |pe AS (SELECT ga, gb,
+        |         round(nboth * 1.0 / t, 6) AS jaccard_est,
+        |         round(CASE WHEN t < 128 THEN CAST(t AS DOUBLE)
+        |               ELSE 127.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END, 2) AS union_est
+        |       FROM pair),
+        |pi AS (SELECT ga, gb, jaccard_est, union_est,
+        |         round(jaccard_est * union_est, 2) AS inter_est FROM pe)
+        |SELECT pi.ga, pi.gb, sa.e AS est_a, sb.e AS est_b,
+        |  pi.union_est, pi.inter_est, pi.jaccard_est,
+        |  round(greatest(sa.e - pi.inter_est, 0.0), 2) AS diff_a_est,
+        |  round(greatest(sb.e - pi.inter_est, 0.0), 2) AS diff_b_est
+        |FROM pi JOIN sizes sa ON sa.g = pi.ga JOIN sizes sb ON sb.g = pi.gb""".stripMargin,
 
     "source_overlap" ->
       """WITH d AS (SELECT source, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
@@ -4890,6 +4963,12 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
+
+    // stateless stream-static decoration: the drained result is the
+    // plain batch join
+    "stream_enrich_static" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, round(e.value, 6) AS value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     // the drained stream-stream join must equal the one-shot batch
     // interval join of the same two feeds (inner matches emit eagerly;

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -277,6 +277,64 @@ object Terms {
       .groupBy("ga", "gb")
       .agg((sum(col("inA") * col("inB")).cast("double") /
             count(lit(1)).cast("double")).as("jaccard_est"))
+  }
+
+  /** KMV SET ALGEBRA across sources — [[groupOverlapSketch]] grown from
+    * a similarity score into cardinality estimates for the full set
+    * algebra: |A|, |B|, |A∪B|, |A∩B|, |A∖B| per group pair, all from
+    * the same bottom-k signatures (Beyer et al., SIGMOD'07). The "how
+    * much NEW data does source B add over A" planning question at
+    * corpus scale, for one corpus pass + O(pairs·k) arithmetic.
+    *
+    * Estimators, all md5-hash-derived and therefore SQL-replayable:
+    * a sketch holding fewer than k hashes IS its set (exact count);
+    * otherwise `(k−1)·H / kthMin` with H = 2^60 the hash range (the
+    * classic KMV unbiased estimator). Intersections come via
+    * `J_est · |A∪B|_est`; differences via `|A| − |A∩B|` (clamped at 0 —
+    * independently-estimated terms can cross slightly). */
+  def groupSetSketchOps(docs: DataFrame, groupCol: String, textCol: String,
+                        k: Int = 128, shingleSize: Int = 3): DataFrame = {
+    require(k >= 2, "sketch size k must be >= 2")
+    val h = Dedup.parallelize(docs).select(col(groupCol).as("g"),
+        explode(Dedup.shingles(col(textCol), shingleSize)).as("__sh"))
+      .select(col("g"), Dedup.portableWordHash(col("__sh")).as("h"))
+      .distinct()
+    val wg = Window.partitionBy("g").orderBy(col("h").asc)
+    val kmv = h.withColumn("__rn", row_number().over(wg))
+      .filter(col("__rn") <= k).select("g", "h")
+      .localCheckpoint(false)
+    val H = math.pow(2.0, 60) // portableWordHash range (60 md5 bits)
+    def est(n: Column, kth: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(H) / kth.cast("double"))
+    val sizes = kmv.groupBy("g")
+      .agg(count(lit(1)).as("n"), max(col("h")).as("kth"))
+      .select(col("g"), round(est(col("n"), col("kth")), 2).as("e"))
+    val cand = kmv.toDF("ga", "h").join(kmv.toDF("gb", "h"), Seq("h"))
+      .filter(col("ga") < col("gb"))
+      .select("ga", "gb").distinct()
+    val ua = cand.join(kmv.toDF("ga", "h"), Seq("ga"))
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("inA"), lit(0).as("inB"))
+    val ub = cand.join(kmv.toDF("gb", "h"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("h"), lit(0).as("inA"), lit(1).as("inB"))
+    val uni = ua.unionByName(ub)
+      .groupBy("ga", "gb", "h")
+      .agg(max(col("inA")).as("inA"), max(col("inB")).as("inB"))
+    val wp = Window.partitionBy("ga", "gb").orderBy(col("h").asc)
+    val pair = uni.withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= k)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("t"), max(col("h")).as("kth"),
+        sum(col("inA") * col("inB")).as("both"))
+      .withColumn("jaccard_est", round(col("both").cast("double") / col("t"), 6))
+      .withColumn("union_est", round(est(col("t"), col("kth")), 2))
+      .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 2))
+    pair
+      .join(sizes.toDF("ga", "est_a"), Seq("ga"))
+      .join(sizes.toDF("gb", "est_b"), Seq("gb"))
+      .select(col("ga"), col("gb"), col("est_a"), col("est_b"),
+        col("union_est"), col("inter_est"), col("jaccard_est"),
+        round(greatest(col("est_a") - col("inter_est"), lit(0.0)), 2).as("diff_a_est"),
+        round(greatest(col("est_b") - col("inter_est"), lit(0.0)), 2).as("diff_b_est"))
   }
 
   /** Power-of-two token-length histogram: bucket = floor(log2(tokens)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * local[8], median reported — the established protocol. */
 object SoakR11b {
   def main(args: Array[String]): Unit = {
-    val qs = Seq("sp_seed_vocab", "sp_viterbi_segment", "sp_em_recount")
+    val qs = Seq("source_set_sketch_ops", "stream_enrich_static", "m_time_travel", "v_fk_orphans")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("soak-r11b")

@@ -98,6 +98,38 @@ class TermsSpec extends SparkSpec {
     est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("groupSetSketchOps: exact branch below k recovers true set cardinalities") {
+    // unions small enough that every sketch IS its set: estimates are exact
+    val words = (1 to 40).map(i => s"w$i")
+    def text(from: Int, n: Int) = words.slice(from, from + n).mkString(" ")
+    // a: shingles of w1..w20 (18), b: w11..w30 (18) → union 28-ish, inter 8
+    val corpus = Seq(
+      (1L, "a", text(0, 20)), (2L, "b", text(10, 20))).toDF("doc_id", "source", "text")
+    val row = Terms.groupSetSketchOps(corpus, "source", "text", k = 64)
+      .collect().head
+    val (estA, estB, union, inter, j) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5), row.getDouble(6))
+    assert(estA == 18.0 && estB == 18.0) // 20 words → 18 3-shingles each
+    assert(union == 28.0)                // 8 shared shingles
+    assert(j == math.floor(8.0 / 28 * 1e6 + 0.5) / 1e6)
+    assert(inter == math.floor(j * 28 * 100 + 0.5) / 100)
+    assert(row.getDouble(7) == math.max(0.0, 18.0 - inter)) // diff_a
+  }
+
+  test("groupSetSketchOps: estimator branch tracks true sizes within KMV error") {
+    // 200+ distinct shingles per source with k=32 → the (k−1)·H/kth
+    // estimator engages; expect ±~35% (2/sqrt(32)) of truth
+    val words = (1 to 260).map(i => s"w$i")
+    def text(from: Int, n: Int) = words.slice(from, from + n).mkString(" ")
+    val corpus = Seq(
+      (1L, "a", text(0, 220)), (2L, "b", text(100, 160))).toDF("doc_id", "source", "text")
+    val row = Terms.groupSetSketchOps(corpus, "source", "text", k = 32)
+      .collect().head
+    val estA = row.getDouble(2); val union = row.getDouble(4)
+    assert(estA > 218 * 0.6 && estA < 218 * 1.5, s"estA=$estA")
+    assert(union > 258 * 0.6 && union < 258 * 1.5, s"union=$union")
+  }
+
   test("lengthHistogram buckets by floor(log2(tokens)), empty docs at -1") {
     val corpus = Seq(
       (1L, "one"),                       // 1 token  → bucket 0
