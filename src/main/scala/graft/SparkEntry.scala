@@ -912,6 +912,34 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("event_type")).as("n_types"))),
 
+    "a_pivot" -> ((s, d) =>
+      // relational PIVOT (the dashboard/export wide shape): per-day
+      // counts spread into one column per event type. With the pivot
+      // values DECLARED, Catalyst compiles this to ONE partial+final
+      // aggregate of conditional counts — no second pass, no collect
+      // (an undeclared pivot would scan once just to discover values)
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)),
+
+    "a_unpivot" -> ((s, d) =>
+      // UNPIVOT/melt back to long form — the metric-per-row shape the
+      // validation/anomaly operators consume. Spark's unpivot is a
+      // single Expand (one pass, rows×metrics), not a self-union that
+      // would scan the table once per metric.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "value")
+        .withColumn("value", round(col("value"), 6))),
+
     "w_lag_lead" -> ((s, d) => {
       // analytic windows (lag/lead) — inter-event gap per user
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -3939,6 +3967,27 @@ object SparkEntry {
     "a_distinct" ->
       """SELECT count(DISTINCT user_id) AS n_users,
         | count(DISTINCT event_type) AS n_types FROM events""".stripMargin,
+
+    // conditional-count replay of the declared-values pivot (FILTER
+    // counts are 0, matching the engine-side na.fill)
+    "a_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |  round(CAST(l_quantity AS DOUBLE), 6) AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |  round(CAST(l_extendedprice AS DOUBLE), 6) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'discount',
+        |  round(CAST(l_discount AS DOUBLE), 6) FROM lineitem""".stripMargin,
 
     "w_lag_lead" ->
       """SELECT event_id, user_id,

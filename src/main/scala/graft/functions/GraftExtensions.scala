@@ -43,26 +43,76 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingles(s, n) - distinct word n-grams of s (n a literal int)"),
       (children: Seq[Expression]) => WordShingles(children.head,
         shingleWidth(children))))
+    // the sketch aggregates, reachable from plain SQL (the analyzer
+    // wraps a bare AggregateFunction in its AggregateExpression) —
+    // `SELECT source, hll_distinct(CAST(k AS STRING), 12) FROM t GROUP BY 1`
+    ext.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      info(classOf[HllDistinctAgg], "hll_distinct",
+        "hll_distinct(s, p) - approximate COUNT(DISTINCT s) via a 2^p-register HLL (p a literal int in [4,13])"),
+      (children: Seq[Expression]) => HllDistinctAgg(children.head,
+        litInt("hll_distinct", "p (the register precision)", children, arity = 2))))
+    ext.injectFunction((
+      FunctionIdentifier("freq_topk"),
+      info(classOf[FreqTopKAgg], "freq_topk",
+        "freq_topk(s, k) - Misra-Gries top-k items of s with estimated counts (k a literal int)"),
+      (children: Seq[Expression]) => FreqTopKAgg(children.head,
+        litInt("freq_topk", "k (how many items)", children, arity = 2), 1 << 16)))
+    ext.injectFunction((
+      FunctionIdentifier("quantile_sketch"),
+      info(classOf[QuantileSketchAgg], "quantile_sketch",
+        "quantile_sketch(x, p) - the p-quantile of DOUBLE x via a mergeable KLL sketch (p a literal double)"),
+      (children: Seq[Expression]) => QuantileSketchAgg(children.head,
+        Seq(litDouble("quantile_sketch", "p (the probability)", children, arity = 2)),
+        1 << 16)))
   }
 
   /** The shingle width must be a foldable INT — anything else (BIGINT
     * literal, NULL, a column) gets a proper analysis error naming the
     * function instead of a bare ClassCastException/NPE at registration. */
-  private def shingleWidth(children: Seq[Expression]): Int = {
-    def fail(got: String): Nothing =
-      throw new org.apache.spark.sql.AnalysisException(
-        "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
-        Map("errorMessage" ->
-          (s"word_shingles(s, n): the second argument must be a foldable INT " +
-            s"literal (the shingle width), got $got")))
-    if (children.size != 2) fail(s"${children.size} argument(s)")
-    val n = children(1)
+  private def shingleWidth(children: Seq[Expression]): Int =
+    litInt("word_shingles", "n (the shingle width)", children, arity = 2)
+
+  private def analysisError(fn: String, msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_USER_RAISED_EXCEPTION",
+      Map("errorMessage" -> s"$fn: $msg"))
+
+  /** Foldable-INT literal argument with a proper analysis error for
+    * BIGINT literals, NULL, columns, and wrong arity. */
+  private def litInt(fn: String, what: String, children: Seq[Expression],
+                     arity: Int): Int = {
+    def fail(got: String): Nothing = analysisError(fn,
+      s"argument $arity must be a foldable INT literal — $what — got $got")
+    if (children.size != arity)
+      analysisError(fn, s"expected $arity arguments, got ${children.size}")
+    val n = children(arity - 1)
     if (!n.foldable) fail(s"non-foldable expression ${n.sql}")
     n.eval() match {
       case i: Int => i
       case null => fail("NULL")
-      case other =>
-        fail(s"${n.dataType.simpleString} value $other (cast it to INT)")
+      case other => fail(s"${n.dataType.simpleString} value $other (cast it to INT)")
+    }
+  }
+
+  /** Foldable-DOUBLE literal argument (INT/DECIMAL literals widen). */
+  private def litDouble(fn: String, what: String, children: Seq[Expression],
+                        arity: Int): Double = {
+    def fail(got: String): Nothing = analysisError(fn,
+      s"argument $arity must be a foldable DOUBLE literal — $what — got $got")
+    if (children.size != arity)
+      analysisError(fn, s"expected $arity arguments, got ${children.size}")
+    val n = children(arity - 1)
+    if (!n.foldable) fail(s"non-foldable expression ${n.sql}")
+    n.eval() match {
+      case d: Double => d
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case f: Float => f.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case null => fail("NULL")
+      case other => fail(s"${n.dataType.simpleString} value $other (cast it to DOUBLE)")
     }
   }
 }
