@@ -2924,6 +2924,36 @@ object SparkEntry {
         round(col("purchase_value"), 6).as("purchase_value"))
     }),
 
+    "stream_distinct_rollup" -> ((s, d) => withShufflePartitions(s, 8) {
+      // incremental DISTINCT-count rollup: per-type unique users
+      // maintained across a 4-file drain with HLL registers as the
+      // rollup STATE — the sketch column folds by register-max union
+      // (mergeRollup's mergeWith hook), and max-merge is EXACT over
+      // unions, so the maintained estimate must equal a from-scratch
+      // sketch of the whole feed regardless of batch split. The
+      // "running uniques without recount" shape an exact COUNT
+      // DISTINCT rollup fundamentally cannot maintain incrementally.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_dr").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+        .repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val store = new graft.pipeline.TableStore(s, s"$tmp/rollup", filesPerVersion = 1)
+      graft.streaming.StreamOps.maintainRollup(stream, store,
+        b => b.groupBy("event_type").agg(
+          graft.functions.HllOps.hllSketch(col("uid"), 8).as("uids"),
+          count(lit(1)).as("n")),
+        keys = Seq("event_type"), addCols = Seq("n"),
+        checkpoint = s"$tmp/ckpt",
+        onStage = stageLogger("stream_distinct_rollup"),
+        mergeWith = Map("uids" -> (c => graft.functions.HllOps.hllUnion(c))))
+      store.read.get.select(col("event_type"),
+        round(graft.functions.HllOps.hllEstimate(col("uids")), 2).as("uniques_est"),
+        col("n"))
+    }),
+
     "stream_enrich_static" -> ((s, d) => withShufflePartitions(s, 8) {
       // stream-STATIC enrichment join: each micro-batch of the event
       // feed joins the broadcast customer dim — stateless per row (no
@@ -5012,6 +5042,36 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
+
+    // register replay over the WHOLE feed: union-of-partial-sketches
+    // equals sketch-of-union (max merge), so the incrementally
+    // maintained registers must land exactly on this from-scratch
+    // computation — same algebra as distinct_hll, keyed by event_type
+    "stream_distinct_rollup" ->
+      """WITH h AS (SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+        |br AS (SELECT event_type,
+        |         CAST('0x' || substr(hx, 1, 4) AS INTEGER) % 256 AS bucket,
+        |         CASE WHEN ltrim(substr(hx, 5, 12), '0') = '' THEN 49
+        |              ELSE 4 * (12 - length(ltrim(substr(hx, 5, 12), '0')))
+        |                   + CASE WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) = '1' THEN 3
+        |                          WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) IN ('2', '3') THEN 2
+        |                          WHEN substr(ltrim(substr(hx, 5, 12), '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+        |                          ELSE 0 END + 1 END AS rho
+        |       FROM h),
+        |regs AS (SELECT event_type, bucket, max(rho) AS r FROM br GROUP BY 1, 2),
+        |agg AS (SELECT event_type, count(*) AS nz,
+        |          sum(CAST(pow(2, 49 - r) AS BIGINT)) AS isum FROM regs GROUP BY 1),
+        |est AS (SELECT event_type, 256 - nz AS zeros,
+        |          (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0
+        |            / ((isum + (256 - nz) * CAST(pow(2, 49) AS BIGINT)) / pow(2.0, 49)) AS raw
+        |        FROM agg),
+        |fin AS (SELECT event_type,
+        |          round(CASE WHEN raw <= 2.5 * 256.0 AND zeros > 0
+        |                     THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 2) AS uniques_est
+        |        FROM est),
+        |cnt AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1)
+        |SELECT f.event_type, f.uniques_est, c.n
+        |FROM fin f JOIN cnt c USING (event_type)""".stripMargin,
 
     // stateless stream-static decoration: the drained result is the
     // plain batch join

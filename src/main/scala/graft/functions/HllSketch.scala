@@ -152,9 +152,121 @@ case class HllDistinctAgg(child: Expression, p: Int,
   override def prettyName: String = "hll_distinct"
 }
 
+/** `hll_sketch(k, p)` — like [[HllDistinctAgg]] but emits the SERIALIZED
+  * register array (BINARY) instead of the estimate: the mergeable state
+  * a maintained rollup stores, so "distinct users per day" can fold
+  * incrementally forever ([[HllUnionAgg]] merges stored blobs,
+  * [[HllEstimateExpr]] reads the number out). */
+case class HllSketchAgg(child: Expression, p: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllSketch] {
+  require(p >= 4 && p <= 13, s"HLL precision must be in [4,13], got $p")
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${other.simpleString} (cast first)")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def createAggregationBuffer(): HllSketch = new HllSketch(p)
+  override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.toString)
+    buffer
+  }
+  override def merge(buffer: HllSketch, other: HllSketch): HllSketch = buffer.merge(other)
+  override def eval(buffer: HllSketch): Any = buffer.serialize()
+  override def serialize(buffer: HllSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_sketch"
+}
+
+/** `hll_union(blob)` — register-max union of serialized HLL sketches:
+  * the GROUP BY-side merge a sketch-valued rollup column needs when an
+  * incremental fold combines prior state with a fresh partial
+  * ([[graft.marts.Marts.mergeRollup]]'s `mergeWith` hook). NULL blobs
+  * are skipped; an all-NULL group yields NULL. Mixing precisions is an
+  * error (sketches of different p cannot union). */
+case class HllUnionAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Option[HllSketch]] {
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY hll_sketch argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): Option[HllSketch] = None
+  private def fold(acc: Option[HllSketch], s: HllSketch): Option[HllSketch] =
+    acc match {
+      case None => Some(s)
+      case Some(a) => Some(a.merge(s))
+    }
+  override def update(buffer: Option[HllSketch], input: InternalRow): Option[HllSketch] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else fold(buffer, HllSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(buffer: Option[HllSketch], other: Option[HllSketch]): Option[HllSketch] =
+    other.map(o => fold(buffer, o).get).orElse(buffer)
+  override def eval(buffer: Option[HllSketch]): Any = buffer.map(_.serialize()).orNull
+  override def serialize(buffer: Option[HllSketch]): Array[Byte] =
+    buffer.map(_.serialize()).getOrElse(Array.emptyByteArray)
+  override def deserialize(bytes: Array[Byte]): Option[HllSketch] =
+    if (bytes.isEmpty) None else Some(HllSketch.deserialize(bytes))
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_union"
+}
+
+/** `hll_estimate(blob)` — cardinality estimate out of a serialized
+  * sketch. Evaluated once per GROUP row (rollup reporting), not in any
+  * per-input hot path, so interpreted eval is the right trade. */
+case class HllEstimateExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY hll_sketch argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    HllSketch.deserialize(input.asInstanceOf[Array[Byte]]).estimate
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hll_estimate"
+}
+
 /** Column-API entry point. */
 object HllOps {
   def hllDistinct(value: Column, p: Int = 12): Column =
     GraftBridge.column(
       HllDistinctAgg(GraftBridge.expression(value), p).toAggregateExpression())
+
+  def hllSketch(value: Column, p: Int = 12): Column =
+    GraftBridge.column(
+      HllSketchAgg(GraftBridge.expression(value), p).toAggregateExpression())
+
+  def hllUnion(sketch: Column): Column =
+    GraftBridge.column(
+      HllUnionAgg(GraftBridge.expression(sketch)).toAggregateExpression())
+
+  def hllEstimate(sketch: Column): Column =
+    GraftBridge.column(HllEstimateExpr(GraftBridge.expression(sketch)))
 }

@@ -194,7 +194,9 @@ object StreamOps {
                      rollup: DataFrame => DataFrame,
                      keys: Seq[String], addCols: Seq[String],
                      checkpoint: String,
-                     onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+                     onStage: (String, Double) => Unit = (_, _) => (),
+                     mergeWith: Map[String, org.apache.spark.sql.Column =>
+                       org.apache.spark.sql.Column] = Map.empty): Unit = {
     var epoch: String = null // resolved at first batch; foreachBatch is single-threaded
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -202,7 +204,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         if (epoch == null) epoch = checkpointEpoch(batch.sparkSession, checkpoint)
-        foldRollupBatch(store, batch, batchId, epoch, rollup, keys, addCols)
+        foldRollupBatch(store, batch, batchId, epoch, rollup, keys, addCols, mergeWith)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
@@ -240,7 +242,9 @@ object StreamOps {
     * the replay contract is directly testable. */
   private[streaming] def foldRollupBatch(store: TableStore, batch: DataFrame,
       batchId: Long, epoch: String, rollup: DataFrame => DataFrame,
-      keys: Seq[String], addCols: Seq[String]): Unit = {
+      keys: Seq[String], addCols: Seq[String],
+      mergeWith: Map[String, org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = Map.empty): Unit = {
     val prior = store.read
     val stamped: Option[(Long, Option[String])] = prior.flatMap { p =>
       if (!p.columns.contains(BatchCol)) None
@@ -268,7 +272,8 @@ object StreamOps {
     val delta = rollup(batch)
     val merged = prior match {
       case Some(p) =>
-        graft.marts.Marts.mergeRollup(p.drop(BatchCol, EpochCol), delta, keys, addCols)
+        graft.marts.Marts.mergeRollup(p.drop(BatchCol, EpochCol), delta, keys,
+          addCols, mergeWith)
       case None => delta
     }
     store.snapshot(merged.withColumn(BatchCol, lit(batchId))

@@ -113,6 +113,37 @@ class HllSketchSpec extends SparkSpec {
     assert(out("g2") == g2.estimate)
   }
 
+  test("hll_sketch → hll_union → hll_estimate: incremental fold equals one-shot") {
+    val all = (1 to 3000).map(i => s"u${i % 1800}")
+    val (part1, part2) = all.splitAt(1100)
+    // fold two partial sketches via the union aggregate
+    val partials = Seq(part1, part2).zipWithIndex.flatMap { case (p, i) =>
+      p.map(v => (i, v))
+    }.toDF("part", "v")
+      .groupBy("part").agg(HllOps.hllSketch(col("v"), 8).as("sk"))
+    val folded = partials.agg(HllOps.hllUnion(col("sk")).as("sk"))
+      .select(HllOps.hllEstimate(col("sk"))).head().getDouble(0)
+    val oneShot = all.toDF("v")
+      .agg(HllOps.hllDistinct(col("v"), 8)).head().getDouble(0)
+    assert(folded == oneShot) // max-merge is exact over unions
+  }
+
+  test("hll_union skips NULL blobs; an all-NULL group yields NULL") {
+    val df = Seq(("g1", Option.empty[Array[Byte]]), ("g2", None))
+      .toDF("g", "sk")
+    val withReal = Seq(("g1", "x"), ("g1", "y")).toDF("g", "v")
+      .groupBy("g").agg(HllOps.hllSketch(col("v"), 8).as("sk"))
+      .unionByName(df.filter(col("g") === "g1"))
+    val est = withReal.groupBy("g")
+      .agg(HllOps.hllEstimate(HllOps.hllUnion(col("sk"))).as("e"))
+      .head()
+    val two = new HllSketch(8); two.insert("x"); two.insert("y")
+    assert(est.getDouble(1) == two.estimate)
+    val allNull = df.filter(col("g") === "g2").groupBy("g")
+      .agg(HllOps.hllUnion(col("sk")).as("sk")).head()
+    assert(allNull.isNullAt(1))
+  }
+
   test("non-string input is an analysis-time type error") {
     val e = intercept[Exception] {
       Seq(1, 2, 3).toDF("k").agg(HllOps.hllDistinct(col("k"), 8)).collect()
