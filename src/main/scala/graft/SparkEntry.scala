@@ -1518,6 +1518,26 @@ object SparkEntry {
       Tables.customer(s, d).select(col("c_custkey"),
         Normalize.surrogateKey(Seq("c_custkey", "c_name", "c_mktsegment")).as("sk"))),
 
+    "s_jsonl" -> ((s, d) => {
+      // JSON-lines landing drop with two planted poison lines: the
+      // declared-schema read must parse every clean row and QUARANTINE
+      // the poison verbatim (never silently shrink the drop) — the
+      // good side must equal the original table exactly
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      ev.toJSON
+        .union(Seq("{ definitely not json", "}{").toDS())
+        .repartition(2).write.text(s"$tmp/drop")
+      val cfg = TableConfig("jsonl_events", ev.schema, Seq("event_id"))
+      val (good, quarantine) =
+        graft.sources.TabularFile.readJsonl(s, s"$tmp/drop", cfg)
+      require(quarantine.count() == 2, "both poison lines must quarantine")
+      good.select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 6).as("value"))
+    }),
+
     "s7_xlsx" -> ((s, d) => {
       // real .xlsx container end-to-end: write a deterministic workbook
       // (zip + sheet XML + shared strings), read it back through the
@@ -4407,6 +4427,11 @@ object SparkEntry {
     "s7_xlsx" ->
       """SELECT lading_code, CAST(qty AS BIGINT) AS qty, CAST(weight AS DOUBLE) AS weight
         |FROM (VALUES ('L1', 5, 12.5), ('L3', NULL, 3.25)) t(lading_code, qty, weight)""".stripMargin,
+
+    // the quarantine absorbed the poison; the good side IS the table
+    "s_jsonl" ->
+      """SELECT event_id, user_id, event_type, round(value, 6) AS value
+        |FROM events""".stripMargin,
 
     "s7_coerce" ->
       """SELECT o_orderkey,

@@ -137,6 +137,37 @@ object TabularFile {
     finish(parsed, cfg, requiredKeys, withEtlDate)
   }
 
+  /** JSON-lines landing-zone read with CORRUPT-ROW QUARANTINE: every
+    * line either parses against the declared schema or lands — verbatim
+    * — in the returned quarantine frame, so a poisoned drop never
+    * silently shrinks (the reference's per-batch Soda count reconcile
+    * catches loss after the fact; the quarantine names the rows). The
+    * declared schema is authoritative: extra JSON fields are ignored,
+    * missing ones read as NULL (additive producer evolution needs no
+    * reader change).
+    *
+    * Returns (good rows, quarantined raw lines). The parsed frame is
+    * cached before the corrupt-column split — Spark refuses raw-file
+    * filters on the internal corrupt column precisely because a re-read
+    * could re-parse differently; materializing first is the documented
+    * contract, and a landing batch is one drop's bytes, not a table. */
+  def readJsonl(spark: SparkSession, path: String, cfg: TableConfig,
+                requiredKeys: Seq[String] = Nil,
+                withEtlDate: Boolean = false): (DataFrame, DataFrame) = {
+    val corruptCol = "__corrupt"
+    val withCorrupt = StructType(
+      cfg.schema.fields :+ StructField(corruptCol, StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol)
+    val quarantine = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (finish(good, cfg, requiredKeys, withEtlDate), quarantine)
+  }
+
   /** Shared post-parse tail (also used by [[Xlsx]]): scrub, coerce to the
     * declared schema (malformed cells null out like the reference's
     * per-cell guards), drop rows missing required keys, stamp etl_date. */

@@ -99,4 +99,26 @@ class TabularFileSpec extends SparkSpec {
     val many = jobsFor(12)
     assert(many == one, s"jobs grew with file count: $one -> $many")
   }
+
+  test("readJsonl: clean rows parse, poison quarantines verbatim, schema is authoritative") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("jsonl").toString
+    Seq(
+      """{"k": 1, "name": "a", "v": 2.5}""",
+      """{"k": 2, "name": "b", "v": 3.5, "extra_field": "ignored"}""", // additive producer
+      """{"k": 3}""",                                                  // missing fields → NULL
+      """{"name": "orphan"}""",                                        // NULL required key
+      """{ broken json""",
+      """not json at all""").toDS().write.text(s"$t/drop")
+    val cfg = graft.schema.TableConfig("jsonl.t", StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("v", DoubleType))), Seq("k"))
+    val (good, quarantine) = TabularFile.readJsonl(spark, s"$t/drop", cfg,
+      requiredKeys = Seq("k"))
+    assert(canon(good) == Seq(
+      Seq("1", "a", "2.5"), Seq("2", "b", "3.5"), Seq("3", "null", "null")))
+    val q = quarantine.collect().map(_.getString(0)).sorted
+    assert(q.toSeq == Seq("not json at all", """{ broken json"""))
+  }
 }
