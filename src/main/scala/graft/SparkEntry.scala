@@ -1848,6 +1848,33 @@ object SparkEntry {
         .unionByName(recall("quantized", quant))
     }),
 
+    "embedding_mrl_recall" -> ((s, d) => {
+      // matryoshka truncation audit (Kusupati et al., NeurIPS'22):
+      // recall@10 of cosine search under the first-d dims against the
+      // full 64-dim exact top-10 — the "how many dims can storage
+      // drop" planning table. Cosine is scale-invariant, so truncation
+      // IS the operator (renormalization is a storage-side detail);
+      // the d64 row is the recall-1.0 sanity anchor.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+        .select("vec_id")
+      def trunc(dims: Int) = {
+        val et = e.withColumn("embedding", slice(col("embedding"), 1, dims))
+        Similarity.bruteForceTopK(et, "embedding", "vec_id", q.take(dims), 10)
+          .select("vec_id")
+      }
+      def recall(m: String, approx: DataFrame) =
+        approx.intersect(brute)
+          .agg((count(lit(1)) / 10.0).cast("double").as("recall_at_10"))
+          .select(lit(m).as("method"), col("recall_at_10"))
+      recall("d64", trunc(64))
+        .unionByName(recall("d32", trunc(32)))
+        .unionByName(recall("d16", trunc(16)))
+        .unionByName(recall("d8", trunc(8)))
+    }),
+
     // ── ANN: product quantization (Jégou et al., TPAMI 2011) ──────────
     "ann_pq_encode" -> ((s, d) => {
       // 32× vector compression: train per-subspace codebooks with the
@@ -2942,6 +2969,33 @@ object SparkEntry {
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         round(col("purchase_value"), 6).as("purchase_value"))
+    }),
+
+    "stream_metric_anomaly" -> ((s, d) => withShufflePartitions(s, 8) {
+      // monitoring on MAINTAINED state: the per-(type, day) decimal
+      // rollup folds incrementally across a 4-file drain, and the MAD
+      // guardrail then runs over the small STORED state — the
+      // production loop (maintain cheaply per tick, analyze the state),
+      // never a full-history re-aggregation at alert time. The final
+      // verdicts must equal the from-scratch batch anomaly query.
+      val tmp = java.nio.file.Files.createTempDirectory("stream_ma").toString
+      val src = s"$tmp/src"
+      Tables.events(s, d).select("ts", "event_type", "value")
+        .repartition(4).write.parquet(src)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val store = new graft.pipeline.TableStore(s, s"$tmp/rollup", filesPerVersion = 1)
+      graft.streaming.StreamOps.maintainRollup(stream, store,
+        b => b.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(decSum(col("value")).as("metric")),
+        keys = Seq("event_type", "day"), addCols = Seq("metric"),
+        checkpoint = s"$tmp/ckpt",
+        onStage = stageLogger("stream_metric_anomaly"))
+      val state = store.read.get.drop("__last_batch", "__epoch")
+      graft.validate.Anomaly.madOutliers(state,
+          keyCols = Seq("event_type"), valueCol = "metric", threshold = 2.5)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("metric"), col("robust_z"), col("is_anomaly"))
     }),
 
     "stream_distinct_rollup" -> ((s, d) => withShufflePartitions(s, 8) {
@@ -4606,6 +4660,43 @@ object SparkEntry {
          |SELECT 'quantized' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
          |FROM (SELECT vec_id FROM quant_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
 
+    // truncated-cosine replay over list_slice prefixes; the d64 row is
+    // the sanity anchor (intersect with itself → 1.0)
+    "embedding_mrl_recall" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |             FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id, ${cosSql("e", "qe")} AS cos FROM emb, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |t64 AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id,
+         |      ${cosSql("list_slice(e, 1, 64)", "list_slice(qe, 1, 64)")} AS cos FROM emb, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |t32 AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id,
+         |      ${cosSql("list_slice(e, 1, 32)", "list_slice(qe, 1, 32)")} AS cos FROM emb, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |t16 AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id,
+         |      ${cosSql("list_slice(e, 1, 16)", "list_slice(qe, 1, 16)")} AS cos FROM emb, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |t8 AS (
+         |  SELECT vec_id FROM (SELECT emb.vec_id,
+         |      ${cosSql("list_slice(e, 1, 8)", "list_slice(qe, 1, 8)")} AS cos FROM emb, q)
+         |  ORDER BY cos DESC, vec_id ASC LIMIT 10)
+         |SELECT 'd64' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM t64 INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'd32' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM t32 INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'd16' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM t16 INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'd8' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM t8 INTERSECT SELECT vec_id FROM brute)""".stripMargin,
+
     // SF-COUPLING NOTE: this oracle computes EXACT all-pairs Jaccard while
     // the Spark path generates candidates via probabilistic MinHash banding
     // (16 bands × 4 rows ⇒ P[candidate | J=0.8] ≈ 1 - (1-0.8^4)^16 ≈ 99.97%).
@@ -5067,6 +5158,22 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
+
+    // maintained-state twin of v_metric_anomaly: the incrementally
+    // folded decimal rollup must be indistinguishable from the batch
+    // daily aggregate, so the guardrail verdicts replay identically
+    "stream_metric_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS metric
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |st AS (SELECT *, quantile_cont(metric, 0.5) OVER (PARTITION BY event_type) AS med FROM daily),
+        |md AS (SELECT *, quantile_cont(abs(metric - med), 0.5) OVER (PARTITION BY event_type) AS mad FROM st),
+        |z AS (SELECT *, CASE WHEN mad = 0 THEN NULL
+        |                     ELSE round(0.6745 * (metric - med) / mad, 6) END AS robust_z FROM md)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, metric, robust_z,
+        |  coalesce(abs(robust_z) > 2.5, FALSE) AS is_anomaly
+        |FROM z""".stripMargin,
 
     // register replay over the WHOLE feed: union-of-partial-sketches
     // equals sketch-of-union (max merge), so the incrementally

@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
   * local[8], median reported — the established protocol. */
 object SoakR11b {
   def main(args: Array[String]): Unit = {
-    val qs = Seq("source_set_sketch_ops", "stream_enrich_static", "m_time_travel", "v_fk_orphans")
+    val qs = Seq("stream_distinct_rollup", "s_jsonl", "embedding_mrl_recall",
+      "stream_metric_anomaly")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("soak-r11b")
