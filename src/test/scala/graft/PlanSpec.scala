@@ -232,6 +232,20 @@ class PlanSpec extends SparkSpec {
     assert(roll.contains("Window"), s"expected the RANGE-frame window:\n$roll")
   }
 
+  test("unigram Viterbi probes a broadcast vocab; attribution stays on equi-joins") {
+    val sp = planOf(SparkEntry.queries("sp_viterbi_segment")(spark, sf))
+    // the candidate-piece expansion joins the (tiny) vocabulary by
+    // broadcast — a shuffled join here would ship the whole expansion
+    assert(sp.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$sp")
+    assert(!sp.contains("SortMergeJoin"), s"unexpected shuffle join:\n$sp")
+    val at = planOf(SparkEntry.queries("w_attribution")(spark, sf))
+    // touch↔conversion pairing is the user-key equi-join; credit split
+    // is the conversion-id window — no non-equi fallback anywhere
+    assert(!at.contains("BroadcastNestedLoopJoin") && !at.contains("CartesianProduct"),
+      s"attribution fell off equi-joins:\n$at")
+    assert(at.contains("Window"), s"expected the per-conversion window:\n$at")
+  }
+
   test("merge-on-read reconcile is a single key-window over unioned segments") {
     for (name <- Seq("m_merge_on_read", "m_join_view_incremental")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
