@@ -2037,6 +2037,14 @@ object SparkEntry {
           Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
         .select("doc_id", "source", "lang", "n_chars")),
 
+    "sample_epoch_order" -> ((s, d) =>
+      // the data-loader contract: per-epoch deterministic training
+      // order as (shard, position) — md5 shard assignment + one
+      // per-shard rank window (no global sort; shards materialize
+      // independently, which is how the consuming loader reads them)
+      graft.llm.Sampling.epochOrder(Tables.documents(s, d), "doc_id",
+        epoch = 1, shards = 4)),
+
     "sample_token_budget" -> ((s, d) =>
       // fixed token spend per source: docs enter in md5 hash order and
       // the running whitespace-token total must stay ≤ 3000; the
@@ -3692,6 +3700,18 @@ object SparkEntry {
 
     // replays the prefix-of-hash-order token budget: same md5 order,
     // same whitespace token count, same running-sum cutoff
+    "sample_epoch_order" ->
+      """WITH h AS (SELECT doc_id,
+        |             md5('epoch:1' || '||' || CAST(doc_id AS VARCHAR)) AS hx
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(hx, 1, 4) AS BIGINT) % 4 AS INT) AS shard,
+        |        CAST('0x' || substr(hx, 5, 12) AS BIGINT) AS o
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY o ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM b""".stripMargin,
+
     "sample_token_budget" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -43,6 +43,34 @@ object Sampling {
         (lit(seed) +: keyCols.map(c => coalesce(c.cast("string"), lit("__null__")))): _*)),
       1, 4), 16, 10).cast("long")
 
+  /** Deterministic per-EPOCH training order — the data-loader contract:
+    * each document lands in a shard (md5 over (epoch seed, id) mod
+    * `shards`) and a position within its shard (rank of a second hash
+    * slice, id tie-break), so an epoch's global order is
+    * (shard, pos). Different epochs reshuffle completely; the same
+    * epoch replays byte-identically on any cluster (md5 arithmetic —
+    * auditable outside Spark, like every sampling decision here).
+    *
+    * Two-level on purpose: a single global row_number would serialize
+    * 100 TB through one partition. The only window runs per shard —
+    * pick `shards` ≈ training data-parallel degree and each shard's
+    * order materializes independently, which is exactly how the
+    * consuming loader reads it. */
+  def epochOrder(docs: DataFrame, idCol: String, epoch: Int,
+                 shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    val h = md5(concat_ws("||", lit(s"epoch:$epoch"),
+      coalesce(col(idCol).cast("string"), lit("__null__"))))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__o").asc, col(idCol).asc)
+    docs.select(col(idCol), h.as("__h"))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("long") % shards).cast("int"))
+      .withColumn("__o", conv(substring(col("__h"), 5, 12), 16, 10).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Cap rows per group: keep the first `n` rows of each group in
     * `order` — per-domain/per-source document caps, the corpus-balancing
     * pass that stops one mirror-heavy site from dominating a training

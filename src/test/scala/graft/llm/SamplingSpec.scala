@@ -239,4 +239,26 @@ class SamplingSpec extends SparkSpec {
       "doc_id", "text", k = 10))
     assert(a == b)
   }
+
+  test("epochOrder: a valid replayable order; epochs reshuffle; layout-independent") {
+    val docs = (0L until 200L).toDF("doc_id")
+    def run(epoch: Int, parts: Int) =
+      Sampling.epochOrder(docs.repartition(parts), "doc_id", epoch, shards = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val e1 = run(1, 1)
+    // every doc placed exactly once; shards in range; positions are
+    // 1..n_shard contiguous per shard
+    assert(e1.size == 200)
+    assert(e1.values.forall { case (s, _) => s >= 0 && s < 4 })
+    (0 until 4).foreach { s =>
+      val ps = e1.values.filter(_._1 == s).map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size))
+    }
+    // same epoch replays identically regardless of layout
+    assert(run(1, 7) == e1)
+    // a different epoch is a genuinely different order
+    val e2 = run(2, 1)
+    assert(e1 != e2)
+    assert(e1.count { case (id, sp) => e2(id) == sp } < 40) // <20% fixed points
+  }
 }
