@@ -878,6 +878,33 @@ object SparkEntry {
              decSum(col("c_acctbal")).as("total_acctbal"))
     }),
 
+    "j_scd2_asof" -> ((s, d) => {
+      // point-in-time SCD2 lookup (the feature-leakage guard): the
+      // customer segment history takes a restatement at 1999-01-01;
+      // every order must read the version VALID AT ITS OWN DATE —
+      // pre-1996-06 orders see NULL (no version yet), 1996–1999 the
+      // original segment, and only post-restatement orders of the
+      // %11==5 customers see 'UPDATED'. Zero join operators: the
+      // lookup is the as-of union+window over the gapless history.
+      val cust = Tables.customer(s, d)
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .select("o_custkey", "c_mktsegment")
+      def at(day: String)(df: DataFrame) =
+        df.withColumn("seen_at", lit(day).cast("timestamp"))
+      val hist = MergeEngine.scd2Merge(
+        Some(MergeEngine.scd2Merge(None, at("1996-06-01")(cust),
+          Seq("o_custkey"), "seen_at")),
+        at("1999-01-01")(cust.filter(col("o_custkey") % 11 === 5)
+          .withColumn("c_mktsegment", lit("UPDATED"))),
+        Seq("o_custkey"), "seen_at")
+      graft.ops.AsofJoin.scd2Lookup(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+          "o_orderdate", hist, Seq("o_custkey"), Seq("c_mktsegment"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("asof_c_mktsegment").as("seg_asof"))
+    }),
+
     "j_asof" -> ((s, d) => {
       // as-of join: each event picks up the user's latest purchase value
       // at-or-before its timestamp (union + running window, one shuffle)
@@ -4071,6 +4098,15 @@ object SparkEntry {
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
+
+    // closed form of the two-version history against each order's date
+    "j_scd2_asof" ->
+      """SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CASE WHEN o.o_orderdate < TIMESTAMP '1996-06-01' THEN NULL
+        |       WHEN c.c_custkey % 11 = 5 AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+        |         THEN 'UPDATED'
+        |       ELSE c.c_mktsegment END AS seg_asof
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     "j_asof" ->
       """SELECT e.event_id, p.value AS last_purchase_value

@@ -42,4 +42,24 @@ object AsofJoin {
       .filter(col("__src") === 1)
       .select(col("__lv.*") +: rightValueCols.map(c => col(s"__carried.$c").as(prefix + c)): _*)
   }
+
+  /** Point-in-time SCD2 attribute lookup — the feature-leakage guard:
+    * each fact row reads the dim version VALID AT ITS OWN event time
+    * (facts before the key's first version get NULLs, never today's
+    * value — joining `is_current` rows is the classic leak this
+    * operator exists to prevent). `history` is an
+    * [[graft.merge.MergeEngine.scd2Merge]] table; those histories are
+    * GAPLESS per key (each `valid_to` is the next `valid_from`), so
+    * validity reduces to "latest `valid_from` <= fact time" and the
+    * lookup IS [[asofJoin]] on `valid_from` — one key shuffle, zero
+    * join operators, no per-version range explosion. */
+  def scd2Lookup(facts: DataFrame, factTime: String, history: DataFrame,
+                 keys: Seq[String], attrCols: Seq[String],
+                 prefix: String = "asof_"): DataFrame = {
+    val needed = keys ++ attrCols :+ "valid_from"
+    val missing = needed.filterNot(history.columns.contains)
+    require(missing.isEmpty,
+      s"history is missing ${missing.mkString(", ")} — pass an scd2Merge table")
+    asofJoin(facts, history, keys, factTime, "valid_from", attrCols, prefix)
+  }
 }

@@ -44,6 +44,41 @@ class JoinOpsSpec extends SparkSpec {
     ).sortBy(_.mkString("|")))
   }
 
+  test("scd2Lookup: each fact reads its own-time version; pre-history facts read NULL") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    // two-version history for k=1 (gold → platinum at 2024-02-01),
+    // single version for k=2
+    val hist = graft.merge.MergeEngine.scd2Merge(
+      Some(graft.merge.MergeEngine.scd2Merge(None,
+        Seq((1L, ts("2024-01-01"), "gold"), (2L, ts("2024-01-01"), "silver"))
+          .toDF("k", "seen", "tier"),
+        Seq("k"), "seen")),
+      Seq((1L, ts("2024-02-01"), "platinum")).toDF("k", "seen", "tier"),
+      Seq("k"), "seen")
+    val facts = Seq(
+      (10L, 1L, ts("2023-12-25")), // before any version → NULL
+      (11L, 1L, ts("2024-01-15")), // first version window
+      (12L, 1L, ts("2024-02-01")), // exactly at the flip → new version (inclusive)
+      (13L, 1L, ts("2024-03-01")), // after the flip
+      (14L, 2L, ts("2024-06-01"))).toDF("fid", "k", "ts")
+    val out = AsofJoin.scd2Lookup(facts, "ts", hist, Seq("k"), Seq("tier"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(10L -> None, 11L -> Some("gold"), 12L -> Some("platinum"),
+      13L -> Some("platinum"), 14L -> Some("silver")))
+    // zero join operators in the LOOKUP itself (a materialized history
+    // frame isolates it from scd2Merge's own history-merge plan)
+    val histPlain = Seq(
+      (1L, "gold", ts("2024-01-01"), Some(ts("2024-02-01")), false),
+      (1L, "platinum", ts("2024-02-01"), None, true),
+      (2L, "silver", ts("2024-01-01"), None, true))
+      .toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val lk = AsofJoin.scd2Lookup(facts, "ts", histPlain, Seq("k"), Seq("tier"))
+    assert(canon(lk) == canon(AsofJoin.scd2Lookup(facts, "ts", hist, Seq("k"), Seq("tier"))))
+    val plan = lk.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), s"scd2Lookup must not plan a join:\n$plan")
+  }
+
   test("bandedPointInterval plans an equi-join on the band, not a nested loop") {
     val points = Seq((1L, 10.0)).toDF("id", "p")
     val ivals = Seq(("a", 0.0, 20.0)).toDF("name", "lo", "hi")
