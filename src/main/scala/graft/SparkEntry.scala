@@ -2190,6 +2190,37 @@ object SparkEntry {
         trainedMergeRules(s, d, k = 10), vocabSize = 20)
     }),
 
+    "pipeline_curation_funnel" -> ((s, d) => {
+      // the END-TO-END curation funnel: raw crawl twin → C4 line
+      // cleaning → Gopher quality rules ON THE CLEANED TEXT (chained,
+      // not independent — the order every real pipeline runs) → exact
+      // dedup on the cleaned fingerprint. One row per stage with
+      // surviving docs and tokens: the release-notes table, and the
+      // composition proof on top of each stage's standalone oracle.
+      import org.apache.spark.sql.expressions.Window
+      val built = Tables.documents(s, d).withColumn("text", plantedC4Text)
+      def stageRow(idx: Int, name: String, df: DataFrame, textCol: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+              .as("n_tokens"))
+          .select(lit(idx).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"), col("n_tokens"))
+      val c4 = graft.llm.Curation.c4Filter(built, "doc_id", "text")
+        .filter(col("kept")).select(col("doc_id"), col("text_clean"))
+      val gopher = c4.join(
+        graft.llm.Curation.gopherStats(c4, "doc_id", "text_clean", minWords = 20)
+          .filter(col("pass")).select("doc_id"),
+        Seq("doc_id"))
+      val dedup = gopher
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(md5(col("text_clean"))).orderBy(col("doc_id").asc)))
+        .filter(col("__rn") === 1)
+      stageRow(0, "raw", built, "text")
+        .unionByName(stageRow(1, "c4_clean", c4, "text_clean"))
+        .unionByName(stageRow(2, "gopher_pass", gopher, "text_clean"))
+        .unionByName(stageRow(3, "exact_dedup", dedup, "text_clean"))
+    }),
+
     "sp_seed_vocab" -> ((s, d) =>
       // unigram-LM tokenizer (Kudo ACL'18), stage 1: substring seed
       // vocabulary — chars always kept for coverage, top multi-char
@@ -3845,6 +3876,61 @@ object SparkEntry {
     "bpe_encode_ids" -> bpeEncodeOracleSql(10, 25),
 
     "bpe_source_fertility" -> bpeFertilityOracleSql(10, 20),
+
+    // the chained replay: C4 clean → Gopher (minWords 20) on the
+    // CLEANED text → first-doc-per-md5 dedup, with the same
+    // whitespace token count at every stage
+    "pipeline_curation_funnel" ->
+      s"""WITH built AS (SELECT doc_id, $plantedC4Sql AS text FROM documents),
+         |sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM built),
+         |kk AS (SELECT doc_id, text, ls,
+         |        list_filter(ls, l -> regexp_matches(l, '[.!?"”]\\s*${"$"}')
+         |          AND len(regexp_extract_all(l, '\\S+')) >= 3
+         |          AND NOT contains(lower(l), 'javascript')) AS kl FROM sp),
+         |vv AS (SELECT doc_id, kl,
+         |        (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+         |         AND len(kl) >= 3) AS kept FROM kk),
+         |cl AS (SELECT doc_id, array_to_string(kl, chr(10)) AS tc FROM vv WHERE kept),
+         |gm AS (SELECT doc_id, tc,
+         |        regexp_extract_all(tc, '\\S+') AS ws,
+         |        string_split(tc, chr(10)) AS gls FROM cl),
+         |gr AS (SELECT doc_id, tc,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CASE WHEN len(ws) > 0 THEN round(CAST(len(regexp_replace(tc, '\\s', '', 'g')) AS DOUBLE) / len(ws), 6) END AS mean_word_len,
+         |  CASE WHEN len(ws) > 0 THEN round((CAST(len(tc) - len(replace(tc, '#', '')) AS DOUBLE)
+         |       + CAST(len(tc) - len(replace(tc, '…', '')) AS DOUBLE)) / len(ws), 6) END AS symbol_ratio,
+         |  round(CAST(len(list_filter(gls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE) / len(gls), 6) AS bullet_frac,
+         |  round(CAST(len(list_filter(gls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*${"$"}'))) AS DOUBLE) / len(gls), 6) AS ellipsis_frac,
+         |  CASE WHEN len(ws) > 0 THEN round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ws), 6) END AS alpha_frac,
+         |  CAST(${graft.llm.Curation.GopherStopwords.map(w => s"(CASE WHEN regexp_matches(lower(tc), '\\b$w\\b') THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS stop_hits
+         |  FROM gm),
+         |gp AS (SELECT doc_id, tc FROM gr
+         |       WHERE n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |         AND symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+         |         AND alpha_frac >= 0.8 AND stop_hits >= 2),
+         |dd AS (SELECT doc_id, tc FROM (
+         |         SELECT doc_id, tc, row_number() OVER (PARTITION BY md5(tc) ORDER BY doc_id ASC) AS rn
+         |         FROM gp) WHERE rn = 1),
+         |tok AS (SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |          CAST(coalesce(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(text), '\\s+')) END), 0) AS BIGINT) AS n_tokens
+         |        FROM built
+         |        UNION ALL
+         |        SELECT 1, 'c4_clean', count(*),
+         |          CAST(coalesce(sum(CASE WHEN len(trim(tc)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(tc), '\\s+')) END), 0) AS BIGINT)
+         |        FROM cl
+         |        UNION ALL
+         |        SELECT 2, 'gopher_pass', count(*),
+         |          CAST(coalesce(sum(CASE WHEN len(trim(tc)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(tc), '\\s+')) END), 0) AS BIGINT)
+         |        FROM gp
+         |        UNION ALL
+         |        SELECT 3, 'exact_dedup', count(*),
+         |          CAST(coalesce(sum(CASE WHEN len(trim(tc)) = 0 THEN 0
+         |            ELSE len(string_split_regex(trim(tc), '\\s+')) END), 0) AS BIGINT)
+         |        FROM dd)
+         |SELECT stage, stage_name, n_docs, n_tokens FROM tok""".stripMargin,
 
     "sp_seed_vocab" ->
       s"WITH ${unigramVocabCtes(60, 4)}\nSELECT piece, n, cost FROM uvocab",
