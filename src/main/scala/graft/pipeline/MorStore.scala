@@ -148,13 +148,13 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     affected
   }
 
-  /** Scan-time reconcile over the wanted partition values: union the
+  /** Per-key winners over the wanted partition values: union the
     * referenced segments (each filtered to the values that list it),
-    * keep the newest version per key — cursor first, commit sequence
-    * as tiebreak — and drop tombstoned keys. One shuffle on the keys;
-    * schema evolution across segments reads missing columns as NULL,
-    * the same additive contract as [[ManifestStore]]. */
-  private def reconcile(man: Map[String, Seq[String]]): DataFrame = {
+    * keep the newest VERSION per key — cursor first, commit sequence
+    * as tiebreak — tombstone winners included. One shuffle on the
+    * keys; schema evolution across segments reads missing columns as
+    * NULL, the same additive contract as [[ManifestStore]]. */
+  private def winners(man: Map[String, Seq[String]]): DataFrame = {
     val bySeg = man.toSeq.flatMap { case (v, segs) => segs.map(_ -> v) }
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val parts = bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
@@ -164,9 +164,11 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
     val order = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq :+ col(SeqCol).desc
     MergeEngine.latestPerKey(all, cfg.keys, order)
-      .filter(!col(DeletedCol))
-      .drop(SeqCol, DeletedCol)
   }
+
+  /** Scan-time reconcile: [[winners]] minus the tombstoned keys. */
+  private def reconcile(man: Map[String, Seq[String]]): DataFrame =
+    winners(man).filter(!col(DeletedCol)).drop(SeqCol, DeletedCol)
 
   /** Reconciled current table state; None before any commit or when the
     * latest manifest is empty. */
@@ -193,33 +195,41 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
   def liveSegments: Int =
     latestManifestVersion.map(readManifest(_).values.flatten.toSet.size).getOrElse(0)
 
-  /** Materialize the reconciled view into ONE base segment: reads pay
+  /** Materialize the per-key WINNERS into ONE base segment: reads pay
     * the reconcile window until the next deltas arrive, then only over
-    * base + fresh deltas. Atomic like every commit; a crash leaves an
-    * unreferenced segment for [[vacuum]]. */
-  def compact(): Unit = read.foreach { df =>
-    val materialized = df.withColumn(DeletedCol, lit(false))
-    val idx = latestManifestVersion.getOrElse(0) + 1
-    val seg = writeSegment(materialized, idx)
-    commit(partitionValues(materialized).map(_ -> Seq(seg)).toMap)
+    * base + fresh deltas. Superseded versions fall out; tombstone
+    * winners are RETAINED — under cursor-dominant reconciliation a
+    * tombstone must outlive compaction or a late, LOWER-cursor
+    * re-insert of the key would silently resurrect it (the classic
+    * equality-delete compaction hazard; MorStorePropertySpec's model
+    * test is what caught it). A tombstone is reclaimed the normal way:
+    * the moment a higher-cursor upsert supersedes it, it loses the
+    * next compaction's window. Atomic like every commit; a crash
+    * leaves an unreferenced segment for [[vacuum]]. */
+  def compact(): Unit = latestManifestVersion.foreach { n =>
+    val man = readManifest(n)
+    if (man.nonEmpty) {
+      val materialized = winners(man).drop(SeqCol)
+      val idx = n + 1
+      val seg = writeSegment(materialized, idx)
+      commit(man.keys.map(_ -> Seq(seg)).toMap)
+    }
   }
 
   /** PARTITION-SCOPED compaction — the one production runs on a
-    * cadence: materialize only `values`' reconciled slices (tombstones
-    * fall out) and re-point exactly those values, leaving cold
-    * partitions' segment lists untouched. Cost is O(hot partitions),
-    * never O(table) — a store where one hot partition takes every CDC
-    * tick compacts that partition alone. */
+    * cadence: materialize only `values`' winner slices (superseded
+    * versions fall out, tombstones are retained — see [[compact]])
+    * and re-point exactly those values, leaving cold partitions'
+    * segment lists untouched. Cost is O(hot partitions), never
+    * O(table) — a store where one hot partition takes every CDC tick
+    * compacts that partition alone. */
   def compactPartitions(values: Seq[String]): Unit = {
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     val hot = man.view.filterKeys(values.contains).toMap
     if (hot.isEmpty) return
-    val slice = reconcile(hot).withColumn(DeletedCol, lit(false))
+    val slice = winners(hot).drop(SeqCol)
     val idx = latestManifestVersion.getOrElse(0) + 1
     val seg = writeSegment(slice, idx)
-    // a fully-tombstoned value re-points too: its slice holds no rows,
-    // so it reads empty — and its tombstones are reclaimed with the
-    // retired delta segments at the next vacuum
     commit(man ++ hot.keys.map(_ -> Seq(seg)))
   }
 

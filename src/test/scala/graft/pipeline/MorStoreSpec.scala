@@ -81,6 +81,27 @@ class MorStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("b", "2")))
   }
 
+  test("a tombstone SURVIVES compaction: late lower-cursor inserts stay dead") {
+    // the equality-delete compaction hazard the model-based property
+    // test caught: delete at cursor 23, compact (which must RETAIN the
+    // tombstone), then an out-of-order insert at cursor 7 — the
+    // tombstone's cursor still dominates, so the key stays deleted
+    val t = Files.createTempDirectory("mor").toString
+    val store = mk(t)
+    store.appendDelta(Seq(("a", ts("2024-01-01 00:10:00"), "p1", 1)).toDF("k", "ts", "p", "v"))
+    store.delete(Seq(("p1", "a", ts("2024-01-01 00:23:00"))).toDF("p", "k", "ts"))
+    store.compact()
+    assert(store.read.get.count() == 0)
+    store.appendDelta(Seq(("a", ts("2024-01-01 00:07:00"), "p1", 99)).toDF("k", "ts", "p", "v"))
+    assert(store.read.get.count() == 0, "lower-cursor insert resurrected a compacted-away tombstone")
+    // and a genuinely newer insert still resurrects the key, which also
+    // retires the tombstone at the next compaction
+    store.appendDelta(Seq(("a", ts("2024-01-01 00:30:00"), "p1", 7)).toDF("k", "ts", "p", "v"))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("a", "7")))
+    store.compact()
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("a", "7")))
+  }
+
   test("readPartitions reconciles only the wanted values") {
     val t = Files.createTempDirectory("mor").toString
     val store = mk(t)
