@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
   * local[8], median reported — the established protocol. */
 object SoakR11b {
   def main(args: Array[String]): Unit = {
-    val qs = Seq("stream_distinct_rollup", "s_jsonl", "embedding_mrl_recall",
-      "stream_metric_anomaly")
+    val qs = Seq("j_scd2_asof", "pipeline_curation_funnel", "a_pivot",
+      "a_unpivot", "sample_epoch_order", "w_rolling_7d")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("soak-r11b")
