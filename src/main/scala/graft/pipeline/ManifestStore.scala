@@ -84,6 +84,18 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     }.toMap
   }
 
+  /** SINGLE-WRITER commit contract: version numbering assumes one
+    * committer per table — exactly what the engine's write paths give
+    * (a streaming checkpoint serializes its one writer; batch jobs own
+    * their run window). Under a ROGUE concurrent writer the outcome is
+    * filesystem-dependent: HDFS rename-to-existing fails, so the race
+    * loser throws and its staged segment is vacuum-swept; a POSIX
+    * local rename replaces, so the LAST committer's pointers win and
+    * the other's version is lost (readers still only ever see one
+    * complete manifest — atomicity is never at risk, only the lost
+    * update). True multi-writer tables need an external lock or a
+    * catalog CAS, which is precisely what the table formats bolt on
+    * top of this same layout. */
   private def commit(m: Map[String, String]): Int = {
     fs.mkdirs(manDir)
     // sweep torn staged manifests from earlier crashes
