@@ -3344,6 +3344,28 @@ object SparkEntry {
                 col("channels"), round(col("mean_luma"), 4).as("mean_luma"))
     }),
 
+    "multimodal_resize" -> ((s, d) => {
+      // REAL resize (thumbnail/normalize step): the same planted media
+      // scaled to 8×8 — PNG losslessness + nearest-neighbor scaling of
+      // solid colors make the resized luma exactly the color's luma;
+      // corrupt and non-image payloads surface as ok=false, never a
+      // task failure
+      import s.implicits._
+      val planted = Seq(
+        (1L, Multimodal.solidPng(16, 9, 255, 0, 0)),
+        (2L, Multimodal.solidPng(32, 32, 0, 255, 0)),
+        (3L, Multimodal.solidPng(64, 48, 0, 0, 255)),
+        (4L, Multimodal.solidPng(100, 10, 255, 255, 255)),
+        (5L, Multimodal.solidPng(7, 5, 0, 0, 0)),
+        (6L, Multimodal.solidPng(20, 20, 128, 128, 128)),
+        (99L, "definitely not an image".getBytes("UTF-8"))).toDF("media_id", "content")
+      val fromDocs = Tables.documents(s, d)
+        .select((col("doc_id") + 1000L).as("media_id"), col("text").cast("binary").as("content"))
+      Multimodal.resizeImage(s, planted.unionByName(fromDocs), targetW = 8, targetH = 8).toDF()
+        .select(col("media_id"), col("ok"), col("width"), col("height"),
+          round(col("mean_luma"), 4).as("mean_luma"))
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
@@ -6023,6 +6045,23 @@ object SparkEntry {
          |  trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
          |  CAST(len(regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS BIGINT) AS n_links
          |FROM e5""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(ok AS BOOLEAN) AS ok,
+        | CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        | CAST(mean_luma AS DOUBLE) AS mean_luma
+        |FROM (
+        |  SELECT * FROM (VALUES
+        |    (1, true, 8, 8, 0.299),
+        |    (2, true, 8, 8, 0.587),
+        |    (3, true, 8, 8, 0.114),
+        |    (4, true, 8, 8, 1.0),
+        |    (5, true, 8, 8, 0.0),
+        |    (6, true, 8, 8, 0.502),
+        |    (99, false, NULL, NULL, NULL))
+        |    t(media_id, ok, width, height, mean_luma)
+        |  UNION ALL
+        |  SELECT doc_id + 1000, false, NULL, NULL, NULL FROM documents)""".stripMargin,
 
     "multimodal_decode" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(decoded AS BOOLEAN) AS decoded,

@@ -76,6 +76,33 @@ object Multimodal {
     * as `decoded = false` BEFORE `ImageIO.read` would allocate
     * width×height pixels. A crafted 100-byte PNG declaring 2^31×2^31
     * therefore cannot OOM the executor. */
+  /** Guarded decode shared by [[decodeImage]] and [[resizeImage]]: the
+    * header-declared dimension check runs BEFORE `reader.read` would
+    * allocate width×height pixels, so a crafted tiny payload declaring
+    * 2^31×2^31 cannot OOM the executor. Any failure → null. */
+  private def readGuarded(bytes: Array[Byte], cap: Long): java.awt.image.BufferedImage =
+    try {
+      if (bytes == null || bytes.isEmpty) null
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val dw = reader.getWidth(0).toLong
+              val dh = reader.getHeight(0).toLong
+              if (dw <= 0 || dh <= 0 || dw * dh > cap) null
+              else reader.read(0)
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      }
+    } catch { case _: Exception => null }
+
   def decodeImage(spark: SparkSession, media: DataFrame,
                   maxPixels: Long = 64L * 1024 * 1024): Dataset[ImageFeatures] = {
     import spark.implicits._
@@ -84,30 +111,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val img =
-            try {
-              if (bytes == null || bytes.isEmpty) null
-              else {
-                val iis = javax.imageio.ImageIO.createImageInputStream(
-                  new java.io.ByteArrayInputStream(bytes))
-                try {
-                  val readers = javax.imageio.ImageIO.getImageReaders(iis)
-                  if (!readers.hasNext) null
-                  else {
-                    val reader = readers.next()
-                    try {
-                      reader.setInput(iis)
-                      val dw = reader.getWidth(0).toLong
-                      val dh = reader.getHeight(0).toLong
-                      // header-declared dimension guard: refuse before the
-                      // pixel buffer is allocated
-                      if (dw <= 0 || dh <= 0 || dw * dh > cap) null
-                      else reader.read(0)
-                    } finally reader.dispose()
-                  }
-                } finally if (iis != null) iis.close()
-              }
-            } catch { case _: Exception => null }
+          val img = readGuarded(bytes, cap)
           if (img == null) ImageFeatures(id, decoded = false, None, None, None, None)
           else {
             val w = img.getWidth; val h = img.getHeight
@@ -152,4 +156,58 @@ object Multimodal {
       explode(sequence(lit(0L),
         greatest((col(durationSecCol) * fps).cast(LongType) - 1, lit(0L)),
         lit(everyNth.toLong))))
+
+  final case class ResizedImage(media_id: Long, ok: Boolean,
+                                width: Option[Int], height: Option[Int],
+                                mean_luma: Option[Double], png_bytes: Option[Int])
+
+  /** REAL image resize (the thumbnail/normalize step of a vision-data
+    * pipeline): guarded decode, nearest-neighbor scale to
+    * `targetW`×`targetH` (deterministic — no interpolation kernel to
+    * disagree about; for the planted solid-color media EVERY kernel
+    * agrees exactly anyway), PNG re-encode. Emits the resized
+    * dimensions, mean luma, and re-encoded size; undecodable payloads
+    * → ok=false. Same mapPartitions justification as [[decodeImage]]:
+    * per-row imperative codec work with O(1) state. */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+                  targetW: Int, targetH: Int,
+                  maxPixels: Long = 64L * 1024 * 1024): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    import spark.implicits._
+    val cap = maxPixels
+    media.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = readGuarded(bytes, cap)
+          if (img == null) ResizedImage(id, ok = false, None, None, None, None)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+              g.drawImage(img, 0, 0, targetW, targetH, null)
+            } finally g.dispose()
+            var sum = 0.0; var y = 0
+            while (y < targetH) {
+              var x = 0
+              while (x < targetW) {
+                val rgb = out.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                       0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedImage(id, ok = true, Some(targetW), Some(targetH),
+              Some(sum / (targetW.toLong * targetH) / 255.0), Some(bos.size()))
+          }
+        }
+      }
+  }
 }

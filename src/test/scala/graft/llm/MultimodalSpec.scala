@@ -77,6 +77,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!capped(2L).decoded)
   }
 
+  test("resizeImage: solid colors scale exactly; corrupt payloads fail soft") {
+    val media = Seq(
+      (1L, Multimodal.solidPng(40, 30, 255, 0, 0)),
+      (2L, Multimodal.solidPng(3, 3, 128, 128, 128)), // UPSCALE path (3×3 → 8×8)
+      (9L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    val out = Multimodal.resizeImage(spark, media, targetW = 8, targetH = 8)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).ok && out(1L).width.contains(8) && out(1L).height.contains(8))
+    assert(math.abs(out(1L).mean_luma.get - 0.299) < 1e-3)
+    assert(out(2L).ok && math.abs(out(2L).mean_luma.get - 128.0 / 255) < 1e-3)
+    assert(out(1L).png_bytes.exists(_ > 0))
+    assert(!out(9L).ok && out(9L).png_bytes.isEmpty)
+    // the declared-dimension OOM guard holds on the resize path too
+    val capped = Multimodal.resizeImage(spark,
+      Seq((3L, Multimodal.solidPng(10, 10, 1, 2, 3))).toDF("media_id", "content"),
+      8, 8, maxPixels = 8L).collect().head
+    assert(!capped.ok)
+  }
+
   test("frameSampleIndexes explodes every-Nth frame indexes") {
     val vids = Seq((1L, 2.0)).toDF("media_id", "duration_sec") // 2s @ 10fps = frames 0..19
     val out = Multimodal.frameSampleIndexes(vids, fps = 10.0, "duration_sec", everyNth = 5)
