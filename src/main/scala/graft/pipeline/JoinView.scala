@@ -72,6 +72,35 @@ object JoinView {
       throw new java.io.IOException(s"failed to commit join-view state of $viewRoot")
   }
 
+  /** Streaming binding — the view maintained AT CADENCE: drain the CDC
+    * feed, upsert each micro-batch into the fact store, then fold one
+    * [[maintain]] tick. Effectively-once composes from the parts:
+    * the checkpoint serializes delivery, the fact upsert is the
+    * idempotent keyed merge, and a crash between the fact commit and
+    * the view's fold-marker advance just re-folds an identical delta
+    * next tick (JoinViewSpec injects exactly that crash). Dim changes
+    * committed between batches are picked up by the next tick — the
+    * dim side needs no stream of its own. */
+  def maintainStreaming(spark: SparkSession, stream: DataFrame, viewRoot: String,
+                        view: MorStore, fact: ManifestStore, factCfg: graft.schema.TableConfig,
+                        dim: ManifestStore, factKeys: Seq[String], dimKey: String,
+                        checkpoint: String,
+                        onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        // an empty delivery still ticks (dim changes between batches
+        // propagate) but commits no empty fact version
+        if (!batch.isEmpty) fact.upsert(batch, factCfg)
+        maintain(spark, viewRoot, view, fact, dim, factKeys, dimKey)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** One maintenance tick: fold everything committed to `fact` and
     * `dim` since the last tick into `view`. `factKeys` is the view's
     * row identity; `dimKey` the N:1 join key (present in both sides,
@@ -92,15 +121,21 @@ object JoinView {
     require(overlap.isEmpty,
       s"non-key dim columns must be disjoint from fact columns, both have: ${overlap.mkString(", ")}")
 
-    // fact-side delta: post-images refresh, deletes tombstone
-    val fcdf = if (f0 == f1) None else Some(fact.changes(f0, f1, factKeys))
+    // fact-side delta: post-images refresh, deletes tombstone. The
+    // manifest-level changedValues pre-check is what keeps EMPTY
+    // commits harmless: a tick whose batch had zero rows still bumps
+    // the version, and diffing two empty manifests has no schema to
+    // resolve — skip straight to marker advance instead.
+    val fcdf =
+      if (f0 == f1 || fact.changedValues(f0, f1).isEmpty) None
+      else Some(fact.changes(f0, f1, factKeys))
     val fUpserts = fcdf.map(_.filter(col("_change") =!= "delete").drop("_change"))
     val fDeletes = fcdf.map(_.filter(col("_change") === "delete").drop("_change"))
 
     // dim-side delta: the changed key set (tiny — collect to decide the
     // steady-state skip and drive a broadcast semi-join otherwise)
     val dChangedKeys =
-      if (d0 == d1) Seq.empty[Any]
+      if (d0 == d1 || dim.changedValues(d0, d1).isEmpty) Seq.empty[Any]
       else dim.changes(d0, d1, Seq(dimKey)).select(dimKey).distinct()
         .collect().map(_.get(0)).toSeq
     val dimTouched =

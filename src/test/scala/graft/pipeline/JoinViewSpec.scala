@@ -123,6 +123,30 @@ class JoinViewSpec extends SparkSpec {
     assert(JoinView.foldedVersions(spark, s"$t/view") == (2, 1))
   }
 
+  test("streaming binding: the view stays current across a drained CDC feed") {
+    val (t, fact, dim, view) = setup()
+    dim.upsert(Seq((10L, "d1", "gold"), (20L, "d1", "silver")).toDF("ck", "dp", "seg"), dimCfg)
+    val inbox = s"$t/inbox"
+    Seq((1L, 10L, "p1", 5.0), (2L, 20L, "p2", 6.0)).toDF("id", "ck", "p", "v")
+      .repartition(2).write.mode("append").parquet(inbox)
+    val schema = spark.read.parquet(inbox).schema
+    def drain(): Unit = JoinView.maintainStreaming(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inbox),
+      s"$t/view", view, fact, factCfg, dim, Seq("id"), "ck", s"$t/ckpt")
+    drain()
+    assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
+      recompute(fact, dim).select("id", "ck", "v", "seg"))
+    // a dim change lands between drains; the next drained batch's tick
+    // must propagate it alongside the new facts
+    dim.upsert(Seq((10L, "d1", "platinum")).toDF("ck", "dp", "seg"), dimCfg)
+    Seq((3L, 10L, "p1", 7.0)).toDF("id", "ck", "p", "v")
+      .write.mode("append").parquet(inbox)
+    drain()
+    assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
+      recompute(fact, dim).select("id", "ck", "v", "seg"))
+    assert(view.read.get.filter(col("seg") === "platinum").count() == 2) // ids 1 and 3
+  }
+
   test("colliding non-key columns between fact and dim are refused") {
     val (t, fact, dim, view) = setup()
     fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)
