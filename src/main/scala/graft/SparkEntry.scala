@@ -2247,6 +2247,36 @@ object SparkEntry {
           col("piece"), col("cost"), col("n_pieces"))
     }),
 
+    "sp_encode_ids" -> ((s, d) => {
+      // stage 4: corpus → unigram token ids. Each document word
+      // expands to its Viterbi pieces; ids number the EM-recounted
+      // vocabulary by (count desc, piece asc) — the same bounded
+      // global-window numbering convention as the BPE encoder, with
+      // the same broadcast probes (word→pieces is word-vocab-sized,
+      // piece→id is vocab-sized). One shuffle on word, mod-25 doc
+      // slice keeps the fixture row count bounded.
+      import org.apache.spark.sql.expressions.Window
+      val words = graft.llm.Unigram.wordTable(Tables.documents(s, d), "text")
+      val seg = graft.llm.Unigram.viterbiSegment(words, unigramSeedVocab(s, d),
+        maxPieceLen = 4, maxWordLen = 16)
+      val ids = graft.llm.Unigram.emRound(words, unigramSeedVocab(s, d),
+          maxPieceLen = 4, maxWordLen = 16)
+        .withColumn("piece_id",
+          row_number().over(Window.orderBy(col("n").desc, col("piece").asc)))
+      val dw = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          posexplode(array_remove(
+            split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), ""))
+            .as(Seq("wpos", "word")))
+      dw.join(broadcast(seg.select("word", "pieces")), Seq("word"))
+        .select(col("doc_id"), col("wpos"),
+          posexplode(col("pieces")).as(Seq("ppos", "piece")))
+        .join(broadcast(ids.select("piece", "piece_id")), Seq("piece"))
+        .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
+          col("ppos").cast("long").as("ppos"), col("piece"),
+          col("piece_id").cast("long").as("piece_id"))
+    }),
+
     "sp_em_recount" -> ((s, d) => {
       // stage 3: one hard-EM round — pieces recounted from the chosen
       // segmentations (weighted by word frequency), unused seed pieces
@@ -3035,6 +3065,45 @@ object SparkEntry {
         date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         round(col("purchase_value"), 6).as("purchase_value"))
+    }),
+
+    "stream_session_window" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the BUILT-IN session_window aggregation as watermarked
+      // streaming state — the declarative twin of the
+      // flatMapGroupsWithState sessionizer (stream_sessionize): gap
+      // sessions merge across micro-batches, close when the watermark
+      // passes last-event + gap, and the drained result must equal
+      // the batch gaps-and-islands recompute. The far-future sentinel
+      // advances the watermark past every real session; its own
+      // session stays open and never emits.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("stream_sw").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(s, d).select(col("ts"), col("user_id"), col("value"))
+      val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val cuts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+      ((Seq(lo) ++ cuts) zip (cuts ++ Seq(hi + 1))).foreach { case (a, b) =>
+        ev.filter(unix_millis(col("ts")) >= a && unix_millis(col("ts")) < b)
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      Seq((new java.sql.Timestamp(hi + 96L * 3600 * 1000), -1L, 0.0))
+        .toDF("ts", "user_id", "value").write.mode("append").parquet(src)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val sw = stream.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("total_value"))
+      val outName = "ssw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = sw.writeStream.format("memory").queryName(outName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(outName).select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("total_value").cast("double").as("total_value"))
     }),
 
     "stream_metric_anomaly" -> ((s, d) => withShufflePartitions(s, 8) {
@@ -3965,6 +4034,25 @@ object SparkEntry {
          |SELECT word, freq, CAST(pos AS BIGINT) AS pos, ps[pos] AS piece,
          |  cost, CAST(np AS BIGINT) AS n_pieces
          |FROM uexp""".stripMargin,
+
+    "sp_encode_ids" ->
+      s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
+         |ucnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+         |         FROM (SELECT w.freq, unnest(s.ps) AS piece
+         |               FROM useg s JOIN uw w USING (word))
+         |         GROUP BY piece),
+         |ids AS (SELECT piece, row_number() OVER (ORDER BY n DESC, piece ASC) AS piece_id
+         |        FROM ucnt),
+         |dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS wpos
+         |       FROM (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+         |             FROM documents WHERE doc_id % 25 = 0)),
+         |dp AS (SELECT d.doc_id, d.wpos, unnest(s.ps) AS piece,
+         |              unnest(range(0, len(s.ps))) AS ppos
+         |       FROM dw d JOIN useg s USING (word))
+         |SELECT p.doc_id, CAST(p.wpos AS BIGINT) AS wpos, CAST(p.ppos AS BIGINT) AS ppos,
+         |  p.piece, CAST(i.piece_id AS BIGINT) AS piece_id
+         |FROM dp p JOIN ids i USING (piece)""".stripMargin,
 
     "sp_em_recount" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
@@ -5322,6 +5410,27 @@ object SparkEntry {
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'), x -> x <> '')) AS word
         |      FROM documents)
         |GROUP BY word ORDER BY est_count DESC, item ASC LIMIT 20""".stripMargin,
+
+    // gaps-and-islands replay with session_window's conventions:
+    // window end = last event + gap, and the end is EXCLUSIVE — an
+    // event landing exactly at prev + gap opens a NEW session (>=,
+    // unlike the flatMapGroupsWithState twin's strict >)
+    "stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 1 HOUR THEN 1 ELSE 0 END AS ns
+        |  FROM e),
+        |g AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        | epoch_us(min(ts)) AS session_start_us,
+        | epoch_us(max(ts) + INTERVAL 1 HOUR) AS session_end_us,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     // maintained-state twin of v_metric_anomaly: the incrementally
     // folded decimal rollup must be indistinguishable from the batch
