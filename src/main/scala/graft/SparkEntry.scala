@@ -753,6 +753,42 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q7_nation_volume" -> ((s, d) => {
+      // TPC-H Q7 shape: cross-border trade flows — revenue per
+      // (supplier nation, customer nation, ship year) where the two
+      // nations differ. Two broadcast probes of the SAME nation dim
+      // under different roles; facts shuffle once for the aggregate.
+      val supN = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("__snk"), col("n_name").as("supp_nation")))
+      val cusN = broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("__cnk"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(supN, col("s_nationkey") === col("__snk"))
+        .join(cusN, col("c_nationkey") === col("__cnk"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "q10_returned_revenue" -> ((s, d) =>
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returns —
+      // returned-flag facts through broadcast dims, then a DISTRIBUTED
+      // top-k (TakeOrdered), never a global sort
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
     "q5_supplier_volume" -> ((s, d) => {
       // TPC-H Q5 shape: five-way join through the region hierarchy with a
       // co-nation condition, revenue per nation
@@ -3746,6 +3782,33 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |GROUP BY l_orderkey, o_date
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS ship_year,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
 
     "q5_supplier_volume" ->
       """SELECT r_name, n_name,

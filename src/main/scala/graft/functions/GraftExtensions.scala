@@ -65,7 +65,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => QuantileSketchAgg(children.head,
         Seq(litDouble("quantile_sketch", "p (the probability)", children, arity = 2)),
         1 << 16)))
+    // the maintained-rollup sketch trio: store registers, union stored
+    // blobs, read the estimate — all usable from plain SQL
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      info(classOf[HllSketchAgg], "hll_sketch",
+        "hll_sketch(s, p) - serialized HLL register array of s (mergeable rollup state)"),
+      (children: Seq[Expression]) => HllSketchAgg(children.head,
+        litInt("hll_sketch", "p (the register precision)", children, arity = 2))))
+    ext.injectFunction((
+      FunctionIdentifier("hll_union"),
+      info(classOf[HllUnionAgg], "hll_union",
+        "hll_union(blob) - register-max union of serialized HLL sketches"),
+      (children: Seq[Expression]) => { requireArity("hll_union", children, 1)
+        HllUnionAgg(children.head) }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_estimate"),
+      info(classOf[HllEstimateExpr], "hll_estimate",
+        "hll_estimate(blob) - cardinality estimate of a serialized HLL sketch"),
+      (children: Seq[Expression]) => { requireArity("hll_estimate", children, 1)
+        HllEstimateExpr(children.head) }))
   }
+
+  private def requireArity(fn: String, children: Seq[Expression], n: Int): Unit =
+    if (children.size != n)
+      analysisError(fn, s"expected $n argument(s), got ${children.size}")
 
   /** The shingle width must be a foldable INT — anything else (BIGINT
     * literal, NULL, a column) gets a proper analysis error naming the

@@ -35,6 +35,19 @@ class SqlSketchFunctionsSpec extends SparkSpec {
     assert(p50 == Seq(51.0)) // rank floor(0.5·100) = 50 → value 51
   }
 
+  test("hll_sketch/hll_union/hll_estimate compose in SQL like the Column API") {
+    (1 to 2000).map(i => ("g" + (i % 3), s"k${i % 900}")).toDF("g", "k")
+      .createOrReplaceTempView("hsk_in")
+    // store per-group registers, then union them and read the estimate —
+    // the maintained-rollup shape, end to end in SQL
+    val sql = spark.sql(
+      """SELECT hll_estimate(hll_union(sk)) FROM
+        |  (SELECT g, hll_sketch(k, 8) AS sk FROM hsk_in GROUP BY g)""".stripMargin)
+      .head().getDouble(0)
+    val direct = spark.sql("SELECT hll_distinct(k, 8) FROM hsk_in").head().getDouble(0)
+    assert(sql == direct) // union-of-partials equals the one-shot sketch
+  }
+
   test("non-literal or wrong-typed sketch parameters are analysis errors") {
     Seq(("a", 1)).toDF("s", "n").createOrReplaceTempView("bad_in")
     val e1 = intercept[Exception] {
