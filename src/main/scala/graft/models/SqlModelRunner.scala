@@ -462,10 +462,11 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     try {
       val (raw, _) = modelOf(name)
       val (cfg, body0) = ModelSql.extractConfig(ModelSql.stripComments(raw))
-      if (!Set("ignore", "sync_all_columns").contains(cfg.onSchemaChange))
+      if (!Set("ignore", "append_new_columns", "sync_all_columns")
+            .contains(cfg.onSchemaChange))
         throw new IllegalArgumentException(
           s"model '$name': unsupported on_schema_change '${cfg.onSchemaChange}' " +
-          "(supported: ignore, sync_all_columns)")
+          "(supported: ignore, append_new_columns, sync_all_columns)")
       val st = store(name)
       val incrementalRun =
         execute && cfg.materialized == "incremental" && st.latestVersion.isDefined
@@ -517,11 +518,19 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
         case "incremental" =>
           if (!incrementalRun) st.snapshot(selected)
           else if (cfg.uniqueKey.nonEmpty) {
-            // dbt's merge strategy; on_schema_change routes the algebra
+            // dbt's merge strategy; on_schema_change routes the algebra:
+            // ignore freezes the target schema; append_new_columns adds
+            // new source columns but keeps ones the source dropped
+            // (upsertEvolving's exact contract); sync_all_columns
+            // additionally DROPS target columns the source no longer
+            // carries — the result schema IS the source's
             val tcfg = TableConfig(name, null, cfg.uniqueKey)
             val merged = cfg.onSchemaChange match {
+              case "append_new_columns" =>
+                MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
               case "sync_all_columns" =>
                 MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
+                  .select(selected.columns.head, selected.columns.tail: _*)
               case _ => MergeEngine.upsert(st.read.get, selected, tcfg)
             }
             st.snapshot(merged)

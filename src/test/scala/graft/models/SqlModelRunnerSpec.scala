@@ -354,10 +354,31 @@ class SqlModelRunnerSpec extends SparkSpec {
     val ignored = ri.run("m")
     assert(ignored.columns.toSeq == Seq("id", "v"))
     // any other value is rejected loudly instead of silently ignored
-    val (rf, _) = mk("append_new_columns")
+    val (rf, _) = mk("full_refresh_nonsense")
     rf.addSource("ods", "s", Seq((1, "a")).toDF("id", "v"))
     val e = intercept[IllegalArgumentException](rf.run("m"))
     assert(e.getMessage.contains("on_schema_change"))
+  }
+
+  test("append_new_columns keeps source-dropped columns; sync_all_columns drops them") {
+    def build(onChange: String): SqlModelRunner = {
+      val r = new SqlModelRunner(spark, freshRoot())
+      r.addModel("m", s"{{ config(materialized='incremental', unique_key='id', " +
+        s"on_schema_change='$onChange') }} SELECT * FROM {{ source('ods', 's') }}")
+      r.addSource("ods", "s", Seq((1, "a", 10)).toDF("id", "v", "old"))
+      r.run("m")
+      // the producer DROPS 'old' and ADDS 'w'
+      r.addSource("ods", "s", Seq((2, "b", "extra")).toDF("id", "v", "w"))
+      r
+    }
+    // dbt append_new_columns: 'w' lands, 'old' survives (new rows NULL)
+    val ap = build("append_new_columns").run("m")
+    assert(ap.columns.toSeq == Seq("id", "v", "old", "w"))
+    assert(canon(ap) == Seq(Seq("1", "a", "10", "null"), Seq("2", "b", "null", "extra")))
+    // dbt sync_all_columns: schema follows the source — 'old' is dropped
+    val sy = build("sync_all_columns").run("m")
+    assert(sy.columns.toSeq == Seq("id", "v", "w"))
+    assert(canon(sy) == Seq(Seq("1", "a", "null"), Seq("2", "b", "extra")))
   }
 
   test("macro args: nested calls and quoted commas survive; unbalanced parens fail loudly") {
