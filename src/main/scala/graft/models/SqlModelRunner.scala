@@ -27,7 +27,11 @@ final case class ModelConfig(
     appendMaxChain: Int = 16,
     // dbt snapshot keys (timestamp strategy)
     strategy: Option[String] = None,
-    updatedAt: Option[String] = None)
+    updatedAt: Option[String] = None,
+    // dbt incremental_strategy: merge (default with unique_key),
+    // delete+insert, insert_overwrite (needs partition_by), append
+    incrementalStrategy: Option[String] = None,
+    partitionBy: Option[String] = None)
 
 /** dbt-style test bindings for a model — `not_null` / `unique` /
   * `expression_is_true(count(*)>0)` as declared in
@@ -85,6 +89,8 @@ object ModelSql {
           case "append_max_chain" => cfg = cfg.copy(appendMaxChain = scalar.toInt)
           case "strategy"         => cfg = cfg.copy(strategy = Option(scalar))
           case "updated_at"       => cfg = cfg.copy(updatedAt = Option(scalar))
+          case "incremental_strategy" => cfg = cfg.copy(incrementalStrategy = Option(scalar))
+          case "partition_by"     => cfg = cfg.copy(partitionBy = Option(scalar))
           case _                  => // alias/tags/etc: parsed, unused
         }
       }
@@ -516,33 +522,66 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
         case "table" =>
           st.snapshot(selected); st.read.get
         case "incremental" =>
-          if (!incrementalRun) st.snapshot(selected)
-          else if (cfg.uniqueKey.nonEmpty) {
-            // dbt's merge strategy; on_schema_change routes the algebra:
-            // ignore freezes the target schema; append_new_columns adds
-            // new source columns but keeps ones the source dropped
-            // (upsertEvolving's exact contract); sync_all_columns
-            // additionally DROPS target columns the source no longer
-            // carries — the result schema IS the source's
-            val tcfg = TableConfig(name, null, cfg.uniqueKey)
-            val merged = cfg.onSchemaChange match {
-              case "append_new_columns" =>
-                MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
-              case "sync_all_columns" =>
-                MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
-                  .select(selected.columns.head, selected.columns.tail: _*)
-              case _ => MergeEngine.upsert(st.read.get, selected, tcfg)
-            }
-            st.snapshot(merged)
-            // batch + keys for the enclosing run()'s O(batch) test scope
-            // (only the keyed-merge shape has a sound incremental scope;
-            // append models keep full checks)
-            lastIncrementalBatch = Some((selected, cfg.uniqueKey))
+          // dbt incremental_strategy routing; the historical default is
+          // merge-with-unique_key, append without one
+          val strategy = cfg.incrementalStrategy.getOrElse(
+            if (cfg.uniqueKey.nonEmpty) "merge" else "append")
+          strategy match {
+            case "merge" | "delete+insert" =>
+              if (cfg.uniqueKey.isEmpty) throw new IllegalArgumentException(
+                s"model '$name': incremental_strategy '$strategy' requires unique_key")
+            case "insert_overwrite" =>
+              if (cfg.partitionBy.isEmpty) throw new IllegalArgumentException(
+                s"model '$name': insert_overwrite requires partition_by")
+            case "append" =>
+            case other => throw new IllegalArgumentException(
+              s"model '$name': unsupported incremental_strategy '$other' " +
+              "(supported: merge, delete+insert, insert_overwrite, append)")
           }
-          // append strategy: version-additive — O(batch) bytes per run,
-          // auto-compacted once the delta chain exceeds append_max_chain
-          // so read amplification stays bounded over unbounded runs
-          else st.append(selected, cfg.appendMaxChain)
+          if (!incrementalRun) st.snapshot(selected)
+          else strategy match {
+            case "merge" =>
+              // on_schema_change routes the algebra: ignore freezes the
+              // target schema; append_new_columns adds new source columns
+              // but keeps ones the source dropped (upsertEvolving's exact
+              // contract); sync_all_columns additionally DROPS target
+              // columns the source no longer carries
+              val tcfg = TableConfig(name, null, cfg.uniqueKey)
+              val merged = cfg.onSchemaChange match {
+                case "append_new_columns" =>
+                  MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
+                case "sync_all_columns" =>
+                  MergeEngine.upsertEvolving(st.read.get, selected, tcfg)
+                    .select(selected.columns.head, selected.columns.tail: _*)
+                case _ => MergeEngine.upsert(st.read.get, selected, tcfg)
+              }
+              st.snapshot(merged)
+              // batch + keys for the enclosing run()'s O(batch) test scope
+              lastIncrementalBatch = Some((selected, cfg.uniqueKey))
+            case "delete+insert" =>
+              // dbt's delete+insert: remove EVERY target row whose key
+              // appears in the batch, then insert the batch VERBATIM —
+              // unlike merge it keeps duplicate-key batch rows (the
+              // append-with-corrections shape some warehouses prefer)
+              val tgt = st.read.get
+              val batchKeys = selected
+                .select(cfg.uniqueKey.head, cfg.uniqueKey.tail: _*).distinct()
+              val merged = tgt.join(batchKeys, cfg.uniqueKey, "left_anti")
+                .unionByName(selected.select(tgt.columns.head, tgt.columns.tail: _*))
+              st.snapshot(merged)
+              lastIncrementalBatch = Some((selected, cfg.uniqueKey))
+            case "insert_overwrite" =>
+              // dbt's insert_overwrite: replace exactly the partitions
+              // the batch touches (dynamic partition overwrite semantics,
+              // NULL partition included)
+              st.snapshot(MergeEngine.dynamicPartitionOverwrite(
+                st.read.get, selected, cfg.partitionBy.get))
+            case _ =>
+              // append: version-additive — O(batch) bytes per run,
+              // auto-compacted past append_max_chain so read
+              // amplification stays bounded over unbounded runs
+              st.append(selected, cfg.appendMaxChain)
+          }
           st.read.get
         case other =>
           throw new IllegalArgumentException(

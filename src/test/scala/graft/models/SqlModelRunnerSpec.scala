@@ -360,6 +360,49 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("on_schema_change"))
   }
 
+  test("incremental_strategy delete+insert: batch keys replaced, duplicate batch rows kept") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addModel("m", "{{ config(materialized='incremental', unique_key='id', " +
+      "incremental_strategy='delete+insert') }} SELECT * FROM {{ source('ods', 's') }}")
+    r.addSource("ods", "s", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    r.run("m")
+    // second batch restates id=1 with TWO rows (a correction pair a
+    // keyed merge would collapse) and inserts id=3
+    r.addSource("ods", "s", Seq((1, "a1"), (1, "a2"), (3, "c")).toDF("id", "v"))
+    val out = r.run("m")
+    assert(canon(out) == Seq(
+      Seq("1", "a1"), Seq("1", "a2"), Seq("2", "b"), Seq("3", "c")))
+  }
+
+  test("incremental_strategy insert_overwrite: only touched partitions replaced") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addModel("m", "{{ config(materialized='incremental', " +
+      "incremental_strategy='insert_overwrite', partition_by='day') }} " +
+      "SELECT * FROM {{ source('ods', 's') }}")
+    r.addSource("ods", "s",
+      Seq(("d1", 1, 10), ("d1", 2, 20), ("d2", 3, 30)).toDF("day", "id", "v"))
+    r.run("m")
+    // the batch rewrites d1 with ONE row; d2 must be untouched
+    r.addSource("ods", "s", Seq(("d1", 9, 99)).toDF("day", "id", "v"))
+    val out = r.run("m")
+    assert(canon(out) == Seq(Seq("d1", "9", "99"), Seq("d2", "3", "30")))
+  }
+
+  test("incremental_strategy combos are validated loudly") {
+    def bad(cfgStr: String): String = {
+      val r = new SqlModelRunner(spark, freshRoot())
+      r.addModel("m", s"{{ config($cfgStr) }} SELECT * FROM {{ source('ods', 's') }}")
+      r.addSource("ods", "s", Seq((1, "a")).toDF("id", "v"))
+      intercept[IllegalArgumentException](r.run("m")).getMessage
+    }
+    assert(bad("materialized='incremental', incremental_strategy='insert_overwrite'")
+      .contains("partition_by"))
+    assert(bad("materialized='incremental', incremental_strategy='delete+insert'")
+      .contains("unique_key"))
+    assert(bad("materialized='incremental', unique_key='id', incremental_strategy='bogus'")
+      .contains("incremental_strategy"))
+  }
+
   test("append_new_columns keeps source-dropped columns; sync_all_columns drops them") {
     def build(onChange: String): SqlModelRunner = {
       val r = new SqlModelRunner(spark, freshRoot())
