@@ -1647,6 +1647,15 @@ object SparkEntry {
     }),
 
     // ── validation (SURVEY §2.10) ─────────────────────────────────────
+    "v_accepted_values" -> ((s, d) =>
+      // the dbt accepted_values test's failing rows: event types outside
+      // the declared domain (planted: 'error' is excluded), NULLs exempt
+      graft.validate.Checks.acceptedValuesViolations(
+          Tables.events(s, d).withColumn("event_type",
+            when(col("event_id") % 101 === 0, lit(null)).otherwise(col("event_type"))),
+          "event_type", Seq("view", "click", "purchase", "signup"))
+        .select("event_id", "event_type")),
+
     "v_fk_orphans" -> ((s, d) => {
       // referential integrity (the dbt `relationships` test): lineitems
       // whose order no longer exists (parent thinned by %97), with
@@ -4693,6 +4702,14 @@ object SparkEntry {
     "m_time_travel" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, round(value, 6) AS value
         |FROM events""".stripMargin,
+
+    // out-of-domain rows only; the planted NULLs are exempt
+    "v_accepted_values" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 101 = 0 THEN NULL ELSE event_type END AS event_type
+        |FROM events
+        |WHERE event_id % 101 <> 0
+        |  AND event_type NOT IN ('view', 'click', 'purchase', 'signup')""".stripMargin,
 
     // NULL foreign keys are unknown, not dangling — only non-null keys
     // missing from the thinned parent are failing rows

@@ -41,7 +41,9 @@ final case class ModelConfig(
 final case class ModelTests(
     notNull: Seq[String] = Nil,
     unique: Seq[String] = Nil,
-    nonEmpty: Boolean = false)
+    nonEmpty: Boolean = false,
+    // dbt accepted_values: column -> allowed domain (string-compared)
+    acceptedValues: Map[String, Seq[String]] = Map.empty)
 
 /** Jinja-lite parsing for dbt model text. Pure functions, spec-covered.
   *
@@ -403,7 +405,8 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
   private def checksFor(df: DataFrame, t: ModelTests): Seq[CheckResult] =
     (if (t.notNull.nonEmpty) Seq(Checks.notNull(df, t.notNull)) else Nil) ++
     (if (t.unique.nonEmpty) Seq(Checks.unique(df, t.unique)) else Nil) ++
-    (if (t.nonEmpty) Seq(Checks.nonEmpty(df)) else Nil)
+    (if (t.nonEmpty) Seq(Checks.nonEmpty(df)) else Nil) ++
+    t.acceptedValues.toSeq.map { case (c, vs) => Checks.acceptedValues(df, c, vs) }
 
   /** Incremental test scope: verify this run PRESERVED the declared
     * invariants at O(batch) cost instead of re-proving them over the
@@ -436,7 +439,10 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     (if (t.unique.nonEmpty)
        Seq(if (keys.forall(t.unique.contains)) Checks.unique(slice, t.unique)
            else Checks.unique(full, t.unique)) else Nil) ++
-    (if (t.nonEmpty) Seq(Checks.nonEmpty(full)) else Nil) // limit(1) — O(1) either way
+    (if (t.nonEmpty) Seq(Checks.nonEmpty(full)) else Nil) ++ // limit(1) — O(1) either way
+    // accepted_values is per-row local, so the batch-slice induction
+    // argument holds exactly as for not_null
+    t.acceptedValues.toSeq.map { case (c, vs) => Checks.acceptedValues(slice, c, vs) }
   }
 
   /** The model's current relation — READ-ONLY: a view compiles fresh with

@@ -87,6 +87,26 @@ object Checks {
       .join(p, childKeys, "left_anti")
   }
 
+  /** dbt's `accepted_values` test: rows whose column value falls
+    * outside the declared domain (NULLs are not violations — dbt pairs
+    * this with `not_null` when both are wanted). One filter, no
+    * shuffle; the failing rows, like every dbt test's compiled query. */
+  def acceptedValuesViolations(df: DataFrame, column: String,
+                               values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "accepted_values needs at least one value")
+    df.filter(col(column).isNotNull &&
+      !col(column).cast("string").isin(values: _*))
+  }
+
+  /** Verdict wrapper over [[acceptedValuesViolations]]. */
+  def acceptedValues(df: DataFrame, column: String,
+                     values: Seq[String]): CheckResult = {
+    val n = acceptedValuesViolations(df, column, values).count()
+    CheckResult(s"accepted_values($column)", n == 0,
+      if (n == 0) "all values in domain"
+      else s"$n rows outside ${values.mkString("[", ", ", "]")}")
+  }
+
   /** The pass/fail wrapper over [[fkOrphans]] — the dbt
     * `relationships` test verdict. */
   def referentialIntegrity(child: DataFrame, childKeys: Seq[String],

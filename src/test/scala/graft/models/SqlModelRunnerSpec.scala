@@ -360,6 +360,17 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("on_schema_change"))
   }
 
+  test("accepted_values model test enforces the domain per run") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addModel("m", "{{ config(materialized='table') }} SELECT * FROM {{ source('ods', 's') }}",
+      ModelTests(acceptedValues = Map("t" -> Seq("a", "b"))))
+    r.addSource("ods", "s", Seq((1, "a"), (2, "b")).toDF("id", "t"))
+    r.run("m") // in-domain: passes
+    r.addSource("ods", "s", Seq((3, "zz")).toDF("id", "t"))
+    val e = intercept[IllegalStateException](r.run("m"))
+    assert(e.getMessage.contains("accepted_values"))
+  }
+
   test("incremental_strategy delete+insert: batch keys replaced, duplicate batch rows kept") {
     val r = new SqlModelRunner(spark, freshRoot())
     r.addModel("m", "{{ config(materialized='incremental', unique_key='id', " +

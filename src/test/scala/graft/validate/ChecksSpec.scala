@@ -48,6 +48,15 @@ class ChecksSpec extends SparkSpec {
     assert(canon(orphans.select("a", "b")) == Seq(Seq("1", "y")))
   }
 
+  test("acceptedValues: out-of-domain rows surface; NULLs are not violations") {
+    import spark.implicits._
+    val df = Seq(Some("view"), Some("click"), Some("weird"), None).toDF("t")
+    val v = Checks.acceptedValuesViolations(df, "t", Seq("view", "click"))
+    assert(canon(v) == Seq(Seq("weird")))
+    assert(!Checks.acceptedValues(df, "t", Seq("view", "click")).passed)
+    assert(Checks.acceptedValues(df, "t", Seq("view", "click", "weird")).passed)
+  }
+
   test("A3 rowCountReconciles + enforce throws on failure") {
     assert(Checks.rowCountReconciles(5, 5).passed)
     assert(!Checks.rowCountReconciles(5, 4).passed)
