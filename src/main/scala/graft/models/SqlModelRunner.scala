@@ -31,7 +31,10 @@ final case class ModelConfig(
     // dbt incremental_strategy: merge (default with unique_key),
     // delete+insert, insert_overwrite (needs partition_by), append
     incrementalStrategy: Option[String] = None,
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None,
+    // dbt snapshot check strategy: the tracked columns ('all' → every
+    // non-key column)
+    checkCols: Seq[String] = Nil)
 
 /** dbt-style test bindings for a model — `not_null` / `unique` /
   * `expression_is_true(count(*)>0)` as declared in
@@ -93,6 +96,7 @@ object ModelSql {
           case "updated_at"       => cfg = cfg.copy(updatedAt = Option(scalar))
           case "incremental_strategy" => cfg = cfg.copy(incrementalStrategy = Option(scalar))
           case "partition_by"     => cfg = cfg.copy(partitionBy = Option(scalar))
+          case "check_cols"       => cfg = cfg.copy(checkCols = asList)
           case _                  => // alias/tags/etc: parsed, unused
         }
       }
@@ -313,15 +317,15 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     * incremental scope checks that THIS run preserved the invariant at
     * O(batch) cost; pass `incrementalTests = false` for dbt-parity
     * full-relation verification (e.g. a nightly audit pass). */
-  def runSnapshot(name: String, incrementalTests: Boolean = true): DataFrame = {
+  def runSnapshot(name: String, incrementalTests: Boolean = true,
+                  asOf: Option[java.sql.Timestamp] = None): DataFrame = {
     val (raw, tests) = snapshots.getOrElse(name,
       throw new NoSuchElementException(s"snapshot '$name' not registered"))
     val (cfg, body0) = ModelSql.extractConfig(ModelSql.stripComments(raw))
-    require(cfg.strategy.forall(_ == "timestamp"),
-      s"snapshot '$name': unsupported strategy '${cfg.strategy.get}' (supported: timestamp)")
+    val strategy = cfg.strategy.getOrElse("timestamp")
+    require(strategy == "timestamp" || strategy == "check",
+      s"snapshot '$name': unsupported strategy '$strategy' (supported: timestamp, check)")
     require(cfg.uniqueKey.nonEmpty, s"snapshot '$name' needs unique_key")
-    val updatedAt = cfg.updatedAt.getOrElse(
-      throw new IllegalArgumentException(s"snapshot '$name' needs updated_at"))
     var body = ModelSql.SourceRe.replaceAllIn(body0, m => {
       val key = (m.group(1), m.group(2))
       val df = sources.getOrElse(key, throw new NoSuchElementException(
@@ -339,10 +343,46 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
     body = ModelSql.expandMacros(body, macros)
     val st = store(name)
     val batch = spark.sql(body)
-    st.snapshot(MergeEngine.scd2Merge(st.read, batch, cfg.uniqueKey, updatedAt))
+    val (toMerge, cursorCol) = strategy match {
+      case "timestamp" =>
+        // row-supplied cursor: the source tells us when each row changed
+        (batch, cfg.updatedAt.getOrElse(throw new IllegalArgumentException(
+          s"snapshot '$name' needs updated_at")))
+      case _ =>
+        // dbt check strategy: a key versions when any TRACKED column
+        // differs from its CURRENT version (null-safely) or the key is
+        // new; unchanged keys are untouched — changes confined to
+        // untracked columns are deliberately NOT captured (dbt's
+        // contract). The cursor is the run's as-of instant, stamped on
+        // exactly the changed slice.
+        import org.apache.spark.sql.functions.{col, lit, not}
+        val tracked =
+          if (cfg.checkCols.isEmpty || cfg.checkCols == Seq("all"))
+            batch.columns.toSeq.filterNot(cfg.uniqueKey.contains)
+          else cfg.checkCols
+        val missing = tracked.filterNot(batch.columns.contains)
+        require(missing.isEmpty,
+          s"snapshot '$name': check_cols not in the batch: ${missing.mkString(", ")}")
+        val changed = st.read match {
+          case None => batch
+          case Some(h) =>
+            val cur = h.filter(col("is_current"))
+              .select((cfg.uniqueKey ++ tracked).map(col): _*)
+              .toDF((cfg.uniqueKey ++ tracked.map("__cur_" + _)): _*)
+            val joined = batch.join(cur, cfg.uniqueKey, "left")
+            val diff = tracked.map(c => not(col(c) <=> col("__cur_" + c)))
+              .reduce(_ || _)
+            joined.filter(diff).select(batch.columns.map(col): _*)
+        }
+        val t = asOf.getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+        require(!batch.columns.contains("dbt_updated_at"),
+          s"snapshot '$name': the check strategy stamps dbt_updated_at — rename the batch column")
+        (changed.withColumn("dbt_updated_at", lit(t)), "dbt_updated_at")
+    }
+    st.snapshot(MergeEngine.scd2Merge(st.read, toMerge, cfg.uniqueKey, cursorCol))
     val out = st.read.get
     if (incrementalTests)
-      Checks.enforce(scopedChecks(out, batch, cfg.uniqueKey, tests))
+      Checks.enforce(scopedChecks(out, toMerge, cfg.uniqueKey, tests))
     else Checks.enforce(checksFor(out, tests))
     out
   }

@@ -360,6 +360,39 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("on_schema_change"))
   }
 
+  test("snapshot check strategy: tracked-column changes version, untracked ones do not") {
+    import java.sql.Timestamp
+    def ts(d: String) = Timestamp.valueOf(d + " 00:00:00")
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addSnapshot("snap",
+      "{{ config(strategy='check', unique_key='id', check_cols=['tier']) }} " +
+      "SELECT * FROM {{ source('ods', 'c') }}")
+    r.addSource("ods", "c",
+      Seq((1, "gold", "x"), (2, "silver", "y")).toDF("id", "tier", "note"))
+    r.runSnapshot("snap", asOf = Some(ts("2024-01-01")))
+    // id=1: TRACKED tier changes; id=2: only the untracked note changes
+    r.addSource("ods", "c",
+      Seq((1, "platinum", "x"), (2, "silver", "y2"), (3, "bronze", "z"))
+        .toDF("id", "tier", "note"))
+    val out = r.runSnapshot("snap", asOf = Some(ts("2024-02-01")))
+    val hist = out.collect().map(rr => (rr.getAs[Int]("id"), rr.getAs[String]("tier"),
+      rr.getAs[Boolean]("is_current"))).toSet
+    assert(hist == Set(
+      (1, "gold", false), (1, "platinum", true),   // versioned
+      (2, "silver", true),                          // untracked change: untouched
+      (3, "bronze", true)))                         // new key
+    // id=2 kept its ORIGINAL note — check strategy does not capture
+    // untracked-column drift (dbt's contract)
+    val note2 = out.filter(col("id") === 2).select("note").head().getString(0)
+    assert(note2 == "y")
+    // a third run with NO tracked changes commits no new versions
+    val before = out.count()
+    r.addSource("ods", "c",
+      Seq((1, "platinum", "x9"), (2, "silver", "y9"), (3, "bronze", "z9"))
+        .toDF("id", "tier", "note"))
+    assert(r.runSnapshot("snap", asOf = Some(ts("2024-03-01"))).count() == before)
+  }
+
   test("accepted_values model test enforces the domain per run") {
     val r = new SqlModelRunner(spark, freshRoot())
     r.addModel("m", "{{ config(materialized='table') }} SELECT * FROM {{ source('ods', 's') }}",
