@@ -503,11 +503,24 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
 
   private def materialize(name: String): DataFrame = compile(name, execute = true)
 
+  /** dbt `--full-refresh`: rebuild an incremental model from scratch —
+    * the is_incremental() blocks resolve FALSE and the full recompute
+    * snapshots over the stored state (prior versions stay readable
+    * under the TableStore's retention, exactly like any snapshot run).
+    * Upstream refs still run normally; only the named model refreshes. */
+  def runFullRefresh(name: String): DataFrame = {
+    val df = compile(name, execute = true, fullRefresh = true)
+    val (_, tests) = modelOf(name)
+    Checks.enforce(checksFor(df, tests))
+    df
+  }
+
   /** Compile the model's SELECT and, when `execute`, apply its
     * materialization. With `execute = false` refs resolve to stored
     * relations instead of running upstream models (the read-only path
     * behind [[relation]]/[[test]]). */
-  private def compile(name: String, execute: Boolean): DataFrame = {
+  private def compile(name: String, execute: Boolean,
+                      fullRefresh: Boolean = false): DataFrame = {
     require(!resolving.contains(name),
       s"model cycle: ${(resolving.toSeq :+ name).mkString(" -> ")}")
     resolving += name
@@ -521,7 +534,8 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
           "(supported: ignore, append_new_columns, sync_all_columns)")
       val st = store(name)
       val incrementalRun =
-        execute && cfg.materialized == "incremental" && st.latestVersion.isDefined
+        execute && cfg.materialized == "incremental" &&
+          st.latestVersion.isDefined && !fullRefresh
 
       var body = ModelSql.applyIncrementalBlocks(body0, incrementalRun)
 

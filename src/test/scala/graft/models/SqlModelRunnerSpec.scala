@@ -360,6 +360,25 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("on_schema_change"))
   }
 
+  test("runFullRefresh rebuilds an incremental model from scratch") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addModel("m",
+      "{{ config(materialized='incremental', unique_key='id') }} " +
+      "SELECT * FROM {{ source('ods', 's') }} " +
+      "{% if is_incremental() %} WHERE id > (SELECT MAX(id) FROM {{ this }}) {% endif %}")
+    r.addSource("ods", "s", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    r.run("m")
+    // the source RESTATES id=1; the watermark guard hides it from an
+    // incremental run, and a plain run keeps serving the stale row
+    r.addSource("ods", "s", Seq((1, "a9"), (2, "b")).toDF("id", "v"))
+    assert(canon(r.run("m")) == Seq(Seq("1", "a"), Seq("2", "b")))
+    // full refresh recomputes without the is_incremental() guard
+    assert(canon(r.runFullRefresh("m")) == Seq(Seq("1", "a9"), Seq("2", "b")))
+    // and subsequent incremental runs continue from the refreshed state
+    r.addSource("ods", "s", Seq((1, "a9"), (2, "b"), (3, "c")).toDF("id", "v"))
+    assert(canon(r.run("m")) == Seq(Seq("1", "a9"), Seq("2", "b"), Seq("3", "c")))
+  }
+
   test("snapshot check strategy: tracked-column changes version, untracked ones do not") {
     import java.sql.Timestamp
     def ts(d: String) = Timestamp.valueOf(d + " 00:00:00")
