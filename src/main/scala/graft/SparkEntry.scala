@@ -753,6 +753,43 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q14_promo_revenue" -> ((s, d) =>
+      // TPC-H Q14 shape: promo revenue share per ship month — one
+      // broadcast part probe, decimal-exact numerator/denominator in
+      // a single conditional aggregate (no second pass for the total)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(
+          decSum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0)), 6).as("promo_revenue"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("total_revenue"))
+        // exact decimal sums; the ratio goes double at the end (decimal
+        // division scale conventions differ across engines)
+        .select(col("ship_month"),
+          col("promo_revenue").cast("double").as("promo_revenue"),
+          col("total_revenue").cast("double").as("total_revenue"),
+          round(lit(100) * col("promo_revenue").cast("double") /
+            col("total_revenue").cast("double"), 6).as("promo_pct"))),
+
+    "q19_disjunctive_filter" -> ((s, d) =>
+      // TPC-H Q19 shape: a disjunction of conjunctive brand/size/qty
+      // bands — the OR-of-ANDs predicate class that breaks naive
+      // pushdown; revenue over the union of the bands, one scan
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(20, 50)))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     "q7_nation_volume" -> ((s, d) => {
       // TPC-H Q7 shape: cross-border trade flows — revenue per
       // (supplier nation, customer nation, ship year) where the two
@@ -3791,6 +3828,28 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |GROUP BY l_orderkey, o_date
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        | CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+        | round(100 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |   / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
+    "q19_disjunctive_filter" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50)""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
