@@ -753,6 +753,23 @@ object SparkEntry {
         .limit(10)
     }),
 
+    "q18_large_volume" -> ((s, d) => {
+      // TPC-H Q18 shape: HAVING over an aggregate as the join spine —
+      // the big-order keys reduce FIRST (partial+final sum, tiny
+      // result), then broadcast back against orders and the customer
+      // dim; the fact table never joins at full width
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(decSum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("total_qty").cast("double").as("total_qty"))
+    }),
+
     "q14_promo_revenue" -> ((s, d) =>
       // TPC-H Q14 shape: promo revenue share per ship month — one
       // broadcast part probe, decimal-exact numerator/denominator in
@@ -3828,6 +3845,17 @@ object SparkEntry {
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |GROUP BY l_orderkey, o_date
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q18_large_volume" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |  CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
     "q14_promo_revenue" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
