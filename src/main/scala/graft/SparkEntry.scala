@@ -2799,6 +2799,18 @@ object SparkEntry {
           "t", Seq("blocked.example.com"))
         .select(col("doc_id"))),
 
+    "pack_length_buckets" -> ((s, d) => {
+      // sorted batching: docs bucket by floor(log2(tokens)) before the
+      // greedy pack, and the per-bucket padding-waste report is the
+      // number the bucketing exists to shrink. Greedy order (doc_id
+      // within bucket) replayed row-by-row by the oracle recursion.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      graft.llm.Packing.paddingWaste(
+        graft.llm.Packing.packByLengthBucket(docs, "doc_id", "nt", capacity = 128),
+        capacity = 128)
+    }),
+
     "pack_sequences" -> ((s, d) =>
       // greedy sequence packing into 256-token bins, keyed by lang —
       // the oracle replays the same greedy recursion in SQL
@@ -5981,6 +5993,33 @@ object SparkEntry {
          |WHERE len(list_filter(regexp_extract_all(t, '(?i)https?://\\S+'),
          |          u -> lower(regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1))
          |               IN ('blocked.example.com'))) = 0""".stripMargin,
+
+    // the same greedy recursion, keyed by the log2 length bucket, then
+    // the waste arithmetic: n_bins*capacity − tokens
+    "pack_length_buckets" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS nt
+        |  FROM documents),
+        |b AS (SELECT doc_id, nt,
+        |        CAST(floor(log2(CAST(nt AS DOUBLE))) AS BIGINT) AS bk,
+        |        row_number() OVER (PARTITION BY CAST(floor(log2(CAST(nt AS DOUBLE))) AS BIGINT)
+        |                           ORDER BY doc_id) AS rn
+        |      FROM d WHERE nt > 0),
+        |p AS (
+        |  SELECT doc_id, bk, nt, rn, CAST(0 AS BIGINT) AS bin_id, nt AS fill
+        |  FROM b WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.doc_id, b.bk, b.nt, b.rn,
+        |         CASE WHEN p.fill + b.nt <= 128 THEN p.bin_id ELSE p.bin_id + 1 END,
+        |         CASE WHEN p.fill + b.nt <= 128 THEN p.fill + b.nt ELSE b.nt END
+        |  FROM p JOIN b ON b.bk = p.bk AND b.rn = p.rn + 1)
+        |SELECT CAST(bk AS VARCHAR) AS len_bucket, count(*) AS n_docs,
+        |  CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST((max(bin_id) + 1) * 128 - sum(nt) AS BIGINT) AS padding_waste
+        |FROM p GROUP BY 1""".stripMargin,
 
     "pack_sequences" ->
       """WITH RECURSIVE d AS (

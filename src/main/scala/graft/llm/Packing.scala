@@ -65,4 +65,30 @@ object Packing {
       }
       .toDF()
   }
+
+  /** LENGTH-BUCKETED packing (sorted batching): documents group by
+    * `floor(log2(tokens))` before the greedy first-fit runs per
+    * bucket — similar-length sequences pack together, which is the
+    * standard padding-waste lever for training batches (a 500-token
+    * doc never strands 3500 tokens of a 4096 bin shared with shorts).
+    * Empty documents are excluded (no tokens to pack). Same greedy
+    * replay contract as [[packGreedy]], per bucket. */
+  def packByLengthBucket(docs: DataFrame, idCol: String, tokCol: String,
+                         capacity: Long): DataFrame = {
+    val n = coalesce(col(tokCol).cast("long"), lit(0L))
+    val bucketed = docs.filter(n > 0)
+      .withColumn("len_bucket", floor(log2(n.cast("double"))).cast("long"))
+    packGreedy(bucketed, "len_bucket", idCol, tokCol, capacity)
+  }
+
+  /** Per-bucket padding-waste report over a [[packByLengthBucket]]
+    * result: bins opened, tokens packed, and the padding a
+    * fixed-capacity batch of each bin would waste — the number the
+    * bucketing exists to shrink. */
+  def paddingWaste(packed: DataFrame, capacity: Long): DataFrame =
+    packed.groupBy(col("pack_key").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("bin_id")) + 1).as("n_bins"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("padding_waste", col("n_bins") * capacity - col("n_tokens"))
 }
