@@ -153,6 +153,40 @@ case class BloomMightContain(left: Expression, right: Expression, mBits: Int, k:
   override def prettyName: String = "bloom_might_contain"
 }
 
+/** [[BloomMightContain]] with the bit width carried BY the filter
+  * (mBits = 8 · bytes) rather than baked into the plan — the probe form
+  * for STATS TABLES, where the filter column is data whose size is a
+  * write-time decision ([[graft.pipeline.Layout.buildZoneMaps]] lets
+  * each table pick its own `bloomBits`). Same hash family, same null
+  * propagation, same codegen shape. */
+case class BloomSelfSizedProbe(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, STRING), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(filter: Any, value: Any): Any = {
+    val bits = filter.asInstanceOf[Array[Byte]]
+    BloomUtil.mightContain(bits, value.asInstanceOf[UTF8String], k, bits.length * 8)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, v) =>
+      s"${ev.value} = graft.functions.BloomUtil.mightContain($f, $v, $k, $f.length * 8);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "bloom_probe_self_sized"
+}
+
 /** Column-API entry points. */
 object BloomOps {
   def bloomBuild(value: Column, mBits: Int = 1 << 18, k: Int = 4): Column =
@@ -163,4 +197,10 @@ object BloomOps {
                         mBits: Int = 1 << 18, k: Int = 4): Column =
     GraftBridge.column(BloomMightContain(
       GraftBridge.expression(filter), GraftBridge.expression(value), mBits, k))
+
+  /** Probe a filter column whose bit width is its own byte length × 8 —
+    * for stats-table filters of write-time-chosen size. */
+  def bloomProbeSelfSized(filter: Column, value: Column, k: Int = 4): Column =
+    GraftBridge.column(BloomSelfSizedProbe(
+      GraftBridge.expression(filter), GraftBridge.expression(value), k))
 }

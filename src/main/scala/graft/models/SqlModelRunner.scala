@@ -355,11 +355,14 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
         // untracked columns are deliberately NOT captured (dbt's
         // contract). The cursor is the run's as-of instant, stamped on
         // exactly the changed slice.
-        import org.apache.spark.sql.functions.{col, lit, not}
+        import org.apache.spark.sql.functions.{col, lit, max, not}
         val tracked =
           if (cfg.checkCols.isEmpty || cfg.checkCols == Seq("all"))
             batch.columns.toSeq.filterNot(cfg.uniqueKey.contains)
           else cfg.checkCols
+        require(tracked.nonEmpty,
+          s"snapshot '$name': check strategy needs at least one tracked column, " +
+            "but every batch column is part of the unique key")
         val missing = tracked.filterNot(batch.columns.contains)
         require(missing.isEmpty,
           s"snapshot '$name': check_cols not in the batch: ${missing.mkString(", ")}")
@@ -374,7 +377,21 @@ final class SqlModelRunner(spark: SparkSession, storeRoot: String, macrosText: S
               .reduce(_ || _)
             joined.filter(diff).select(batch.columns.map(col): _*)
         }
-        val t = asOf.getOrElse(new java.sql.Timestamp(System.currentTimeMillis()))
+        // default stamp: clamped to strictly after the newest open
+        // version — scd2Merge's cursor > valid_from filter silently
+        // drops a batch stamped at or before it, so two runs in the
+        // same millisecond (or a clock regression) must still advance.
+        // An explicit asOf is the caller's replay contract and is
+        // taken verbatim.
+        val t = asOf.getOrElse {
+          val now = new java.sql.Timestamp(System.currentTimeMillis())
+          val openMax = st.read.flatMap(h => Option(
+            h.filter(col("is_current")).agg(max(col("valid_from")))
+              .head.getTimestamp(0)))
+          openMax.filter(!_.before(now))
+            .map(m => new java.sql.Timestamp(m.getTime + 1))
+            .getOrElse(now)
+        }
         require(!batch.columns.contains("dbt_updated_at"),
           s"snapshot '$name': the check strategy stamps dbt_updated_at — rename the batch column")
         (changed.withColumn("dbt_updated_at", lit(t)), "dbt_updated_at")

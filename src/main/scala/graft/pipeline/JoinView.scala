@@ -43,14 +43,30 @@ import org.apache.spark.sql.functions._
   */
 object JoinView {
 
-  private val StateFile = "_joinview_state"
+  private val StateFile = "_joinview_state"       // legacy fixed-name marker (read-only compat)
+  private val MarkerPrefix = "_joinview_state_v=" // versioned markers, atomic-rename committed
+
+  private def markerSeqs(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
 
   /** (folded fact version, folded dim version); (0, 0) before the
     * first tick — `changes(0, v)` reads as all-inserts, so the
-    * bootstrap tick IS a full build through the same code path. */
+    * bootstrap tick IS a full build through the same code path.
+    * Reads the HIGHEST-sequenced marker: a crash after the marker
+    * rename but before old-marker cleanup leaves extras behind, never
+    * a gap, so there is no window in which the fold state vanishes
+    * (the old delete-then-rename of one fixed file had exactly that
+    * window — a crash between the two silently re-folded from (0,0),
+    * an unbounded full rebuild appended as deltas). */
   def foldedVersions(spark: SparkSession, viewRoot: String): (Int, Int) = {
-    val p = new Path(viewRoot, StateFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(viewRoot)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seqs = markerSeqs(fs, dir)
+    val p = if (seqs.nonEmpty) new Path(viewRoot, MarkerPrefix + seqs.max)
+            else new Path(viewRoot, StateFile) // pre-versioning layout
     if (!fs.exists(p)) (0, 0)
     else {
       val in = fs.open(p)
@@ -64,13 +80,24 @@ object JoinView {
     val dir = new Path(viewRoot)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val tmp = new Path(viewRoot, s".tmp_$StateFile")
+    val old = markerSeqs(fs, dir)
+    val next = (0L +: old).max + 1
+    val tmp = new Path(viewRoot, s".tmp_$StateFile$next")
     val out = fs.create(tmp, true)
     try out.write(s"$f $d".getBytes("UTF-8")) finally out.close()
-    fs.delete(new Path(viewRoot, StateFile), false)
-    if (!fs.rename(tmp, new Path(viewRoot, StateFile)))
+    // the rename IS the commit; everything after is best-effort cleanup
+    if (!fs.rename(tmp, new Path(viewRoot, MarkerPrefix + next)))
       throw new java.io.IOException(s"failed to commit join-view state of $viewRoot")
+    old.foreach(v => fs.delete(new Path(viewRoot, MarkerPrefix + v), false))
+    fs.delete(new Path(viewRoot, StateFile), false)
   }
+
+  /** Administrative rewind: commit a marker pointing at earlier folded
+    * versions so the NEXT [[maintain]] re-folds from there. Safe by the
+    * same idempotence contract crash-recovery relies on — re-folding an
+    * already-applied delta reconciles to the same view. */
+  def rewind(spark: SparkSession, viewRoot: String, f: Int, d: Int): Unit =
+    writeFolded(spark, viewRoot, f, d)
 
   /** Streaming binding — the view maintained AT CADENCE: drain the CDC
     * feed, upsert each micro-batch into the fact store, then fold one
@@ -132,15 +159,19 @@ object JoinView {
     val fUpserts = fcdf.map(_.filter(col("_change") =!= "delete").drop("_change"))
     val fDeletes = fcdf.map(_.filter(col("_change") === "delete").drop("_change"))
 
-    // dim-side delta: the changed key set (tiny — collect to decide the
-    // steady-state skip and drive a broadcast semi-join otherwise)
-    val dChangedKeys =
-      if (d0 == d1 || dim.changedValues(d0, d1).isEmpty) Seq.empty[Any]
-      else dim.changes(d0, d1, Seq(dimKey)).select(dimKey).distinct()
-        .collect().map(_.get(0)).toSeq
+    // dim-side delta: the steady-state skip is decided from the
+    // MANIFEST diff alone (no data read); when dim partitions did
+    // change, the changed-key set stays a DISTRIBUTED frame and the
+    // fact scan is a broadcast LEFT SEMI join over it — a dim
+    // mass-update (every key changed, the nightly snapshot-refresh
+    // case) is then one fact scan against a broadcast hash set, never
+    // a driver-collected `isin` literal list
     val dimTouched =
-      if (dChangedKeys.isEmpty) None
-      else fact.read.map(_.filter(col(dimKey).isin(dChangedKeys: _*)))
+      if (d0 == d1 || dim.changedValues(d0, d1).isEmpty) None
+      else {
+        val changedKeys = dim.changes(d0, d1, Seq(dimKey)).select(dimKey).distinct()
+        fact.read.map(dimTouchedFact(_, changedKeys, dimKey))
+      }
 
     val refresh = (fUpserts.toSeq ++ dimTouched.toSeq)
       .reduceOption(_.unionByName(_))
@@ -158,4 +189,12 @@ object JoinView {
     writeFolded(spark, viewRoot, f1, d1)
     (f1, d1)
   }
+
+  /** The dim-touched fact slice: fact rows referencing a changed dim
+    * key, as a broadcast semi-join (PlanSpec asserts the shape —
+    * BroadcastHashJoin LeftSemi, no literal IN list of unbounded
+    * arity). Factored out so the plan is testable in isolation. */
+  private[graft] def dimTouchedFact(fact: DataFrame, changedKeys: DataFrame,
+                                    dimKey: String): DataFrame =
+    fact.join(broadcast(changedKeys), Seq(dimKey), "left_semi")
 }

@@ -188,25 +188,12 @@ object Layout {
     def skipped: Int = totalFiles - selectedFiles
   }
 
-  /** Total order over the stat value types zone maps carry (integral,
-    * floating, string, date/time). Integral pairs compare exactly (no
-    * double round-trip — a long above 2^53 would alias); mixed numeric
-    * pairs via double; everything else via natural Comparable order,
-    * which is also the order Spark used to compute the min/max. */
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-    case (x: Int, y: Int)       => java.lang.Integer.compare(x, y)
-    case (x: Long, y: Int)      => java.lang.Long.compare(x, y.toLong)
-    case (x: Int, y: Long)      => java.lang.Long.compare(x.toLong, y)
-    case (x: Number, y: Number) =>
-      java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-    case (x: Comparable[_], _)  => x.asInstanceOf[Comparable[Any]].compareTo(b)
-    case _ => throw new IllegalArgumentException(
-      s"unorderable zone-map bound: ${a.getClass} vs ${b.getClass}")
-  }
-
-  /** Zone-map-pruned read: consult the stats table on the driver, keep
-    * only files whose [min, max] interval can intersect EVERY
+  /** Zone-map-pruned read: filter the stats table — as a DataFrame, so
+    * the admissibility test runs distributed and only SURVIVOR FILE
+    * NAMES reach the driver (at 100 TB with small files the stats table
+    * itself is millions of rows; the full-collect form would move every
+    * min/max/bloom bitmap through the driver just to throw most away) —
+    * keep only files whose [min, max] interval can intersect EVERY
     * predicate's range, then read just those files and re-apply the
     * full residual predicate. A file whose min stat is NULL holds only
     * NULLs for that column and is skipped (no null matches a range).
@@ -221,36 +208,31 @@ object Layout {
     require(preds.nonEmpty, "prunedRead needs at least one predicate")
     val zm = spark.read.parquet(s"$dir/$ZoneMapDir")
     val statCols = zm.columns.toSet
-    val rows = zm.collect()
-    def rangeAdmits(r: org.apache.spark.sql.Row, column: String,
-                    lo: Option[Any], hi: Option[Any]): Boolean =
-      if (!statCols.contains(s"min_$column")) true
+    // stats comparisons use the SAME engine comparison semantics that
+    // computed the min/max at build time (Spark's own type coercion)
+    def rangeAdmits(column: String, lo: Option[Any], hi: Option[Any]): Column =
+      if (!statCols.contains(s"min_$column")) lit(true)
       else {
-        val minV = r.getAs[Any](s"min_$column")
-        val maxV = r.getAs[Any](s"max_$column")
-        if (minV == null || maxV == null) false // all-null file for this column
-        else hi.forall(h => cmp(minV, h) <= 0) && lo.forall(l => cmp(maxV, l) >= 0)
+        val mn = col(s"min_$column"); val mx = col(s"max_$column")
+        val bounds = hi.map(h => mn <= lit(h)).toSeq ++ lo.map(l => mx >= lit(l))
+        (Seq(mn.isNotNull && mx.isNotNull) ++ bounds).reduce(_ && _)
       }
-    def bloomAdmits(r: org.apache.spark.sql.Row, column: String, v: Any): Boolean =
-      if (!statCols.contains(s"bloom_$column")) true
-      else {
-        val bits = r.getAs[Array[Byte]](s"bloom_$column")
-        if (bits == null) true
-        else graft.functions.BloomUtil.mightContain(bits,
-          org.apache.spark.unsafe.types.UTF8String.fromString(String.valueOf(v)),
-          BloomK, bits.length * 8)
-      }
-    val survivors = rows.filter { r =>
-      preds.forall {
-        case RangePred(c, lo, hi) => rangeAdmits(r, c, lo, hi)
-        case EqPred(c, v) =>
-          rangeAdmits(r, c, Some(v), Some(v)) && bloomAdmits(r, c, v)
-      }
-    }.map(_.getAs[String]("file"))
+    def bloomAdmits(column: String, v: Any): Column =
+      if (!statCols.contains(s"bloom_$column")) lit(true)
+      else col(s"bloom_$column").isNull ||
+        graft.functions.BloomOps.bloomProbeSelfSized(
+          col(s"bloom_$column"), lit(String.valueOf(v)), BloomK)
+    val admits = preds.map {
+      case RangePred(c, lo, hi) => rangeAdmits(c, lo, hi)
+      case EqPred(c, v) => rangeAdmits(c, Some(v), Some(v)) && bloomAdmits(c, v)
+    }.reduce(_ && _)
+    val total = zm.count()
+    val survivors = zm.filter(admits).select("file")
+      .collect().map(_.getString(0))
     val residual = preds.map(_.residual).reduce(_ && _)
     val df =
       if (survivors.isEmpty) spark.read.parquet(dir).filter(lit(false))
       else spark.read.parquet(survivors.toIndexedSeq: _*).filter(residual)
-    (df, PruneStats(rows.length, survivors.length))
+    (df, PruneStats(total.toInt, survivors.length))
   }
 }

@@ -475,8 +475,9 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
   /** Drop segments no live manifest references and manifests older than
     * the newest `keepManifests` (time travel horizon). Safe against
     * crashed writers: an orphaned segment was never referenced, so
-    * deleting it cannot affect any reader. */
-  def vacuum(keepManifests: Int = 2): Unit = {
+    * deleting it cannot affect any reader. Defaults to the store's
+    * configured retention so explicit and automatic vacuums agree. */
+  def vacuum(keepManifests: Int = this.mergeBatchKeepManifests): Unit = {
     val keep = manifestVersions.takeRight(keepManifests)
     val referenced = keep.flatMap(readManifest(_).values).toSet
     val rootP = new Path(root)

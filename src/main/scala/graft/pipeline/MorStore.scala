@@ -235,8 +235,12 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
 
   /** Drop segments no kept manifest references and manifests beyond the
     * retention horizon — same crash-safety argument as
-    * [[ManifestStore.vacuum]]. */
-  def vacuum(keepManifests: Int = 2): Unit = {
+    * [[ManifestStore.vacuum]]. Defaults to the store's CONFIGURED
+    * retention so an explicit `store.vacuum()` and the automatic
+    * [[mergeBatch]] vacuum agree — a lower ad-hoc default would
+    * silently shrink the time-travel / join-view fold horizon below
+    * what the store was built to keep. */
+  def vacuum(keepManifests: Int = this.keepManifests): Unit = {
     val keep = manifestVersions.takeRight(keepManifests)
     val referenced = keep.flatMap(readManifest(_).values.flatten).toSet
     val rootP = new Path(root)

@@ -162,9 +162,15 @@ object TabularFile {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
       .cache()
-    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol)
+    // materialize the split ONCE (eager localCheckpoint cuts the
+    // corrupt-column lineage and its blocks are released by the context
+    // cleaner when the frames go out of scope), then drop the parse
+    // cache — a bare .cache() handed to the caller would pin executor
+    // memory for the whole session across repeated landing reads
+    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol).localCheckpoint()
     val quarantine = raw.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("raw_line"))
+      .select(col(corruptCol).as("raw_line")).localCheckpoint()
+    raw.unpersist()
     (finish(good, cfg, requiredKeys, withEtlDate), quarantine)
   }
 

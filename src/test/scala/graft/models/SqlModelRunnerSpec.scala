@@ -412,6 +412,39 @@ class SqlModelRunnerSpec extends SparkSpec {
     assert(r.runSnapshot("snap", asOf = Some(ts("2024-03-01"))).count() == before)
   }
 
+  test("snapshot check strategy: default stamp clamps past the open version") {
+    // simulate the same-millisecond / clock-regression case
+    // deterministically: the open version is stamped in 2099, so a
+    // wall-clock default lands BEFORE it — without the clamp, scd2's
+    // cursor > valid_from filter would silently drop the new version
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addSnapshot("snap",
+      "{{ config(strategy='check', unique_key='id', check_cols=['tier']) }} " +
+      "SELECT * FROM {{ source('ods', 'c') }}")
+    r.addSource("ods", "c", Seq((1, "gold")).toDF("id", "tier"))
+    val future = java.sql.Timestamp.valueOf("2099-01-01 00:00:00")
+    r.runSnapshot("snap", asOf = Some(future))
+    r.addSource("ods", "c", Seq((1, "platinum")).toDF("id", "tier"))
+    val out = r.runSnapshot("snap") // default (wall-clock) stamp, clamped
+    val hist = out.collect().map(rr =>
+      (rr.getAs[String]("tier"), rr.getAs[Boolean]("is_current"),
+        rr.getAs[java.sql.Timestamp]("valid_from"))).toSet
+    assert(hist.map(h => (h._1, h._2)) == Set(("gold", false), ("platinum", true)),
+      s"regressed-clock run must still version, got $hist")
+    val platFrom = hist.find(_._1 == "platinum").get._3
+    assert(platFrom.getTime == future.getTime + 1, s"clamp must stamp open+1ms, got $platFrom")
+  }
+
+  test("snapshot check strategy refuses a batch with no trackable columns") {
+    val r = new SqlModelRunner(spark, freshRoot())
+    r.addSnapshot("snap",
+      "{{ config(strategy='check', unique_key='id') }} " +
+      "SELECT * FROM {{ source('ods', 'c') }}")
+    r.addSource("ods", "c", Seq(Tuple1(1)).toDF("id")) // key-only batch
+    val e = intercept[IllegalArgumentException](r.runSnapshot("snap"))
+    assert(e.getMessage.contains("tracked column"))
+  }
+
   test("accepted_values model test enforces the domain per run") {
     val r = new SqlModelRunner(spark, freshRoot())
     r.addModel("m", "{{ config(materialized='table') }} SELECT * FROM {{ source('ods', 's') }}",

@@ -115,9 +115,7 @@ class JoinViewSpec extends SparkSpec {
     val after = canon(view.read.get.select("id", "v", "seg"))
     // crash simulation: rewind the marker to before the second tick and
     // re-fold the identical delta
-    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(s"$t/view/_joinview_state"), true)
-    out.write("1 1".getBytes("UTF-8")); out.close()
+    JoinView.rewind(spark, s"$t/view", 1, 1)
     tick(t, view, fact, dim)
     assert(canon(view.read.get.select("id", "v", "seg")) == after)
     assert(JoinView.foldedVersions(spark, s"$t/view") == (2, 1))
@@ -145,6 +143,37 @@ class JoinViewSpec extends SparkSpec {
     assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
       recompute(fact, dim).select("id", "ck", "v", "seg"))
     assert(view.read.get.filter(col("seg") === "platinum").count() == 2) // ids 1 and 3
+  }
+
+  test("dim MASS-update: replacing every dim row in one commit still folds correctly") {
+    // the nightly snapshot-refresh case: 100% of dim keys "change" —
+    // the tick must re-join the whole referencing fact slice (here: all
+    // of it) through the broadcast semi path, not a driver literal list
+    val (t, fact, dim, view) = setup()
+    val n = 500
+    fact.upsert((1 to n).map(i => (i.toLong, (i % 50).toLong, s"p${i % 4}", i.toDouble))
+      .toDF("id", "ck", "p", "v"), factCfg)
+    dim.upsert((0 until 50).map(k => (k.toLong, "d1", s"seg$k")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    // one commit rewrites EVERY dim row with a new attribute value
+    dim.upsert((0 until 50).map(k => (k.toLong, "d1", s"SEG$k")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
+      recompute(fact, dim).select("id", "ck", "v", "seg"))
+    assert(view.read.get.filter(col("seg").startsWith("SEG")).count() == n)
+  }
+
+  test("the dim-touched fact slice is a broadcast LEFT SEMI join, never an IN literal") {
+    import org.apache.spark.sql.functions.lit
+    val fact = (1 to 100).map(i => (i.toLong, (i % 10).toLong)).toDF("id", "ck")
+    val keys = (0 until 10).map(k => Tuple1(k.toLong)).toDF("ck")
+    val touched = JoinView.dimTouchedFact(fact, keys, "ck")
+    val plan = touched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"dim-touched scan must be a broadcast semi-join:\n$plan")
+    assert(!touched.queryExecution.optimizedPlan.toString.contains(" IN ("),
+      s"no literal IN list allowed:\n${touched.queryExecution.optimizedPlan}")
+    assertSameRows(touched.select("id", "ck"), fact.select("id", "ck")) // every ck is in keys
   }
 
   test("colliding non-key columns between fact and dim are refused") {

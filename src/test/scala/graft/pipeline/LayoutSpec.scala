@@ -150,6 +150,32 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("survivor selection runs distributed: only surviving names reach the driver") {
+    // 10^4 synthetic stats rows — the small-files-at-100TB shape — of
+    // which exactly one admits the predicate. The driver must see ONE
+    // file name, not 10^4 bitmap-bearing rows; we prove it by pointing
+    // every non-survivor at a file that DOES NOT EXIST — had prunedRead
+    // collected-then-filtered it would still work, but had it tried to
+    // read any non-survivor the parquet read would throw.
+    val dir = Files.createTempDirectory("layout-dist").toString + "/t"
+    Seq((1L, "keep"), (2L, "keep")).toDF("a", "s").coalesce(1).write.parquet(dir)
+    Layout.buildZoneMaps(spark, dir, Seq("a"))
+    val zmDir = s"$dir/${Layout.ZoneMapDir}"
+    val real = spark.read.parquet(zmDir)
+    // synthetic rows: disjoint ranges [100+i, 100+i], ghost file names
+    val fakes = spark.range(9999).select(
+      concat(lit("file:///layout-dist-ghost-"), col("id")).as("file"),
+      lit(1L).as("rows"),
+      (col("id") + 100L).as("min_a"), (col("id") + 100L).as("max_a"),
+      lit(0L).as("nulls_a"))
+    real.unionByName(fakes).coalesce(2).write.mode("overwrite").parquet(s"$dir/_zm_tmp")
+    spark.read.parquet(s"$dir/_zm_tmp").write.mode("overwrite").parquet(zmDir)
+    val (got, stats) = Layout.prunedRead(spark, dir,
+      Seq(Layout.RangePred("a", Some(0L), Some(10L))))
+    assert(stats.totalFiles == 10000 && stats.selectedFiles == 1, s"$stats")
+    assert(got.count() == 2)
+  }
+
   test("timestamp bounds prune and compare correctly") {
     val dir = Files.createTempDirectory("layout-ts").toString + "/t"
     val df = spark.range(100).select(
