@@ -417,19 +417,53 @@ object SparkEntry {
   private val MojibakeCleanSuffix =
     "caf\u00e9 na\u00efve \u2014 \u201cquoted\u201d"
 
+  /** Multiscript twin for the byte-level tokenizer: every document gets
+    * one appended CJK / Hangul / emoji word (3- and 4-byte UTF-8) keyed
+    * by doc_id \u2014 the slice where a char-level vocabulary shreds into
+    * rare singleton tokens and the byte fallback is the standard
+    * answer. Same Spark-expression / SQL-expression pair contract as
+    * [[plantedHtml]]. */
+  private val MultiscriptWords = Seq(
+    "\u4e16\u754c", "\u65e5\u672c\u8a9e", "\ud83d\ude00\ud83d\ude00",
+    "\uacb0\uacfc", "\u4f60\u597d")
+
+  private def plantedMultiscript: Column = concat(col("text"), lit(" "),
+    element_at(array(MultiscriptWords.map(lit): _*),
+      pmod(col("doc_id"), lit(5)).cast("int") + 1))
+
+  private val plantedMultiscriptSql: String =
+    "text || ' ' || (CASE doc_id % 5" +
+      MultiscriptWords.init.zipWithIndex
+        .map { case (w, i) => s" WHEN $i THEN '$w'" }.mkString +
+      s" ELSE '${MultiscriptWords.last}' END)"
+
+  private val multiscriptDocsRel: String =
+    s"(SELECT doc_id, source, $plantedMultiscriptSql AS text FROM documents)"
+
   private val plantedParagraphSql: String =
     """concat_ws(chr(10),
       | 'intro ' || substr(text, 1, 80),
       | CASE WHEN doc_id % 4 = 0 THEN 'subscribe to our newsletter for updates and follow us on social media today' ELSE 'note ' || CAST(doc_id AS VARCHAR) END,
       | CASE WHEN doc_id % 7 = 0 THEN 'copyright example corp all rights reserved unauthorized reproduction prohibited' ELSE 'tail ' || substr(text, 81, 60) END)""".stripMargin.replace("\n", "")
 
+  /** The two seed-sequence renderings, shared by every BPE oracle:
+    * char-level splits codepoints; byte-level renders UTF-8 bytes as
+    * two-hex-digit symbols — both replayed bit-exactly by DuckDB. */
+  private def bpeSeedSql(byteLevel: Boolean): String =
+    if (byteLevel)
+      "regexp_replace(lower(hex(encode(word))), '(..)', '\\1 ', 'g') || '</w>'"
+    else "array_to_string(string_split(word, ''), ' ') || ' </w>'"
+
   /** The BPE-training oracle, program-generated: k unrolled CTE layers
     * of (pair-count p_i → argmax b_i → rewritten vocab w_i), replaying
     * Bpe.trainMerges' exact algebra — including the two-pass padded
-    * sequential replace and the lexicographic tie-break. */
-  private def bpeOracleSql(k: Int): String = {
-    val tok = "SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word FROM documents"
-    val w0 = s"w0 AS MATERIALIZED (SELECT word, freq, array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq FROM (SELECT word, count(*) AS freq FROM ($tok) GROUP BY word))"
+    * sequential replace and the lexicographic tie-break. `docsRel` is
+    * the corpus relation (a planted-twin subquery for the multiscript
+    * fixtures). */
+  private def bpeOracleSql(k: Int, byteLevel: Boolean = false,
+                           docsRel: String = "documents"): String = {
+    val tok = s"SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word FROM $docsRel"
+    val w0 = s"w0 AS MATERIALIZED (SELECT word, freq, ${bpeSeedSql(byteLevel)} AS seq FROM (SELECT word, count(*) AS freq FROM ($tok) GROUP BY word))"
     def rewrite(i: Int): String = {
       val best = s"(SELECT pair FROM b$i)"
       val merged = s"(SELECT replace(pair, ' ', '') FROM b$i)"
@@ -467,6 +501,22 @@ object SparkEntry {
         .select("step", "pair").collect()
         .map(r => (r.getInt(0), r.getString(1))).toSeq
       stageLogger("bpe_shared")("bpe_train", (System.nanoTime() - t0) / 1e9)
+      rules
+    })
+
+  /** Byte-mode twin of [[trainedMergeRules]]: trained on the
+    * multiscript fixture with the byte seed, memoized per (dir, k). */
+  private val byteMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[(Int, String)]]()
+  private def byteMergeRules(s: SparkSession, d: String, k: Int): Seq[(Int, String)] =
+    byteMergeCache.computeIfAbsent((d, k), _ => {
+      val t0 = System.nanoTime()
+      val rules = graft.llm.Bpe.trainMerges(
+          Tables.documents(s, d).withColumn("text", plantedMultiscript),
+          "text", k, byteLevel = true)
+        .select("step", "pair").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      stageLogger("bpe_shared")("bpe_train_bytes", (System.nanoTime() - t0) / 1e9)
       rules
     })
 
@@ -604,8 +654,9 @@ object SparkEntry {
   /** The fertility twin: the encoding chain over ALL docs, joined back
     * to sources — word counts from the word expansion, token/OOV counts
     * from the token expansion under a top-`v` id budget. */
-  private def bpeFertilityOracleSql(k: Int, v: Int): String = {
-    val train = bpeOracleSql(k)
+  private def bpeFertilityOracleSql(k: Int, v: Int, byteLevel: Boolean = false,
+                                    docsRel: String = "documents"): String = {
+    val train = bpeOracleSql(k, byteLevel, docsRel)
     val ctes = train.substring(0, train.lastIndexOf("\nSELECT 1 AS step"))
     s"""$ctes,
        |vocab AS (SELECT word, string_split(seq, ' ') AS toks FROM w$k),
@@ -616,13 +667,13 @@ object SparkEntry {
        |dw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS wpos
        |       FROM (SELECT doc_id,
        |               list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
-       |             FROM documents)),
+       |             FROM $docsRel)),
        |dt AS (SELECT doc_id, wpos, unnest(v.toks) AS token FROM dw JOIN vocab v USING (word)),
        |words_by_src AS (SELECT doc.source, count(*) AS n_words
-       |       FROM dw JOIN documents doc USING (doc_id) GROUP BY doc.source),
+       |       FROM dw JOIN $docsRel doc USING (doc_id) GROUP BY doc.source),
        |toks_by_src AS (SELECT doc.source, count(*) AS n_tokens,
        |         sum(CASE WHEN i.token_id > $v THEN 1 ELSE 0 END) AS n_oov
-       |       FROM dt JOIN ids i USING (token) JOIN documents doc USING (doc_id)
+       |       FROM dt JOIN ids i USING (token) JOIN $docsRel doc USING (doc_id)
        |       GROUP BY doc.source)
        |SELECT source, CAST(n_words AS BIGINT) AS n_words,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -955,6 +1006,94 @@ object SparkEntry {
           AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
                                    FROM __q2_lineitem l2
                                    WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
+    "q13_custdist" -> ((s, d) => {
+      // TPC-H Q13 shape: LEFT OUTER count distribution — customers with
+      // ZERO (non-excluded) orders must appear in the c_count=0 bucket,
+      // which an inner join silently drops; the filter rides the join
+      // condition, not a WHERE (post-join filtering would also drop the
+      // zero bucket). Two hash aggregates, no window, no global sort.
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(!col("o_orderpriority").startsWith("1-"))
+        .select("o_custkey", "o_orderkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // counts non-null only
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    "q17_small_qty_revenue" -> ((s, d) => {
+      // TPC-H Q17 shape: correlated AVG subquery (revenue lost to
+      // small-quantity orders) — like q2, written as the correlated
+      // form so CATALYST decorrelates it into one per-part aggregate +
+      // join; per-row re-execution at 100 TB is the O(n²) trap
+      // (PlanSpec asserts a single join of aggregated avgs, never a
+      // nested-loop re-scan)
+      Tables.part(s, d).createOrReplaceTempView("__q17_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("__q17_lineitem")
+      s.sql("""
+        SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,10)) / 7.0 AS DOUBLE) AS avg_yearly,
+               count(*) AS n_small
+        FROM __q17_lineitem l JOIN __q17_part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type LIKE 'MEDIUM%'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM __q17_lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
+    "q21_waiting_supplier" -> ((s, d) => {
+      // TPC-H Q21 shape: the EXISTS / NOT-EXISTS chain as explicit
+      // semi/anti joins — the supplier who returned goods (R) on a
+      // finished multi-supplier order where NO other supplier also
+      // returned. The classic wrong plan is a count-filter self-join
+      // (count suppliers per order, filter = 1) which shuffles the
+      // whole fact twice and breaks under the three-way predicate;
+      // semi/anti keeps each probe row un-duplicated and short-circuits
+      // per key (PlanSpec asserts LeftSemi + LeftAnti, no aggregate
+      // before the joins).
+      val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_returnflag")
+      val fOrders = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val othersFailed = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(others,
+          col("l_orderkey") === col("k2") && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(othersFailed,
+          col("l_orderkey") === col("k3") && col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+    }),
+
+    "q22_dormant_balance" -> ((s, d) => {
+      // TPC-H Q22 shape: substring prefilter spine + scalar-average
+      // threshold + NOT EXISTS anti join — above-average-balance
+      // customers in selected "country code" groups (last-2-digit
+      // c_name proxy; the fixture has no phone column) who never
+      // ordered RECENTLY (the fixture's every customer has SOME order,
+      // so dormancy is no-order-since-2001). The anti join is the
+      // point: a NOT IN over a 100 TB orders scan must become one
+      // LeftAnti hash probe on a date-pruned build side.
+      Tables.customer(s, d).createOrReplaceTempView("__q22_customer")
+      Tables.orders(s, d).createOrReplaceTempView("__q22_orders")
+      s.sql("""
+        SELECT cntrycode, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM (SELECT substr(c_name, -2) AS cntrycode, c_acctbal, c_custkey
+              FROM __q22_customer
+              WHERE substr(c_name, -2) IN ('01','12','23','34','45','56','67')) c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM __q22_customer
+                           WHERE c_acctbal > 0.0
+                             AND substr(c_name, -2) IN ('01','12','23','34','45','56','67'))
+          AND NOT EXISTS (SELECT 1 FROM __q22_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY cntrycode""")
     }),
 
     "j1_region_summary" -> ((s, d) => {
@@ -2287,6 +2426,27 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       graft.llm.Bpe.sourceFertility(docs, "doc_id", "text", "source",
         trainedMergeRules(s, d, k = 10), vocabSize = 20)
+    }),
+
+    "bpe_train_bytes" -> ((s, d) =>
+      // BYTE-level training: UTF-8 bytes as two-hex-digit base symbols
+      // — the OOV-free multilingual mode (any string segments by
+      // construction). Trained on the multiscript twin so CJK/emoji
+      // byte pairs actually compete for merges; same unrolled oracle,
+      // byte seed
+      graft.llm.Bpe.trainMerges(
+        Tables.documents(s, d).withColumn("text", plantedMultiscript),
+        "text", k = 10, byteLevel = true)),
+
+    "bpe_byte_fertility" -> ((s, d) => {
+      // the fertility dashboard in BYTE mode on the multiscript twin:
+      // bytes-per-word runs hot exactly on the 3–4-byte-per-char
+      // slices (that is the honest cost of OOV-freedom), and oov_frac
+      // stays structurally low because every byte is in-vocabulary —
+      // the comparison bpe_source_fertility surfaces for char mode
+      val docs = Tables.documents(s, d).withColumn("text", plantedMultiscript)
+      graft.llm.Bpe.sourceFertility(docs, "doc_id", "text", "source",
+        byteMergeRules(s, d, k = 10), vocabSize = 20, byteLevel = true)
     }),
 
     "pipeline_curation_funnel" -> ((s, d) => {
@@ -3997,6 +4157,48 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,10)) / 7.0 AS DOUBLE) AS avg_yearly,
+        |       count(*) AS n_small
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_type LIKE 'MEDIUM%'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                      FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
+
+    "q22_dormant_balance" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM (SELECT substr(c_name, -2) AS cntrycode, c_acctbal, c_custkey
+        |      FROM customer
+        |      WHERE substr(c_name, -2) IN ('01','12','23','34','45','56','67')) c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0
+        |                     AND substr(c_name, -2) IN ('01','12','23','34','45','56','67'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY cntrycode""".stripMargin,
+
     "skew_salted_agg" ->
       """SELECT event_type,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -4138,6 +4340,13 @@ object SparkEntry {
     "bpe_encode_ids" -> bpeEncodeOracleSql(10, 25),
 
     "bpe_source_fertility" -> bpeFertilityOracleSql(10, 20),
+
+    // byte-seeded training/fertility on the multiscript twin — the
+    // identical unrolled chain with hex(encode(word)) as the seed
+    "bpe_train_bytes" -> bpeOracleSql(10, byteLevel = true, docsRel = multiscriptDocsRel),
+
+    "bpe_byte_fertility" ->
+      bpeFertilityOracleSql(10, 20, byteLevel = true, docsRel = multiscriptDocsRel),
 
     // the chained replay: C4 clean → Gopher (minWords 20) on the
     // CLEANED text → first-doc-per-md5 dedup, with the same

@@ -35,14 +35,33 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Distinct-word frequency table with the initial character-level
-    * symbol sequence ("low" → "l o w </w>"). */
-  private[llm] def wordVocab(docs: DataFrame, textCol: String): DataFrame =
+  /** Distinct-word frequency table with the initial symbol sequence.
+    *
+    * Character level (`byteLevel = false`): "low" → "l o w </w>" —
+    * compact merges, but a codepoint unseen at train time is
+    * unsegmentable (OOV by construction).
+    *
+    * Byte level (`byteLevel = true`): each word's UTF-8 bytes as
+    * two-hex-digit symbols — "low" → "6c 6f 77 </w>", "日" →
+    * "e6 97 a5 </w>". The base alphabet is ≤256 symbols, so EVERY
+    * string segments (OOV-free by construction) — the standard answer
+    * for multilingual corpora where a char-level vocabulary shreds
+    * CJK/emoji into rare singleton tokens. The hex rendering keeps the
+    * whole merge algebra in plain strings (space-joined sequences, the
+    * same two-pass rewrite) and is replayed verbatim by the SQL oracle
+    * via hex(encode(word)). */
+  private[llm] def wordVocab(docs: DataFrame, textCol: String,
+                             byteLevel: Boolean = false): DataFrame = {
+    val seed =
+      if (byteLevel)
+        concat(regexp_replace(lower(hex(encode(col("word"), "UTF-8"))),
+          "(..)", "$1 "), lit("</w>"))
+      else concat(concat_ws(" ", split(col("word"), "")), lit(" </w>"))
     docs.select(explode(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("seq",
-        concat(concat_ws(" ", split(col("word"), "")), lit(" </w>")))
+      .withColumn("seq", seed)
+  }
 
   /** Adjacent-symbol pair counts over the current vocabulary, weighted
     * by word frequency. */
@@ -64,16 +83,24 @@ object Bpe {
     trim(pass(pass(concat(lit(" "), seq, lit(" ")))))
   }
 
-  /** Train `k` merge rules on the corpus. Returns one row per learned
-    * rule: (step, pair, merged, n) — `pair` the space-separated symbol
-    * pair, `merged` its concatenation, `n` the weighted occurrence
-    * count that won the step. Stops early if no pair remains (every
-    * word fused to a single symbol). */
-  def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  /** EXACT-greedy training of `k` merge rules — the ORACLE/SPEC path:
+    * one sequential Spark job per merge makes it the bit-exact replay
+    * target for the SQL oracle and the m=1 equivalence proof, but puts
+    * k driver round-trips on the critical path. Production training
+    * goes through [[trainMergesBatched]] (⌈k/m⌉ round-trips, default
+    * m = 64) — at k ≈ 30k–100k the sequential form is not viable.
+    *
+    * Returns one row per learned rule: (step, pair, merged, n) —
+    * `pair` the space-separated symbol pair, `merged` its
+    * concatenation, `n` the weighted occurrence count that won the
+    * step. Stops early if no pair remains (every word fused to a
+    * single symbol). */
+  def trainMerges(docs: DataFrame, textCol: String, k: Int,
+                  byteLevel: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = Dedup.parallelize(wordVocab(docs, textCol)).localCheckpoint(false)
+    var vocab = Dedup.parallelize(wordVocab(docs, textCol, byteLevel)).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -151,12 +178,13 @@ object Bpe {
     *
     * Returns (step, round, pair, merged, n): `step` numbers selections
     * globally in pick order, `n` is the round-start weighted count. */
-  def trainMergesBatched(docs: DataFrame, textCol: String, k: Int, m: Int): DataFrame = {
+  def trainMergesBatched(docs: DataFrame, textCol: String, k: Int, m: Int = 64,
+                         byteLevel: Boolean = false): DataFrame = {
     require(k >= 1, "k must be positive")
     require(m >= 1, "m must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = Dedup.parallelize(wordVocab(docs, textCol)).localCheckpoint(false)
+    var vocab = Dedup.parallelize(wordVocab(docs, textCol, byteLevel)).localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
     val rounds = (k + m - 1) / m
     var step = 1
@@ -187,8 +215,9 @@ object Bpe {
     * pair, same rewrite convention. `mergesLocal` is the collected
     * rule list (it is k rows by construction — driver-sized). */
   def segmentWords(docs: DataFrame, textCol: String,
-                   mergesLocal: Seq[(Int, String)]): DataFrame = {
-    var vocab = wordVocab(docs, textCol)
+                   mergesLocal: Seq[(Int, String)],
+                   byteLevel: Boolean = false): DataFrame = {
+    var vocab = wordVocab(docs, textCol, byteLevel)
     mergesLocal.sortBy(_._1).foreach { case (_, pair) =>
       vocab = vocab.withColumn("seq", applyMerge(col("seq"), pair))
     }
@@ -213,9 +242,10 @@ object Bpe {
     * broadcasts to the per-word expansion join, so encoding a 100 TB
     * target is one shuffle on `word` plus a broadcast probe. */
   def encodeCorpus(corpus: DataFrame, target: DataFrame, idCol: String,
-                   textCol: String, mergesLocal: Seq[(Int, String)]): DataFrame = {
+                   textCol: String, mergesLocal: Seq[(Int, String)],
+                   byteLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seg = segmentWords(corpus, textCol, mergesLocal)
+    val seg = segmentWords(corpus, textCol, mergesLocal, byteLevel)
     val tokenFreq = seg
       .select(explode(col("tokens")).as("token"), col("freq"))
       .groupBy("token").agg(sum(col("freq")).as("tf"))
@@ -242,8 +272,8 @@ object Bpe {
     * One [[encodeCorpus]] pass plus a per-source hash aggregate. */
   def sourceFertility(docs: DataFrame, idCol: String, textCol: String,
                       groupCol: String, mergesLocal: Seq[(Int, String)],
-                      vocabSize: Int): DataFrame = {
-    val enc = encodeCorpus(docs, docs, idCol, textCol, mergesLocal)
+                      vocabSize: Int, byteLevel: Boolean = false): DataFrame = {
+    val enc = encodeCorpus(docs, docs, idCol, textCol, mergesLocal, byteLevel)
     enc.join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
       .groupBy(col(groupCol))
       .agg(

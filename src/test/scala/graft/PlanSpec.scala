@@ -56,6 +56,39 @@ class PlanSpec extends SparkSpec {
       s"q6 predicates not pushed to the scan: $q6")
   }
 
+  test("q13 left-outer count distribution: outer join preserved, no window, no sort") {
+    val plan = planOf(SparkEntry.queries("q13_custdist")(spark, sf))
+    assert(plan.contains("LeftOuter"), s"zero-order customers need the outer join:\n$plan")
+    assert(!plan.contains("Window"), s"q13 must be two hash aggregates, not a window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
+  }
+
+  test("q17 correlated AVG decorrelates to one per-part aggregate + join") {
+    val plan = planOf(SparkEntry.queries("q17_small_qty_revenue")(spark, sf))
+    // the rewrite leaves an avg() aggregate joined back on l_partkey —
+    // never a per-outer-row re-scan (which would appear as a nested loop)
+    assert(plan.contains("avg("), s"decorrelated per-part avg missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q17 fell back to per-row execution:\n$plan")
+  }
+
+  test("q21 exists/not-exists chain is semi/anti joins, never a count-filter self-join") {
+    val plan = planOf(SparkEntry.queries("q21_waiting_supplier")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    // the one aggregate is the final numwait count — a count-filter
+    // rewrite would need at least one more aggregate below the joins
+    assert("HashAggregate".r.findAllIn(plan).size <= 2,
+      s"q21 grew a pre-join counting aggregate:\n$plan")
+  }
+
+  test("q22 dormancy is an anti join with the date filter on the build side") {
+    val plan = planOf(SparkEntry.queries("q22_dormant_balance")(spark, sf))
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate") ||
+      plan.contains("o_orderdate"), s"date prune missing from the orders side:\n$plan")
+  }
+
   test("contamination broadcasts the eval side; aggregation is partial+final") {
     val plan = planOf(SparkEntry.queries("contamination")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast: $plan")

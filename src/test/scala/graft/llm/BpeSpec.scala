@@ -148,4 +148,37 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(none.values.forall(_ == 0.0))
   }
+
+  test("byte level: hex-byte seed, and words with UNSEEN codepoints still segment") {
+    val docs = Seq((1L, "low 日本 😀")).toDF("doc_id", "text")
+    val seeds = Bpe.wordVocab(docs, "text", byteLevel = true)
+      .select("word", "seq").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(seeds("low") == "6c 6f 77 </w>")
+    assert(seeds("日本") == "e6 97 a5 e6 9c ac </w>")
+    assert(seeds("😀") == "f0 9f 98 80 </w>") // 4-byte emoji
+    // train on an ASCII-only corpus, then segment a CJK word the
+    // trainer never saw: char level leaves it as ONE unsplittable
+    // unknown symbol; byte level decomposes it into in-alphabet bytes
+    val corpus = Seq((1L, "abab abab baba")).toDF("doc_id", "text")
+    val rules = Bpe.trainMerges(corpus, "text", 2, byteLevel = true)
+      .select("step", "pair").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val seg = Bpe.segmentWords(Seq((2L, "日ab")).toDF("doc_id", "text"),
+        "text", rules, byteLevel = true)
+      .select("tokens").collect().head.getSeq[String](0)
+    // every token is either a learned merge output or a raw byte — the
+    // OOV-free guarantee: nothing is outside the ≤256-symbol alphabet
+    val merged = rules.map(_._2.replace(" ", "")).toSet
+    assert(seg.forall(t => t == "</w>" || merged.contains(t) || t.matches("[0-9a-f]{2}")),
+      s"unexpected out-of-alphabet token in $seg")
+    assert(seg.exists(merged.contains), s"learned merges must still apply: $seg")
+  }
+
+  test("byte level trainMergesBatched m=1 equals byte trainMerges") {
+    val docs = Seq((1L, "low low lower 日本 日本 newest")).toDF("doc_id", "text")
+    val exact = Bpe.trainMerges(docs, "text", 5, byteLevel = true)
+      .select("step", "pair", "n").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batched = Bpe.trainMergesBatched(docs, "text", 5, m = 1, byteLevel = true)
+      .select("step", "pair", "n").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(exact == batched)
+  }
 }
