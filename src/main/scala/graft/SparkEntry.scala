@@ -38,7 +38,7 @@ object SparkEntry {
     * staying unique per process, so concurrent Verify/Bench/test JVMs
     * never race each other's fixtures through a shared well-known path. */
   private lazy val fixtureRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
+    val p = java.nio.file.Paths.get(scratchDir("graft_fixtures"))
     p.toFile.deleteOnExit()
     p
   }
@@ -83,6 +83,19 @@ object SparkEntry {
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
+  }
+
+  /** Scratch dir for in-query fixtures (stores, inboxes, streaming
+    * checkpoints): prefer the tmpfs at /dev/shm when present — the
+    * stream family's cross-run bench variance traced to fs/checkpoint
+    * FIXED costs breathing with disk state (SCALE_SOAK r11 closing
+    * note), and every byte written here is ephemeral by construction.
+    * Falls back to java.io.tmpdir. */
+  private def scratchDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
   }
 
   private def stageLogger(query: String): (String, Double) => Unit =
@@ -1008,6 +1021,66 @@ object SparkEntry {
                                    WHERE l2.l_partkey = p.p_partkey)""")
     }),
 
+    "q8_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: one dim in TWO ROLES — nation joins once on the
+      // customer side (region membership filter) and once on the
+      // supplier side (the share dimension) — plus a conditional-share
+      // ratio per order year. All dims broadcast; the only shuffles are
+      // the fact-fact joins (lineitem⋈orders⋈customer).
+      val custNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region"))
+      val suppNation = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_type") === "STANDARD").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("cn_region") === col("r_regionkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      vol.groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          decSum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0)), 6)
+            .as("nation_volume"),
+          decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("total_volume"))
+        .select(col("o_year"),
+          col("nation_volume").cast("double").as("nation_volume"),
+          col("total_volume").cast("double").as("total_volume"),
+          round(col("nation_volume").cast("double") /
+            col("total_volume").cast("double"), 6).as("mkt_share"))
+    }),
+
+    "q9_product_profit" -> ((s, d) => {
+      // TPC-H Q9 shape: substring part filter + supplier-nation / order-
+      // year profit rollup. The fixture has no partsupp table, so unit
+      // cost proxies as half the part's retail price — the operator
+      // class (LIKE-filtered dim probe, two-sided expression aggregate,
+      // year x nation grid) is what's under test, not TPC-H pricing.
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").contains("red")).select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.5), 6).as("sum_profit"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q13_custdist" -> ((s, d) => {
       // TPC-H Q13 shape: LEFT OUTER count distribution — customers with
       // ZERO (non-excluded) orders must appear in the c_count=0 bucket,
@@ -1559,7 +1632,7 @@ object SparkEntry {
       // make old versions free until vacuum's horizon) — while the
       // head has moved on. The oracle is simply the ORIGINAL table;
       // the restated head leaking through would break every %9==4 row.
-      val tmp = java.nio.file.Files.createTempDirectory("mtt").toString
+      val tmp = scratchDir("mtt")
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
@@ -1780,7 +1853,7 @@ object SparkEntry {
       // the poison verbatim (never silently shrink the drop) — the
       // good side must equal the original table exactly
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("jsonl").toString
+      val tmp = scratchDir("jsonl")
       val ev = Tables.events(s, d)
         .select("event_id", "user_id", "event_type", "value")
       ev.toJSON
@@ -2056,7 +2129,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("ivf_store").toString
+      val tmp = scratchDir("ivf_store")
       val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id", centroids)
       ivf.append(e.filter(pmod(col("vec_id"), lit(10)) =!= 9))
       ivf.append(e.filter(pmod(col("vec_id"), lit(10)) === 9))
@@ -2076,7 +2149,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("ivf_mut").toString
+      val tmp = scratchDir("ivf_mut")
       val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id",
         centroids, idIndex = true)
       ivf.append(e)
@@ -2190,7 +2263,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
-      val tmp = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+      val tmp = scratchDir("ivfpq_store")
       val ivf = new graft.llm.IvfIndexStore(s, s"$tmp/idx", "embedding", "vec_id",
         centroids, books = Some(pqBooks(s, d)))
       ivf.append(e.filter(pmod(col("vec_id"), lit(10)) =!= 9))
@@ -3018,7 +3091,7 @@ object SparkEntry {
       // monoid, so the final store is INDEPENDENT of the micro-batch
       // split and hash-equals the one-shot batch GROUP BY the oracle
       // computes.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_rollup").toString
+      val tmp = scratchDir("stream_rollup")
       val src = s"$tmp/src"
       Tables.events(s, d).repartition(4).write.parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
@@ -3043,7 +3116,7 @@ object SparkEntry {
       // foreachBatch merge (checkpoint + idempotent keyed upsert —
       // StreamOps.mergeAvailable). event_id is unique, so the final
       // store equals the full events table regardless of batch split.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_cdc").toString
+      val tmp = scratchDir("stream_cdc")
       val src = s"$tmp/src"
       Tables.events(s, d).repartition(4).write.parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
@@ -3067,7 +3140,7 @@ object SparkEntry {
       // cursor) must equal the plain final state the oracle computes.
       // The tombstones land AFTER the compact, so they must kill
       // already-materialized rows, not just delta rows.
-      val tmp = java.nio.file.Files.createTempDirectory("mor").toString
+      val tmp = scratchDir("mor")
       val store = new graft.pipeline.MorStore(s, s"$tmp/t", "event_type",
         TableConfig("mor_events", null, Seq("event_id"), cursorField = Some("ts")))
       val ev = Tables.events(s, d)
@@ -3095,7 +3168,7 @@ object SparkEntry {
       // Writer parallelism is pinned low: the fixture commits ~10
       // segments and the 32-way default would fan each into near-empty
       // files — the r10 TableStore small-file lesson applied here.
-      val tmp = java.nio.file.Files.createTempDirectory("jv").toString
+      val tmp = scratchDir("jv")
       val orders = Tables.orders(s, d)
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
       val cust = Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
@@ -3136,6 +3209,49 @@ object SparkEntry {
         round(col("o_totalprice"), 2).as("o_totalprice"), col("c_mktsegment"))
     }),
 
+    "m_join_view_multi" -> ((s, d) => withShufflePartitions(s, 4) {
+      // MULTI-dim maintained view (orders ⟕ customer ⟕ priority): the
+      // real-mart shape — one fact, n dims, each side CDF-scoped
+      // independently. Tick 2 folds a fact restatement + a customer
+      // update together (refreshed rows must see BOTH dims' current
+      // state, deduped); tick 3 is a priority-dim MASS update (100% of
+      // keys — the broadcast-semi worst case in the query inventory,
+      // not just the spec). Oracle: from-scratch double left join of
+      // the final table states.
+      val tmp = scratchDir("jvmulti")
+      val orders = Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val cust = Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
+      val prio = Tables.orders(s, d).select("o_orderpriority").distinct()
+        .withColumn("priority_rank", substring(col("o_orderpriority"), 1, 1).cast("int"))
+        .withColumn("pp", lit("all"))
+      val factCfg = TableConfig("jvm_orders", null, Seq("o_orderkey"))
+      val dimACfg = TableConfig("jvm_customer", null, Seq("o_custkey"))
+      val dimBCfg = TableConfig("jvm_priority", null, Seq("o_orderpriority"))
+      val fact = new graft.pipeline.ManifestStore(s, s"$tmp/fact", "month")
+      val dimA = new graft.pipeline.ManifestStore(s, s"$tmp/dimA", "c_nationkey")
+      val dimB = new graft.pipeline.ManifestStore(s, s"$tmp/dimB", "pp")
+      val view = new graft.pipeline.MorStore(s, s"$tmp/view", "month",
+        TableConfig("jvm_view", null, Seq("o_orderkey")))
+      def tick() = graft.pipeline.JoinView.maintainMulti(s, s"$tmp/view", view,
+        fact, Seq((dimA, "o_custkey"), (dimB, "o_orderpriority")), Seq("o_orderkey"))
+      fact.upsert(orders, factCfg)
+      dimA.upsert(cust, dimACfg)
+      dimB.upsert(prio, dimBCfg)
+      tick()
+      fact.upsert(orders.filter(col("o_orderkey") % 13 === 1)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2)), factCfg)
+      dimA.upsert(cust.filter(col("o_custkey") % 17 === 3)
+        .withColumn("c_mktsegment", lit("UPDATED")), dimACfg)
+      tick()
+      dimB.upsert(prio.withColumn("priority_rank", col("priority_rank") + 10), dimBCfg)
+      tick()
+      view.read.get.select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("c_mktsegment"), col("priority_rank"))
+    }),
+
     "stream_cdc_merge_mor" -> ((s, d) => withShufflePartitions(s, 4) {
       // the CDC drain through the MERGE-ON-READ sink: each micro-batch
       // is a write-only delta append (O(batch) bytes/tick — the 100 TB
@@ -3144,7 +3260,7 @@ object SparkEntry {
       // event_id is unique, so the reconciled final state equals the
       // full events table regardless of batch split or compaction
       // timing — same oracle as stream_cdc_merge.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_mor").toString
+      val tmp = scratchDir("stream_mor")
       val src = s"$tmp/src"
       Tables.events(s, d).repartition(4).write.parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
@@ -3167,7 +3283,7 @@ object SparkEntry {
       // facts; the change-feed fold subtracts each pre-image, so the
       // maintained rollup must equal a from-scratch rollup over the
       // final table state — which is exactly what the oracle computes.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_cdf").toString
+      val tmp = scratchDir("stream_cdf")
       val src = s"$tmp/src"
       val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "ts", "value")
       ev.repartition(4).write.parquet(src)
@@ -3205,7 +3321,7 @@ object SparkEntry {
       // precondition because events are immutable facts — the merge
       // absorbs at-least-once REDELIVERY of the same event, never an
       // update that moves an event_id to a different day.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_cdc_m").toString
+      val tmp = scratchDir("stream_cdc_m")
       val src = s"$tmp/src"
       Tables.events(s, d).withColumn("day", to_date(col("ts")))
         .repartition(4).write.parquet(src)
@@ -3226,7 +3342,7 @@ object SparkEntry {
       // commit). Oracle identical to the one-shot batch GROUP BY — the
       // fold must be indistinguishable from it regardless of batch split
       // or sink layout.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_rollup_m").toString
+      val tmp = scratchDir("stream_rollup_m")
       val src = s"$tmp/src"
       Tables.events(s, d).repartition(4).write.parquet(src)
       val stream = s.readStream.schema(s.read.parquet(src).schema)
@@ -3251,7 +3367,7 @@ object SparkEntry {
       // must equal the batch GROUP BY top-20 (same oracle as
       // text_heavy_hitters) — proving the aggregate's serialize/merge
       // path through the streaming state store, not just shuffle
-      val tmp = java.nio.file.Files.createTempDirectory("stream_hh").toString
+      val tmp = scratchDir("stream_hh")
       val src = s"$tmp/src"
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(4).write.parquet(src)
@@ -3277,7 +3393,7 @@ object SparkEntry {
       // docs collapse to one canonical page, so the drain must both
       // filter and dedup; the output is the split-invariant distinct
       // fingerprint set of surviving pages.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_qf").toString
+      val tmp = scratchDir("stream_qf")
       val src = s"$tmp/src"
       Tables.documents(s, d)
         .withColumn("text",
@@ -3312,7 +3428,7 @@ object SparkEntry {
       // view_ts + 6h + lateness); inner matches emit eagerly, so the
       // drained result must equal the one-shot batch join regardless of
       // how the files split into micro-batches — that IS the oracle.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_ij").toString
+      val tmp = scratchDir("stream_ij")
       val ev = Tables.events(s, d)
       ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("ts").as("view_ts"))
@@ -3348,7 +3464,7 @@ object SparkEntry {
       // advances the watermark past every real session; its own
       // session stays open and never emits.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("stream_sw").toString
+      val tmp = scratchDir("stream_sw")
       val src = s"$tmp/src"
       val ev = Tables.events(s, d).select(col("ts"), col("user_id"), col("value"))
       val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
@@ -3384,7 +3500,7 @@ object SparkEntry {
       // production loop (maintain cheaply per tick, analyze the state),
       // never a full-history re-aggregation at alert time. The final
       // verdicts must equal the from-scratch batch anomaly query.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_ma").toString
+      val tmp = scratchDir("stream_ma")
       val src = s"$tmp/src"
       Tables.events(s, d).select("ts", "event_type", "value")
         .repartition(4).write.parquet(src)
@@ -3413,7 +3529,7 @@ object SparkEntry {
       // sketch of the whole feed regardless of batch split. The
       // "running uniques without recount" shape an exact COUNT
       // DISTINCT rollup fundamentally cannot maintain incrementally.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_dr").toString
+      val tmp = scratchDir("stream_dr")
       val src = s"$tmp/src"
       Tables.events(s, d)
         .select(col("event_type"), col("user_id").cast("string").as("uid"))
@@ -3440,7 +3556,7 @@ object SparkEntry {
       // watermark, no join state), the front-door dim-decoration every
       // CDC feed passes through before landing. The drained result
       // must equal the one-shot batch join whatever the file split.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_es").toString
+      val tmp = scratchDir("stream_es")
       val src = s"$tmp/src"
       Tables.events(s, d).select("event_id", "user_id", "value")
         .repartition(3).write.parquet(src)
@@ -3466,7 +3582,7 @@ object SparkEntry {
       // survives is arrival-order-dependent, so the query returns the
       // fingerprint columns themselves — split-invariant — and the
       // oracle is a plain SELECT DISTINCT.
-      val tmp = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+      val tmp = scratchDir("stream_dedup")
       val src = s"$tmp/src"
       Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
         .repartition(4).write.parquet(src)
@@ -3496,7 +3612,7 @@ object SparkEntry {
       // double arithmetic on integers is order-independent, so the
       // state's accumulation order cannot smear a float sum.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("stream_sess").toString
+      val tmp = scratchDir("stream_sess")
       val src = s"$tmp/src"
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
         round(col("value") * 100).cast("double").as("value"))
@@ -3548,7 +3664,7 @@ object SparkEntry {
       // all before AvailableNow stops (same flush construction as
       // stream_sessionize).
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("stream_wc").toString
+      val tmp = scratchDir("stream_wc")
       val src = s"$tmp/src"
       val ev = Tables.events(s, d).select(col("ts"), col("event_type"))
       val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
@@ -3594,7 +3710,7 @@ object SparkEntry {
       // stream_window_counts); exact mode makes the emitted p50/p95 the
       // precise order statistics the batch oracle indexes
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("stream_wq").toString
+      val tmp = scratchDir("stream_wq")
       val src = s"$tmp/src"
       val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
       val mm = ev.agg(unix_millis(min(col("ts"))), unix_millis(max(col("ts")))).head()
@@ -3633,7 +3749,7 @@ object SparkEntry {
       // and the hash would mismatch. Same md5 register algebra as
       // distinct_hll, so even the approximate estimates hash-check.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("stream_wd").toString
+      val tmp = scratchDir("stream_wd")
       val src = s"$tmp/src"
       val ev = Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("user_id").cast("string").as("uid"))
@@ -4156,6 +4272,39 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_volume,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_volume,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * l_quantity * 0.5 AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist
@@ -6328,6 +6477,23 @@ object SparkEntry {
         |SELECT o3.o_orderkey, strftime(o3.o_orderdate, '%Y-%m-%d') AS o_date,
         |  round(o3.o_totalprice, 2) AS o_totalprice, c2.c_mktsegment
         |FROM o3 LEFT JOIN c2 ON o3.o_custkey = c2.c_custkey""".stripMargin,
+
+    "m_join_view_multi" ->
+      """WITH f2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_orderdate,
+        |         CASE WHEN o_orderkey % 13 = 1 THEN round(o_totalprice * 3, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |cA AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 17 = 3 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |       FROM customer),
+        |pB AS (SELECT DISTINCT o_orderpriority,
+        |         CAST(substr(o_orderpriority, 1, 1) AS INTEGER) + 10 AS priority_rank
+        |       FROM orders)
+        |SELECT f2.o_orderkey, strftime(f2.o_orderdate, '%Y-%m-%d') AS o_date,
+        |  round(f2.o_totalprice, 2) AS o_totalprice, cA.c_mktsegment, pB.priority_rank
+        |FROM f2 LEFT JOIN cA ON f2.o_custkey = cA.c_custkey
+        |        LEFT JOIN pB ON f2.o_orderpriority = pB.o_orderpriority""".stripMargin,
 
     // plain final state: %7==2 keys restated (+1h cursor, doubled value),
     // %10==7 keys tombstoned with a dominating cursor — a key in both

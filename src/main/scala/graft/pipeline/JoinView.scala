@@ -62,21 +62,34 @@ object JoinView {
     * window — a crash between the two silently re-folded from (0,0),
     * an unbounded full rebuild appended as deltas). */
   def foldedVersions(spark: SparkSession, viewRoot: String): (Int, Int) = {
+    val vs = foldedAll(spark, viewRoot, 2)
+    (vs(0), vs(1))
+  }
+
+  /** General marker read: fact version followed by each dim's version,
+    * space-separated — `n` is 1 + dim count; an absent marker reads as
+    * all-zeros (fold everything from the beginning). */
+  def foldedAll(spark: SparkSession, viewRoot: String, n: Int): Seq[Int] = {
     val dir = new Path(viewRoot)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seqs = markerSeqs(fs, dir)
     val p = if (seqs.nonEmpty) new Path(viewRoot, MarkerPrefix + seqs.max)
             else new Path(viewRoot, StateFile) // pre-versioning layout
-    if (!fs.exists(p)) (0, 0)
+    if (!fs.exists(p)) Seq.fill(n)(0)
     else {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val Array(f, d) = text.trim.split("\\s+", 2)
-      (f.toInt, d.toInt)
+      val vs = text.trim.split("\\s+").map(_.toInt).toSeq
+      require(vs.length == n,
+        s"join-view marker of $viewRoot tracks ${vs.length} stores, caller expects $n")
+      vs
     }
   }
 
-  private def writeFolded(spark: SparkSession, viewRoot: String, f: Int, d: Int): Unit = {
+  private def writeFolded(spark: SparkSession, viewRoot: String, f: Int, d: Int): Unit =
+    writeFoldedAll(spark, viewRoot, Seq(f, d))
+
+  private def writeFoldedAll(spark: SparkSession, viewRoot: String, vs: Seq[Int]): Unit = {
     val dir = new Path(viewRoot)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
@@ -84,7 +97,7 @@ object JoinView {
     val next = (0L +: old).max + 1
     val tmp = new Path(viewRoot, s".tmp_$StateFile$next")
     val out = fs.create(tmp, true)
-    try out.write(s"$f $d".getBytes("UTF-8")) finally out.close()
+    try out.write(vs.mkString(" ").getBytes("UTF-8")) finally out.close()
     // the rename IS the commit; everything after is best-effort cleanup
     if (!fs.rename(tmp, new Path(viewRoot, MarkerPrefix + next)))
       throw new java.io.IOException(s"failed to commit join-view state of $viewRoot")
@@ -136,17 +149,50 @@ object JoinView {
   def maintain(spark: SparkSession, viewRoot: String, view: MorStore,
                fact: ManifestStore, dim: ManifestStore,
                factKeys: Seq[String], dimKey: String): (Int, Int) = {
-    val (f0, d0) = foldedVersions(spark, viewRoot)
-    val f1 = fact.latestManifestVersion.getOrElse(0)
-    val d1 = dim.latestManifestVersion.getOrElse(0)
-    if (f0 == f1 && d0 == d1) return (f1, d1)
+    val vs = maintainMulti(spark, viewRoot, view, fact, Seq((dim, dimKey)), factKeys)
+    (vs(0), vs(1))
+  }
 
-    val dimNow = dim.read.getOrElse(
-      throw new IllegalStateException("join view needs a committed dim table"))
-    val overlap = (dimNow.columns.toSet - dimKey)
-      .intersect(fact.read.map(_.columns.toSet).getOrElse(Set.empty))
-    require(overlap.isEmpty,
-      s"non-key dim columns must be disjoint from fact columns, both have: ${overlap.mkString(", ")}")
+  /** The general form — `V = fact ⟕ dim₁ ⟕ … ⟕ dimₙ`, the real-mart
+    * shape (an order mart joins customer AND priority AND date dims;
+    * maintaining each pairwise view separately would re-materialize the
+    * fact n times). Same delta algebra per tick, per side:
+    *
+    *   - fact post-images re-join against ALL current dims;
+    *   - EACH dim's changed-key set (independently CDF-scoped) selects
+    *     its referencing fact slice via the broadcast semi probe; the
+    *     union of all touched slices re-joins ONCE against all dims —
+    *     a row whose two dims both changed is refreshed once, not
+    *     twice ([[graft.merge.MergeEngine.latestPerKey]] dedup);
+    *   - a tick where NO store changed reads nothing.
+    *
+    * `dims` is (store, N:1 join key in fact) per dim; all dims'
+    * non-key columns must be disjoint from the fact AND each other.
+    * Returns the folded-up-to versions, fact first then dims in
+    * order (the fold-marker layout — the 1-dim marker is the n=1
+    * special case, so existing views upgrade in place). */
+  def maintainMulti(spark: SparkSession, viewRoot: String, view: MorStore,
+                    fact: ManifestStore, dims: Seq[(ManifestStore, String)],
+                    factKeys: Seq[String]): Seq[Int] = {
+    require(dims.nonEmpty, "a join view needs at least one dim")
+    val prev = foldedAll(spark, viewRoot, 1 + dims.size)
+    val f0 = prev.head; val d0s = prev.tail
+    val f1 = fact.latestManifestVersion.getOrElse(0)
+    val d1s = dims.map(_._1.latestManifestVersion.getOrElse(0))
+    if (f0 == f1 && d0s == d1s) return f1 +: d1s
+
+    val dimNows = dims.map { case (st, key) =>
+      (st.read.getOrElse(throw new IllegalStateException(
+        "join view needs a committed dim table")), key)
+    }
+    val factCols = fact.read.map(_.columns.toSet).getOrElse(Set.empty)
+    dimNows.zipWithIndex.foreach { case ((dimNow, key), i) =>
+      val others = factCols ++ dimNows.take(i)
+        .flatMap { case (d, k) => d.columns.toSet - k }
+      val overlap = (dimNow.columns.toSet - key).intersect(others)
+      require(overlap.isEmpty,
+        s"non-key dim columns must be disjoint across fact and dims, clashing: ${overlap.mkString(", ")}")
+    }
 
     // fact-side delta: post-images refresh, deletes tombstone. The
     // manifest-level changedValues pre-check is what keeps EMPTY
@@ -159,35 +205,38 @@ object JoinView {
     val fUpserts = fcdf.map(_.filter(col("_change") =!= "delete").drop("_change"))
     val fDeletes = fcdf.map(_.filter(col("_change") === "delete").drop("_change"))
 
-    // dim-side delta: the steady-state skip is decided from the
+    // dim-side deltas: each dim's steady-state skip is decided from its
     // MANIFEST diff alone (no data read); when dim partitions did
     // change, the changed-key set stays a DISTRIBUTED frame and the
     // fact scan is a broadcast LEFT SEMI join over it — a dim
     // mass-update (every key changed, the nightly snapshot-refresh
     // case) is then one fact scan against a broadcast hash set, never
     // a driver-collected `isin` literal list
-    val dimTouched =
-      if (d0 == d1 || dim.changedValues(d0, d1).isEmpty) None
+    val dimTouched = dims.zip(d0s.zip(d1s)).flatMap { case ((st, key), (d0, d1)) =>
+      if (d0 == d1 || st.changedValues(d0, d1).isEmpty) None
       else {
-        val changedKeys = dim.changes(d0, d1, Seq(dimKey)).select(dimKey).distinct()
-        fact.read.map(dimTouchedFact(_, changedKeys, dimKey))
+        val changedKeys = st.changes(d0, d1, Seq(key)).select(key).distinct()
+        fact.read.map(dimTouchedFact(_, changedKeys, key))
       }
+    }
 
-    val refresh = (fUpserts.toSeq ++ dimTouched.toSeq)
+    val refresh = (fUpserts.toSeq ++ dimTouched)
+      // a row can arrive via several paths (restated fact whose dims
+      // also changed) — every copy is the same post-image, keep one
       .reduceOption(_.unionByName(_))
-      // a row can arrive via both paths (restated fact whose dim also
-      // changed) — both copies are the same post-image, keep one
       .map(u => graft.merge.MergeEngine.latestPerKey(u, factKeys, Seq.empty))
     refresh.foreach { r =>
-      val joined = r.join(broadcast(dimNow), Seq(dimKey), "left")
+      val joined = dimNows.foldLeft(r) { case (acc, (dimNow, key)) =>
+        acc.join(broadcast(dimNow), Seq(key), "left")
+      }
       view.appendDelta(joined)
     }
     fDeletes.foreach { dels =>
       val delKeys = dels.select((view.partitionCol +: factKeys).distinct.map(col): _*)
       if (!delKeys.isEmpty) view.delete(delKeys)
     }
-    writeFolded(spark, viewRoot, f1, d1)
-    (f1, d1)
+    writeFoldedAll(spark, viewRoot, f1 +: d1s)
+    f1 +: d1s
   }
 
   /** The dim-touched fact slice: fact rows referencing a changed dim

@@ -56,6 +56,21 @@ class PlanSpec extends SparkSpec {
       s"q6 predicates not pushed to the scan: $q6")
   }
 
+  test("q8/q9: every dim probe is broadcast; only fact-fact joins shuffle") {
+    val q8 = planOf(SparkEntry.queries("q8_market_share")(spark, sf))
+    // part, region, supplier, and BOTH nation roles ride broadcasts;
+    // the only sort-merge-eligible joins are lineitem⋈orders⋈customer
+    assert("BroadcastHashJoin".r.findAllIn(q8).size >= 4,
+      s"q8 dims not broadcast:\n$q8")
+    assert("SortMergeJoin".r.findAllIn(q8).size <= 2,
+      s"q8 shuffles a dim join:\n$q8")
+    val q9 = planOf(SparkEntry.queries("q9_product_profit")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3,
+      s"q9 dims not broadcast:\n$q9")
+    assert("SortMergeJoin".r.findAllIn(q9).size <= 1,
+      s"q9 shuffles a dim join:\n$q9")
+  }
+
   test("q13 left-outer count distribution: outer join preserved, no window, no sort") {
     val plan = planOf(SparkEntry.queries("q13_custdist")(spark, sf))
     assert(plan.contains("LeftOuter"), s"zero-order customers need the outer join:\n$plan")

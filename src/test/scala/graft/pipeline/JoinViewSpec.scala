@@ -176,6 +176,64 @@ class JoinViewSpec extends SparkSpec {
     assertSameRows(touched.select("id", "ck"), fact.select("id", "ck")) // every ck is in keys
   }
 
+  test("multi-dim view: fact ⟕ dimA ⟕ dimB folds deltas from every side") {
+    val t = Files.createTempDirectory("jvm").toString
+    val factCfg = TableConfig("jvm.fact", null, Seq("id"))
+    val dimACfg = TableConfig("jvm.dimA", null, Seq("ck"))
+    val dimBCfg = TableConfig("jvm.dimB", null, Seq("pk"))
+    val fact = new ManifestStore(spark, s"$t/fact", "p")
+    val dimA = new ManifestStore(spark, s"$t/dimA", "dp")
+    val dimB = new ManifestStore(spark, s"$t/dimB", "bp")
+    val view = new MorStore(spark, s"$t/view", "p", TableConfig("jvm.view", null, Seq("id")))
+    def tick() = JoinView.maintainMulti(spark, s"$t/view", view, fact,
+      Seq((dimA, "ck"), (dimB, "pk")), Seq("id"))
+    def recompute() = fact.read.get
+      .join(dimA.read.get, Seq("ck"), "left")
+      .join(dimB.read.get, Seq("pk"), "left")
+      .select("id", "v", "seg", "rank")
+    fact.upsert(Seq((1L, 10L, 100L, "p1", 5.0), (2L, 20L, 100L, "p1", 6.0),
+        (3L, 10L, 200L, "p2", 7.0)).toDF("id", "ck", "pk", "p", "v"), factCfg)
+    dimA.upsert(Seq((10L, "d1", "gold"), (20L, "d1", "silver")).toDF("ck", "dp", "seg"), dimACfg)
+    dimB.upsert(Seq((100L, "b1", 1), (200L, "b1", 2)).toDF("pk", "bp", "rank"), dimBCfg)
+    assert(tick() == Seq(1, 1, 1))
+    assertSameRows(view.read.get.select("id", "v", "seg", "rank"), recompute())
+
+    // one tick carrying a fact restatement AND a dimA update: each
+    // refreshed row must see BOTH dims' current state, deduped
+    fact.upsert(Seq((1L, 10L, 100L, "p1", 50.0)).toDF("id", "ck", "pk", "p", "v"), factCfg)
+    dimA.upsert(Seq((10L, "d1", "platinum")).toDF("ck", "dp", "seg"), dimACfg)
+    assert(tick() == Seq(2, 2, 1))
+    assertSameRows(view.read.get.select("id", "v", "seg", "rank"), recompute())
+
+    // dimB MASS update (every key) while dimA is untouched
+    dimB.upsert(Seq((100L, "b1", 11), (200L, "b1", 12)).toDF("pk", "bp", "rank"), dimBCfg)
+    assert(tick() == Seq(2, 2, 2))
+    assertSameRows(view.read.get.select("id", "v", "seg", "rank"), recompute())
+    assert(view.read.get.filter(col("rank") >= 11).count() == 3)
+
+    // steady state: same versions back, nothing to fold
+    assert(tick() == Seq(2, 2, 2))
+  }
+
+  test("multi-dim view refuses clashing non-key columns ACROSS dims") {
+    val t = Files.createTempDirectory("jvc").toString
+    val fact = new ManifestStore(spark, s"$t/fact", "p")
+    val dimA = new ManifestStore(spark, s"$t/dimA", "dp")
+    val dimB = new ManifestStore(spark, s"$t/dimB", "bp")
+    val view = new MorStore(spark, s"$t/view", "p", TableConfig("jvc.view", null, Seq("id")))
+    fact.upsert(Seq((1L, 10L, 100L, "p1")).toDF("id", "ck", "pk", "p"),
+      TableConfig("jvc.fact", null, Seq("id")))
+    dimA.upsert(Seq((10L, "d1", "gold")).toDF("ck", "dp", "seg"),
+      TableConfig("jvc.dimA", null, Seq("ck")))
+    dimB.upsert(Seq((100L, "b1", "clash")).toDF("pk", "bp", "seg"), // seg again
+      TableConfig("jvc.dimB", null, Seq("pk")))
+    val e = intercept[IllegalArgumentException] {
+      JoinView.maintainMulti(spark, s"$t/view", view, fact,
+        Seq((dimA, "ck"), (dimB, "pk")), Seq("id"))
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("colliding non-key columns between fact and dim are refused") {
     val (t, fact, dim, view) = setup()
     fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)
