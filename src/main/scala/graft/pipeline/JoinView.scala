@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Incremental maintenance of a materialized JOIN view — the missing
   * half of incremental models: [[graft.streaming.StreamOps.maintainRollupCdf]]
   * keeps an AGGREGATE current from a change feed; this keeps
-  * `V = fact ⟕ dim` current when EITHER side changes, without ever
-  * re-joining the full fact table. The dbt shape it replaces is the
+  * `V = fact ⟕ dim₁ ⟕ … ⟕ dimₙ` current when ANY side changes,
+  * without ever re-joining the full fact table ([[maintainMulti]];
+  * [[maintain]] is the one-dim form). The dbt shape it replaces is the
   * "incremental model joining dims" that silently serves stale dim
   * attributes until the next full refresh — here a dim update
   * propagates to exactly the fact rows that reference it, in the next
@@ -125,7 +126,20 @@ object JoinView {
                         view: MorStore, fact: ManifestStore, factCfg: graft.schema.TableConfig,
                         dim: ManifestStore, factKeys: Seq[String], dimKey: String,
                         checkpoint: String,
-                        onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+                        onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    maintainStreamingMulti(spark, stream, viewRoot, view, fact, factCfg,
+      Seq((dim, dimKey)), factKeys, checkpoint, onStage)
+
+  /** [[maintainStreaming]] over the multi-dim view — the same drain
+    * (checkpointed delivery, idempotent fact upsert, one fold per
+    * micro-batch); changes to ANY dim committed between batches are
+    * picked up by the next tick without a stream of their own. */
+  def maintainStreamingMulti(spark: SparkSession, stream: DataFrame, viewRoot: String,
+                             view: MorStore, fact: ManifestStore,
+                             factCfg: graft.schema.TableConfig,
+                             dims: Seq[(ManifestStore, String)], factKeys: Seq[String],
+                             checkpoint: String,
+                             onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -134,7 +148,7 @@ object JoinView {
         // an empty delivery still ticks (dim changes between batches
         // propagate) but commits no empty fact version
         if (!batch.isEmpty) fact.upsert(batch, factCfg)
-        maintain(spark, viewRoot, view, fact, dim, factKeys, dimKey)
+        maintainMulti(spark, viewRoot, view, fact, dims, factKeys)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()

@@ -215,6 +215,44 @@ class JoinViewSpec extends SparkSpec {
     assert(tick() == Seq(2, 2, 2))
   }
 
+  test("multi-dim streaming binding: dims changed between drains both propagate") {
+    val t = Files.createTempDirectory("jvms").toString
+    val factCfg = TableConfig("jvms.fact", null, Seq("id"))
+    val fact = new ManifestStore(spark, s"$t/fact", "p")
+    val dimA = new ManifestStore(spark, s"$t/dimA", "dp")
+    val dimB = new ManifestStore(spark, s"$t/dimB", "bp")
+    val view = new MorStore(spark, s"$t/view", "p", TableConfig("jvms.view", null, Seq("id")))
+    dimA.upsert(Seq((10L, "d1", "gold")).toDF("ck", "dp", "seg"),
+      TableConfig("jvms.dimA", null, Seq("ck")))
+    dimB.upsert(Seq((100L, "b1", 1)).toDF("pk", "bp", "rank"),
+      TableConfig("jvms.dimB", null, Seq("pk")))
+    val inbox = s"$t/inbox"
+    Seq((1L, 10L, 100L, "p1", 5.0)).toDF("id", "ck", "pk", "p", "v")
+      .write.mode("append").parquet(inbox)
+    val schema = spark.read.parquet(inbox).schema
+    def drain(): Unit = JoinView.maintainStreamingMulti(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inbox),
+      s"$t/view", view, fact, factCfg,
+      Seq((dimA, "ck"), (dimB, "pk")), Seq("id"), s"$t/ckpt")
+    drain()
+    def recompute() = fact.read.get
+      .join(dimA.read.get, Seq("ck"), "left")
+      .join(dimB.read.get, Seq("pk"), "left")
+      .select("id", "v", "seg", "rank")
+    assertSameRows(view.read.get.select("id", "v", "seg", "rank"), recompute())
+    // BOTH dims change between drains; the next drained batch's tick
+    // must fold both alongside the new fact rows
+    dimA.upsert(Seq((10L, "d1", "platinum")).toDF("ck", "dp", "seg"),
+      TableConfig("jvms.dimA", null, Seq("ck")))
+    dimB.upsert(Seq((100L, "b1", 11)).toDF("pk", "bp", "rank"),
+      TableConfig("jvms.dimB", null, Seq("pk")))
+    Seq((2L, 10L, 100L, "p1", 7.0)).toDF("id", "ck", "pk", "p", "v")
+      .write.mode("append").parquet(inbox)
+    drain()
+    assertSameRows(view.read.get.select("id", "v", "seg", "rank"), recompute())
+    assert(view.read.get.filter(col("seg") === "platinum" && col("rank") === 11).count() == 2)
+  }
+
   test("multi-dim view refuses clashing non-key columns ACROSS dims") {
     val t = Files.createTempDirectory("jvc").toString
     val fact = new ManifestStore(spark, s"$t/fact", "p")
