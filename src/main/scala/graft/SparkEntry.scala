@@ -1169,6 +1169,124 @@ object SparkEntry {
         GROUP BY cntrycode""")
     }),
 
+    "q11_important_stock" -> ((s, d) => {
+      // TPC-H Q11 shape: group aggregate + GLOBAL-FRACTION threshold —
+      // HAVING sum(v) > (SELECT sum(v) * f). The scalar side must be
+      // ONE aggregated row broadcast into the filter (a nested-loop
+      // recompute per group is the 100 TB trap). Fixture has no
+      // partsupp, so "stock value" proxies as shipped value from the
+      // target nation's suppliers; threshold compares part_value*1000 >
+      // total (integer multiply on exact decimals — no double-fraction
+      // equality hazard between engines).
+      val natSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+      val base = Tables.lineitem(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * col("l_quantity")).cast("decimal(18,4)").as("v"))
+      // the threshold is a true SCALAR SUBQUERY: Catalyst runs the total
+      // as its own one-row job and injects the literal into the filter —
+      // no join operator at all (a conditionless broadcast join would
+      // plan as a nested loop; a window over the whole aggregate would
+      // serialize it through one partition)
+      base.groupBy("l_partkey").agg(sum(col("v")).as("part_value"))
+        .createOrReplaceTempView("__q11_per_part")
+      s.sql("""
+        SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        FROM __q11_per_part
+        WHERE part_value * 1000 > (SELECT sum(part_value) FROM __q11_per_part)""")
+    }),
+
+    "q12_priority_lines" -> ((s, d) => {
+      // TPC-H Q12 shape: fact-fact join + banded date filter + paired
+      // conditional counts over a tiny grouping domain (the fixture has
+      // no l_shipmode; l_linestatus carries the two-bucket role). The
+      // point at scale: ONE shuffle (the orders join), the priority
+      // split rides as two conditional sums in the same aggregate —
+      // never two scans or a pivot.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+        .select("l_orderkey", "l_linestatus")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_line_count"))
+    }),
+
+    "q15_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: aggregate → scalar MAX → equality join back
+      // (argmax over a derived view). The max is one broadcast row; the
+      // classic wrong plan is a global sort + limit 1 (drops ties and
+      // pays a total order) or a window rank over the whole aggregate.
+      // Decimal revenue keeps the max-equality exact across engines.
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue").cast("double").as("total_revenue"))
+    }),
+
+    "q16_supplier_relationship" -> ((s, d) => {
+      // TPC-H Q16 shape: NOT-IN supplier exclusion (anti join) + count
+      // DISTINCT suppliers per part attribute cell. The fixture has no
+      // complaint text, so negative account balance plays the excluded-
+      // supplier role. Distinct (part,supp) pairs reduce the fact
+      // BEFORE the dim join; the anti join is a broadcast probe.
+      val pairs = Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+      pairs
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#13" && !col("p_type").startsWith("PROMO") &&
+            col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    "q20_promotion_suppliers" -> ((s, d) => {
+      // TPC-H Q20 shape: correlated-aggregate semi chain — suppliers
+      // whose 1997 shipped share of some filtered part exceeds 20% of
+      // that part's 1997 total (availqty > 0.5*sum(qty) in the
+      // original). Decorrelated by construction: BOTH granularities
+      // ((part,supp) and part) aggregate once, join, and the threshold
+      // is sq*5 > pq on exact decimals; the supplier list is then one
+      // broadcast semi probe. Never a per-supplier re-scan.
+      val l97 = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").startsWith("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("decimal(18,2)").as("q"))
+      val bySupp = l97.groupBy("l_partkey", "l_suppkey").agg(sum(col("q")).as("sq"))
+      val byPart = l97.groupBy(col("l_partkey").as("pk")).agg(sum(col("q")).as("pq"))
+      val qualifying = bySupp
+        .join(byPart, col("l_partkey") === col("pk"))
+        .filter(col("sq") * 5 > col("pq"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    }),
+
     "j1_region_summary" -> ((s, d) => {
       Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)),
@@ -4347,6 +4465,59 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY cntrycode""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH base AS (
+        |  SELECT l_partkey, CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)) AS v
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation
+        |                      ON s_nationkey = n_nationkey WHERE n_name = 'NATION_5')),
+        |per_part AS (SELECT l_partkey, sum(v) AS part_value FROM base GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+        |FROM per_part
+        |WHERE part_value * 1000 > (SELECT sum(part_value) FROM per_part)""".stripMargin,
+
+    "q12_priority_lines" ->
+      """SELECT l_linestatus,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q16_supplier_relationship" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    "q20_promotion_suppliers" ->
+      """WITH l97 AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')),
+        |by_supp AS (SELECT l_partkey, l_suppkey, sum(q) AS sq FROM l97 GROUP BY 1, 2),
+        |by_part AS (SELECT l_partkey, sum(q) AS pq FROM l97 GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+        |  AND s_suppkey IN (SELECT DISTINCT b.l_suppkey FROM by_supp b
+        |                    JOIN by_part p ON b.l_partkey = p.l_partkey
+        |                    WHERE b.sq * 5 > p.pq)""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type,

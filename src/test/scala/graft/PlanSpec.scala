@@ -104,6 +104,39 @@ class PlanSpec extends SparkSpec {
       plan.contains("o_orderdate"), s"date prune missing from the orders side:\n$plan")
   }
 
+  test("q11 global-fraction threshold is one broadcast row, never a per-group recompute") {
+    val plan = planOf(SparkEntry.queries("q11_important_stock")(spark, sf))
+    // the scalar total runs as its own subquery job and lands in the
+    // filter as a literal — no join operator carries the threshold
+    assert(plan.contains("Subquery") || plan.contains("subquery"),
+      s"q11 threshold is not a scalar subquery:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q11 threshold fell back to a join:\n$plan")
+  }
+
+  test("q15 argmax is a broadcast max-equality join, not a global sort or window") {
+    val plan = planOf(SparkEntry.queries("q15_top_supplier")(spark, sf))
+    assert(!plan.contains("Window"), s"q15 used a window rank:\n$plan")
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("GlobalLimit"),
+      s"q15 used a global sort+limit (drops ties):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"q15 max row not broadcast:\n$plan")
+  }
+
+  test("q16 supplier exclusion is a broadcast anti join over pre-distinct pairs") {
+    val plan = planOf(SparkEntry.queries("q16_supplier_relationship")(spark, sf))
+    assert(plan.contains("LeftAnti"), s"NOT IN must be an anti join:\n$plan")
+    // the distinct reduces the fact before the part join; count distinct
+    // expands inside the aggregate, not via a self-join
+    assert(!plan.contains("SortMergeJoin"), s"q16 shuffled a broadcastable probe:\n$plan")
+  }
+
+  test("q20 correlated-share threshold decorrelates to two aggregates + semi chain") {
+    val plan = planOf(SparkEntry.queries("q20_promotion_suppliers")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"q20 supplier probe must be semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q20 fell back to a re-scan form:\n$plan")
+  }
+
   test("contamination broadcasts the eval side; aggregation is partial+final") {
     val plan = planOf(SparkEntry.queries("contamination")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast: $plan")
