@@ -1108,7 +1108,7 @@ object SparkEntry {
       Tables.part(s, d).createOrReplaceTempView("__q17_part")
       Tables.lineitem(s, d).createOrReplaceTempView("__q17_lineitem")
       s.sql("""
-        SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,10)) / 7.0 AS DOUBLE) AS avg_yearly,
+        SELECT round(CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,10)) / 7.0 AS DOUBLE), 4) AS avg_yearly,
                count(*) AS n_small
         FROM __q17_lineitem l JOIN __q17_part p ON p.p_partkey = l.l_partkey
         WHERE p.p_type LIKE 'MEDIUM%'
@@ -3957,6 +3957,43 @@ object SparkEntry {
           Seq(pmod(col("l_partkey"), lit(1024)), pmod(col("l_suppkey"), lit(1024))),
           bits = 10).as("z"))),
 
+    "mv_rewrite_rollup" -> ((s, d) => {
+      // Materialized-rollup rewrite end-to-end: a (returnflag,
+      // linestatus) rollup of lineitem is materialized once per JVM;
+      // the query aggregates the FACT at coarser grain with a key
+      // filter, and the injected optimizer rule re-plans it onto the
+      // rollup — self-asserted: the executed plan must scan the rollup
+      // fixture, never lineitem. At 100 TB this swaps a full-fact
+      // shuffle for a kilobyte scan; the oracle replays the aggregate
+      // over the raw table because the rewrite is an optimization,
+      // never a semantic. Registration is scoped (withRollup) so the
+      // shared Verify/Bench session never leaks it to other queries;
+      // the result is checkpointed INSIDE the scope so the dumped rows
+      // come from the rewritten execution.
+      import graft.plans.RollupRewrite
+      import graft.plans.RollupRewrite.SumMeasure
+      val dec = org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")
+      val sums = Seq(SumMeasure("l_quantity", Some(dec), "sum_qty"),
+                     SumMeasure("l_extendedprice", Some(dec), "sum_price"))
+      val dir = layoutDir(s, d, "mvrollup") { p =>
+        RollupRewrite.buildRollup(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), sums).write.parquet(p) }
+      RollupRewrite.withRollup(s, "li_rollup_q", Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), sums, s.read.parquet(dir)) {
+        val q = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") =!= "N")
+          .groupBy("l_linestatus")
+          .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+               sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+               count(lit(1)).as("n"))
+        q.count()
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("layout_mvrollup") && !plan.contains("lineitem.parquet"),
+          s"materialized-rollup rewrite did not fire:\n$plan")
+        q.localCheckpoint()
+      }
+    }),
+
     "layout_zonemap_scan" -> ((s, d) => {
       // file-skipping scan over a LINEAR layout: lineitem clustered and
       // zone-mapped on l_shipdate (written once per JVM — production
@@ -4433,7 +4470,7 @@ object SparkEntry {
         |GROUP BY c_count""".stripMargin,
 
     "q17_small_qty_revenue" ->
-      """SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,10)) / 7.0 AS DOUBLE) AS avg_yearly,
+      """SELECT round(CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(28,10)) / 7.0 AS DOUBLE), 4) AS avg_yearly,
         |       count(*) AS n_small
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |WHERE p.p_type LIKE 'MEDIUM%'
@@ -6863,6 +6900,18 @@ object SparkEntry {
 
     // the layout scans must equal plain filtered aggregates over the
     // RAW table: file skipping is invisible to answers by construction
+    // the rewrite is invisible by contract: the oracle aggregates the
+    // raw fact — re-aggregated decimal partials are exact, so values
+    // match bit-for-bit
+    "mv_rewrite_rollup" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_returnflag <> 'N'
+        |GROUP BY l_linestatus""".stripMargin,
+
     "layout_zonemap_scan" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue

@@ -85,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hll_estimate(blob) - cardinality estimate of a serialized HLL sketch"),
       (children: Seq[Expression]) => { requireArity("hll_estimate", children, 1)
         HllEstimateExpr(children.head) }))
+    // materialized-rollup rewrite: aggregates over a registered fact
+    // re-plan onto the maintained rollup (no-op while the catalog is
+    // empty — registration is the opt-in)
+    ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
   }
 
   private def requireArity(fn: String, children: Seq[Expression], n: Int): Unit =

@@ -1,0 +1,171 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+import graft.SparkSpec
+import graft.plans.RollupRewrite.SumMeasure
+
+/** The materialized-rollup rewrite: correctness of the re-aggregation,
+  * exactness of the refusal conditions, and invisibility of the swap
+  * (schema, names, types identical either way). */
+class RollupRewriteSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val dec = DataType.fromDDL("decimal(18,2)")
+
+  // lineitem fact + a materialized (returnflag, linestatus) rollup —
+  // written to parquet so the rewritten scan is a genuinely different
+  // (and smaller) file source
+  private lazy val fixture: (DataFrame, String) = {
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = Files.createTempDirectory("mv_rollup").toString + "/rollup"
+    RollupRewrite.buildRollup(base, Seq("l_returnflag", "l_linestatus"),
+        Seq(SumMeasure("l_quantity", Some(dec), "sum_qty"),
+            SumMeasure("l_extendedprice", Some(dec), "sum_price")),
+        countCol = Some("cnt"),
+        maxs = Map("l_shipdate" -> "max_ship"))
+      .write.mode("overwrite").parquet(dir)
+    (base, dir)
+  }
+
+  private def withMv[T](body: => T): T = {
+    val (base, dir) = fixture
+    RollupRewrite.withRollup(spark, "li_rollup", base,
+      Seq("l_returnflag", "l_linestatus"),
+      Seq(SumMeasure("l_quantity", Some(dec), "sum_qty"),
+          SumMeasure("l_extendedprice", Some(dec), "sum_price")),
+      spark.read.parquet(dir),
+      countCol = Some("cnt"),
+      maxs = Map("l_shipdate" -> "max_ship"))(body)
+  }
+
+  private def scansRollup(df: DataFrame): Boolean = {
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    plan.contains("mv_rollup") && !plan.contains("lineitem.parquet")
+  }
+
+  private def query(): DataFrame =
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"),
+           count(lit(1)).as("n"))
+
+  test("rewrite fires: the aggregate scans the rollup, not the fact") {
+    val direct = query().collect().toSeq
+    withMv {
+      val df = query()
+      assert(scansRollup(df), df.queryExecution.executedPlan.toString)
+      assert(canon(df) == direct.map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")))
+    }
+    // unregistered again: back to the fact scan
+    val after = query()
+    after.count()
+    assert(after.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+  }
+
+  test("schema is identical with and without the rewrite") {
+    val direct = query()
+    withMv { assert(query().schema == direct.schema) }
+  }
+
+  test("expressions over rewritten aggregates (ratios, casts) carry over") {
+    def q() = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg((sum(col("l_extendedprice").cast(dec)).cast("double") /
+            sum(col("l_quantity").cast(dec)).cast("double")).as("avg_price"),
+           max(col("l_shipdate")).as("max_ship"))
+    val direct = canon(q())
+    withMv {
+      val df = q()
+      assert(scansRollup(df), df.queryExecution.executedPlan.toString)
+      assert(canon(df) == direct)
+    }
+  }
+
+  test("filters on grouping keys rewrite; filters on other columns refuse") {
+    def keyFiltered() = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    val direct = canon(keyFiltered())
+    withMv {
+      val kf = keyFiltered()
+      assert(scansRollup(kf), kf.queryExecution.executedPlan.toString)
+      assert(canon(kf) == direct)
+      // a measure-column filter cannot be answered from the rollup
+      val mf = spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter(col("l_quantity") > 10)
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      mf.count()
+      assert(mf.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    }
+  }
+
+  test("non-derivable aggregates refuse: distinct, unregistered measure, min") {
+    withMv {
+      val distinct = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      distinct.count()
+      assert(distinct.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      val unregistered = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").agg(sum("l_tax").as("t"))
+      unregistered.count()
+      assert(unregistered.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      // max_ship is registered, min is not
+      val unregMin = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").agg(min("l_shipdate").as("m"))
+      unregMin.count()
+      assert(unregMin.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    }
+  }
+
+  test("sum must match the registered cast exactly (raw sum over a cast measure refuses)") {
+    withMv {
+      // registered as sum(cast(l_quantity as decimal)); a raw double sum
+      // is a DIFFERENT number (fp addition order) — must not rewrite
+      val raw = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      raw.count()
+      assert(raw.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    }
+  }
+
+  test("grouping by a non-key or an expression refuses") {
+    withMv {
+      val nonKey = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      nonKey.count()
+      assert(nonKey.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      val expr = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy(upper(col("l_returnflag")).as("rf")).agg(count(lit(1)).as("n"))
+      expr.count()
+      assert(expr.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    }
+  }
+
+  test("count(*) re-aggregates the stored per-group count") {
+    def q() = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_linestatus").agg(count(lit(1)).as("n"))
+    val direct = canon(q())
+    withMv {
+      val df = q()
+      assert(scansRollup(df), df.queryExecution.executedPlan.toString)
+      assert(canon(df) == direct)
+    }
+  }
+
+  test("full-table aggregate (no grouping) also rewrites") {
+    def q() = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum(col("l_quantity").cast(dec)).as("q"), count(lit(1)).as("n"))
+    val direct = canon(q())
+    withMv {
+      val df = q()
+      assert(scansRollup(df), df.queryExecution.executedPlan.toString)
+      assert(canon(df) == direct)
+    }
+  }
+}
