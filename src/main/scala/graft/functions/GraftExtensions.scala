@@ -87,8 +87,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HllEstimateExpr(children.head) }))
     // materialized-rollup rewrite: aggregates over a registered fact
     // re-plan onto the maintained rollup (no-op while the catalog is
-    // empty — registration is the opt-in)
-    ext.injectOptimizerRule(_ => graft.plans.RollupRewrite)
+    // empty — registration is the opt-in). Injected at POST-HOC
+    // RESOLUTION, not optimization: the match is by plan identity, and
+    // only at analysis time is the query's fact subtree still exactly
+    // the plan the registration captured (optimizer rules running in
+    // the same batch would prune/push into it first) — the same slot
+    // view substitution uses.
+    ext.injectPostHocResolutionRule(_ => graft.plans.RollupRewrite)
   }
 
   private def requireArity(fn: String, children: Seq[Expression], n: Int): Unit =

@@ -13,9 +13,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.types.{DataType, LongType}
 
-/** Materialized-rollup query rewrite — the optimizer half of the
+/** Materialized-rollup query rewrite — the planner half of the
   * maintained-aggregate story (the maintenance half is
-  * [[graft.pipeline.CdfRollup]]): a Catalyst optimizer rule that
+  * [[graft.pipeline.CdfRollup]]): a Catalyst rule, injected at
+  * POST-HOC RESOLUTION (the slot view substitution uses — at analysis
+  * time the query's fact subtree is still exactly the plan the
+  * registration captured, before pruning/pushdown reshape it), that
   * recognizes an aggregate over a registered fact table whose grouping
   * keys and measures are derivable from a materialized rollup, and
   * rewrites the plan to RE-AGGREGATE the (tiny) rollup instead of
@@ -47,14 +50,22 @@ object RollupRewrite extends Rule[LogicalPlan] {
     * rollup column holding the per-group partial. */
   final case class SumMeasure(baseCol: String, cast: Option[DataType], rollupCol: String)
 
-  /** One registered rollup. `basePaths` identifies the fact scan (the
-    * parquet root paths of its HadoopFsRelation); `keys` are the
-    * grouping columns carried by the rollup under the same names;
-    * `rollupPlan` yields a FRESH analyzed plan per rewrite so two
-    * rewritten queries never share attribute ids through one tree. */
+  /** One registered rollup. The fact is recognized either by the
+    * parquet root paths of its single HadoopFsRelation scan
+    * (`basePaths` — a raw table read) or, when the base is any richer
+    * plan (a ManifestStore/MorStore read is a union of per-segment
+    * scans), by CANONICALIZED-PLAN equality (`baseCanonical`). Plan
+    * identity doubles as a freshness guard for store-backed facts: a
+    * store commit changes the resolved plan, so a stale registration
+    * silently stops matching until the maintenance loop re-registers
+    * after its tick. `keys` are the grouping columns carried by the
+    * rollup under the same names; `rollupPlan` yields a FRESH analyzed
+    * plan per rewrite so two rewritten queries never share attribute
+    * ids through one tree. */
   final case class Entry(
       name: String,
-      basePaths: Set[String],
+      basePaths: Option[Set[String]],
+      baseCanonical: Option[LogicalPlan],
       keys: Set[String],
       sums: Seq[SumMeasure],
       countCol: Option[String],
@@ -96,10 +107,27 @@ object RollupRewrite extends Rule[LogicalPlan] {
                countCol: Option[String] = Some("cnt"),
                mins: Map[String, String] = Map.empty,
                maxs: Map[String, String] = Map.empty): Unit = {
-    val paths = scanPaths(base)
-    require(paths.nonEmpty, s"rollup '$name': base has no file-source scan to recognize")
-    entries.put(name, Entry(name, paths, keys.toSet, sums, countCol, mins, maxs,
-      () => rollup.queryExecution.analyzed))
+    // a bare single-relation read is identified by its root paths (fast,
+    // stable across re-reads); anything richer — store reads resolving
+    // to segment unions — by canonical plan identity
+    val analyzed = base.queryExecution.analyzed
+    @scala.annotation.tailrec
+    def unalias(p: LogicalPlan): LogicalPlan = p match {
+      case sa: SubqueryAlias => unalias(sa.child)
+      case other => other
+    }
+    val (paths, canonical) = unalias(analyzed) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          (Some(fs.location.rootPaths.map(_.toString).toSet), None)
+        case _ => (None, Some(analyzed.canonicalized))
+      }
+      case _ => (None, Some(analyzed.canonicalized))
+    }
+    require(paths.exists(_.nonEmpty) || canonical.nonEmpty,
+      s"rollup '$name': base has no recognizable scan")
+    entries.put(name, Entry(name, paths, canonical, keys.toSet, sums, countCol,
+      mins, maxs, () => rollup.queryExecution.analyzed))
   }
 
   def unregister(name: String): Unit = entries.remove(name)
@@ -120,27 +148,40 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** Peel Project(attrs)/Filter layers down to the relation, collecting
-    * filter conditions. Anything else (computed projections, joins)
-    * blocks the rewrite. */
-  @scala.annotation.tailrec
-  private def strip(p: LogicalPlan, conds: Seq[Expression])
-      : Option[(Seq[Expression], LogicalRelation)] = p match {
-    case lr: LogicalRelation => Some((conds, lr))
-    case f: Filter => strip(f.child, conds :+ f.condition)
-    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(pr.child, conds)
-    case _ => None
+  /** Peel the query's own Project(attrs)/Filter layers, collecting
+    * filter conditions, trying the registered fact identities at EVERY
+    * level — a store-backed base plan carries its own internal Filter
+    * layers, which must match as part of the base, not be mistaken for
+    * query predicates. Computed projections and joins above the fact
+    * block the rewrite by never matching. */
+  private def findMatch(p: LogicalPlan, conds: Seq[Expression])
+      : Option[(Seq[Expression], Entry)] =
+    matchEntry(p).map(e => (conds, e)).orElse(p match {
+      case f: Filter => findMatch(f.child, conds :+ f.condition)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        findMatch(pr.child, conds)
+      case sa: SubqueryAlias => findMatch(sa.child, conds)
+      case _ => None
+    })
+
+  private def matchEntry(remainder: LogicalPlan): Option[Entry] = {
+    val byPath: Option[Entry] = remainder match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(_.toString).toSet
+          entries.values.asScala.find(_.basePaths.contains(paths))
+        case _ => None
+      }
+      case _ => None
+    }
+    byPath.orElse {
+      lazy val canon = remainder.canonicalized
+      entries.values.asScala.find(_.baseCanonical.exists(_ == canon))
+    }
   }
 
   private def tryRewrite(agg: Aggregate): Option[Aggregate] = for {
-    (conds, lr) <- strip(agg.child, Nil)
-    entry <- lr.relation match {
-      case fs: HadoopFsRelation =>
-        val paths = fs.location.rootPaths.map(_.toString).toSet
-        entries.values.asScala.find(_.basePaths == paths)
-      case _ => None
-    }
+    (conds, entry) <- findMatch(agg.child, Nil)
     // every grouping key must be a plain registered-key attribute, and
     // every filter may touch registered keys only (it then applies
     // verbatim to the rollup, whose key columns are exact)
@@ -183,6 +224,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
           m.map(x => s.withNewChildren(Seq(rollupAttr(x.rollupCol))).asInstanceOf[AggregateFunction])
         case Count(Seq(Literal(1, _))) =>
           entry.countCol.map(c => Sum(rollupAttr(c)))
+        case Count(Seq()) =>
+          entry.countCol.map(c => Sum(rollupAttr(c)))
         case mn @ Min(ar: AttributeReference) =>
           entry.mins.get(ar.name).map(c => mn.withNewChildren(Seq(rollupAttr(c))).asInstanceOf[AggregateFunction])
         case mx @ Max(ar: AttributeReference) =>
@@ -190,8 +233,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
         case _ => None
       }
       replaced.map { f =>
-        val e = AggregateExpression(f, ae.mode, isDistinct = false)
-        if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+        val e: Expression = AggregateExpression(f, ae.mode, isDistinct = false)
+        val typed = if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
+        // count(*) is non-nullable; sum-of-counts is statically nullable
+        // — coalesce restores the contract AND the empty-input value
+        // (direct count over no rows is 0, sum over no rows is null)
+        if (!ae.nullable && typed.nullable)
+          Coalesce(Seq(typed, Literal.default(ae.dataType)))
+        else typed
       }
     }
 
@@ -221,7 +270,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     if (newAggExprs.exists(_.isEmpty)) return None
     val outExprs = newAggExprs.map(_.get)
     // the rewrite must be invisible: same output names AND types
-    if (outExprs.map(_.dataType) != agg.aggregateExpressions.map(_.dataType)) return None
+    if (outExprs.map(e => (e.dataType, e.nullable)) !=
+        agg.aggregateExpressions.map(e => (e.dataType, e.nullable))) return None
 
     val newGroupings: Seq[Expression] = agg.groupingExpressions.map {
       case ar: AttributeReference => rollupAttr(ar.name)

@@ -158,6 +158,44 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("store-backed fact: a ManifestStore union read matches by plan identity") {
+    import graft.pipeline.ManifestStore
+    import graft.schema.TableConfig
+    val root = Files.createTempDirectory("mv_store").toString
+    val store = new ManifestStore(spark, s"$root/fact", "l_returnflag")
+    val cfg = TableConfig("mv_fact", null, Seq("l_orderkey", "l_linenumber"))
+    store.upsert(spark.read.parquet(s"$sf/lineitem.parquet"), cfg)
+    val base = store.read.get
+    val rollupDir = s"$root/rollup"
+    RollupRewrite.buildRollup(base, Seq("l_returnflag"),
+        Seq(SumMeasure("l_quantity", Some(dec), "sum_qty")))
+      .write.parquet(rollupDir)
+    def q() = store.read.get.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"), count(lit(1)).as("n"))
+    val direct = canon(q())
+    RollupRewrite.withRollup(spark, "store_mv", base, Seq("l_returnflag"),
+        Seq(SumMeasure("l_quantity", Some(dec), "sum_qty")),
+        spark.read.parquet(rollupDir)) {
+      val df = q()
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("mv_store") && plan.contains("rollup") &&
+        !plan.contains("fact/seg"), plan)
+      assert(canon(df) == direct)
+
+      // freshness guard by construction: a store COMMIT changes the
+      // resolved union plan, so the (now stale) registration silently
+      // stops matching — the fact is scanned again until the
+      // maintenance loop re-registers after its tick
+      store.upsert(spark.read.parquet(s"$sf/lineitem.parquet")
+        .limit(5).withColumn("l_quantity", lit(999.0)), cfg)
+      val after = q()
+      after.count()
+      assert(!after.queryExecution.executedPlan.toString.contains("rollup"),
+        after.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("full-table aggregate (no grouping) also rewrites") {
     def q() = spark.read.parquet(s"$sf/lineitem.parquet")
       .agg(sum(col("l_quantity").cast(dec)).as("q"), count(lit(1)).as("n"))
