@@ -45,6 +45,19 @@ object SparkEntry {
 
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
 
+  /** Root paths of every file scan in the OPTIMIZED logical plan —
+    * plan STRINGS truncate long InMemoryFileIndex paths, so self-
+    * asserting queries (the mv rewrites) check actual scan roots. */
+  private def scanRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
   /** Lakehouse layout fixtures (clustered + zone-mapped lineitem
     * copies), one per (layout kind, sf dir) per JVM: the write IS an
     * operator too, but production writes a layout once and reads it
@@ -3987,9 +4000,64 @@ object SparkEntry {
                sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
                count(lit(1)).as("n"))
         q.count()
-        val plan = q.queryExecution.executedPlan.toString
-        require(plan.contains("layout_mvrollup") && !plan.contains("lineitem.parquet"),
-          s"materialized-rollup rewrite did not fire:\n$plan")
+        val roots = scanRoots(q)
+        require(roots.nonEmpty && roots.forall(_.contains("layout_mvrollup")),
+          s"materialized-rollup rewrite did not fire; scans=$roots")
+        q.localCheckpoint()
+      }
+    }),
+
+    "mv_rewrite_maintained" -> ((s, d) => {
+      // The maintained-aggregate loop, closed: a CDC-mutated fact
+      // store, its CdfRollup-maintained (event_type, day) rollup —
+      // exact pre-image subtraction under a cross-day restatement —
+      // and a coarser aggregate query served THROUGH the analysis-time
+      // rewrite. The store read is the registered fact by plan
+      // identity. The oracle replays the FINAL table state from
+      // scratch: neither the maintenance nor the rewrite may ever be
+      // a semantic.
+      import graft.pipeline.{CdfRollup, ManifestStore}
+      import graft.plans.RollupRewrite
+      import graft.plans.RollupRewrite.SumMeasure
+      val dec = org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")
+      val cfg = TableConfig("mvmaint_events", null, Seq("event_id"),
+        cursorField = Some("ts"), guard = MergeGuard.TargetOlder("ts"))
+      val dir = layoutDir(s, d, "mvmaint") { p =>
+        val ev = Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "ts", "value")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("bucket", pmod(col("event_id"), lit(8L)))
+        val store = new ManifestStore(s, s"$p/fact", "bucket")
+        store.upsert(ev, cfg)
+        val ver1 = store.latestManifestVersion.get
+        val r1 = CdfRollup.applyCdf(None,
+          store.changes(0, ver1, Seq("event_id"), updatePreimage = true),
+          Seq("event_type", "day"), "value")
+        store.upsert(ev.filter(pmod(col("event_id"), lit(10)) === 3)
+            .withColumn("ts", col("ts") + expr("INTERVAL 25 DAYS"))
+            .withColumn("value", col("value") * 2)
+            .withColumn("day", to_date(col("ts"))), cfg)
+        val ver2 = store.latestManifestVersion.get
+        CdfRollup.applyCdf(Some(r1),
+            store.changes(ver1, ver2, Seq("event_id"), updatePreimage = true),
+            Seq("event_type", "day"), "value")
+          .write.parquet(s"$p/rollup")
+      }
+      val store = new ManifestStore(s, s"$dir/fact", "bucket")
+      val base = store.read.get
+      RollupRewrite.withRollup(s, "mv_maintained", base,
+          Seq("event_type", "day"),
+          Seq(SumMeasure("value", Some(dec), "sum_value")),
+          s.read.parquet(s"$dir/rollup"), countCol = Some("n")) {
+        val q = base.groupBy("event_type")
+          .agg(sum(col("value").cast(dec)).cast("double").as("sum_value"),
+               count(lit(1)).as("n"))
+        q.count()
+        // plan strings truncate long file-index paths — assert on the
+        // actual scan roots instead
+        val roots = scanRoots(q)
+        require(roots.nonEmpty && roots.forall(_.endsWith("/rollup")),
+          s"maintained-rollup rewrite did not fire; scans=$roots")
         q.localCheckpoint()
       }
     }),
@@ -6900,6 +6968,21 @@ object SparkEntry {
 
     // the layout scans must equal plain filtered aggregates over the
     // RAW table: file skipping is invisible to answers by construction
+    // the maintained rollup must equal a from-scratch rollup of the
+    // FINAL table state (guard keeps the newer-cursor restatement), and
+    // the rewrite must be invisible on top of that
+    "mv_rewrite_maintained" ->
+      """WITH corr AS (
+        |  SELECT event_id, event_type, value * 2 AS value
+        |  FROM events WHERE event_id % 10 = 3),
+        |fin AS (
+        |  SELECT event_id, event_type, value FROM events WHERE event_id % 10 <> 3
+        |  UNION ALL SELECT * FROM corr)
+        |SELECT event_type,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | count(*) AS n
+        |FROM fin GROUP BY event_type""".stripMargin,
+
     // the rewrite is invisible by contract: the oracle aggregates the
     // raw fact — re-aggregated decimal partials are exact, so values
     // match bit-for-bit
