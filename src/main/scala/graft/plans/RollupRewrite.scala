@@ -161,6 +161,7 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
         findMatch(pr.child, conds)
       case sa: SubqueryAlias => findMatch(sa.child, conds)
+      case v: View => findMatch(v.child, conds)
       case _ => None
     })
 

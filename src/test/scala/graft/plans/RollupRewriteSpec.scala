@@ -196,6 +196,20 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("plain SQL through a temp view rewrites too (SubqueryAlias peeled)") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("mv_fact_v")
+    def q() = spark.sql("""
+      SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             count(*) AS n
+      FROM mv_fact_v GROUP BY l_returnflag""")
+    val direct = canon(q())
+    withMv {
+      val df = q()
+      assert(scansRollup(df), df.queryExecution.executedPlan.toString)
+      assert(canon(df) == direct)
+    }
+  }
+
   test("full-table aggregate (no grouping) also rewrites") {
     def q() = spark.read.parquet(s"$sf/lineitem.parquet")
       .agg(sum(col("l_quantity").cast(dec)).as("q"), count(lit(1)).as("n"))
