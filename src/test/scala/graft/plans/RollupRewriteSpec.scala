@@ -210,6 +210,78 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("two registered facts: each query matches its own rollup") {
+    val (base, dir) = fixture
+    val odir = Files.createTempDirectory("mv_orders").toString + "/rollup"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    RollupRewrite.buildRollup(orders, Seq("o_orderstatus"),
+        Seq(SumMeasure("o_totalprice", Some(dec), "sum_price")))
+      .write.parquet(odir)
+    withMv {
+      RollupRewrite.withRollup(spark, "orders_mv", orders, Seq("o_orderstatus"),
+          Seq(SumMeasure("o_totalprice", Some(dec), "sum_price")),
+          spark.read.parquet(odir)) {
+        val li = query()
+        assert(scansRollup(li), li.queryExecution.executedPlan.toString)
+        val om = orders.groupBy("o_orderstatus")
+          .agg(sum(col("o_totalprice").cast(dec)).as("p"))
+        om.count()
+        val plan = om.queryExecution.executedPlan.toString
+        assert(plan.contains("mv_orders") && !plan.contains("orders.parquet"), plan)
+      }
+    }
+  }
+
+  test("property: rewritten results equal direct over randomized query shapes") {
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    withMv {
+      for (i <- 1 to 25) {
+        val gks = keys.filter(_ => rnd.nextBoolean())
+        val aggs = scala.collection.mutable.Buffer[org.apache.spark.sql.Column]()
+        if (rnd.nextBoolean()) aggs += sum(col("l_quantity").cast(dec)).as("sq")
+        if (rnd.nextBoolean()) aggs += sum(col("l_extendedprice").cast(dec)).as("sp")
+        if (rnd.nextBoolean()) aggs += count(lit(1)).as("n")
+        if (rnd.nextBoolean()) aggs += max(col("l_shipdate")).as("ms")
+        if (aggs.isEmpty) aggs += count(lit(1)).as("n")
+        val filt: DataFrame => DataFrame = rnd.nextInt(3) match {
+          case 0 => identity
+          case 1 => _.filter(col("l_returnflag") =!= "N")
+          case 2 => _.filter(col("l_linestatus") === "F")
+        }
+        def build(): DataFrame = {
+          val b = filt(spark.read.parquet(s"$sf/lineitem.parquet"))
+          val g = if (gks.isEmpty) b.groupBy() else b.groupBy(gks.map(col): _*)
+          g.agg(aggs.head, aggs.tail.toSeq: _*)
+        }
+        val withRewrite = build()
+        val scans = withRewrite.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten
+        assert(scans.nonEmpty && scans.forall(_.contains("mv_rollup")),
+          s"case $i did not rewrite (gks=$gks, ${aggs.size} aggs): $scans")
+        val rewrittenRows = canon(withRewrite)
+        val rewrittenSchema = withRewrite.schema
+        // direct baseline with the registration suspended
+        RollupRewrite.unregister("li_rollup")
+        val direct = build()
+        assert(rewrittenSchema == direct.schema, s"case $i schema diverges")
+        assert(rewrittenRows == canon(direct), s"case $i values diverge")
+        // restore for the remaining iterations (withMv cleans up at the end)
+        RollupRewrite.register(spark, "li_rollup", fixture._1, keys,
+          Seq(SumMeasure("l_quantity", Some(dec), "sum_qty"),
+              SumMeasure("l_extendedprice", Some(dec), "sum_price")),
+          spark.read.parquet(fixture._2), countCol = Some("cnt"),
+          maxs = Map("l_shipdate" -> "max_ship"))
+      }
+    }
+  }
+
   test("full-table aggregate (no grouping) also rewrites") {
     def q() = spark.read.parquet(s"$sf/lineitem.parquet")
       .agg(sum(col("l_quantity").cast(dec)).as("q"), count(lit(1)).as("n"))
