@@ -2160,6 +2160,23 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    "dedup_index_probe" -> ((s, d) => {
+      // the PERSISTENT form of dedup_incremental: corpus signatures are
+      // computed once at admission and held in a MinhashIndexStore
+      // (built once per JVM — production admits batches at CDC cadence);
+      // a probe scans only the NARROW signature table plus candidate
+      // texts, never re-shingling the corpus. Same screening semantics,
+      // same exact all-pairs oracle.
+      import graft.llm.MinhashIndexStore
+      val docs = Tables.documents(s, d)
+      val dir = layoutDir(s, d, "mhidx") { p =>
+        new MinhashIndexStore(s, p)
+          .append(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text") }
+      new MinhashIndexStore(s, dir)
+        .probe(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.8)
+        .select("doc_id")
+    }),
+
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
       // near-dups to find; random embeddings never reach cosine 0.95, so
@@ -3404,6 +3421,31 @@ object SparkEntry {
         s"$tmp/ckpt", onStage = stageLogger("stream_cdc_merge_mor"))
       store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("user_id"), col("event_type"), col("value"))
+    }),
+
+    "stream_dedup_index" -> ((s, d) => withShufflePartitions(s, 8) {
+      // streaming admission through the persistent MinHash index: the
+      // corpus is pre-admitted, then TWO ordered micro-batches of
+      // candidate docs drain through one ingest tick each — batch B
+      // screens against corpus PLUS batch A's admitted survivors
+      // (sequential semantics; the oracle replays both stages with the
+      // exact all-pairs Jaccard). Per tick: narrow signature scan +
+      // O(batch) state append, the corpus text never re-shingled.
+      import graft.llm.MinhashIndexStore
+      val tmp = scratchDir("stream_mhidx")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val src = s"$tmp/src"
+      docs.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(src)
+      docs.filter(col("doc_id") % 10 === 5).coalesce(1).write.mode("append").parquet(src)
+      val store = new MinhashIndexStore(s, s"$tmp/store")
+      val t0 = System.nanoTime()
+      store.append(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      stageLogger("stream_dedup_index")("index_build", (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamOps.dedupIndexDrain(stream, store, "doc_id", "text", 0.8,
+        s"$tmp/admitted", s"$tmp/ckpt", onStage = stageLogger("stream_dedup_index"))
+      s.read.parquet(s"$tmp/admitted").select("doc_id")
     }),
 
     "stream_cdc_rollup_cdf" -> ((s, d) => {
@@ -5827,6 +5869,59 @@ object SparkEntry {
 
     // coalesce(text,'') mirrors WordShingles' NULL → [""] contract (same
     // rationale as text_novelty)
+    // sequential admission replayed exactly: batch A (%10==0) screens
+    // against the corpus; batch B (%10==5) against corpus + A's
+    // survivors. The length band in each join is implied by J>=0.8
+    // (min >= 0.8*max), so it is an optimization, not a semantic.
+    "stream_dedup_index" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |dupA AS (
+        |  SELECT DISTINCT a.doc_id AS id
+        |  FROM sh a JOIN sh b
+        |    ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 5 <> 0
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |survA AS (SELECT doc_id FROM documents
+        |          WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT id FROM dupA)),
+        |dupB AS (
+        |  SELECT DISTINCT a.doc_id AS id
+        |  FROM sh a JOIN sh b
+        |    ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE a.doc_id % 10 = 5
+        |    AND (b.doc_id % 5 <> 0 OR b.doc_id IN (SELECT doc_id FROM survA))
+        |    AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |survB AS (SELECT doc_id FROM documents
+        |          WHERE doc_id % 10 = 5 AND doc_id NOT IN (SELECT id FROM dupB))
+        |SELECT doc_id FROM survA UNION ALL SELECT doc_id FROM survB""".stripMargin,
+
+    // the indexed probe must answer exactly like the recompute form —
+    // one shared closed-form oracle
+    "dedup_index_probe" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id AS dup_id
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |   AND len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |  WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
+
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
         |sh AS (SELECT doc_id,
