@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.ManifestStore
 import graft.schema.TableConfig
 
-/** Persistent MinHash-LSH dedup index — the INCREMENTAL-STATE form of
+/** Persistent MinHash-LSH dedup index (Broder '97 resemblance sketches
+  * in banded LSH form) — the INCREMENTAL-STATE form of
   * [[Dedup.nearDedupIncremental]].
   *
   * `nearDedupIncremental` re-shingles and re-hashes the WHOLE corpus on
