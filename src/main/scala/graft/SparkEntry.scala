@@ -2170,10 +2170,10 @@ object SparkEntry {
       import graft.llm.MinhashIndexStore
       val docs = Tables.documents(s, d)
       val dir = layoutDir(s, d, "mhidx") { p =>
-        new MinhashIndexStore(s, p)
-          .append(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text") }
-      new MinhashIndexStore(s, dir)
-        .probe(docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 0.8)
+        new MinhashIndexStore(s, p, "doc_id", "text")
+          .append(docs.filter(col("doc_id") % 5 =!= 0)) }
+      new MinhashIndexStore(s, dir, "doc_id", "text")
+        .probe(docs.filter(col("doc_id") % 5 === 0), 0.8)
         .select("doc_id")
     }),
 
@@ -3437,13 +3437,13 @@ object SparkEntry {
       val src = s"$tmp/src"
       docs.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(src)
       docs.filter(col("doc_id") % 10 === 5).coalesce(1).write.mode("append").parquet(src)
-      val store = new MinhashIndexStore(s, s"$tmp/store")
+      val store = new MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
       val t0 = System.nanoTime()
-      store.append(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      store.append(docs.filter(col("doc_id") % 5 =!= 0))
       stageLogger("stream_dedup_index")("index_build", (System.nanoTime() - t0) / 1e9)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      graft.streaming.StreamOps.dedupIndexDrain(stream, store, "doc_id", "text", 0.8,
+      graft.streaming.StreamOps.dedupIndexDrain(stream, store, 0.8,
         s"$tmp/admitted", s"$tmp/ckpt", onStage = stageLogger("stream_dedup_index"))
       s.read.parquet(s"$tmp/admitted").select("doc_id")
     }),

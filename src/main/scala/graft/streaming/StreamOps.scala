@@ -417,7 +417,7 @@ object StreamOps {
     * a re-delivered batch may re-append its survivor rows, so an
     * exactly-once consumer dedups on the id column downstream). */
   def dedupIndexDrain(stream: DataFrame, store: graft.llm.MinhashIndexStore,
-                      idCol: String, textCol: String, threshold: Double,
+                      threshold: Double,
                       admittedOut: String, checkpoint: String,
                       onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
@@ -425,7 +425,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        store.ingest(batch, idCol, textCol, threshold)
+        store.ingest(batch, threshold)
           .write.mode("append").parquet(admittedOut)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }

@@ -8,7 +8,8 @@ import graft.SparkSpec
 
 /** The persistent LSH index must be SEMANTICALLY IDENTICAL to the
   * recompute form (`Dedup.nearDedupIncremental`) while holding its
-  * state across ticks — equality, incrementality, and replay. */
+  * state across ticks — equality, incrementality, replay convergence,
+  * and the O(batch)-per-tick state shape. */
 class MinhashIndexStoreSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
@@ -16,11 +17,11 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("probe equals nearDedupIncremental on the same split") {
     val root = Files.createTempDirectory("mhidx").toString
-    val store = new MinhashIndexStore(spark, root)
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    store.append(corpus, "doc_id", "text")
-    val indexed = store.probe(batch, "doc_id", "text", 0.8).select("doc_id")
+    store.append(corpus)
+    val indexed = store.probe(batch, 0.8).select("doc_id")
     val recompute = Dedup.nearDedupIncremental(batch, corpus, "doc_id", "text", 0.8)
       .select("doc_id")
     assertSameRows(indexed, recompute)
@@ -28,13 +29,13 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("two ticks: the second batch screens against corpus PLUS first-tick survivors") {
     val root = Files.createTempDirectory("mhidx2").toString
-    val store = new MinhashIndexStore(spark, root)
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
     val b1 = docs.filter(col("doc_id") % 5 === 0)
     val b2 = docs.filter(col("doc_id") % 5 === 1)
-    store.append(corpus, "doc_id", "text")
-    val s1 = store.ingest(b1, "doc_id", "text", 0.8)
-    val s2 = store.probe(b2, "doc_id", "text", 0.8).select("doc_id")
+    store.append(corpus)
+    val s1 = store.ingest(b1, 0.8)
+    val s2 = store.probe(b2, 0.8).select("doc_id")
     val grown = corpus.select("doc_id", "text")
       .unionByName(b1.join(s1.select("doc_id"), Seq("doc_id"), "left_semi")
         .select("doc_id", "text"))
@@ -45,18 +46,18 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("replaying a batch converges: store state identical, nothing lost") {
     val root = Files.createTempDirectory("mhidx3").toString
-    val store = new MinhashIndexStore(spark, root)
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 7 === 0)
-    store.append(corpus, "doc_id", "text")
+    store.append(corpus)
     val batch = docs.filter(col("doc_id") % 7 === 1)
-    val first = store.ingest(batch, "doc_id", "text", 0.8).select("doc_id")
+    val first = store.ingest(batch, 0.8).select("doc_id")
     val stateAfterFirst = canon(store.indexedDocs.get)
     // replay the delivery (the crash-recovery path): survivors admitted
     // by the first tick are now IN the corpus, so any of them with an
     // in-batch near-dup twin reads as a dup this time — the returned
     // list may shrink, but the STORE must not change and no admitted
     // doc may be lost
-    store.ingest(batch, "doc_id", "text", 0.8)
+    store.ingest(batch, 0.8)
     assert(canon(store.indexedDocs.get) == stateAfterFirst)
     val admitted = store.indexedDocs.get.select("doc_id")
     assert(first.join(admitted, Seq("doc_id"), "left_anti").count() == 0)
@@ -64,25 +65,43 @@ class MinhashIndexStoreSpec extends SparkSpec {
 
   test("empty store admits everything; probe of empty batch is empty") {
     val root = Files.createTempDirectory("mhidx4").toString
-    val store = new MinhashIndexStore(spark, root)
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
     val batch = docs.limit(10)
-    assert(store.probe(batch, "doc_id", "text").count() == batch.count())
-    store.append(batch, "doc_id", "text")
-    assert(store.probe(batch.limit(0), "doc_id", "text").count() == 0)
+    assert(store.probe(batch).count() == batch.count())
+    store.append(batch)
+    assert(store.probe(batch.limit(0)).count() == 0)
+  }
+
+  test("state is O(batch) per tick: a tick's delta bytes don't grow with the corpus") {
+    // merge-on-read is the point of the store layout: admitting a small
+    // batch after a large corpus must append small deltas, never
+    // rewrite corpus-sized state (a copy-on-write table partitioned by
+    // band would — every batch touches every band)
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val root = Files.createTempDirectory("mhidx5").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    store.append(docs.filter(col("doc_id") % 11 =!= 0))   // large corpus
+    val before = dirBytes(new java.io.File(root))
+    store.ingest(docs.filter(col("doc_id") % 11 === 0).limit(5), 0.8)
+    val delta = dirBytes(new java.io.File(root)) - before
+    assert(delta > 0 && delta < before / 4,
+      s"tick appended $delta bytes against $before of prior state — not O(batch)")
   }
 
   test("the probe's corpus-sized pass is the narrow signature table, not the text") {
-    val root = Files.createTempDirectory("mhidx5").toString
-    val store = new MinhashIndexStore(spark, root)
-    store.append(docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
-    val batch = docs.filter(col("doc_id") % 3 === 0)
-    val survivors = store.probe(batch, "doc_id", "text", 0.8)
-    survivors.count()
+    val root = Files.createTempDirectory("mhidx6").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    store.append(docs.filter(col("doc_id") % 3 =!= 0))
+    store.probe(docs.filter(col("doc_id") % 3 === 0), 0.8).count()
     // the signature table carries exactly (id, band, bandHash) — the
     // probe never widens it with text
-    val sigSchema = spark.read.parquet(s"$root/sigs/seg_" +
-      new java.io.File(s"$root/sigs").list().filter(_.startsWith("seg_")).head
-        .stripPrefix("seg_")).schema
-    assert(sigSchema.fieldNames.toSet == Set("doc_id", "band", "bandHash"))
+    val aFile = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/sigs"))
+      .filter(p => p.toString.endsWith(".parquet"))
+      .findFirst().get.toString
+    val fields = spark.read.parquet(aFile).schema.fieldNames.toSet
+    assert(Set("doc_id", "band", "bandHash").subsetOf(fields) &&
+      !fields.contains("text"), fields.toString)
   }
 }
