@@ -611,6 +611,70 @@ object SparkEntry {
     rows.toDF("piece", "n", "cost")
   }
 
+  /** WordPiece vocab replay: role-separated substring counts (initial
+    * at offset 1 vs continuation), all single-char entries kept, top
+    * multi-char by the same (n desc, piece asc, initial-first) total
+    * order the Scala cut uses. Ends in `wvocab` (piece, cont, n). */
+  private def wordpieceVocabCtes(vocabSize: Int, maxPieceLen: Int): String =
+    s"""ww AS (SELECT word, count(*) AS freq FROM (
+       |  SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word
+       |  FROM documents) GROUP BY word),
+       |wsub AS (SELECT freq, unnest(flatten(list_transform(generate_series(1, length(word)),
+       |           i -> list_transform(generate_series(1, least($maxPieceLen, length(word) - i + 1)),
+       |                  len -> struct_pack(piece := substr(word, i, len), cont := i > 1))))) AS e
+       |         FROM ww),
+       |wpc AS (SELECT e.piece AS piece, e.cont AS cont, CAST(sum(freq) AS BIGINT) AS n
+       |        FROM wsub GROUP BY 1, 2),
+       |wchars AS (SELECT piece, cont, n FROM wpc WHERE length(piece) = 1),
+       |wmulti AS (SELECT piece, cont, n FROM (
+       |    SELECT piece, cont, n, row_number() OVER (ORDER BY n DESC, piece ASC, cont ASC) AS rn
+       |    FROM wpc WHERE length(piece) > 1)
+       |  WHERE rn <= $vocabSize - (SELECT count(*) FROM wchars)),
+       |wvocab AS (SELECT piece, cont, n FROM wchars UNION ALL SELECT piece, cont, n FROM wmulti)""".stripMargin
+
+  /** WordPiece greedy replay: one deterministic walk per word — the
+    * longest vocab match at the cursor via a correlated max-length
+    * subquery, dead cursor → the word terminates as [UNK]. Ends in
+    * `wdone` (word, path, n, is_unk); exactly one terminal row per
+    * word because the walk is a path, not a tree. */
+  private def wordpieceSegCtes(vocabSize: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    s"""${wordpieceVocabCtes(vocabSize, maxPieceLen)},
+       |wgreedy(word, pos, path, n, dead) AS (
+       |  SELECT word, 0, '', 0, false FROM ww WHERE length(word) <= $maxWordLen
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN bl IS NULL THEN pos ELSE pos + bl END,
+       |    CASE WHEN bl IS NULL THEN path
+       |         ELSE path || CASE WHEN pos = 0 THEN '' ELSE ' ' END ||
+       |              CASE WHEN pos > 0 THEN '##' ELSE '' END || substr(word, pos + 1, bl) END,
+       |    CASE WHEN bl IS NULL THEN n ELSE n + 1 END,
+       |    bl IS NULL
+       |  FROM (SELECT g.*, (SELECT max(length(v.piece)) FROM wvocab v
+       |          WHERE v.cont = (g.pos > 0)
+       |            AND v.piece = substr(g.word, g.pos + 1, length(v.piece))) AS bl
+       |        FROM wgreedy g
+       |        WHERE g.pos < length(g.word) AND NOT g.dead)),
+       |wdone AS (SELECT word, path, n, (dead OR pos < length(word)) AS is_unk
+       |          FROM wgreedy
+       |          WHERE dead OR pos = length(word))""".stripMargin
+
+  /** WordPiece vocabulary, trained once per fixture dir and cached as
+    * local rows — same amortization as [[unigramSeedVocab]]. */
+  private val wordpieceVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Boolean, Long)]]()
+  private def wordpieceVocab(s: SparkSession, d: String): DataFrame = {
+    val rows = wordpieceVocabCache.computeIfAbsent(d, _ => {
+      val t0 = System.nanoTime()
+      val v = graft.llm.WordPiece
+        .vocabFromCorpus(Tables.documents(s, d), "text", vocabSize = 200, maxPieceLen = 4)
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSeq
+      stageLogger("wp_shared")("wordpiece_vocab", (System.nanoTime() - t0) / 1e9)
+      v
+    })
+    import s.implicits._
+    rows.toDF("piece", "cont", "n")
+  }
+
   /** The batched-training oracle: ⌈k/m⌉ unrolled ROUND layers, each
     * (pair-count p_r → top-C ranked window c_r → m unrolled greedy
     * independent selections s_r_j → one nested rewrite w_r), replaying
@@ -2707,6 +2771,29 @@ object SparkEntry {
       // pieces by weighted count, integer micro-nat costs over the
       // kept set (the NLL family's quantization convention)
       unigramSeedVocab(s, d)),
+
+    "wp_vocab" -> ((s, d) =>
+      // WordPiece (Schuster & Nakajima '12), stage 1: role-separated
+      // frequency vocabulary — word-initial and continuation forms of
+      // the same surface string are DISTINCT pieces, single chars of
+      // both roles always kept (coverage), deterministic top-N cut
+      wordpieceVocab(s, d)),
+
+    "wp_segment" -> ((s, d) => {
+      // stage 2: greedy longest-match-first segmentation — the BERT
+      // tokenizer's inference rule, one aggregate-fold walk per
+      // DISTINCT word against the broadcast vocabulary; a dead cursor
+      // makes the whole word [UNK], never a partial split. The oracle
+      // replays the walk with a correlated max-length subquery per
+      // step — greedy is deterministic, so the replay is exact.
+      val words = graft.llm.Unigram.wordTable(Tables.documents(s, d), "text")
+      graft.llm.WordPiece.segmentWords(words, wordpieceVocab(s, d),
+          maxPieceLen = 4, maxWordLen = 16)
+        .select(col("word"), col("freq"), col("is_unk"), col("n_pieces"),
+          posexplode(col("pieces")).as(Seq("pos0", "piece")))
+        .select(col("word"), col("freq"), (col("pos0") + 1).cast("long").as("pos"),
+          col("piece"), col("n_pieces"), col("is_unk"))
+    }),
 
     "sp_viterbi_segment" -> ((s, d) => {
       // stage 2: min-cost Viterbi segmentation of every distinct word
@@ -4872,6 +4959,22 @@ object SparkEntry {
 
     "sp_seed_vocab" ->
       s"WITH ${unigramVocabCtes(60, 4)}\nSELECT piece, n, cost FROM uvocab",
+
+    "wp_vocab" ->
+      s"WITH ${wordpieceVocabCtes(200, 4)}\nSELECT piece, cont, n FROM wvocab",
+
+    "wp_segment" ->
+      s"""WITH RECURSIVE ${wordpieceSegCtes(200, 4, 16)},
+         |wexp AS (SELECT d.word, w.freq, d.n, d.is_unk,
+         |           CASE WHEN d.is_unk THEN ['[UNK]'] ELSE string_split(d.path, ' ') END AS ps
+         |         FROM wdone d JOIN ww w USING (word)),
+         |wpos AS (SELECT word, freq, is_unk,
+         |           CASE WHEN is_unk THEN CAST(1 AS BIGINT) ELSE CAST(n AS BIGINT) END AS n_pieces,
+         |           unnest(generate_series(1, len(ps))) AS pos, ps
+         |         FROM wexp)
+         |SELECT word, freq, CAST(pos AS BIGINT) AS pos, ps[pos] AS piece,
+         |  n_pieces, is_unk
+         |FROM wpos""".stripMargin,
 
     "sp_viterbi_segment" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},

@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer (Schuster & Nakajima '12; the BERT tokenizer's
+  * greedy longest-match-first inference, Devlin '19 §4.1 / Song '21
+  * "Fast WordPiece") — the third production tokenizer family alongside
+  * [[Bpe]] (merge-rule replay, char or byte level) and [[Unigram]]
+  * (min-cost Viterbi): pieces carry a word-initial vs continuation
+  * ROLE (continuations render `##piece`), and segmentation repeatedly
+  * takes the LONGEST vocabulary piece matching at the cursor — a word
+  * with no match at some cursor is `[UNK]` as a whole, never partially
+  * segmented.
+  *
+  * Scale shape mirrors the Unigram family: one word table, substring
+  * edges probe a BROADCAST vocabulary, and the greedy walk is a single
+  * aggregate-fold expression per DISTINCT word (≤ maxWordLen steps,
+  * each consuming ≥ 1 char) — no UDFs, no per-row Scala, fully
+  * codegen-friendly, and the corpus is touched exactly once however
+  * large it is.
+  */
+object WordPiece {
+
+  /** Frequency-seeded vocabulary: every substring of length ≤
+    * `maxPieceLen` counted with word-frequency weight, SEPARATELY per
+    * role (word-initial at offset 0 vs continuation elsewhere — the
+    * same surface string is two distinct pieces). All single-char
+    * entries of both roles are kept (coverage: any word either
+    * segments or is honestly [UNK] only through a MISSING single char,
+    * which full coverage rules out), plus the top
+    * (vocabSize − #chars) multi-char pieces by (n desc, piece asc,
+    * initial-role first) — a total order, so the cut is deterministic
+    * and an oracle can replay it. */
+  def vocabFromCorpus(docs: DataFrame, textCol: String, vocabSize: Int,
+                      maxPieceLen: Int = 6): DataFrame = {
+    require(vocabSize >= 1 && maxPieceLen >= 1, "vocabSize and maxPieceLen must be positive")
+    val words = Unigram.wordTable(docs, textCol)
+    val L = length(col("word"))
+    val pieces = words.select(col("freq"), explode(
+        flatten(transform(sequence(lit(1), L), i =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), L - i + 1)), len =>
+            struct(col("word").substr(i, len).as("piece"),
+              (i > 1).as("cont")))))).as("e"))
+      .select(col("freq"), col("e.piece").as("piece"), col("e.cont").as("cont"))
+      .groupBy("piece", "cont").agg(sum(col("freq")).as("n"))
+    val isChar = length(col("piece")) === 1
+    val chars = pieces.filter(isChar)
+    val nChars = chars.count().toInt
+    val multi = pieces.filter(!isChar)
+      .orderBy(col("n").desc, col("piece").asc, col("cont").asc)
+      .limit(math.max(0, vocabSize - nChars))
+    chars.unionByName(multi)
+  }
+
+  /** Greedy longest-match-first segmentation of each word in `words`
+    * (word, freq) against `vocab` (piece, cont). Words longer than
+    * `maxWordLen` are skipped (the rare-word bucket — and the bound
+    * that keeps the oracle's recursive replay finite). Returns
+    * (word, freq, pieces, n_pieces, is_unk) — continuation pieces
+    * rendered `##piece`; an [UNK] word keeps n_pieces = 1. */
+  def segmentWords(words: DataFrame, vocab: DataFrame,
+                   maxPieceLen: Int = 6, maxWordLen: Int = 16): DataFrame = {
+    val L = length(col("word"))
+    val inRange = words.filter(L <= maxWordLen)
+    val cands = inRange
+      .select(col("word"), col("freq"), explode(
+        flatten(transform(sequence(lit(0), L - 1), i =>
+          transform(sequence(i + 1, least(L, i + lit(maxPieceLen))), j =>
+            struct(i.as("i"), j.as("j"),
+              col("word").substr(i + 1, j - i).as("piece"),
+              (i > 0).as("cont")))))).as("e"))
+    val matched = cands
+      .join(broadcast(vocab.select(col("piece"), col("cont"))),
+        col("e.piece") === col("piece") && col("e.cont") === col("cont"))
+      .groupBy(col("word"))
+      .agg(collect_list(struct(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.piece").as("piece"), col("e.cont").as("cont"))).as("edges"))
+    // words whose substrings match NOTHING drop out of the equi-join —
+    // re-attach them with an empty edge set so they surface as [UNK]
+    val withEdges = inRange.join(matched, Seq("word"), "left")
+      .withColumn("edges", coalesce(col("edges"),
+        array().cast("array<struct<i:int,j:int,piece:string,cont:boolean>>")))
+    // greedy walk: ≤ L steps, each either consumes the longest match at
+    // the cursor (array_max orders the struct by j first — j values at
+    // one cursor are distinct, so "max j" IS "longest") or goes dead
+    val walk = aggregate(
+      sequence(lit(1), length(col("word"))),
+      struct(lit(0).as("pos"), lit("").as("path"),
+        lit(0).as("n"), lit(false).as("dead")),
+      (acc, _) => {
+        val best = array_max(transform(
+          filter(col("edges"), e => e("i") === acc("pos")),
+          e => struct(e("j").as("j"), e("piece").as("piece"), e("cont").as("cont"))))
+        when(acc("dead") || acc("pos") >= length(col("word")), acc)
+          .otherwise(when(best.isNull,
+            struct(acc("pos").as("pos"), acc("path").as("path"),
+              acc("n").as("n"), lit(true).as("dead")))
+          .otherwise(struct(
+            best("j").as("pos"),
+            concat(acc("path"),
+              when(acc("pos") === 0, lit("")).otherwise(lit(" ")),
+              when(best("cont"), lit("##")).otherwise(lit("")),
+              best("piece")).as("path"),
+            (acc("n") + 1).as("n"), lit(false).as("dead"))))
+      })
+    withEdges.withColumn("w", walk)
+      .withColumn("is_unk", col("w.dead") || col("w.pos") < length(col("word")))
+      .select(col("word"), col("freq"),
+        when(col("is_unk"), array(lit("[UNK]")))
+          .otherwise(split(col("w.path"), " ")).as("pieces"),
+        when(col("is_unk"), lit(1L)).otherwise(col("w.n").cast("long")).as("n_pieces"),
+        col("is_unk"))
+  }
+}
