@@ -97,6 +97,23 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     newDocs.join(dup, Seq(idCol), "left_anti")
   }
 
+  /** Remove documents from probe visibility (the GDPR/takedown path):
+    * equality-delete tombstones on both tables — O(ids) appended bytes,
+    * no segment rewritten. TEXT tombstones commit FIRST: a crash
+    * between the two leaves signatures whose candidate pairs find no
+    * text to verify against (the verify join drops them — fail-open to
+    * ADMIT, never to leak removed content into a dup verdict), and a
+    * re-run heals. A later [[append]] of the same id supersedes the
+    * tombstone by commit order — removal is not a ban. Tombstoned
+    * bytes persist in old segments until compaction + vacuum, the
+    * standard merge-on-read reclamation. */
+  def remove(ids: DataFrame): Unit = {
+    val idOnly = ids.select(col(idCol)).distinct().localCheckpoint(false)
+    txts.delete(idOnly.withColumn("__tp", pmod(col(idCol), lit(16L))))
+    sigs.delete(idOnly.select(col(idCol),
+      explode(sequence(lit(0), lit(bands - 1))).as("band")))
+  }
+
   /** The CDC tick: screen the batch, admit only the survivors, return
     * them. Replay-safe at the STATE level: re-running a delivered batch
     * never changes the store (appends reconcile by key; same-id hits

@@ -129,7 +129,9 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * a tombstone beats exactly the versions its cursor dominates, so a
     * later-cursor re-insert of the key survives it. */
   def delete(keysDf: DataFrame): Seq[String] = {
-    val needed = (partitionCol +: cfg.keys) ++ cfg.cursorField.toSeq
+    // distinct: a store whose partition column is also a key (the
+    // MinHash signature table's band) must not select it twice
+    val needed = ((partitionCol +: cfg.keys) ++ cfg.cursorField.toSeq).distinct
     val missing = needed.filterNot(keysDf.columns.contains)
     require(missing.isEmpty,
       s"${cfg.name}: delete batch must carry ${needed.mkString(", ")} — missing ${missing.mkString(", ")}")

@@ -72,6 +72,27 @@ class MinhashIndexStoreSpec extends SparkSpec {
     assert(store.probe(batch.limit(0)).count() == 0)
   }
 
+  test("remove: tombstoned docs leave probe visibility; re-admission supersedes") {
+    val root = Files.createTempDirectory("mhidx7").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    store.append(corpus)
+    // which batch docs are dups of the corpus?
+    val dupIds = batch.join(store.probe(batch, 0.8).select("doc_id"),
+      Seq("doc_id"), "left_anti").select("doc_id").collect().map(_.getLong(0))
+    assume(dupIds.nonEmpty, "fixture must plant corpus near-dups")
+    // remove the ENTIRE corpus: every batch doc must now survive
+    store.remove(corpus.select("doc_id"))
+    assert(store.indexedDocs.get.count() == 0)
+    assert(store.probe(batch, 0.8).count() == batch.count())
+    // re-admission supersedes the tombstones: dups are dups again
+    store.append(corpus)
+    val again = batch.join(store.probe(batch, 0.8).select("doc_id"),
+      Seq("doc_id"), "left_anti").select("doc_id").collect().map(_.getLong(0))
+    assert(again.toSet == dupIds.toSet)
+  }
+
   test("state is O(batch) per tick: a tick's delta bytes don't grow with the corpus") {
     // merge-on-read is the point of the store layout: admitting a small
     // batch after a large corpus must append small deltas, never
