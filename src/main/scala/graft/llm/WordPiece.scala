@@ -70,17 +70,17 @@ object WordPiece {
             struct(i.as("i"), j.as("j"),
               col("word").substr(i + 1, j - i).as("piece"),
               (i > 0).as("cont")))))).as("e"))
-    val matched = cands
+    // LEFT-outer broadcast probe: every substring row survives, so every
+    // word keeps a row even when NOTHING matches (collect_list skips the
+    // null entries → empty edge set → [UNK]) — no second word-level
+    // rejoin, the whole expansion stays on one broadcast join
+    val withEdges = cands
       .join(broadcast(vocab.select(col("piece"), col("cont"))),
-        col("e.piece") === col("piece") && col("e.cont") === col("cont"))
-      .groupBy(col("word"))
-      .agg(collect_list(struct(col("e.i").as("i"), col("e.j").as("j"),
-        col("e.piece").as("piece"), col("e.cont").as("cont"))).as("edges"))
-    // words whose substrings match NOTHING drop out of the equi-join —
-    // re-attach them with an empty edge set so they surface as [UNK]
-    val withEdges = inRange.join(matched, Seq("word"), "left")
-      .withColumn("edges", coalesce(col("edges"),
-        array().cast("array<struct<i:int,j:int,piece:string,cont:boolean>>")))
+        col("e.piece") === col("piece") && col("e.cont") === col("cont"), "left")
+      .groupBy(col("word"), col("freq"))
+      .agg(collect_list(when(col("piece").isNotNull,
+        struct(col("e.i").as("i"), col("e.j").as("j"),
+          col("e.piece").as("piece"), col("e.cont").as("cont")))).as("edges"))
     // greedy walk: ≤ L steps, each either consumes the longest match at
     // the cursor (array_max orders the struct by j first — j values at
     // one cursor are distinct, so "max j" IS "longest") or goes dead

@@ -313,6 +313,15 @@ class PlanSpec extends SparkSpec {
     assert(roll.contains("Window"), s"expected the RANGE-frame window:\n$roll")
   }
 
+  test("WordPiece greedy walk probes a broadcast vocab, no shuffle join") {
+    val wp = planOf(SparkEntry.queries("wp_segment")(spark, sf))
+    // the substring-edge expansion joins the role-tagged vocabulary by
+    // broadcast; the walk itself is a fold expression with no join at
+    // all — a shuffled join here would ship the whole expansion
+    assert(wp.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$wp")
+    assert(!wp.contains("SortMergeJoin"), s"unexpected shuffle join:\n$wp")
+  }
+
   test("unigram Viterbi probes a broadcast vocab; attribution stays on equi-joins") {
     val sp = planOf(SparkEntry.queries("sp_viterbi_segment")(spark, sf))
     // the candidate-piece expansion joins the (tiny) vocabulary by
