@@ -2814,6 +2814,38 @@ object SparkEntry {
           col("piece"), col("cost"), col("n_pieces"))
     }),
 
+    "wp_encode_ids" -> ((s, d) => {
+      // WordPiece stage 3: corpus → token ids. Ids number the RENDERED
+      // pieces actually used by some (non-UNK) segmentation, weighted
+      // by word frequency, under the family's (count desc, piece asc)
+      // bounded-window convention; rendering ('##'+piece for
+      // continuations) is injective here — the corpus has no '#', the
+      // guarantee a production normalizer provides by escaping. Same
+      // broadcast-probe shape as the BPE/unigram encoders: word→pieces
+      // is word-vocab-sized, piece→id vocab-sized, one shuffle on word.
+      import org.apache.spark.sql.expressions.Window
+      val words = graft.llm.Unigram.wordTable(Tables.documents(s, d), "text")
+      val seg = graft.llm.WordPiece.segmentWords(words, wordpieceVocab(s, d),
+          maxPieceLen = 4, maxWordLen = 16)
+        .filter(!col("is_unk"))
+      val ids = seg.select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("n"))
+        .withColumn("piece_id",
+          row_number().over(Window.orderBy(col("n").desc, col("piece").asc)))
+      val dw = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          posexplode(array_remove(
+            split(lower(trim(coalesce(col("text"), lit("")))), "\\s+"), ""))
+            .as(Seq("wpos", "word")))
+      dw.join(broadcast(seg.select("word", "pieces")), Seq("word"))
+        .select(col("doc_id"), col("wpos"),
+          posexplode(col("pieces")).as(Seq("ppos", "piece")))
+        .join(broadcast(ids.select("piece", "piece_id")), Seq("piece"))
+        .select(col("doc_id"), col("wpos").cast("long").as("wpos"),
+          col("ppos").cast("long").as("ppos"), col("piece"),
+          col("piece_id").cast("long").as("piece_id"))
+    }),
+
     "sp_encode_ids" -> ((s, d) => {
       // stage 4: corpus → unigram token ids. Each document word
       // expands to its Viterbi pieces; ids number the EM-recounted
@@ -4984,6 +5016,26 @@ object SparkEntry {
          |SELECT word, freq, CAST(pos AS BIGINT) AS pos, ps[pos] AS piece,
          |  cost, CAST(np AS BIGINT) AS n_pieces
          |FROM uexp""".stripMargin,
+
+    "wp_encode_ids" ->
+      s"""WITH RECURSIVE ${wordpieceSegCtes(200, 4, 16)},
+         |wseg AS (SELECT d.word, w.freq, string_split(d.path, ' ') AS ps
+         |         FROM wdone d JOIN ww w USING (word) WHERE NOT d.is_unk),
+         |wcnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS n
+         |         FROM (SELECT freq, unnest(ps) AS piece FROM wseg)
+         |         GROUP BY piece),
+         |wids AS (SELECT piece, row_number() OVER (ORDER BY n DESC, piece ASC) AS piece_id
+         |         FROM wcnt),
+         |wdw AS (SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS wpos
+         |        FROM (SELECT doc_id,
+         |                list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+         |              FROM documents WHERE doc_id % 25 = 0)),
+         |wdp AS (SELECT d.doc_id, d.wpos, unnest(s.ps) AS piece,
+         |               unnest(range(0, len(s.ps))) AS ppos
+         |        FROM wdw d JOIN wseg s USING (word))
+         |SELECT p.doc_id, CAST(p.wpos AS BIGINT) AS wpos, CAST(p.ppos AS BIGINT) AS ppos,
+         |  p.piece, CAST(i.piece_id AS BIGINT) AS piece_id
+         |FROM wdp p JOIN wids i USING (piece)""".stripMargin,
 
     "sp_encode_ids" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
