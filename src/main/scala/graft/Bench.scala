@@ -69,6 +69,14 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // reap unreferenced checkpoint/broadcast/shuffle blocks promptly:
+      // the ContextCleaner only runs on driver GC, whose default
+      // periodic trigger is 30 MINUTES — far longer than this run, so
+      // blocks from 200+ queries' localCheckpoints accumulated in the
+      // (4-8 GiB) driver=executor heap and late-alphabet queries ran
+      // under memory pressure (r12: m_join_view_incremental 25 s in the
+      // full run vs 11.4 s standalone, the whole "regression")
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(listener)
@@ -118,6 +126,11 @@ object Bench {
       }
       val (t1, ok1) = onePass()
       val (t2, ok2) = if (ok1) onePass() else (t1, ok1)
+      // per-query isolation: any cache a fixture left behind is a leak
+      // into every LATER query's memory budget — drop them between
+      // queries so measured times are position-independent
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => }
       (name, math.min(t1, t2), t1, t2, ok1 && ok2)
     }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the

@@ -656,7 +656,10 @@ object SparkEntry {
        |        WHERE g.pos < length(g.word) AND NOT g.dead)),
        |wdone AS (SELECT word, path, n, (dead OR pos < length(word)) AS is_unk
        |          FROM wgreedy
-       |          WHERE dead OR pos = length(word))""".stripMargin
+       |          WHERE dead OR pos = length(word)
+       |          UNION ALL
+       |          SELECT word, '', 1, true FROM ww
+       |          WHERE length(word) > $maxWordLen)""".stripMargin
 
   /** WordPiece vocabulary, trained once per fixture dir and cached as
     * local rows — same amortization as [[unigramSeedVocab]]. */
@@ -2055,11 +2058,14 @@ object SparkEntry {
         .union(Seq("{ definitely not json", "}{").toDS())
         .repartition(2).write.text(s"$tmp/drop")
       val cfg = TableConfig("jsonl_events", ev.schema, Seq("event_id"))
-      val (good, quarantine) =
-        graft.sources.TabularFile.readJsonl(s, s"$tmp/drop", cfg)
-      require(quarantine.count() == 2, "both poison lines must quarantine")
-      good.select(col("event_id"), col("user_id"), col("event_type"),
-        round(col("value"), 6).as("value"))
+      val read = graft.sources.TabularFile.readJsonl(s, s"$tmp/drop", cfg)
+      require(read.quarantine.count() == 2, "both poison lines must quarantine")
+      // localCheckpoint: the returned frame must outlive release() —
+      // these blocks are ephemeral fixture state, not the ingest path
+      val out = read.good.select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 6).as("value")).localCheckpoint()
+      read.release()
+      out
     }),
 
     "s7_xlsx" -> ((s, d) => {

@@ -60,10 +60,16 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
   /** Admit documents: their signatures and texts become probe-visible
     * state. O(batch) delta bytes per commit; replaying a batch
     * reconciles to the identical table. */
+  /** Text-table partition: a HASH of the id, not the id itself — ids
+    * may be strings (crawl URLs), and pmod over a numeric cast would
+    * null out on them. xxhash64 is deterministic across sessions, so
+    * re-appends land in their original partition. */
+  private def textPartition = pmod(xxhash64(col(idCol)), lit(16L))
+
   def append(docs: DataFrame): Unit = {
     txts.mergeBatch(
       docs.select(col(idCol), col(textCol))
-        .withColumn("__tp", pmod(col(idCol), lit(16L))),
+        .withColumn("__tp", textPartition),
       TableConfig("mhidx_texts", null, Seq(idCol)))
     sigs.mergeBatch(
       Dedup.minhashBands(Dedup.parallelize(docs), idCol, textCol,
@@ -89,8 +95,14 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
       .filter(col("ida") =!= col("idb"))
       .select("ida", "idb").distinct()
       .localCheckpoint(false)
-    val texts = newDocs.select(col(idCol), col(textCol))
-      .unionByName(indexedDocs.get)
+    // on id collision the BATCH's text wins: a re-delivered doc whose
+    // text changed must be verified against its current bytes, not
+    // yield two rows per id (which would double candidate pairs and
+    // let the stale text decide a dup verdict)
+    val batchTexts = newDocs.select(col(idCol), col(textCol))
+    val texts = batchTexts
+      .unionByName(indexedDocs.get.join(batchTexts.select(idCol),
+        Seq(idCol), "left_anti"))
     val dup = Dedup.jaccardVerify(cand, texts, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
       .select(col("ida").as(idCol)).distinct()
@@ -109,7 +121,7 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * standard merge-on-read reclamation. */
   def remove(ids: DataFrame): Unit = {
     val idOnly = ids.select(col(idCol)).distinct().localCheckpoint(false)
-    txts.delete(idOnly.withColumn("__tp", pmod(col(idCol), lit(16L))))
+    txts.delete(idOnly.withColumn("__tp", textPartition))
     sigs.delete(idOnly.select(col(idCol),
       explode(sequence(lit(0), lit(bands - 1))).as("band")))
   }

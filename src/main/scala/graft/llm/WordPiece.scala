@@ -55,13 +55,18 @@ object WordPiece {
 
   /** Greedy longest-match-first segmentation of each word in `words`
     * (word, freq) against `vocab` (piece, cont). Words longer than
-    * `maxWordLen` are skipped (the rare-word bucket — and the bound
-    * that keeps the oracle's recursive replay finite). Returns
-    * (word, freq, pieces, n_pieces, is_unk) — continuation pieces
-    * rendered `##piece`; an [UNK] word keeps n_pieces = 1. */
+    * `maxWordLen` are [UNK] as a whole — BERT's
+    * `max_input_chars_per_word` semantics (the bound is also what
+    * keeps the oracle's recursive replay finite); they are emitted,
+    * never dropped, so token counts and fertility see every word.
+    * Returns (word, freq, pieces, n_pieces, is_unk) — continuation
+    * pieces rendered `##piece`; an [UNK] word keeps n_pieces = 1. */
   def segmentWords(words: DataFrame, vocab: DataFrame,
                    maxPieceLen: Int = 6, maxWordLen: Int = 16): DataFrame = {
     val L = length(col("word"))
+    val overLong = words.filter(L > maxWordLen)
+      .select(col("word"), col("freq"), array(lit("[UNK]")).as("pieces"),
+        lit(1L).as("n_pieces"), lit(true).as("is_unk"))
     val inRange = words.filter(L <= maxWordLen)
     val cands = inRange
       .select(col("word"), col("freq"), explode(
@@ -111,5 +116,6 @@ object WordPiece {
           .otherwise(split(col("w.path"), " ")).as("pieces"),
         when(col("is_unk"), lit(1L)).otherwise(col("w.n").cast("long")).as("n_pieces"),
         col("is_unk"))
+      .unionByName(overLong)
   }
 }

@@ -199,7 +199,11 @@ object JoinView {
       (st.read.getOrElse(throw new IllegalStateException(
         "join view needs a committed dim table")), key)
     }
-    val factCols = fact.read.map(_.columns.toSet).getOrElse(Set.empty)
+    // ONE fact frame per tick: every consumer (the disjointness check's
+    // schema, each dim's semi probe) shares it instead of re-resolving
+    // the manifest into a fresh segment union
+    val factNow = fact.read
+    val factCols = factNow.map(_.columns.toSet).getOrElse(Set.empty)
     dimNows.zipWithIndex.foreach { case ((dimNow, key), i) =>
       val others = factCols ++ dimNows.take(i)
         .flatMap { case (d, k) => d.columns.toSet - k }
@@ -213,9 +217,13 @@ object JoinView {
     // commits harmless: a tick whose batch had zero rows still bumps
     // the version, and diffing two empty manifests has no schema to
     // resolve — skip straight to marker advance instead.
+    // CACHED for the tick: the CDF (a full-outer join over the changed
+    // partitions) feeds the refresh write, the delete-emptiness probe,
+    // and the delete write — uncached it re-executed per action, and
+    // that re-execution was the tick's dominant fixed cost
     val fcdf =
       if (f0 == f1 || fact.changedValues(f0, f1).isEmpty) None
-      else Some(fact.changes(f0, f1, factKeys))
+      else Some(fact.changes(f0, f1, factKeys).cache())
     val fUpserts = fcdf.map(_.filter(col("_change") =!= "delete").drop("_change"))
     val fDeletes = fcdf.map(_.filter(col("_change") === "delete").drop("_change"))
 
@@ -230,7 +238,7 @@ object JoinView {
       if (d0 == d1 || st.changedValues(d0, d1).isEmpty) None
       else {
         val changedKeys = st.changes(d0, d1, Seq(key)).select(key).distinct()
-        fact.read.map(dimTouchedFact(_, changedKeys, key))
+        factNow.map(dimTouchedFact(_, changedKeys, key))
       }
     }
 
@@ -249,6 +257,7 @@ object JoinView {
       val delKeys = dels.select((view.partitionCol +: factKeys).distinct.map(col): _*)
       if (!delKeys.isEmpty) view.delete(delKeys)
     }
+    fcdf.foreach(_.unpersist())
     writeFoldedAll(spark, viewRoot, f1 +: d1s)
     f1 +: d1s
   }

@@ -139,7 +139,15 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     * at write time: statistics maintenance is O(batch) per commit —
     * committed segments' stats are immutable alongside their data, and
     * compaction produces a fresh segment with fresh stats. */
-  private def writeSegment(df: DataFrame): String = {
+  private def writeSegment(df: DataFrame): String = writeSegmentObserved(df)._1
+
+  /** [[writeSegment]] that also returns the segment's distinct
+    * partition values, observed as an accumulator DURING the write job
+    * — the values cost no second execution of the writer's input plan
+    * and no read-back scan (for snapshot/overwrite callers that input
+    * is often a full merge or rollup plan, and its re-execution was
+    * the dominant per-commit fixed cost). */
+  private def writeSegmentObserved(df: DataFrame): (String, Seq[String]) = {
     val name = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
     val sorted =
       if (clusterCols.isEmpty)
@@ -155,10 +163,18 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
           else df.repartitionByRange(keys: _*)
         ranged.sortWithinPartitions(keys: _*)
       }
-    sorted.write.parquet(s"$root/$name")
+    val obs = org.apache.spark.sql.Observation()
+    // collect_set skips NULL — count them separately so the NULL
+    // partition still commits under its token
+    sorted.observe(obs, collect_set(col(partitionCol).cast("string")).as("vals"),
+        count(when(col(partitionCol).isNull, 1)).as("nulls"))
+      .write.parquet(s"$root/$name")
     if (statsCols.nonEmpty)
       Layout.buildZoneMaps(spark, s"$root/$name", statsCols)
-    name
+    val row = obs.get
+    val vals = row("vals").asInstanceOf[Seq[String]] ++
+      (if (row("nulls").asInstanceOf[Long] > 0) Seq(NullToken) else Nil)
+    (name, vals)
   }
 
   /** Union of the manifest's segments, each filtered to the values that
@@ -249,10 +265,12 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
       }
     }
 
-  /** Full snapshot — one segment, every value points at it. */
-  def snapshot(df: DataFrame): Unit = {
-    val seg = writeSegment(df)
-    commit(partitionValues(df).map(_ -> seg).toMap)
+  /** Full snapshot — one segment, every value points at it. Returns
+    * the committed partition values. */
+  def snapshot(df: DataFrame): Seq[String] = {
+    val (seg, values) = writeSegmentObserved(df)
+    commit(values.map(_ -> seg).toMap)
+    values
   }
 
   /** Keyed upsert touching only the partitions present in the batch.
@@ -266,7 +284,6 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
         val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
         val deduped = MergeEngine.latestPerKey(source, cfg.keys, cursorOrder)
         snapshot(deduped)
-        partitionValues(deduped)
       case Some(n) =>
         val man = readManifest(n)
         val affected = partitionValues(source)
@@ -325,8 +342,7 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
 
   /** M4 — replace whole partitions from the source atomically. */
   def overwritePartitions(source: DataFrame): Seq[String] = {
-    val affected = partitionValues(source)
-    val seg = writeSegment(source)
+    val (seg, affected) = writeSegmentObserved(source)
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     commit(man ++ affected.map(_ -> seg))
     affected
@@ -342,11 +358,10 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     * `clear`, and a partition emptied entirely stays consistent instead
     * of resurrecting its old segment. */
   def replacePartitions(source: DataFrame, clear: Seq[String]): Seq[String] = {
-    val affected = partitionValues(source)
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty) -- clear
-    if (affected.isEmpty) { commit(man); Seq.empty }
+    val (seg, affected) = writeSegmentObserved(source)
+    if (affected.isEmpty) { fs.delete(new Path(s"$root/$seg"), true); commit(man); Seq.empty }
     else {
-      val seg = writeSegment(source)
       commit(man ++ affected.map(_ -> seg))
       affected
     }

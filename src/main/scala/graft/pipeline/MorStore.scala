@@ -111,11 +111,24 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
   private def segSeq(name: String): Int =
     name.stripPrefix("seg_").takeWhile(_ != '_').toInt
 
-  private def writeSegment(df: DataFrame, commitIdx: Int): String = {
+  /** Write one segment and return (name, distinct partition values),
+    * the values observed as an accumulator DURING the write job — no
+    * second execution of the input plan, no read-back scan (a
+    * join-view refresh's input is a CDF join; re-executing it per
+    * commit was the dominant per-tick fixed cost). */
+  private def writeSegmentObserved(df: DataFrame, commitIdx: Int): (String, Seq[String]) = {
     val name = f"seg_$commitIdx%06d_${java.util.UUID.randomUUID().toString.take(8)}"
+    val obs = org.apache.spark.sql.Observation()
     df.repartition(col(partitionCol)).sortWithinPartitions(partitionCol)
+      // collect_set skips NULL — count them separately so the NULL
+      // partition still commits under its token
+      .observe(obs, collect_set(col(partitionCol).cast("string")).as("vals"),
+        count(when(col(partitionCol).isNull, 1)).as("nulls"))
       .write.parquet(s"$root/$name")
-    name
+    val row = obs.get
+    val vals = row("vals").asInstanceOf[Seq[String]] ++
+      (if (row("nulls").asInstanceOf[Long] > 0) Seq(NullToken) else Nil)
+    (name, vals)
   }
 
   /** Append one CDC batch as a delta segment: write-only — no data
@@ -142,10 +155,11 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val deduped = MergeEngine.latestPerKey(batch, cfg.keys, cursorOrder)
       .withColumn(DeletedCol, lit(deleted))
-    val affected = partitionValues(deduped)
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     val idx = latestManifestVersion.getOrElse(0) + 1
-    val seg = writeSegment(deduped, idx)
+    // a crash between write and commit leaves an unreferenced segment
+    // for [[vacuum]] — the standard contract
+    val (seg, affected) = writeSegmentObserved(deduped, idx)
     commit(man ++ affected.map(v => v -> (man.getOrElse(v, Seq.empty) :+ seg)))
     affected
   }
@@ -213,7 +227,7 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     if (man.nonEmpty) {
       val materialized = winners(man).drop(SeqCol)
       val idx = n + 1
-      val seg = writeSegment(materialized, idx)
+      val seg = writeSegmentObserved(materialized, idx)._1
       commit(man.keys.map(_ -> Seq(seg)).toMap)
     }
   }
@@ -231,7 +245,7 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     if (hot.isEmpty) return
     val slice = winners(hot).drop(SeqCol)
     val idx = latestManifestVersion.getOrElse(0) + 1
-    val seg = writeSegment(slice, idx)
+    val seg = writeSegmentObserved(slice, idx)._1
     commit(man ++ hot.keys.map(_ -> Seq(seg)))
   }
 

@@ -191,6 +191,14 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
     if conds.forall(_.references.forall(a => entry.keys.contains(a.name)))
+    // a condition must also be DETERMINISTIC and subquery-free: a
+    // reference-free predicate like rand() < 0.5 passes the key check
+    // above, but transplanting it turns a per-fact-row sample into a
+    // per-group sample — silently different results from an automatic
+    // rewrite; a subquery's result can likewise differ between the two
+    // plans' evaluation contexts
+    if conds.forall(c => c.deterministic &&
+      c.collectFirst { case p: PlanExpression[_] => p }.isEmpty)
     rewritten <- rewriteAll(agg, conds, entry)
   } yield rewritten
 

@@ -146,14 +146,19 @@ object TabularFile {
     * missing ones read as NULL (additive producer evolution needs no
     * reader change).
     *
-    * Returns (good rows, quarantined raw lines). The parsed frame is
-    * cached before the corrupt-column split — Spark refuses raw-file
-    * filters on the internal corrupt column precisely because a re-read
-    * could re-parse differently; materializing first is the documented
-    * contract, and a landing batch is one drop's bytes, not a table. */
+    * Returns (good rows, quarantined raw lines, release hook). The
+    * parsed frame is LAZILY cached before the corrupt-column split —
+    * Spark refuses raw-file filters on the internal corrupt column, and
+    * the InMemoryRelation is what satisfies that check. The cache keeps
+    * lineage: an evicted or lost block recomputes from the landing
+    * bytes (same file → same parse), so executor loss never kills the
+    * frames — the fault-tolerance property an eager localCheckpoint
+    * (non-recomputable blocks) would silently give up on the primary
+    * ingest path. Call `release()` once both frames are consumed so a
+    * repeated landing cadence doesn't pin executor memory. */
   def readJsonl(spark: SparkSession, path: String, cfg: TableConfig,
                 requiredKeys: Seq[String] = Nil,
-                withEtlDate: Boolean = false): (DataFrame, DataFrame) = {
+                withEtlDate: Boolean = false): JsonlRead = {
     val corruptCol = "__corrupt"
     val withCorrupt = StructType(
       cfg.schema.fields :+ StructField(corruptCol, StringType))
@@ -162,17 +167,18 @@ object TabularFile {
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
       .cache()
-    // materialize the split ONCE (eager localCheckpoint cuts the
-    // corrupt-column lineage and its blocks are released by the context
-    // cleaner when the frames go out of scope), then drop the parse
-    // cache — a bare .cache() handed to the caller would pin executor
-    // memory for the whole session across repeated landing reads
-    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol).localCheckpoint()
+    val good = raw.filter(col(corruptCol).isNull).drop(corruptCol)
     val quarantine = raw.filter(col(corruptCol).isNotNull)
-      .select(col(corruptCol).as("raw_line")).localCheckpoint()
-    raw.unpersist()
-    (finish(good, cfg, requiredKeys, withEtlDate), quarantine)
+      .select(col(corruptCol).as("raw_line"))
+    JsonlRead(finish(good, cfg, requiredKeys, withEtlDate), quarantine,
+      () => { raw.unpersist(); () })
   }
+
+  /** Result of [[readJsonl]]: the parsed good rows, the quarantined raw
+    * lines, and the hook that drops the shared parse cache once both
+    * are consumed. */
+  final case class JsonlRead(good: DataFrame, quarantine: DataFrame,
+                             release: () => Unit)
 
   /** Shared post-parse tail (also used by [[Xlsx]]): scrub, coerce to the
     * declared schema (malformed cells null out like the reference's

@@ -406,33 +406,6 @@ object StreamOps {
     * folded_v = 0, and folding changes(0, latest) into nothing is a
     * full recompute — also correct. [[cdfRollupTick]] is the per-batch
     * body, exposed so the spec can inject exactly that crash. */
-  /** Streaming near-dup admission: one [[graft.llm.MinhashIndexStore]]
-    * ingest tick per micro-batch — each batch screens against
-    * everything admitted BEFORE it (the pre-built corpus plus every
-    * earlier batch's survivors), exactly the sequential-ingest
-    * semantics of the batch store. Per-tick cost is the probe's narrow
-    * signature scan + O(batch) state appended; the corpus text is
-    * never re-shingled. Survivors append to `admittedOut` parquet —
-    * at-least-once on crash replay (the STORE converges idempotently;
-    * a re-delivered batch may re-append its survivor rows, so an
-    * exactly-once consumer dedups on the id column downstream). */
-  def dedupIndexDrain(stream: DataFrame, store: graft.llm.MinhashIndexStore,
-                      threshold: Double,
-                      admittedOut: String, checkpoint: String,
-                      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t0 = System.nanoTime()
-        store.ingest(batch, threshold)
-          .write.mode("append").parquet(admittedOut)
-        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
-      }
-      .start()
-    q.awaitTermination()
-  }
-
   def maintainRollupCdf(stream: DataFrame, store: ManifestStore, cfg: TableConfig,
                         rollupStore: TableStore, groupCols: Seq[String],
                         valueCol: String, checkpoint: String,
@@ -467,5 +440,32 @@ object StreamOps {
     val next = graft.pipeline.CdfRollup.applyCdf(
       prior.map(_.drop(FoldedVersionCol)), cdf, groupCols, valueCol)
     rollupStore.snapshot(next.withColumn(FoldedVersionCol, lit(newV)))
+  }
+
+  /** Streaming near-dup admission: one [[graft.llm.MinhashIndexStore]]
+    * ingest tick per micro-batch — each batch screens against
+    * everything admitted BEFORE it (the pre-built corpus plus every
+    * earlier batch's survivors), exactly the sequential-ingest
+    * semantics of the batch store. Per-tick cost is the probe's narrow
+    * signature scan + O(batch) state appended; the corpus text is
+    * never re-shingled. Survivors append to `admittedOut` parquet —
+    * at-least-once on crash replay (the STORE converges idempotently;
+    * a re-delivered batch may re-append its survivor rows, so an
+    * exactly-once consumer dedups on the id column downstream). */
+  def dedupIndexDrain(stream: DataFrame, store: graft.llm.MinhashIndexStore,
+                      threshold: Double,
+                      admittedOut: String, checkpoint: String,
+                      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        store.ingest(batch, threshold)
+          .write.mode("append").parquet(admittedOut)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
   }
 }

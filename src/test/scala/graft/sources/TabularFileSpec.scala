@@ -114,11 +114,15 @@ class TabularFileSpec extends SparkSpec {
     val cfg = graft.schema.TableConfig("jsonl.t", StructType(Seq(
       StructField("k", LongType), StructField("name", StringType),
       StructField("v", DoubleType))), Seq("k"))
-    val (good, quarantine) = TabularFile.readJsonl(spark, s"$t/drop", cfg,
+    val read = TabularFile.readJsonl(spark, s"$t/drop", cfg,
       requiredKeys = Seq("k"))
-    assert(canon(good) == Seq(
+    assert(canon(read.good) == Seq(
       Seq("1", "a", "2.5"), Seq("2", "b", "3.5"), Seq("3", "null", "null")))
-    val q = quarantine.collect().map(_.getString(0)).sorted
+    val q = read.quarantine.collect().map(_.getString(0)).sorted
     assert(q.toSeq == Seq("not json at all", """{ broken json"""))
+    read.release()
+    // the frames stay usable after release: lineage-backed recompute
+    // from the landing bytes, not a dead checkpoint block
+    assert(read.good.count() == 3)
   }
 }
