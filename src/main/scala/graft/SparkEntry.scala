@@ -4125,6 +4125,29 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
         .select(col("doc_id"), col("byte_size"), col("format"))),
 
+    "multimodal_audio_meta" -> ((s, d) => {
+      // Audio header metadata (the audio twin of multimodal_decode):
+      // planted silent WAVs with exactly-derivable duration (data
+      // bytes / byte rate), planted CBR MP3 streams (one behind an
+      // ID3v2 tag) whose estimate is streamBytes×8/bitrate, one
+      // garbage payload, and the documents table as guaranteed
+      // non-audio — decoded=false never fails a task
+      import s.implicits._
+      val planted = Seq(
+        (1L, Multimodal.silentWav(44100, 2, 16, 44100)),
+        (2L, Multimodal.silentWav(16000, 1, 16, 8000)),
+        (3L, Multimodal.silentWav(8000, 1, 8, 12000)),
+        (4L, Multimodal.fakeMp3(128, 44100, stereo = true, nFrames = 10)),
+        (5L, Multimodal.fakeMp3(64, 32000, stereo = false, nFrames = 5, id3Bytes = 100)),
+        (99L, "definitely not audio".getBytes("UTF-8"))).toDF("media_id", "content")
+      val fromDocs = Tables.documents(s, d)
+        .select((col("doc_id") + 1000L).as("media_id"), col("text").cast("binary").as("content"))
+      Multimodal.audioMeta(s, planted.unionByName(fromDocs)).toDF()
+        .select(col("media_id"), col("decoded"), col("container"),
+          col("sample_rate"), col("channels"), col("bits_per_sample"),
+          col("duration_ms"))
+    }),
+
     // ── Lakehouse file layout: zone maps + Z-order file skipping ──────
     "zorder_key" -> ((s, d) =>
       // Morton key bit semantics cross-engine: the oracle evaluates the
@@ -7164,6 +7187,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_size,
         | 'unknown' AS format
         |FROM documents""".stripMargin,
+
+    "multimodal_audio_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(decoded AS BOOLEAN) AS decoded,
+        | CAST(container AS VARCHAR) AS container, CAST(sample_rate AS INT) AS sample_rate,
+        | CAST(channels AS INT) AS channels, CAST(bits_per_sample AS INT) AS bits_per_sample,
+        | CAST(duration_ms AS BIGINT) AS duration_ms
+        |FROM (
+        |  SELECT * FROM (VALUES
+        |    (1, true, 'wav', 44100, 2, 16, 1000),
+        |    (2, true, 'wav', 16000, 1, 16, 500),
+        |    (3, true, 'wav', 8000, 1, 8, 1500),
+        |    (4, true, 'mp3', 44100, 2, NULL, 260),
+        |    (5, true, 'mp3', 32000, 1, NULL, 180),
+        |    (99, false, NULL, NULL, NULL, NULL, NULL))
+        |    t(media_id, decoded, container, sample_rate, channels, bits_per_sample, duration_ms)
+        |  UNION ALL
+        |  SELECT doc_id + 1000, false, NULL, NULL, NULL, NULL, NULL FROM documents)""".stripMargin,
 
     // PQ: training + encode + ADC replayed end-to-end in SQL
     "ann_pq_encode" ->

@@ -148,6 +148,148 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Parsed audio header row. `decoded = false` (all fields None) marks
+    * payloads that are not a recognizable WAV/MP3 stream — the same
+    * honest fallback as [[ImageFeatures]]. `bits_per_sample` is
+    * PCM-only (None for MP3); `duration_ms` is exact for WAV (data
+    * bytes / byte rate) and a constant-bitrate estimate for MP3
+    * (stream bytes × 8 / frame-header bitrate — the standard CBR
+    * estimate; VBR needs a Xing table, which is a decode-level
+    * concern). */
+  final case class AudioFeatures(media_id: Long, decoded: Boolean,
+                                 container: Option[String], sample_rate: Option[Int],
+                                 channels: Option[Int], bits_per_sample: Option[Int],
+                                 duration_ms: Option[Long])
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def leShort(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def ascii(b: Array[Byte], o: Int, n: Int): String =
+    new String(b, o, n, "US-ASCII")
+
+  /** RIFF/WAVE header walk: chunk list from offset 12, `fmt ` gives
+    * (format, channels, sample rate, byte rate, bits), `data` gives the
+    * payload size the exact duration derives from. Truncated or
+    * non-RIFF bytes → None. HEADER-ONLY — sample data is never
+    * touched, so cost is O(1) per row regardless of payload size. */
+  private def parseWav(id: Long, b: Array[Byte]): Option[AudioFeatures] = {
+    if (b.length < 44 || ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, sampleRate, byteRate, bits
+    var dataSize: Option[Long] = None
+    while (o + 8 <= b.length && (fmt.isEmpty || dataSize.isEmpty)) {
+      val cid = ascii(b, o, 4); val sz = leInt(b, o + 4).toLong & 0xFFFFFFFFL
+      if (cid == "fmt " && o + 24 <= b.length)
+        fmt = Some((leShort(b, o + 10), leInt(b, o + 12), leInt(b, o + 16), leShort(b, o + 22)))
+      if (cid == "data") dataSize = Some(sz)
+      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    for ((ch, sr, byteRate, bits) <- fmt; ds <- dataSize
+         if ch > 0 && sr > 0 && byteRate > 0)
+      yield AudioFeatures(id, decoded = true, Some("wav"), Some(sr), Some(ch),
+        Some(bits), Some(ds * 1000L / byteRate))
+  }
+
+  private val Mp3BitrateKbpsV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3SampleRateV1 = Array(44100, 48000, 32000, 0)
+
+  /** MPEG-1 Layer III frame-header parse after an optional ID3v2 skip
+    * (tag size is sync-safe 7-bit bytes). Yields sample rate, channel
+    * mode, and the CBR duration estimate. Anything but a clean
+    * 0xFFE sync at the expected offset → None. */
+  private def parseMp3(id: Long, b: Array[Byte]): Option[AudioFeatures] = {
+    var o = 0
+    if (b.length >= 10 && ascii(b, 0, 3) == "ID3") {
+      val tagSize = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      o = 10 + tagSize
+    }
+    if (o + 4 > b.length) return None
+    val h0 = b(o) & 0xFF; val h1 = b(o + 1) & 0xFF
+    val h2 = b(o + 2) & 0xFF; val h3 = b(o + 3) & 0xFF
+    // sync + MPEG-1 (bits 4-3 = 11) + Layer III (bits 2-1 = 01)
+    if (h0 != 0xFF || (h1 & 0xFE) != 0xFA) return None
+    val bitrateKbps = Mp3BitrateKbpsV1L3((h2 >> 4) & 0xF)
+    val sampleRate = Mp3SampleRateV1((h2 >> 2) & 0x3)
+    if (bitrateKbps == 0 || sampleRate == 0) return None
+    val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2 // mode 3 = single channel
+    val streamBytes = (b.length - o).toLong
+    Some(AudioFeatures(id, decoded = true, Some("mp3"), Some(sampleRate),
+      Some(channels), None, Some(streamBytes * 8L * 1000L / (bitrateKbps * 1000L))))
+  }
+
+  /** Audio header metadata over opaque binary payloads — WAV exactly,
+    * MP3 as the standard CBR estimate, anything else `decoded = false`.
+    * mapPartitions like the image path: per-row imperative byte walks
+    * with O(1) state, streaming — never collects, never reads past the
+    * header bytes it needs. */
+  def audioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val parsed =
+            if (bytes == null || bytes.length < 4) None
+            else try parseWav(id, bytes).orElse(parseMp3(id, bytes))
+                 catch { case _: Exception => None }
+          parsed.getOrElse(AudioFeatures(id, decoded = false, None, None, None, None, None))
+        }
+      }
+  }
+
+  /** Deterministic silent PCM WAV — planted test audio whose header
+    * metadata (and exact duration) is knowable in advance, the audio
+    * twin of [[solidPng]]. */
+  def silentWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    bb.array()
+  }
+
+  /** Deterministic CBR MPEG-1 Layer III byte stream (frame headers +
+    * zero payload, optionally behind an ID3v2 tag) — planted MP3 whose
+    * estimated duration is exactly streamBytes×8/bitrate. */
+  def fakeMp3(bitrateKbps: Int, sampleRate: Int, stereo: Boolean,
+              nFrames: Int, id3Bytes: Int = 0): Array[Byte] = {
+    val bIdx = Mp3BitrateKbpsV1L3.indexOf(bitrateKbps)
+    val sIdx = Mp3SampleRateV1.indexOf(sampleRate)
+    require(bIdx > 0 && sIdx >= 0 && sIdx < 3, "not a valid MPEG-1 L3 rate pair")
+    val frameSize = 144 * bitrateKbps * 1000 / sampleRate
+    val tag =
+      if (id3Bytes == 0) Array.empty[Byte]
+      else {
+        val t = new Array[Byte](10 + id3Bytes)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4
+        t(6) = ((id3Bytes >> 21) & 0x7F).toByte; t(7) = ((id3Bytes >> 14) & 0x7F).toByte
+        t(8) = ((id3Bytes >> 7) & 0x7F).toByte; t(9) = (id3Bytes & 0x7F).toByte
+        t
+      }
+    val frames = new Array[Byte](frameSize * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val o = f * frameSize
+      frames(o) = 0xFF.toByte; frames(o + 1) = 0xFB.toByte
+      frames(o + 2) = ((bIdx << 4) | (sIdx << 2)).toByte
+      frames(o + 3) = (if (stereo) 0x00 else 0xC0).toByte
+      f += 1
+    }
+    tag ++ frames
+  }
+
   /** Frame-sampling plumbing for video: every Nth frame index up to a
     * duration — the explode shape a real frame extractor feeds. */
   def frameSampleIndexes(media: DataFrame, fps: Double, durationSecCol: String,

@@ -96,6 +96,32 @@ class MultimodalSpec extends SparkSpec {
     assert(!capped.ok)
   }
 
+  test("audioMeta: WAV headers parse exactly, MP3 CBR estimates, junk fails honestly") {
+    val rows = Seq(
+      (1L, Multimodal.silentWav(44100, 2, 16, 44100)),        // exactly 1 s
+      (2L, Multimodal.silentWav(16000, 1, 16, 8000)),         // 0.5 s mono
+      (3L, Multimodal.fakeMp3(128, 44100, stereo = true, nFrames = 10)),
+      (4L, Multimodal.fakeMp3(64, 32000, stereo = false, nFrames = 5, id3Bytes = 100)),
+      (9L, "not audio".getBytes("UTF-8")),
+      (10L, Array.empty[Byte])
+    ).toDF("media_id", "content")
+    val out = Multimodal.audioMeta(spark, rows).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).decoded && out(1L).container.contains("wav") &&
+      out(1L).sample_rate.contains(44100) && out(1L).channels.contains(2) &&
+      out(1L).bits_per_sample.contains(16) && out(1L).duration_ms.contains(1000L))
+    assert(out(2L).duration_ms.contains(500L) && out(2L).channels.contains(1))
+    // mp3: frame size 144·128000/44100 = 417 B, 10 frames → 4170 B →
+    // 4170·8/128 kbps = 260 ms (CBR estimate, floor)
+    assert(out(3L).decoded && out(3L).container.contains("mp3") &&
+      out(3L).sample_rate.contains(44100) && out(3L).channels.contains(2) &&
+      out(3L).bits_per_sample.isEmpty && out(3L).duration_ms.contains(260L))
+    // the ID3v2 tag is skipped via its sync-safe size, not scanned over
+    assert(out(4L).decoded && out(4L).sample_rate.contains(32000) &&
+      out(4L).channels.contains(1) && out(4L).duration_ms.contains(180L))
+    assert(!out(9L).decoded && out(9L).container.isEmpty)
+    assert(!out(10L).decoded)
+  }
+
   test("frameSampleIndexes explodes every-Nth frame indexes") {
     val vids = Seq((1L, 2.0)).toDF("media_id", "duration_sec") // 2s @ 10fps = frames 0..19
     val out = Multimodal.frameSampleIndexes(vids, fps = 10.0, "duration_sec", everyNth = 5)

@@ -54,6 +54,18 @@ class WordPieceSpec extends SparkSpec {
     assert(m("za") == (Seq("[UNK]"), true)) // no initial 'z' either
   }
 
+  test("over-long words emit as [UNK], never vanish (max_input_chars_per_word)") {
+    val vocab = Seq("a" -> false, "a" -> true)
+    val out = WordPiece.segmentWords(
+      wordsDf("aaa" -> 2L, ("a" * 20) -> 5L), vocabDf(vocab: _*),
+      maxPieceLen = 1, maxWordLen = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[String](2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.size == 2) // the 20-char word is present, not dropped
+    assert(out("aaa") == ((2L, Seq("a", "##a", "##a"), 3L, false)))
+    assert(out("a" * 20) == ((5L, Seq("[UNK]"), 1L, true)))
+  }
+
   test("greedy is not optimal and we replicate that faithfully") {
     // vocab: initial "ab", continuations "c", "bc" BUT no continuation
     // for the tail after greedy's choice: "abc": greedy takes "ab"
