@@ -4197,6 +4197,95 @@ object SparkEntry {
       }
     }),
 
+    "mv_rewrite_avg" -> ((s, d) => {
+      // AVG through the rollup rewrite: avg(x) re-derives as
+      // sum(partial sums) / sum(partial NON-NULL counts) — count(*)
+      // is never a safe denominator, so the fixture PLANTS nulls in
+      // the measure (every %7==0 event) and the oracle replays
+      // DuckDB's own avg over the same nulled column. The rollup
+      // carries the per-measure count via SumMeasure.cntCol; the
+      // query aggregates at coarser grain and must scan the rollup.
+      import graft.plans.RollupRewrite
+      import graft.plans.RollupRewrite.SumMeasure
+      def base = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          pmod(col("user_id"), lit(16L)).as("bucket"),
+          when(col("event_id") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val sums = Seq(SumMeasure("value", None, "sum_value", cntCol = Some("cnt_value")))
+      val dir = layoutDir(s, d, "mvavg") { p =>
+        RollupRewrite.buildRollup(base, Seq("event_type", "bucket"), sums)
+          .write.parquet(p) }
+      RollupRewrite.withRollup(s, "ev_avg_rollup", base,
+          Seq("event_type", "bucket"), sums, s.read.parquet(dir)) {
+        val q = base.groupBy("event_type")
+          .agg(avg(col("value")).as("avg_value"), count(lit(1)).as("n"))
+        q.count()
+        val roots = scanRoots(q)
+        require(roots.nonEmpty && roots.forall(_.contains("layout_mvavg")),
+          s"avg rollup rewrite did not fire; scans=$roots")
+        q.select(col("event_type"), round(col("avg_value"), 6).as("avg_value"),
+          col("n")).localCheckpoint()
+      }
+    }),
+
+    "mv_rewrite_joinview" -> ((s, d) => {
+      // the round's two headline features COMPOSED into the production
+      // shape: a JoinView-maintained materialization of orders ⟕
+      // customer absorbs a fact restatement and a dim update through
+      // incremental ticks; the (c_mktsegment, month) rollup DERIVED
+      // FROM THE VIEW — O(view), the fact is never re-joined — is
+      // registered against the fact⟕dim JOIN PLAN itself; a query
+      // joining fact to dim and aggregating at mktsegment grain is
+      // then served from the view-derived rollup (self-asserted scan
+      // root). Oracle: the same aggregate over the final table states.
+      import graft.plans.RollupRewrite
+      import graft.plans.RollupRewrite.SumMeasure
+      val dec = org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")
+      val dir = layoutDir(s, d, "mvjv") { p =>
+        val orders = Tables.orders(s, d)
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        val cust = Tables.customer(s, d).withColumnRenamed("c_custkey", "o_custkey")
+        val factCfg = TableConfig("mvjv_orders", null, Seq("o_orderkey"))
+        val dimCfg = TableConfig("mvjv_customer", null, Seq("o_custkey"))
+        val fact = new graft.pipeline.ManifestStore(s, s"$p/fact", "month")
+        val dim = new graft.pipeline.ManifestStore(s, s"$p/dim", "c_nationkey")
+        val view = new graft.pipeline.MorStore(s, s"$p/view", "month",
+          TableConfig("mvjv_view", null, Seq("o_orderkey")))
+        def tick() = graft.pipeline.JoinView.maintain(s, s"$p/view", view,
+          fact, dim, Seq("o_orderkey"), "o_custkey")
+        fact.upsert(orders, factCfg)
+        dim.upsert(cust, dimCfg)
+        tick()
+        fact.upsert(orders.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2)), factCfg)
+        dim.upsert(cust.filter(col("o_custkey") % 17 === 3)
+          .withColumn("c_mktsegment", lit("UPDATED")), dimCfg)
+        tick()
+        // the rollup is maintained FROM THE VIEW (one narrow pass over
+        // the materialization, never a fact re-join)
+        RollupRewrite.buildRollup(view.read.get, Seq("c_mktsegment", "month"),
+            Seq(SumMeasure("o_totalprice", Some(dec), "sum_price")))
+          .write.parquet(s"$p/rollup")
+      }
+      val fact = new graft.pipeline.ManifestStore(s, s"$dir/fact", "month")
+      val dim = new graft.pipeline.ManifestStore(s, s"$dir/dim", "c_nationkey")
+      def joined = fact.read.get.join(broadcast(dim.read.get), Seq("o_custkey"), "left")
+      RollupRewrite.withRollup(s, "mv_joinview", joined,
+          Seq("c_mktsegment", "month"),
+          Seq(SumMeasure("o_totalprice", Some(dec), "sum_price")),
+          s.read.parquet(s"$dir/rollup")) {
+        val q = joined.groupBy("c_mktsegment")
+          .agg(sum(col("o_totalprice").cast(dec)).cast("double").as("sum_price"),
+               count(lit(1)).as("n"))
+        q.count()
+        val roots = scanRoots(q)
+        require(roots.nonEmpty && roots.forall(_.endsWith("/rollup")),
+          s"join-view rollup rewrite did not fire; scans=$roots")
+        q.localCheckpoint()
+      }
+    }),
+
     "mv_rewrite_maintained" -> ((s, d) => {
       // The maintained-aggregate loop, closed: a CDC-mutated fact
       // store, its CdfRollup-maintained (event_type, day) rollup —
@@ -7267,6 +7356,27 @@ object SparkEntry {
     // the maintained rollup must equal a from-scratch rollup of the
     // FINAL table state (guard keeps the newer-cursor restatement), and
     // the rewrite must be invisible on top of that
+    "mv_rewrite_avg" ->
+      """SELECT event_type,
+        |  round(avg(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END), 6) AS avg_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "mv_rewrite_joinview" ->
+      """WITH o2 AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 13 = 1 THEN round(o_totalprice * 3, 2)
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |c2 AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 17 = 3 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |       FROM customer)
+        |SELECT c2.c_mktsegment AS c_mktsegment,
+        |  CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM o2 LEFT JOIN c2 ON o2.o_custkey = c2.c_custkey
+        |GROUP BY 1""".stripMargin,
+
     "mv_rewrite_maintained" ->
       """WITH corr AS (
         |  SELECT event_id, event_type, value * 2 AS value

@@ -46,9 +46,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
 object RollupRewrite extends Rule[LogicalPlan] {
 
   /** A measure derivable from the rollup: the base column, the cast
-    * applied under the aggregate (None = aggregated raw), and the
-    * rollup column holding the per-group partial. */
-  final case class SumMeasure(baseCol: String, cast: Option[DataType], rollupCol: String)
+    * applied under the aggregate (None = aggregated raw), the rollup
+    * column holding the per-group partial sum, and optionally a rollup
+    * column holding the per-group NON-NULL count of the measure —
+    * registering it is what unlocks the AVG rewrite (avg = sum(x) /
+    * count(x), and count(x) ≠ count(*) the moment the measure has
+    * nulls — the group row count is never a safe denominator). */
+  final case class SumMeasure(baseCol: String, cast: Option[DataType], rollupCol: String,
+                              cntCol: Option[String] = None)
 
   /** One registered rollup. The fact is recognized either by the
     * parquet root paths of its single HadoopFsRelation scan
@@ -66,6 +71,12 @@ object RollupRewrite extends Rule[LogicalPlan] {
       name: String,
       basePaths: Option[Set[String]],
       baseCanonical: Option[LogicalPlan],
+      // cheap identity pre-filter for canonical matching: two plans
+      // with different output-name sets can never canonicalize equal,
+      // and set equality is O(names) vs. O(plan) for canonicalization —
+      // with many simultaneous registrations the rule stays cheap on
+      // every non-matching aggregate it visits
+      outputNames: Set[String],
       keys: Set[String],
       sums: Seq[SumMeasure],
       countCol: Option[String],
@@ -96,6 +107,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val aggs =
       sums.map(m => sum(m.cast.fold(col(m.baseCol))(dt => col(m.baseCol).cast(dt)))
         .as(m.rollupCol)) ++
+      sums.flatMap(m => m.cntCol.map(c =>
+        count(m.cast.fold(col(m.baseCol))(dt => col(m.baseCol).cast(dt))).as(c))) ++
       countCol.map(c => count(lit(1)).as(c)) ++
       mins.map { case (b, r) => org.apache.spark.sql.functions.min(col(b)).as(r) } ++
       maxs.map { case (b, r) => org.apache.spark.sql.functions.max(col(b)).as(r) }
@@ -126,7 +139,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     }
     require(paths.exists(_.nonEmpty) || canonical.nonEmpty,
       s"rollup '$name': base has no recognizable scan")
-    entries.put(name, Entry(name, paths, canonical, keys.toSet, sums, countCol,
+    entries.put(name, Entry(name, paths, canonical,
+      analyzed.output.map(_.name).toSet, keys.toSet, sums, countCol,
       mins, maxs, () => rollup.queryExecution.analyzed))
   }
 
@@ -176,8 +190,17 @@ object RollupRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
     byPath.orElse {
-      lazy val canon = remainder.canonicalized
-      entries.values.asScala.find(_.baseCanonical.exists(_ == canon))
+      val names = remainder.output.map(_.name).toSet
+      val candidates = entries.values.asScala
+        .filter(e => e.baseCanonical.nonEmpty && e.outputNames == names)
+      // canonicalize the query subtree only when some registration
+      // survives the name pre-filter — the common case (an aggregate
+      // over an unregistered table) pays set comparison only
+      if (candidates.isEmpty) None
+      else {
+        val canon = remainder.canonicalized
+        candidates.find(_.baseCanonical.exists(_ == canon))
+      }
     }
   }
 
@@ -207,7 +230,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
     val rollup = entry.rollupPlan()
     val byName = rollup.output.map(a => a.name -> a).toMap
     // required rollup columns must all exist before attempting
-    val needed = entry.keys ++ entry.sums.map(_.rollupCol) ++ entry.countCol ++
+    val needed = entry.keys ++ entry.sums.map(_.rollupCol) ++
+      entry.sums.flatMap(_.cntCol) ++ entry.countCol ++
       entry.mins.values ++ entry.maxs.values
     if (!needed.forall(byName.contains)) return None
 
@@ -216,21 +240,46 @@ object RollupRewrite extends Rule[LogicalPlan] {
     // one aggregate call → its rollup-side replacement, result type
     // preserved EXACTLY (a decimal re-sum widens; cast back — the value
     // is the same number the direct plan would have produced)
+    // the (baseCol, cast) identity under which both SUM and AVG
+    // recognize a registered measure
+    def matchMeasure(child: Expression): Option[SumMeasure] = child match {
+      case ar: AttributeReference =>
+        entry.sums.find(x => x.baseCol == ar.name && x.cast.isEmpty)
+      case c: Cast => c.child match {
+        case ar: AttributeReference =>
+          entry.sums.find(x => x.baseCol == ar.name && x.cast.contains(c.dataType))
+        case _ => None
+      }
+      case _ => None
+    }
+
     def rewriteAggExpr(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
+      // AVG first — its replacement is a RATIO of two re-aggregates
+      // (sum of partial sums / sum of partial NON-NULL counts), not a
+      // single AggregateFunction. Only measures registered with a
+      // cntCol qualify, and only double-typed averages — decimal AVG
+      // carries engine-specific precision/scale promotion this rule
+      // refuses to re-derive.
+      ae.aggregateFunction match {
+        case avg: Average if avg.dataType == org.apache.spark.sql.types.DoubleType =>
+          return matchMeasure(avg.child).flatMap(x => x.cntCol.map { cnt =>
+            val sumAgg = AggregateExpression(
+              Sum(rollupAttr(x.rollupCol)), ae.mode, isDistinct = false)
+            val cntAgg = AggregateExpression(
+              Sum(rollupAttr(cnt)), ae.mode, isDistinct = false)
+            // cnt-sum 0 (all-null measure in every contributing group)
+            // divides to NULL under non-ANSI semantics — exactly the
+            // direct plan's avg-over-no-values answer
+            new Divide(Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
+              Cast(cntAgg, org.apache.spark.sql.types.DoubleType))
+          })
+        case _ => ()
+      }
       val replaced: Option[AggregateFunction] = ae.aggregateFunction match {
         case s @ Sum(child, _) =>
-          val m = child match {
-            case ar: AttributeReference =>
-              entry.sums.find(x => x.baseCol == ar.name && x.cast.isEmpty)
-            case c: Cast => c.child match {
-              case ar: AttributeReference =>
-                entry.sums.find(x => x.baseCol == ar.name && x.cast.contains(c.dataType))
-              case _ => None
-            }
-            case _ => None
-          }
-          m.map(x => s.withNewChildren(Seq(rollupAttr(x.rollupCol))).asInstanceOf[AggregateFunction])
+          matchMeasure(child)
+            .map(x => s.withNewChildren(Seq(rollupAttr(x.rollupCol))).asInstanceOf[AggregateFunction])
         case Count(Seq(Literal(1, _))) =>
           entry.countCol.map(c => Sum(rollupAttr(c)))
         case Count(Seq()) =>

@@ -282,6 +282,82 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("property: randomized NON-rewritable shapes all refuse (scan stays on the fact)") {
+    val rnd = new scala.util.Random(1337)
+    withMv {
+      for (i <- 1 to 25) {
+        // each case takes a rewritable core and injects ONE poison the
+        // rule must refuse: the refusal conditions are the safety
+        // boundary, so they get the same randomized coverage as the
+        // positive path
+        val poison = rnd.nextInt(6)
+        def base = spark.read.parquet(s"$sf/lineitem.parquet")
+        val df = poison match {
+          case 0 => // distinct aggregate
+            base.groupBy("l_returnflag")
+              .agg(countDistinct(col("l_linestatus")).as("n"))
+          case 1 => // filter on a measure column
+            base.filter(col("l_quantity") > rnd.nextInt(40))
+              .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+          case 2 => // NONDETERMINISTIC filter (reference-free: the key
+            // check alone would pass it — the determinism guard must not)
+            base.filter(rand(rnd.nextInt(100)) < 0.99)
+              .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+          case 3 => // unregistered measure
+            base.groupBy("l_returnflag")
+              .agg(sum(col("l_tax").cast(dec)).as("s"))
+          case 4 => // expression grouping key
+            base.groupBy(upper(col("l_returnflag")).as("rf"))
+              .agg(count(lit(1)).as("n"))
+          case 5 => // type drift: sum under a different cast than registered
+            base.groupBy("l_returnflag")
+              .agg(sum(col("l_quantity").cast("double")).as("s"))
+        }
+        df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem.parquet") && !plan.contains("mv_rollup"),
+          s"case $i (poison $poison) must NOT rewrite:\n$plan")
+      }
+    }
+  }
+
+  test("avg rewrites to sum/count-of-measure and stays exact under nulls") {
+    // a fact with planted nulls in the measure: avg's denominator is the
+    // NON-NULL count, so a rewrite dividing by cnt(*) would be wrong —
+    // the per-measure cntCol is what keeps it exact
+    val facts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        when(col("l_orderkey") % 3 === 0, lit(null).cast("double"))
+          .otherwise(col("l_quantity").cast("double")).as("qty"))
+    val dir = Files.createTempDirectory("mv_avg").toString + "/rollup"
+    val sums = Seq(SumMeasure("qty", None, "sum_qty", cntCol = Some("cnt_qty")))
+    RollupRewrite.buildRollup(facts, Seq("l_returnflag", "l_linestatus"), sums)
+      .write.parquet(dir)
+    def q() = facts.groupBy("l_returnflag").agg(avg(col("qty")).as("a"))
+    val direct = canon(q())
+    val directSchema = q().schema
+    RollupRewrite.withRollup(spark, "avg_mv", facts,
+        Seq("l_returnflag", "l_linestatus"), sums, spark.read.parquet(dir)) {
+      val df = q()
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("mv_avg") && !plan.contains("lineitem.parquet"), plan)
+      assert(df.schema == directSchema)
+      assert(canon(df) == direct)
+    }
+  }
+
+  test("avg refuses without a registered per-measure count") {
+    withMv {
+      // sum_qty is registered but has no cntCol — dividing by the group
+      // row count would silently miscount null measures, so refuse
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag").agg(avg(col("l_quantity").cast(dec)).as("a"))
+      df.count()
+      assert(df.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    }
+  }
+
   test("full-table aggregate (no grouping) also rewrites") {
     def q() = spark.read.parquet(s"$sf/lineitem.parquet")
       .agg(sum(col("l_quantity").cast(dec)).as("q"), count(lit(1)).as("n"))
