@@ -678,6 +678,68 @@ object SparkEntry {
     rows.toDF("piece", "cont", "n")
   }
 
+  /** WordPiece LIKELIHOOD-training oracle — [[bpeBatchedOracleSql]]'s
+    * unrolled round structure with one extra layer per round (y_r, the
+    * symbol frequencies) and the candidate ranking switched from raw
+    * pair count to the WordPiece score n/(fa·fb): one IEEE double
+    * division over exact longs on both engines, so the ranked window
+    * and therefore the greedy independent selection replay exactly. */
+  private def wordpieceTrainOracleSql(k: Int, m: Int): String = {
+    val tok = "SELECT unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '')) AS word FROM documents"
+    val w0 = s"w0 AS MATERIALIZED (SELECT word, freq, array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq FROM (SELECT word, count(*) AS freq FROM ($tok) GROUP BY word))"
+    val c = graft.llm.Bpe.candidateWindow(m)
+    val rounds = (k + m - 1) / m
+    val layers = (1 to rounds).map { r =>
+      val want = math.min(m, k - m * (r - 1))
+      val p = s"p$r AS MATERIALIZED (SELECT pair, sum(freq) AS n FROM (SELECT freq, " +
+        "unnest(CASE WHEN len(ss) >= 2 THEN list_transform(generate_series(1, len(ss) - 1), " +
+        s"j -> ss[j] || ' ' || ss[j + 1]) ELSE CAST([] AS VARCHAR[]) END) AS pair " +
+        s"FROM (SELECT freq, string_split(seq, ' ') AS ss FROM w${r - 1})) GROUP BY pair)"
+      val y = s"y$r AS MATERIALIZED (SELECT sym, sum(freq) AS cnt FROM (SELECT freq, " +
+        s"unnest(string_split(seq, ' ')) AS sym FROM w${r - 1}) GROUP BY sym)"
+      val cand = s"c$r AS MATERIALIZED (SELECT pair, CAST(n AS BIGINT) AS n, " +
+        "CAST(fa AS BIGINT) AS fa, CAST(fb AS BIGINT) AS fb, " +
+        "row_number() OVER (ORDER BY CAST(n AS DOUBLE) / (fa * fb) DESC, pair ASC) AS rnk, " +
+        "la, rb, replace(pair, ' ', '') AS mg FROM (" +
+        s"SELECT p.pair, p.n, string_split(p.pair, ' ')[1] AS la, string_split(p.pair, ' ')[2] AS rb, " +
+        s"ya.cnt AS fa, yb.cnt AS fb FROM p$r p " +
+        s"JOIN y$r ya ON string_split(p.pair, ' ')[1] = ya.sym " +
+        s"JOIN y$r yb ON string_split(p.pair, ' ')[2] = yb.sym) " +
+        s"ORDER BY CAST(n AS DOUBLE) / (fa * fb) DESC, pair ASC LIMIT $c)"
+      val sels = (1 to want).map { j =>
+        val used = (1 until j).flatMap(i => Seq(
+          s"SELECT la FROM s${r}_$i", s"SELECT rb FROM s${r}_$i", s"SELECT mg FROM s${r}_$i"))
+        val where =
+          if (used.isEmpty) ""
+          else {
+            val u = used.mkString(" UNION ALL ")
+            s" WHERE la NOT IN ($u) AND rb NOT IN ($u) AND mg NOT IN ($u)"
+          }
+        s"s${r}_$j AS MATERIALIZED (SELECT pair, n, fa, fb, rnk, la, rb, mg FROM c$r$where ORDER BY rnk LIMIT 1)"
+      }
+      val rewrite = {
+        val expr = (1 to want).foldLeft("seq") { (e, j) =>
+          val pat = s"coalesce((SELECT ' ' || pair || ' ' FROM s${r}_$j), chr(1))"
+          val rep = s"coalesce((SELECT ' ' || mg || ' ' FROM s${r}_$j), chr(1))"
+          s"trim(replace(replace(' ' || $e || ' ', $pat, $rep), $pat, $rep))"
+        }
+        s"w$r AS MATERIALIZED (SELECT word, freq, $expr AS seq FROM w${r - 1})"
+      }
+      (Seq(p, y, cand) ++ sels :+ rewrite).mkString(",\n")
+    }
+    val union = (1 to rounds).flatMap { r =>
+      val want = math.min(m, k - m * (r - 1))
+      (1 to want).map(j =>
+        s"""SELECT $r AS r, $j AS j, pair, mg, n, fa, fb FROM s${r}_$j""")
+    }.mkString("\nUNION ALL ")
+    s"""WITH $w0,
+       |${layers.mkString(",\n")},
+       |all_sel AS ($union)
+       |SELECT CAST(row_number() OVER (ORDER BY r, j) AS INTEGER) AS step,
+       |  CAST(r AS INTEGER) AS "round", pair, mg AS merged, n, fa, fb
+       |FROM all_sel""".stripMargin
+  }
+
   /** The batched-training oracle: ⌈k/m⌉ unrolled ROUND layers, each
     * (pair-count p_r → top-C ranked window c_r → m unrolled greedy
     * independent selections s_r_j → one nested rewrite w_r), replaying
@@ -2777,6 +2839,18 @@ object SparkEntry {
       // pieces by weighted count, integer micro-nat costs over the
       // kept set (the NLL family's quantization convention)
       unigramSeedVocab(s, d)),
+
+    "wp_train" -> ((s, d) =>
+      // WordPiece LIKELIHOOD training (Schuster & Nakajima '12): merge
+      // rules scored by freq(ab)/(freq(a)·freq(b)) — pointwise mutual
+      // information, not BPE's raw count — over Bpe.trainMergesBatched's
+      // batched-round machinery (3 rounds of 8 here). The oracle
+      // replays every round: pair counts, symbol counts, the
+      // score-ranked candidate window, the greedy independent
+      // selection, and the two-pass padded rewrite. n/fa/fb ship as
+      // exact longs; wp_vocab's frequency-seeded form stays documented
+      // as the fallback when no trained vocabulary exists.
+      graft.llm.WordPiece.trainMerges(Tables.documents(s, d), "text", k = 24, m = 8)),
 
     "wp_vocab" -> ((s, d) =>
       // WordPiece (Schuster & Nakajima '12), stage 1: role-separated
@@ -5109,6 +5183,8 @@ object SparkEntry {
 
     "sp_seed_vocab" ->
       s"WITH ${unigramVocabCtes(60, 4)}\nSELECT piece, n, cost FROM uvocab",
+
+    "wp_train" -> wordpieceTrainOracleSql(24, 8),
 
     "wp_vocab" ->
       s"WITH ${wordpieceVocabCtes(200, 4)}\nSELECT piece, cont, n FROM wvocab",

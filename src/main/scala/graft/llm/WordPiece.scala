@@ -22,6 +22,75 @@ import org.apache.spark.sql.functions._
   */
 object WordPiece {
 
+  /** Weighted symbol frequencies over the current merge state — the
+    * denominator of the WordPiece likelihood score. */
+  private[llm] def symbolCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("freq"), explode(split(col("seq"), " ")).as("sym"))
+      .groupBy("sym").agg(sum(col("freq")).as("cnt"))
+
+  /** LIKELIHOOD-trained merge rules — the real WordPiece training
+    * criterion (Schuster & Nakajima '12 §III: pick the merge that most
+    * increases corpus likelihood under a unigram LM, which reduces to
+    * argmax freq(ab) / (freq(a)·freq(b)) — pointwise mutual information
+    * rather than BPE's raw pair count). [[vocabFromCorpus]] remains the
+    * frequency-seeded fallback for when no trained vocabulary exists.
+    *
+    * The round machinery is [[Bpe.trainMergesBatched]]'s, reused
+    * verbatim: one corpus pass collapses to the distinct-word table,
+    * then each of ⌈k/m⌉ rounds runs one pair count + one symbol count
+    * over the vocabulary, ranks the top-[[Bpe.candidateWindow]]
+    * candidates by (score desc, pair asc), greedily selects up to `m`
+    * mutually independent pairs ([[Bpe.selectIndependent]] — the same
+    * commuting-rewrite condition), and applies them in one two-pass
+    * padded rewrite. Scores compare as IEEE doubles: counts are
+    * corpus-bounded longs, fa·fb stays below 2^53, and one division is
+    * bit-identical across engines — which is what lets the SQL oracle
+    * replay the selection exactly.
+    *
+    * Returns (step, round, pair, merged, n, fa, fb): the winning pair's
+    * round-start weighted count and both symbols' round-start
+    * frequencies — all exact longs, so the score is derivable without
+    * shipping a float. */
+  def trainMerges(docs: DataFrame, textCol: String, k: Int, m: Int = 16): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(m >= 1, "m must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = Dedup.parallelize(Bpe.wordVocab(docs, textCol)).localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long, Long, Long)]
+    val rounds = (k + m - 1) / m
+    var step = 1
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val want = math.min(m, k - m * (r - 1))
+      val sc = symbolCounts(vocab)
+      val ranked = Bpe.pairCounts(vocab)
+        .withColumn("la", split(col("pair"), " ").getItem(0))
+        .withColumn("rb", split(col("pair"), " ").getItem(1))
+        .join(broadcast(sc.select(col("sym").as("la"), col("cnt").as("fa"))), Seq("la"))
+        .join(broadcast(sc.select(col("sym").as("rb"), col("cnt").as("fb"))), Seq("rb"))
+        .withColumn("score", col("n") / (col("fa") * col("fb")))
+        .orderBy(col("score").desc, col("pair").asc)
+        .limit(Bpe.candidateWindow(m))
+        .select("pair", "n", "fa", "fb")
+        .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2), row.getLong(3))).toSeq
+      val byPair = ranked.map(t => t._1 -> t).toMap
+      val chosen = Bpe.selectIndependent(ranked.map(t => (t._1, t._2)), want)
+      if (chosen.isEmpty) exhausted = true
+      else {
+        chosen.foreach { case (pair, n) =>
+          val (_, _, fa, fb) = byPair(pair)
+          merges += ((step, r, pair, pair.replace(" ", ""), n, fa, fb))
+          step += 1
+        }
+        vocab = vocab.withColumn("seq",
+            chosen.foldLeft(col("seq")) { case (c, (pair, _)) => Bpe.applyMerge(c, pair) })
+          .localCheckpoint(false)
+      }
+    }
+    merges.toSeq.toDF("step", "round", "pair", "merged", "n", "fa", "fb")
+  }
+
   /** Frequency-seeded vocabulary: every substring of length ≤
     * `maxPieceLen` counted with word-frequency weight, SEPARATELY per
     * role (word-initial at offset 0 vs continuation elsewhere — the

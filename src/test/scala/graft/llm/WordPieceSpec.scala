@@ -77,6 +77,48 @@ class WordPieceSpec extends SparkSpec {
     assert(m("abc") == (Seq("[UNK]"), true))
   }
 
+  test("trainMerges scores by likelihood, not raw count: PMI beats frequency") {
+    // "th" occurs 6× but both t and h are everywhere; "qu" occurs 2×
+    // with q appearing ONLY before u — freq(qu)/(freq(q)·freq(u)) is
+    // maximal, so likelihood training must pick q+u first while
+    // count-trained BPE would pick the most frequent pair
+    val docs = Seq(
+      (1L, "the the the quo"),
+      (2L, "the the the quo"),
+      (3L, "tho hat hat hat")).toDF("doc_id", "text")
+    val merges = WordPiece.trainMerges(docs, "text", k = 1, m = 1).collect()
+    assert(merges.length == 1)
+    val r = merges.head
+    assert(r.getString(2) == "q u", s"expected q+u first, got ${r.getString(2)}")
+    assert(r.getLong(4) == 2L)                  // n = freq(qu)
+    assert(r.getLong(5) == 2L)                  // fa = freq(q)
+    val bpeFirst = Bpe.trainMerges(docs, "text", k = 1).collect().head.getString(1)
+    assert(bpeFirst != "q u", "fixture must separate the two criteria")
+  }
+
+  test("trainMerges batched rounds select independent pairs and are replayable") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "gamma delta epsilon zeta alpha"),
+      (3L, "beta gamma zeta zeta epsilon")).toDF("doc_id", "text")
+    val out = WordPiece.trainMerges(docs, "text", k = 8, m = 4).collect()
+    assert(out.length == 8)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 8))            // global step order
+    assert(out.map(_.getInt(1)).distinct.toSeq == Seq(1, 2))  // 2 rounds of 4
+    // within a round the selected pairs are mutually independent:
+    // no symbol or merged output repeats
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val parts = rows.flatMap { r =>
+        val Array(a, b) = r.getString(2).split(" ", 2)
+        Seq(a, b, r.getString(3))
+      }
+      assert(parts.distinct.length == parts.length, s"round reuses a symbol: ${parts.toSeq}")
+    }
+    // deterministic: a second run replays identically
+    val again = WordPiece.trainMerges(docs, "text", k = 8, m = 4).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("vocabFromCorpus: roles counted separately, chars always kept, deterministic cut") {
     val docs = Seq("aba ab", "aba").toDF("text")
     val v = WordPiece.vocabFromCorpus(docs, "text", vocabSize = 5, maxPieceLen = 3)
