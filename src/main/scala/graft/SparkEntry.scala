@@ -921,6 +921,36 @@ object SparkEntry {
       | || CASE WHEN doc_id % 9 = 0 THEN ' go http://deep' || CAST(doc_id % 2 AS VARCHAR) || '.foo.bar.ck/y no' ELSE '' END
       | || CASE WHEN doc_id % 12 = 0 THEN ' at https://sub.www.ck/z end' ELSE '' END""".stripMargin.replace("\n", "")
 
+  /** [[plantedApexText]] plus hosts only the FULL Mozilla list
+    * classifies correctly: a private blogging suffix (blogspot.com), a
+    * cloud-storage private suffix (s3.amazonaws.com), a ccTLD registry
+    * pair (co.jp), a Japanese prefecture WILDCARD (*.kawasaki.jp) and
+    * its city EXCEPTION (!city.kawasaki.jp) — none of these rules are
+    * in the curated snippet, so grouping them right is the full list's
+    * distinguishing evidence. */
+  private def plantedPslFullText: Column = concat(
+    plantedApexText,
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit(" post https://me"), pmod(col("doc_id"), lit(3)).cast("string"),
+             lit(".blogspot.com/p ok"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit(" data http://bucket.a.s3.amazonaws.com/k get")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(11)) === 0,
+      concat(lit(" jp https://www"), pmod(col("doc_id"), lit(2)).cast("string"),
+             lit(".rakuten.co.jp/shop go"))).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(13)) === 0,
+      lit(" ward http://x.a.b.kawasaki.jp/w see")).otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(14)) === 0,
+      lit(" city https://sub.city.kawasaki.jp/c end")).otherwise(lit("")))
+
+  private val plantedPslFullSql: String =
+    plantedApexSql +
+    """| || CASE WHEN doc_id % 5 = 0 THEN ' post https://me' || CAST(doc_id % 3 AS VARCHAR) || '.blogspot.com/p ok' ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN ' data http://bucket.a.s3.amazonaws.com/k get' ELSE '' END
+      | || CASE WHEN doc_id % 11 = 0 THEN ' jp https://www' || CAST(doc_id % 2 AS VARCHAR) || '.rakuten.co.jp/shop go' ELSE '' END
+      | || CASE WHEN doc_id % 13 = 0 THEN ' ward http://x.a.b.kawasaki.jp/w see' ELSE '' END
+      | || CASE WHEN doc_id % 14 = 0 THEN ' city https://sub.city.kawasaki.jp/c end' ELSE '' END""".stripMargin.replace("\n", "")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ── core relational (SURVEY §2.3–2.5) ─────────────────────────────
@@ -3369,6 +3399,22 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(explode(Links.urls(plantedApexText)).as("url"))
         .select(Links.apexDomainPsl(Links.host(col("url"))).as("apex"))
+        .groupBy("apex").agg(count(lit(1)).as("n"))),
+
+    "url_apex_psl_full" -> ((s, d) =>
+      // registrable-domain histogram under the FULL Mozilla list
+      // (~9.9k rules, embedded as a repo resource — VERDICT r12 item 8
+      // unblocked: the dat ships with the OS publicsuffix package).
+      // Planted hosts cover rule classes the curated snippet lacks
+      // (private blogspot/s3 suffixes, co.jp, *.kawasaki.jp with its
+      // !city exception); the oracle replays the PSL longest-match /
+      // wildcard / exception algorithm GENERICALLY in SQL against the
+      // same dat file — no hand-coded rule cases, so every one of the
+      // ~9.9k rules is live on both sides.
+      Tables.documents(s, d)
+        .select(explode(Links.urls(plantedPslFullText)).as("url"))
+        .select(Links.apexDomainPsl(Links.host(col("url")),
+          graft.llm.PslRuleSet.full).as("apex"))
         .groupBy("apex").agg(count(lit(1)).as("n"))),
 
     "url_blocklist" -> ((s, d) =>
@@ -7064,6 +7110,38 @@ object SparkEntry {
          |    ELSE p[-2] || '.' || p[-1] END AS apex,
          |  count(*) AS n
          |FROM l GROUP BY 1""".stripMargin,
+
+    "url_apex_psl_full" ->
+      s"""WITH pslraw AS (SELECT unnest(string_split(content, chr(10))) AS line
+         |  FROM read_text('/root/repo/src/main/resources/public_suffix_list.dat')),
+         |pslr AS (SELECT lower(split_part(trim(line), ' ', 1)) AS rule FROM pslraw
+         |         WHERE trim(line) <> '' AND NOT starts_with(trim(line), '//')),
+         |pslc AS (SELECT CASE WHEN starts_with(rule, '!') THEN substr(rule, 2)
+         |                WHEN starts_with(rule, '*.') THEN substr(rule, 3)
+         |                ELSE rule END AS key,
+         |           CASE WHEN starts_with(rule, '!') THEN 2
+         |                WHEN starts_with(rule, '*.') THEN 1 ELSE 0 END AS kind
+         |         FROM pslr WHERE rule <> '*' AND rule <> ''),
+         |h AS (SELECT lower(regexp_extract(u, '(?i)https?://([^/\\s:]+)', 1)) AS host
+         |      FROM (SELECT unnest(regexp_extract_all($plantedPslFullSql, '(?i)https?://\\S+')) AS u
+         |            FROM documents)),
+         |l AS (SELECT host, string_split(host, '.') AS p FROM h),
+         |cand AS (SELECT host, n, i, array_to_string(p[n-i+1:n], '.') AS suffix
+         |         FROM (SELECT host, p, len(p) AS n,
+         |                 unnest(generate_series(1, len(p))) AS i FROM l)),
+         |m AS (SELECT c.host,
+         |        max(CASE WHEN r.kind = 0 THEN c.i
+         |                 WHEN r.kind = 1 AND c.i + 1 <= c.n THEN c.i + 1 END) AS mlen,
+         |        max(CASE WHEN r.kind = 2 THEN c.i - 1 END) AS elen
+         |      FROM cand c JOIN pslc r ON c.suffix = r.key
+         |      GROUP BY c.host),
+         |a AS (SELECT l.host, l.p, len(l.p) AS nl,
+         |        CAST(coalesce(m.elen, greatest(coalesce(m.mlen, 1), 1)) AS BIGINT) AS ps
+         |      FROM l LEFT JOIN m ON l.host = m.host)
+         |SELECT CASE WHEN nl <= ps THEN host
+         |            ELSE array_to_string(p[nl-ps:nl], '.') END AS apex,
+         |  count(*) AS n
+         |FROM a GROUP BY 1""".stripMargin,
 
     "url_blocklist" ->
       s"""SELECT doc_id

@@ -54,6 +54,11 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
 
   def isEmpty: Boolean = sigs.read.isEmpty
 
+  /** Live segment fan-in of the (signature, text) state tables — the
+    * probe's read amplification, bounded by MorStore's hot-partition
+    * auto-compaction; the longevity soak graphs this per tick. */
+  def segmentCounts: (Int, Int) = (sigs.liveSegments, txts.liveSegments)
+
   /** The admitted corpus as (id, text) — what probes screen against. */
   def indexedDocs: Option[DataFrame] = txts.read.map(_.drop("__tp"))
 

@@ -136,6 +136,19 @@ object PslRuleSet {
     try parse(src.getLines()) finally src.close()
   }
 
+  /** The FULL Mozilla list (~9.9k rules), embedded as a classpath
+    * resource (`src/main/resources/public_suffix_list.dat`, MPL-2.0 —
+    * the license header travels inside the file; the list is public
+    * data published at publicsuffix.org). This is the production rule
+    * set for web-corpus work; [[embedded]] remains the small
+    * deterministic snippet the unit fixtures replay by hand. */
+  lazy val full: PslRuleSet = {
+    val in = getClass.getResourceAsStream("/public_suffix_list.dat")
+    require(in != null, "public_suffix_list.dat missing from the classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parse(src.getLines()) finally src.close()
+  }
+
   /** Curated snippet of the public list in its own file format (so the
     * default exercises the same parser a full file would): the
     * high-traffic ccTLD second-level registries, the known wildcard

@@ -429,17 +429,23 @@ object StreamOps {
   private[graft] def cdfRollupTick(batch: DataFrame, store: ManifestStore,
                                    cfg: TableConfig, rollupStore: TableStore,
                                    groupCols: Seq[String], valueCol: String): Unit = {
-    val prior = rollupStore.read
-    val foldedV = prior.flatMap { df =>
-      val r = df.select(max(col(FoldedVersionCol))).head()
-      if (r.isNullAt(0)) None else Some(r.getInt(0))
-    }.getOrElse(0)
-    store.upsert(batch, cfg)
-    val newV = store.latestManifestVersion.getOrElse(0)
-    val cdf = store.changes(foldedV, newV, cfg.keys, updatePreimage = true)
-    val next = graft.pipeline.CdfRollup.applyCdf(
-      prior.map(_.drop(FoldedVersionCol)), cdf, groupCols, valueCol)
-    rollupStore.snapshot(next.withColumn(FoldedVersionCol, lit(newV)))
+    // cache the delivery for the tick: the upsert reads it twice (the
+    // touched-partition distinct, then the merged write) and a stream
+    // source re-executes the batch scan per action otherwise
+    val cached = batch.cache()
+    try {
+      val prior = rollupStore.read
+      val foldedV = prior.flatMap { df =>
+        val r = df.select(max(col(FoldedVersionCol))).head()
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
+      }.getOrElse(0)
+      store.upsert(cached, cfg)
+      val newV = store.latestManifestVersion.getOrElse(0)
+      val cdf = store.changes(foldedV, newV, cfg.keys, updatePreimage = true)
+      val next = graft.pipeline.CdfRollup.applyCdf(
+        prior.map(_.drop(FoldedVersionCol)), cdf, groupCols, valueCol)
+      rollupStore.snapshot(next.withColumn(FoldedVersionCol, lit(newV)))
+    } finally cached.unpersist()
   }
 
   /** Streaming near-dup admission: one [[graft.llm.MinhashIndexStore]]

@@ -114,6 +114,24 @@ class PslSpec extends SparkSpec {
     assert(plan.linesIterator.next().startsWith("*("), plan)
   }
 
+  test("the embedded FULL Mozilla list loads and classifies real-world rule classes") {
+    val full = PslRuleSet.full
+    // ~9.9k rules parse (the exact count tracks the upstream list)
+    assert(full.normal.size > 9000, s"only ${full.normal.size} normal rules")
+    assert(full.wildcard.nonEmpty && full.exception.nonEmpty)
+    // classes the curated snippet does NOT carry:
+    assert(full.apex("me.blogspot.com") == "me.blogspot.com")          // private suffix
+    assert(full.apex("bucket.a.s3.amazonaws.com") == "a.s3.amazonaws.com")
+    assert(full.apex("www.rakuten.co.jp") == "rakuten.co.jp")          // ccTLD registry
+    assert(full.apex("x.a.b.kawasaki.jp") == "a.b.kawasaki.jp")        // *.kawasaki.jp
+    assert(full.apex("sub.city.kawasaki.jp") == "city.kawasaki.jp")    // !city exception
+    // and the snippet's own cases still agree
+    assert(full.apex("news.bbc.co.uk") == "bbc.co.uk")
+    assert(full.apex("u.pages.github.io") == "pages.github.io")
+    assert(full.apex("sub.www.ck") == "www.ck")
+    assert(full.apex("deep.foo.bar.ck") == "foo.bar.ck")
+  }
+
   test("loading a full-format file works end to end") {
     val f = java.nio.file.Files.createTempFile("psl", ".dat")
     java.nio.file.Files.writeString(f,
