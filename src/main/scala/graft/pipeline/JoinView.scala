@@ -237,7 +237,11 @@ object JoinView {
     val dimTouched = dims.zip(d0s.zip(d1s)).flatMap { case ((st, key), (d0, d1)) =>
       if (d0 == d1 || st.changedValues(d0, d1).isEmpty) None
       else {
-        val changedKeys = st.changes(d0, d1, Seq(key)).select(key).distinct()
+        // a key SUPERSET suffices here: re-refreshing a fact row whose
+        // dim row was rewritten-but-identical re-derives the same
+        // post-image (idempotent upsert) — so the cheap two-scan
+        // union replaces changes()' full-outer row diff
+        val changedKeys = st.changedKeys(d0, d1, Seq(key))
         factNow.map(dimTouchedFact(_, changedKeys, key))
       }
     }

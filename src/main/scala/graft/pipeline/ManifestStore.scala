@@ -390,6 +390,33 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     (mf.keySet ++ mt.keySet).filter(v => mf.get(v) != mt.get(v)).toSeq.sorted
   }
 
+  /** SUPERSET of the keys whose rows may differ between two committed
+    * versions: the union of both versions' changed-partition slices,
+    * key columns only — two column-pruned scans and a distinct, NO
+    * row-diff join. A key in a rewritten segment whose row is in fact
+    * unchanged IS included (that's the superset); a consumer whose
+    * per-key refresh is idempotent — the join view re-deriving a
+    * row's post-image — gets identical results at a fraction of
+    * [[changes]]' cost, which must full-outer-join the two slices on
+    * every column to prove per-row change. */
+  def changedKeys(fromV: Int, toV: Int, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changedKeys needs at least one key column")
+    def man(v: Int): Map[String, String] =
+      if (v == 0) Map.empty else readManifest(v)
+    val mf = man(fromV); val mt = man(toV)
+    val changed = (mf.keySet ++ mt.keySet)
+      .filter(v => mf.get(v) != mt.get(v)).toSeq.sorted
+    def slice(m: Map[String, String]): Option[DataFrame] = {
+      val sub = m.view.filterKeys(changed.contains).toMap
+      if (sub.isEmpty) None else Some(resolve(sub).select(keys.map(col): _*))
+    }
+    (slice(mt).toSeq ++ slice(mf).toSeq)
+      .reduceOption(_.unionByName(_))
+      .map(_.distinct())
+      .getOrElse(read.map(_.select(keys.map(col): _*).filter(lit(false)))
+        .getOrElse(throw new IllegalStateException(s"version diff on empty store $root")))
+  }
+
   /** Row-level CDC between two committed versions — the time-travel
     * diff (Delta's change-data-feed idea in manifest form): one row per
     * changed key with `_change` ∈ insert | update | delete; updates

@@ -133,6 +133,29 @@ class ManifestStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("1", "a")))
   }
 
+  test("changedKeys: superset of touched keys, disappeared keys included, no join") {
+    val (store, _) = fresh()
+    store.upsert(Seq(
+      (1L, 1L, "a", "p1"), (2L, 1L, "b", "p2"), (3L, 1L, "c", "p3")
+    ).toDF("k", "seq", "v", "p"), cfg)
+    val v1 = store.latestManifestVersion.get
+    // rewrite p1 (update k=1), insert k=4 into p2, DROP p3 entirely
+    store.upsert(Seq((1L, 2L, "a2", "p1"), (4L, 2L, "d", "p2"))
+      .toDF("k", "seq", "v", "p"), cfg)
+    store.replacePartitions(
+      store.readPartitions(Seq("p3")).get.filter(lit(false)), Seq("p3"))
+    val v3 = store.latestManifestVersion.get
+    val keys = store.changedKeys(v1, v3, Seq("k")).collect().map(_.getLong(0)).toSet
+    // k=1 (rewritten), k=2 (its partition's segment re-pointed — the
+    // documented SUPERSET), k=4 (inserted), k=3 (disappeared with p3)
+    assert(keys == Set(1L, 2L, 3L, 4L), keys.toString)
+    // the plan is scan+distinct — no join of the two versions
+    val plan = store.changedKeys(v1, v3, Seq("k")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    // v->v is empty
+    assert(store.changedKeys(v3, v3, Seq("k")).isEmpty)
+  }
+
   test("replacePartitions drops cleared values whose rows are gone") {
     val (store, _) = fresh()
     store.snapshot(Seq(
