@@ -18,7 +18,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    // testdata files are immutable for the run: the session-cached
+    // footer schema (same converter + conf Spark's own inference uses)
+    // drops the one schema-inference job EVERY schema-less parquet read
+    // launches — across a 222-query bench pass that job ran per query
+    graft.pipeline.SegmentIO.read(spark, s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")

@@ -237,10 +237,11 @@ object JoinView {
     val dimTouched = dims.zip(d0s.zip(d1s)).flatMap { case ((st, key), (d0, d1)) =>
       if (d0 == d1 || st.changedValues(d0, d1).isEmpty) None
       else {
-        // a key SUPERSET suffices here: re-refreshing a fact row whose
-        // dim row was rewritten-but-identical re-derives the same
-        // post-image (idempotent upsert) — so the cheap two-scan
-        // union replaces changes()' full-outer row diff
+        // EXACT changed keys, not a rewritten-partition superset: a
+        // hash-spread 0.1% dim update touches every partition, and a
+        // superset would then probe-select the ENTIRE fact — the
+        // row-diff join over the (broadcast-size) dim slices is the
+        // cheap side of that trade
         val changedKeys = st.changedKeys(d0, d1, Seq(key))
         factNow.map(dimTouchedFact(_, changedKeys, key))
       }
@@ -255,11 +256,16 @@ object JoinView {
       val joined = dimNows.foldLeft(r) { case (acc, (dimNow, key)) =>
         acc.join(broadcast(dimNow), Seq(key), "left")
       }
-      view.appendDelta(joined)
-    }
-    fDeletes.foreach { dels =>
-      val delKeys = dels.select((view.partitionCol +: factKeys).distinct.map(col): _*)
-      if (!delKeys.isEmpty) view.delete(delKeys)
+      // refresh rows and fact-delete tombstones land as ONE segment
+      // under ONE manifest commit (fDeletes ⇒ fcdf ⇒ refresh is
+      // defined, so the combined path covers every delete-bearing
+      // tick); an empty delete side contributes nothing — no
+      // emptiness probe, no second commit
+      fDeletes match {
+        case Some(dels) => view.applyDelta(joined,
+          dels.select((view.partitionCol +: factKeys).distinct.map(col): _*))
+        case None => view.appendDelta(joined)
+      }
     }
     fcdf.foreach(_.unpersist())
     writeFoldedAll(spark, viewRoot, f1 +: d1s)

@@ -106,7 +106,7 @@ object Layout {
                     bloomBits: Int = 1 << 15): Unit = {
     require(cols.nonEmpty || bloomCols.nonEmpty,
       "zone maps need at least one stats or bloom column")
-    val df = spark.read.parquet(dir)
+    val df = SegmentIO.read(spark, dir)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       sum(col(c).isNull.cast("long")).as(s"nulls_$c"))) ++
@@ -206,6 +206,8 @@ object Layout {
   def prunedRead(spark: SparkSession, dir: String,
                  preds: Seq[FilePred]): (DataFrame, PruneStats) = {
     require(preds.nonEmpty, "prunedRead needs at least one predicate")
+    // NOT SegmentIO: buildZoneMaps writes mode=overwrite, so a zone-map
+    // dir can legitimately be rebuilt — its schema must not be cached
     val zm = spark.read.parquet(s"$dir/$ZoneMapDir")
     val statCols = zm.columns.toSet
     // stats comparisons use the SAME engine comparison semantics that
@@ -230,9 +232,12 @@ object Layout {
     val survivors = zm.filter(admits).select("file")
       .collect().map(_.getString(0))
     val residual = preds.map(_.residual).reduce(_ && _)
+    // survivor files are members of this immutable segment — its
+    // cached schema applies, no per-read inference job
+    val schema = SegmentIO.schemaOf(spark, dir)
     val df =
-      if (survivors.isEmpty) spark.read.parquet(dir).filter(lit(false))
-      else spark.read.parquet(survivors.toIndexedSeq: _*).filter(residual)
+      if (survivors.isEmpty) spark.read.schema(schema).parquet(dir).filter(lit(false))
+      else spark.read.schema(schema).parquet(survivors.toIndexedSeq: _*).filter(residual)
     (df, PruneStats(total.toInt, survivors.length))
   }
 }

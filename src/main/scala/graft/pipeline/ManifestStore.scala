@@ -187,7 +187,7 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
   private def resolve(man: Map[String, String]): DataFrame = {
     val bySeg = man.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
     bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
-      spark.read.parquet(s"$root/$seg").filter(valueFilter(values))
+      SegmentIO.read(spark, s"$root/$seg").filter(valueFilter(values))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -243,7 +243,7 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
               val files = fs.listStatus(new Path(segDir)).toSeq
                 .count(_.getPath.getName.endsWith(".parquet"))
               total += files; selected += files
-              spark.read.parquet(segDir).filter(residual)
+              SegmentIO.read(spark, segDir).filter(residual)
             }
           df.filter(valueFilter(values))
         }
@@ -329,7 +329,7 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
         (MergeEngine.upsert(target, source, cfg), aff, man0)
     }
     val seg = writeSegment(merged)
-    val staged = spark.read.parquet(s"$root/$seg")
+    val staged = SegmentIO.read(spark, s"$root/$seg")
     val failures = audit(staged).filterNot(_.passed)
     if (failures.nonEmpty) {
       fs.delete(new Path(s"$root/$seg"), true)
@@ -390,32 +390,19 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
     (mf.keySet ++ mt.keySet).filter(v => mf.get(v) != mt.get(v)).toSeq.sorted
   }
 
-  /** SUPERSET of the keys whose rows may differ between two committed
-    * versions: the union of both versions' changed-partition slices,
-    * key columns only — two column-pruned scans and a distinct, NO
-    * row-diff join. A key in a rewritten segment whose row is in fact
-    * unchanged IS included (that's the superset); a consumer whose
-    * per-key refresh is idempotent — the join view re-deriving a
-    * row's post-image — gets identical results at a fraction of
-    * [[changes]]' cost, which must full-outer-join the two slices on
-    * every column to prove per-row change. */
-  def changedKeys(fromV: Int, toV: Int, keys: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "changedKeys needs at least one key column")
-    def man(v: Int): Map[String, String] =
-      if (v == 0) Map.empty else readManifest(v)
-    val mf = man(fromV); val mt = man(toV)
-    val changed = (mf.keySet ++ mt.keySet)
-      .filter(v => mf.get(v) != mt.get(v)).toSeq.sorted
-    def slice(m: Map[String, String]): Option[DataFrame] = {
-      val sub = m.view.filterKeys(changed.contains).toMap
-      if (sub.isEmpty) None else Some(resolve(sub).select(keys.map(col): _*))
-    }
-    (slice(mt).toSeq ++ slice(mf).toSeq)
-      .reduceOption(_.unionByName(_))
-      .map(_.distinct())
-      .getOrElse(read.map(_.select(keys.map(col): _*).filter(lit(false)))
-        .getOrElse(throw new IllegalStateException(s"version diff on empty store $root")))
-  }
+  /** EXACTLY the keys whose rows differ between two committed versions
+    * — [[changes]] projected to the key columns. Precision here is a
+    * SCALE property, not a nicety: the tempting cheap alternative
+    * (union both versions' changed-partition slices, keys only, no
+    * diff join) degenerates to ALL keys whenever an update is spread
+    * across every partition — which hash-distributed keys make the
+    * common case — and a consumer like the join view then refreshes
+    * the entire fact-sized view for a 0.1% dim update. The row-diff
+    * join is O(changed partitions) of THIS table; for the dim side of
+    * a mart join that is broadcast-size by definition, a fraction of
+    * the fact-sized work the false positives would trigger. */
+  def changedKeys(fromV: Int, toV: Int, keys: Seq[String]): DataFrame =
+    changes(fromV, toV, keys).select(keys.map(col): _*).distinct()
 
   /** Row-level CDC between two committed versions — the time-travel
     * diff (Delta's change-data-feed idea in manifest form): one row per

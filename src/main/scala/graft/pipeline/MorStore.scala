@@ -155,6 +155,36 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val deduped = MergeEngine.latestPerKey(batch, cfg.keys, cursorOrder)
       .withColumn(DeletedCol, lit(deleted))
+    commitSegment(deduped)
+  }
+
+  /** Refreshed post-images AND equality-delete tombstones in ONE
+    * segment under ONE manifest commit — the maintenance-tick shape
+    * ([[JoinView.maintainMulti]] folds fact upserts and fact deletes
+    * from the same CDF): as two separate commits the tick doubled the
+    * manifest churn, spent an extra action probing the delete side for
+    * emptiness, and left a window in which the view had refreshed rows
+    * but not yet their sibling tombstones (harmless — the fold marker
+    * advances after both — but a re-fold on crash replayed it). The
+    * delete side carries the partition column, keys, and (when
+    * configured) the cursor; an empty side contributes nothing. A key
+    * appearing on BOTH sides resolves cursor-first, tombstone-wins at
+    * equal cursor — one shared per-key window instead of two. */
+  def applyDelta(refresh: DataFrame, deleteKeys: DataFrame): Seq[String] = {
+    val needed = ((partitionCol +: cfg.keys) ++ cfg.cursorField.toSeq).distinct
+    val missing = needed.filterNot(deleteKeys.columns.contains)
+    require(missing.isEmpty,
+      s"${cfg.name}: delete side must carry ${needed.mkString(", ")} — missing ${missing.mkString(", ")}")
+    val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
+    val both = refresh.withColumn(DeletedCol, lit(false))
+      .unionByName(
+        deleteKeys.select(needed.map(col): _*).withColumn(DeletedCol, lit(true)),
+        allowMissingColumns = true)
+    commitSegment(MergeEngine.latestPerKey(both, cfg.keys,
+      cursorOrder :+ col(DeletedCol).desc))
+  }
+
+  private def commitSegment(deduped: DataFrame): Seq[String] = {
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     val idx = latestManifestVersion.getOrElse(0) + 1
     // a crash between write and commit leaves an unreferenced segment
@@ -174,7 +204,7 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     val bySeg = man.toSeq.flatMap { case (v, segs) => segs.map(_ -> v) }
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
     val parts = bySeg.toSeq.sortBy(_._1).map { case (seg, values) =>
-      spark.read.parquet(s"$root/$seg").filter(valueFilter(values))
+      SegmentIO.read(spark, s"$root/$seg").filter(valueFilter(values))
         .withColumn(SeqCol, lit(segSeq(seg)))
     }
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))

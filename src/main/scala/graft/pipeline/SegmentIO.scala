@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-aware reads of IMMUTABLE store segments, without the
+  * schema-inference Spark job `spark.read.parquet(dir)` runs per call.
+  *
+  * A maintenance tick resolves each side of the diff, the current
+  * tables, and the dims — ten-plus segment reads — and every
+  * schema-less read launched one footer-sniffing job before any data
+  * moved (measured: ~half the jobs in a [[JoinView.maintainMulti]]
+  * tick were inference, pure fixed overhead at CDC cadence; at 1000
+  * executors each is a full scheduler round-trip for one footer).
+  *
+  * Store segments are written once and never modified ([[ManifestStore]]
+  * / [[MorStore]] commit-then-point contract), and every file in a
+  * segment shares one schema (one writer job) — so the schema is read
+  * ONCE, driver-side, from the first footer, and cached for the
+  * session keyed by directory. Segment names embed a UUID, so a path
+  * never maps to two schemas. Schema EVOLUTION is unaffected: it
+  * happens across segments (the union layer reads missing columns as
+  * NULL), never within one.
+  *
+  * The footer decode intentionally reuses Spark's own parquet-to-
+  * Catalyst converter wired from the session's conf, so flags like
+  * `nanosAsLong` / `inferTimestampNTZ` resolve exactly as a plain
+  * `spark.read.parquet` would; any failure falls back to that plain
+  * read (one job, correct by construction).
+  */
+private[graft] object SegmentIO {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** `spark.read.parquet(dir)` with the segment's schema supplied
+    * explicitly — no inference job. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(schemaOf(spark, dir)).parquet(dir)
+
+  def schemaOf(spark: SparkSession, dir: String): StructType = {
+    val hit = cache.get(dir)
+    if (hit != null) hit
+    else {
+      val st = try driverSideSchema(spark, dir)
+               catch { case scala.util.control.NonFatal(_) => spark.read.parquet(dir).schema }
+      // bound the session-lifetime footprint: a weeks-long streaming
+      // driver touches millions of segment paths; past the cap the map
+      // resets and entries re-warm (one footer read each) — a cache,
+      // not a ledger
+      if (cache.size >= 65536) cache.clear()
+      cache.put(dir, st)
+      st
+    }
+  }
+
+  private def driverSideSchema(spark: SparkSession, dir: String): StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val first = fs.listStatus(p).iterator
+      .map(_.getPath)
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .getOrElse(throw new java.io.FileNotFoundException(s"no parquet files in $dir"))
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(first, conf))
+    val message = try reader.getFileMetaData.getSchema finally reader.close()
+    val sql = spark.sessionState.conf
+    val converted =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter(sql)
+        .convert(message)
+    // Spark's file-source read path relaxes every field to nullable
+    // regardless of the footer's required-ness (files may be appended
+    // by writers with weaker guarantees) — match it exactly, or plans
+    // built on this schema make non-null assumptions the engine's own
+    // reads never make
+    relaxNullability(converted).asInstanceOf[StructType]
+  }
+
+  private def relaxNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = relaxNullability(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = relaxNullability(m.keyType),
+        valueType = relaxNullability(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+}

@@ -76,7 +76,13 @@ final class TableStore(spark: SparkSession, root: String,
     * a consumer pinned while a backfill lands. */
   def readAt(v: Int): DataFrame = {
     require(versions.contains(v), s"version $v of $root does not exist (have: ${versions.mkString(",")})")
-    spark.read.parquet(chain(v).map(x => s"$root/v=$x"): _*)
+    val dirs = chain(v).map(x => s"$root/v=$x")
+    // version dirs are immutable (rename-committed): the head version's
+    // cached schema serves the whole chain without an inference job per
+    // read — at streaming cadence that job ran EVERY tick. The schema-
+    // less multi-dir read took one arbitrary footer anyway, so pinning
+    // the head's (the newest writer's) is strictly more deterministic.
+    spark.read.schema(SegmentIO.schemaOf(spark, dirs.last)).parquet(dirs: _*)
   }
 
   def readOrEmpty(schemaOf: DataFrame): DataFrame =

@@ -50,6 +50,41 @@ class MorStoreSpec extends SparkSpec {
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("a", "7")))
   }
 
+  test("applyDelta: refresh + tombstones in ONE segment, ONE commit; tombstone wins ties") {
+    val t = Files.createTempDirectory("mor").toString
+    val store = mk(t)
+    store.appendDelta(Seq(
+      ("a", ts("2024-01-01 00:00:00"), "p1", 1),
+      ("b", ts("2024-01-01 00:00:00"), "p1", 2),
+      ("c", ts("2024-01-01 00:00:00"), "p2", 3)).toDF("k", "ts", "p", "v"))
+    val v1 = store.latestManifestVersion.get
+    // one tick: refresh a, insert d, delete c — a single commit
+    store.applyDelta(
+      Seq(("a", ts("2024-01-02 00:00:00"), "p1", 10),
+          ("d", ts("2024-01-02 00:00:00"), "p2", 4)).toDF("k", "ts", "p", "v"),
+      Seq(("p2", "c", ts("2024-01-02 00:00:00"))).toDF("p", "k", "ts"))
+    assert(store.latestManifestVersion.get == v1 + 1, "exactly one manifest commit")
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(t)).count(_.getPath.getName.startsWith("seg_")) == 2,
+      "refresh and tombstones share one segment")
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "10"), Seq("b", "2"), Seq("d", "4")))
+    // same key on both sides at the SAME cursor: the tombstone wins
+    store.applyDelta(
+      Seq(("b", ts("2024-02-01 00:00:00"), "p1", 99)).toDF("k", "ts", "p", "v"),
+      Seq(("p1", "b", ts("2024-02-01 00:00:00"))).toDF("p", "k", "ts"))
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "10"), Seq("d", "4")))
+    // an empty delete side is the plain append shape — still one commit
+    val v3 = store.latestManifestVersion.get
+    store.applyDelta(
+      Seq(("e", ts("2024-03-01 00:00:00"), "p1", 5)).toDF("k", "ts", "p", "v"),
+      Seq.empty[(String, String, Timestamp)].toDF("p", "k", "ts"))
+    assert(store.latestManifestVersion.get == v3 + 1)
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "10"), Seq("d", "4"), Seq("e", "5")))
+  }
+
   test("appendDelta and delete never read data segments (write-only proof)") {
     val t = Files.createTempDirectory("mor").toString
     val store = mk(t)
