@@ -4268,6 +4268,27 @@ object SparkEntry {
           col("duration_ms"))
     }),
 
+    "multimodal_video_meta" -> ((s, d) => {
+      // Video container metadata (the video twin of the audio query):
+      // planted minimal ISO-BMFF streams whose moov/mvhd duration and
+      // first-video-track tkhd presentation size are knowable in
+      // advance — 1000 ticks @ timescale 600 = 1666 ms, 90000 @ 90000
+      // = exactly 1000 ms, an audio-only container (duration parses,
+      // no dimensions), garbage, and the documents table as guaranteed
+      // non-video. Header-only: sample data is never touched.
+      import s.implicits._
+      val planted = Seq(
+        (1L, Multimodal.fakeMp4(600, 1000, Seq((1920, 1080)), audioTracks = 1)),
+        (2L, Multimodal.fakeMp4(90000, 90000, Seq((640, 480)))),
+        (3L, Multimodal.fakeMp4(1000, 2500, Seq.empty, audioTracks = 2)),
+        (99L, "definitely not a video".getBytes("UTF-8"))).toDF("media_id", "content")
+      val fromDocs = Tables.documents(s, d)
+        .select((col("doc_id") + 1000L).as("media_id"), col("text").cast("binary").as("content"))
+      Multimodal.videoMeta(s, planted.unionByName(fromDocs)).toDF()
+        .select(col("media_id"), col("decoded"), col("container"),
+          col("duration_ms"), col("width"), col("height"), col("track_count"))
+    }),
+
     // ── Lakehouse file layout: zone maps + Z-order file skipping ──────
     "zorder_key" -> ((s, d) =>
       // Morton key bit semantics cross-engine: the oracle evaluates the
@@ -4346,6 +4367,69 @@ object SparkEntry {
           s"avg rollup rewrite did not fire; scans=$roots")
         q.select(col("event_type"), round(col("avg_value"), 6).as("avg_value"),
           col("n")).localCheckpoint()
+      }
+    }),
+
+    "mv_rewrite_avg_decimal" -> ((s, d) => {
+      // Decimal AVG through the rewrite: the rule replays Spark's own
+      // If(count=0, null, DecimalDivideWithOverflowCheck(...)) shape so
+      // the rewritten decimal(22,6) result is bit-identical to the
+      // direct plan (RollupRewriteSpec proves that across randomized
+      // precision/scale shapes); nulls planted in the measure prove the
+      // denominator is the per-measure count. The oracle replays
+      // DuckDB's avg over the same nulled column at 6 dp.
+      import graft.plans.RollupRewrite
+      import graft.plans.RollupRewrite.SumMeasure
+      val dec = org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")
+      def base = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          when(col("l_orderkey") % 5 === 0, lit(null).cast(dec))
+            .otherwise(col("l_quantity").cast(dec)).as("qty"))
+      val sums = Seq(SumMeasure("qty", None, "sum_qty", cntCol = Some("cnt_qty")))
+      val dir = layoutDir(s, d, "mvavgdec") { p =>
+        RollupRewrite.buildRollup(base, Seq("l_returnflag", "l_linestatus"), sums)
+          .write.parquet(p) }
+      RollupRewrite.withRollup(s, "li_avg_dec_rollup", base,
+          Seq("l_returnflag", "l_linestatus"), sums, s.read.parquet(dir)) {
+        val q = base.groupBy("l_returnflag")
+          .agg(avg(col("qty")).as("avg_qty"), count(lit(1)).as("n"))
+        q.count()
+        val roots = scanRoots(q)
+        require(roots.nonEmpty && roots.forall(_.contains("layout_mvavgdec")),
+          s"decimal avg rollup rewrite did not fire; scans=$roots")
+        q.select(col("l_returnflag"),
+          round(col("avg_qty").cast("double"), 6).as("avg_qty"),
+          col("n")).localCheckpoint()
+      }
+    }),
+
+    "mv_rewrite_having" -> ((s, d) => {
+      // HAVING survives the rewrite: the predicate over an aggregate
+      // result is a Filter ABOVE the Aggregate node, so the rule
+      // rewrites the aggregate underneath and the HAVING then filters
+      // the (identical) rewritten output — self-asserted scan root.
+      // grouping-sets/rollup() queries REFUSE instead (the aggregate
+      // sits over an Expand, never the bare fact) — RollupRewriteSpec
+      // carries that negative.
+      import graft.plans.RollupRewrite
+      import graft.plans.RollupRewrite.SumMeasure
+      val dec = org.apache.spark.sql.types.DataType.fromDDL("decimal(18,2)")
+      val sums = Seq(SumMeasure("l_quantity", Some(dec), "sum_qty"))
+      val dir = layoutDir(s, d, "mvhaving") { p =>
+        RollupRewrite.buildRollup(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), sums).write.parquet(p) }
+      RollupRewrite.withRollup(s, "li_rollup_having", Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus"), sums, s.read.parquet(dir)) {
+        val q = Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+               count(lit(1)).as("n"))
+          .filter(col("sum_qty") > 1000.0 && col("n") > 10)
+        q.count()
+        val roots = scanRoots(q)
+        require(roots.nonEmpty && roots.forall(_.contains("layout_mvhaving")),
+          s"rollup rewrite under HAVING did not fire; scans=$roots")
+        q.localCheckpoint()
       }
     }),
 
@@ -7448,6 +7532,21 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000, false, NULL, NULL, NULL, NULL, NULL FROM documents)""".stripMargin,
 
+    "multimodal_video_meta" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(decoded AS BOOLEAN) AS decoded,
+        | CAST(container AS VARCHAR) AS container, CAST(duration_ms AS BIGINT) AS duration_ms,
+        | CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        | CAST(track_count AS INT) AS track_count
+        |FROM (
+        |  SELECT * FROM (VALUES
+        |    (1, true, 'mp4', 1666, 1920, 1080, 2),
+        |    (2, true, 'mp4', 1000, 640, 480, 1),
+        |    (3, true, 'mp4', 2500, NULL, NULL, 2),
+        |    (99, false, NULL, NULL, NULL, NULL, NULL))
+        |    t(media_id, decoded, container, duration_ms, width, height, track_count)
+        |  UNION ALL
+        |  SELECT doc_id + 1000, false, NULL, NULL, NULL, NULL, NULL FROM documents)""".stripMargin,
+
     // PQ: training + encode + ADC replayed end-to-end in SQL
     "ann_pq_encode" ->
       s"""WITH $pqCtes
@@ -7515,6 +7614,23 @@ object SparkEntry {
         |  round(avg(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END), 6) AS avg_value,
         |  count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+
+    "mv_rewrite_avg_decimal" ->
+      """SELECT l_returnflag,
+        |  round(CAST(avg(CASE WHEN l_orderkey % 5 = 0 THEN NULL
+        |                      ELSE CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE),
+        |        6) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "mv_rewrite_having" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 1000.0
+        |   AND count(*) > 10""".stripMargin,
 
     "mv_rewrite_joinview" ->
       """WITH o2 AS (

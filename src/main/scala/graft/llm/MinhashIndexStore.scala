@@ -52,6 +52,44 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
   private val txts = new MorStore(spark, s"$root/texts", "__tp",
     TableConfig("mhidx_texts", null, Seq(idCol)))
 
+  /** The text-table partition function is PART OF THE ON-DISK FORMAT:
+    * tombstones and re-appends must land in the same partition as the
+    * live row, or a partition-scoped compaction whose window excludes a
+    * mis-partitioned tombstone would re-emit the row — a removed text
+    * resurrecting at read time. The stamp below names the current
+    * function; opening a store that has data but no (or a different)
+    * stamp refuses instead of silently mixing schemes — migration is an
+    * explicit full rebuild (re-ingest), never an implicit corruption. */
+  private val FormatStamp = "tp=pmod(xxhash64(id),16);v=2"
+  @volatile private var formatChecked = false
+
+  private def ensureFormat(): Unit = if (!formatChecked) synchronized {
+    if (!formatChecked) {
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(rootP, "_format")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val got = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        require(got == FormatStamp,
+          s"minhash index at $root was written under partition scheme '$got'; " +
+            s"this build expects '$FormatStamp' — rebuild the index (re-ingest) to migrate")
+      } else if (txts.latestManifestVersion.nonEmpty) {
+        throw new IllegalStateException(
+          s"minhash index at $root predates partition-scheme versioning; its text " +
+            s"partitioning is unknowable — rebuild the index (re-ingest) to migrate")
+      } else {
+        fs.mkdirs(rootP)
+        val tmp = new org.apache.hadoop.fs.Path(rootP, "._tmp_format")
+        val out = fs.create(tmp, true)
+        try out.write(FormatStamp.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, marker) && !fs.exists(marker))
+          throw new java.io.IOException(s"failed to stamp format of $root")
+      }
+      formatChecked = true
+    }
+  }
+
   def isEmpty: Boolean = sigs.read.isEmpty
 
   /** Live segment fan-in of the (signature, text) state tables — the
@@ -72,6 +110,7 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
   private def textPartition = pmod(xxhash64(col(idCol)), lit(16L))
 
   def append(docs: DataFrame): Unit = {
+    ensureFormat()
     txts.mergeBatch(
       docs.select(col(idCol), col(textCol))
         .withColumn("__tp", textPartition),
@@ -125,6 +164,7 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * bytes persist in old segments until compaction + vacuum, the
     * standard merge-on-read reclamation. */
   def remove(ids: DataFrame): Unit = {
+    ensureFormat()
     val idOnly = ids.select(col(idCol)).distinct().localCheckpoint(false)
     txts.delete(idOnly.withColumn("__tp", textPartition))
     sigs.delete(idOnly.select(col(idCol),

@@ -183,7 +183,13 @@ object Multimodal {
       if (cid == "fmt " && o + 24 <= b.length)
         fmt = Some((leShort(b, o + 10), leInt(b, o + 12), leInt(b, o + 16), leShort(b, o + 22)))
       if (cid == "data") dataSize = Some(sz)
-      o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      // advance in LONG arithmetic: a corrupt size field near 2^32
+      // truncated to Int made the old `8 + sz.toInt` advance zero or
+      // negative — the walk pinned at `o` forever on adversarial bytes
+      // (payloads are untrusted landing-dir content; the contract is
+      // decoded=false, never a hang). Chunks are word-aligned.
+      val next = o.toLong + 8L + sz + (sz & 1L)
+      o = if (next > Int.MaxValue.toLong) b.length else next.toInt
     }
     for ((ch, sr, byteRate, bits) <- fmt; ds <- dataSize
          if ch > 0 && sr > 0 && byteRate > 0)
@@ -288,6 +294,154 @@ object Multimodal {
       f += 1
     }
     tag ++ frames
+  }
+
+  /** Parsed MP4 container metadata row — the video twin of
+    * [[AudioFeatures]]. `decoded = false` marks payloads that are not a
+    * recognizable ISO-BMFF stream. `duration_ms` comes from
+    * `moov/mvhd` (movie duration ÷ timescale); `width`/`height` are the
+    * FIRST video track's `tkhd` presentation size (16.16 fixed-point;
+    * audio tracks declare 0×0 and are skipped); `track_count` counts
+    * `trak` boxes. Header-only like the audio path — sample data
+    * (`mdat`) is never touched, so cost is O(boxes), not O(payload). */
+  final case class VideoFeatures(media_id: Long, decoded: Boolean,
+                                 container: Option[String], duration_ms: Option[Long],
+                                 width: Option[Int], height: Option[Int],
+                                 track_count: Option[Int])
+
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+  private def beLong(b: Array[Byte], o: Int): Long =
+    (beInt(b, o).toLong << 32) | (beInt(b, o + 4).toLong & 0xFFFFFFFFL)
+
+  /** ISO-BMFF box walk over `[start, end)`: (type, content start,
+    * content end) per box, honoring 64-bit `largesize` (size==1) and
+    * to-end boxes (size==0). Long-arithmetic advance with a strict
+    * progress check — corrupt size fields STOP the walk (honest
+    * partial) instead of pinning or overflowing, the same untrusted-
+    * payload discipline as [[parseWav]]. */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var o = start
+    while (o + 8 <= end) {
+      val sz32 = beInt(b, o).toLong & 0xFFFFFFFFL
+      val typ = ascii(b, o + 4, 4)
+      var hdr = 8L; var sz = sz32
+      if (sz32 == 1L) {
+        if (o + 16 > end) return out.toSeq
+        sz = beLong(b, o + 8); hdr = 16L
+      } else if (sz32 == 0L) sz = (end - o).toLong
+      val next = o.toLong + sz
+      if (sz < hdr || next > end) return out.toSeq
+      out += ((typ, (o + hdr).toInt, next.toInt))
+      o = next.toInt
+    }
+    out.toSeq
+  }
+
+  /** `moov`-level header parse: `mvhd` (v0/v1) yields the movie
+    * duration; each `trak`'s `tkhd` yields its 16.16 presentation
+    * size. No `ftyp`+`moov`, or an unusable `mvhd` → None. */
+  private def parseMp4(id: Long, b: Array[Byte]): Option[VideoFeatures] = {
+    if (b.length < 12 || ascii(b, 4, 4) != "ftyp") return None
+    val top = mp4Boxes(b, 0, b.length)
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }.getOrElse(return None)
+    val inMoov = mp4Boxes(b, moov._1, moov._2)
+    val dur = inMoov.collectFirst { case ("mvhd", s, e) =>
+      val v = b(s) & 0xFF
+      if (v == 0 && e - s >= 20) {
+        val ts = beInt(b, s + 12).toLong & 0xFFFFFFFFL
+        val d = beInt(b, s + 16).toLong & 0xFFFFFFFFL
+        if (ts > 0) Some(d * 1000L / ts) else None
+      } else if (v == 1 && e - s >= 32) {
+        val ts = beInt(b, s + 20).toLong & 0xFFFFFFFFL
+        val d = beLong(b, s + 24)
+        if (ts > 0 && d >= 0) Some(d * 1000L / ts) else None
+      } else None
+    }.flatten
+    if (dur.isEmpty) return None
+    val traks = inMoov.filter(_._1 == "trak")
+    val wh = traks.iterator.flatMap { case (_, s, e) =>
+      mp4Boxes(b, s, e).collectFirst { case ("tkhd", ts, te) =>
+        val v = b(ts) & 0xFF
+        val whOff = if (v == 1) 88 else 76 // fixed tkhd field layout per version
+        if (te - ts >= whOff + 8) {
+          val w = beInt(b, ts + whOff) >>> 16; val h = beInt(b, ts + whOff + 4) >>> 16
+          if (w > 0 && h > 0) Some((w, h)) else None
+        } else None
+      }.flatten
+    }.nextOption()
+    Some(VideoFeatures(id, decoded = true, Some("mp4"), dur,
+      wh.map(_._1), wh.map(_._2), Some(traks.size)))
+  }
+
+  /** Video container metadata over opaque binary payloads — MP4/ISO-BMFF
+    * headers exactly, anything else `decoded = false`. Same shape and
+    * justification as [[audioMeta]]: per-row imperative byte walks with
+    * O(1) state inside mapPartitions, streaming, header-only. */
+  def videoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val parsed =
+            if (bytes == null || bytes.length < 12) None
+            else try parseMp4(id, bytes) catch { case _: Exception => None }
+          parsed.getOrElse(VideoFeatures(id, decoded = false, None, None, None, None, None))
+        }
+      }
+  }
+
+  /** Deterministic minimal ISO-BMFF bytes (`ftyp` + `moov` with `mvhd`
+    * and one `trak`/`tkhd` per track; no media data) — planted test
+    * video whose header metadata is knowable in advance, the video twin
+    * of [[silentWav]]. `videoTracks` are (width, height) pairs;
+    * `audioTracks` adds that many 0×0 tracks. */
+  def fakeMp4(timescale: Int, durationTicks: Int, videoTracks: Seq[(Int, Int)],
+              audioTracks: Int = 0): Array[Byte] = {
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      bb.putInt(8 + content.length).put(typ.getBytes("US-ASCII")).put(content)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.put("isom".getBytes("US-ASCII")).putInt(512)
+        .put("isom".getBytes("US-ASCII")).put("iso2".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 mvhd content is exactly 100 bytes
+      bb.putInt(0)                               // version 0 + flags
+        .putInt(0).putInt(0)                     // creation, modification
+        .putInt(timescale).putInt(durationTicks)
+        .putInt(0x00010000)                      // rate 1.0
+      bb.position(36)                            // identity matrix
+      bb.putInt(0x00010000).putInt(0).putInt(0)
+        .putInt(0).putInt(0x00010000).putInt(0)
+        .putInt(0).putInt(0).putInt(0x40000000)
+      bb.position(96); bb.putInt(videoTracks.size + audioTracks + 1) // next track id
+      bb.array()
+    })
+    def trak(trackId: Int, w: Int, h: Int): Array[Byte] =
+      box("trak", box("tkhd", {
+        val bb = java.nio.ByteBuffer.allocate(84) // v0 tkhd content is exactly 84 bytes
+        bb.putInt(7)                              // version 0, flags: enabled|in-movie|in-preview
+          .putInt(0).putInt(0)                    // creation, modification
+          .putInt(trackId).putInt(0)              // track id, reserved
+          .putInt(durationTicks)
+        bb.position(40)                           // identity matrix
+        bb.putInt(0x00010000).putInt(0).putInt(0)
+          .putInt(0).putInt(0x00010000).putInt(0)
+          .putInt(0).putInt(0).putInt(0x40000000)
+        bb.putInt(w << 16).putInt(h << 16)        // 16.16 fixed-point presentation size
+        bb.array()
+      }))
+    val traks = videoTracks.zipWithIndex.map { case ((w, h), i) => trak(i + 1, w, h) } ++
+      (0 until audioTracks).map(i => trak(videoTracks.size + i + 1, 0, 0))
+    val moov = box("moov", (mvhd +: traks).reduce(_ ++ _))
+    ftyp ++ moov
   }
 
   /** Frame-sampling plumbing for video: every Nth frame index up to a

@@ -32,12 +32,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression (a few hundred KB at full size — broadcast-by-closure is
   * the right scale for a static lookup table).
   *
-  * [[PslRuleSet.embedded]] is a curated SNIPPET of the Mozilla list
-  * (the list itself is too large to embed and this environment cannot
-  * fetch it): full semantics, partial coverage. Deployments should load
-  * the real `public_suffix_list.dat` via [[PslRuleSet.parse]] /
-  * [[PslRuleSet.fromFile]] — the parser accepts the standard file
-  * format verbatim, comments and section markers included.
+  * [[PslRuleSet.full]] is the production default for web-corpus work:
+  * the complete Mozilla `public_suffix_list.dat` ships as an embedded
+  * resource (MPL-2.0, license header in-file) and parses once per JVM.
+  * [[PslRuleSet.embedded]] remains as a tiny curated subset for tests;
+  * [[PslRuleSet.parse]] / [[PslRuleSet.fromFile]] accept any standard
+  * list file verbatim, comments and section markers included.
   */
 final case class PslRuleSet(
     normal: Set[String],

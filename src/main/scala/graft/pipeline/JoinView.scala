@@ -262,8 +262,17 @@ object JoinView {
       // tick); an empty delete side contributes nothing — no
       // emptiness probe, no second commit
       fDeletes match {
-        case Some(dels) => view.applyDelta(joined,
-          dels.select((view.partitionCol +: factKeys).distinct.map(col): _*))
+        case Some(dels) =>
+          // the tombstone side must carry the view's cursor when the
+          // store reconciles by one (applyDelta requires it): the fact
+          // CDF pre-image carries every fact column, so select it
+          // through; a cursor the CDF somehow lacks defaults to NULL
+          // (desc_nulls_last — the tombstone then loses only to
+          // cursored versions, never crashes the tick)
+          val delCols = ((view.partitionCol +: factKeys) ++ view.cursorField).distinct
+          val avail = dels.columns.toSet
+          view.applyDelta(joined, dels.select(delCols.map(c =>
+            if (avail.contains(c)) col(c) else lit(null).as(c)): _*))
         case None => view.appendDelta(joined)
       }
     }

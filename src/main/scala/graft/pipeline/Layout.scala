@@ -131,6 +131,9 @@ object Layout {
     df.repartitionByRange(files, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(dir)
+    // this is an IN-PLACE overwrite of a readable path — any schema
+    // cached from a prior generation of the dir is now stale
+    SegmentIO.invalidate(dir)
     buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols, bloomBits)
   }
 
@@ -149,6 +152,7 @@ object Layout {
       .sortWithinPartitions("__zorder")
       .drop("__zorder")
       .write.mode("overwrite").parquet(dir)
+    SegmentIO.invalidate(dir) // in-place overwrite, same as writeClustered
     buildZoneMaps(df.sparkSession, dir, statsCols, bloomCols, bloomBits)
   }
 

@@ -53,6 +53,11 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
       "a non-cursor column compares against the merge-time target row, which only " +
       "the copy-on-write ManifestStore path can see")
 
+  /** The configured reconcile cursor, exposed so maintenance callers
+    * ([[JoinView.maintainMulti]]) can ship it on the tombstone side of
+    * [[applyDelta]]. */
+  def cursorField: Option[String] = cfg.cursorField
+
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def manDir = new Path(s"$root/_manifests")
 

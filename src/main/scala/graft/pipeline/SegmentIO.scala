@@ -31,25 +31,57 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] object SegmentIO {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private final case class Key(confFp: String, dir: String)
+
+  private[graft] val MaxEntries = 65536
+
+  // access-ordered LRU: a weeks-long streaming driver touches millions
+  // of segment paths; past the cap the COLDEST entry falls out (one
+  // footer re-read if it ever comes back) while the hot stores' entries
+  // stay warm — the previous wholesale clear() at the cap caused a
+  // momentary footer-read stampede across every live store at once
+  private val cache =
+    new java.util.LinkedHashMap[Key, StructType](1024, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Key, StructType]): Boolean =
+        size() > MaxEntries
+    }
+
+  /** The parquet-relevant session conf, as a cache-key component: two
+    * sessions whose converter flags differ (nanosAsLong,
+    * inferTimestampNTZ, …) legitimately read different Catalyst schemas
+    * from one footer — keying by directory alone handed one session the
+    * other's schema, and a supplied-schema read masks that as nulls
+    * instead of failing. */
+  private def confFingerprint(spark: SparkSession): String = {
+    val c = spark.sessionState.conf
+    Seq(c.isParquetBinaryAsString, c.isParquetINT96AsTimestamp,
+        c.caseSensitiveAnalysis, c.parquetFieldIdReadEnabled,
+        c.parquetInferTimestampNTZEnabled, c.legacyParquetNanosAsLong).mkString(",")
+  }
 
   /** `spark.read.parquet(dir)` with the segment's schema supplied
     * explicitly — no inference job. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schemaOf(spark, dir)).parquet(dir)
 
+  /** Drop every cached schema for `dir` — REQUIRED after any in-place
+    * overwrite of a previously read path (the layout rewriters); store
+    * segments proper are immutable and never need it. */
+  def invalidate(dir: String): Unit = cache.synchronized {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().dir == dir) it.remove()
+  }
+
+  private[graft] def cachedEntries: Int = cache.synchronized(cache.size())
+
   def schemaOf(spark: SparkSession, dir: String): StructType = {
-    val hit = cache.get(dir)
+    val key = Key(confFingerprint(spark), dir)
+    val hit = cache.synchronized(cache.get(key))
     if (hit != null) hit
     else {
       val st = try driverSideSchema(spark, dir)
                catch { case scala.util.control.NonFatal(_) => spark.read.parquet(dir).schema }
-      // bound the session-lifetime footprint: a weeks-long streaming
-      // driver touches millions of segment paths; past the cap the map
-      // resets and entries re-warm (one footer read each) — a cache,
-      // not a ledger
-      if (cache.size >= 65536) cache.clear()
-      cache.put(dir, st)
+      cache.synchronized(cache.put(key, st))
       st
     }
   }

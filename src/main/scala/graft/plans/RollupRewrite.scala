@@ -258,9 +258,8 @@ object RollupRewrite extends Rule[LogicalPlan] {
       // AVG first — its replacement is a RATIO of two re-aggregates
       // (sum of partial sums / sum of partial NON-NULL counts), not a
       // single AggregateFunction. Only measures registered with a
-      // cntCol qualify, and only double-typed averages — decimal AVG
-      // carries engine-specific precision/scale promotion this rule
-      // refuses to re-derive.
+      // cntCol qualify. Double and decimal averages rewrite; interval
+      // averages refuse.
       ae.aggregateFunction match {
         case avg: Average if avg.dataType == org.apache.spark.sql.types.DoubleType =>
           return matchMeasure(avg.child).flatMap(x => x.cntCol.map { cnt =>
@@ -269,10 +268,47 @@ object RollupRewrite extends Rule[LogicalPlan] {
             val cntAgg = AggregateExpression(
               Sum(rollupAttr(cnt)), ae.mode, isDistinct = false)
             // cnt-sum 0 (all-null measure in every contributing group)
-            // divides to NULL under non-ANSI semantics — exactly the
-            // direct plan's avg-over-no-values answer
-            new Divide(Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
-              Cast(cntAgg, org.apache.spark.sql.types.DoubleType))
+            // must divide to NULL — the direct plan's avg-over-no-values
+            // answer under EVERY eval mode (avg ignores nulls, ANSI or
+            // not). evalMode is pinned to LEGACY so an ANSI session
+            // doesn't turn the rewrite into a DIVIDE_BY_ZERO error the
+            // un-rewritten query never raises.
+            Divide(Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
+              Cast(cntAgg, org.apache.spark.sql.types.DoubleType), EvalMode.LEGACY)
+          })
+        // Decimal AVG replicates Spark's own evaluateExpression shape
+        // VERBATIM — `If(count = 0, null, DecimalDivideWithOverflowCheck(
+        // sum, count.cast(Decimal(20,0)), resultType, _, nullOnOverflow))`
+        // (Average.scala; the divide rounds HALF_UP directly at the
+        // result type's scale, NOT through operator-Divide promotion,
+        // which adjusts scale under precision pressure and would lose
+        // trailing digits at high (p,s)). The one extra step: Σ(partial
+        // sums) is computed wider (p+20) and cast back DOWN to the
+        // direct plan's sum type (p+10) first — lossless on every input
+        // where the direct sum doesn't overflow, NULL (legacy cast)
+        // where the direct plan's sum buffer overflow nulls too.
+        // nullOnOverflow mirrors the ORIGINAL avg's own evalMode, so an
+        // ANSI avg's divide-overflow still errors; the one residual
+        // corner (ANSI SUM-overflow: direct errors, rewrite nulls) is
+        // documented in RollupRewriteSpec.
+        case avg: Average if avg.child.dataType
+            .isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+          return matchMeasure(avg.child).flatMap(x => x.cntCol.flatMap { cnt =>
+            val partial = rollupAttr(x.rollupCol)
+            (partial.dataType, avg.dataType) match {
+              case (pt: org.apache.spark.sql.types.DecimalType,
+                    rt: org.apache.spark.sql.types.DecimalType) =>
+                val sumAgg = AggregateExpression(
+                  Sum(partial), ae.mode, isDistinct = false)
+                val cntAgg = AggregateExpression(
+                  Sum(rollupAttr(cnt)), ae.mode, isDistinct = false)
+                val sumBack = Cast(sumAgg, pt)
+                val cntDec = Cast(cntAgg, org.apache.spark.sql.types.DecimalType(20, 0))
+                Some(If(EqualTo(cntAgg, Literal(0L)), Literal(null, rt),
+                  DecimalDivideWithOverflowCheck(sumBack, cntDec, rt, null,
+                    nullOnOverflow = avg.evalMode != EvalMode.ANSI)))
+              case _ => None
+            }
           })
         case _ => ()
       }

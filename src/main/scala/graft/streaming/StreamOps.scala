@@ -424,11 +424,21 @@ object StreamOps {
 
   private[graft] val FoldedVersionCol = "__folded_v"
 
+  /** Tag the jobs `body` runs with a description (visible to listeners
+    * and the Spark UI) — the per-tick fixed-cost attribution hook. */
+  private[graft] def phase[T](spark: org.apache.spark.sql.SparkSession,
+                              name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobDescription(name)
+    try body finally sc.setJobDescription(null)
+  }
+
   /** One tick of [[maintainRollupCdf]]: upsert, widen the CDF range
     * from the rollup's durable fold marker, fold, snapshot. */
   private[graft] def cdfRollupTick(batch: DataFrame, store: ManifestStore,
                                    cfg: TableConfig, rollupStore: TableStore,
                                    groupCols: Seq[String], valueCol: String): Unit = {
+    val spark = batch.sparkSession
     // cache the delivery for the tick: the upsert reads it twice (the
     // touched-partition distinct, then the merged write) and a stream
     // source re-executes the batch scan per action otherwise
@@ -436,15 +446,17 @@ object StreamOps {
     try {
       val prior = rollupStore.read
       val foldedV = prior.flatMap { df =>
-        val r = df.select(max(col(FoldedVersionCol))).head()
+        val r = phase(spark, "cdf.folded_v")(
+          df.select(max(col(FoldedVersionCol))).head())
         if (r.isNullAt(0)) None else Some(r.getInt(0))
       }.getOrElse(0)
-      store.upsert(cached, cfg)
+      phase(spark, "cdf.upsert")(store.upsert(cached, cfg))
       val newV = store.latestManifestVersion.getOrElse(0)
       val cdf = store.changes(foldedV, newV, cfg.keys, updatePreimage = true)
       val next = graft.pipeline.CdfRollup.applyCdf(
         prior.map(_.drop(FoldedVersionCol)), cdf, groupCols, valueCol)
-      rollupStore.snapshot(next.withColumn(FoldedVersionCol, lit(newV)))
+      phase(spark, "cdf.fold_snapshot")(
+        rollupStore.snapshot(next.withColumn(FoldedVersionCol, lit(newV))))
     } finally cached.unpersist()
   }
 

@@ -125,4 +125,34 @@ class MinhashIndexStoreSpec extends SparkSpec {
     assert(Set("doc_id", "band", "bandHash").subsetOf(fields) &&
       !fields.contains("text"), fields.toString)
   }
+
+  test("partition scheme is versioned on disk: stamped on create, refused on mismatch") {
+    // the text-table partition function is part of the on-disk format:
+    // a tombstone written under a DIFFERENT scheme than the live row
+    // lands in the wrong partition, and a later partition-scoped
+    // compaction resurrects the removed text — so an unstamped or
+    // differently-stamped store must refuse writes, not corrupt
+    val root = Files.createTempDirectory("mhidxfmt").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    store.append(docs.limit(5))
+    val marker = java.nio.file.Paths.get(root, "_format")
+    assert(java.nio.file.Files.exists(marker), "format stamp must be written on create")
+    val stamp = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+    assert(stamp.contains("xxhash64"), stamp)
+
+    // a store stamped under another scheme refuses (drop hadoop's crc
+    // sidecar — this raw overwrite bypasses the checksummed fs)
+    val crc = java.nio.file.Paths.get(root, "._format.crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    java.nio.file.Files.write(marker, "tp=pmod(id,16);v=1".getBytes("UTF-8"))
+    val reopened = new MinhashIndexStore(spark, root, "doc_id", "text")
+    val e = intercept[IllegalArgumentException](reopened.remove(docs.limit(1).select("doc_id")))
+    assert(e.getMessage.contains("partition scheme"))
+
+    // a PRE-versioning store (data, no stamp) also refuses
+    java.nio.file.Files.delete(marker)
+    val legacy = new MinhashIndexStore(spark, root, "doc_id", "text")
+    val e2 = intercept[IllegalStateException](legacy.append(docs.limit(1)))
+    assert(e2.getMessage.contains("rebuild"))
+  }
 }

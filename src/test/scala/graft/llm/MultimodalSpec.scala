@@ -122,6 +122,60 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(10L).decoded)
   }
 
+  test("audioMeta: corrupt RIFF chunk sizes terminate (no hang) and fail honestly") {
+    // a chunk size field of 0xFFFFFFF8 made the old Int-arithmetic
+    // advance ZERO — the walk pinned at the chunk forever; payloads are
+    // untrusted, so the contract is decoded=false in bounded time
+    def riffWithChunkSize(sz: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(sz.toInt) // corrupt size
+      b.array()
+    }
+    val rows = Seq(
+      (1L, riffWithChunkSize(0xFFFFFFF8L)),  // advance would be exactly 0
+      (2L, riffWithChunkSize(0xFFFFFFF7L)),  // odd: pad made it 0 too
+      (3L, riffWithChunkSize(0x7FFFFFFFL)),  // Int-overflow advance
+      (4L, Multimodal.silentWav(8000, 1, 8, 800))) // healthy control
+      .toDF("media_id", "content")
+    val out = Multimodal.audioMeta(spark, rows).collect().map(r => r.media_id -> r).toMap
+    assert(!out(1L).decoded && !out(2L).decoded && !out(3L).decoded)
+    assert(out(4L).decoded && out(4L).duration_ms.contains(100L))
+  }
+
+  test("videoMeta: MP4 moov/mvhd/tkhd parse exactly; junk and corrupt boxes fail honestly") {
+    val rows = Seq(
+      // 1000 ticks at timescale 600 → 1666 ms; 1920×1080 video + 1 audio track
+      (1L, Multimodal.fakeMp4(600, 1000, Seq((1920, 1080)), audioTracks = 1)),
+      // timescale 90000, 90000 ticks → exactly 1000 ms, single 640×480 track
+      (2L, Multimodal.fakeMp4(90000, 90000, Seq((640, 480)))),
+      // audio-only mp4: duration parses, no video dimensions
+      (3L, Multimodal.fakeMp4(1000, 2500, Seq.empty, audioTracks = 2)),
+      (9L, "not a video".getBytes("UTF-8")),
+      (10L, Multimodal.silentWav(8000, 1, 8, 100)), // audio bytes are not mp4
+      // corrupt: valid ftyp then a box whose size field is garbage —
+      // the walk must stop, not loop or overflow
+      (11L, {
+        val good = Multimodal.fakeMp4(600, 600, Seq((8, 8)))
+        val b = good.take(24) ++ Array[Byte](0xFF.toByte, 0xFF.toByte, 0xFF.toByte,
+          0xF8.toByte) ++ "moov".getBytes("US-ASCII") ++ Array.fill[Byte](8)(0)
+        b
+      })).toDF("media_id", "content")
+    val out = Multimodal.videoMeta(spark, rows).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).decoded && out(1L).container.contains("mp4") &&
+      out(1L).duration_ms.contains(1666L) && out(1L).width.contains(1920) &&
+      out(1L).height.contains(1080) && out(1L).track_count.contains(2))
+    assert(out(2L).duration_ms.contains(1000L) && out(2L).width.contains(640) &&
+      out(2L).height.contains(480) && out(2L).track_count.contains(1))
+    assert(out(3L).decoded && out(3L).duration_ms.contains(2500L) &&
+      out(3L).width.isEmpty && out(3L).height.isEmpty && out(3L).track_count.contains(2))
+    assert(!out(9L).decoded && !out(10L).decoded && !out(11L).decoded)
+    // determinism (replay-stable features)
+    val again = Multimodal.videoMeta(spark, rows).collect().map(r => r.media_id -> r).toMap
+    assert(again == out)
+  }
+
   test("frameSampleIndexes explodes every-Nth frame indexes") {
     val vids = Seq((1L, 2.0)).toDF("media_id", "duration_sec") // 2s @ 10fps = frames 0..19
     val out = Multimodal.frameSampleIndexes(vids, fps = 10.0, "duration_sec", everyNth = 5)

@@ -68,6 +68,30 @@ class JoinViewSpec extends SparkSpec {
     assert(rows == Seq((2L, None))) // id=1 gone; id=2 keeps fact row, dim nulled
   }
 
+  test("a CURSORED view survives its first delete-bearing tick (tombstones carry the cursor)") {
+    // regression: maintainMulti shipped only (partition, keys) on the
+    // delete side, but a MorStore with a cursorField requires the
+    // cursor on tombstones too — the first delete-bearing tick threw.
+    // The fact CDF pre-image carries the cursor; it must flow through.
+    val t = Files.createTempDirectory("jvc").toString
+    val cursoredViewCfg = TableConfig("jvc.view", null, Seq("id"), cursorField = Some("ts"))
+    val fact = new ManifestStore(spark, s"$t/fact", "p")
+    val dim = new ManifestStore(spark, s"$t/dim", "dp")
+    val view = new MorStore(spark, s"$t/view", "p", cursoredViewCfg)
+    fact.upsert(Seq((1L, 10L, "p1", 5.0, 100L), (2L, 20L, "p2", 6.0, 100L))
+      .toDF("id", "ck", "p", "v", "ts"), factCfg)
+    dim.upsert(Seq((10L, "d1", "gold"), (20L, "d1", "silver")).toDF("ck", "dp", "seg"), dimCfg)
+    tick(t, view, fact, dim)
+    // delete id=1 (empty-replace its partition) AND restate id=2 — the
+    // tick folds refresh rows and tombstones through applyDelta together
+    fact.replacePartitions(fact.read.get.filter(lit(false)), Seq("p1"))
+    fact.upsert(Seq((2L, 20L, "p2", 60.0, 200L)).toDF("id", "ck", "p", "v", "ts"), factCfg)
+    tick(t, view, fact, dim)
+    val rows = view.read.get.select("id", "v", "seg").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((2L, 60.0, "silver")))
+  }
+
   test("steady state: a tick with no changes reads NOTHING from either store") {
     val (t, fact, dim, view) = setup()
     fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)

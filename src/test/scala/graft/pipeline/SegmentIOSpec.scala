@@ -36,4 +36,54 @@ class SegmentIOSpec extends SparkSpec {
       assert(jobs.get() == 0, "cached-schema read must not schedule jobs")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("invalidate drops a rewritten dir's stale schema; other entries survive") {
+    val base = Files.createTempDirectory("segio-inv").toString
+    val a = s"$base/a"; val b = s"$base/b"
+    Seq((1L, "x")).toDF("k", "s").write.parquet(a)
+    Seq((2L, 3.5)).toDF("k", "d").write.parquet(b)
+    val first = SegmentIO.schemaOf(spark, a)
+    SegmentIO.schemaOf(spark, b)
+    assert(first.fieldNames.toSeq == Seq("k", "s"))
+    // legitimate in-place rewrite with a DIFFERENT schema (the layout
+    // rewriters do this); without invalidation the stale cached schema
+    // would read the new column as all-NULL instead of failing
+    Seq((1L, 9)).toDF("k", "n").write.mode("overwrite").parquet(a)
+    SegmentIO.invalidate(a)
+    assert(SegmentIO.schemaOf(spark, a).fieldNames.toSeq == Seq("k", "n"))
+    assert(SegmentIO.schemaOf(spark, b).fieldNames.toSeq == Seq("k", "d"))
+  }
+
+  test("cache is bounded LRU — size never exceeds the cap (hot entries retained)") {
+    // the real cap is 65,536; exercising the eviction contract on the
+    // shared map directly would need that many footer reads — instead
+    // assert the structural contract on a twin map built the same way
+    val cap = 8
+    val m = new java.util.LinkedHashMap[String, Int](4, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Int]): Boolean =
+        size() > cap
+    }
+    (1 to 100).foreach { i =>
+      m.put(s"dir$i", i)
+      m.get("dir1") // keep dir1 hot from the moment it exists
+    }
+    assert(m.size() == cap)
+    assert(m.containsKey("dir1"), "access-ordered eviction must retain hot entries")
+    assert(m.containsKey("dir100") && !m.containsKey("dir50"))
+    assert(SegmentIO.MaxEntries == 65536)
+    assert(SegmentIO.cachedEntries <= SegmentIO.MaxEntries)
+  }
+
+  test("schema cache keys include parquet conf — a differing session misses, not mis-reads") {
+    val dir = Files.createTempDirectory("segio-conf").toString + "/seg"
+    Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("k", "ts").write.parquet(dir)
+    val s1 = SegmentIO.schemaOf(spark, dir)
+    // a sibling session with a different converter flag must resolve its
+    // OWN schema (possibly different), never inherit this session's
+    val other = spark.newSession()
+    other.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val s2 = SegmentIO.schemaOf(other, dir)
+    assert(s1 == spark.read.parquet(dir).schema)
+    assert(s2 == other.read.parquet(dir).schema)
+  }
 }

@@ -347,6 +347,78 @@ class RollupRewriteSpec extends SparkSpec {
     }
   }
 
+  test("avg rewrite under ANSI mode: an all-null group divides to NULL, never errors") {
+    // the rewritten AVG is Σsum/Σcnt — a group whose measure is all
+    // null has cnt-sum 0, and the direct plan's avg answers NULL there
+    // under EVERY eval mode. The Divide is pinned to LEGACY so an ANSI
+    // session doesn't turn the automatic rewrite into DIVIDE_BY_ZERO.
+    import spark.implicits._
+    val facts = Seq(("A", Some(2.0)), ("A", Some(4.0)),
+      ("X", Option.empty[Double]), ("X", Option.empty[Double]))
+      .toDF("g", "qty")
+    val dir = Files.createTempDirectory("mv_avg_ansi").toString + "/rollup"
+    val sums = Seq(SumMeasure("qty", None, "sum_qty", cntCol = Some("cnt_qty")))
+    RollupRewrite.buildRollup(facts, Seq("g"), sums).write.parquet(dir)
+    val prior = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      RollupRewrite.withRollup(spark, "avg_ansi_mv", facts, Seq("g"), sums,
+          spark.read.parquet(dir)) {
+        val df = facts.groupBy("g").agg(avg(col("qty")).as("a"))
+        val rows = df.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+        assert(df.queryExecution.executedPlan.toString.contains("mv_avg_ansi"))
+        assert(rows("A").contains(3.0) && rows("X").isEmpty, rows.toString)
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("decimal avg rewrites EXACTLY — Spark's promotion replicated, randomized shapes") {
+    // the rewrite replays Average.evaluateExpression's own expression
+    // shape (divide of sum type by Decimal(20,0), cast to resultType),
+    // so the decimal result must be BIT-IDENTICAL to the direct plan —
+    // across precisions/scales, planted nulls, an all-null group, and
+    // values at the precision edge
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for ((p, s) <- Seq((10, 2), (18, 6), (7, 0), (27, 10))) {
+      val dt = org.apache.spark.sql.types.DecimalType(p, s)
+      def randVal(): String = {
+        // up to p digits, scale s — exercise the full precision range
+        val digits = 1 + rnd.nextInt(p)
+        val raw = (1 to digits).map(_ => rnd.nextInt(10)).mkString.dropWhile(_ == '0')
+        val v = if (raw.isEmpty) "1" else raw
+        val (i, f) = v.splitAt(math.max(0, v.length - s))
+        val sign = if (rnd.nextBoolean()) "-" else ""
+        s"$sign${if (i.isEmpty) "0" else i}.${f.reverse.padTo(s, '0').reverse}"
+      }
+      val rows = (1 to 400).map { i =>
+        val g = s"g${i % 7}"
+        val v = if (g == "g6" || rnd.nextInt(5) == 0) null else randVal()
+        (g, v)
+      }
+      val facts = rows.toDF("g", "vs").select(col("g"), col("vs").cast(dt).as("m"))
+        .localCheckpoint()
+      val dir = Files.createTempDirectory(s"mv_avg_dec_${p}_$s").toString + "/rollup"
+      val sums = Seq(SumMeasure("m", None, "sum_m", cntCol = Some("cnt_m")))
+      RollupRewrite.buildRollup(facts, Seq("g"), sums).write.parquet(dir)
+      def q() = facts.groupBy("g").agg(avg(col("m")).as("a"))
+      val direct = canon(q())
+      val directSchema = q().schema
+      RollupRewrite.withRollup(spark, s"avg_dec_$p", facts, Seq("g"), sums,
+          spark.read.parquet(dir)) {
+        val df = q()
+        df.count()
+        assert(df.queryExecution.executedPlan.toString.contains(s"mv_avg_dec_${p}_$s"),
+          s"decimal($p,$s) avg did not rewrite")
+        assert(df.schema == directSchema, s"decimal($p,$s): schema drift")
+        assert(canon(df) == direct, s"decimal($p,$s): value drift")
+      }
+    }
+  }
+
   test("avg refuses without a registered per-measure count") {
     withMv {
       // sum_qty is registered but has no cntCol — dividing by the group
@@ -355,6 +427,37 @@ class RollupRewriteSpec extends SparkSpec {
         .groupBy("l_returnflag").agg(avg(col("l_quantity").cast(dec)).as("a"))
       df.count()
       assert(df.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    }
+  }
+
+  test("HAVING above the aggregate survives the rewrite; results exact") {
+    // HAVING is a Filter ABOVE the Aggregate — the rule rewrites the
+    // aggregate underneath and the filter applies to identical output
+    def q() = query().filter(col("sum_qty") > lit(new java.math.BigDecimal(1000)) &&
+      col("n") > 10)
+    val direct = canon(q())
+    withMv {
+      val df = q()
+      assert(scansRollup(df), df.queryExecution.executedPlan.toString)
+      assert(canon(df) == direct)
+    }
+  }
+
+  test("grouping sets / rollup() / cube() refuse cleanly (aggregate sits over Expand)") {
+    withMv {
+      for (shape <- Seq("ROLLUP", "CUBE", "GROUPING SETS ((l_returnflag), ())")) {
+        val grouping = if (shape.startsWith("GROUPING")) shape
+                       else s"$shape(l_returnflag)"
+        spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_gs")
+        val df = spark.sql(
+          s"""SELECT l_returnflag, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             |FROM li_gs GROUP BY $grouping""".stripMargin)
+        df.count()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("lineitem.parquet") && !plan.contains("mv_rollup"),
+          s"$shape must NOT rewrite (grand-total rows are not derivable " +
+            s"from a fixed-grain rollup without re-deriving grouping ids):\n$plan")
+      }
     }
   }
 
