@@ -145,10 +145,12 @@ object JoinView {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        // an empty delivery still ticks (dim changes between batches
-        // propagate) but commits no empty fact version
-        if (!batch.isEmpty) fact.upsert(batch, factCfg)
-        maintainMulti(spark, viewRoot, view, fact, dims, factKeys)
+        graft.streaming.StreamOps.tickConf(batch.sparkSession) {
+          // an empty delivery still ticks (dim changes between batches
+          // propagate) but commits no empty fact version
+          if (!batch.isEmpty) fact.upsert(batch, factCfg)
+          maintainMulti(spark, viewRoot, view, fact, dims, factKeys)
+        }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()

@@ -86,6 +86,58 @@ private[graft] object SegmentIO {
     }
   }
 
+  /** Driver-side MAX of an int32/int64 column across every parquet file
+    * in `dirs`, from footer row-group statistics — no Spark job. None
+    * when any file lacks usable stats for the column (caller falls back
+    * to the job path), or when every row group is empty. Correctness
+    * contract: parquet min/max stats are exact bounds, and for the
+    * integral physical types used here they are never truncated. */
+  private[graft] def footerMaxLong(spark: SparkSession, dirs: Seq[String],
+                                   column: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    var best: Option[Long] = None
+    for (dir <- dirs) {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(conf)
+      val files = fs.listStatus(p).iterator
+        .map(_.getPath)
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .toSeq
+      if (files.isEmpty) return None
+      for (f <- files) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          val md = reader.getFooter.getBlocks
+          val it = md.iterator()
+          while (it.hasNext) {
+            val block = it.next()
+            if (block.getRowCount > 0) {
+              val cit = block.getColumns.iterator()
+              var found = false
+              while (cit.hasNext) {
+                val c = cit.next()
+                if (c.getPath.toDotString == column) {
+                  found = true
+                  val st = c.getStatistics
+                  if (st == null || !st.hasNonNullValue) return None
+                  val mx = st.genericGetMax match {
+                    case i: java.lang.Integer => i.toLong
+                    case l: java.lang.Long => l.longValue()
+                    case _ => return None
+                  }
+                  best = Some(best.fold(mx)(math.max(_, mx)))
+                }
+              }
+              if (!found) return None
+            }
+          }
+        } finally reader.close()
+      }
+    }
+    best
+  }
+
   private def driverSideSchema(spark: SparkSession, dir: String): StructType = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)

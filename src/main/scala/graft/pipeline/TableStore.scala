@@ -50,6 +50,12 @@ final class TableStore(spark: SparkSession, root: String,
 
   def latestVersion: Option[Int] = versions.lastOption
 
+  /** Directories of the latest version's chain (ascending) — for
+    * driver-side footer probes that avoid a Spark job on known-small
+    * stores (e.g. the streaming fold marker). */
+  private[graft] def latestChainDirs: Option[Seq[String]] =
+    latestVersion.map(v => chain(v).map(x => s"$root/v=$x"))
+
   /** The versions whose data participates in `v`: `v` itself, then its
     * delta ancestry down to the nearest full snapshot (ascending order).
     * A full version is its own one-element chain. */

@@ -160,7 +160,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        sink.mergeBatch(batch, cfg)
+        tickConf(batch.sparkSession)(sink.mergeBatch(batch, cfg))
         // streaming jobs run on the stream thread, outside any bench job
         // group — the per-batch hook is how drain cost stays attributable
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
@@ -204,7 +204,8 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         if (epoch == null) epoch = checkpointEpoch(batch.sparkSession, checkpoint)
-        foldRollupBatch(store, batch, batchId, epoch, rollup, keys, addCols, mergeWith)
+        tickConf(batch.sparkSession)(
+          foldRollupBatch(store, batch, batchId, epoch, rollup, keys, addCols, mergeWith))
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
@@ -321,7 +322,8 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         if (epoch == null) epoch = checkpointEpoch(batch.sparkSession, checkpoint)
-        foldRollupBatchPartitioned(store, batch, batchId, epoch, rollup, keys, addCols)
+        tickConf(batch.sparkSession)(
+          foldRollupBatchPartitioned(store, batch, batchId, epoch, rollup, keys, addCols))
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
@@ -433,11 +435,41 @@ object StreamOps {
     try body finally sc.setJobDescription(null)
   }
 
+  /** Run a maintenance tick with AQE off. Spark itself pins streaming
+    * plans to non-adaptive execution; a `foreachBatch` body is a batch
+    * query and gets AQE back — and on a micro-batch-sized tick AQE
+    * contributes nothing (shuffle partitions are already sized to the
+    * drain) while materializing EVERY exchange as its own job:
+    * measured on stream_cdc_rollup_cdf, ~16 jobs/tick with AQE vs ~6
+    * without, each job a scheduler round-trip of pure fixed cost. At
+    * real batch sizes the tick's shuffles are still bounded by the
+    * batch, not the table, so the static plan stays the right one. */
+  private[graft] def tickConf[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    if (sys.env.contains("GRAFT_TICK_AQE_KEEP")) return body // A/B escape hatch
+    // a foreachBatch body sees TWO sessions: the micro-batch CLONE
+    // (batch.sparkSession) and the outer session the stores were
+    // constructed against — actions go through whichever session owns
+    // the DataFrame, so the flag must flip on both
+    val sessions = (Seq(spark) ++
+      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq).distinct
+    val key = "spark.sql.adaptive.enabled"
+    val prevs = sessions.map(s => s -> s.conf.get(key))
+    sessions.foreach(_.conf.set(key, "false"))
+    try body finally prevs.foreach { case (s, v) => s.conf.set(key, v) }
+  }
+
   /** One tick of [[maintainRollupCdf]]: upsert, widen the CDF range
     * from the rollup's durable fold marker, fold, snapshot. */
   private[graft] def cdfRollupTick(batch: DataFrame, store: ManifestStore,
                                    cfg: TableConfig, rollupStore: TableStore,
-                                   groupCols: Seq[String], valueCol: String): Unit = {
+                                   groupCols: Seq[String], valueCol: String): Unit =
+    tickConf(batch.sparkSession) {
+      cdfRollupTickBody(batch, store, cfg, rollupStore, groupCols, valueCol)
+    }
+
+  private def cdfRollupTickBody(batch: DataFrame, store: ManifestStore,
+                                cfg: TableConfig, rollupStore: TableStore,
+                                groupCols: Seq[String], valueCol: String): Unit = {
     val spark = batch.sparkSession
     // cache the delivery for the tick: the upsert reads it twice (the
     // touched-partition distinct, then the merged write) and a stream
@@ -445,10 +477,19 @@ object StreamOps {
     val cached = batch.cache()
     try {
       val prior = rollupStore.read
+      // the fold marker is a CONSTANT column of the rollup snapshot, so
+      // its max lives in the parquet footer stats — a driver-side read,
+      // not a Spark job per tick; the aggregate job is the fallback
+      // when stats are unusable
       val foldedV = prior.flatMap { df =>
-        val r = phase(spark, "cdf.folded_v")(
-          df.select(max(col(FoldedVersionCol))).head())
-        if (r.isNullAt(0)) None else Some(r.getInt(0))
+        rollupStore.latestChainDirs
+          .flatMap(graft.pipeline.SegmentIO.footerMaxLong(spark, _, FoldedVersionCol))
+          .map(_.toInt)
+          .orElse {
+            val r = phase(spark, "cdf.folded_v")(
+              df.select(max(col(FoldedVersionCol))).head())
+            if (r.isNullAt(0)) None else Some(r.getInt(0))
+          }
       }.getOrElse(0)
       phase(spark, "cdf.upsert")(store.upsert(cached, cfg))
       val newV = store.latestManifestVersion.getOrElse(0)
@@ -479,8 +520,10 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
-        store.ingest(batch, threshold)
-          .write.mode("append").parquet(admittedOut)
+        tickConf(batch.sparkSession) {
+          store.ingest(batch, threshold)
+            .write.mode("append").parquet(admittedOut)
+        }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()

@@ -74,6 +74,29 @@ class SegmentIOSpec extends SparkSpec {
     assert(SegmentIO.cachedEntries <= SegmentIO.MaxEntries)
   }
 
+  test("footerMaxLong: driver-side max from footer stats equals the aggregate, no job") {
+    val base = Files.createTempDirectory("segio-fmax").toString
+    val a = s"$base/a"; val b = s"$base/b"
+    Seq((1, 10L), (2, 7L), (3, 10L)).toDF("v", "x").repartition(2).write.parquet(a)
+    Seq((4, 12L)).toDF("v", "x").write.parquet(b)
+    assert(SegmentIO.footerMaxLong(spark, Seq(a), "v").contains(3L))
+    assert(SegmentIO.footerMaxLong(spark, Seq(a, b), "v").contains(4L))
+    assert(SegmentIO.footerMaxLong(spark, Seq(a, b), "x").contains(12L))
+    // unusable cases fall back to None, never a wrong answer
+    assert(SegmentIO.footerMaxLong(spark, Seq(a), "nope").isEmpty)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SegmentIO.footerMaxLong(spark, Seq(a, b), "v")
+      Thread.sleep(300)
+      assert(jobs.get() == 0, "footer stats probe must not schedule jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("schema cache keys include parquet conf — a differing session misses, not mis-reads") {
     val dir = Files.createTempDirectory("segio-conf").toString + "/seg"
     Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("k", "ts").write.parquet(dir)
