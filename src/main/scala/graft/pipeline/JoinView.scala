@@ -279,6 +279,12 @@ object JoinView {
       }
     }
     fcdf.foreach(_.unpersist())
+    // the view store's maintenance cadence: a tick appends one delta
+    // segment, so WITHOUT compaction a long-running view's hot
+    // partitions accumulate unbounded read fan-in (the r14 100-tick
+    // soak is what this bounds). Hot-partition-scoped + idempotent, so
+    // a crash anywhere around it re-folds safely next tick.
+    if (refresh.nonEmpty) view.compactHot()
     writeFoldedAll(spark, viewRoot, f1 +: d1s)
     f1 +: d1s
   }

@@ -304,17 +304,27 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
       .foreach(v => fs.delete(new Path(manDir, s"m=$v"), false))
   }
 
-  /** [[MergeSink]] binding: O(batch) append per tick, PARTITION-SCOPED
-    * compaction of exactly the values whose segment list outgrew
-    * `compactSegments` (the manifest already carries per-value fan-in —
-    * no data read decides it), retention vacuum — bounded read
-    * amplification AND bounded disk under an unbounded streaming
-    * cadence, at O(hot partitions) maintenance cost. */
-  override def mergeBatch(batch: DataFrame, batchCfg: TableConfig): Unit = {
-    appendDelta(batch)
+  /** The post-commit maintenance cadence every unbounded-tick caller
+    * needs: PARTITION-SCOPED compaction of exactly the values whose
+    * segment list outgrew `compactSegments` (the manifest already
+    * carries per-value fan-in — no data read decides it), then the
+    * retention vacuum. O(hot partitions) per call; a call with no hot
+    * partition costs two driver-side manifest reads and nothing else.
+    * Idempotent and read-equivalent (compaction never changes the
+    * reconciled state), so callers may run it at any point of their
+    * own commit protocol. */
+  def compactHot(): Unit = {
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     val hot = man.collect { case (v, segs) if segs.length > compactSegments => v }.toSeq
     if (hot.nonEmpty) compactPartitions(hot)
     vacuum(keepManifests)
+  }
+
+  /** [[MergeSink]] binding: O(batch) append per tick + [[compactHot]] —
+    * bounded read amplification AND bounded disk under an unbounded
+    * streaming cadence. */
+  override def mergeBatch(batch: DataFrame, batchCfg: TableConfig): Unit = {
+    appendDelta(batch)
+    compactHot()
   }
 }

@@ -92,6 +92,29 @@ class JoinViewSpec extends SparkSpec {
     assert(rows == Seq((2L, 60.0, "silver")))
   }
 
+  test("long-running view: segment fan-in stays bounded by compaction (30 ticks)") {
+    // every tick appends a delta segment; without the post-fold
+    // compactHot() cadence a long-lived view's read fan-in grows one
+    // segment per tick forever — the unbounded-cadence failure the
+    // 100-tick soak measures at 10×
+    val (t, fact, dim, view) = setup()
+    dim.upsert(Seq((10L, "d1", "gold"), (20L, "d1", "silver")).toDF("ck", "dp", "seg"), dimCfg)
+    var maxSegs = 0
+    for (i <- 0 until 30) {
+      val id = (i % 12).toLong
+      fact.upsert(Seq((id, if (id % 2 == 0) 10L else 20L, s"p${id % 3}", i.toDouble))
+        .toDF("id", "ck", "p", "v"), factCfg)
+      tick(t, view, fact, dim)
+      maxSegs = math.max(maxSegs, view.liveSegments)
+    }
+    // default compactSegments = 8 over 3 partitions: fan-in must stay
+    // within partitions × (threshold + 1), never track tick count
+    assert(maxSegs <= 3 * 9, s"fan-in hit $maxSegs — compaction cadence not engaging")
+    assert(view.liveSegments < 30)
+    assertSameRows(view.read.get.select("id", "ck", "v", "seg"),
+      recompute(fact, dim).select("id", "ck", "v", "seg"))
+  }
+
   test("steady state: a tick with no changes reads NOTHING from either store") {
     val (t, fact, dim, view) = setup()
     fact.upsert(Seq((1L, 10L, "p1", 5.0)).toDF("id", "ck", "p", "v"), factCfg)
