@@ -209,4 +209,35 @@ object Soak {
       .parquet(s"$out/events.parquet")
     println(s"[soak] generated ${x}x replicas of $base ($nDocs docs/replica) at $out")
   }
+
+  /** Materialize N× replicas of the TPC-H-shaped tables (idempotent) —
+    * the BENCH_10X fixture. Every key column shifts by k·10⁷ per
+    * replica with FK CONSISTENCY (orders.o_custkey shifts with
+    * customer.c_custkey, lineitem's part/supplier/order keys with
+    * their parents), so joins hit exactly one replica's rows and all
+    * per-key cardinalities match the base. nation/region are genuine
+    * small dims shared by every replica (c_nationkey unshifted) —
+    * replicating them would change the join shape, not the scale. */
+  def generateTpch(spark: SparkSession, base: String, out: String, x: Int): Unit = {
+    if (new java.io.File(s"$out/lineitem.parquet").exists &&
+        new java.io.File(s"$out/orders.parquet").exists) return
+    val off = 10_000_000L
+    def rep(table: String, keyCols: Seq[String], files: Int): Unit = {
+      val df = spark.read.parquet(s"$base/$table.parquet")
+      val reps = (0 until x).map { k =>
+        keyCols.foldLeft(df)((acc, c) => acc.withColumn(c, col(c) + lit(k * off)))
+      }.reduce(_.unionByName(_))
+      reps.repartition(files).write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    rep("customer", Seq("c_custkey"), 8)
+    rep("supplier", Seq("s_suppkey"), 4)
+    rep("part", Seq("p_partkey"), 8)
+    rep("orders", Seq("o_orderkey", "o_custkey"), 16)
+    rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), 32)
+    for (t <- Seq("nation", "region")) {
+      spark.read.parquet(s"$base/$t.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    println(s"[soak] generated ${x}x TPC-H replicas of $base at $out")
+  }
 }

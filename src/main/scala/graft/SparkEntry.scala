@@ -2956,6 +2956,20 @@ object SparkEntry {
           col("piece_id").cast("long").as("piece_id"))
     }),
 
+    "sp_doc_perplexity" -> ((s, d) => {
+      // LM-perplexity quality scoring (the CCNet signal): every doc in
+      // the %25 subset scored by its words' exact Viterbi costs under
+      // the seed unigram vocabulary — micro-nat long arithmetic, OOV
+      // words (unsegmentable under the vocab) counted honestly. The
+      // oracle recomputes the same min-cost paths by exhaustive
+      // recursive-CTE enumeration and aggregates identically.
+      val sub = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+      graft.llm.Unigram.docPerplexity(sub, "text", "doc_id",
+          unigramSeedVocab(s, d), maxPieceLen = 4, maxWordLen = 16)
+        .select(col("doc_id"), col("total_cost_micro"), col("n_pieces"),
+          col("oov_words"), col("n_words"), col("avg_piece_cost_micro"))
+    }),
+
     "sp_encode_ids" -> ((s, d) => {
       // stage 4: corpus → unigram token ids. Each document word
       // expands to its Viterbi pieces; ids number the EM-recounted
@@ -5360,6 +5374,20 @@ object SparkEntry {
          |SELECT p.doc_id, CAST(p.wpos AS BIGINT) AS wpos, CAST(p.ppos AS BIGINT) AS ppos,
          |  p.piece, CAST(i.piece_id AS BIGINT) AS piece_id
          |FROM wdp p JOIN wids i USING (piece)""".stripMargin,
+
+    "sp_doc_perplexity" ->
+      s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
+         |pdw AS (SELECT doc_id, unnest(ws) AS word
+         |        FROM (SELECT doc_id,
+         |                list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+         |              FROM documents WHERE doc_id % 25 = 0)),
+         |pj AS (SELECT d.doc_id, s.cost, s.np FROM pdw d LEFT JOIN useg s USING (word))
+         |SELECT doc_id, CAST(sum(cost) AS BIGINT) AS total_cost_micro,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN cost IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+         |  count(*) AS n_words,
+         |  round(CAST(sum(cost) AS DOUBLE) / sum(np), 6) AS avg_piece_cost_micro
+         |FROM pj GROUP BY 1""".stripMargin,
 
     "sp_encode_ids" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},

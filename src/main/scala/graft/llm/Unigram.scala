@@ -132,4 +132,39 @@ object Unigram {
     counts.withColumn("cost",
       round(log(lit(total.toDouble) / col("n")) * 1e6).cast("long"))
   }
+
+  /** Document-level LM quality score — the CCNet-style signal: rank
+    * documents by their likelihood under the trained unigram LM
+    * (Wenzek et al. LREC'20 filter crawled text by LM perplexity;
+    * gibberish and boilerplate score high-cost, fluent prose low).
+    * Per document: Σ(min Viterbi path cost of each word occurrence)
+    * in exact micro-nats, the piece count, the word count, and the
+    * OOV count (words the vocabulary cannot segment — absent from the
+    * Viterbi table: over `maxWordLen`, or no full-cover path). The
+    * headline `avg_piece_cost_micro` = total/pieces is the mean
+    * per-token negative log-likelihood, i.e. log-perplexity in
+    * micro-nats.
+    *
+    * Scale shape: the DP runs once per DISTINCT word (word-vocabulary
+    * sized, never corpus sized) and broadcasts into the per-occurrence
+    * join; the only corpus-sized pass is the word explode + one
+    * doc_id-keyed hash aggregate. Exact long arithmetic end to end —
+    * the oracle replays it bit-for-bit from the same vocabulary CTEs. */
+  def docPerplexity(docs: DataFrame, textCol: String, idCol: String,
+                    vocab: DataFrame,
+                    maxPieceLen: Int = 6, maxWordLen: Int = 16): DataFrame = {
+    val seg = viterbiSegment(wordTable(docs, textCol), vocab, maxPieceLen, maxWordLen)
+      .select(col("word"), col("cost"), col("n_pieces"))
+    val dw = docs.select(col(idCol),
+      explode(array_remove(
+        split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"), "")).as("word"))
+    dw.join(broadcast(seg), Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(sum(col("cost")).as("total_cost_micro"),
+           sum(col("n_pieces")).as("n_pieces"),
+           sum(when(col("cost").isNull, 1L).otherwise(0L)).as("oov_words"),
+           count(lit(1)).as("n_words"))
+      .withColumn("avg_piece_cost_micro",
+        round(col("total_cost_micro") / col("n_pieces"), 6))
+  }
 }

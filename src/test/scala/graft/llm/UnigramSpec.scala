@@ -116,4 +116,30 @@ class UnigramSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
     assert(run(1) == run(7))
   }
+
+  test("docPerplexity: exact per-doc cost sums, OOV counted, fluent < gibberish") {
+    // vocab: "ab" cheap, chars pricier — a doc of "abab" words scores
+    // lower per piece than one of "ba" words; "zz" is unsegmentable
+    val vocab = Seq(("a", 10L), ("b", 12L), ("ab", 5L))
+    val docs = Seq(
+      (1L, "abab ab abab"),   // 2·(5+5) + 5 + 10 = hand-derivable
+      (2L, "ba ba"),          // each ba = b+a = 22, no better path
+      (3L, "ab zz ab"),       // one OOV word
+      (4L, "")                // empty text → absent from output
+    ).toDF("doc_id", "text")
+    val out = Unigram.docPerplexity(docs, "text", "doc_id", vocabDF(vocab: _*),
+        maxPieceLen = 2, maxWordLen = 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: abab=10 (ab+ab), ab=5, abab=10 → total 25, pieces 2+1+2=5
+    assert(out(1L).getLong(1) == 25L && out(1L).getLong(2) == 5L &&
+      out(1L).getLong(3) == 0L && out(1L).getLong(4) == 3L)
+    assert(out(1L).getDouble(5) == 5.0)
+    // doc 2: 2 × (12+10) = 44 over 4 pieces → 11.0 per piece
+    assert(out(2L).getLong(1) == 44L && out(2L).getDouble(5) == 11.0)
+    assert(out(1L).getDouble(5) < out(2L).getDouble(5)) // fluent < gibberish
+    // doc 3: zz is OOV (z not in vocab): cost counts only the two abs (5+5)
+    assert(out(3L).getLong(1) == 10L && out(3L).getLong(3) == 1L &&
+      out(3L).getLong(4) == 3L)
+    assert(!out.contains(4L))
+  }
 }
