@@ -4273,6 +4273,9 @@ object SparkEntry {
         (3L, Multimodal.silentWav(8000, 1, 8, 12000)),
         (4L, Multimodal.fakeMp3(128, 44100, stereo = true, nFrames = 10)),
         (5L, Multimodal.fakeMp3(64, 32000, stereo = false, nFrames = 5, id3Bytes = 100)),
+        // VBR: Xing frame count decides the duration (500×1152/44100 =
+        // 13061 ms exactly); the CBR byte estimate would be ~78 ms
+        (6L, Multimodal.fakeVbrMp3(44100, stereo = true, totalFrames = 500)),
         (99L, "definitely not audio".getBytes("UTF-8"))).toDF("media_id", "content")
       val fromDocs = Tables.documents(s, d)
         .select((col("doc_id") + 1000L).as("media_id"), col("text").cast("binary").as("content"))
@@ -7555,6 +7558,7 @@ object SparkEntry {
         |    (3, true, 'wav', 8000, 1, 8, 1500),
         |    (4, true, 'mp3', 44100, 2, NULL, 260),
         |    (5, true, 'mp3', 32000, 1, NULL, 180),
+        |    (6, true, 'mp3', 44100, 2, NULL, 13061),
         |    (99, false, NULL, NULL, NULL, NULL, NULL))
         |    t(media_id, decoded, container, sample_rate, channels, bits_per_sample, duration_ms)
         |  UNION ALL

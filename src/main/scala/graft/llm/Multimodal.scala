@@ -203,8 +203,12 @@ object Multimodal {
 
   /** MPEG-1 Layer III frame-header parse after an optional ID3v2 skip
     * (tag size is sync-safe 7-bit bytes). Yields sample rate, channel
-    * mode, and the CBR duration estimate. Anything but a clean
-    * 0xFFE sync at the expected offset → None. */
+    * mode, and the duration: EXACT when the first frame carries a
+    * Xing/Info VBR header (frame count × 1152 samples ÷ rate — the
+    * standard VBR contract; the CBR byte estimate is wrong on VBR
+    * streams, sometimes by 2×), otherwise the standard CBR estimate
+    * streamBytes×8/bitrate. Anything but a clean 0xFFE sync at the
+    * expected offset → None. */
   private def parseMp3(id: Long, b: Array[Byte]): Option[AudioFeatures] = {
     var o = 0
     if (b.length >= 10 && ascii(b, 0, 3) == "ID3") {
@@ -221,9 +225,20 @@ object Multimodal {
     val sampleRate = Mp3SampleRateV1((h2 >> 2) & 0x3)
     if (bitrateKbps == 0 || sampleRate == 0) return None
     val channels = if (((h3 >> 6) & 0x3) == 3) 1 else 2 // mode 3 = single channel
+    // Xing/Info header sits after the side info: 17 bytes (mono) / 32
+    // (stereo) past the 4-byte frame header for MPEG-1
+    val xingOff = o + 4 + (if (channels == 1) 17 else 32)
+    val vbrDur: Option[Long] =
+      if (xingOff + 12 <= b.length &&
+          (ascii(b, xingOff, 4) == "Xing" || ascii(b, xingOff, 4) == "Info") &&
+          (beInt(b, xingOff + 4) & 0x1) != 0) {
+        val frames = beInt(b, xingOff + 8).toLong & 0xFFFFFFFFL
+        Some(frames * 1152L * 1000L / sampleRate) // 1152 samples per MPEG-1 L3 frame
+      } else None
     val streamBytes = (b.length - o).toLong
     Some(AudioFeatures(id, decoded = true, Some("mp3"), Some(sampleRate),
-      Some(channels), None, Some(streamBytes * 8L * 1000L / (bitrateKbps * 1000L))))
+      Some(channels), None,
+      Some(vbrDur.getOrElse(streamBytes * 8L * 1000L / (bitrateKbps * 1000L)))))
   }
 
   /** Audio header metadata over opaque binary payloads — WAV exactly,
@@ -294,6 +309,23 @@ object Multimodal {
       f += 1
     }
     tag ++ frames
+  }
+
+  /** Deterministic VBR MPEG-1 Layer III stream: a first frame carrying
+    * a Xing header declaring `totalFrames`, then zero-payload frames —
+    * planted VBR audio whose exact duration (totalFrames × 1152 /
+    * sampleRate) is knowable in advance; the stream's BYTE length is
+    * deliberately inconsistent with it, so a CBR estimate would be
+    * provably wrong. */
+  def fakeVbrMp3(sampleRate: Int, stereo: Boolean, totalFrames: Int,
+                 declaredKbps: Int = 128): Array[Byte] = {
+    val base = fakeMp3(declaredKbps, sampleRate, stereo, nFrames = 3)
+    val out = base.clone()
+    val xingOff = 4 + (if (stereo) 32 else 17)
+    require(xingOff + 12 <= out.length, "first frame too small for a Xing header")
+    val bb = java.nio.ByteBuffer.wrap(out, xingOff, 12)
+    bb.put("Xing".getBytes("US-ASCII")).putInt(0x1).putInt(totalFrames)
+    out
   }
 
   /** Parsed MP4 container metadata row — the video twin of

@@ -122,6 +122,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(10L).decoded)
   }
 
+  test("audioMeta: Xing VBR header yields the exact frame-count duration, not the CBR estimate") {
+    val rows = Seq(
+      // 500 frames × 1152 / 44100 = 13061 ms — the byte length (3 tiny
+      // frames) would CBR-estimate ~78 ms, provably wrong for VBR
+      (1L, Multimodal.fakeVbrMp3(44100, stereo = true, totalFrames = 500)),
+      (2L, Multimodal.fakeVbrMp3(32000, stereo = false, totalFrames = 125)),
+      // an Info tag without the frames flag falls back to CBR honestly
+      (3L, {
+        val b = Multimodal.fakeVbrMp3(44100, stereo = true, totalFrames = 500)
+        val off = 4 + 32
+        java.nio.ByteBuffer.wrap(b, off, 8).put("Info".getBytes("US-ASCII")).putInt(0)
+        b
+      })).toDF("media_id", "content")
+    val out = Multimodal.audioMeta(spark, rows).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).decoded && out(1L).duration_ms.contains(500L * 1152 * 1000 / 44100))
+    assert(out(2L).duration_ms.contains(125L * 1152 * 1000 / 32000) &&
+      out(2L).channels.contains(1))
+    val cbrBytes = Multimodal.fakeMp3(128, 44100, stereo = true, nFrames = 3).length.toLong
+    assert(out(3L).decoded && out(3L).duration_ms.contains(cbrBytes * 8 * 1000 / 128000))
+  }
+
   test("audioMeta: corrupt RIFF chunk sizes terminate (no hang) and fail honestly") {
     // a chunk size field of 0xFFFFFFF8 made the old Int-arithmetic
     // advance ZERO — the walk pinned at the chunk forever; payloads are
