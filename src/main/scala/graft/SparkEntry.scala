@@ -2469,6 +2469,26 @@ object SparkEntry {
       ivf.topK(q, 10, nprobe = 3).withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_ivf_mor_mutate" -> ((s, d) => {
+      // the MERGE-ON-READ IVF store under the identical mutation: a
+      // hash-spread re-embed appends O(batch) residence rows +
+      // old-residence tombstones in ONE commit instead of rewriting
+      // every touched cell (the CoW trade ann_ivf_mutate takes). The
+      // answers must be byte-identical — same oracle.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val tmp = scratchDir("ivf_mor")
+      val ivf = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx", "embedding", "vec_id",
+        centroids)
+      ivf.upsert(e)
+      val mutated = e.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      ivf.upsert(mutated)
+      ivf.topK(q, 10, nprobe = 3).withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // measured ANN quality: recall@10 of the LSH and IVF indexes against
       // the exact brute-force top-10, as hashed result rows — the oracle
@@ -6232,6 +6252,21 @@ object SparkEntry {
     // vectors re-embedded as their negation — the store's delete+append
     // must leave exactly this state
     "ann_ivf_mutate" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |$ivfCtes,
+         |memb AS (SELECT vec_id,
+         |           CASE WHEN vec_id % 10 = 3 THEN list_transform(e, x -> -x) ELSE e END AS e
+         |         FROM emb),
+         |massign AS (
+         |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+         |  FROM (SELECT memb.vec_id, memb.e, refined.cell, ${cosSql("e", "c")} AS cos
+         |        FROM memb CROSS JOIN refined)),
+         |ma1 AS (SELECT vec_id, e, cell FROM massign WHERE rn = 1),
+         |mcand AS (SELECT ma1.vec_id, ma1.e FROM ma1 WHERE ma1.cell IN (SELECT cell FROM probe))
+         |${topkSql("mcand")}""".stripMargin,
+
+    "ann_ivf_mor_mutate" ->
       s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
          |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
          |$ivfCtes,

@@ -482,8 +482,12 @@ object StreamOps {
       // not a Spark job per tick; the aggregate job is the fallback
       // when stats are unusable
       val foldedV = prior.flatMap { df =>
-        rollupStore.latestChainDirs
-          .flatMap(graft.pipeline.SegmentIO.footerMaxLong(spark, _, FoldedVersionCol))
+        // any footer-probe failure (e.g. a concurrent retention prune
+        // racing the listing) falls back to the aggregate job — the
+        // probe is an optimization, never a correctness dependency
+        scala.util.Try(rollupStore.latestChainDirs
+            .flatMap(graft.pipeline.SegmentIO.footerMaxLong(spark, _, FoldedVersionCol)))
+          .toOption.flatten
           .map(_.toInt)
           .orElse {
             val r = phase(spark, "cdf.folded_v")(

@@ -32,7 +32,8 @@ import graft.schema.TableConfig
   */
 object R14SoakMain {
   def main(args: Array[String]): Unit = {
-    val nTicks = args.headOption.map(_.toInt).getOrElse(100)
+    val which = args.headOption.getOrElse("all")
+    val nTicks = args.drop(1).headOption.map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-r14-soak")
@@ -44,7 +45,8 @@ object R14SoakMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    joinViewLongevity(spark, nTicks)
+    if (which == "1" || which == "all") joinViewLongevity(spark, nTicks.getOrElse(100))
+    if (which == "2" || which == "all") ivfLongevity(spark, nTicks.getOrElse(50))
     spark.stop()
   }
 
@@ -151,5 +153,93 @@ object R14SoakMain {
     val d2 = got.select(cols.map(col): _*).exceptAll(expect.select(cols.map(col): _*)).count()
     println(s"""{"exactness":{"expect_minus_view":$d1,"view_minus_expect":$d2}}""")
     require(d1 == 0 && d2 == 0, "view diverged from recompute")
+  }
+
+  /** IVF INDEX LONGEVITY — the embeddings twin of the r13 MinHash soak:
+    * 50 consecutive re-embed ticks through [[graft.llm.IvfIndexStore
+    * .upsertEmbeddings]] over the 10× corpus (each tick rotates one
+    * vec_id residue slice — most vectors MOVE cells, the stale-row
+    * eviction path), takedowns every 5th tick, a probe every tick.
+    * Claims under test: probe wall flat (cell-pruned reads never pay
+    * for index age), segment fan-in saw-tooths under auto-compaction,
+    * and after 50 ticks of moves + deletes the store holds EXACTLY the
+    * expected per-slice-rotated corpus (no ghost rows, no losses). */
+  private def ivfLongevity(spark: SparkSession, nTicks: Int): Unit = {
+    import graft.llm.{IvfIndexStore, IvfMorIndexStore, Similarity}
+    val replicaDir = "/dev/shm/graft_soak10x"
+    Soak.generate(spark, "/root/testdata/sf0.1", replicaDir, 10)
+    val emb = spark.read.parquet(s"$replicaDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(false)
+    val nRows = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val centroids = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 32)
+    val t = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "ivf_soak").toString
+    val ivf = new IvfIndexStore(spark, s"$t/idx", "embedding", "vec_id",
+      centroids, idIndex = true)
+    // the MERGE-ON-READ twin rides the SAME ticks — paired comparison
+    // of the CoW rewrite-touched-cells cost vs the O(batch) delta cost
+    val mor = new IvfMorIndexStore(spark, s"$t/mor", "embedding", "vec_id", centroids)
+    val (_, buildSec) = time(ivf.append(emb))
+    val (_, morBuildSec) = time(mor.upsert(emb))
+    println(f"""{"soak":"ivf_longevity","ticks":$nTicks,"rows":$nRows,"dim":$dim,"build_sec":$buildSec%.1f,"mor_build_sec":$morBuildSec%.1f}""")
+
+    def rotated(df: DataFrame, rot: Int): DataFrame =
+      if (rot % dim == 0) df
+      else df.withColumn("embedding",
+        concat(slice(col("embedding"), rot % dim + 1, dim - rot % dim),
+               slice(col("embedding"), 1, rot % dim)))
+    def victims(tick: Int): DataFrame =
+      emb.filter(pmod(col("vec_id"), lit(nTicks.toLong)) === (tick - 3).toLong &&
+        pmod(floor(col("vec_id") / nTicks), lit(5)) === 0).select("vec_id")
+
+    var wallFirst10 = 0.0; var wallLast10 = 0.0
+    var morFirst10 = 0.0; var morLast10 = 0.0
+    var probeFirst10 = 0.0; var probeLast10 = 0.0
+    var maxSegs = 0; var compactions = 0; var prevSegs = ivf.liveSegments
+    for (k <- 0 until nTicks) {
+      val batch = rotated(
+        emb.filter(pmod(col("vec_id"), lit(nTicks.toLong)) === k.toLong), k)
+        .localCheckpoint(false)
+      val (_, sec) = time {
+        ivf.upsertEmbeddings(batch)
+        if (k % 5 == 4 && k >= 3) ivf.delete(victims(k))
+      }
+      val (_, morSec) = time {
+        mor.upsert(batch)
+        if (k % 5 == 4 && k >= 3) mor.delete(victims(k))
+      }
+      val (_, probeSec) = time(mor.topK(q, 10, nprobe = 4).collect())
+      val segs = ivf.liveSegments
+      val (morSegs, morIdSegs) = mor.segmentCounts
+      if (segs < prevSegs) compactions += 1
+      prevSegs = segs
+      maxSegs = math.max(maxSegs, math.max(segs, morSegs))
+      if (k < 10) { wallFirst10 += sec; morFirst10 += morSec; probeFirst10 += probeSec }
+      if (k >= nTicks - 10) { wallLast10 += sec; morLast10 += morSec; probeLast10 += probeSec }
+      println(f"""{"tick":$k,"cow_sec":$sec%.2f,"mor_sec":$morSec%.2f,"probe_sec":$probeSec%.2f,"cow_segments":$segs,"mor_segments":$morSegs,"mor_id_segments":$morIdSegs}""")
+    }
+    println(f"""{"soak":"ivf_longevity","cow_first10_sec":$wallFirst10%.1f,"cow_last10_sec":$wallLast10%.1f,"cow_drift":${wallLast10 / wallFirst10}%.2f,"mor_first10_sec":$morFirst10%.1f,"mor_last10_sec":$morLast10%.1f,"mor_drift":${morLast10 / morFirst10}%.2f,"probe_first10":$probeFirst10%.1f,"probe_last10":$probeLast10%.1f,"probe_drift":${probeLast10 / probeFirst10}%.2f,"max_segments":$maxSegs,"compactions":$compactions}""")
+
+    // exactness: every residue slice rotated by its tick, minus takedowns
+    val expected = (0 until nTicks).map(k =>
+        rotated(emb.filter(pmod(col("vec_id"), lit(nTicks.toLong)) === k.toLong), k))
+      .reduce(_.unionByName(_))
+      .unionByName(emb.filter(pmod(col("vec_id"), lit(nTicks.toLong)) >= nTicks.toLong))
+      .join((3 until nTicks).filter(k => k % 5 == 4).map(victims)
+          .reduceOption(_.unionByName(_))
+          .getOrElse(emb.select("vec_id").filter(lit(false))).distinct(),
+        Seq("vec_id"), "left_anti")
+    val got = ivf.read.get.select("vec_id", "embedding")
+    val d1 = expected.exceptAll(got).count()
+    val d2 = got.exceptAll(expected).count()
+    val gotMor = mor.read.get.select("vec_id", "embedding")
+    val m1 = expected.exceptAll(gotMor).count()
+    val m2 = gotMor.exceptAll(expected).count()
+    println(s"""{"exactness":{"cow":{"expect_minus_index":$d1,"index_minus_expect":$d2},"mor":{"expect_minus_index":$m1,"index_minus_expect":$m2}}}""")
+    require(d1 == 0 && d2 == 0, "CoW IVF index diverged from expected corpus state")
+    require(m1 == 0 && m2 == 0, "MOR IVF index diverged from expected corpus state")
   }
 }

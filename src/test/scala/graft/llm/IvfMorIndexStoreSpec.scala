@@ -1,0 +1,155 @@
+package graft.llm
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The merge-on-read IVF store must answer EXACTLY like the one-shot
+  * index (and the CoW store) under every maintenance sequence, while
+  * appending O(batch) bytes per tick instead of rewriting touched
+  * cells. */
+class IvfMorIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val r = new scala.util.Random(31)
+  private val centers = Array.fill(8)(Array.fill(16)(r.nextGaussian()))
+  private val pts = (0L until 400L).map { i =>
+    val c = centers((i % 8).toInt)
+    i -> c.map(x => (x + r.nextGaussian() * 0.05).toFloat)
+  }
+  private lazy val full = pts.toDF("vec_id", "embedding")
+  private lazy val centroids =
+    Similarity.ivfCentroids(full, "embedding", "vec_id", k = 8)
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("ivf-mor").toString + "/idx"
+
+  private def probeSet(ivf: IvfMorIndexStore, q: Array[Float]): Set[Long] =
+    ivf.topK(q, 10, nprobe = 2).select("vec_id").as[Long].collect().toSet
+
+  test("upsert-built store answers exactly like a one-shot index") {
+    val ivf = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    pts.grouped(150).foreach(g => ivf.upsert(g.toDF("vec_id", "embedding")))
+    assert(ivf.read.get.count() == 400)
+    val oneShot = Similarity.buildIvfIndex(full, "embedding", centroids)
+    for (qid <- Seq(5L, 150L, 399L)) {
+      val q = pts(qid.toInt)._2
+      val want = Similarity.ivfTopK(oneShot, "embedding", "vec_id", q, 10,
+        centroids, nprobe = 2).select("vec_id").as[Long].collect().toSet
+      assert(probeSet(ivf, q) == want, s"probe mismatch for query $qid")
+    }
+  }
+
+  test("re-embed that moves cells evicts the old residence (no ghosts) — ≡ CoW store") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    // negate every %10==3 vector — most flip cells
+    val mutated = full.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    ivf.upsert(mutated)
+    val cow = new IvfIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, idIndex = true)
+    cow.append(full)
+    cow.upsertEmbeddings(mutated)
+    // full state equality: (id, embedding) sets identical
+    assertSameRows(ivf.read.get.select("vec_id", "cell"),
+      cow.read.get.select("vec_id", "cell"))
+    assert(ivf.read.get.count() == 400) // no ghost duplicates
+    for (qid <- Seq(3L, 13L, 42L)) {
+      val q = pts(qid.toInt)._2
+      assert(probeSet(ivf, q) ==
+        cow.topK(q, 10, nprobe = 2).select("vec_id").as[Long].collect().toSet)
+    }
+  }
+
+  test("delete removes every residence; re-upsert restores; replay converges") {
+    val ivf = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    val victims = full.filter(col("vec_id") < 20).select("vec_id")
+    ivf.delete(victims)
+    assert(ivf.read.get.count() == 380)
+    assert(ivf.read.get.filter(col("vec_id") < 20).count() == 0)
+    // re-upsert after delete resurrects (removal is not a ban)
+    ivf.upsert(full.filter(col("vec_id") < 20))
+    assert(ivf.read.get.count() == 400)
+    // replaying the same upsert reconciles to the identical state
+    val before = canon(ivf.read.get.select("vec_id", "cell"))
+    ivf.upsert(full.filter(col("vec_id") < 20))
+    assert(canon(ivf.read.get.select("vec_id", "cell")) == before)
+  }
+
+  test("topKAdc parity: the MOR store's PQ probe equals the CoW store's after a mutation") {
+    val books = Pq.trainCodebooks(full, "embedding", "vec_id", m = 4, ksub = 16)
+    val morIvf = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, books = Some(books))
+    val cow = new IvfIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, idIndex = true, books = Some(books))
+    morIvf.upsert(full); cow.append(full)
+    val mutated = full.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    morIvf.upsert(mutated); cow.upsertEmbeddings(mutated)
+    for (qid <- Seq(7L, 123L)) {
+      val q = pts(qid.toInt)._2
+      val a = morIvf.topKAdc(q, 10, nprobe = 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val b = cow.topKAdc(q, 10, nprobe = 3).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(a.toSeq == b.toSeq, s"ADC probe mismatch for query $qid")
+      // rerank path too
+      val ar = morIvf.topKAdc(q, 5, nprobe = 3, rerank = 20)
+        .select("vec_id").as[Long].collect().toSeq
+      val br = cow.topKAdc(q, 5, nprobe = 3, rerank = 20)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(ar == br)
+    }
+  }
+
+  test("write amplification: a re-embed tick's GROSS bytes written, MOR vs CoW") {
+    // exact gross parquet bytes via task output metrics — dir-size
+    // deltas can't see bytes that compaction/vacuum reclaimed
+    val written = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          { written.addAndGet(te.taskMetrics.outputMetrics.bytesWritten); () }
+    }
+    val morIvf = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    val cow = new IvfIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, idIndex = true)
+    morIvf.upsert(full); cow.append(full)
+    val mutated = full.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+      .localCheckpoint(false)
+    spark.sparkContext.addSparkListener(l)
+    val (morBytes, cowBytes) = try {
+      written.set(0); morIvf.upsert(mutated); Thread.sleep(300)
+      val m = written.get()
+      written.set(0); cow.upsertEmbeddings(mutated); Thread.sleep(300)
+      (m, written.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+    info(s"10% hash-spread re-embed tick: MOR wrote $morBytes B, CoW wrote $cowBytes B " +
+      f"(${cowBytes.toDouble / morBytes}%.1fx)")
+    // the batch scatters across essentially every cell, so the CoW path
+    // rewrites most of the index while MOR appends the batch — the gap
+    // is the entire reason the MOR variant exists
+    assert(morBytes > 0 && cowBytes > morBytes * 2,
+      s"expected CoW ≫ MOR gross writes, got cow=$cowBytes mor=$morBytes")
+  }
+
+  test("a hash-spread re-embed tick appends O(batch) bytes — never rewrites the index") {
+    def dirBytes(p: java.io.File): Long =
+      if (p.isFile) p.length
+      else Option(p.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    val before = dirBytes(new java.io.File(root))
+    // 40 vectors re-embedded, scattered across essentially every cell —
+    // the CoW store would rewrite all touched cells' merged slices here
+    val mutated = full.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    ivf.upsert(mutated)
+    val delta = dirBytes(new java.io.File(root)) - before
+    assert(delta > 0 && delta < before / 2,
+      s"tick appended $delta bytes against $before of prior state — not O(batch)")
+  }
+}
