@@ -336,6 +336,18 @@ class PlanSpec extends SparkSpec {
     assert(at.contains("Window"), s"expected the per-conversion window:\n$at")
   }
 
+  test("doc perplexity probes a broadcast word-cost table; no shuffle join") {
+    val pp = planOf(SparkEntry.queries("sp_doc_perplexity")(spark, sf))
+    // the per-occurrence word→(cost, pieces) probe must broadcast the
+    // word-vocab-sized Viterbi table — a shuffled join here would ship
+    // the whole exploded corpus; the only corpus-keyed exchange is the
+    // final doc_id hash aggregate (partial+final)
+    assert(pp.contains("BroadcastHashJoin"), s"word-cost probe not broadcast:\n$pp")
+    assert(!pp.contains("SortMergeJoin"), s"unexpected shuffle join:\n$pp")
+    assert(pp.contains("partial_sum") || pp.contains("HashAggregate"),
+      s"expected hash aggregation:\n$pp")
+  }
+
   test("merge-on-read reconcile is a single key-window over unioned segments") {
     for (name <- Seq("m_merge_on_read", "m_join_view_incremental")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
