@@ -316,8 +316,10 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
   def compactHot(): Unit = {
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     val hot = man.collect { case (v, segs) if segs.length > compactSegments => v }.toSeq
-    if (hot.nonEmpty) compactPartitions(hot)
-    vacuum(keepManifests)
+    // vacuum only when compaction just unreferenced segments: garbage
+    // appears exactly when pointers are rewritten, so a quiet tick pays
+    // one manifest read here, never an O(segments) root listing
+    if (hot.nonEmpty) { compactPartitions(hot); vacuum(keepManifests) }
   }
 
   /** [[MergeSink]] binding: O(batch) append per tick + [[compactHot]] —
