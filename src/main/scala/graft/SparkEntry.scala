@@ -2990,6 +2990,26 @@ object SparkEntry {
           col("oov_words"), col("n_words"), col("avg_piece_cost_micro"))
     }),
 
+    "source_lm_quality" -> ((s, d) => {
+      // per-SOURCE LM quality (the CCNet corpus-bucketing signal):
+      // docPerplexity aggregated at source grain — exact micro-nat
+      // sums, OOV and doc counts; sources rank by mean per-piece cost.
+      // Same %25 doc subset and vocabulary as sp_doc_perplexity.
+      val sub = Tables.documents(s, d).filter(col("doc_id") % 25 === 0)
+      val pp = graft.llm.Unigram.docPerplexity(sub, "text", "doc_id",
+        unigramSeedVocab(s, d), maxPieceLen = 4, maxWordLen = 16)
+      sub.select(col("doc_id"), col("source"))
+        .join(pp, Seq("doc_id"))
+        .groupBy("source")
+        .agg(sum("total_cost_micro").as("total_cost_micro"),
+             sum("n_pieces").as("n_pieces"),
+             sum("oov_words").as("oov_words"),
+             sum("n_words").as("n_words"),
+             count(lit(1)).as("n_docs"))
+        .withColumn("avg_piece_cost_micro",
+          round(col("total_cost_micro") / col("n_pieces"), 6))
+    }),
+
     "sp_encode_ids" -> ((s, d) => {
       // stage 4: corpus → unigram token ids. Each document word
       // expands to its Viterbi pieces; ids number the EM-recounted
@@ -5411,6 +5431,21 @@ object SparkEntry {
          |  count(*) AS n_words,
          |  round(CAST(sum(cost) AS DOUBLE) / sum(np), 6) AS avg_piece_cost_micro
          |FROM pj GROUP BY 1""".stripMargin,
+
+    "source_lm_quality" ->
+      s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
+         |qdw AS (SELECT doc_id, source, unnest(ws) AS word
+         |        FROM (SELECT doc_id, source,
+         |                list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\\s+'), x -> x <> '') AS ws
+         |              FROM documents WHERE doc_id % 25 = 0)),
+         |qj AS (SELECT d.doc_id, d.source, s.cost, s.np FROM qdw d LEFT JOIN useg s USING (word))
+         |SELECT source, CAST(sum(cost) AS BIGINT) AS total_cost_micro,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN cost IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_words,
+         |  count(*) AS n_words,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(cost) AS DOUBLE) / sum(np), 6) AS avg_piece_cost_micro
+         |FROM qj GROUP BY 1""".stripMargin,
 
     "sp_encode_ids" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
