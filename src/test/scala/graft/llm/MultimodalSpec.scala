@@ -197,6 +197,38 @@ class MultimodalSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("videoMeta: 64-bit largesize and to-end (size=0) boxes parse; truncated largesize fails soft") {
+    val base = Multimodal.fakeMp4(600, 1200, Seq((320, 240))) // 2000 ms
+    val ftypLen = java.nio.ByteBuffer.wrap(base.take(4)).getInt
+    val ftyp = base.take(ftypLen)
+    val moov = base.drop(ftypLen) // [size:4]["moov"][content]
+    val moovContent = moov.drop(8)
+    // re-wrap moov with a 64-bit largesize header: size=1, type, u64 size
+    def largesize(content: Array[Byte], typ: String): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16 + content.length)
+      bb.putInt(1).put(typ.getBytes("US-ASCII")).putLong(16L + content.length).put(content)
+      bb.array()
+    }
+    // to-end moov: size=0 means the box extends to EOF
+    val toEnd = {
+      val bb = java.nio.ByteBuffer.allocate(8 + moovContent.length)
+      bb.putInt(0).put("moov".getBytes("US-ASCII")).put(moovContent)
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, ftyp ++ largesize(moovContent, "moov")),
+      (2L, ftyp ++ toEnd),
+      // largesize header truncated mid-u64: the walk must stop, honest fail
+      (3L, ftyp ++ Array[Byte](0, 0, 0, 1) ++ "moov".getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 0))).toDF("media_id", "content")
+    val out = Multimodal.videoMeta(spark, rows).collect().map(r => r.media_id -> r).toMap
+    assert(out(1L).decoded && out(1L).duration_ms.contains(2000L) &&
+      out(1L).width.contains(320) && out(1L).height.contains(240))
+    assert(out(2L).decoded && out(2L).duration_ms.contains(2000L) &&
+      out(2L).track_count.contains(1))
+    assert(!out(3L).decoded)
+  }
+
   test("frameSampleIndexes explodes every-Nth frame indexes") {
     val vids = Seq((1L, 2.0)).toDF("media_id", "duration_sec") // 2s @ 10fps = frames 0..19
     val out = Multimodal.frameSampleIndexes(vids, fps = 10.0, "duration_sec", everyNth = 5)
