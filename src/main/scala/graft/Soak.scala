@@ -162,9 +162,10 @@ object Soak {
 
   /** Materialize the N× replica tables (idempotent: skips if present). */
   def generate(spark: SparkSession, base: String, out: String, x: Int): Unit = {
-    if (new java.io.File(s"$out/documents.parquet").exists &&
-        new java.io.File(s"$out/embeddings.parquet").exists &&
-        new java.io.File(s"$out/events.parquet").exists) return
+    // same marker-keyed idempotency as [[generateTpch]] — the probe
+    // must not be satisfiable by a partially-written fixture
+    val marker = new java.io.File(s"$out/_SOAK_SUCCESS")
+    if (marker.exists) return
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -207,6 +208,7 @@ object Soak {
     }.reduce(_.unionByName(_))
     evReplicas.repartition(32).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
+    marker.createNewFile()
     println(s"[soak] generated ${x}x replicas of $base ($nDocs docs/replica) at $out")
   }
 
@@ -219,8 +221,12 @@ object Soak {
     * small dims shared by every replica (c_nationkey unshifted) —
     * replicating them would change the join shape, not the scale. */
   def generateTpch(spark: SparkSession, base: String, out: String, x: Int): Unit = {
-    if (new java.io.File(s"$out/lineitem.parquet").exists &&
-        new java.io.File(s"$out/orders.parquet").exists) return
+    // idempotency keys on an explicit marker written AFTER the last
+    // table — probing lineitem+orders alone leaves a window where a
+    // crash after them but before nation/region yields a fixture
+    // every later run treats as complete
+    val marker = new java.io.File(s"$out/_SOAK_SUCCESS")
+    if (marker.exists) return
     val off = 10_000_000L
     def rep(table: String, keyCols: Seq[String], files: Int): Unit = {
       val df = spark.read.parquet(s"$base/$table.parquet")
@@ -238,6 +244,7 @@ object Soak {
       spark.read.parquet(s"$base/$t.parquet").coalesce(1)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    marker.createNewFile()
     println(s"[soak] generated ${x}x TPC-H replicas of $base at $out")
   }
 }

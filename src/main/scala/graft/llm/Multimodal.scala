@@ -363,8 +363,12 @@ object Multimodal {
         if (o + 16 > end) return out.toSeq
         sz = beLong(b, o + 8); hdr = 16L
       } else if (sz32 == 0L) sz = (end - o).toLong
+      // a crafted 64-bit largesize near 2^63 overflows `o + sz` to a
+      // negative `next` that passes `next > end` and jumps the walk
+      // backwards on toInt — `next <= o` rejects any non-advancing or
+      // wrapped offset, restoring the strict-progress contract
       val next = o.toLong + sz
-      if (sz < hdr || next > end) return out.toSeq
+      if (sz < hdr || next <= o || next > end) return out.toSeq
       out += ((typ, (o + hdr).toInt, next.toInt))
       o = next.toInt
     }

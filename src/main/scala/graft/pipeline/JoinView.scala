@@ -268,13 +268,11 @@ object JoinView {
           // the tombstone side must carry the view's cursor when the
           // store reconciles by one (applyDelta requires it): the fact
           // CDF pre-image carries every fact column, so select it
-          // through; a cursor the CDF somehow lacks defaults to NULL
-          // (desc_nulls_last — the tombstone then loses only to
-          // cursored versions, never crashes the tick)
-          val delCols = ((view.partitionCol +: factKeys) ++ view.cursorField).distinct
-          val avail = dels.columns.toSet
-          view.applyDelta(joined, dels.select(delCols.map(c =>
-            if (avail.contains(c)) col(c) else lit(null).as(c)): _*))
+          // through. A missing cursor FAILS the tick (see
+          // [[tombstoneCols]]) rather than silently dropping the delete.
+          val delCols = tombstoneCols(view.partitionCol, factKeys,
+            view.cursorField, dels.columns.toSet)
+          view.applyDelta(joined, dels.select(delCols.map(col): _*))
         case None => view.appendDelta(joined)
       }
     }
@@ -287,6 +285,25 @@ object JoinView {
     if (refresh.nonEmpty) view.compactHot()
     writeFoldedAll(spark, viewRoot, f1 +: d1s)
     f1 +: d1s
+  }
+
+  /** Columns a fact-delete tombstone must ship to the view store,
+    * REQUIRING every one of them present on the delete side. Under
+    * desc_nulls_last a NULL-cursor tombstone loses to any live
+    * cursored view row — the delete would silently never land, a
+    * ghost row in a view whose headline contract is exactness — so a
+    * fact CDF that lacks the cursor fails the tick loudly instead of
+    * substituting NULL. */
+  private[graft] def tombstoneCols(partitionCol: String, factKeys: Seq[String],
+                                   cursorField: Option[String],
+                                   available: Set[String]): Seq[String] = {
+    val delCols = ((partitionCol +: factKeys) ++ cursorField).distinct
+    val missing = delCols.filterNot(available.contains)
+    require(missing.isEmpty,
+      s"fact CDF delete side lacks column(s) ${missing.mkString(", ")} " +
+        "required to order tombstones against live view rows; " +
+        "refusing the tick rather than silently dropping the delete")
+    delCols
   }
 
   /** The dim-touched fact slice: fact rows referencing a changed dim

@@ -444,18 +444,38 @@ object StreamOps {
     * without, each job a scheduler round-trip of pure fixed cost. At
     * real batch sizes the tick's shuffles are still bounded by the
     * batch, not the table, so the static plan stays the right one. */
+  // tickConf reentrancy state: concurrent ticks (or a tick nested in a
+  // tick) share the default session, so a naive save/flip/restore can
+  // capture 'false' as the previous value and leave AQE permanently
+  // off. Depth-counted under a lock: the OUTERMOST entry captures,
+  // the outermost exit restores; inner ticks are no-ops.
+  private[this] val tickLock = new Object
+  private[this] var tickDepth = 0
+  private[this] var tickSaved: Seq[(org.apache.spark.sql.SparkSession, String)] = Nil
+
   private[graft] def tickConf[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     if (sys.env.contains("GRAFT_TICK_AQE_KEEP")) return body // A/B escape hatch
     // a foreachBatch body sees TWO sessions: the micro-batch CLONE
     // (batch.sparkSession) and the outer session the stores were
     // constructed against — actions go through whichever session owns
     // the DataFrame, so the flag must flip on both
-    val sessions = (Seq(spark) ++
-      org.apache.spark.sql.SparkSession.getDefaultSession.toSeq).distinct
     val key = "spark.sql.adaptive.enabled"
-    val prevs = sessions.map(s => s -> s.conf.get(key))
-    sessions.foreach(_.conf.set(key, "false"))
-    try body finally prevs.foreach { case (s, v) => s.conf.set(key, v) }
+    tickLock.synchronized {
+      if (tickDepth == 0) {
+        val sessions = (Seq(spark) ++
+          org.apache.spark.sql.SparkSession.getDefaultSession.toSeq).distinct
+        tickSaved = sessions.map(s => s -> s.conf.get(key))
+        sessions.foreach(_.conf.set(key, "false"))
+      }
+      tickDepth += 1
+    }
+    try body finally tickLock.synchronized {
+      tickDepth -= 1
+      if (tickDepth == 0) {
+        tickSaved.foreach { case (s, v) => s.conf.set(key, v) }
+        tickSaved = Nil
+      }
+    }
   }
 
   /** One tick of [[maintainRollupCdf]]: upsert, widen the CDF range

@@ -229,6 +229,31 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(3L).decoded)
   }
 
+  test("videoMeta: crafted largesize near 2^63 cannot wrap the walk backwards (no hang)") {
+    val base = Multimodal.fakeMp4(600, 1200, Seq((320, 240)))
+    val ftypLen = java.nio.ByteBuffer.wrap(base.take(4)).getInt
+    val ftyp = base.take(ftypLen)
+    // size=1 box whose u64 largesize is 2^63-8: o + sz overflows Long to
+    // a negative `next` that passes `next > end` — the walk must stop
+    // (honest partial), not cycle or emit garbage bounds
+    def evil(sz: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+      bb.putInt(1).put("moov".getBytes("US-ASCII")).putLong(sz)
+      bb.put(Array.fill[Byte](16)(0x41))
+      bb.array()
+    }
+    val rows = Seq(
+      (1L, ftyp ++ evil(Long.MaxValue - 7L)), // overflow wrap
+      (2L, ftyp ++ evil(Long.MinValue)),      // negative sz (< hdr guard)
+      (3L, ftyp ++ evil(16L))                 // exact-header box: advances, parse fails soft
+    ).toDF("media_id", "content")
+    val fut = scala.concurrent.Future(
+      Multimodal.videoMeta(spark, rows).collect())(scala.concurrent.ExecutionContext.global)
+    val out = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(60, "s"))
+      .map(r => r.media_id -> r).toMap
+    assert(out.values.forall(!_.decoded))
+  }
+
   test("frameSampleIndexes explodes every-Nth frame indexes") {
     val vids = Seq((1L, 2.0)).toDF("media_id", "duration_sec") // 2s @ 10fps = frames 0..19
     val out = Multimodal.frameSampleIndexes(vids, fps = 10.0, "duration_sec", everyNth = 5)

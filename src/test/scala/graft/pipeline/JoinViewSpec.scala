@@ -92,6 +92,20 @@ class JoinViewSpec extends SparkSpec {
     assert(rows == Seq((2L, 60.0, "silver")))
   }
 
+  test("tombstone column selection FAILS LOUDLY when the delete side lacks the cursor") {
+    // under desc_nulls_last a NULL-cursor tombstone loses to any live
+    // cursored row — the delete would silently never land. The tick
+    // must refuse instead of substituting NULL.
+    val ok = JoinView.tombstoneCols("p", Seq("id"), Some("ts"), Set("p", "id", "ts", "v"))
+    assert(ok == Seq("p", "id", "ts"))
+    val e = intercept[IllegalArgumentException] {
+      JoinView.tombstoneCols("p", Seq("id"), Some("ts"), Set("p", "id", "v"))
+    }
+    assert(e.getMessage.contains("ts") && e.getMessage.contains("refusing the tick"))
+    // a cursor-less view never demands one
+    assert(JoinView.tombstoneCols("p", Seq("id"), None, Set("p", "id")) == Seq("p", "id"))
+  }
+
   test("long-running view: segment fan-in stays bounded by compaction (30 ticks)") {
     // every tick appends a delta segment; without the post-fold
     // compactHot() cadence a long-lived view's read fan-in grows one

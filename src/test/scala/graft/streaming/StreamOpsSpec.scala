@@ -307,4 +307,27 @@ class StreamOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("tickConf is reentrant: nested and concurrent ticks restore AQE exactly once") {
+    val key = "spark.sql.adaptive.enabled"
+    spark.conf.set(key, "true") // pin the fixture regardless of suite order
+    // nested: the inner tick must NOT capture 'false' as prev
+    StreamOps.tickConf(spark) {
+      assert(spark.conf.get(key) == "false")
+      StreamOps.tickConf(spark) { assert(spark.conf.get(key) == "false") }
+      // inner exit must not restore early — still inside the outer tick
+      assert(spark.conf.get(key) == "false")
+    }
+    assert(spark.conf.get(key) == "true")
+    // concurrent: two threads racing ticks; flag ends restored
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to 8).map(_ => Future {
+      StreamOps.tickConf(spark) {
+        assert(spark.conf.get(key) == "false"); Thread.sleep(5)
+      }
+    })
+    Await.result(Future.sequence(fs), scala.concurrent.duration.Duration(60, "s"))
+    assert(spark.conf.get(key) == "true")
+  }
 }
