@@ -100,6 +100,35 @@ object Bench {
     if (warmupFailures > 0)
       System.err.println(s"[bench] WARNING: $warmupFailures/${queries.size} " +
         s"warmup queries failed against $warmupDir — timings include cold compilation")
+    // Ambient self-calibration: the official run is a single full-suite
+    // pass on a box whose load drifts round-to-round (r14 ran ~1.44×
+    // slower than r13 by the after-the-fact text_bigram_nll sentinel,
+    // and needed a forensic SCALE_SOAK addendum to say so). So measure
+    // 2–3 NEVER-TOUCHED queries first and last in every run and emit
+    // them in the JSON — BENCH_rN becomes self-attributing: cross-round
+    // drift on the sentinels = environment; a swing a sentinel doesn't
+    // share = real. Sentinel passes are excluded from the headline
+    // total (the same queries still run, timed, in the main loop).
+    val sentinelNames =
+      Seq("q1_agg", "dedup_exact", "text_bigram_nll").filter(queries.contains)
+    def timeSentinels(tag: String): Seq[(String, Double)] =
+      sentinelNames.map { name =>
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          spark.sparkContext.setJobGroup(s"ambient.$tag.$name", name)
+          try queries(name)(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ambient $tag $name FAILED: ${e.getMessage}")
+          } finally spark.sparkContext.clearJobGroup()
+          val sec = (System.nanoTime() - t0) / 1e9
+          stageAppend(s"ambient.$tag.$name", "pass_wall", sec)
+          sec
+        }
+        val m = math.min(pass(), pass()) // min-of-two, same as the suite
+        try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => }
+        (name, m)
+      }
+    val ambientFirst = timeSentinels("first")
     // failures are explicit: a failed query is listed in "failed" and its
     // time is excluded from the headline (no silent -1L masking);
     // name-sorted order keeps timings attributable across runs.
@@ -141,6 +170,20 @@ object Bench {
     // per-query two-pass detail goes to BENCH_FULL.json for the judge.
     def r2(v: Double): String = f"$v%.2f"
     def r3(v: Double): String = f"$v%.3f"
+    val ambientLast = timeSentinels("last")
+    // intra-run drift: median of last/first per sentinel (median, not
+    // max — one sentinel hitting a GC pause shouldn't brand the run)
+    val ambientDrift = {
+      val ratios = ambientFirst.zip(ambientLast).collect {
+        case ((_, f), (_, l)) if f > 0 => l / f
+      }.sorted
+      if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    }
+    val ambientJson = {
+      def m(xs: Seq[(String, Double)]) =
+        xs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+      s"""{"first":${m(ambientFirst)},"last":${m(ambientLast)},"intra_run_drift":${r2(ambientDrift)}}"""
+    }
     val ok = results.filter(_._5)
     val slow = ok.sortBy(-_._2).take(30).sortBy(_._1)
     val fast = ok.sortBy(-_._2).drop(30)
@@ -152,16 +195,16 @@ object Bench {
     val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val detail = results.map { case (k, v, t1, t2, okQ) =>
+    val detail = (results.map { case (k, v, t1, t2, okQ) =>
       s"""  "$k":{"min":${r3(v)},"passes":[${r3(t1)},${r3(t2)}],"ok":$okQ}"""
-    }.mkString("{\n", ",\n", "\n}")
+    } :+ s"""  "__ambient":$ambientJson""").mkString("{\n", ",\n", "\n}")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"fast_rest":$fastSummary,"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"fast_rest":$fastSummary,"ambient":$ambientJson,"failed":$failed,"detail":"$detailPath","sf":"$sfDir"}""")
     Thread.sleep(1000) // let the async listener bus drain its last job rows
     spark.stop()
   }
