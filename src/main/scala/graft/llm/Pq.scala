@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   *  - the codebooks are m·ksub·(d/m) floats — KBs; they broadcast as
   *    plan literals, never shuffle;
   *  - [[encode]] and [[adcMicroScore]] are NARROW codegen'd column
-  *    expressions (argmin over an array of native-dot distances — the
-  *    same O(k) array_position(array_min) shape as IVF's cellOf, never
-  *    a k-deep re-evaluating when-chain): the encode pass is
-  *    exchange-free map work, and an ADC scan reads the 8-byte codes
-  *    instead of the 256-byte vectors — at corpus scale the scan is
-  *    bandwidth-bound, so that 32× is the wall-clock;
+  *    expressions — native Catalyst expressions holding the codebooks
+  *    as a plan reference object ([[graft.functions.PqIvfOps]]), so
+  *    generated code stays O(1) in m·ksub and never trips janino's
+  *    64 KB method limit: the encode pass is exchange-free map work,
+  *    and an ADC scan reads the 8-byte codes instead of the 256-byte
+  *    vectors — at corpus scale the scan is bandwidth-bound, so that
+  *    32× is the wall-clock;
   *  - ADC scores are INTEGER micro-distances (floor(d·1e6 + 0.5), the
   *    same micro-quantization the NLL family uses) so the per-subspace
   *    sum is order-independent and bit-identical across engines;
@@ -48,31 +49,25 @@ object Pq {
     def dsub: Int = cb.head.head.length
   }
 
-  /** Squared L2 distance between a subvector column and a centroid
-    * literal, composed EXACTLY as the oracle composes it. */
-  private def distExpr(v: Column, c: Array[Float]): Column = {
-    val cl = VectorOps.floatVectorLit(c)
-    VectorOps.vectorDot(v, v) - lit(2.0d) * VectorOps.vectorDot(v, cl) +
-      VectorOps.vectorDot(cl, cl)
-  }
-
   /** 1-based slice of subspace j (Spark's `slice` convention). */
   private def sub(emb: Column, j: Int, dsub: Int): Column =
     slice(emb, j * dsub + 1, dsub)
 
   /** Code of subspace j: argmin distance over the ksub centroids, ties
-    * to the lowest code (array_position finds the FIRST minimum;
-    * `ORDER BY dist ASC, c ASC` in the oracle). */
-  def subCode(emb: Column, j: Int, books: Codebooks): Column = {
-    val v = sub(emb, j, books.dsub)
-    val dists = array(books.cb(j).map(c => distExpr(v, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+    * to the lowest code (`ORDER BY dist ASC, c ASC` in the oracle).
+    * One lookup into the full code word — callers coding several
+    * subspaces should bind [[encode]] once. */
+  def subCode(emb: Column, j: Int, books: Codebooks): Column =
+    element_at(encode(emb, books), j + 1)
 
-  /** The full code word as array<int> of length m — one narrow
-    * expression, no shuffle, no explode. */
+  /** The full code word as array<int> of length m — one narrow NATIVE
+    * expression ([[graft.functions.PqIvfOps.pqEncode]], codebooks as a
+    * plan reference object), no shuffle, no explode. The previous
+    * literal-tree form (m·ksub distance subtrees inlined) tripped
+    * janino's 64 KB method limit once composed with the IVF cell in
+    * one projection, silently de-codegen-ing the index-build stage. */
   def encode(emb: Column, books: Codebooks): Column =
-    array((0 until books.m).map(j => subCode(emb, j, books)): _*)
+    graft.functions.PqIvfOps.pqEncode(emb, books.cb)
 
   /** Train per-subspace codebooks with the engine-neutral rule: seeds
     * are the subvectors of the `ksub` lowest-id corpus rows; one Lloyd
@@ -91,11 +86,15 @@ object Pq {
     val seedBooks = Codebooks(Array.tabulate(m, ksub)((j, c) =>
       seeds(c).slice(j * dsub, (j + 1) * dsub)))
 
-    // one Lloyd step: skinny (subspace, code, pos, component) aggregate
-    val subRows = embs.select(explode(array((0 until m).map(j =>
-      struct(lit(j).as("s"),
-        subCode(col(embCol), j, seedBooks).as("c"),
-        sub(col(embCol), j, dsub).as("v"))): _*)).as("sv"))
+    // one Lloyd step: skinny (subspace, code, pos, component) aggregate.
+    // The code word binds ONCE per row (one native encode) and each
+    // subspace struct reads its element — not m independent argmin trees
+    val subRows = embs
+      .select(col(embCol), encode(col(embCol), seedBooks).as("__codes"))
+      .select(explode(array((0 until m).map(j =>
+        struct(lit(j).as("s"),
+          element_at(col("__codes"), j + 1).as("c"),
+          sub(col(embCol), j, dsub).as("v"))): _*)).as("sv"))
       .select(col("sv.s").as("s"), col("sv.c").as("c"), col("sv.v").as("v"))
     val comps = subRows
       .select(col("s"), col("c"), posexplode(col("v")).as(Seq("p", "x")))
@@ -132,24 +131,16 @@ object Pq {
     * the sum of the m table lookups on the vector's codes — a narrow
     * integer expression over the code word, no shuffle, exchange-free
     * until the final top-k. */
-  def adcMicroScore(emb: Column, books: Codebooks, query: Array[Float]): Column = {
-    val micro = queryMicroDists(query, books)
-    (0 until books.m).map { j =>
-      val tbl = array(micro(j).map(lit): _*)
-      element_at(tbl, subCode(emb, j, books) + 1)
-    }.reduce(_ + _)
-  }
+  def adcMicroScore(emb: Column, books: Codebooks, query: Array[Float]): Column =
+    graft.functions.PqIvfOps.adcFromCodes(
+      encode(emb, books), queryMicroDists(query, books))
 
   /** ADC score over a STORED code word (array<int> of length m) — the
     * scan shape of a persisted code table: no vector column is
     * touched, parquet column pruning reads the 8-byte codes only. */
   def adcMicroScoreFromCodes(codes: Column, books: Codebooks,
-                             query: Array[Float]): Column = {
-    val micro = queryMicroDists(query, books)
-    (0 until books.m).map { j =>
-      element_at(array(micro(j).map(lit): _*), element_at(codes, j + 1) + 1)
-    }.reduce(_ + _)
-  }
+                             query: Array[Float]): Column =
+    graft.functions.PqIvfOps.adcFromCodes(codes, queryMicroDists(query, books))
 
   /** IVF-PQ (the FAISS IndexIVFPQ composition, non-residual form):
     * coarse quantization picks the nprobe cells nearest the query, ADC

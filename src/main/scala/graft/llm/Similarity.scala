@@ -186,21 +186,21 @@ object Similarity {
 
   /** Nearest-centroid cell id (argmax cosine over the k centroids).
     *
-    * Built as ONE array of k cosines with the argmax read off via
-    * `array_position(a, array_max(a))` — an O(k) expression tree. The
-    * previous k-deep `when` chain re-referenced all k cosines per branch;
-    * projection collapse inlined them into O(k²) generated code that
-    * stopped compiling near k≈64 (real IVF wants k≈√N, thousands).
-    * Ties (exactly equal cosines) resolve to the lowest cell, matching
-    * `ORDER BY cos DESC, cell ASC` in any replicating engine. Degenerate
-    * vectors (zero-norm / NULL elements → NULL cosine everywhere) land in
-    * cell -1: indexed but never probed, instead of poisoning the pipeline
+    * A native expression with the centroids as a plan REFERENCE OBJECT
+    * ([[graft.functions.PqIvfOps.ivfCell]]) — generated code is O(1)
+    * in k. The two earlier forms both hit janino's 64 KB method limit
+    * as k grew: the round-2 k-deep `when` chain at k≈64 (projection
+    * collapse made it O(k²)), then the O(k) `array_position(a,
+    * array_max(a))` array-of-cosines once composed with PQ encode in
+    * one projection (real IVF wants k≈√N, thousands — inlining k·d
+    * literals can never hold). Semantics unchanged: ties (exactly
+    * equal cosines) resolve to the lowest cell, matching `ORDER BY cos
+    * DESC, cell ASC` in any replicating engine; degenerate vectors
+    * (zero-norm / NULL elements → NULL cosine everywhere) land in cell
+    * -1 — indexed but never probed, instead of poisoning the pipeline
     * with NULL cells. */
-  def cellOf(emb: Column, centroids: Array[Array[Float]]): Column = {
-    val arr = array(centroids.map(c =>
-      VectorOps.vectorCosine(emb, VectorOps.floatVectorLit(c))): _*)
-    coalesce((array_position(arr, array_max(arr)) - 1).cast("int"), lit(-1))
-  }
+  def cellOf(emb: Column, centroids: Array[Array[Float]]): Column =
+    graft.functions.PqIvfOps.ivfCell(emb, centroids)
 
   /** Persistable IVF index: input + cell column. At scale, write
     * partitioned by `cell` so probes read only nprobe partitions. */
