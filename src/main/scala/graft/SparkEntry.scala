@@ -2489,6 +2489,27 @@ object SparkEntry {
       ivf.topK(q, 10, nprobe = 3).withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_ivf_retrain" -> ((s, d) => {
+      // CENTROID RE-TRAIN migration: build the MOR store under k=8
+      // centroids, then retrain to a k=4 set (same engine-neutral
+      // lowest-id-seed + one-Lloyd-step rule) — every residence
+      // migrates in one crash-safe O(index) pass reusing the superset
+      // contract, and the layout switch is intent-guarded. The oracle
+      // knows nothing of the migration: it replays assignment + probe
+      // purely under the NEW centroids, so any ghost/lost residence
+      // hash-mismatches.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val c8 = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val tmp = scratchDir("ivf_retrain")
+      val ivf = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx", "embedding", "vec_id", c8)
+      ivf.upsert(e)
+      val c4 = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 4)
+      val migrated = ivf.retrain(c4)
+      migrated.topK(q, 10, nprobe = 2).withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     "ann_recall" -> ((s, d) => {
       // measured ANN quality: recall@10 of the LSH and IVF indexes against
       // the exact brute-force top-10, as hashed result rows — the oracle
@@ -3008,6 +3029,22 @@ object SparkEntry {
              count(lit(1)).as("n_docs"))
         .withColumn("avg_piece_cost_micro",
           round(col("total_cost_micro") / col("n_pieces"), 6))
+    }),
+
+    "classify_quality_trained" -> ((s, d) => {
+      // TRAINED quality gate (CCNet/fastText-style, Wenzek et al. LREC
+      // 2020): hashed-unigram features + a least-squares linear
+      // classifier, 3 full-batch gradient rounds, seed labels from the
+      // lang='en' proxy (the wiki-vs-crawl shape). Squared loss keeps
+      // the whole training replayable in pure arithmetic — the oracle
+      // re-runs ALL THREE rounds (unrolled CTEs) and the final scores;
+      // every cross-row sum is micro-quantized so partitioning can
+      // never flip a bit. Scores are integer micro-margins; hq is the
+      // 0.5-threshold keep/drop decision the curation funnel composes.
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      graft.llm.QualityLr.score(docs, "doc_id", "text", model)
     }),
 
     "sp_encode_ids" -> ((s, d) => {
@@ -4741,10 +4778,14 @@ object SparkEntry {
 
   /** CTEs replaying IVF: lowest-id seeds, one Lloyd step, reassignment,
     * nprobe=3 probe cells. Expects `emb` and `q` CTEs in scope. */
-  private def ivfCtes: String =
+  private def ivfCtes: String = ivfCtesK(k = 8, nprobe = 3)
+
+  /** [[ivfCtes]] parameterized by centroid count and probe width — the
+    * retrain oracle replays the SAME training rule at a different k. */
+  private def ivfCtesK(k: Int, nprobe: Int): String =
     s"""seed AS (
        |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, e AS c
-       |  FROM emb ORDER BY vec_id ASC LIMIT 8),
+       |  FROM emb ORDER BY vec_id ASC LIMIT $k),
        |assign0 AS (
        |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
        |  FROM (SELECT emb.vec_id, emb.e, seed.cell, ${cosSql("e", "c")} AS cos
@@ -4772,7 +4813,7 @@ object SparkEntry {
        |probe AS (
        |  SELECT cell FROM refined, q
        |  ORDER BY ${cosSql("c", "qe")} DESC, cell ASC
-       |  LIMIT 3),
+       |  LIMIT $nprobe),
        |ivf_cand AS (SELECT a1.vec_id, a1.e FROM a1 WHERE a1.cell IN (SELECT cell FROM probe))""".stripMargin
 
   private def topkSql(candCte: String): String =
@@ -5446,6 +5487,60 @@ object SparkEntry {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  round(CAST(sum(cost) AS DOUBLE) / sum(np), 6) AS avg_piece_cost_micro
          |FROM qj GROUP BY 1""".stripMargin,
+
+    // replays the ENTIRE training: 3 unrolled full-batch gradient
+    // rounds (least-squares linear model over hashed-unigram term
+    // frequencies, lr=0.5, 64 buckets, y = lang='en'), then the final
+    // micro-margin scores. Micro-quantization (floor(v*1e6+0.5) summed
+    // as BIGINT) makes every sum order-independent; weight updates are
+    // plain double arithmetic with the same association as the engine.
+    "classify_quality_trained" ->
+      """WITH docs0 AS (
+        |  SELECT doc_id, lower(trim(coalesce(text, ''))) AS t,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, y,
+        |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\s+')) AS tk FROM docs0)),
+        |nb AS (SELECT doc_id, count(*) AS nb FROM tok GROUP BY doc_id),
+        |feat AS (
+        |  SELECT doc_id, y, b, 1.0 / sqrt(CAST(nb AS DOUBLE)) AS x
+        |  FROM tok JOIN nb USING (doc_id)),
+        |nn AS (SELECT count(*) AS n FROM docs0),
+        |g1 AS (SELECT b, CAST(SUM(CAST(FLOOR((0.0 - y) * x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |       FROM feat GROUP BY b),
+        |gb1 AS (SELECT CAST(SUM(CAST(FLOOR((0.0 - y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM docs0),
+        |w1 AS (SELECT b, 0.0 - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS w FROM g1),
+        |b1 AS (SELECT 0.0 - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb1),
+        |m2 AS (SELECT f.doc_id, f.y,
+        |              CAST(SUM(CAST(FLOOR(f.x * coalesce(w1.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |                + CAST(FLOOR((SELECT bias FROM b1) * 1000000.0 + 0.5) AS BIGINT) AS mm
+        |       FROM feat f LEFT JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
+        |e2 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m2),
+        |g2 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e2.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |       FROM feat f JOIN e2 USING (doc_id) GROUP BY f.b),
+        |gb2 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e2),
+        |w2 AS (SELECT b, w1.w - 0.7 * g2.g / (1000000.0 * (SELECT n FROM nn)) AS w
+        |       FROM w1 JOIN g2 USING (b)),
+        |b2 AS (SELECT (SELECT bias FROM b1) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb2),
+        |m3 AS (SELECT f.doc_id, f.y,
+        |              CAST(SUM(CAST(FLOOR(f.x * coalesce(w2.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |                + CAST(FLOOR((SELECT bias FROM b2) * 1000000.0 + 0.5) AS BIGINT) AS mm
+        |       FROM feat f LEFT JOIN w2 USING (b) GROUP BY f.doc_id, f.y),
+        |e3 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m3),
+        |g3 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e3.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |       FROM feat f JOIN e3 USING (doc_id) GROUP BY f.b),
+        |gb3 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e3),
+        |w3 AS (SELECT b, w2.w - 0.7 * g3.g / (1000000.0 * (SELECT n FROM nn)) AS w
+        |       FROM w2 JOIN g3 USING (b)),
+        |b3 AS (SELECT (SELECT bias FROM b2) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb3)
+        |SELECT f.doc_id,
+        |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
+        |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT)) > 500000 AS hq
+        |FROM feat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id""".stripMargin,
 
     "sp_encode_ids" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},
@@ -6315,6 +6410,14 @@ object SparkEntry {
          |ma1 AS (SELECT vec_id, e, cell FROM massign WHERE rn = 1),
          |mcand AS (SELECT ma1.vec_id, ma1.e FROM ma1 WHERE ma1.cell IN (SELECT cell FROM probe))
          |${topkSql("mcand")}""".stripMargin,
+
+    // the migrated index must be INDISTINGUISHABLE from a fresh k=4
+    // build: replay the same training rule at k=4, assign, probe top-2
+    "ann_ivf_retrain" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |${ivfCtesK(k = 4, nprobe = 2)}
+         |${topkSql("ivf_cand")}""".stripMargin,
 
     "ann_recall" ->
       s"""WITH $lshCandidateCtes,

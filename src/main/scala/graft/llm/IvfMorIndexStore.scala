@@ -36,13 +36,77 @@ import org.apache.spark.sql.functions.{abs, broadcast, col, lit, pmod, xxhash64}
   *     ([[MorStore.readPartitions]]), read amplification bounded by the
   *     post-tick [[MorStore.compactHot]] cadence.
   *
-  * Centroids are frozen at construction, exactly as in the CoW store.
+  * Centroids are frozen at construction — and, because the cell layout
+  * they induce IS the on-disk format, their fingerprint is STAMPED at
+  * the root (`_centroids`, the [[MinhashIndexStore]] format-stamp
+  * discipline): opening a stamped store with different centroids
+  * refuses instead of silently probing the wrong cells. A production
+  * index periodically re-trains its centroids; [[retrain]] migrates
+  * every residence in one crash-safe O(index) pass reusing the
+  * superset-table contract — see its doc for the recovery protocol.
   */
 final class IvfMorIndexStore(spark: SparkSession, root: String,
                              embCol: String, idCol: String,
                              centroids: Array[Array[Float]],
                              books: Option[Pq.Codebooks] = None) {
   require(centroids.nonEmpty, "IvfMorIndexStore needs at least one centroid")
+
+  private val fp = IvfMorIndexStore.centroidFingerprint(centroids)
+  private val StampFile = "_centroids"
+  private val IntentFile = "_retrain_intent"
+  @volatile private var stampChecked = false
+
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def marker(name: String) =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), name)
+
+  private def readMarker(name: String): Option[String] = {
+    val p = marker(name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
+  }
+
+  private def writeMarker(name: String, content: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    fs.mkdirs(rootP)
+    val tmp = new org.apache.hadoop.fs.Path(rootP, s"._tmp_$name")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val dst = marker(name)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst) && !fs.exists(dst))
+      throw new java.io.IOException(s"failed to write $name at $root")
+  }
+
+  /** The stamp state machine: no intent + no stamp → stamp this
+    * handle's fingerprint (new store, or adoption of a pre-stamp store
+    * whose layout is this handle's claim going forward); no intent +
+    * matching stamp → fine; mismatched stamp → refuse; an intent
+    * marker present → an interrupted [[retrain]] left the layout
+    * indeterminate, so EVERY op refuses until retrain re-runs with the
+    * intent's target centroids. */
+  private def ensureCentroids(): Unit = if (!stampChecked) synchronized {
+    if (!stampChecked) {
+      readMarker(IntentFile).foreach { target =>
+        throw new IllegalStateException(
+          s"IVF index at $root has an interrupted centroid retrain (target $target); " +
+            "re-run retrain with the target centroids to recover before using the store")
+      }
+      readMarker(StampFile) match {
+        case Some(got) if got != fp =>
+          throw new IllegalStateException(
+            s"IVF index at $root was built under centroid set '$got'; this handle " +
+              s"carries '$fp' — open it with the stamped centroids or retrain")
+        case Some(_) => ()
+        case None => writeMarker(StampFile, fp)
+      }
+      stampChecked = true
+    }
+  }
 
   private val store = new MorStore(spark, s"$root/cells", "cell",
     TableConfig("ivf_mor", null, Seq(idCol, "cell")))
@@ -75,6 +139,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * appended, no cell rewritten. Replay-safe — re-delivery reconciles
     * to the identical state by (id, cell) key. */
   def upsert(batch: DataFrame): Unit = {
+    ensureCentroids()
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
       .localCheckpoint(false)
@@ -95,6 +160,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   /** Remove ids from probe visibility: tombstones at every known
     * residence, O(ids) appended bytes. */
   def delete(ids: DataFrame): Unit = {
+    ensureCentroids()
     val idsOnly = ids.select(col(idCol)).distinct().localCheckpoint(false)
     val known = knownResidences(idsOnly).localCheckpoint(false)
     store.delete(known.select(col("cell"), col(idCol)))
@@ -103,7 +169,59 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   }
 
   /** The reconciled index (all cells). */
-  def read: Option[DataFrame] = store.read
+  def read: Option[DataFrame] = { ensureCentroids(); store.read }
+
+  /** Re-train migration: move every residence to its cell under
+    * `newCentroids` in ONE crash-safe O(index) pass — the production
+    * answer to centroid drift without a full re-ingest. Mechanics
+    * reuse the superset-table contract verbatim: new residences enter
+    * the superset BEFORE the single [[MorStore.applyDelta]] commit
+    * (moves + old-residence tombstones land atomically together) and
+    * vacated entries clean up AFTER it, so a crash anywhere leaves
+    * only harmless superset over-entries. The layout switch itself is
+    * guarded by an INTENT marker: it is written before the pass, every
+    * other op refuses while it exists, and it clears only after the
+    * centroid stamp flips — a crash mid-retrain therefore can never be
+    * probed under the wrong centroid set; recovery is re-running
+    * `retrain` with the same target (the pass is idempotent — rows
+    * already in their target cell are skipped). Returns the store
+    * handle bound to the new centroids; the receiver handle is dead
+    * after this call (its stamp check fails on next use). */
+  def retrain(newCentroids: Array[Array[Float]]): IvfMorIndexStore = {
+    require(newCentroids.nonEmpty, "retrain needs at least one centroid")
+    val targetFp = IvfMorIndexStore.centroidFingerprint(newCentroids)
+    readMarker(IntentFile) match {
+      case Some(t) =>
+        require(t == targetFp,
+          s"IVF index at $root has an interrupted retrain toward '$t'; " +
+            s"recovery must re-run with those centroids, not '$targetFp'")
+      case None =>
+        ensureCentroids() // clean store under THIS handle's centroids
+        writeMarker(IntentFile, targetFp)
+    }
+    store.read.foreach { rows =>
+      // materialized BEFORE the commit below mutates the manifests —
+      // the one full-index read of the pass
+      val moved = rows
+        .withColumn("__nc", Similarity.cellOf(col(embCol), newCentroids))
+        .filter(col("__nc") =!= col("cell"))
+        .localCheckpoint(false)
+      if (!moved.isEmpty) {
+        val fresh = moved.drop("cell").withColumnRenamed("__nc", "cell")
+        val stale = moved.select(col(idCol), col("cell"))
+        idStore.appendDelta(withBucket(fresh.select(col(idCol), col("cell"))))
+        store.applyDelta(fresh, stale.select(col("cell"), col(idCol)))
+        idStore.delete(withBucket(stale))
+        store.compactHot(); idStore.compactHot()
+      }
+    }
+    writeMarker(StampFile, targetFp)
+    fs.delete(marker(IntentFile), false)
+    // the receiver handle's cached stamp check is now stale — force the
+    // next op through ensureCentroids so it fails loudly
+    stampChecked = false
+    new IvfMorIndexStore(spark, root, embCol, idCol, newCentroids, books)
+  }
 
   /** (cell segments, id-superset segments) — the probe's read
     * amplification, bounded by compactHot. */
@@ -112,6 +230,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   /** Exact-cosine top-k inside the `nprobe` cells nearest the query —
     * a partition-pruned reconciled read. */
   def topK(query: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
+    ensureCentroids()
     val cells = centroids.indices
       .sortBy(c => -Similarity.cosArr(query, centroids(c))).take(nprobe)
     val probed = store.readPartitions(cells.map(_.toString))
@@ -125,6 +244,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * unless `rerank` > 0 asks for the exact refine. Requires `books`. */
   def topKAdc(query: Array[Float], k: Int, nprobe: Int = 2,
               rerank: Int = 0): DataFrame = {
+    ensureCentroids()
     val bk = books.getOrElse(throw new IllegalStateException(
       s"IVF index at $root was built without PQ codebooks"))
     val cells = centroids.indices
@@ -144,5 +264,23 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
           graft.functions.VectorOps.floatVectorLit(query)).as("cosine"))
       .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc).limit(k)
+  }
+}
+
+object IvfMorIndexStore {
+  /** md5 fingerprint of a centroid set's exact float bits (k, dim, and
+    * every component) — the layout-version value the `_centroids`
+    * stamp and retrain intent marker carry. */
+  def centroidFingerprint(cs: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    bb.putInt(cs.length).putInt(cs.headOption.map(_.length).getOrElse(0))
+    md.update(bb.array())
+    cs.foreach { c =>
+      val bytes = java.nio.ByteBuffer.allocate(4 * c.length)
+      c.foreach(bytes.putFloat)
+      md.update(bytes.array())
+    }
+    s"k=${cs.length};md5=${md.digest().map("%02x".format(_)).mkString}"
   }
 }

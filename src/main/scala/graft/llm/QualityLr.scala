@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trained document-quality classifier: hashed-n-gram features + a
+  * linear model trained by batched gradient rounds — the CCNet /
+  * fastText corpus-curation move (Wenzek et al., LREC 2020: a linear
+  * classifier over hashed token features, trained on a labeled seed
+  * set, scores the whole crawl), here in the engine's deterministic,
+  * oracle-replayable style.
+  *
+  * Model: least-squares linear probability (ŷ = w·x + b, squared-loss
+  * gradient descent). Squared loss on purpose — its gradient
+  * `(ŷ − y)·x` is pure +/×/÷ arithmetic, so BOTH engines (Spark and
+  * the DuckDB oracle) replay training bit-identically; logistic loss
+  * would put `exp()` on the replay path, and transcendental libm ULPs
+  * differ across engines. For a keep/drop gate at a threshold the
+  * linear-probability decision is the same classifier family CCNet
+  * deploys (one linear score, one cutoff).
+  *
+  * Determinism contract (the established micro-quantization rule, same
+  * as the NLL/perplexity family): every cross-row float SUM is
+  * quantized per-term to integer micro-units `floor(v·1e6 + 0.5)` and
+  * summed as BIGINT — order-independent, so shuffles and partitioning
+  * can never flip a result. Margins are Σ floor(x·w·1e6+0.5) + bias
+  * micro; gradients Σ floor(e·x·1e6+0.5). Weight updates happen on the
+  * DRIVER over the collected (≤ buckets+1)-row gradient — `w ← w −
+  * lr·G/(1e6·N)` with the exact same association the oracle SQL uses.
+  *
+  * Scale shape (100 TB): feature extraction is one corpus pass into
+  * skinny (id, bucket, x) rows, cached once (`localCheckpoint`); each
+  * round is two partial+final aggregates (margin per doc, gradient per
+  * bucket) + a broadcast of the (buckets)-row weight table — nothing
+  * driver-side ever exceeds `buckets` rows, and rounds is a small
+  * constant. Scoring is one aggregate over the feature rows.
+  */
+object QualityLr {
+
+  val DefaultBuckets = 64
+  val DefaultRounds = 3
+  // rows are unit-L2 (see featureRows), so with the intercept the
+  // normal-equation curvature is bounded by 2 — lr < 1 keeps full-batch
+  // GD contractive on ANY corpus, and 0.7 converges the dominant class
+  // directions within the unrolled 3 rounds
+  val DefaultLr = 0.7
+  private val Seed = "qlr1"
+
+  /** Trained model: `weights(b)` per hash bucket + intercept. */
+  final case class Model(weights: Array[Double], bias: Double) {
+    def buckets: Int = weights.length
+  }
+
+  /** Whitespace tokens of the lowered, trimmed text — `[""]` for
+    * empty/NULL text (one empty token), the corpus-wide convention the
+    * contamination oracle established (`string_split_regex` parity). */
+  private def toks(text: Column): Column =
+    split(lower(trim(coalesce(text, lit("")))), "\\s+")
+
+  /** Skinny feature rows (id, b, x): L2-NORMALIZED hashed-unigram
+    * PRESENCE — bucket = 16-bit md5 of the token mod `buckets`
+    * (engine-neutral, [[Sampling.md5Bucket]]), x = 1/√(distinct buckets
+    * in the doc). Unit-norm rows bound the least-squares curvature
+    * (λ_max ≤ 1 + the intercept's 1), which is what lets a SMALL fixed
+    * round count converge — raw term frequencies have ‖x‖ ≈ 0.1 and
+    * would crawl. √ is correctly rounded under IEEE-754, so the oracle
+    * reproduces x bit-exactly. */
+  def featureRows(docs: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = DefaultBuckets): DataFrame = {
+    val present = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("__tok"))
+      .withColumn("b", Sampling.md5Bucket(Seq(col("__tok")), Seed) % buckets)
+      .select(col(idCol), col("b")).distinct()
+    val nb = present.groupBy(col(idCol)).agg(count(lit(1)).as("__nb"))
+    present.join(nb, Seq(idCol))
+      .select(col(idCol), col("b"),
+        (lit(1.0) / sqrt(col("__nb").cast("double"))).as("x"))
+  }
+
+  /** Micro-quantized margin (Σ_b floor(x·w_b·1e6+0.5) + floor(bias·1e6
+    * +0.5)) per doc, given a weight table — the one scoring shape both
+    * training rounds and [[score]] share. */
+  private def marginMicro(feat: DataFrame, idCol: String,
+                          model: Model): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val wDf = model.weights.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }.toSeq.toDF("b", "w")
+    val biasMicro = math.floor(model.bias * 1e6 + 0.5).toLong
+    feat.join(broadcast(wDf), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(floor(col("x") * coalesce(col("w"), lit(0.0)) * 1e6 + 0.5))
+        .as("__mm"))
+      .select(col(idCol), (col("__mm") + lit(biasMicro)).as("margin_micro"))
+  }
+
+  /** Train on a labeled seed set (`labelCol` ∈ {0,1} after cast):
+    * `rounds` full-batch gradient rounds, every cross-row sum
+    * micro-quantized (see class doc), weight updates on the driver. */
+  def train(docs: DataFrame, idCol: String, textCol: String, labelCol: String,
+            buckets: Int = DefaultBuckets, rounds: Int = DefaultRounds,
+            lr: Double = DefaultLr): Model = {
+    val labels = docs.select(col(idCol), col(labelCol).cast("double").as("__y"))
+    // the corpus is tokenized ONCE; rounds iterate over the skinny rows
+    val feat = featureRows(docs, idCol, textCol, buckets)
+      .join(labels, Seq(idCol)).localCheckpoint(false)
+    val n = labels.count()
+    require(n > 0, "cannot train on an empty seed set")
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    (1 to rounds).foreach { _ =>
+      val err = marginMicro(feat, idCol, Model(w, bias))
+        .join(labels, Seq(idCol))
+        .select(col(idCol),
+          (col("margin_micro").cast("double") / 1e6 - col("__y")).as("__e"))
+      val g = feat.join(err, Seq(idCol))
+        .groupBy("b")
+        .agg(sum(floor(col("__e") * col("x") * 1e6 + 0.5)).as("g"))
+        .collect()
+      val gBias = err
+        .agg(sum(floor(col("__e") * 1e6 + 0.5))).head().getLong(0)
+      g.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) = w(b) - lr * r.getLong(1) / (1e6 * n)
+      }
+      bias = bias - lr * gBias / (1e6 * n)
+    }
+    Model(w, bias)
+  }
+
+  /** Score every document: (id, margin_micro, hq) where hq ⇔ the
+    * linear probability exceeds `threshold` (micro units compare as
+    * integers — no float threshold wobble). */
+  def score(docs: DataFrame, idCol: String, textCol: String, model: Model,
+            threshold: Double = 0.5): DataFrame = {
+    val thrMicro = math.floor(threshold * 1e6 + 0.5).toLong
+    marginMicro(featureRows(docs, idCol, textCol, model.buckets), idCol, model)
+      .select(col(idCol), col("margin_micro"),
+        (col("margin_micro") > lit(thrMicro)).as("hq"))
+  }
+
+  /** Train-on-seed + score-the-corpus in one call — the curation-gate
+    * composition: returns the input docs with `margin_micro`/`hq`
+    * attached, ready to `.filter(col("hq"))` in front of dedup and
+    * sampling exactly like the heuristic gates. */
+  def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, buckets: Int = DefaultBuckets,
+                    rounds: Int = DefaultRounds, lr: Double = DefaultLr,
+                    threshold: Double = 0.5): DataFrame = {
+    val model = train(docs, idCol, textCol, labelCol, buckets, rounds, lr)
+    docs.join(score(docs, idCol, textCol, model, threshold), Seq(idCol))
+  }
+}

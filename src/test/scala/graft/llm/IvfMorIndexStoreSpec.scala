@@ -152,4 +152,97 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assert(delta > 0 && delta < before / 2,
       s"tick appended $delta bytes against $before of prior state — not O(batch)")
   }
+
+  // ── centroid retrain migration ──────────────────────────────────────
+
+  private lazy val centroids4 =
+    Similarity.ivfCentroids(full, "embedding", "vec_id", k = 4)
+
+  private def hPath(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), name)
+  private def hFs(root: String) = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def putMarker(root: String, name: String, content: String): Unit = {
+    val out = hFs(root).create(hPath(root, name), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("retrain migrates every residence; the result equals a fresh build under the new centroids") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    pts.grouped(150).foreach(g => ivf.upsert(g.toDF("vec_id", "embedding")))
+    val migrated = ivf.retrain(centroids4)
+    val state = migrated.read.get
+    assert(state.count() == 400, "migration must not lose or duplicate residences")
+    // every row sits in its cell under the NEW centroids
+    assert(state.filter(Similarity.cellOf(col("embedding"), centroids4)
+      =!= col("cell")).count() == 0)
+    val oneShot = Similarity.buildIvfIndex(full, "embedding", centroids4)
+    for (qid <- Seq(5L, 150L, 399L)) {
+      val q = pts(qid.toInt)._2
+      val want = Similarity.ivfTopK(oneShot, "embedding", "vec_id", q, 10,
+        centroids4, nprobe = 2).select("vec_id").as[Long].collect().toSet
+      val got = migrated.topK(q, 10, nprobe = 2)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == want, s"post-retrain probe mismatch for query $qid")
+    }
+    // the old handle is dead: its stamp check fails on next use
+    intercept[IllegalStateException] { ivf.topK(pts(5)._2, 5) }
+  }
+
+  test("opening a stamped store under different centroids refuses") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    val wrong = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids4)
+    val e = intercept[IllegalStateException] { wrong.read }
+    assert(e.getMessage.contains("centroid"))
+  }
+
+  test("crash interleavings: intent blocks every op; re-running retrain recovers at any point") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    val targetFp = IvfMorIndexStore.centroidFingerprint(centroids4)
+    val oneShot = Similarity.buildIvfIndex(full, "embedding", centroids4)
+    def assertConverged(m: IvfMorIndexStore): Unit = {
+      assert(m.read.get.count() == 400)
+      val q = pts(42)._2
+      val want = Similarity.ivfTopK(oneShot, "embedding", "vec_id", q, 10,
+        centroids4, nprobe = 2).select("vec_id").as[Long].collect().toSet
+      assert(m.topK(q, 10, nprobe = 2).select("vec_id").as[Long].collect().toSet == want)
+    }
+
+    // crash point 1: intent written, pass never ran. Every op on a fresh
+    // handle refuses; a retrain toward a DIFFERENT target refuses; the
+    // intended retrain recovers.
+    putMarker(root, "_retrain_intent", targetFp)
+    val h1 = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    intercept[IllegalStateException] { h1.read }
+    intercept[IllegalStateException] { h1.upsert(full.limit(1)) }
+    intercept[IllegalArgumentException] {
+      h1.retrain(Array(Array.fill(16)(1f)))
+    }
+    val recovered = h1.retrain(centroids4)
+    assertConverged(recovered)
+    assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
+
+    // crash point 2: the data commit landed but the stamp never flipped
+    // (stamp=old, intent=target, cells already migrated). The recovery
+    // pass finds nothing to move and still finalizes the stamp.
+    putMarker(root, "_centroids",
+      IvfMorIndexStore.centroidFingerprint(centroids))
+    putMarker(root, "_retrain_intent", targetFp)
+    val h2 = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    intercept[IllegalStateException] { h2.read }
+    assertConverged(h2.retrain(centroids4))
+    assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
+
+    // crash point 3: stamp flipped, intent not yet cleared — still
+    // blocked until the (now no-op) retrain clears it.
+    putMarker(root, "_retrain_intent", targetFp)
+    val h3 = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids4)
+    intercept[IllegalStateException] { h3.read }
+    assertConverged(h3.retrain(centroids4))
+  }
 }

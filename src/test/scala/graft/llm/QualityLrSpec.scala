@@ -1,0 +1,68 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier: deterministic training, sane learning on
+  * a separable corpus, and composition with the curation funnel. */
+class QualityLrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a separable toy corpus: "good" docs share function words, "bad"
+  // docs are salt strings — hashed-unigram features separate them
+  private def corpus = (0L until 40L).map { i =>
+    if (i % 2 == 0)
+      (i, s"the quick brown fox jumps over the lazy dog number $i", 1)
+    else
+      (i, s"zzq$i xkcd${i * 7} qqz${i % 5} vvv${i * 3}", 0)
+  }.toDF("doc_id", "text", "label")
+
+  test("training separates a separable corpus; scoring thresholds at 0.5 micro") {
+    val model = QualityLr.train(corpus, "doc_id", "text", "label")
+    val scored = QualityLr.score(corpus, "doc_id", "text", model)
+      .join(corpus.select("doc_id", "label"), Seq("doc_id"))
+    val agree = scored.filter((col("hq") && col("label") === 1) ||
+      (!col("hq") && col("label") === 0)).count()
+    assert(agree >= 36, s"classifier agrees on only $agree/40 of a separable corpus")
+    // margins are integer micro-units; hq is exactly the > 500000 cut
+    val bad = scored.filter(col("hq") =!= (col("margin_micro") > 500000L)).count()
+    assert(bad == 0)
+  }
+
+  test("training is deterministic: two runs produce identical weights and scores") {
+    val m1 = QualityLr.train(corpus, "doc_id", "text", "label")
+    val m2 = QualityLr.train(corpus.repartition(7), "doc_id", "text", "label")
+    assert(m1.weights.toSeq == m2.weights.toSeq && m1.bias == m2.bias,
+      "weights must not depend on partitioning")
+    val s1 = canon(QualityLr.score(corpus, "doc_id", "text", m1))
+    val s2 = canon(QualityLr.score(corpus.repartition(3), "doc_id", "text", m2))
+    assert(s1 == s2)
+  }
+
+  test("empty/NULL text scores like a single-empty-token doc, never crashes") {
+    val docs = Seq((1L, "the quick fox", 1), (2L, null.asInstanceOf[String], 0),
+      (3L, "", 0), (4L, "   ", 0)).toDF("doc_id", "text", "label")
+    val model = QualityLr.train(docs, "doc_id", "text", "label")
+    val out = QualityLr.score(docs, "doc_id", "text", model).collect()
+    assert(out.length == 4 && out.forall(!_.isNullAt(1)))
+    // "" and "   " trim to the same single empty token → identical margins
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
+  }
+
+  test("composes with the curation funnel as a keep/drop gate") {
+    // the deployment shape: train on the seed, gate the corpus, then
+    // run the downstream funnel stages on survivors only
+    val scored = QualityLr.trainAndScore(corpus, "doc_id", "text", "label")
+    assert(scored.columns.contains("hq") && scored.columns.contains("text"))
+    val kept = scored.filter(col("hq"))
+    val c4 = Curation.c4Filter(
+      kept.withColumn("text", concat(col("text"), lit(". and that have with."))),
+      "doc_id", "text", minKeptLines = 1)
+    // survivors flow through C4 with counts monotone: gate ≥ c4-kept
+    val nKept = kept.count(); val nC4 = c4.filter(col("kept")).count()
+    assert(nKept > 0 && nC4 <= nKept)
+    // and the gate actually dropped the salt docs
+    assert(scored.filter(!col("hq") && col("label") === 1).count() <= 2)
+  }
+}
