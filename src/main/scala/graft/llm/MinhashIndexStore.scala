@@ -73,11 +73,13 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
         val got = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
         require(got == FormatStamp,
           s"minhash index at $root was written under partition scheme '$got'; " +
-            s"this build expects '$FormatStamp' — rebuild the index (re-ingest) to migrate")
+            s"this build expects '$FormatStamp' — run migrateFormat() to migrate " +
+            "in place, or rebuild (re-ingest)")
       } else if (txts.latestManifestVersion.nonEmpty) {
         throw new IllegalStateException(
           s"minhash index at $root predates partition-scheme versioning; its text " +
-            s"partitioning is unknowable — rebuild the index (re-ingest) to migrate")
+            s"partitioning is unknowable — run migrateFormat() to migrate in place, " +
+            "or rebuild (re-ingest)")
       } else {
         fs.mkdirs(rootP)
         val tmp = new org.apache.hadoop.fs.Path(rootP, "._tmp_format")
@@ -88,6 +90,43 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
       }
       formatChecked = true
     }
+  }
+
+  /** Full-compact-migrate for a store written before partition-scheme
+    * versioning (or under an older scheme): one GLOBAL latest-per-key
+    * reconcile of the text table — reads are partition-agnostic, so
+    * the unknown old partitioning cannot corrupt it; only
+    * partition-SCOPED compaction windows were ever at risk — then one
+    * atomic full [[graft.pipeline.MorStore.snapshot]] re-partitioned
+    * under the CURRENT scheme, then the stamp. O(texts) bytes, the
+    * kinder alternative to [[ensureFormat]]'s rebuild-by-re-ingest
+    * refusal. Signatures are partitioned by their band column
+    * (structural, scheme-independent) and untouched. Crash-safe: the
+    * stamp lands only after the snapshot commit, so an interrupted
+    * migration just refuses again and re-runs (the snapshot is
+    * idempotent — it re-reads whatever state is live). */
+  def migrateFormat(): Unit = synchronized {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fsys = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markerP = new org.apache.hadoop.fs.Path(rootP, "_format")
+    val current =
+      if (!fsys.exists(markerP)) None
+      else {
+        val in = fsys.open(markerP)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+      }
+    if (current.contains(FormatStamp)) { formatChecked = true; return }
+    txts.read.foreach { live =>
+      txts.snapshot(live.drop("__tp").withColumn("__tp", textPartition))
+    }
+    fsys.mkdirs(rootP)
+    val tmp = new org.apache.hadoop.fs.Path(rootP, "._tmp_format")
+    val out = fsys.create(tmp, true)
+    try out.write(FormatStamp.getBytes("UTF-8")) finally out.close()
+    fsys.delete(markerP, false)
+    if (!fsys.rename(tmp, markerP) && !fsys.exists(markerP))
+      throw new java.io.IOException(s"failed to stamp format of $root")
+    formatChecked = true
   }
 
   def isEmpty: Boolean = sigs.read.isEmpty

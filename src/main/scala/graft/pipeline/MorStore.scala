@@ -189,6 +189,25 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
       cursorOrder :+ col(DeletedCol).desc))
   }
 
+  /** Full-table REPLACE in one manifest commit: the new manifest
+    * references ONLY the snapshot's segment, so every prior segment
+    * becomes unreferenced ([[vacuum]] fodder) and the one-rename
+    * atomicity still holds — a reader sees wholly-old or wholly-new
+    * state, never a mix. This is the partition-RESCHEME primitive:
+    * when rows must move partitions (e.g. a format migration), a
+    * re-append cannot work — the old partition's copy would keep
+    * winning inside its own partition-scoped compaction window — so
+    * the whole table swaps at once. */
+  def snapshot(df: DataFrame): Seq[String] = {
+    val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
+    val deduped = MergeEngine.latestPerKey(df, cfg.keys, cursorOrder)
+      .withColumn(DeletedCol, lit(false))
+    val idx = latestManifestVersion.getOrElse(0) + 1
+    val (seg, affected) = writeSegmentObserved(deduped, idx)
+    commit(affected.map(v => v -> Seq(seg)).toMap)
+    affected
+  }
+
   private def commitSegment(deduped: DataFrame): Seq[String] = {
     val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
     val idx = latestManifestVersion.getOrElse(0) + 1

@@ -155,4 +155,44 @@ class MinhashIndexStoreSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](legacy.append(docs.limit(1)))
     assert(e2.getMessage.contains("rebuild"))
   }
+
+  test("migrateFormat: an old-scheme store migrates in place and probes/writes correctly") {
+    import graft.pipeline.MorStore
+    import graft.schema.TableConfig
+    import spark.implicits._
+    val root = Files.createTempDirectory("mhidxmig").toString
+    val corpus = docs.filter(col("doc_id") % 3 === 0).limit(30)
+    val batch = docs.filter(col("doc_id") % 3 === 1).limit(15)
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    store.append(corpus)
+    val expected = store.probe(batch).select("doc_id").as[Long].collect().toSet
+
+    // forge the pre-versioning state: every text row re-partitioned
+    // under a FOREIGN scheme (one alien partition value), stamp gone
+    val raw = new MorStore(spark, s"$root/texts", "__tp",
+      TableConfig("mhidx_texts", null, Seq("doc_id")))
+    raw.snapshot(raw.read.get.withColumn("__tp", lit(99L)))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root, "._format.crc"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_format"))
+
+    val legacy = new MinhashIndexStore(spark, root, "doc_id", "text")
+    intercept[IllegalStateException](legacy.append(batch.limit(1)))
+    legacy.migrateFormat()
+
+    // the stamp is back and every row sits in a CURRENT-scheme partition
+    val stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_format")), "UTF-8")
+    assert(stamp.contains("xxhash64"))
+    assert(raw.read.get.filter(col("__tp") === 99L).count() == 0)
+    assert(raw.read.get.count() == 30, "migration must not lose or duplicate texts")
+
+    // probes answer exactly as before; writes land coherently: a
+    // remove's tombstone now shares its partition with the live row,
+    // so partition-scoped compaction cannot resurrect it
+    val migrated = new MinhashIndexStore(spark, root, "doc_id", "text")
+    assert(migrated.probe(batch).select("doc_id").as[Long].collect().toSet == expected)
+    val victim = corpus.limit(1).select("doc_id").as[Long].head()
+    migrated.remove(corpus.limit(1).select("doc_id"))
+    assert(!migrated.indexedDocs.get.select("doc_id").as[Long].collect().contains(victim))
+  }
 }
