@@ -135,6 +135,22 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       s"expected CoW ≫ MOR gross writes, got cow=$cowBytes mor=$morBytes")
   }
 
+  test("write amplification GROWS with index size at fixed batch — one measured decade") {
+    // the r14 claim was 'the gap grows linearly with index size'; hold
+    // it in CI with a 400 → 4000 decade at the identical 40-vector
+    // batch (R15SoakMain extends the ladder to 20k for the addendum).
+    // CoW is O(touched cells' bytes) ≈ O(index) under a hash-spread
+    // batch; MOR is O(batch) — the ratio must grow roughly with the
+    // index factor. Assert ≥3x growth for a 10x index: generous slack
+    // for fixed per-commit overheads, impossible for any O(batch) CoW.
+    val (_, mor400, cow400) = graft.R15SoakMain.measureTick(spark, 400)
+    val (_, mor4k, cow4k) = graft.R15SoakMain.measureTick(spark, 4000)
+    val r400 = cow400.toDouble / mor400; val r4k = cow4k.toDouble / mor4k
+    info(f"40-vector tick: 400-index ratio $r400%.1fx, 4000-index ratio $r4k%.1fx")
+    assert(r4k > r400 * 3,
+      f"expected the MOR advantage to grow ~linearly with index size, got $r400%.1fx -> $r4k%.1fx")
+  }
+
   test("a hash-spread re-embed tick appends O(batch) bytes — never rewrites the index") {
     def dirBytes(p: java.io.File): Long =
       if (p.isFile) p.length
