@@ -93,8 +93,13 @@ object SparkEntry {
     * and batch queries running after the restore are untouched. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // GRAFT_STREAM_PARTITIONS overrides the per-query sizing — the
+    // drain-sizing A/B hook (r15 fixed-cost attribution: a stateful
+    // micro-batch commits 4 state stores × partitions, so partition
+    // count is pure per-tick fixed cost at fixture volume)
+    val eff = sys.env.get("GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(n)
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 

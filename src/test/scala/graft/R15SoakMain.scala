@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object R15SoakMain {
   def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("all")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-r15-soak")
@@ -32,7 +33,13 @@ object R15SoakMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sizes = if (args.isEmpty) Seq(400, 4000, 20000) else args.map(_.toInt).toSeq
+    if (which == "1" || which == "all") writeAmpDecade(spark, args.drop(1))
+    if (which == "2" || which == "all") intervalJoinAttribution(spark)
+    spark.stop()
+  }
+
+  private def writeAmpDecade(spark: SparkSession, rest: Seq[String]): Unit = {
+    val sizes = if (rest.isEmpty) Seq(400, 4000, 20000) else rest.map(_.toInt)
     val rows = sizes.map(n => measureTick(spark, n))
     println("\n[r15-soak] MOR vs CoW gross bytes, IDENTICAL 40-vector hash-spread re-embed tick:")
     println(f"${"index"}%8s ${"MOR B"}%10s ${"CoW B"}%10s ${"ratio"}%7s")
@@ -43,7 +50,87 @@ object R15SoakMain {
     val growth = (last._3.toDouble / last._2) / (first._3.toDouble / first._2)
     println(f"[r15-soak] ratio growth across ${last._1 / first._1}x index: ${growth}%.1fx " +
       "(linear-in-index-size claim predicts ~the index growth factor)")
-    spark.stop()
+  }
+
+  /** VERDICT r14 item 4: where does a stateful drain's wall go when
+    * STAGE_TIMINGS shows ~0.4 s of jobs inside a ~6 s pass? Rebuild the
+    * stream_interval_join fixture EXACTLY (sf0.1 events → 3-file view +
+    * purchase feeds, maxFilesPerTrigger=1, 8 shuffle partitions) and
+    * drain it under each knob, counting micro-batches, jobs, summed
+    * job wall, and total wall. Knobs: HDFS vs RocksDB state store,
+    * state-partition count (a stream-stream join commits 4 state
+    * stores × partitions per micro-batch), and files/trigger (batch
+    * count — pure fixed-cost leverage, printed for attribution only
+    * since the bench query's any-split contract keeps 1 file/trigger). */
+  private def intervalJoinAttribution(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tmp = java.nio.file.Files.createTempDirectory("r15ij").toString
+    val ev = Tables.events(spark, d)
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .repartition(3).write.parquet(s"$tmp/views")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .repartition(3).write.parquet(s"$tmp/purchases")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { starts.put(js.jobId, java.lang.Long.valueOf(js.time)); () }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s0 = starts.remove(je.jobId)
+        if (s0 != null) { jobs.incrementAndGet(); jobNanos.addAndGet((je.time - s0) * 1000000L) }
+      }
+    }
+
+    def drain(tag: String, partitions: Int, provider: Option[String],
+              filesPerTrigger: Int): Unit = {
+      val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set("spark.sql.shuffle.partitions", partitions)
+      provider.foreach(spark.conf.set(provKey, _))
+      spark.sparkContext.addSparkListener(l)
+      try {
+        jobs.set(0); jobNanos.set(0)
+        val t0 = System.nanoTime()
+        def feed(sub: String) = spark.readStream
+          .schema(spark.read.parquet(s"$tmp/$sub").schema)
+          .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(s"$tmp/$sub")
+        val joined = graft.streaming.StreamOps.intervalJoin(
+          feed("views"), feed("purchases"),
+          leftTs = "view_ts", rightTs = "purchase_ts", keys = Seq("user_id"),
+          within = "6 hours", lateness = "3650 days")
+        val outName = "r15ij_" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = joined.writeStream.format("memory").queryName(outName)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener bus drain
+        val batches = q.recentProgress.length
+        val rows = spark.table(outName).count()
+        println(f"[r15-ij] $tag%-34s wall ${wall}%6.2f s  jobs ${jobs.get()}%4d  " +
+          f"jobWall ${jobNanos.get() / 1e9}%5.2f s  microbatches $batches%3d  rows $rows")
+      } catch { case e: Throwable =>
+        println(s"[r15-ij] $tag FAILED: ${e.getClass.getSimpleName} ${e.getMessage}")
+      } finally {
+        spark.sparkContext.removeSparkListener(l)
+        spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+        prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      }
+    }
+
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    (1 to 3).foreach { pass =>
+      println(s"[r15-ij] pass $pass")
+      drain("A baseline hdfs p=8 f=1", 8, None, 1)
+      drain("B rocksdb  p=8 f=1", 8, Some(rocks), 1)
+      drain("C hdfs     p=2 f=1", 2, None, 1)
+      drain("D hdfs     p=8 f=3 (2 batches)", 8, None, 3)
+    }
   }
 
   /** Deterministic clustered corpus (the IvfMorIndexStoreSpec shape,
