@@ -3900,6 +3900,27 @@ object SparkEntry {
         .select(col("h.item").as("item"), col("h.est_count").as("est_count"))
     }),
 
+    "stream_quality_trained" -> ((s, d) => withShufflePartitions(s, 8) {
+      // train-offline / serve-in-stream: the TRAINED quality gate
+      // (classify_quality_trained's exact model) scores a document FEED
+      // per micro-batch — weights broadcast into each tick, no
+      // cross-doc state — so the admitted set must equal the batch
+      // scoring regardless of how the files split into micro-batches.
+      // The oracle is the classifier oracle filtered at the threshold.
+      val tmp = scratchDir("stream_qt")
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      (0 to 2).foreach(k => docs.filter(pmod(col("doc_id"), lit(3)) === k)
+        .select("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$tmp/feed"))
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.qualityGateDrain(stream, model,
+        "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt")
+      s.read.parquet(s"$tmp/admitted").select(col("doc_id"), col("margin_micro"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -4781,6 +4802,58 @@ object SparkEntry {
        |cand2 AS (SELECT emb.vec_id, emb.e FROM emb JOIN buck ON emb.vec_id = buck.vec_id
        |          WHERE buck.b IN (SELECT pb FROM probes2))""".stripMargin
 
+  /** The trained-classifier oracle: replays ALL THREE gradient rounds
+    * (unrolled CTEs) and the final micro-margin scores — shared by the
+    * batch query and the streaming gate (which filters it at the
+    * threshold). */
+  private val classifyQualityTrainedSql: String =
+    """WITH docs0 AS (
+        |  SELECT doc_id, lower(trim(coalesce(text, ''))) AS t,
+        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, y,
+        |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
+        |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\s+')) AS tk FROM docs0)),
+        |nb AS (SELECT doc_id, count(*) AS nb FROM tok GROUP BY doc_id),
+        |feat AS (
+        |  SELECT doc_id, y, b, 1.0 / sqrt(CAST(nb AS DOUBLE)) AS x
+        |  FROM tok JOIN nb USING (doc_id)),
+        |nn AS (SELECT count(*) AS n FROM docs0),
+        |g1 AS (SELECT b, CAST(SUM(CAST(FLOOR((0.0 - y) * x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |       FROM feat GROUP BY b),
+        |gb1 AS (SELECT CAST(SUM(CAST(FLOOR((0.0 - y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM docs0),
+        |w1 AS (SELECT b, 0.0 - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS w FROM g1),
+        |b1 AS (SELECT 0.0 - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb1),
+        |m2 AS (SELECT f.doc_id, f.y,
+        |              CAST(SUM(CAST(FLOOR(f.x * coalesce(w1.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |                + CAST(FLOOR((SELECT bias FROM b1) * 1000000.0 + 0.5) AS BIGINT) AS mm
+        |       FROM feat f LEFT JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
+        |e2 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m2),
+        |g2 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e2.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |       FROM feat f JOIN e2 USING (doc_id) GROUP BY f.b),
+        |gb2 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e2),
+        |w2 AS (SELECT b, w1.w - 0.7 * g2.g / (1000000.0 * (SELECT n FROM nn)) AS w
+        |       FROM w1 JOIN g2 USING (b)),
+        |b2 AS (SELECT (SELECT bias FROM b1) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb2),
+        |m3 AS (SELECT f.doc_id, f.y,
+        |              CAST(SUM(CAST(FLOOR(f.x * coalesce(w2.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |                + CAST(FLOOR((SELECT bias FROM b2) * 1000000.0 + 0.5) AS BIGINT) AS mm
+        |       FROM feat f LEFT JOIN w2 USING (b) GROUP BY f.doc_id, f.y),
+        |e3 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m3),
+        |g3 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e3.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+        |       FROM feat f JOIN e3 USING (doc_id) GROUP BY f.b),
+        |gb3 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e3),
+        |w3 AS (SELECT b, w2.w - 0.7 * g3.g / (1000000.0 * (SELECT n FROM nn)) AS w
+        |       FROM w2 JOIN g3 USING (b)),
+        |b3 AS (SELECT (SELECT bias FROM b2) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb3)
+        |SELECT f.doc_id,
+        |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
+        |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT)) > 500000 AS hq
+        |FROM feat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id""".stripMargin
+
   /** CTEs replaying IVF: lowest-id seeds, one Lloyd step, reassignment,
     * nprobe=3 probe cells. Expects `emb` and `q` CTEs in scope. */
   private def ivfCtes: String = ivfCtesK(k = 8, nprobe = 3)
@@ -5499,53 +5572,12 @@ object SparkEntry {
     // micro-margin scores. Micro-quantization (floor(v*1e6+0.5) summed
     // as BIGINT) makes every sum order-independent; weight updates are
     // plain double arithmetic with the same association as the engine.
-    "classify_quality_trained" ->
-      """WITH docs0 AS (
-        |  SELECT doc_id, lower(trim(coalesce(text, ''))) AS t,
-        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-        |  FROM documents),
-        |tok AS (
-        |  SELECT DISTINCT doc_id, y,
-        |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
-        |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\s+')) AS tk FROM docs0)),
-        |nb AS (SELECT doc_id, count(*) AS nb FROM tok GROUP BY doc_id),
-        |feat AS (
-        |  SELECT doc_id, y, b, 1.0 / sqrt(CAST(nb AS DOUBLE)) AS x
-        |  FROM tok JOIN nb USING (doc_id)),
-        |nn AS (SELECT count(*) AS n FROM docs0),
-        |g1 AS (SELECT b, CAST(SUM(CAST(FLOOR((0.0 - y) * x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
-        |       FROM feat GROUP BY b),
-        |gb1 AS (SELECT CAST(SUM(CAST(FLOOR((0.0 - y) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM docs0),
-        |w1 AS (SELECT b, 0.0 - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS w FROM g1),
-        |b1 AS (SELECT 0.0 - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb1),
-        |m2 AS (SELECT f.doc_id, f.y,
-        |              CAST(SUM(CAST(FLOOR(f.x * coalesce(w1.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-        |                + CAST(FLOOR((SELECT bias FROM b1) * 1000000.0 + 0.5) AS BIGINT) AS mm
-        |       FROM feat f LEFT JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
-        |e2 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m2),
-        |g2 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e2.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
-        |       FROM feat f JOIN e2 USING (doc_id) GROUP BY f.b),
-        |gb2 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e2),
-        |w2 AS (SELECT b, w1.w - 0.7 * g2.g / (1000000.0 * (SELECT n FROM nn)) AS w
-        |       FROM w1 JOIN g2 USING (b)),
-        |b2 AS (SELECT (SELECT bias FROM b1) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb2),
-        |m3 AS (SELECT f.doc_id, f.y,
-        |              CAST(SUM(CAST(FLOOR(f.x * coalesce(w2.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-        |                + CAST(FLOOR((SELECT bias FROM b2) * 1000000.0 + 0.5) AS BIGINT) AS mm
-        |       FROM feat f LEFT JOIN w2 USING (b) GROUP BY f.doc_id, f.y),
-        |e3 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m3),
-        |g3 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e3.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
-        |       FROM feat f JOIN e3 USING (doc_id) GROUP BY f.b),
-        |gb3 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e3),
-        |w3 AS (SELECT b, w2.w - 0.7 * g3.g / (1000000.0 * (SELECT n FROM nn)) AS w
-        |       FROM w2 JOIN g3 USING (b)),
-        |b3 AS (SELECT (SELECT bias FROM b2) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb3)
-        |SELECT f.doc_id,
-        |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
-        |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT)) > 500000 AS hq
-        |FROM feat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id""".stripMargin,
+    "classify_quality_trained" -> classifyQualityTrainedSql,
+
+    // per-doc scoring has no cross-doc state, so the drained gate must
+    // equal the batch classifier filtered at the 0.5 threshold
+    "stream_quality_trained" ->
+      s"SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql) WHERE margin_micro > 500000",
 
     "sp_encode_ids" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},

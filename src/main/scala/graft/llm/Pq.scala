@@ -53,13 +53,6 @@ object Pq {
   private def sub(emb: Column, j: Int, dsub: Int): Column =
     slice(emb, j * dsub + 1, dsub)
 
-  /** Code of subspace j: argmin distance over the ksub centroids, ties
-    * to the lowest code (`ORDER BY dist ASC, c ASC` in the oracle).
-    * One lookup into the full code word — callers coding several
-    * subspaces should bind [[encode]] once. */
-  def subCode(emb: Column, j: Int, books: Codebooks): Column =
-    element_at(encode(emb, books), j + 1)
-
   /** The full code word as array<int> of length m — one narrow NATIVE
     * expression ([[graft.functions.PqIvfOps.pqEncode]], codebooks as a
     * plan reference object), no shuffle, no explode. The previous

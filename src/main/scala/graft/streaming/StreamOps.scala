@@ -553,4 +553,37 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming TRAINED-quality gate: the classifier trained offline on
+    * a labeled seed ([[graft.llm.QualityLr.train]]) scores every
+    * micro-batch and admits the docs above threshold — the standard
+    * train-offline / serve-in-stream deployment of a CCNet-style
+    * filter. Scoring is per-document with NO cross-doc state (the
+    * weight table broadcasts into each tick), so the drained output is
+    * split-independent by construction: any micro-batching of the feed
+    * admits exactly the batch-scored set. Survivors append to
+    * `admittedOut` with their margins — at-least-once on crash replay
+    * (scoring a re-delivered batch yields identical rows; an
+    * exactly-once consumer dedups on the id downstream, the
+    * [[dedupIndexDrain]] contract). */
+  def qualityGateDrain(stream: DataFrame, model: graft.llm.QualityLr.Model,
+                       idCol: String, textCol: String,
+                       admittedOut: String, checkpoint: String,
+                       threshold: Double = 0.5,
+                       onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          graft.llm.QualityLr.score(batch, idCol, textCol, model, threshold)
+            .filter(col("hq")).drop("hq")
+            .write.mode("append").parquet(admittedOut)
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

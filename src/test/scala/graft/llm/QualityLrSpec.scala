@@ -50,6 +50,28 @@ class QualityLrSpec extends SparkSpec {
     assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
   }
 
+  test("streaming gate drains the exact batch-scored set, any file split") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlrstream").toString
+    val model = QualityLr.train(corpus, "doc_id", "text", "label")
+    // feed in 4 deliberately unbalanced chunks
+    Seq(0L -> 7L, 7L -> 9L, 9L -> 30L, 30L -> 40L).foreach { case (a, b) =>
+      corpus.filter(col("doc_id") >= a && col("doc_id") < b)
+        .select("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+    graft.streaming.StreamOps.qualityGateDrain(stream, model,
+      "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt")
+    val drained = spark.read.parquet(s"$tmp/admitted")
+      .select("doc_id", "margin_micro")
+    val batch = QualityLr.score(corpus, "doc_id", "text", model)
+      .filter(col("hq")).select("doc_id", "margin_micro")
+    assertSameRows(drained.orderBy("doc_id"), batch.orderBy("doc_id"))
+    assert(drained.count() > 0)
+  }
+
   test("composes with the curation funnel as a keep/drop gate") {
     // the deployment shape: train on the seed, gate the corpus, then
     // run the downstream funnel stages on survivors only
