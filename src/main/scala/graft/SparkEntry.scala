@@ -3900,6 +3900,23 @@ object SparkEntry {
         .select(col("h.item").as("item"), col("h.est_count").as("est_count"))
     }),
 
+    "source_quality_trained" -> ((s, d) => {
+      // the trained gate at SOURCE grain — the CCNet corpus-bucketing
+      // signal from the TRAINED classifier (the per-source twin of
+      // source_lm_quality's perplexity rollup): per source, doc count,
+      // admitted count, and the exact micro-margin sum. All-integer
+      // outputs, so the rollup hashes bit-exactly on both engines.
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      graft.llm.QualityLr.score(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hq"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(col("margin_micro")).as("total_margin_micro"))
+    }),
+
     "stream_quality_trained" -> ((s, d) => withShufflePartitions(s, 8) {
       // train-offline / serve-in-stream: the TRAINED quality gate
       // (classify_quality_trained's exact model) scores a document FEED
@@ -5578,6 +5595,13 @@ object SparkEntry {
     // equal the batch classifier filtered at the 0.5 threshold
     "stream_quality_trained" ->
       s"SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql) WHERE margin_micro > 500000",
+
+    "source_quality_trained" ->
+      s"""SELECT d.source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN c.hq THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(c.margin_micro) AS BIGINT) AS total_margin_micro
+         |FROM ($classifyQualityTrainedSql) c JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
 
     "sp_encode_ids" ->
       s"""WITH RECURSIVE ${unigramSegCtes(60, 4, 16)},

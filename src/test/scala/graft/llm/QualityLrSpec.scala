@@ -50,6 +50,16 @@ class QualityLrSpec extends SparkSpec {
     assert(byId(2L) == byId(3L) && byId(3L) == byId(4L))
   }
 
+  test("scoring's weight-table join is BROADCAST — never a corpus shuffle") {
+    // the weight table is buckets-sized (KBs); at 100 TB the corpus
+    // side must stream past it, not shuffle on the bucket id
+    val model = QualityLr.train(corpus, "doc_id", "text", "label")
+    val plan = QualityLr.score(corpus, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("streaming gate drains the exact batch-scored set, any file split") {
     val tmp = java.nio.file.Files.createTempDirectory("qlrstream").toString
     val model = QualityLr.train(corpus, "doc_id", "text", "label")
