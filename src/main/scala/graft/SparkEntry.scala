@@ -3173,6 +3173,27 @@ object SparkEntry {
         .withColumn("overlap_frac", round(col("overlap_frac"), 6))
     }),
 
+    "stream_decontaminate" -> ((s, d) => withShufflePartitions(s, 8) {
+      // decontamination at the INGEST DOOR: the same eval screen as
+      // `contamination`, run per micro-batch over a streamed feed —
+      // per-doc decisions depend only on the fixed eval set (no df-cap,
+      // no cross-batch state), so the admitted set must equal the batch
+      // complement for ANY file split. Oracle = train ids minus the
+      // contaminated pairs' train side.
+      val tmp = scratchDir("stream_decon")
+      val docs = Tables.documents(s, d)
+      val eval = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      (0 to 2).foreach(k => train.filter(pmod(col("doc_id"), lit(3)) === k)
+        .select("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$tmp/feed"))
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.decontaminateDrain(stream, eval,
+        "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt")
+      s.read.parquet(s"$tmp/admitted").select("doc_id")
+    }),
+
     "dedup_containment" -> ((s, d) =>
       // containment pairs: |∩| / min(|A|,|B|) ≥ 0.5 — the small-doc-
       // inside-big-doc duplicates Jaccard banding structurally misses;
@@ -6866,6 +6887,24 @@ object SparkEntry {
         |       round(len(list_intersect(t.s, e.s)) * 1.0 / len(e.s), 6) AS overlap_frac
         |FROM t JOIN e ON len(t.s) >= 0.5 * len(e.s)
         |WHERE len(list_intersect(t.s, e.s)) * 1.0 / len(e.s) >= 0.5""".stripMargin,
+
+    // the streamed admission is the batch screen's complement: train ids
+    // minus the contaminated pairs' train side
+    "stream_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |t AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 10 <> 0),
+        |e AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 0),
+        |bad AS (SELECT DISTINCT train_id
+        |        FROM t JOIN e ON len(t.s) >= 0.5 * len(e.s)
+        |        WHERE len(list_intersect(t.s, e.s)) * 1.0 / len(e.s) >= 0.5)
+        |SELECT train_id AS doc_id FROM t
+        |WHERE train_id NOT IN (SELECT train_id FROM bad)""".stripMargin,
 
     // replays the df-capped self-join exactly: hits over CAPPED shingles,
     // sizes over ALL shingles (the engine's stated conservative bias)

@@ -566,6 +566,42 @@ object StreamOps {
     * (scoring a re-delivered batch yields identical rows; an
     * exactly-once consumer dedups on the id downstream, the
     * [[dedupIndexDrain]] contract). */
+  /** Streaming eval-set DECONTAMINATION: every micro-batch of the
+    * ingest feed is screened against a FIXED benchmark corpus
+    * ([[graft.llm.Dedup.contamination]] — n-gram overlap ≥ threshold
+    * flags leakage) and only clean docs are admitted. The eval side
+    * broadcasts (benchmarks are small by construction); the batch side
+    * streams through the shingle equi-join, so each tick costs
+    * O(batch shingles). Per-doc decisions depend only on the fixed
+    * eval set — NO cross-doc or cross-batch state — so the admitted
+    * set is split-independent by construction. Deliberately NO
+    * train-side df-cap here: the cap's document frequencies would be
+    * computed over the BATCH and make admission depend on how the
+    * feed was chunked. Appends are at-least-once on crash replay (the
+    * [[dedupIndexDrain]] contract). */
+  def decontaminateDrain(stream: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         admittedOut: String, checkpoint: String,
+                         shingleSize: Int = 3, threshold: Double = 0.5,
+                         onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          val contaminated = graft.llm.Dedup.contamination(
+              batch, idCol, evalDocs, idCol, textCol, shingleSize, threshold)
+            .select(col("train_id").as(idCol)).distinct()
+          batch.join(contaminated, Seq(idCol), "left_anti")
+            .write.mode("append").parquet(admittedOut)
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def qualityGateDrain(stream: DataFrame, model: graft.llm.QualityLr.Model,
                        idCol: String, textCol: String,
                        admittedOut: String, checkpoint: String,

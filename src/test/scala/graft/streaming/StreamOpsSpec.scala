@@ -308,6 +308,33 @@ class StreamOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("decontaminateDrain admits exactly the batch screen's complement, any split") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("decon").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    // unbalanced chunks on purpose — admission must not depend on them
+    Seq(col("doc_id") % 7 === 0, col("doc_id") % 7 === 1,
+        col("doc_id") % 7 >= 2).foreach { p =>
+      train.filter(p).select("doc_id", "text").repartition(1)
+        .write.mode("append").parquet(s"$t/feed")
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$t/feed").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$t/feed")
+    StreamOps.decontaminateDrain(stream, eval, "doc_id", "text",
+      s"$t/admitted", s"$t/ckpt")
+    val drained = spark.read.parquet(s"$t/admitted").select("doc_id")
+    val bad = graft.llm.Dedup.contamination(train, "doc_id", eval, "doc_id",
+        "text", shingleSize = 3, threshold = 0.5)
+      .select(col("train_id").as("doc_id")).distinct()
+    val want = train.select("doc_id").join(bad, Seq("doc_id"), "left_anti")
+    assertSameRows(drained.orderBy("doc_id"), want.orderBy("doc_id"))
+    assert(drained.count() > 0 && drained.count() < train.count(),
+      "fixture should both admit and reject")
+  }
+
   test("tickConf is reentrant: nested and concurrent ticks restore AQE exactly once") {
     val key = "spark.sql.adaptive.enabled"
     spark.conf.set(key, "true") // pin the fixture regardless of suite order
