@@ -35,7 +35,57 @@ object R15SoakMain {
     spark.sparkContext.setLogLevel("ERROR")
     if (which == "1" || which == "all") writeAmpDecade(spark, args.drop(1))
     if (which == "2" || which == "all") intervalJoinAttribution(spark)
+    if (which == "3" || which == "all") newOperatorScale(spark)
     spark.stop()
+  }
+
+  /** Scale evidence for the round's NEW operators: trained-classifier
+    * train+score walls at 1× and 10× docs (expect ~linear — the corpus
+    * is touched once per gradient round through two partial+final
+    * aggregates), and a full centroid RETRAIN of a 20k-vector MOR index
+    * (one O(index) pass; equality asserted against a fresh build). */
+  private def newOperatorScale(spark: SparkSession): Unit = {
+    val base = "/root/testdata/sf0.001"
+    val tenx = "/dev/shm/graft_soak10x"
+    val hunx = "/dev/shm/graft_soak100x"
+    Soak.generate(spark, base, tenx, 10)
+    Soak.generate(spark, base, hunx, 100)
+    def docs(dir: String) = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+    // JIT/codegen warmup OUTSIDE the timed ladder (the first training
+    // ever run in the JVM measured 2x its warm cost)
+    graft.llm.QualityLr.train(docs(base).limit(50), "doc_id", "text", "__label")
+    for (dir <- Seq(base, tenx, hunx)) {
+      val d = docs(dir).localCheckpoint(false)
+      val n = d.count()
+      val (model, tTrain) = time(
+        graft.llm.QualityLr.train(d, "doc_id", "text", "__label"))
+      val (nScored, tScore) = time(
+        graft.llm.QualityLr.score(d, "doc_id", "text", model).count())
+      println(f"[r15-new] classifier $n%6d docs: train ${tTrain}%6.2f s, " +
+        f"score ${tScore}%5.2f s ($nScored scored)")
+    }
+    // 50k-vector retrain: k=32 → k=16 in one pass
+    val emb = spark.read.parquet(s"$hunx/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(false)
+    val r = new scala.util.Random(5)
+    val c32 = Array.fill(32)(Array.fill(64)(r.nextGaussian().toFloat))
+    val c16 = Array.fill(16)(Array.fill(64)(r.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("r15rt").toString + "/idx"
+    val ivf = new graft.llm.IvfMorIndexStore(spark, root, "embedding", "vec_id", c32)
+    val (_, tBuild) = time(ivf.upsert(emb))
+    val (migrated, tRetrain) = time(ivf.retrain(c16))
+    val nAfter = migrated.read.get.count()
+    val misplaced = migrated.read.get
+      .filter(graft.llm.Similarity.cellOf(col("embedding"), c16) =!= col("cell")).count()
+    println(f"[r15-new] MOR retrain ${emb.count()} vectors k=32→16: build ${tBuild}%6.2f s, " +
+      f"retrain ${tRetrain}%6.2f s, rows $nAfter, misplaced $misplaced")
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
   }
 
   private def writeAmpDecade(spark: SparkSession, rest: Seq[String]): Unit = {
