@@ -3810,6 +3810,43 @@ object SparkEntry {
       s.read.parquet(s"$tmp/admitted").select("doc_id")
     }),
 
+    "stream_ann_dedup_index" -> ((s, d) => withShufflePartitions(s, 8) {
+      // SEMANTIC near-dup admission through the persistent IVF store —
+      // the embedding twin of stream_dedup_index: corpus pre-admitted,
+      // then two ordered candidate micro-batches screen against
+      // everything admitted before them. Planted EXACT copies prove
+      // both stages: batch A carries copies of corpus vectors (same
+      // cell, cosine 1 → rejected against the corpus); batch B carries
+      // copies of batch A's NOVEL slice (rejected only if A's
+      // admissions persisted — the sequential-semantics proof). The
+      // oracle replays assignment and both stages exactly.
+      val tmp = scratchDir("stream_annidx")
+      val e = Tables.embeddings(s, d)
+      val centroids = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val corpus = e.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
+      val bA = e.filter(col("vec_id") % 10 === 0)
+        .unionByName(e.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 100 === 1)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
+        .select("vec_id", "embedding")
+      val bB = e.filter(col("vec_id") % 10 === 5)
+        .unionByName(e.filter(col("vec_id") % 20 === 0)
+          .withColumn("vec_id", col("vec_id") + 2000000L))
+        .select("vec_id", "embedding")
+      val src = s"$tmp/src"
+      bA.coalesce(1).write.parquet(src)
+      bB.coalesce(1).write.mode("append").parquet(src)
+      val idx = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx",
+        "embedding", "vec_id", centroids)
+      val t0 = System.nanoTime()
+      idx.upsert(corpus)
+      stageLogger("stream_ann_dedup_index")("index_build", (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamOps.annDedupDrain(stream, idx, 0.95,
+        s"$tmp/admitted", s"$tmp/ckpt", onStage = stageLogger("stream_ann_dedup_index"))
+      s.read.parquet(s"$tmp/admitted").select("vec_id")
+    }),
+
     "stream_cdc_rollup_cdf" -> ((s, d) => {
       // CDC stream WITH CORRECTIONS: 4 insert files plus one
       // restatement file (every event_id%10==3 re-emitted 25 days
@@ -6666,6 +6703,31 @@ object SparkEntry {
         |survB AS (SELECT doc_id FROM documents
         |          WHERE doc_id % 10 = 5 AND doc_id NOT IN (SELECT id FROM dupB))
         |SELECT doc_id FROM survA UNION ALL SELECT doc_id FROM survB""".stripMargin,
+
+    // sequential SEMANTIC admission replayed exactly: same-cell exact
+    // cosine (the IVF candidate shape) under the frozen ivfCtes
+    // centroids; batch A screens against the corpus, batch B against
+    // corpus + A's survivors. Planted copies share their source's cell
+    // by construction (identical embedding → identical assignment).
+    "stream_ann_dedup_index" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |${ivfCtesK(k = 8, nprobe = 1)},
+         |corp AS (SELECT vec_id, e, cell FROM a1 WHERE vec_id % 5 <> 0),
+         |ba AS (SELECT vec_id, e, cell FROM a1 WHERE vec_id % 10 = 0
+         |       UNION ALL
+         |       SELECT vec_id + 1000000, e, cell FROM a1 WHERE vec_id % 5 <> 0 AND vec_id % 100 = 1),
+         |bb AS (SELECT vec_id, e, cell FROM a1 WHERE vec_id % 10 = 5
+         |       UNION ALL
+         |       SELECT vec_id + 2000000, e, cell FROM a1 WHERE vec_id % 20 = 0),
+         |adm1 AS (SELECT c.vec_id, c.e, c.cell FROM ba c WHERE NOT EXISTS (
+         |           SELECT 1 FROM corp s WHERE s.cell = c.cell AND s.vec_id <> c.vec_id
+         |             AND ${cosSql("s.e", "c.e")} >= 0.95)),
+         |st1 AS (SELECT * FROM corp UNION ALL SELECT * FROM adm1),
+         |adm2 AS (SELECT c.vec_id FROM bb c WHERE NOT EXISTS (
+         |           SELECT 1 FROM st1 s WHERE s.cell = c.cell AND s.vec_id <> c.vec_id
+         |             AND ${cosSql("s.e", "c.e")} >= 0.95))
+         |SELECT vec_id FROM adm1 UNION ALL SELECT vec_id FROM adm2""".stripMargin,
 
     // the indexed probe must answer exactly like the recompute form —
     // one shared closed-form oracle

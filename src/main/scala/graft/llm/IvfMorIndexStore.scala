@@ -143,6 +143,12 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
       .localCheckpoint(false)
+    upsertBuilt(fresh)
+  }
+
+  /** The commit half of [[upsert]], for callers that already hold the
+    * cell-assigned (and PQ-encoded) rows. */
+  private def upsertBuilt(fresh: DataFrame): Unit = {
     val idsOnly = fresh.select(col(idCol)).distinct()
     // superset add BEFORE the main commit (crash ⇒ over-tombstoning
     // later, never a ghost)
@@ -155,6 +161,44 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // post-commit: shrink the superset back to exactly-current
     idStore.delete(withBucket(stale))
     store.compactHot(); idStore.compactHot()
+  }
+
+  /** Near-dup ADMISSION through the index: screen `batch` against the
+    * indexed corpus — candidates are SAME-CELL rows only (the IVF
+    * bucket shape: recall follows cell locality, exactly the trade
+    * `ivfTopK` makes) scored by exact cosine — admit the rows with no
+    * indexed neighbor at `threshold`, upsert the survivors, return
+    * them. The batch is NOT screened against itself (admission order
+    * decides — the [[MinhashIndexStore]] ingest contract), and a
+    * re-delivered batch converges: its rows are their own stored
+    * twins, excluded by the id-inequality, and the upsert reconciles
+    * by key. Per tick: one partition-pruned read of the batch's ≤ k
+    * cells with the BATCH side broadcast (the corpus side streams —
+    * O(batch × cell population) comparisons, never all-pairs), plus
+    * the O(batch) upsert. */
+  def ingestNearDup(batch: DataFrame, threshold: Double): DataFrame = {
+    ensureCentroids()
+    val fresh = buildRows(
+      graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
+      .localCheckpoint(false)
+    val cells = fresh.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val dupIds = store.readPartitions(cells) match {
+      case None => fresh.select(col(idCol)).filter(lit(false))
+      case Some(stored) =>
+        stored.join(
+            broadcast(fresh.select(col(idCol).as("__nid"),
+              col(embCol).as("__nemb"), col("cell"))),
+            Seq("cell"))
+          .filter(graft.functions.VectorOps
+            .vectorCosine(col(embCol), col("__nemb")) >= threshold &&
+            col(idCol) =!= col("__nid"))
+          .select(col("__nid").as(idCol)).distinct()
+    }
+    val admitted = fresh.join(dupIds, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    if (!admitted.isEmpty) upsertBuilt(admitted)
+    admitted.drop("cell", "pq_codes")
   }
 
   /** Remove ids from probe visibility: tombstones at every known

@@ -566,6 +566,36 @@ object StreamOps {
     * (scoring a re-delivered batch yields identical rows; an
     * exactly-once consumer dedups on the id downstream, the
     * [[dedupIndexDrain]] contract). */
+  /** Streaming SEMANTIC (embedding-cosine) near-dup admission: one
+    * [[graft.llm.IvfMorIndexStore.ingestNearDup]] tick per micro-batch —
+    * each batch screens against everything admitted BEFORE it (the
+    * pre-built corpus plus every earlier batch's survivors), the
+    * sequential semantics of [[dedupIndexDrain]] with the IVF cell
+    * replacing the MinHash band as the candidate generator. Per-tick
+    * cost: a partition-pruned read of the batch's ≤ k cells with the
+    * batch side broadcast, plus the O(batch) index upsert. Survivor
+    * appends are at-least-once on crash replay (the store converges;
+    * a re-delivered batch's rows match their own stored twins only
+    * through the id-inequality, so they re-admit identically). */
+  def annDedupDrain(stream: DataFrame, index: graft.llm.IvfMorIndexStore,
+                    threshold: Double,
+                    admittedOut: String, checkpoint: String,
+                    onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          index.ingestNearDup(batch, threshold)
+            .write.mode("append").parquet(admittedOut)
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming eval-set DECONTAMINATION: every micro-batch of the
     * ingest feed is screened against a FIXED benchmark corpus
     * ([[graft.llm.Dedup.contamination]] — n-gram overlap ≥ threshold

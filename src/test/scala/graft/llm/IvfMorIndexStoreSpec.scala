@@ -169,6 +169,50 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       s"tick appended $delta bytes against $before of prior state — not O(batch)")
   }
 
+  test("ingestNearDup: same-cell screen matches a driver recompute; replay converges") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    val corpus = full.filter(col("vec_id") % 5 =!= 0)
+    ivf.upsert(corpus)
+    // batch: novel rows + exact copies of three corpus vectors
+    val copies = full.filter(col("vec_id").isin(1L, 2L, 3L))
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val batch = full.filter(col("vec_id") % 10 === 0).unionByName(copies)
+      .localCheckpoint(false)
+    val tau = 0.999
+    val admitted = ivf.ingestNearDup(batch, tau)
+      .select("vec_id").as[Long].collect().toSet
+    // independent driver recompute: same-cell exact cosine vs the corpus
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cellOfArr(v: Array[Float]): Int =
+      centroids.indices.maxBy(c => cos(v, centroids(c)))
+    val stored = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (id, v) => (id, v, cellOfArr(v)) }
+    val want = batch.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter { case (id, v) =>
+        val c = cellOfArr(v)
+        !stored.exists { case (sid, sv, sc) => sc == c && sid != id && cos(v, sv) >= tau }
+      }.map(_._1).toSet
+    assert(admitted == want, s"admitted ${admitted.size}, expected ${want.size}")
+    assert(!admitted.contains(1001L) && !admitted.contains(1002L),
+      "exact copies of stored vectors must be rejected")
+    assert(admitted.nonEmpty, "novel vectors must be admitted")
+    val n1 = ivf.read.get.count()
+    // replay: the re-delivered batch's rows now match their own stored
+    // twins only through the id-inequality — identical admission, no
+    // duplicate state
+    val again = ivf.ingestNearDup(batch, tau).select("vec_id").as[Long].collect().toSet
+    assert(again == admitted && ivf.read.get.count() == n1)
+  }
+
   // ── centroid retrain migration ──────────────────────────────────────
 
   private lazy val centroids4 =
