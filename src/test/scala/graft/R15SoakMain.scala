@@ -36,7 +36,69 @@ object R15SoakMain {
     if (which == "1" || which == "all") writeAmpDecade(spark, args.drop(1))
     if (which == "2" || which == "all") intervalJoinAttribution(spark)
     if (which == "3" || which == "all") newOperatorScale(spark)
+    if (which == "4" || which == "all") retrainLongevity(spark, 20)
     spark.stop()
+  }
+
+  /** Retrain LONGEVITY: a production index doesn't migrate once — it
+    * re-trains on a cadence as the embedding distribution drifts. 20
+    * alternating retrains (k=32 ⇄ k=16) over a 5k-vector store, a
+    * re-embed mutation batch upserted between each pair, a probe every
+    * tick. Asserts after EVERY migration that no residence is
+    * misplaced and rows are preserved, and at the end that the store
+    * state equals a from-scratch build over the mutated corpus —
+    * migrations must compose with maintenance indefinitely, not just
+    * survive one pass. */
+  private def retrainLongevity(spark: SparkSession, cycles: Int): Unit = {
+    val tenx = "/dev/shm/graft_soak10x"
+    Soak.generate(spark, "/root/testdata/sf0.001", tenx, 10)
+    val base = spark.read.parquet(s"$tenx/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(false)
+    val r = new scala.util.Random(11)
+    val cA = Array.fill(32)(Array.fill(64)(r.nextGaussian().toFloat))
+    val cB = Array.fill(16)(Array.fill(64)(r.nextGaussian().toFloat))
+    val root = java.nio.file.Files.createTempDirectory("r15rl").toString + "/idx"
+    var handle = new graft.llm.IvfMorIndexStore(spark, root, "embedding", "vec_id", cA)
+    handle.upsert(base)
+    var cur = base
+    val dim = 64
+    var maxSegs = 0
+    (1 to cycles).foreach { t =>
+      // drift: one residue slice re-embedded with a tick-dependent rotation
+      val rot = t % dim
+      val slice = cur.filter(pmod(col("vec_id"), lit(17)) === t % 17)
+        .withColumn("embedding",
+          concat(org.apache.spark.sql.functions.slice(col("embedding"), rot + 1, dim - rot),
+            org.apache.spark.sql.functions.slice(col("embedding"), 1, rot)))
+        .localCheckpoint(false)
+      handle.upsert(slice)
+      cur = cur.join(slice.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .unionByName(slice).localCheckpoint(false)
+      val target = if (t % 2 == 1) cB else cA
+      val (migrated, w) = time(handle.retrain(target))
+      handle = migrated
+      val misplaced = handle.read.get
+        .filter(graft.llm.Similarity.cellOf(col("embedding"), target) =!= col("cell"))
+        .count()
+      val n = handle.read.get.count()
+      require(misplaced == 0 && n == 5000, s"tick $t: misplaced=$misplaced rows=$n")
+      val segs = handle.segmentCounts
+      maxSegs = math.max(maxSegs, math.max(segs._1, segs._2))
+      val q = base.filter(col("vec_id") === 7L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val probed = handle.topK(q, 10, nprobe = 2).count()
+      if (t % 5 == 0)
+        println(f"[r15-rl] tick $t%2d: retrain ${w}%5.2f s, segs $segs, probe rows $probed")
+    }
+    // end-state exactness: the migrated+mutated store ≡ a fresh build
+    val finalCents = if (cycles % 2 == 1) cB else cA
+    val want = graft.llm.Similarity.buildIvfIndex(cur, "embedding", finalCents)
+      .select(col("vec_id"), col("cell"))
+    val got = handle.read.get.select(col("vec_id"), col("cell"))
+    val drift = got.exceptAll(want).count() + want.exceptAll(got).count()
+    println(s"[r15-rl] after $cycles retrains + ${cycles} mutation batches: " +
+      s"exceptAll drift $drift, max segment fan-in $maxSegs")
+    require(drift == 0, "store diverged from the from-scratch build")
   }
 
   /** Scale evidence for the round's NEW operators: trained-classifier

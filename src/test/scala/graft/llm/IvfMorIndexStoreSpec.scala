@@ -250,6 +250,24 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     intercept[IllegalStateException] { ivf.topK(pts(5)._2, 5) }
   }
 
+  test("retrain preserves PQ codes: ADC probes answer like a fresh PQ build") {
+    val books = Pq.trainCodebooks(full, "embedding", "vec_id", m = 4, ksub = 8)
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books))
+    ivf.upsert(full)
+    val migrated = ivf.retrain(centroids4)
+    val fresh = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids4, Some(books))
+    fresh.upsert(full)
+    for (qid <- Seq(7L, 123L, 390L)) {
+      val q = pts(qid.toInt)._2
+      val a = migrated.topKAdc(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
+      val b = fresh.topKAdc(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq
+      assert(a == b, s"ADC probe diverged after retrain for query $qid")
+    }
+  }
+
   test("opening a stamped store under different centroids refuses") {
     val root = freshRoot()
     val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
