@@ -170,9 +170,13 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * indexed neighbor at `threshold`, upsert the survivors, return
     * them. The batch is NOT screened against itself (admission order
     * decides — the [[MinhashIndexStore]] ingest contract), and a
-    * re-delivered batch converges: its rows are their own stored
-    * twins, excluded by the id-inequality, and the upsert reconciles
-    * by key. Per tick: one partition-pruned read of the batch's ≤ k
+    * re-delivered batch converges the STORE: its rows are their own
+    * stored twins (excluded by the id-inequality) and the upsert
+    * reconciles by key — though a row whose mutual near-dup sat in the
+    * SAME first batch screens against that now-stored twin on replay,
+    * so the returned survivor set is at-least-once, not idempotent
+    * (see [[graft.streaming.StreamOps.annDedupDrain]]).
+    * Per tick: one partition-pruned read of the batch's ≤ k
     * cells with the BATCH side broadcast (the corpus side streams —
     * O(batch × cell population) comparisons, never all-pairs), plus
     * the O(batch) upsert. */

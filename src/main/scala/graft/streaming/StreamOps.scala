@@ -574,9 +574,14 @@ object StreamOps {
     * replacing the MinHash band as the candidate generator. Per-tick
     * cost: a partition-pruned read of the batch's ≤ k cells with the
     * batch side broadcast, plus the O(batch) index upsert. Survivor
-    * appends are at-least-once on crash replay (the store converges;
-    * a re-delivered batch's rows match their own stored twins only
-    * through the id-inequality, so they re-admit identically). */
+    * appends are at-least-once on crash replay: the STORE converges
+    * (re-admitted rows reconcile by key; nothing is ever deleted), and
+    * the union of appends covers every first-delivery survivor. A
+    * re-delivered row that had a mutual near-dup WITHIN its own batch
+    * may not re-append (its twin is stored now — the within-batch
+    * exemption applied only on first delivery), which is exactly why
+    * the contract is at-least-once + downstream id-dedup, not
+    * append-idempotence. */
   def annDedupDrain(stream: DataFrame, index: graft.llm.IvfMorIndexStore,
                     threshold: Double,
                     admittedOut: String, checkpoint: String,

@@ -213,6 +213,25 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assert(again == admitted && ivf.read.get.count() == n1)
   }
 
+  test("ingestNearDup replay contract: within-batch mutual dups re-screen, store converges") {
+    // two exact copies in ONE batch: the within-batch exemption admits
+    // both on first delivery; on replay each screens against its
+    // now-stored twin — neither re-appends, the store is unchanged.
+    // This is the documented at-least-once + downstream-id-dedup
+    // contract, pinned so it can't silently drift.
+    val ivf = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    ivf.upsert(full.filter(col("vec_id") < 100L))
+    val v = pts(200)._2
+    val twins = Seq(9001L -> v, 9002L -> v, 9003L -> pts(300)._2)
+      .toDF("vec_id", "embedding")
+    val first = ivf.ingestNearDup(twins, 0.999).select("vec_id").as[Long].collect().toSet
+    assert(first == Set(9001L, 9002L, 9003L), s"first delivery admits all, got $first")
+    val n1 = ivf.read.get.count()
+    val replay = ivf.ingestNearDup(twins, 0.999).select("vec_id").as[Long].collect().toSet
+    assert(replay == Set(9003L), s"replayed twins must screen each other out, got $replay")
+    assert(ivf.read.get.count() == n1, "replay must not change store state")
+  }
+
   // ── centroid retrain migration ──────────────────────────────────────
 
   private lazy val centroids4 =
