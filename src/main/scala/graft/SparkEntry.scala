@@ -2759,6 +2759,23 @@ object SparkEntry {
           least(lit(1.0), coalesce(col("n_chars").cast("double"), lit(0.0)) / 400.0))
         .groupBy("lang").agg(count(lit(1)).as("n"))),
 
+    "sample_quality_weighted" -> ((s, d) => {
+      // quality-weighted corpus mix from the TRAINED classifier: keep
+      // each doc with probability equal to its clamped linear-
+      // probability margin — the CCNet importance-bucketed sampling
+      // move with the learned score in place of the n_chars heuristic
+      // (sample_weighted). The oracle replays the unrolled training AND
+      // every md5 keep decision.
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      val scored = graft.llm.QualityLr.score(docs, "doc_id", "text", model)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      graft.llm.Sampling.weightedSample(scored, Seq("doc_id"),
+          col("margin_micro").cast("double") / 1e6, seed = "qw")
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+    }),
+
     "sample_temperature_mix" -> ((s, d) =>
       // n^0.5 temperature mixing toward a half-corpus budget: rare
       // sources keep a larger fraction of their rows than dominant ones;
@@ -5409,6 +5426,16 @@ object SparkEntry {
         |WHERE CAST(CAST('0x' || substring(md5('weighted' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0
         |      < least(greatest(coalesce(CAST(n_chars AS DOUBLE), 0.0) / 400.0, 0.0), 1.0)
         |GROUP BY lang""".stripMargin,
+
+    // the trained margins drive the keep probability; same md5
+    // arithmetic as sample_weighted, same unrolled-training replay as
+    // the classifier family
+    "sample_quality_weighted" ->
+      s"""SELECT d.lang, count(*) AS n
+         |FROM ($classifyQualityTrainedSql) c JOIN documents d USING (doc_id)
+         |WHERE CAST(CAST('0x' || substring(md5('qw' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) AS DOUBLE) / 65536.0
+         |      < least(greatest(CAST(margin_micro AS DOUBLE) / 1000000.0, 0.0), 1.0)
+         |GROUP BY d.lang""".stripMargin,
 
     // counts → n^0.5 rates (rounded to 12 dp on both engines so ulp
     // drift in the Σ n^α reduction can't flip a boundary row) → the
