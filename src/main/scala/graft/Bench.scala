@@ -109,24 +109,35 @@ object Bench {
     // drift on the sentinels = environment; a swing a sentinel doesn't
     // share = real. Sentinel passes are excluded from the headline
     // total (the same queries still run, timed, in the main loop).
+    // Two sentinel CLASSES on purpose: q1_agg/dedup_exact/text_bigram_nll
+    // are narrow-map COMPUTE probes, but shuffle/IO-heavy families drift
+    // independently of compute on this box (measured 1.5× relative in the
+    // r15 A/B work) — so w1_dedup_latest (window over a shuffle) and
+    // m4_partition_overwrite (store write + commit IO) calibrate those
+    // families' drift too.
     val sentinelNames =
-      Seq("q1_agg", "dedup_exact", "text_bigram_nll").filter(queries.contains)
-    def timeSentinels(tag: String): Seq[(String, Double)] =
+      Seq("q1_agg", "dedup_exact", "text_bigram_nll",
+        "w1_dedup_latest", "m4_partition_overwrite").filter(queries.contains)
+    // a FAILED sentinel pass fast-fails at near-zero wall — recording it
+    // would poison the drift median with noise, so failures are excluded
+    // from min/drift and surfaced as ok:false in the JSON instead
+    def timeSentinels(tag: String): Seq[(String, Option[Double])] =
       sentinelNames.map { name =>
-        def pass(): Double = {
+        def pass(): (Double, Boolean) = {
           val t0 = System.nanoTime()
           spark.sparkContext.setJobGroup(s"ambient.$tag.$name", name)
-          try queries(name)(spark, sfDir).count()
+          val ok = try { queries(name)(spark, sfDir).count(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] ambient $tag $name FAILED: ${e.getMessage}")
+            false
           } finally spark.sparkContext.clearJobGroup()
           val sec = (System.nanoTime() - t0) / 1e9
           stageAppend(s"ambient.$tag.$name", "pass_wall", sec)
-          sec
+          (sec, ok)
         }
-        val m = math.min(pass(), pass()) // min-of-two, same as the suite
+        val oks = Seq(pass(), pass()).collect { case (sec, true) => sec }
         try spark.sharedState.cacheManager.clearCache() catch { case _: Throwable => }
-        (name, m)
+        (name, oks.sorted.headOption) // min-of-ok-passes, same as the suite
       }
     val ambientFirst = timeSentinels("first")
     // failures are explicit: a failed query is listed in "failed" and its
@@ -172,16 +183,20 @@ object Bench {
     def r3(v: Double): String = f"$v%.3f"
     val ambientLast = timeSentinels("last")
     // intra-run drift: median of last/first per sentinel (median, not
-    // max — one sentinel hitting a GC pause shouldn't brand the run)
+    // max — one sentinel hitting a GC pause shouldn't brand the run);
+    // only sentinels that succeeded in BOTH probes contribute a ratio
     val ambientDrift = {
       val ratios = ambientFirst.zip(ambientLast).collect {
-        case ((_, f), (_, l)) if f > 0 => l / f
+        case ((_, Some(f)), (_, Some(l))) if f > 0 => l / f
       }.sorted
       if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     }
     val ambientJson = {
-      def m(xs: Seq[(String, Double)]) =
-        xs.map { case (k, v) => "\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
+      def m(xs: Seq[(String, Option[Double])]) =
+        xs.map {
+          case (k, Some(v)) => "\"" + k + "\":" + r2(v)
+          case (k, None) => "\"" + k + "\":null"
+        }.mkString("{", ",", "}")
       s"""{"first":${m(ambientFirst)},"last":${m(ambientLast)},"intra_run_drift":${r2(ambientDrift)}}"""
     }
     val ok = results.filter(_._5)

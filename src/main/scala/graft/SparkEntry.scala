@@ -3062,11 +3062,15 @@ object SparkEntry {
       // re-runs ALL THREE rounds (unrolled CTEs) and the final scores;
       // every cross-row sum is micro-quantized so partitioning can
       // never flip a bit. Scores are integer micro-margins; hq is the
-      // 0.5-threshold keep/drop decision the curation funnel composes.
+      // keep/drop decision the curation funnel composes. Threshold 0.45,
+      // NOT the library default 0.5: the fixture's margins span ~[0.35,
+      // 0.47], so 0.5 admits nothing (a vacuous gate) while 0.45 admits
+      // a proper non-empty subset (~half) — the oracle row then carries
+      // information in BOTH directions (admitted and rejected).
       val docs = Tables.documents(s, d)
         .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
       val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
-      graft.llm.QualityLr.score(docs, "doc_id", "text", model)
+      graft.llm.QualityLr.score(docs, "doc_id", "text", model, threshold = 0.45)
     }),
 
     "sp_encode_ids" -> ((s, d) => {
@@ -3984,7 +3988,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
         .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
       val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
-      graft.llm.QualityLr.score(docs, "doc_id", "text", model)
+      graft.llm.QualityLr.score(docs, "doc_id", "text", model, threshold = 0.45)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -4009,7 +4013,7 @@ object SparkEntry {
       val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
       graft.streaming.StreamOps.qualityGateDrain(stream, model,
-        "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt")
+        "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt", threshold = 0.45)
       s.read.parquet(s"$tmp/admitted").select(col("doc_id"), col("margin_micro"))
     }),
 
@@ -4943,7 +4947,7 @@ object SparkEntry {
         |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
         |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
         |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT)) > 500000 AS hq
+        |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT)) > 450000 AS hq
         |FROM feat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id""".stripMargin
 
   /** CTEs replaying IVF: lowest-id seeds, one Lloyd step, reassignment,
@@ -5669,17 +5673,20 @@ object SparkEntry {
          |FROM qj GROUP BY 1""".stripMargin,
 
     // replays the ENTIRE training: 3 unrolled full-batch gradient
-    // rounds (least-squares linear model over hashed-unigram term
-    // frequencies, lr=0.5, 64 buckets, y = lang='en'), then the final
-    // micro-margin scores. Micro-quantization (floor(v*1e6+0.5) summed
-    // as BIGINT) makes every sum order-independent; weight updates are
-    // plain double arithmetic with the same association as the engine.
+    // rounds (least-squares linear model over L2-normalized
+    // hashed-unigram PRESENCE features, lr=0.7, 64 buckets,
+    // y = lang='en'), then the final micro-margin scores.
+    // Micro-quantization (floor(v*1e6+0.5) summed as BIGINT) makes
+    // every sum order-independent; weight updates are plain double
+    // arithmetic with the same association as the engine.
     "classify_quality_trained" -> classifyQualityTrainedSql,
 
     // per-doc scoring has no cross-doc state, so the drained gate must
-    // equal the batch classifier filtered at the 0.5 threshold
+    // equal the batch classifier filtered at the 0.45 threshold (0.45,
+    // not 0.5 — see the classify_quality_trained registration: 0.5
+    // admits nothing on this fixture, which made this row vacuous)
     "stream_quality_trained" ->
-      s"SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql) WHERE margin_micro > 500000",
+      s"SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql) WHERE margin_micro > 450000",
 
     "source_quality_trained" ->
       s"""SELECT d.source, count(*) AS n_docs,

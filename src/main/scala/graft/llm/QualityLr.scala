@@ -104,6 +104,14 @@ object QualityLr {
     // the corpus is tokenized ONCE; rounds iterate over the skinny rows
     val feat = featureRows(docs, idCol, textCol, buckets)
       .join(labels, Seq(idCol)).localCheckpoint(false)
+    trainOnFeatures(feat, labels, idCol, buckets, rounds, lr)
+  }
+
+  /** The gradient rounds over pre-extracted (id, b, x, __y) feature
+    * rows — shared by [[train]] and [[trainAndScore]], which differ
+    * only in whether the scoring pass reuses the same rows. */
+  private def trainOnFeatures(feat: DataFrame, labels: DataFrame, idCol: String,
+                              buckets: Int, rounds: Int, lr: Double): Model = {
     val n = labels.count()
     require(n > 0, "cannot train on an empty seed set")
     val w = Array.fill(buckets)(0.0)
@@ -142,12 +150,24 @@ object QualityLr {
   /** Train-on-seed + score-the-corpus in one call — the curation-gate
     * composition: returns the input docs with `margin_micro`/`hq`
     * attached, ready to `.filter(col("hq"))` in front of dedup and
-    * sampling exactly like the heuristic gates. */
+    * sampling exactly like the heuristic gates. The corpus is
+    * tokenized ONCE: the checkpointed feature rows feed both the
+    * gradient rounds and the final scoring aggregate (a second
+    * [[featureRows]] pass would recompute identical rows — the
+    * micro-quantized sums make the reuse bit-identical by
+    * construction). */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
                     labelCol: String, buckets: Int = DefaultBuckets,
                     rounds: Int = DefaultRounds, lr: Double = DefaultLr,
                     threshold: Double = 0.5): DataFrame = {
-    val model = train(docs, idCol, textCol, labelCol, buckets, rounds, lr)
-    docs.join(score(docs, idCol, textCol, model, threshold), Seq(idCol))
+    val labels = docs.select(col(idCol), col(labelCol).cast("double").as("__y"))
+    val feat = featureRows(docs, idCol, textCol, buckets).localCheckpoint(false)
+    val model = trainOnFeatures(feat.join(labels, Seq(idCol)), labels,
+      idCol, buckets, rounds, lr)
+    val thrMicro = math.floor(threshold * 1e6 + 0.5).toLong
+    val scored = marginMicro(feat, idCol, model)
+      .select(col(idCol), col("margin_micro"),
+        (col("margin_micro") > lit(thrMicro)).as("hq"))
+    docs.join(scored, Seq(idCol))
   }
 }

@@ -197,13 +197,28 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * when rows must move partitions (e.g. a format migration), a
     * re-append cannot work — the old partition's copy would keep
     * winning inside its own partition-scoped compaction window — so
-    * the whole table swaps at once. */
+    * the whole table swaps at once.
+    *
+    * SINGLE-WRITER REQUIRED: `df` is typically derived from this
+    * store's live state, and the commit references ONLY the snapshot's
+    * segment — a delta committed by another writer between the caller's
+    * read and this commit would be silently dropped. That is the repo's
+    * standard one-writer-per-store discipline; as a guard against
+    * accidental violations, the commit fails if the manifest advanced
+    * between entry and commit (the caller-read→entry window remains the
+    * caller's contract). */
   def snapshot(df: DataFrame): Seq[String] = {
+    val v0 = latestManifestVersion
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val deduped = MergeEngine.latestPerKey(df, cfg.keys, cursorOrder)
       .withColumn(DeletedCol, lit(false))
-    val idx = latestManifestVersion.getOrElse(0) + 1
+    val idx = v0.getOrElse(0) + 1
     val (seg, affected) = writeSegmentObserved(deduped, idx)
+    if (latestManifestVersion != v0)
+      throw new java.util.ConcurrentModificationException(
+        s"${cfg.name}: manifest advanced from $v0 to $latestManifestVersion during " +
+          "snapshot — a concurrent writer's commit would be dropped by this " +
+          "full replace; snapshot requires single-writer access")
     commit(affected.map(v => v -> Seq(seg)).toMap)
     affected
   }

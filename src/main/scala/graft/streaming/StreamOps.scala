@@ -447,8 +447,10 @@ object StreamOps {
   // tickConf reentrancy state: concurrent ticks (or a tick nested in a
   // tick) share the default session, so a naive save/flip/restore can
   // capture 'false' as the previous value and leave AQE permanently
-  // off. Depth-counted under a lock: the OUTERMOST entry captures,
-  // the outermost exit restores; inner ticks are no-ops.
+  // off. Depth-counted under a lock: EVERY entry captures+flips any
+  // session it hasn't seen yet (a depth>0 entry from a DIFFERENT
+  // stream brings its own micro-batch clone session, which must flip
+  // too); the outermost exit restores them all.
   private[this] val tickLock = new Object
   private[this] var tickDepth = 0
   private[this] var tickSaved: Seq[(org.apache.spark.sql.SparkSession, String)] = Nil
@@ -461,12 +463,11 @@ object StreamOps {
     // the DataFrame, so the flag must flip on both
     val key = "spark.sql.adaptive.enabled"
     tickLock.synchronized {
-      if (tickDepth == 0) {
-        val sessions = (Seq(spark) ++
-          org.apache.spark.sql.SparkSession.getDefaultSession.toSeq).distinct
-        tickSaved = sessions.map(s => s -> s.conf.get(key))
-        sessions.foreach(_.conf.set(key, "false"))
-      }
+      val sessions = (Seq(spark) ++
+        org.apache.spark.sql.SparkSession.getDefaultSession.toSeq).distinct
+      val fresh = sessions.filterNot(s => tickSaved.exists(_._1 eq s))
+      tickSaved ++= fresh.map(s => s -> s.conf.get(key))
+      fresh.foreach(_.conf.set(key, "false"))
       tickDepth += 1
     }
     try body finally tickLock.synchronized {
@@ -554,18 +555,6 @@ object StreamOps {
     q.awaitTermination()
   }
 
-  /** Streaming TRAINED-quality gate: the classifier trained offline on
-    * a labeled seed ([[graft.llm.QualityLr.train]]) scores every
-    * micro-batch and admits the docs above threshold — the standard
-    * train-offline / serve-in-stream deployment of a CCNet-style
-    * filter. Scoring is per-document with NO cross-doc state (the
-    * weight table broadcasts into each tick), so the drained output is
-    * split-independent by construction: any micro-batching of the feed
-    * admits exactly the batch-scored set. Survivors append to
-    * `admittedOut` with their margins — at-least-once on crash replay
-    * (scoring a re-delivered batch yields identical rows; an
-    * exactly-once consumer dedups on the id downstream, the
-    * [[dedupIndexDrain]] contract). */
   /** Streaming SEMANTIC (embedding-cosine) near-dup admission: one
     * [[graft.llm.IvfMorIndexStore.ingestNearDup]] tick per micro-batch —
     * each batch screens against everything admitted BEFORE it (the
@@ -637,6 +626,18 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming TRAINED-quality gate: the classifier trained offline on
+    * a labeled seed ([[graft.llm.QualityLr.train]]) scores every
+    * micro-batch and admits the docs above threshold — the standard
+    * train-offline / serve-in-stream deployment of a CCNet-style
+    * filter. Scoring is per-document with NO cross-doc state (the
+    * weight table broadcasts into each tick), so the drained output is
+    * split-independent by construction: any micro-batching of the feed
+    * admits exactly the batch-scored set. Survivors append to
+    * `admittedOut` with their margins — at-least-once on crash replay
+    * (scoring a re-delivered batch yields identical rows; an
+    * exactly-once consumer dedups on the id downstream, the
+    * [[dedupIndexDrain]] contract). */
   def qualityGateDrain(stream: DataFrame, model: graft.llm.QualityLr.Model,
                        idCol: String, textCol: String,
                        admittedOut: String, checkpoint: String,
