@@ -4017,6 +4017,41 @@ object SparkEntry {
       s.read.parquet(s"$tmp/admitted").select(col("doc_id"), col("margin_micro"))
     }),
 
+    "stream_curation_funnel" -> ((s, d) => withShufflePartitions(s, 8) {
+      // THE composed streaming ingest door — pipeline_curation_funnel's
+      // streaming twin: decontaminate → trained-quality gate →
+      // persistent MinHash dedup admission, chained in ONE streamed
+      // pass per micro-batch. Fixture: benchmarks = %10==3 docs; the
+      // already-curated corpus (pre-admitted to the dedup store) =
+      // %5<>0 ∧ %10<>3; feed = %5==0 in two ordered micro-batches
+      // (A=%10==0, B=%10==5 — stream_dedup_index's split). The output
+      // is one row per (batch, stage, surviving doc): stage counts AND
+      // survivor ids in a single hash-checked relation. The oracle
+      // replays all three gates sequentially — batch B's dedup screen
+      // includes batch A's admitted survivors.
+      val tmp = scratchDir("stream_funnel")
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val feed = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
+      feed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val store = new graft.llm.MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
+      val t0 = System.nanoTime()
+      store.append(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select("doc_id", "text"))
+      stageLogger("stream_curation_funnel")("index_build", (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrain(stream, evalSet, model, store,
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        onStage = stageLogger("stream_curation_funnel"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -5687,6 +5722,52 @@ object SparkEntry {
     // admits nothing on this fixture, which made this row vacuous)
     "stream_quality_trained" ->
       s"SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql) WHERE margin_micro > 450000",
+
+    // the composed ingest door replayed stage by stage: per batch, the
+    // clean set (eval-shingle containment < 0.5), the quality
+    // survivors (margin > 450000 under the replayed trained model),
+    // then SEQUENTIAL near-dup admission — batch A screens against the
+    // pre-seeded corpus only, batch B against corpus + A's admitted
+    // survivors, and a batch is never screened against itself (the
+    // MinhashIndexStore.ingest contract)
+    "stream_curation_funnel" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.* FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |dupA AS (SELECT DISTINCT a.doc_id FROM hq a JOIN corp x
+         |         ON len(list_intersect(a.s, x.s)) * 1.0 /
+         |            (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+         |         WHERE a.b = 0),
+         |admA AS (SELECT doc_id, s FROM hq WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st1 AS (SELECT doc_id, s FROM corp UNION ALL SELECT doc_id, s FROM admA),
+         |dupB AS (SELECT DISTINCT a.doc_id FROM hq a JOIN st1 x
+         |         ON a.doc_id <> x.doc_id
+         |        AND len(list_intersect(a.s, x.s)) * 1.0 /
+         |            (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+         |         WHERE a.b = 1),
+         |admB AS (SELECT doc_id FROM hq WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,
+         |       'decontaminated' AS stage_name, doc_id FROM clean
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), CAST(1 AS BIGINT), 'quality_pass', doc_id FROM hq
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
 
     "source_quality_trained" ->
       s"""SELECT d.source, count(*) AS n_docs,

@@ -590,6 +590,77 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** The COMPOSED streaming ingest door — the batch
+    * `pipeline_curation_funnel`'s streaming twin and the actual 100 TB
+    * ingest topology: every micro-batch runs the full admission chain
+    * IN ORDER, eval-set decontamination ([[decontaminateDrain]]'s
+    * screen) → trained-quality gate ([[qualityGateDrain]]'s scorer) →
+    * persistent MinHash near-dup admission ([[dedupIndexDrain]]'s
+    * store tick) — one streamed pass, one store commit per tick.
+    *
+    * Stage semantics compose exactly as the standalone drains: stages
+    * 1–2 are per-document with NO cross-doc state (the eval shingles
+    * and the weight table broadcast into each tick), so their survivor
+    * sets are split-independent; stage 3 screens against everything
+    * admitted BEFORE the batch (the pre-seeded corpus plus every
+    * earlier batch's survivors — the sequential ingest contract), and
+    * mutual near-dups arriving in ONE batch are both admitted (the
+    * batch is never screened against itself). Ordering the cheap
+    * per-doc gates first is the scale argument: the O(batch·corpus-
+    * signature) dedup probe runs only on the quality-surviving
+    * remainder.
+    *
+    * Each tick appends one row per (stage, surviving doc) to `out` —
+    * `(batch, stage, stage_name, id)` — so ONE relation carries both
+    * the per-stage funnel counts and the exact survivor id sets.
+    * Appends are at-least-once on crash replay (the
+    * [[dedupIndexDrain]] contract: the store converges idempotently;
+    * an exactly-once consumer dedups on (batch, stage, id)). */
+  def curationFunnelDrain(stream: DataFrame, evalDocs: DataFrame,
+                          model: graft.llm.QualityLr.Model,
+                          store: graft.llm.MinhashIndexStore,
+                          idCol: String, textCol: String,
+                          out: String, checkpoint: String,
+                          qualityThreshold: Double = 0.45,
+                          dedupThreshold: Double = 0.8,
+                          shingleSize: Int = 3,
+                          contaminationThreshold: Double = 0.5,
+                          onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          val contaminated = graft.llm.Dedup.contamination(
+              batch, idCol, evalDocs, idCol, textCol,
+              shingleSize, contaminationThreshold)
+            .select(col("train_id").as(idCol)).distinct()
+          // checkpointed: the clean set feeds the scorer AND the stage
+          // row dump; a stream-source batch re-executes its file scan
+          // per downstream action otherwise
+          val clean = batch.join(contaminated, Seq(idCol), "left_anti")
+            .localCheckpoint(false)
+          val hqIds = graft.llm.QualityLr
+            .score(clean, idCol, textCol, model, qualityThreshold)
+            .filter(col("hq")).select(idCol)
+          val hqDocs = clean.join(hqIds, Seq(idCol)).localCheckpoint(false)
+          val admitted = store.ingest(
+            hqDocs.select(col(idCol), col(textCol)), dedupThreshold)
+          def stageRows(df: DataFrame, stage: Int, name: String) =
+            df.select(lit(batchId).as("batch"), lit(stage.toLong).as("stage"),
+              lit(name).as("stage_name"), col(idCol))
+          stageRows(clean, 0, "decontaminated")
+            .unionByName(stageRows(hqDocs, 1, "quality_pass"))
+            .unionByName(stageRows(admitted, 2, "admitted"))
+            .write.mode("append").parquet(out)
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming eval-set DECONTAMINATION: every micro-batch of the
     * ingest feed is screened against a FIXED benchmark corpus
     * ([[graft.llm.Dedup.contamination]] — n-gram overlap ≥ threshold

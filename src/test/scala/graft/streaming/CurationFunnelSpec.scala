@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.{MinhashIndexStore, QualityLr}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed streaming ingest door ([[StreamOps.curationFunnelDrain]]):
+  * decontaminate → trained-quality gate → persistent MinHash dedup
+  * admission in one streamed pass. The fixture plants one doc per
+  * failure mode so every stage provably fires, and the feed is
+  * internally dup-free by construction so the admitted set is
+  * split-INVARIANT — which the spec then asserts across micro-batch
+  * splits. The final test documents the one order-dependent case
+  * (mutual near-dups inside the feed) honestly.
+  */
+class CurationFunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // separable corpus: even = good (shared function words), odd = salt.
+  // Good docs vary in THREE trailing words, so pairwise exact Jaccard
+  // is 7/13 ≈ 0.54 — the feed is internally dup-free at 0.8. (One
+  // varying word is NOT enough: "…dog number $i" docs share 8 of 10
+  // shingles = J exactly 0.8, silently at the threshold.)
+  private def feedDocs = (0L until 40L).map { i =>
+    if (i % 2 == 0)
+      (i, s"the quick brown fox jumps over the lazy dog alpha$i beta$i gamma$i", 1)
+    else
+      (i, s"zzq$i xkcd${i * 7} qqz${i % 5} vvv${i * 3}", 0)
+  }.toDF("doc_id", "text", "label")
+
+  // the already-curated corpus the dedup store is pre-seeded with;
+  // good-shaped text so a COPY of it in the feed passes the quality
+  // gate and reaches (and is rejected by) the dedup stage
+  private val corpusText =
+    "the quick brown fox jumps over the lazy dog persisted corpus copy"
+
+  // the eval-leak plant: text UNIQUE to the benchmark (it must not
+  // share shingles with the good class, or decontamination would wipe
+  // every good doc — their shared ten-word prefix means any one of
+  // them covers ≥ 0.5 of another's shingles)
+  private val evalLeakText =
+    "benchmark held out evaluation question about a unique niche subject"
+
+  private def drain(feed: DataFrame, files: Seq[DataFrame], tmp: String,
+                    maxFilesPerTrigger: Option[Int]): DataFrame = {
+    files.foreach(_.repartition(1).write.mode("append").parquet(s"$tmp/feed"))
+    val store = new MinhashIndexStore(spark, s"$tmp/store", "doc_id", "text")
+    store.append(Seq((100L, corpusText)).toDF("doc_id", "text"))
+    val evalSet = Seq((900L, evalLeakText)).toDF("doc_id", "text")
+    val model = QualityLr.train(feed, "doc_id", "text", "label")
+    val reader = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n.toString))
+      .parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrain(stream, evalSet, model, store,
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    spark.read.parquet(s"$tmp/out")
+  }
+
+  // feed = separable corpus + doc 41 (an exact copy of the pre-seeded
+  // corpus doc — must fall at the DEDUP stage; good-shaped so it
+  // clears the quality gate first) + doc 42 (the eval plant — its
+  // exact text is in the benchmark set, so it falls at
+  // DECONTAMINATION before any other gate sees it)
+  private def fullFeed = feedDocs
+    .unionByName(Seq((41L, corpusText, 1), (42L, evalLeakText, 0))
+      .toDF("doc_id", "text", "label"))
+
+  test("every stage fires, and each planted doc falls at its own stage") {
+    val tmp = java.nio.file.Files.createTempDirectory("funnel1").toString
+    val feed = fullFeed
+    val out = drain(feed, Seq(feed.select("doc_id", "text")), tmp, None)
+    def ids(stage: Int): Set[Long] =
+      out.filter(col("stage") === stage).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val clean = ids(0); val hq = ids(1); val admitted = ids(2)
+    // stage 0: exactly the eval plant is removed
+    assert(clean == (0L until 40L).toSet + 41L)
+    // stage 1: a non-empty PROPER subset — the salt docs fall here,
+    // the good docs (including the corpus copy) survive
+    assert(hq.nonEmpty && hq.subsetOf(clean) && hq != clean)
+    assert(hq.contains(41L), "the corpus copy must clear the quality gate")
+    // the linear model is approximate — allow a couple of hash-collision
+    // stragglers, but the salt class must overwhelmingly fall here
+    assert((1L until 40L by 2).count(hq.contains) <= 2, "salt docs must fall")
+    assert((0L until 40L by 2).forall(hq.contains), "good docs must survive")
+    // stage 2: exactly the corpus copy is removed by the dedup screen
+    assert(admitted == hq - 41L)
+    // the funnel is monotone per batch and the stage counts match
+    assert(clean.size > hq.size && hq.size > admitted.size)
+  }
+
+  test("admitted set is split-invariant when the feed is internally dup-free") {
+    val feed = fullFeed
+    def admittedIds(tmp: String, files: Seq[DataFrame], mft: Option[Int]) = {
+      val out = drain(feed, files, tmp, mft)
+      (out.filter(col("stage") === 2).select("doc_id")
+        .collect().map(_.getLong(0)).toSet,
+        out.filter(col("stage") === 2).select("batch").distinct().count())
+    }
+    val one = java.nio.file.Files.createTempDirectory("funnel_one").toString
+    val (a, nBatchesOne) =
+      admittedIds(one, Seq(feed.select("doc_id", "text")), None)
+    val four = java.nio.file.Files.createTempDirectory("funnel_four").toString
+    val chunks = Seq(0L -> 7L, 7L -> 9L, 9L -> 30L, 30L -> 43L).map { case (lo, hi) =>
+      feed.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select("doc_id", "text")
+    }
+    val (b, nBatchesFour) = admittedIds(four, chunks, Some(1))
+    assert(nBatchesOne == 1 && nBatchesFour == 4,
+      s"fixture must actually exercise different splits ($nBatchesOne vs $nBatchesFour)")
+    assert(a == b, "stages are per-doc or screened against pre-batch state " +
+      "only, so a dup-free feed must admit the same set under any split")
+    assert(a.nonEmpty)
+  }
+
+  test("mutual near-dups are order-decided: same batch admits both, split admits first only") {
+    // two exact copies inside the feed — the documented at-least-once /
+    // sequential-admission contract, shown rather than hidden
+    val twin = "the quick brown fox jumps over the lazy dog twin pair body"
+    val feed = feedDocs.unionByName(
+      Seq((50L, twin, 1), (51L, twin, 1)).toDF("doc_id", "text", "label"))
+    val together = java.nio.file.Files.createTempDirectory("funnel_tog").toString
+    val outTogether = drain(feed, Seq(feed.select("doc_id", "text")), together, None)
+    val admTogether = outTogether.filter(col("stage") === 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admTogether.contains(50L) && admTogether.contains(51L),
+      "a batch is never screened against itself")
+    val split = java.nio.file.Files.createTempDirectory("funnel_split").toString
+    val outSplit = drain(feed,
+      Seq(feed.filter(col("doc_id") <= 50L).select("doc_id", "text"),
+        feed.filter(col("doc_id") === 51L).select("doc_id", "text")),
+      split, Some(1))
+    val admSplit = outSplit.filter(col("stage") === 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(admSplit.contains(50L) && !admSplit.contains(51L),
+      "a later batch screens against every earlier batch's survivors")
+  }
+}
