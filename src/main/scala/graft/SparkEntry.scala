@@ -3073,6 +3073,22 @@ object SparkEntry {
       graft.llm.QualityLr.score(docs, "doc_id", "text", model, threshold = 0.45)
     }),
 
+    "classify_quality_eval" -> ((s, d) => {
+      // HELD-OUT audit of the trained gate — the classifier family's
+      // ann_recall: md5-hash 80/20 split (same convention as
+      // classify_nb_lang), train on the 80%, confusion counts +
+      // precision/recall on the untouched 20% at the production 0.45
+      // threshold. The oracle replays the split, the full training on
+      // the train side, and the held-out scoring — so the audit number
+      // itself is bit-checked, not trusted.
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val b = graft.llm.Sampling.md5Bucket(Seq(col("doc_id")), "qeval")
+      graft.llm.QualityLr.evaluate(
+        docs.where(b < 52428), docs.where(b >= 52428),
+        "doc_id", "text", "__label", threshold = 0.45)
+    }),
+
     "sp_encode_ids" -> ((s, d) => {
       // stage 4: corpus → unigram token ids. Each document word
       // expands to its Viterbi pieces; ids number the EM-recounted
@@ -4933,19 +4949,26 @@ object SparkEntry {
        |cand2 AS (SELECT emb.vec_id, emb.e FROM emb JOIN buck ON emb.vec_id = buck.vec_id
        |          WHERE buck.b IN (SELECT pb FROM probes2))""".stripMargin
 
-  /** The trained-classifier oracle: replays ALL THREE gradient rounds
-    * (unrolled CTEs) and the final micro-margin scores — shared by the
-    * batch query and the streaming gate (which filters it at the
-    * threshold). */
-  private val classifyQualityTrainedSql: String =
-    """WITH docs0 AS (
-        |  SELECT doc_id, lower(trim(coalesce(text, ''))) AS t,
-        |         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-        |  FROM documents),
+  /** The (doc_id, t, y) training source for the trained-classifier
+    * oracles: lowered text + the lang='en' proxy label, filtered by
+    * `where` — TRUE for the full-corpus classifier, a hash-split
+    * predicate for the held-out evaluation. */
+  private def qualityDocsSel(where: String): String =
+    "SELECT doc_id, lower(trim(coalesce(text, ''))) AS t, " +
+      "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y " +
+      s"FROM documents WHERE $where"
+
+  /** Training-replay CTE chain for the trained classifier over an
+    * arbitrary (doc_id, t, y) source `docsSel`: features, all three
+    * unrolled gradient rounds, final weights w3 + bias b3 — shared by
+    * the full-corpus classifier oracle and the held-out evaluation
+    * oracle (which trains on the 80% hash split only). */
+  private def qualityLrTrainCtes(docsSel: String): String =
+    s"""docs0 AS ($docsSel),
         |tok AS (
         |  SELECT DISTINCT doc_id, y,
         |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
-        |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\s+')) AS tk FROM docs0)),
+        |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tk FROM docs0)),
         |nb AS (SELECT doc_id, count(*) AS nb FROM tok GROUP BY doc_id),
         |feat AS (
         |  SELECT doc_id, y, b, 1.0 / sqrt(CAST(nb AS DOUBLE)) AS x
@@ -4977,7 +5000,14 @@ object SparkEntry {
         |gb3 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e3),
         |w3 AS (SELECT b, w2.w - 0.7 * g3.g / (1000000.0 * (SELECT n FROM nn)) AS w
         |       FROM w2 JOIN g3 USING (b)),
-        |b3 AS (SELECT (SELECT bias FROM b2) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb3)
+        |b3 AS (SELECT (SELECT bias FROM b2) - 0.7 * g / (1000000.0 * (SELECT n FROM nn)) AS bias FROM gb3)""".stripMargin
+
+  /** The full-corpus trained-classifier oracle: train on everything,
+    * score everything — shared by the batch query, the streaming gate
+    * (which filters it at the threshold), and the rollup/sampling
+    * consumers. */
+  private val classifyQualityTrainedSql: String =
+    s"""WITH ${qualityLrTrainCtes(qualityDocsSel("TRUE"))}
         |SELECT f.doc_id,
         |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
         |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
@@ -5768,6 +5798,38 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
+
+    // the held-out audit replayed end to end: hash split, full training
+    // on the 80% side (the shared CTE chain over the filtered source),
+    // then scoring and confusion counts on the 20% side under the
+    // trained weights; precision/recall are exact-integer divisions
+    // rounded to 6 (NULL when the denominator is empty)
+    "classify_quality_eval" ->
+      s"""WITH ${qualityLrTrainCtes(qualityDocsSel(
+             "CAST('0x' || substring(md5('qeval' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) < 52428"))},
+         |tdocs AS (${qualityDocsSel(
+             "CAST('0x' || substring(md5('qeval' || '||' || CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) >= 52428")}),
+         |ttok AS (
+         |  SELECT DISTINCT doc_id, y,
+         |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
+         |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tk FROM tdocs)),
+         |tnb AS (SELECT doc_id, count(*) AS nb FROM ttok GROUP BY doc_id),
+         |tfeat AS (SELECT doc_id, y, b, 1.0 / sqrt(CAST(nb AS DOUBLE)) AS x
+         |          FROM ttok JOIN tnb USING (doc_id)),
+         |tm AS (SELECT f.doc_id, f.y,
+         |         CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |           + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS mm
+         |       FROM tfeat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id, f.y),
+         |cf AS (SELECT
+         |  CAST(SUM(CASE WHEN mm > 450000 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN mm > 450000 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN mm <= 450000 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(SUM(CASE WHEN mm <= 450000 AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM tm)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+         |  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec
+         |FROM cf""".stripMargin,
 
     "source_quality_trained" ->
       s"""SELECT d.source, count(*) AS n_docs,

@@ -147,6 +147,65 @@ object QualityLr {
         (col("margin_micro") > lit(thrMicro)).as("hq"))
   }
 
+  /** Confusion counts of a model against labeled docs at `threshold`:
+    * one row (tp, fp, fn, tn) — the shared audit aggregate behind
+    * [[evaluate]] and [[trainWithFloor]]. */
+  private def confusion(model: Model, docs: DataFrame, idCol: String,
+                        textCol: String, labelCol: String,
+                        threshold: Double): DataFrame =
+    score(docs, idCol, textCol, model, threshold)
+      .join(docs.select(col(idCol), col(labelCol).cast("int").as("__y")), Seq(idCol))
+      .agg(
+        sum(when(col("hq") && col("__y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("hq") && col("__y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("hq") && col("__y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("hq") && col("__y") === 0, 1L).otherwise(0L)).as("tn"))
+
+  /** HELD-OUT evaluation of the trained gate — the classifier family's
+    * `ann_recall` equivalent: train on `train`, audit on disjoint
+    * `test`, return one row of confusion counts plus precision/recall
+    * (NULL when undefined). The quality audit every score-gated
+    * pipeline owes its downstream consumers: `sample_quality_weighted`
+    * and the streaming admission gate both trust these scores, so the
+    * model's held-out error rate must be a measured, replayable number
+    * — not an assumption. Scale shape: two training-sized passes (the
+    * gradient rounds on `train`, one scoring aggregate on `test`);
+    * the output is a single row. */
+  def evaluate(train: DataFrame, test: DataFrame, idCol: String,
+               textCol: String, labelCol: String,
+               buckets: Int = DefaultBuckets, rounds: Int = DefaultRounds,
+               lr: Double = DefaultLr, threshold: Double = 0.5): DataFrame = {
+    val model = this.train(train, idCol, textCol, labelCol, buckets, rounds, lr)
+    confusion(model, test, idCol, textCol, labelCol, threshold)
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)).as("prec"),
+        when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)).as("rec"))
+  }
+
+  /** Train with a held-out quality FLOOR — the refusal guard: a model
+    * whose held-out precision or recall falls below the floor throws
+    * instead of returning, so a degraded classifier can never silently
+    * start gating admission or sampling. Precision/recall of an empty
+    * positive set count as 0 (maximally conservative). */
+  def trainWithFloor(train: DataFrame, heldOut: DataFrame, idCol: String,
+                     textCol: String, labelCol: String,
+                     minPrecision: Double, minRecall: Double,
+                     buckets: Int = DefaultBuckets, rounds: Int = DefaultRounds,
+                     lr: Double = DefaultLr, threshold: Double = 0.5): Model = {
+    val model = this.train(train, idCol, textCol, labelCol, buckets, rounds, lr)
+    val r = confusion(model, heldOut, idCol, textCol, labelCol, threshold).head()
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val prec = if (tp + fp > 0) tp.toDouble / (tp + fp) else 0.0
+    val rec = if (tp + fn > 0) tp.toDouble / (tp + fn) else 0.0
+    require(prec >= minPrecision && rec >= minRecall,
+      f"trained model fails its held-out floor: precision $prec%.4f " +
+        f"(floor $minPrecision%.4f), recall $rec%.4f (floor $minRecall%.4f) " +
+        f"on tp=$tp fp=$fp fn=$fn — refusing to gate with a degraded model")
+    model
+  }
+
   /** Train-on-seed + score-the-corpus in one call — the curation-gate
     * composition: returns the input docs with `margin_micro`/`hq`
     * attached, ready to `.filter(col("hq"))` in front of dedup and

@@ -82,6 +82,49 @@ class QualityLrSpec extends SparkSpec {
     assert(drained.count() > 0)
   }
 
+  test("held-out evaluation: high precision/recall on a separable split, counts exact") {
+    // hash-free deterministic split: train on ids < 30, audit on 30..39
+    val train = corpus.filter(col("doc_id") < 30)
+    val test_ = corpus.filter(col("doc_id") >= 30)
+    val row = QualityLr.evaluate(train, test_, "doc_id", "text", "label").head()
+    val (tp, fp, fn, tn) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(tp + fp + fn + tn == 10, "every held-out doc lands in exactly one cell")
+    // separable corpus: the good/bad classes split cleanly out of sample
+    assert(tp == 5 && tn == 5 && fp == 0 && fn == 0,
+      s"expected a clean held-out split, got tp=$tp fp=$fp fn=$fn tn=$tn")
+    assert(row.getDouble(4) == 1.0 && row.getDouble(5) == 1.0)
+  }
+
+  test("evaluate yields NULL precision when nothing is admitted, never divides by zero") {
+    // an impossibly high threshold admits nothing: tp = fp = 0
+    val train = corpus.filter(col("doc_id") < 30)
+    val test_ = corpus.filter(col("doc_id") >= 30)
+    val row = QualityLr.evaluate(train, test_, "doc_id", "text", "label",
+      threshold = 100.0).head()
+    assert(row.getLong(0) == 0 && row.getLong(1) == 0)
+    assert(row.isNullAt(4), "precision of an empty admitted set is NULL")
+    assert(row.getDouble(5) == 0.0, "recall is 0 when positives exist but none admitted")
+  }
+
+  test("trainWithFloor returns the model above the floor and refuses below it") {
+    val train = corpus.filter(col("doc_id") < 30)
+    val held = corpus.filter(col("doc_id") >= 30)
+    // separable corpus clears a high floor
+    val m = QualityLr.trainWithFloor(train, held,
+      "doc_id", "text", "label", minPrecision = 0.9, minRecall = 0.9)
+    assert(m.weights.length == QualityLr.DefaultBuckets)
+    // structurally unlearnable: IDENTICAL text across both classes, so
+    // every doc scores the same margin — either all admitted
+    // (precision 0.5) or none (recall 0), never both floors
+    val noise = corpus.withColumn("text", lit("the same text every time"))
+      .withColumn("label", pmod(col("doc_id"), lit(2)).cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      QualityLr.trainWithFloor(noise, noise,
+        "doc_id", "text", "label", minPrecision = 0.99, minRecall = 0.99)
+    }
+    assert(e.getMessage.contains("held-out floor"))
+  }
+
   test("composes with the curation funnel as a keep/drop gate") {
     // the deployment shape: train on the seed, gate the corpus, then
     // run the downstream funnel stages on survivors only
