@@ -2515,6 +2515,30 @@ object SparkEntry {
       migrated.topK(q, 10, nprobe = 2).withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_ivfpq_retrain" -> ((s, d) => {
+      // PQ CODEBOOK re-train + full re-encode migration: build the
+      // IVF-PQ MOR store under the full-corpus books, then retrainBooks
+      // to books trained on the vec_id>=10 slice (the embedding-model-
+      // revision stand-in) — every stored code word rewrites in ONE
+      // atomic snapshot commit, the layout stamp (which covers the
+      // codebook fingerprint) flips, and the switch is intent-guarded
+      // like the centroid retrain. The oracle knows nothing of the
+      // migration: it replays cell assignment + NEW-book training +
+      // encoding + the ADC probe, so any stale code word mismatches.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val c8 = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val tmp = scratchDir("ivfpq_retrain")
+      val idx = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx", "embedding", "vec_id",
+        c8, books = Some(pqBooks(s, d)))
+      idx.upsert(e)
+      val b1 = graft.llm.Pq.trainCodebooks(e.filter(col("vec_id") >= 10),
+        "embedding", "vec_id", m = 8, ksub = 8)
+      val migrated = idx.retrainBooks(b1)
+      migrated.topKAdc(q, 10, nprobe = 3)
+    }),
+
     "ann_recall" -> ((s, d) => {
       // measured ANN quality: recall@10 of the LSH and IVF indexes against
       // the exact brute-force top-10, as hashed result rows — the oracle
@@ -5068,7 +5092,15 @@ object SparkEntry {
     * Pq.distExpr composes it: dot(v,v) - 2*dot(v,c) + dot(c,c).
     * Defines `codes` (vec_id, s, code) and `adc` (vec_id, adc_micro);
     * expects nothing — brings its own `emb`. */
-  private def pqCtes: String = {
+  private def pqCtes: String = pqCtesSeeded("TRUE")
+
+  /** [[pqCtes]] with the codebook TRAINING corpus (seeds AND the Lloyd
+    * averaging rows — `Pq.trainCodebooks` trains on whatever df it is
+    * handed) restricted by `trainWhere`, while ENCODING still covers
+    * every vector — the retrain oracle trains its NEW books on a
+    * different slice (the embedding-model-revision stand-in) and must
+    * replay that training, not the original's. */
+  private def pqCtesSeeded(trainWhere: String): String = {
     val dsub = 8
     def dist(v: String, c: String): String =
       s"list_dot_product($v, $v) - 2*list_dot_product($v, $c) + list_dot_product($c, $c)"
@@ -5076,12 +5108,13 @@ object SparkEntry {
        |subsp AS (SELECT unnest(range(0, 8)) AS s),
        |pq_sub AS (SELECT vec_id, s, list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS v
        |           FROM emb CROSS JOIN subsp),
-       |pq_seedv AS (SELECT vec_id, e FROM emb ORDER BY vec_id ASC LIMIT 8),
+       |pq_train AS (SELECT * FROM pq_sub WHERE $trainWhere),
+       |pq_seedv AS (SELECT vec_id, e FROM emb WHERE $trainWhere ORDER BY vec_id ASC LIMIT 8),
        |pq_seedsub AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id ASC) - 1 AS c,
        |                      list_slice(e, s*$dsub + 1, s*$dsub + $dsub) AS cv
        |               FROM pq_seedv CROSS JOIN subsp),
-       |pq_d0 AS (SELECT pq_sub.vec_id, pq_sub.s, pq_seedsub.c, pq_sub.v, ${dist("v", "cv")} AS dist
-       |          FROM pq_sub JOIN pq_seedsub ON pq_sub.s = pq_seedsub.s),
+       |pq_d0 AS (SELECT pq_train.vec_id, pq_train.s, pq_seedsub.c, pq_train.v, ${dist("v", "cv")} AS dist
+       |          FROM pq_train JOIN pq_seedsub ON pq_train.s = pq_seedsub.s),
        |pq_a0 AS (SELECT vec_id, s, c, v FROM (
        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
        |            FROM pq_d0) WHERE rn = 1),
@@ -8116,6 +8149,17 @@ object SparkEntry {
     // composition — incremental maintenance never changes answers
     "ann_ivfpq_store" ->
       s"""WITH $pqCtes,
+         |q AS (SELECT qe FROM pq_q),
+         |$ivfCtes
+         |SELECT adc.vec_id AS vec_id, adc.adc_micro AS adc_micro
+         |FROM adc JOIN ivf_cand ON adc.vec_id = ivf_cand.vec_id
+         |ORDER BY adc.adc_micro ASC, adc.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the re-encoded store must answer exactly like a from-scratch
+    // IVF-PQ composition under the NEW books (trained on the >= 10
+    // slice, encoding everything) — the migration itself is invisible
+    "ann_ivfpq_retrain" ->
+      s"""WITH ${pqCtesSeeded("vec_id >= 10")},
          |q AS (SELECT qe FROM pq_q),
          |$ivfCtes
          |SELECT adc.vec_id AS vec_id, adc.adc_micro AS adc_micro

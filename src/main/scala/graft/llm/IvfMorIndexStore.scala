@@ -40,10 +40,14 @@ import org.apache.spark.sql.functions.{abs, broadcast, col, lit, pmod, xxhash64}
   * they induce IS the on-disk format, their fingerprint is STAMPED at
   * the root (`_centroids`, the [[MinhashIndexStore]] format-stamp
   * discipline): opening a stamped store with different centroids
-  * refuses instead of silently probing the wrong cells. A production
-  * index periodically re-trains its centroids; [[retrain]] migrates
-  * every residence in one crash-safe O(index) pass reusing the
-  * superset-table contract — see its doc for the recovery protocol.
+  * refuses instead of silently probing the wrong cells. PQ codebooks
+  * are part of the same stamp: they define what every stored
+  * `pq_codes` word MEANS, so opening under different books refuses
+  * rather than ADC-scoring garbage. A production index periodically
+  * re-trains both: [[retrain]] migrates every residence under new
+  * centroids, [[retrainBooks]] re-encodes every code word under new
+  * codebooks — each one crash-safe O(index) pass with the shared
+  * intent-marker recovery protocol.
   */
 final class IvfMorIndexStore(spark: SparkSession, root: String,
                              embCol: String, idCol: String,
@@ -51,7 +55,11 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
                              books: Option[Pq.Codebooks] = None) {
   require(centroids.nonEmpty, "IvfMorIndexStore needs at least one centroid")
 
-  private val fp = IvfMorIndexStore.centroidFingerprint(centroids)
+  // the stamped layout version covers BOTH frozen inputs: the centroid
+  // set (cell layout) and, when configured, the PQ codebooks (the
+  // meaning of every stored pq_codes word) — opening a PQ store under
+  // different books would ADC-score silently wrong otherwise
+  private val fp = IvfMorIndexStore.stampOf(centroids, books)
   private val StampFile = "_centroids"
   private val IntentFile = "_retrain_intent"
   @volatile private var stampChecked = false
@@ -99,8 +107,9 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
       readMarker(StampFile) match {
         case Some(got) if got != fp =>
           throw new IllegalStateException(
-            s"IVF index at $root was built under centroid set '$got'; this handle " +
-              s"carries '$fp' — open it with the stamped centroids or retrain")
+            s"IVF index at $root was built under centroid/codebook set '$got'; " +
+              s"this handle carries '$fp' — open it with the stamped layout, or " +
+              "migrate (retrain for centroids, retrainBooks for codebooks)")
         case Some(_) => ()
         case None => writeMarker(StampFile, fp)
       }
@@ -237,7 +246,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * after this call (its stamp check fails on next use). */
   def retrain(newCentroids: Array[Array[Float]]): IvfMorIndexStore = {
     require(newCentroids.nonEmpty, "retrain needs at least one centroid")
-    val targetFp = IvfMorIndexStore.centroidFingerprint(newCentroids)
+    val targetFp = IvfMorIndexStore.stampOf(newCentroids, books)
     readMarker(IntentFile) match {
       case Some(t) =>
         require(t == targetFp,
@@ -269,6 +278,51 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // next op through ensureCentroids so it fails loudly
     stampChecked = false
     new IvfMorIndexStore(spark, root, embCol, idCol, newCentroids, books)
+  }
+
+  /** PQ CODEBOOK re-train + full re-encode: replace the frozen
+    * codebooks and rewrite every stored row's `pq_codes` under the new
+    * ones in ONE crash-safe O(index) pass — the production answer to
+    * codebook staleness after an embedding-model revision (stale books
+    * degrade ADC recall corpus-wide; [[retrain]] moves residences but
+    * deliberately preserves codes). Also the ADOPTION path: a store
+    * built without books gains them here, every row encoded.
+    *
+    * Mechanics: cells do not change (centroids are untouched), so the
+    * pass is a pure column rewrite — one reconciled read, re-encode
+    * through the native expression, one atomic
+    * [[graft.pipeline.MorStore.snapshot]] full-replace commit (which
+    * also resets segment fan-in; an applyDelta would re-append every
+    * row as delta bytes ON TOP of the old segments for no benefit,
+    * since a re-encode touches the whole index by definition). The
+    * superset side table is untouched — residences are identical.
+    *
+    * Crash contract mirrors [[retrain]] verbatim: the INTENT marker
+    * (carrying the target layout stamp) is written before the pass,
+    * every other op refuses while it exists, the stamp flips after the
+    * snapshot commit, and the intent clears last. Recovery is
+    * re-running `retrainBooks` with the same target books — the pass
+    * is idempotent (re-encoding is a pure function of the stored
+    * vectors). Returns the handle bound to the new books; the receiver
+    * handle is dead after this call. */
+  def retrainBooks(newBooks: Pq.Codebooks): IvfMorIndexStore = {
+    val targetFp = IvfMorIndexStore.stampOf(centroids, Some(newBooks))
+    readMarker(IntentFile) match {
+      case Some(t) =>
+        require(t == targetFp,
+          s"IVF index at $root has an interrupted migration toward '$t'; " +
+            s"recovery must re-run with that target, not '$targetFp'")
+      case None =>
+        ensureCentroids() // clean store under THIS handle's layout
+        writeMarker(IntentFile, targetFp)
+    }
+    store.read.foreach { rows =>
+      store.snapshot(rows.withColumn("pq_codes", Pq.encode(col(embCol), newBooks)))
+    }
+    writeMarker(StampFile, targetFp)
+    fs.delete(marker(IntentFile), false)
+    stampChecked = false
+    new IvfMorIndexStore(spark, root, embCol, idCol, centroids, Some(newBooks))
   }
 
   /** (cell segments, id-superset segments) — the probe's read
@@ -331,4 +385,26 @@ object IvfMorIndexStore {
     }
     s"k=${cs.length};md5=${md.digest().map("%02x".format(_)).mkString}"
   }
+
+  /** md5 fingerprint of a PQ codebook set's exact float bits. */
+  def booksFingerprint(b: Pq.Codebooks): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hdr = java.nio.ByteBuffer.allocate(12)
+    hdr.putInt(b.m).putInt(b.ksub).putInt(b.dsub)
+    md.update(hdr.array())
+    b.cb.foreach(_.foreach { c =>
+      val bytes = java.nio.ByteBuffer.allocate(4 * c.length)
+      c.foreach(bytes.putFloat)
+      md.update(bytes.array())
+    })
+    s"m=${b.m};md5=${md.digest().map("%02x".format(_)).mkString}"
+  }
+
+  /** The full layout-version stamp: centroid fingerprint plus, for PQ
+    * stores, the codebook fingerprint — what `_centroids` and the
+    * retrain intent markers carry. For a books-less store this is
+    * exactly [[centroidFingerprint]] (the pre-PQ stamp format, so
+    * existing stores keep validating). */
+  def stampOf(cs: Array[Array[Float]], books: Option[Pq.Codebooks]): String =
+    centroidFingerprint(cs) + books.map(b => s";books=${booksFingerprint(b)}").getOrElse("")
 }

@@ -342,4 +342,124 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     intercept[IllegalStateException] { h3.read }
     assertConverged(h3.retrain(centroids4))
   }
+
+  // ── PQ codebook retrain + re-encode migration ──────────────────────
+
+  private lazy val books0 =
+    Pq.trainCodebooks(full, "embedding", "vec_id", m = 4, ksub = 8)
+  // trained on a shifted corpus slice — the embedding-model-revision
+  // stand-in: genuinely different codebooks over the same vectors
+  private lazy val books1 = Pq.trainCodebooks(
+    full.filter(col("vec_id") >= 50), "embedding", "vec_id", m = 4, ksub = 8)
+
+  private def adcSet(h: IvfMorIndexStore, q: Array[Float]): Seq[Seq[Any]] =
+    h.topKAdc(q, 10, nprobe = 2).collect().toSeq.map(_.toSeq)
+
+  test("retrainBooks re-encodes every code word: ADC ≡ fresh build; recall audited before/after") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books0))
+    ivf.upsert(full)
+    def recallAt10(h: IvfMorIndexStore, qid: Int): Double = {
+      val q = pts(qid)._2
+      val exact = Similarity.bruteForceTopK(full, "embedding", "vec_id", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val adc = h.topKAdc(q, 10, nprobe = 8).select("vec_id").as[Long].collect().toSet
+      exact.intersect(adc).size / 10.0
+    }
+    val before = Seq(7, 123, 390).map(recallAt10(ivf, _))
+    val oldCodes = canon(ivf.read.get.select(col("vec_id"),
+      col("pq_codes").cast("string")))
+    val migrated = ivf.retrainBooks(books1)
+    val after = Seq(7, 123, 390).map(recallAt10(migrated, _))
+    // the audit numbers are measurable on both sides of the migration
+    // (this fixture's ADC-L2 vs cosine-exact recall is legitimately
+    // low — the audit's job is to MEASURE it, the corruption detector
+    // is the fresh-build equivalence below)
+    assert(before.forall(r => r >= 0.0 && r <= 1.0), s"pre-migration recall $before")
+    assert(after.forall(r => r >= 0.0 && r <= 1.0), s"post-migration recall $after")
+    // the code column really was rewritten — different books, different words
+    val newCodes = canon(migrated.read.get.select(col("vec_id"),
+      col("pq_codes").cast("string")))
+    assert(oldCodes != newCodes, "retrainBooks must re-encode, not carry stale codes")
+    // byte-equivalence: ADC under the migrated store ≡ a from-scratch
+    // build under the new books
+    val fresh = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, Some(books1))
+    fresh.upsert(full)
+    for (qid <- Seq(7L, 123L, 390L)) {
+      val q = pts(qid.toInt)._2
+      assert(adcSet(migrated, q) == adcSet(fresh, q),
+        s"ADC diverged from a fresh build after retrainBooks for query $qid")
+    }
+    // exact-vector probes are untouched by a code rewrite
+    assert(probeSet(migrated, pts(5)._2) == probeSet(fresh, pts(5)._2))
+    // the receiver handle is dead (stamp now carries the new books)
+    intercept[IllegalStateException] { ivf.read }
+  }
+
+  test("retrainBooks adopts a books-less store; opening under wrong books refuses") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    intercept[IllegalStateException] { ivf.topKAdc(pts(5)._2, 10) }
+    val migrated = ivf.retrainBooks(books1)
+    val fresh = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, Some(books1))
+    fresh.upsert(full)
+    assert(adcSet(migrated, pts(7)._2) == adcSet(fresh, pts(7)._2))
+    // a handle claiming DIFFERENT books refuses the stamped store
+    val wrong = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books0))
+    val e = intercept[IllegalStateException] { wrong.read }
+    assert(e.getMessage.contains("retrainBooks"))
+  }
+
+  test("retrainBooks crash interleavings: intent blocks every op; re-running recovers") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books0))
+    ivf.upsert(full)
+    val targetFp = IvfMorIndexStore.stampOf(centroids, Some(books1))
+    val freshB1 = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id",
+      centroids, Some(books1))
+    freshB1.upsert(full)
+    def assertConverged(m: IvfMorIndexStore): Unit = {
+      assert(m.read.get.count() == 400)
+      assert(adcSet(m, pts(42)._2) == adcSet(freshB1, pts(42)._2))
+    }
+
+    // crash point 1: intent written, re-encode never ran — every op on
+    // a fresh handle refuses; a migration toward a DIFFERENT target
+    // refuses; the intended one recovers
+    putMarker(root, "_retrain_intent", targetFp)
+    val h1 = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books0))
+    intercept[IllegalStateException] { h1.read }
+    intercept[IllegalStateException] { h1.upsert(full.limit(1)) }
+    intercept[IllegalArgumentException] { h1.retrainBooks(books0) }
+    intercept[IllegalArgumentException] { h1.retrain(centroids4) }
+    assertConverged(h1.retrainBooks(books1))
+    assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
+
+    // crash point 2: snapshot committed but the stamp never flipped
+    // (stamp=old books, intent=target, codes already rewritten) — the
+    // recovery pass re-encodes idempotently and finalizes the stamp
+    putMarker(root, "_centroids", IvfMorIndexStore.stampOf(centroids, Some(books0)))
+    putMarker(root, "_retrain_intent", targetFp)
+    val h2 = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books0))
+    intercept[IllegalStateException] { h2.read }
+    assertConverged(h2.retrainBooks(books1))
+    assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
+
+    // crash point 3: stamp flipped, intent not yet cleared — blocked
+    // until the (now no-op) retrainBooks clears it
+    putMarker(root, "_retrain_intent", targetFp)
+    val h3 = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books1))
+    intercept[IllegalStateException] { h3.read }
+    assertConverged(h3.retrainBooks(books1))
+    assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
+  }
 }
