@@ -4057,6 +4057,38 @@ object SparkEntry {
       s.read.parquet(s"$tmp/admitted").select(col("doc_id"), col("margin_micro"))
     }),
 
+    "stream_quality_model_swap" -> ((s, d) => withShufflePartitions(s, 8) {
+      // HOT-SWAP of the streaming gate's model, no stream restart: the
+      // drain re-opens the latest published model per micro-batch.
+      // Fixture: odd docs stream first under model v1 (the 64-bucket
+      // classifier); after batch 0 completes, a RETRAINED v2 (same
+      // corpus, 32 hash buckets — a genuinely different model whose
+      // admitted set differs) publishes mid-stream, and the even-doc
+      // batch scores under it. Admitted rows carry model_v, so the
+      // oracle replays BOTH trainings and pins exactly which model
+      // admitted which doc — the swap boundary is hash-checked.
+      val tmp = scratchDir("stream_qswap")
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .coalesce(1).write.parquet(s"$tmp/feed")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$tmp/feed")
+      val store = new graft.llm.QualityLr.ModelStore(s, s"$tmp/models")
+      store.publish(graft.llm.QualityLr.train(docs, "doc_id", "text", "__label"))
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.qualityGateDrainVersioned(stream, store,
+        "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt", threshold = 0.45,
+        afterBatch = { id =>
+          if (id == 0) store.publish(graft.llm.QualityLr.train(
+            docs, "doc_id", "text", "__label", buckets = 32))
+        },
+        onStage = stageLogger("stream_quality_model_swap"))
+      s.read.parquet(s"$tmp/admitted")
+        .select(col("doc_id"), col("margin_micro"), col("model_v"))
+    }),
+
     "stream_curation_funnel" -> ((s, d) => withShufflePartitions(s, 8) {
       // THE composed streaming ingest door — pipeline_curation_funnel's
       // streaming twin: decontaminate → trained-quality gate →
@@ -4985,13 +5017,15 @@ object SparkEntry {
   /** Training-replay CTE chain for the trained classifier over an
     * arbitrary (doc_id, t, y) source `docsSel`: features, all three
     * unrolled gradient rounds, final weights w3 + bias b3 — shared by
-    * the full-corpus classifier oracle and the held-out evaluation
-    * oracle (which trains on the 80% hash split only). */
-  private def qualityLrTrainCtes(docsSel: String): String =
+    * the full-corpus classifier oracle, the held-out evaluation oracle
+    * (which trains on the 80% hash split only), and the model-swap
+    * oracle (which replays a SECOND model at a different bucket
+    * count). */
+  private def qualityLrTrainCtes(docsSel: String, buckets: Int = 64): String =
     s"""docs0 AS ($docsSel),
         |tok AS (
         |  SELECT DISTINCT doc_id, y,
-        |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
+        |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % $buckets AS b
         |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tk FROM docs0)),
         |nb AS (SELECT doc_id, count(*) AS nb FROM tok GROUP BY doc_id),
         |feat AS (
@@ -5029,15 +5063,18 @@ object SparkEntry {
   /** The full-corpus trained-classifier oracle: train on everything,
     * score everything — shared by the batch query, the streaming gate
     * (which filters it at the threshold), and the rollup/sampling
-    * consumers. */
-  private val classifyQualityTrainedSql: String =
-    s"""WITH ${qualityLrTrainCtes(qualityDocsSel("TRUE"))}
+    * consumers. The `buckets` variant replays an alternative model for
+    * the hot-swap oracle. */
+  private def classifyQualityTrainedSqlBuckets(buckets: Int): String =
+    s"""WITH ${qualityLrTrainCtes(qualityDocsSel("TRUE"), buckets)}
         |SELECT f.doc_id,
         |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
         |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
         |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
         |         + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT)) > 450000 AS hq
         |FROM feat f LEFT JOIN w3 USING (b) GROUP BY f.doc_id""".stripMargin
+
+  private val classifyQualityTrainedSql: String = classifyQualityTrainedSqlBuckets(64)
 
   /** CTEs replaying IVF: lowest-id seeds, one Lloyd step, reassignment,
     * nprobe=3 probe cells. Expects `emb` and `q` CTEs in scope. */
@@ -5785,6 +5822,19 @@ object SparkEntry {
     // admits nothing on this fixture, which made this row vacuous)
     "stream_quality_trained" ->
       s"SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql) WHERE margin_micro > 450000",
+
+    // the swap boundary replayed exactly: odd docs (batch 0) score
+    // under the 64-bucket training, even docs (batch 1) under the
+    // 32-bucket retrain published between the ticks — two full
+    // training replays, each scoped to its batch's docs
+    "stream_quality_model_swap" ->
+      s"""SELECT doc_id, margin_micro, CAST(1 AS INT) AS model_v
+         |FROM (${classifyQualityTrainedSqlBuckets(64)})
+         |WHERE margin_micro > 450000 AND doc_id % 2 = 1
+         |UNION ALL
+         |SELECT doc_id, margin_micro, CAST(2 AS INT) AS model_v
+         |FROM (${classifyQualityTrainedSqlBuckets(32)})
+         |WHERE margin_micro > 450000 AND doc_id % 2 = 0""".stripMargin,
 
     // the composed ingest door replayed stage by stage: per batch, the
     // clean set (eval-shingle containment < 0.5), the quality

@@ -206,6 +206,56 @@ object QualityLr {
     model
   }
 
+  /** Versioned on-disk model store — the hot-swap primitive for
+    * streaming gates: training publishes a new version, a running
+    * drain re-opens the latest one per micro-batch, so a retrained
+    * classifier takes effect at the next tick without restarting the
+    * stream ([[graft.streaming.StreamOps.qualityGateDrainVersioned]]).
+    *
+    * Format: one immutable text file `v=N` per version (bias line,
+    * then one weight per line — `java.lang.Double.toString` round-trips
+    * every double bit-exactly, so a published model re-reads
+    * IDENTICAL, which the determinism contract requires: a replayed
+    * micro-batch must re-score under byte-equal weights). Writes are
+    * staged + atomically renamed, so `latest` never sees a torn file;
+    * versions are never overwritten. The store is tiny by construction
+    * (buckets+1 doubles per version) — this is driver-side state, like
+    * the model itself. */
+  final class ModelStore(spark: org.apache.spark.sql.SparkSession, root: String) {
+    private def rootP = new org.apache.hadoop.fs.Path(root)
+    private def fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def versions: Seq[Int] =
+      if (!fs.exists(rootP)) Seq.empty
+      else fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt).sorted
+
+    /** Publish as the next version; returns the version number. */
+    def publish(model: Model): Int = {
+      fs.mkdirs(rootP)
+      val n = versions.lastOption.getOrElse(0) + 1
+      val tmp = new org.apache.hadoop.fs.Path(rootP, s".tmp_v=$n")
+      val out = fs.create(tmp, true)
+      try out.write((model.bias.toString +: model.weights.map(_.toString))
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(rootP, s"v=$n")
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"failed to publish model v=$n at $root")
+      n
+    }
+
+    def read(version: Int): Model = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(rootP, s"v=$version"))
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val lines = text.linesIterator.toSeq
+      Model(lines.tail.map(_.toDouble).toArray, lines.head.toDouble)
+    }
+
+    def latest: Option[(Int, Model)] =
+      versions.lastOption.map(n => n -> read(n))
+  }
+
   /** Train-on-seed + score-the-corpus in one call — the curation-gate
     * composition: returns the input docs with `margin_micro`/`hq`
     * attached, ready to `.filter(col("hq"))` in front of dedup and

@@ -709,6 +709,51 @@ object StreamOps {
     * (scoring a re-delivered batch yields identical rows; an
     * exactly-once consumer dedups on the id downstream, the
     * [[dedupIndexDrain]] contract). */
+  /** [[qualityGateDrain]] with a HOT-SWAPPABLE model: each micro-batch
+    * re-opens the LATEST version from the
+    * [[graft.llm.QualityLr.ModelStore]], so a classifier retrained and
+    * published mid-stream takes effect at the very next tick — no
+    * stream restart, the production gate-refresh shape (the frozen-
+    * model drain cannot pick up a model revision without tearing down
+    * its query). Admitted rows are stamped with `model_v`, making every
+    * admission attributable to the exact model that made it — and the
+    * drained output deterministic GIVEN the publish/batch interleaving
+    * (which `afterBatch` pins in tests and fixtures; concurrent
+    * publishes race ticks by design, exactly like production). The
+    * store read is one tiny driver-side file per tick — no job, no
+    * plan change; the weight table still broadcasts. At-least-once on
+    * crash replay: a re-delivered batch re-scores under the CURRENT
+    * latest model — the model_v stamp is what lets an exactly-once
+    * consumer notice and reconcile such replays, the
+    * [[dedupIndexDrain]] id-dedup contract extended with the version
+    * dimension. */
+  def qualityGateDrainVersioned(stream: DataFrame,
+                                store: graft.llm.QualityLr.ModelStore,
+                                idCol: String, textCol: String,
+                                admittedOut: String, checkpoint: String,
+                                threshold: Double = 0.5,
+                                afterBatch: Long => Unit = _ => (),
+                                onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          val (version, model) = store.latest.getOrElse(throw new IllegalStateException(
+            s"quality gate drain has no published model to score batch $batchId with"))
+          graft.llm.QualityLr.score(batch, idCol, textCol, model, threshold)
+            .filter(col("hq")).drop("hq")
+            .withColumn("model_v", lit(version))
+            .write.mode("append").parquet(admittedOut)
+        }
+        afterBatch(batchId)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def qualityGateDrain(stream: DataFrame, model: graft.llm.QualityLr.Model,
                        idCol: String, textCol: String,
                        admittedOut: String, checkpoint: String,

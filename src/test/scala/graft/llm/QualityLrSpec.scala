@@ -125,6 +125,72 @@ class QualityLrSpec extends SparkSpec {
     assert(e.getMessage.contains("held-out floor"))
   }
 
+  test("model store round-trips bit-exactly and versions monotonically") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlrstore").toString
+    val store = new QualityLr.ModelStore(spark, tmp)
+    assert(store.latest.isEmpty)
+    val m1 = QualityLr.train(corpus, "doc_id", "text", "label")
+    assert(store.publish(m1) == 1)
+    val (v, got) = store.latest.get
+    assert(v == 1)
+    // bit-exact round trip: replayed scoring must use byte-equal weights
+    assert(got.weights.toSeq == m1.weights.toSeq && got.bias == m1.bias)
+    val m2 = QualityLr.train(corpus, "doc_id", "text", "label", buckets = 32)
+    assert(store.publish(m2) == 2)
+    assert(store.latest.get._1 == 2 && store.read(1).weights.length == 64)
+  }
+
+  test("versioned drain hot-swaps the model at the published boundary") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlrswap").toString
+    // file A = first half, file B = second half
+    corpus.filter(col("doc_id") < 20).select("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(s"$tmp/feed")
+    corpus.filter(col("doc_id") >= 20).select("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(s"$tmp/feed")
+    val m1 = QualityLr.train(corpus, "doc_id", "text", "label")
+    // v2: trained on INVERTED labels — admits the complement class
+    val inverted = corpus.withColumn("label", lit(1) - col("label"))
+    val m2 = QualityLr.train(inverted, "doc_id", "text", "label")
+    val store = new QualityLr.ModelStore(spark, s"$tmp/models")
+    store.publish(m1)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+    graft.streaming.StreamOps.qualityGateDrainVersioned(stream, store,
+      "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt",
+      afterBatch = id => if (id == 0) store.publish(m2))
+    val drained = spark.read.parquet(s"$tmp/admitted")
+    // batch 0 scored under v1, batch 1 under the mid-stream v2 — each
+    // equal to the frozen-model batch scoring of its own slice
+    def want(m: QualityLr.Model, pred: org.apache.spark.sql.Column) =
+      QualityLr.score(corpus.filter(pred), "doc_id", "text", m)
+        .filter(col("hq")).select("doc_id", "margin_micro")
+    assertSameRows(
+      drained.filter(col("model_v") === 1).select("doc_id", "margin_micro"),
+      want(m1, col("doc_id") < 20))
+    assertSameRows(
+      drained.filter(col("model_v") === 2).select("doc_id", "margin_micro"),
+      want(m2, col("doc_id") >= 20))
+    // the swap is visible: v2 admits the OTHER class
+    assert(drained.filter(col("model_v") === 1).count() > 0)
+    assert(drained.filter(col("model_v") === 2 && col("doc_id") % 2 === 1).count() > 0,
+      "the inverted model must admit salt docs after the swap")
+  }
+
+  test("versioned drain refuses to score without a published model") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlrnomodel").toString
+    corpus.limit(4).select("doc_id", "text").write.parquet(s"$tmp/feed")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    val store = new QualityLr.ModelStore(spark, s"$tmp/models")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.StreamOps.qualityGateDrainVersioned(stream, store,
+        "doc_id", "text", s"$tmp/admitted", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("no published model") ||
+      Option(e.getCause).exists(_.getMessage.contains("no published model")))
+  }
+
   test("composes with the curation funnel as a keep/drop gate") {
     // the deployment shape: train on the seed, gate the corpus, then
     // run the downstream funnel stages on survivors only
