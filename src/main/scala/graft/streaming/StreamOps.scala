@@ -539,6 +539,7 @@ object StreamOps {
   def dedupIndexDrain(stream: DataFrame, store: graft.llm.MinhashIndexStore,
                       threshold: Double,
                       admittedOut: String, checkpoint: String,
+                      exactlyOnceSink: Boolean = false,
                       onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -546,8 +547,8 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          store.ingest(batch, threshold)
-            .write.mode("append").parquet(admittedOut)
+          admittedWrite(store.ingest(batch, threshold),
+            admittedOut, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
@@ -574,6 +575,7 @@ object StreamOps {
   def annDedupDrain(stream: DataFrame, index: graft.llm.IvfMorIndexStore,
                     threshold: Double,
                     admittedOut: String, checkpoint: String,
+                    exactlyOnceSink: Boolean = false,
                     onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -581,14 +583,34 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          index.ingestNearDup(batch, threshold)
-            .write.mode("append").parquet(admittedOut)
+          admittedWrite(index.ingestNearDup(batch, threshold),
+            admittedOut, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
     q.awaitTermination()
   }
+
+  /** The admitted-output writer every admission drain shares. Default
+    * (`exactlyOnce = false`): plain append — at-least-once on crash
+    * replay, dedup delegated downstream (the historical contract).
+    * `exactlyOnce = true`: the batch's rows land in their OWN
+    * batch-keyed subdirectory (`__b=<id>`) with OVERWRITE — a replayed
+    * micro-batch rewrites exactly its directory instead of appending a
+    * second copy, so the sink itself is idempotent and a plain
+    * `spark.read.parquet(out)` never sees duplicate deliveries. The
+    * directory key is `__b`, not `batch`, so partition discovery can't
+    * collide with a data column (the funnel's stage rows carry
+    * `batch`). NOTE the guarantee is per-DELIVERY: a stateful drain's
+    * replayed batch may truthfully admit fewer rows than its first
+    * delivery (store convergence); the sink then holds the replay's
+    * answer — current state, no duplicates — which is exactly the
+    * reconciliation an at-least-once append cannot offer. */
+  private def admittedWrite(df: DataFrame, out: String, batchId: Long,
+                            exactlyOnce: Boolean): Unit =
+    if (exactlyOnce) df.write.mode("overwrite").parquet(s"$out/__b=$batchId")
+    else df.write.mode("append").parquet(out)
 
   /** The COMPOSED streaming ingest door — the batch
     * `pipeline_curation_funnel`'s streaming twin and the actual 100 TB
@@ -625,6 +647,7 @@ object StreamOps {
                           dedupThreshold: Double = 0.8,
                           shingleSize: Int = 3,
                           contaminationThreshold: Double = 0.5,
+                          exactlyOnceSink: Boolean = false,
                           onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -650,10 +673,10 @@ object StreamOps {
           def stageRows(df: DataFrame, stage: Int, name: String) =
             df.select(lit(batchId).as("batch"), lit(stage.toLong).as("stage"),
               lit(name).as("stage_name"), col(idCol))
-          stageRows(clean, 0, "decontaminated")
+          admittedWrite(stageRows(clean, 0, "decontaminated")
             .unionByName(stageRows(hqDocs, 1, "quality_pass"))
-            .unionByName(stageRows(admitted, 2, "admitted"))
-            .write.mode("append").parquet(out)
+            .unionByName(stageRows(admitted, 2, "admitted")),
+            out, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
@@ -678,6 +701,7 @@ object StreamOps {
                          idCol: String, textCol: String,
                          admittedOut: String, checkpoint: String,
                          shingleSize: Int = 3, threshold: Double = 0.5,
+                         exactlyOnceSink: Boolean = false,
                          onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -688,8 +712,8 @@ object StreamOps {
           val contaminated = graft.llm.Dedup.contamination(
               batch, idCol, evalDocs, idCol, textCol, shingleSize, threshold)
             .select(col("train_id").as(idCol)).distinct()
-          batch.join(contaminated, Seq(idCol), "left_anti")
-            .write.mode("append").parquet(admittedOut)
+          admittedWrite(batch.join(contaminated, Seq(idCol), "left_anti"),
+            admittedOut, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
@@ -732,6 +756,7 @@ object StreamOps {
                                 idCol: String, textCol: String,
                                 admittedOut: String, checkpoint: String,
                                 threshold: Double = 0.5,
+                                exactlyOnceSink: Boolean = false,
                                 afterBatch: Long => Unit = _ => (),
                                 onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
@@ -742,10 +767,11 @@ object StreamOps {
         tickConf(batch.sparkSession) {
           val (version, model) = store.latest.getOrElse(throw new IllegalStateException(
             s"quality gate drain has no published model to score batch $batchId with"))
-          graft.llm.QualityLr.score(batch, idCol, textCol, model, threshold)
-            .filter(col("hq")).drop("hq")
-            .withColumn("model_v", lit(version))
-            .write.mode("append").parquet(admittedOut)
+          admittedWrite(
+            graft.llm.QualityLr.score(batch, idCol, textCol, model, threshold)
+              .filter(col("hq")).drop("hq")
+              .withColumn("model_v", lit(version)),
+            admittedOut, batchId, exactlyOnceSink)
         }
         afterBatch(batchId)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
@@ -758,6 +784,7 @@ object StreamOps {
                        idCol: String, textCol: String,
                        admittedOut: String, checkpoint: String,
                        threshold: Double = 0.5,
+                       exactlyOnceSink: Boolean = false,
                        onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -765,9 +792,10 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          graft.llm.QualityLr.score(batch, idCol, textCol, model, threshold)
-            .filter(col("hq")).drop("hq")
-            .write.mode("append").parquet(admittedOut)
+          admittedWrite(
+            graft.llm.QualityLr.score(batch, idCol, textCol, model, threshold)
+              .filter(col("hq")).drop("hq"),
+            admittedOut, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }

@@ -191,6 +191,39 @@ class QualityLrSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("no published model")))
   }
 
+  test("exactly-once admitted sink: a forced full re-drain leaves identical output; append mode duplicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlreo").toString
+    corpus.filter(col("doc_id") < 20).select("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(s"$tmp/feed")
+    corpus.filter(col("doc_id") >= 20).select("doc_id", "text")
+      .repartition(1).write.mode("append").parquet(s"$tmp/feed")
+    val model = QualityLr.train(corpus, "doc_id", "text", "label")
+    def drain(out: String, ckpt: String, exactlyOnce: Boolean): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.qualityGateDrain(stream, model,
+        "doc_id", "text", out, ckpt, exactlyOnceSink = exactlyOnce)
+    }
+    // first drain, then a FORCED full replay (fresh checkpoint, same
+    // sink) — every batch re-delivers with the same batch ids
+    drain(s"$tmp/adm", s"$tmp/c1", exactlyOnce = true)
+    val first = canon(spark.read.parquet(s"$tmp/adm")
+      .select("doc_id", "margin_micro", "__b"))
+    assert(first.nonEmpty)
+    drain(s"$tmp/adm", s"$tmp/c2", exactlyOnce = true)
+    val replayed = canon(spark.read.parquet(s"$tmp/adm")
+      .select("doc_id", "margin_micro", "__b"))
+    assert(replayed == first,
+      "a replayed batch must overwrite its own directory, not append a second copy")
+    // the append-mode contract really is at-least-once: same forced
+    // replay doubles the rows (that's why the keyed sink exists)
+    drain(s"$tmp/adm_app", s"$tmp/c3", exactlyOnce = false)
+    val n1 = spark.read.parquet(s"$tmp/adm_app").count()
+    drain(s"$tmp/adm_app", s"$tmp/c4", exactlyOnce = false)
+    assert(spark.read.parquet(s"$tmp/adm_app").count() == 2 * n1)
+  }
+
   test("composes with the curation funnel as a keep/drop gate") {
     // the deployment shape: train on the seed, gate the corpus, then
     // run the downstream funnel stages on survivors only
