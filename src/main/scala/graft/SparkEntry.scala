@@ -142,6 +142,26 @@ object SparkEntry {
     * aggregate pass, but the three PQ queries share one trained model
     * the way production amortizes a codebook across every search; a
     * cache miss logs a `pq_train` stage row for attribution. */
+  /** The STANDARD trained quality model (full documents table,
+    * lang='en' proxy label, 64 buckets) — trained once per fixture dir
+    * and shared by the seven queries that gate/rollup/sample with it
+    * (each re-training was ~1.7 s of identical work per query in the
+    * official bench). Deterministic by construction (QualityLrSpec
+    * pins partition-independence), so caching cannot change results.
+    */
+  private val qualityModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.llm.QualityLr.Model]()
+  private def qualityModel(s: SparkSession, d: String): graft.llm.QualityLr.Model =
+    qualityModelCache.computeIfAbsent(d, { _ =>
+      val t0 = System.nanoTime()
+      val m = graft.llm.QualityLr.train(
+        Tables.documents(s, d)
+          .withColumn("__label", when(col("lang") === "en", 1).otherwise(0)),
+        "doc_id", "text", "__label")
+      stageLogger("quality_lr")("train", (System.nanoTime() - t0) / 1e9)
+      m
+    })
+
   private val pqBooksCache =
     new java.util.concurrent.ConcurrentHashMap[String, graft.llm.Pq.Codebooks]()
   private def pqBooks(s: SparkSession, d: String): graft.llm.Pq.Codebooks =
@@ -2791,9 +2811,7 @@ object SparkEntry {
       // (sample_weighted). The oracle replays the unrolled training AND
       // every md5 keep decision.
       val docs = Tables.documents(s, d)
-        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
-      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
-      val scored = graft.llm.QualityLr.score(docs, "doc_id", "text", model)
+      val scored = graft.llm.QualityLr.score(docs, "doc_id", "text", qualityModel(s, d))
         .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       graft.llm.Sampling.weightedSample(scored, Seq("doc_id"),
           col("margin_micro").cast("double") / 1e6, seed = "qw")
@@ -3092,9 +3110,28 @@ object SparkEntry {
       // a proper non-empty subset (~half) — the oracle row then carries
       // information in BOTH directions (admitted and rejected).
       val docs = Tables.documents(s, d)
+      graft.llm.QualityLr.score(docs, "doc_id", "text", qualityModel(s, d),
+        threshold = 0.45)
+    }),
+
+    "classify_quality_continue" -> ((s, d) => {
+      // ONLINE model refresh, the training half of the hot-swap loop:
+      // a model trained cold (3 rounds) on the %4<>3 seed corpus
+      // CONTINUES for 2 more full-batch rounds once the %4==3 slice
+      // arrives labeled — warm-started from the published weights, the
+      // new slice's fresh hash buckets learning from zero. The oracle
+      // replays all FIVE rounds: the cold chain on the seed, then the
+      // two warm rounds over the grown corpus seeded from w3/b3.
+      // Scored at 0.42: the continued model's margins shift with the
+      // two extra rounds, and 0.42 keeps the gate proper on this
+      // fixture (admits a non-empty, non-total subset).
+      val docs = Tables.documents(s, d)
         .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
-      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
-      graft.llm.QualityLr.score(docs, "doc_id", "text", model, threshold = 0.45)
+      val model0 = graft.llm.QualityLr.train(
+        docs.filter(col("doc_id") % 4 =!= 3), "doc_id", "text", "__label")
+      val m = graft.llm.QualityLr.continueTraining(model0, docs,
+        "doc_id", "text", "__label", rounds = 2)
+      graft.llm.QualityLr.score(docs, "doc_id", "text", m, threshold = 0.42)
     }),
 
     "classify_quality_eval" -> ((s, d) => {
@@ -4026,9 +4063,8 @@ object SparkEntry {
       // admitted count, and the exact micro-margin sum. All-integer
       // outputs, so the rollup hashes bit-exactly on both engines.
       val docs = Tables.documents(s, d)
-        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
-      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
-      graft.llm.QualityLr.score(docs, "doc_id", "text", model, threshold = 0.45)
+      graft.llm.QualityLr.score(docs, "doc_id", "text", qualityModel(s, d),
+          threshold = 0.45)
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -4045,8 +4081,7 @@ object SparkEntry {
       // The oracle is the classifier oracle filtered at the threshold.
       val tmp = scratchDir("stream_qt")
       val docs = Tables.documents(s, d)
-        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
-      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      val model = qualityModel(s, d)
       (0 to 2).foreach(k => docs.filter(pmod(col("doc_id"), lit(3)) === k)
         .select("doc_id", "text").repartition(1)
         .write.mode("append").parquet(s"$tmp/feed"))
@@ -4075,7 +4110,7 @@ object SparkEntry {
       docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
         .coalesce(1).write.mode("append").parquet(s"$tmp/feed")
       val store = new graft.llm.QualityLr.ModelStore(s, s"$tmp/models")
-      store.publish(graft.llm.QualityLr.train(docs, "doc_id", "text", "__label"))
+      store.publish(qualityModel(s, d))
       val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
       graft.streaming.StreamOps.qualityGateDrainVersioned(stream, store,
@@ -4103,8 +4138,7 @@ object SparkEntry {
       // includes batch A's admitted survivors.
       val tmp = scratchDir("stream_funnel")
       val docs = Tables.documents(s, d)
-        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
-      val model = graft.llm.QualityLr.train(docs, "doc_id", "text", "__label")
+      val model = qualityModel(s, d)
       val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
       val feed = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
       feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
@@ -5881,6 +5915,51 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
+
+    // warm-start replayed end to end: the cold 3-round chain on the
+    // %4<>3 seed (shared CTEs → w3/b3), then TWO more unrolled rounds
+    // over the grown corpus seeded from those weights — buckets new to
+    // the grown corpus start from the warm model's zeros (LEFT JOIN +
+    // coalesce, exactly the engine's zero-array semantics)
+    "classify_quality_continue" ->
+      s"""WITH ${qualityLrTrainCtes(qualityDocsSel("doc_id % 4 <> 3"))},
+         |cd AS (${qualityDocsSel("TRUE")}),
+         |ct AS (
+         |  SELECT DISTINCT doc_id, y,
+         |         CAST('0x' || substring(md5('qlr1' || '||' || tk), 1, 4) AS BIGINT) % 64 AS b
+         |  FROM (SELECT doc_id, y, unnest(string_split_regex(t, '\\s+')) AS tk FROM cd)),
+         |cnb AS (SELECT doc_id, count(*) AS nb FROM ct GROUP BY doc_id),
+         |cf AS (SELECT doc_id, y, b, 1.0 / sqrt(CAST(nb AS DOUBLE)) AS x
+         |       FROM ct JOIN cnb USING (doc_id)),
+         |cn AS (SELECT count(*) AS n FROM cd),
+         |m4 AS (SELECT f.doc_id, f.y,
+         |         CAST(SUM(CAST(FLOOR(f.x * coalesce(w3.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |           + CAST(FLOOR((SELECT bias FROM b3) * 1000000.0 + 0.5) AS BIGINT) AS mm
+         |       FROM cf f LEFT JOIN w3 USING (b) GROUP BY f.doc_id, f.y),
+         |e4 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m4),
+         |g4 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e4.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+         |       FROM cf f JOIN e4 USING (doc_id) GROUP BY f.b),
+         |gb4 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e4),
+         |w4 AS (SELECT b, coalesce(w3.w, 0.0) - 0.7 * g4.g / (1000000.0 * (SELECT n FROM cn)) AS w
+         |       FROM g4 LEFT JOIN w3 USING (b)),
+         |cb4 AS (SELECT (SELECT bias FROM b3) - 0.7 * g / (1000000.0 * (SELECT n FROM cn)) AS bias FROM gb4),
+         |m5 AS (SELECT f.doc_id, f.y,
+         |         CAST(SUM(CAST(FLOOR(f.x * coalesce(w4.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |           + CAST(FLOOR((SELECT bias FROM cb4) * 1000000.0 + 0.5) AS BIGINT) AS mm
+         |       FROM cf f LEFT JOIN w4 USING (b) GROUP BY f.doc_id, f.y),
+         |e5 AS (SELECT doc_id, y, CAST(mm AS DOUBLE) / 1000000.0 - y AS e FROM m5),
+         |g5 AS (SELECT f.b, CAST(SUM(CAST(FLOOR(e5.e * f.x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g
+         |       FROM cf f JOIN e5 USING (doc_id) GROUP BY f.b),
+         |gb5 AS (SELECT CAST(SUM(CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS g FROM e5),
+         |w5 AS (SELECT b, coalesce(w4.w, 0.0) - 0.7 * g5.g / (1000000.0 * (SELECT n FROM cn)) AS w
+         |       FROM g5 LEFT JOIN w4 USING (b)),
+         |cb5 AS (SELECT (SELECT bias FROM cb4) - 0.7 * g / (1000000.0 * (SELECT n FROM cn)) AS bias FROM gb5)
+         |SELECT f.doc_id,
+         |       CAST(SUM(CAST(FLOOR(f.x * coalesce(w5.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |         + CAST(FLOOR((SELECT bias FROM cb5) * 1000000.0 + 0.5) AS BIGINT) AS margin_micro,
+         |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w5.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |         + CAST(FLOOR((SELECT bias FROM cb5) * 1000000.0 + 0.5) AS BIGINT)) > 420000 AS hq
+         |FROM cf f LEFT JOIN w5 USING (b) GROUP BY f.doc_id""".stripMargin,
 
     // the held-out audit replayed end to end: hash split, full training
     // on the 80% side (the shared CTE chain over the filtered source),

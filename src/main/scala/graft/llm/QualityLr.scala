@@ -109,13 +109,17 @@ object QualityLr {
 
   /** The gradient rounds over pre-extracted (id, b, x, __y) feature
     * rows — shared by [[train]] and [[trainAndScore]], which differ
-    * only in whether the scoring pass reuses the same rows. */
+    * only in whether the scoring pass reuses the same rows, and by
+    * [[continueTraining]], which warm-starts from published weights. */
   private def trainOnFeatures(feat: DataFrame, labels: DataFrame, idCol: String,
-                              buckets: Int, rounds: Int, lr: Double): Model = {
+                              buckets: Int, rounds: Int, lr: Double,
+                              init: Option[Model] = None): Model = {
     val n = labels.count()
     require(n > 0, "cannot train on an empty seed set")
-    val w = Array.fill(buckets)(0.0)
-    var bias = 0.0
+    init.foreach(m => require(m.buckets == buckets,
+      s"warm start needs matching bucket counts: model has ${m.buckets}, asked $buckets"))
+    val w = init.fold(Array.fill(buckets)(0.0))(_.weights.clone())
+    var bias = init.fold(0.0)(_.bias)
     (1 to rounds).foreach { _ =>
       val err = marginMicro(feat, idCol, Model(w, bias))
         .join(labels, Seq(idCol))
@@ -145,6 +149,27 @@ object QualityLr {
     marginMicro(featureRows(docs, idCol, textCol, model.buckets), idCol, model)
       .select(col(idCol), col("margin_micro"),
         (col("margin_micro") > lit(thrMicro)).as("hq"))
+  }
+
+  /** CONTINUED training — the online-refresh half of the production
+    * loop (drift detected → continue training on the grown/corrected
+    * seed → [[ModelStore.publish]] → the versioned gate hot-swaps at
+    * its next tick): run `rounds` more full-batch gradient rounds over
+    * `docs`, warm-started from `model`'s weights instead of zero. The
+    * arithmetic is identical to [[train]]'s rounds — same
+    * micro-quantized sums, same driver-side update association — so a
+    * continued model is exactly what a longer cold training WOULD have
+    * produced had its first rounds seen the old corpus: bit-replayable
+    * by the oracle, like everything else in this family. A new corpus
+    * slice naturally carries fresh hash buckets; those start from the
+    * warm model's zeros and learn in these rounds. */
+  def continueTraining(model: Model, docs: DataFrame, idCol: String,
+                       textCol: String, labelCol: String,
+                       rounds: Int = 1, lr: Double = DefaultLr): Model = {
+    val labels = docs.select(col(idCol), col(labelCol).cast("double").as("__y"))
+    val feat = featureRows(docs, idCol, textCol, model.buckets)
+      .join(labels, Seq(idCol)).localCheckpoint(false)
+    trainOnFeatures(feat, labels, idCol, model.buckets, rounds, lr, Some(model))
   }
 
   /** Confusion counts of a model against labeled docs at `threshold`:

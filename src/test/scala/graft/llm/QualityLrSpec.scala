@@ -191,6 +191,42 @@ class QualityLrSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("no published model")))
   }
 
+  test("continueTraining warm start ≡ the longer cold training it resumes") {
+    // 3 cold rounds + 2 continued rounds on the SAME corpus must equal
+    // 5 cold rounds bit-for-bit — the continuation is literally the
+    // next gradient rounds, not an approximation of them
+    val cold5 = QualityLr.train(corpus, "doc_id", "text", "label", rounds = 5)
+    val cold3 = QualityLr.train(corpus, "doc_id", "text", "label", rounds = 3)
+    val warm = QualityLr.continueTraining(cold3, corpus, "doc_id", "text", "label",
+      rounds = 2)
+    assert(warm.weights.toSeq == cold5.weights.toSeq && warm.bias == cold5.bias)
+  }
+
+  test("continueTraining learns the grown corpus's fresh buckets; loop composes with the model store") {
+    // the production refresh loop: cold model on the seed corpus →
+    // publish v1 → a new labeled slice arrives (new token space) →
+    // continue → publish v2; the continued model must score the NEW
+    // class better than the stale one does
+    val grown = corpus.unionByName((100L until 120L).map(i =>
+      (i, s"wq$i mmx${i * 3} kkz${i % 7} ppq${i * 5}", 0)).toDF("doc_id", "text", "label"))
+    val v1 = QualityLr.train(corpus, "doc_id", "text", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("qlrloop").toString
+    val store = new QualityLr.ModelStore(spark, tmp)
+    store.publish(v1)
+    val v2 = QualityLr.continueTraining(v1, grown, "doc_id", "text", "label",
+      rounds = 2)
+    store.publish(v2)
+    val (ver, latest) = store.latest.get
+    assert(ver == 2 && latest.weights.toSeq == v2.weights.toSeq)
+    // the new salt class pulls its buckets DOWN from the warm zeros:
+    // v2 scores the new docs strictly lower than v1 did on average
+    def meanMargin(m: QualityLr.Model) =
+      QualityLr.score(grown.filter(col("doc_id") >= 100), "doc_id", "text", m)
+        .agg(avg(col("margin_micro"))).head().getDouble(0)
+    assert(meanMargin(v2) < meanMargin(v1),
+      "continued rounds must have learned from the new labeled slice")
+  }
+
   test("exactly-once admitted sink: a forced full re-drain leaves identical output; append mode duplicates") {
     val tmp = java.nio.file.Files.createTempDirectory("qlreo").toString
     corpus.filter(col("doc_id") < 20).select("doc_id", "text")
