@@ -4158,6 +4158,54 @@ object SparkEntry {
         .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
     }),
 
+    "stream_curation_funnel_semantic" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the composed ingest door with the SEMANTIC dedup backend:
+      // decontaminate → trained-quality gate → same-cell embedding-
+      // cosine admission through the persistent IVF store (the modern
+      // 100 TB choice, swapped in through the funnel's admit hook —
+      // stages 1–2 and the sequential contract are shared verbatim
+      // with the MinHash variant). Docs pair with embeddings by id.
+      // Planted copies prove both dedup legs: %20==0 feed docs carry
+      // their id+1 CORPUS neighbor's embedding (cosine 1 → rejected
+      // against the corpus); %20==15 feed docs carry the embedding of
+      // their id−5 batch-A sibling — a NON-plant whose own embedding
+      // is what batch A admits — so they are rejected iff that
+      // sibling's admission PERSISTED (the sequential-semantics
+      // proof).
+      val tmp = scratchDir("stream_funnel_sem")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val emb = Tables.embeddings(s, d)
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), srcId.as("__src"))
+        .join(emb.select(col("vec_id").as("__src"), col("embedding")), Seq("__src"))
+        .drop("__src")
+      feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
+      feed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val centroids = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 8)
+      val idx = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx", "embedding",
+        "doc_id", centroids)
+      val t0 = System.nanoTime()
+      idx.upsert(emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 10 =!= 3)
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+      stageLogger("stream_curation_funnel_semantic")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainWith(stream, evalSet, model,
+        batch => idx.ingestNearDup(
+          batch.select(col("doc_id"), col("embedding")), 0.95),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        onStage = stageLogger("stream_curation_funnel_semantic"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -5960,6 +6008,60 @@ object SparkEntry {
          |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w5.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
          |         + CAST(FLOOR((SELECT bias FROM cb5) * 1000000.0 + 0.5) AS BIGINT)) > 420000 AS hq
          |FROM cf f LEFT JOIN w5 USING (b) GROUP BY f.doc_id""".stripMargin,
+
+    // the semantic door replayed stage by stage: the text gates are the
+    // MinHash funnel's CTEs verbatim; stage 3 is same-cell exact cosine
+    // under the frozen ivfCtes centroids, sequential — batch A screens
+    // against the pre-admitted corpus, batch B against corpus + A's
+    // admitted survivors, a batch never against itself. Planted copies
+    // share their source's cell by construction (identical embedding).
+    "stream_curation_funnel_semantic" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |${ivfCtesK(k = 8, nprobe = 1)},
+         |feedv AS (SELECT doc_id, s,
+         |            CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                 WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                 ELSE doc_id END AS src,
+         |            CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |          FROM sh WHERE doc_id % 5 = 0),
+         |fa AS (SELECT f.doc_id, f.s, f.b, a.e, a.cell
+         |       FROM feedv f JOIN a1 a ON a.vec_id = f.src),
+         |corp AS (SELECT vec_id AS doc_id, e, cell FROM a1
+         |         WHERE vec_id % 5 <> 0 AND vec_id % 10 <> 3),
+         |contam AS (SELECT DISTINCT f.doc_id FROM fa f JOIN ev e2
+         |           ON len(list_intersect(f.s, e2.s)) * 1.0 / len(e2.s) >= 0.5),
+         |clean AS (SELECT * FROM fa WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.* FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |dupA AS (SELECT DISTINCT a.doc_id FROM hq a JOIN corp x
+         |         ON x.cell = a.cell AND x.doc_id <> a.doc_id
+         |        AND ${cosSql("x.e", "a.e")} >= 0.95
+         |         WHERE a.b = 0),
+         |admA AS (SELECT doc_id, e, cell FROM hq WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st1 AS (SELECT doc_id, e, cell FROM corp UNION ALL SELECT doc_id, e, cell FROM admA),
+         |dupB AS (SELECT DISTINCT a.doc_id FROM hq a JOIN st1 x
+         |         ON x.cell = a.cell AND x.doc_id <> a.doc_id
+         |        AND ${cosSql("x.e", "a.e")} >= 0.95
+         |         WHERE a.b = 1),
+         |admB AS (SELECT doc_id FROM hq WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,
+         |       'decontaminated' AS stage_name, doc_id FROM clean
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), CAST(1 AS BIGINT), 'quality_pass', doc_id FROM hq
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
 
     // the held-out audit replayed end to end: hash split, full training
     // on the 80% side (the shared CTE chain over the filtered source),

@@ -648,7 +648,31 @@ object StreamOps {
                           shingleSize: Int = 3,
                           contaminationThreshold: Double = 0.5,
                           exactlyOnceSink: Boolean = false,
-                          onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+                          onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    curationFunnelDrainWith(stream, evalDocs, model,
+      batch => store.ingest(batch.select(col(idCol), col(textCol)), dedupThreshold),
+      idCol, textCol, out, checkpoint, qualityThreshold, shingleSize,
+      contaminationThreshold, exactlyOnceSink, onStage)
+
+  /** [[curationFunnelDrain]] generalized over its stage-3 admission
+    * backend: `admit` is the per-tick sequential-admission function —
+    * given the quality-surviving batch rows (id, text, and any carried
+    * columns, e.g. an embedding), it screens them against everything
+    * admitted before the batch, persists the survivors, and returns
+    * them. `MinhashIndexStore.ingest` (n-gram Jaccard) and
+    * `IvfMorIndexStore.ingestNearDup` (same-cell embedding cosine) are
+    * the two shipped backends; both obey the same contract — the batch
+    * is never screened against itself, replay converges the store. */
+  def curationFunnelDrainWith(stream: DataFrame, evalDocs: DataFrame,
+                              model: graft.llm.QualityLr.Model,
+                              admit: DataFrame => DataFrame,
+                              idCol: String, textCol: String,
+                              out: String, checkpoint: String,
+                              qualityThreshold: Double = 0.45,
+                              shingleSize: Int = 3,
+                              contaminationThreshold: Double = 0.5,
+                              exactlyOnceSink: Boolean = false,
+                              onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -668,8 +692,7 @@ object StreamOps {
             .score(clean, idCol, textCol, model, qualityThreshold)
             .filter(col("hq")).select(idCol)
           val hqDocs = clean.join(hqIds, Seq(idCol)).localCheckpoint(false)
-          val admitted = store.ingest(
-            hqDocs.select(col(idCol), col(textCol)), dedupThreshold)
+          val admitted = admit(hqDocs)
           def stageRows(df: DataFrame, stage: Int, name: String) =
             df.select(lit(batchId).as("batch"), lit(stage.toLong).as("stage"),
               lit(name).as("stage_name"), col(idCol))

@@ -116,6 +116,43 @@ class CurationFunnelSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("the admit hook swaps in the SEMANTIC backend: same funnel, IVF-cosine stage 3") {
+    // 16-dim seeded gaussians: pairwise cosine ≥ 0.95 by chance is
+    // ~3e-8, so only the PLANTED copy trips the dedup stage
+    def vec(seed: Long): Array[Float] = {
+      val rr = new scala.util.Random(seed); Array.fill(16)(rr.nextGaussian().toFloat)
+    }
+    val corpusVec = vec(1000L)
+    val rows = (0L until 40L).map { i =>
+      val t = if (i % 2 == 0)
+        s"the quick brown fox jumps over the lazy dog alpha$i beta$i gamma$i"
+      else s"zzq$i xkcd${i * 7} qqz${i % 5} vvv${i * 3}"
+      (i, t, vec(i), if (i % 2 == 0) 1 else 0)
+    } :+ ((41L, corpusText, corpusVec, 1)) :+ ((42L, evalLeakText, vec(42L), 0))
+    val feed = rows.toDF("doc_id", "text", "embedding", "label")
+    val model = QualityLr.train(feed, "doc_id", "text", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_sem").toString
+    val idx = new graft.llm.IvfMorIndexStore(spark, s"$tmp/idx",
+      "embedding", "doc_id", Array(vec(2000L), vec(2001L)))
+    idx.upsert(Seq((100L, corpusVec)).toDF("doc_id", "embedding"))
+    feed.select("doc_id", "text", "embedding").repartition(1)
+      .write.parquet(s"$tmp/feed")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrainWith(stream, Seq((900L, evalLeakText)).toDF("doc_id", "text"),
+      model, b => idx.ingestNearDup(b.select("doc_id", "embedding"), 0.95),
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val out = spark.read.parquet(s"$tmp/out")
+    def ids(stage: Int): Set[Long] =
+      out.filter(col("stage") === stage).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val clean = ids(0); val hq = ids(1); val admitted = ids(2)
+    assert(clean == (0L until 40L).toSet + 41L, "eval plant falls at stage 0")
+    assert(hq.contains(41L) && hq.subsetOf(clean) && hq != clean)
+    assert(admitted == hq - 41L,
+      "exactly the embedding copy of the corpus vector falls at the semantic stage")
+  }
+
   test("mutual near-dups are order-decided: same batch admits both, split admits first only") {
     // two exact copies inside the feed — the documented at-least-once /
     // sequential-admission contract, shown rather than hidden
