@@ -637,7 +637,10 @@ object StreamOps {
     * the per-stage funnel counts and the exact survivor id sets.
     * Appends are at-least-once on crash replay (the
     * [[dedupIndexDrain]] contract: the store converges idempotently;
-    * an exactly-once consumer dedups on (batch, stage, id)). */
+    * an exactly-once consumer dedups on (batch, stage, id)) — or pass
+    * `exactlyOnceSink` for the batch-keyed overwrite sink
+    * ([[admittedWrite]]), under which a replay rewrites its own
+    * batch directory instead. */
   def curationFunnelDrain(stream: DataFrame, evalDocs: DataFrame,
                           model: graft.llm.QualityLr.Model,
                           store: graft.llm.MinhashIndexStore,

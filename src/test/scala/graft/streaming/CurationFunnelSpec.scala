@@ -116,6 +116,35 @@ class CurationFunnelSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("funnel + exactly-once sink: a forced full re-drain converges to identical output") {
+    // the composed door is STATEFUL (the dedup store persists), but a
+    // dup-free feed replays to the same answer — and the batch-keyed
+    // sink makes the replay overwrite rather than duplicate
+    val feed = fullFeed
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_eo").toString
+    feed.select("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(s"$tmp/feed")
+    val store = new MinhashIndexStore(spark, s"$tmp/store", "doc_id", "text")
+    store.append(Seq((100L, corpusText)).toDF("doc_id", "text"))
+    val model = QualityLr.train(feed, "doc_id", "text", "label")
+    def drainOnce(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+      StreamOps.curationFunnelDrain(stream, Seq((900L, evalLeakText)).toDF("doc_id", "text"),
+        model, store, "doc_id", "text", s"$tmp/out", ckpt,
+        exactlyOnceSink = true)
+    }
+    drainOnce(s"$tmp/c1")
+    val first = canon(spark.read.parquet(s"$tmp/out")
+      .select("batch", "stage", "doc_id"))
+    assert(first.nonEmpty)
+    drainOnce(s"$tmp/c2") // forced replay of every batch
+    val replayed = canon(spark.read.parquet(s"$tmp/out")
+      .select("batch", "stage", "doc_id"))
+    assert(replayed == first,
+      "replaying a dup-free feed through the keyed sink must converge, not duplicate")
+  }
+
   test("the admit hook swaps in the SEMANTIC backend: same funnel, IVF-cosine stage 3") {
     // 16-dim seeded gaussians: pairwise cosine ≥ 0.95 by chance is
     // ~3e-8, so only the PLANTED copy trips the dedup stage
