@@ -207,8 +207,12 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * accidental violations, the commit fails if the manifest advanced
     * between entry and commit (the caller-read→entry window remains the
     * caller's contract). */
-  def snapshot(df: DataFrame): Seq[String] = {
-    val v0 = latestManifestVersion
+  def snapshot(df: DataFrame): Seq[String] = snapshotFrom(df, latestManifestVersion)
+
+  /** The guard's test seam: `v0` is the manifest version captured at
+    * entry; the commit refuses if the manifest has advanced past it
+    * (the spec passes a stale `v0` to exercise exactly that path). */
+  private[pipeline] def snapshotFrom(df: DataFrame, v0: Option[Int]): Seq[String] = {
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val deduped = MergeEngine.latestPerKey(df, cfg.keys, cursorOrder)
       .withColumn(DeletedCol, lit(false))

@@ -203,4 +203,29 @@ class MorStoreSpec extends SparkSpec {
     new MorStore(spark, Files.createTempDirectory("mor").toString, "p",
       cfg.copy(guard = MergeGuard.TargetOlder("ts")))
   }
+
+  test("snapshot refuses when the manifest advanced past its entry version") {
+    val t = Files.createTempDirectory("mor").toString
+    val store = mk(t)
+    store.appendDelta(Seq(("a", ts("2024-01-01 00:00:00"), "p1", 1))
+      .toDF("k", "ts", "p", "v"))
+    val stale = store.latestManifestVersion
+    // a concurrent writer's delta lands between the snapshot's entry
+    // and its commit (simulated through the guard's test seam)
+    store.appendDelta(Seq(("b", ts("2024-01-01 00:00:00"), "p1", 2))
+      .toDF("k", "ts", "p", "v"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      store.snapshotFrom(
+        Seq(("a", ts("2024-01-02 00:00:00"), "p1", 10)).toDF("k", "ts", "p", "v"),
+        stale)
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // nothing committed: b's delta is still the live state
+    assert(canon(store.read.get.select("k", "v")) ==
+      Seq(Seq("a", "1"), Seq("b", "2")))
+    // and a clean snapshot still works
+    store.snapshot(Seq(("z", ts("2024-01-03 00:00:00"), "p1", 7))
+      .toDF("k", "ts", "p", "v"))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("z", "7")))
+  }
 }
