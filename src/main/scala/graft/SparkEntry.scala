@@ -4158,6 +4158,43 @@ object SparkEntry {
         .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
     }),
 
+    "stream_curation_funnel_swap" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the round's two refresh stories COMPOSED: the full ingest door
+      // (decontaminate → trained gate → MinHash admission) keeps
+      // draining while the gate's model hot-swaps mid-stream — batch A
+      // scores under the published 64-bucket v1, a 32-bucket retrain
+      // publishes after the tick, batch B scores under v2. The swap
+      // moves the quality verdicts AND therefore what the dedup stage
+      // screens; every stage row carries the model_v that gated its
+      // batch, and the oracle replays both trainings plus the
+      // sequential dedup under each batch's own hq set.
+      val tmp = scratchDir("stream_funnel_swap")
+      val docs = Tables.documents(s, d)
+        .withColumn("__label", when(col("lang") === "en", 1).otherwise(0))
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val feed = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
+      feed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val store = new graft.llm.MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
+      store.append(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select("doc_id", "text"))
+      val models = new graft.llm.QualityLr.ModelStore(s, s"$tmp/models")
+      models.publish(qualityModel(s, d))
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainVersioned(stream, evalSet,
+        models, batch => store.ingest(batch.select("doc_id", "text"), 0.8),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        afterBatch = { id =>
+          if (id == 0) models.publish(graft.llm.QualityLr.train(
+            docs, "doc_id", "text", "__label", buckets = 32))
+        },
+        onStage = stageLogger("stream_curation_funnel_swap"))
+      s.read.parquet(s"$tmp/out").select(col("batch"), col("stage"),
+        col("stage_name"), col("doc_id"), col("model_v"))
+    }),
+
     "stream_curation_funnel_semantic" -> ((s, d) => withShufflePartitions(s, 8) {
       // the composed ingest door with the SEMANTIC dedup backend:
       // decontaminate → trained-quality gate → same-cell embedding-
@@ -6008,6 +6045,54 @@ object SparkEntry {
          |       (CAST(SUM(CAST(FLOOR(f.x * coalesce(w5.w, 0.0) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
          |         + CAST(FLOOR((SELECT bias FROM cb5) * 1000000.0 + 0.5) AS BIGINT)) > 420000 AS hq
          |FROM cf f LEFT JOIN w5 USING (b) GROUP BY f.doc_id""".stripMargin,
+
+    // the composed door under a MID-STREAM model swap: batch A's
+    // quality verdicts come from the 64-bucket training, batch B's
+    // from the 32-bucket retrain published between the ticks; the
+    // sequential dedup replays under each batch's OWN hq set (batch
+    // B screens against corpus + A's v1-gated survivors)
+    "stream_curation_funnel_swap" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm64 AS (SELECT doc_id, margin_micro FROM (${classifyQualityTrainedSqlBuckets(64)})),
+         |mm32 AS (SELECT doc_id, margin_micro FROM (${classifyQualityTrainedSqlBuckets(32)})),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.* FROM clean c JOIN mm64 ON mm64.doc_id = c.doc_id
+         |       WHERE c.b = 0 AND mm64.margin_micro > 450000
+         |       UNION ALL
+         |       SELECT c.* FROM clean c JOIN mm32 ON mm32.doc_id = c.doc_id
+         |       WHERE c.b = 1 AND mm32.margin_micro > 450000),
+         |dupA AS (SELECT DISTINCT a.doc_id FROM hq a JOIN corp x
+         |         ON len(list_intersect(a.s, x.s)) * 1.0 /
+         |            (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+         |         WHERE a.b = 0),
+         |admA AS (SELECT doc_id, s FROM hq WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st1 AS (SELECT doc_id, s FROM corp UNION ALL SELECT doc_id, s FROM admA),
+         |dupB AS (SELECT DISTINCT a.doc_id FROM hq a JOIN st1 x
+         |         ON a.doc_id <> x.doc_id
+         |        AND len(list_intersect(a.s, x.s)) * 1.0 /
+         |            (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+         |         WHERE a.b = 1),
+         |admB AS (SELECT doc_id FROM hq WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,
+         |       'decontaminated' AS stage_name, doc_id, CAST(b + 1 AS INT) AS model_v FROM clean
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), CAST(1 AS BIGINT), 'quality_pass', doc_id, CAST(b + 1 AS INT) FROM hq
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(1 AS INT) FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(2 AS INT) FROM admB""".stripMargin,
 
     // the semantic door replayed stage by stage: the text gates are the
     // MinHash funnel's CTEs verbatim; stage 3 is same-cell exact cosine

@@ -682,32 +682,89 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          val contaminated = graft.llm.Dedup.contamination(
-              batch, idCol, evalDocs, idCol, textCol,
-              shingleSize, contaminationThreshold)
-            .select(col("train_id").as(idCol)).distinct()
-          // checkpointed: the clean set feeds the scorer AND the stage
-          // row dump; a stream-source batch re-executes its file scan
-          // per downstream action otherwise
-          val clean = batch.join(contaminated, Seq(idCol), "left_anti")
-            .localCheckpoint(false)
-          val hqIds = graft.llm.QualityLr
-            .score(clean, idCol, textCol, model, qualityThreshold)
-            .filter(col("hq")).select(idCol)
-          val hqDocs = clean.join(hqIds, Seq(idCol)).localCheckpoint(false)
-          val admitted = admit(hqDocs)
-          def stageRows(df: DataFrame, stage: Int, name: String) =
-            df.select(lit(batchId).as("batch"), lit(stage.toLong).as("stage"),
-              lit(name).as("stage_name"), col(idCol))
-          admittedWrite(stageRows(clean, 0, "decontaminated")
-            .unionByName(stageRows(hqDocs, 1, "quality_pass"))
-            .unionByName(stageRows(admitted, 2, "admitted")),
+          admittedWrite(
+            funnelTickRows(batch, batchId, evalDocs, model, admit, idCol,
+              textCol, qualityThreshold, shingleSize, contaminationThreshold),
             out, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** [[curationFunnelDrainWith]] with the quality stage reading the
+    * LATEST published model per tick — the round's two refresh stories
+    * composed: the ingest door keeps draining while a retrained
+    * classifier published mid-stream ([[graft.llm.QualityLr.ModelStore]])
+    * takes effect at the very next micro-batch, and every stage row is
+    * stamped with the `model_v` that gated its batch. Decontamination
+    * and dedup admission are untouched by the swap (their state is the
+    * eval set and the dedup store); only the quality verdicts — and
+    * therefore what reaches the dedup stage — move with the model. */
+  def curationFunnelDrainVersioned(stream: DataFrame, evalDocs: DataFrame,
+                                   modelStore: graft.llm.QualityLr.ModelStore,
+                                   admit: DataFrame => DataFrame,
+                                   idCol: String, textCol: String,
+                                   out: String, checkpoint: String,
+                                   qualityThreshold: Double = 0.45,
+                                   shingleSize: Int = 3,
+                                   contaminationThreshold: Double = 0.5,
+                                   exactlyOnceSink: Boolean = false,
+                                   afterBatch: Long => Unit = _ => (),
+                                   onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          val (version, model) = modelStore.latest.getOrElse(
+            throw new IllegalStateException(
+              s"curation funnel has no published model to gate batch $batchId with"))
+          admittedWrite(
+            funnelTickRows(batch, batchId, evalDocs, model, admit, idCol,
+              textCol, qualityThreshold, shingleSize, contaminationThreshold)
+              .withColumn("model_v", lit(version)),
+            out, batchId, exactlyOnceSink)
+        }
+        afterBatch(batchId)
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One funnel tick: decontaminate → quality-gate → admit, returning
+    * the `(batch, stage, stage_name, id)` stage rows — the shared body
+    * of the fixed-model and versioned-model doors. */
+  private def funnelTickRows(batch: DataFrame, batchId: Long,
+                             evalDocs: DataFrame,
+                             model: graft.llm.QualityLr.Model,
+                             admit: DataFrame => DataFrame,
+                             idCol: String, textCol: String,
+                             qualityThreshold: Double, shingleSize: Int,
+                             contaminationThreshold: Double): DataFrame = {
+    val contaminated = graft.llm.Dedup.contamination(
+        batch, idCol, evalDocs, idCol, textCol,
+        shingleSize, contaminationThreshold)
+      .select(col("train_id").as(idCol)).distinct()
+    // checkpointed: the clean set feeds the scorer AND the stage
+    // row dump; a stream-source batch re-executes its file scan
+    // per downstream action otherwise
+    val clean = batch.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    val hqIds = graft.llm.QualityLr
+      .score(clean, idCol, textCol, model, qualityThreshold)
+      .filter(col("hq")).select(idCol)
+    val hqDocs = clean.join(hqIds, Seq(idCol)).localCheckpoint(false)
+    val admitted = admit(hqDocs)
+    def stageRows(df: DataFrame, stage: Int, name: String) =
+      df.select(lit(batchId).as("batch"), lit(stage.toLong).as("stage"),
+        lit(name).as("stage_name"), col(idCol))
+    stageRows(clean, 0, "decontaminated")
+      .unionByName(stageRows(hqDocs, 1, "quality_pass"))
+      .unionByName(stageRows(admitted, 2, "admitted"))
   }
 
   /** Streaming eval-set DECONTAMINATION: every micro-batch of the

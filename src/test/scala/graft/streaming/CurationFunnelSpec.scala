@@ -182,6 +182,23 @@ class CurationFunnelSpec extends SparkSpec {
       "exactly the embedding copy of the corpus vector falls at the semantic stage")
   }
 
+  test("versioned funnel refuses to gate without a published model") {
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_nm").toString
+    feedDocs.limit(4).select("doc_id", "text").write.parquet(s"$tmp/feed")
+    val store = new MinhashIndexStore(spark, s"$tmp/store", "doc_id", "text")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamOps.curationFunnelDrainVersioned(stream,
+        Seq((900L, evalLeakText)).toDF("doc_id", "text"),
+        new QualityLr.ModelStore(spark, s"$tmp/models"),
+        b => store.ingest(b.select("doc_id", "text")),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    }
+    assert(e.getMessage.contains("no published model") ||
+      Option(e.getCause).exists(_.getMessage.contains("no published model")))
+  }
+
   test("mutual near-dups are order-decided: same batch admits both, split admits first only") {
     // two exact copies inside the feed — the documented at-least-once /
     // sequential-admission contract, shown rather than hidden
