@@ -2129,6 +2129,19 @@ object SparkEntry {
         Tables.customer(s, d).select(col("c_custkey").as("CustKey"),
                                      col("c_mktsegment").as("MktSegment")))),
 
+    "p9_null_defaults" -> ((s, d) => {
+      // P9 — fillna(0) on NUMERIC columns only: NULLs seeded into a
+      // numeric and a string column; the default lands on the numeric
+      // one while the string NULL survives untouched — exactly the
+      // reference's pandas fillna(0)-on-numerics semantics.
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_name"))
+          .as("c_name"),
+        when(col("c_custkey") % 4 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("c_acctbal"))
+      Normalize.fillNumericDefaults(c)
+    }),
+
     "p11_sentinel_dates" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val seeded = ev.select(col("event_id"),
@@ -6859,6 +6872,13 @@ object SparkEntry {
 
     "p8_snake_case" ->
       "SELECT c_custkey AS cust_key, c_mktsegment AS mkt_segment FROM customer",
+
+    // the numeric column gets the 0 default, the string NULL survives
+    "p9_null_defaults" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS c_name,
+        | CASE WHEN c_custkey % 4 = 0 THEN CAST(0 AS DOUBLE) ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
 
     "p11_sentinel_dates" ->
       """SELECT event_id,
