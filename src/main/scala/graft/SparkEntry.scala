@@ -3889,7 +3889,8 @@ object SparkEntry {
       val morCfg = TableConfig("stream_events_mor", null, Seq("event_id"),
         cursorField = Some("ts"))
       val store = new graft.pipeline.MorStore(s, s"$tmp/store", "event_type",
-        morCfg, compactSegments = 2)
+        morCfg, compactSegments = 2,
+        onStage = stageLogger("stream_cdc_merge_mor"))
       graft.streaming.StreamOps.mergeAvailable(stream, store, morCfg,
         s"$tmp/ckpt", onStage = stageLogger("stream_cdc_merge_mor"))
       store.read.get.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),

@@ -174,17 +174,20 @@ object QualityLr {
 
   /** Confusion counts of a model against labeled docs at `threshold`:
     * one row (tp, fp, fn, tn) — the shared audit aggregate behind
-    * [[evaluate]] and [[trainWithFloor]]. */
+    * [[evaluate]] and [[trainWithFloor]]. The sums coalesce to 0 so an
+    * EMPTY audit set yields an all-zero row (precision/recall then read
+    * as undefined/0 downstream) instead of a NULL row that would NPE
+    * the floor check. */
   private def confusion(model: Model, docs: DataFrame, idCol: String,
                         textCol: String, labelCol: String,
                         threshold: Double): DataFrame =
     score(docs, idCol, textCol, model, threshold)
       .join(docs.select(col(idCol), col(labelCol).cast("int").as("__y")), Seq(idCol))
       .agg(
-        sum(when(col("hq") && col("__y") === 1, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("hq") && col("__y") === 0, 1L).otherwise(0L)).as("fp"),
-        sum(when(!col("hq") && col("__y") === 1, 1L).otherwise(0L)).as("fn"),
-        sum(when(!col("hq") && col("__y") === 0, 1L).otherwise(0L)).as("tn"))
+        coalesce(sum(when(col("hq") && col("__y") === 1, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("hq") && col("__y") === 0, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!col("hq") && col("__y") === 1, 1L).otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(!col("hq") && col("__y") === 0, 1L).otherwise(0L)), lit(0L)).as("tn"))
 
   /** HELD-OUT evaluation of the trained gate — the classifier family's
     * `ann_recall` equivalent: train on `train`, audit on disjoint
@@ -237,15 +240,24 @@ object QualityLr {
     * classifier takes effect at the next tick without restarting the
     * stream ([[graft.streaming.StreamOps.qualityGateDrainVersioned]]).
     *
-    * Format: one immutable text file `v=N` per version (bias line,
-    * then one weight per line — `java.lang.Double.toString` round-trips
-    * every double bit-exactly, so a published model re-reads
-    * IDENTICAL, which the determinism contract requires: a replayed
-    * micro-batch must re-score under byte-equal weights). Writes are
-    * staged + atomically renamed, so `latest` never sees a torn file;
-    * versions are never overwritten. The store is tiny by construction
-    * (buckets+1 doubles per version) — this is driver-side state, like
-    * the model itself. */
+    * Format: one immutable text file `v=N` per version — a header line
+    * `qlr1 <nWeights> <crc32>` (crc over the payload bytes), then the
+    * bias line, then one weight per line (`java.lang.Double.toString`
+    * round-trips every double bit-exactly, so a published model
+    * re-reads IDENTICAL, which the determinism contract requires: a
+    * replayed micro-batch must re-score under byte-equal weights).
+    * [[read]] verifies the header's count and checksum, so a torn or
+    * bit-rotted file is detected instead of silently gating with
+    * garbage weights (headerless pre-checksum files still read, for
+    * stores published before the header existed). Writes are staged +
+    * atomically renamed, so `latest` never sees a half-written file,
+    * and publish REFUSES an already-existing target version (on
+    * RawLocalFileSystem rename() silently replaces, so the existence
+    * check is what upholds the versions-are-immutable invariant under
+    * a racing second publisher — the same guard MorStore's manifest
+    * commit carries). The store is tiny by construction (buckets+1
+    * doubles per version) — this is driver-side state, like the model
+    * itself; [[prune]] bounds the version count. */
   final class ModelStore(spark: org.apache.spark.sql.SparkSession, root: String) {
     private def rootP = new org.apache.hadoop.fs.Path(root)
     private def fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -255,16 +267,38 @@ object QualityLr {
       else fs.listStatus(rootP).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toInt).sorted
 
-    /** Publish as the next version; returns the version number. */
-    def publish(model: Model): Int = {
+    private def crcOf(payload: String): Long = {
+      val c = new java.util.zip.CRC32()
+      c.update(payload.getBytes("UTF-8"))
+      c.getValue
+    }
+
+    /** Publish as the next version; returns the version number. Throws
+      * if the allocated version already exists (two concurrent
+      * publishers raced — versions are never overwritten). */
+    def publish(model: Model): Int =
+      publishAs(model, versions.lastOption.getOrElse(0) + 1)
+
+    /** The collision guard's test seam: publish under an EXPLICIT
+      * version number (the spec passes an already-taken one to exercise
+      * exactly the two-racing-publishers path). */
+    private[llm] def publishAs(model: Model, n: Int): Int = {
       fs.mkdirs(rootP)
-      val n = versions.lastOption.getOrElse(0) + 1
+      val payload = (model.bias.toString +: model.weights.map(_.toString))
+        .mkString("\n")
       val tmp = new org.apache.hadoop.fs.Path(rootP, s".tmp_v=$n")
       val out = fs.create(tmp, true)
-      try out.write((model.bias.toString +: model.weights.map(_.toString))
-        .mkString("\n").getBytes("UTF-8"))
+      try out.write(s"qlr1 ${model.buckets} ${crcOf(payload)}\n$payload".getBytes("UTF-8"))
       finally out.close()
       val dst = new org.apache.hadoop.fs.Path(rootP, s"v=$n")
+      // exists-then-rename still has a window on local FS; on HDFS the
+      // rename itself fails on an existing target, closing it fully
+      if (fs.exists(dst)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"model v=$n already exists at $root — a concurrent publisher won the " +
+            "version; re-read latest and republish (versions are immutable)")
+      }
       if (!fs.rename(tmp, dst))
         throw new java.io.IOException(s"failed to publish model v=$n at $root")
       n
@@ -274,11 +308,37 @@ object QualityLr {
       val in = fs.open(new org.apache.hadoop.fs.Path(rootP, s"v=$version"))
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val lines = text.linesIterator.toSeq
-      Model(lines.tail.map(_.toDouble).toArray, lines.head.toDouble)
+      val body =
+        if (lines.headOption.exists(_.startsWith("qlr1 "))) {
+          val Array(_, nStr, crcStr) = lines.head.split(" ", 3)
+          val payload = lines.tail.mkString("\n")
+          if (crcOf(payload) != crcStr.toLong)
+            throw new java.io.IOException(
+              s"model v=$version at $root fails its checksum — torn or corrupted " +
+                "publish; refusing to gate with unverifiable weights")
+          if (lines.tail.size != nStr.toInt + 1)
+            throw new java.io.IOException(
+              s"model v=$version at $root has ${lines.tail.size - 1} weight lines " +
+                s"but the header claims $nStr — truncated publish")
+          lines.tail
+        } else lines // pre-checksum format: bias + weights, no header
+      Model(body.tail.map(_.toDouble).toArray, body.head.toDouble)
     }
 
     def latest: Option[(Int, Model)] =
       versions.lastOption.map(n => n -> read(n))
+
+    /** Retention: delete all but the newest `keepLast` versions.
+      * Version numbers keep ascending past a prune (allocation reads
+      * the surviving tail), so `model_v` stamps on already-admitted
+      * rows stay unambiguous — pruning only forfeits the ability to
+      * RE-SCORE under those old weights, which is the operator's
+      * retention call, same as [[graft.pipeline.MorStore.vacuum]]. */
+    def prune(keepLast: Int): Unit = {
+      require(keepLast >= 1, "prune must keep at least the latest version")
+      versions.dropRight(keepLast)
+        .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v=$v"), false))
+    }
   }
 
   /** Train-on-seed + score-the-corpus in one call — the curation-gate

@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
 final class MorStore(spark: SparkSession, root: String, val partitionCol: String,
                      cfg: TableConfig,
                      compactSegments: Int = 8,
-                     keepManifests: Int = 8) extends MergeSink {
+                     keepManifests: Int = 8,
+                     onStage: (String, Double) => Unit = (_, _) => ()) extends MergeSink {
   require(cfg.keys.nonEmpty, s"${cfg.name}: merge-on-read needs key columns")
   require(cfg.guard == graft.schema.MergeGuard.None ||
     cfg.cursorField.exists(c => cfg.guard == graft.schema.MergeGuard.TargetOlder(c) ||
@@ -85,18 +86,39 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     }.toMap
   }
 
-  private def commit(m: Map[String, Seq[String]]): Int = {
+  private def commit(m: Map[String, Seq[String]]): Int = commitAs(m, latestManifestVersion)
+
+  /** Stage + atomically publish manifest `parent+1`. The publish is
+    * CONDITIONAL on `parent` still being the latest at write time:
+    * callers that derived `m` from a manifest read pass that read's
+    * version, and a concurrent commit landing in between makes THIS
+    * commit refuse instead of silently dropping the other writer's
+    * segments (RawLocalFileSystem's rename() silently replaces an
+    * existing target, so the existence check below — not the rename —
+    * is what makes the publish conditional there; on HDFS the rename
+    * itself fails on an existing target, closing the window fully). */
+  private def commitAs(m: Map[String, Seq[String]], parent: Option[Int]): Int = {
     fs.mkdirs(manDir)
     fs.listStatus(manDir).toSeq.filter(_.getPath.getName.startsWith(".tmp_"))
       .foreach(s => fs.delete(s.getPath, true))
-    val n = latestManifestVersion.getOrElse(0) + 1
+    val n = parent.getOrElse(0) + 1
     val tmp = new Path(manDir, s".tmp_m=$n")
     val out = fs.create(tmp, true)
     try out.write(m.toSeq.sortBy(_._1)
       .map { case (v, segs) => s"${enc(v)}\t${segs.mkString(",")}" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, new Path(manDir, s"m=$n")))
+    val dst = new Path(manDir, s"m=$n")
+    val latest = latestManifestVersion
+    if (latest != parent || fs.exists(dst)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"${cfg.name}: manifest advanced from $parent to $latest during commit — " +
+          "a concurrent writer's segments would be dropped by publishing over it; " +
+          "this store requires single-writer access (the staged segment is left " +
+          "unreferenced for vacuum)")
+    }
+    if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"failed to commit manifest $n of $root")
     n
   }
@@ -204,26 +226,26 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * segment — a delta committed by another writer between the caller's
     * read and this commit would be silently dropped. That is the repo's
     * standard one-writer-per-store discipline; as a guard against
-    * accidental violations, the commit fails if the manifest advanced
-    * between entry and commit (the caller-read→entry window remains the
-    * caller's contract). */
+    * accidental violations, the manifest PUBLISH itself is conditional
+    * on the version captured at entry ([[commitAs]] — re-verified just
+    * before the rename, not only at entry, so a delta landing while the
+    * snapshot segment was being written also refuses). The caller-read→
+    * entry window remains the caller's contract, and a REFUSED snapshot
+    * leaves its already-written segment unreferenced until the next
+    * [[vacuum]] reclaims it. */
   def snapshot(df: DataFrame): Seq[String] = snapshotFrom(df, latestManifestVersion)
 
   /** The guard's test seam: `v0` is the manifest version captured at
-    * entry; the commit refuses if the manifest has advanced past it
-    * (the spec passes a stale `v0` to exercise exactly that path). */
+    * entry; the conditional commit refuses if the manifest is past it
+    * at publish time (the spec passes a stale `v0` to exercise exactly
+    * that path). */
   private[pipeline] def snapshotFrom(df: DataFrame, v0: Option[Int]): Seq[String] = {
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val deduped = MergeEngine.latestPerKey(df, cfg.keys, cursorOrder)
       .withColumn(DeletedCol, lit(false))
     val idx = v0.getOrElse(0) + 1
     val (seg, affected) = writeSegmentObserved(deduped, idx)
-    if (latestManifestVersion != v0)
-      throw new java.util.ConcurrentModificationException(
-        s"${cfg.name}: manifest advanced from $v0 to $latestManifestVersion during " +
-          "snapshot — a concurrent writer's commit would be dropped by this " +
-          "full replace; snapshot requires single-writer access")
-    commit(affected.map(v => v -> Seq(seg)).toMap)
+    commitAs(affected.map(v => v -> Seq(seg)).toMap, v0)
     affected
   }
 
@@ -362,9 +384,19 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
 
   /** [[MergeSink]] binding: O(batch) append per tick + [[compactHot]] —
     * bounded read amplification AND bounded disk under an unbounded
-    * streaming cadence. */
+    * streaming cadence. The append and compaction walls log as SEPARATE
+    * `onStage` rows (tagged with a tick counter), so a per-tick spike is
+    * attributable to merge vs compaction from the stage log alone — the
+    * r16 `stream_cdc_merge_mor` bench question ("is the batch-2 spike
+    * the first compaction?") needed exactly this split. */
+  private[this] var tickN = -1
   override def mergeBatch(batch: DataFrame, batchCfg: TableConfig): Unit = {
+    tickN += 1
+    val t0 = System.nanoTime()
     appendDelta(batch)
+    val t1 = System.nanoTime()
+    onStage(s"mor_append_t$tickN", (t1 - t0) / 1e9)
     compactHot()
+    onStage(s"mor_compact_t$tickN", (System.nanoTime() - t1) / 1e9)
   }
 }

@@ -804,18 +804,6 @@ object StreamOps {
     q.awaitTermination()
   }
 
-  /** Streaming TRAINED-quality gate: the classifier trained offline on
-    * a labeled seed ([[graft.llm.QualityLr.train]]) scores every
-    * micro-batch and admits the docs above threshold — the standard
-    * train-offline / serve-in-stream deployment of a CCNet-style
-    * filter. Scoring is per-document with NO cross-doc state (the
-    * weight table broadcasts into each tick), so the drained output is
-    * split-independent by construction: any micro-batching of the feed
-    * admits exactly the batch-scored set. Survivors append to
-    * `admittedOut` with their margins — at-least-once on crash replay
-    * (scoring a re-delivered batch yields identical rows; an
-    * exactly-once consumer dedups on the id downstream, the
-    * [[dedupIndexDrain]] contract). */
   /** [[qualityGateDrain]] with a HOT-SWAPPABLE model: each micro-batch
     * re-opens the LATEST version from the
     * [[graft.llm.QualityLr.ModelStore]], so a classifier retrained and
@@ -863,6 +851,20 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming TRAINED-quality gate: the classifier trained offline on
+    * a labeled seed ([[graft.llm.QualityLr.train]]) scores every
+    * micro-batch and admits the docs above threshold — the standard
+    * train-offline / serve-in-stream deployment of a CCNet-style
+    * filter. Scoring is per-document with NO cross-doc state (the
+    * weight table broadcasts into each tick), so the drained output is
+    * split-independent by construction: any micro-batching of the feed
+    * admits exactly the batch-scored set. Survivors append to
+    * `admittedOut` with their margins — at-least-once on crash replay
+    * (scoring a re-delivered batch yields identical rows; an
+    * exactly-once consumer dedups on the id downstream, the
+    * [[dedupIndexDrain]] contract). The model is FROZEN for the
+    * drain's lifetime; [[qualityGateDrainVersioned]] is the variant
+    * that re-opens the latest published model per tick. */
   def qualityGateDrain(stream: DataFrame, model: graft.llm.QualityLr.Model,
                        idCol: String, textCol: String,
                        admittedOut: String, checkpoint: String,

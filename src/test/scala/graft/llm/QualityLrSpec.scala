@@ -275,4 +275,72 @@ class QualityLrSpec extends SparkSpec {
     // and the gate actually dropped the salt docs
     assert(scored.filter(!col("hq") && col("label") === 1).count() <= 2)
   }
+
+  test("trainWithFloor refuses an EMPTY held-out set with the floor message, not an NPE") {
+    val train = corpus.filter(col("doc_id") < 30)
+    val empty = corpus.filter(lit(false))
+    // empty audit set → all-zero confusion → precision/recall 0 →
+    // maximally-conservative refusal (the r16 ADVICE path: the
+    // group-less sum used to return one NULL row and NPE on getLong)
+    val e = intercept[IllegalArgumentException] {
+      QualityLr.trainWithFloor(train, empty,
+        "doc_id", "text", "label", minPrecision = 0.5, minRecall = 0.5)
+    }
+    assert(e.getMessage.contains("held-out floor"))
+  }
+
+  test("model store refuses to overwrite an existing version (racing publishers)") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlrrace").toString
+    val store = new QualityLr.ModelStore(spark, tmp)
+    val m = QualityLr.train(corpus, "doc_id", "text", "label")
+    assert(store.publish(m) == 1)
+    val before = store.read(1)
+    // the losing racer allocated the same version: must refuse, and
+    // v=1's bytes must be untouched (versions are immutable)
+    intercept[java.util.ConcurrentModificationException] {
+      store.publishAs(QualityLr.Model(m.weights.map(_ + 1.0), m.bias), 1)
+    }
+    val after = store.read(1)
+    assert(after.weights.toSeq == before.weights.toSeq && after.bias == before.bias)
+    // and no stray tmp file blocks the next legitimate publish
+    assert(store.publish(m) == 2)
+  }
+
+  test("model store read detects corruption and truncation; prune keeps the tail") {
+    val tmp = java.nio.file.Files.createTempDirectory("qlrcrc").toString
+    val store = new QualityLr.ModelStore(spark, tmp)
+    val m = QualityLr.train(corpus, "doc_id", "text", "label")
+    store.publish(m); store.publish(m); store.publish(m)
+    // the nio edits below must hit the STORE's own checksum, not
+    // hadoop LocalFileSystem's stale .crc sidecars — drop those
+    def dropSidecar(v: Int): Unit =
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp, s".v=$v.crc"))
+    // corrupt v=1's payload (flip a digit past the header): checksum fails
+    val p1 = java.nio.file.Paths.get(tmp, "v=1")
+    val lines = java.nio.file.Files.readAllLines(p1)
+    lines.set(1, lines.get(1) + "1")
+    java.nio.file.Files.write(p1, lines)
+    dropSidecar(1)
+    val e1 = intercept[java.io.IOException](store.read(1))
+    assert(e1.getMessage.contains("checksum"))
+    // truncate v=2 after the header+bias: line-count check fails...
+    val p2 = java.nio.file.Paths.get(tmp, "v=2")
+    val l2 = java.nio.file.Files.readAllLines(p2)
+    java.nio.file.Files.write(p2, java.util.List.of(l2.get(0), l2.get(1), l2.get(2)))
+    dropSidecar(2)
+    // ...via the checksum first (payload changed), either way it throws
+    intercept[java.io.IOException](store.read(2))
+    // a legacy header-less file (pre-checksum format) still reads
+    val p3 = java.nio.file.Paths.get(tmp, "v=3")
+    val l3 = new java.util.ArrayList(java.nio.file.Files.readAllLines(p3))
+    l3.remove(0)
+    java.nio.file.Files.write(p3, l3)
+    dropSidecar(3)
+    assert(store.read(3).weights.toSeq == m.weights.toSeq)
+    // prune keeps the newest tail and version numbers keep ascending
+    store.prune(keepLast = 1)
+    assert(store.versions == Seq(3))
+    assert(store.publish(m) == 4)
+    intercept[IllegalArgumentException](store.prune(0))
+  }
 }
