@@ -4257,6 +4257,70 @@ object SparkEntry {
         .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
     }),
 
+    "stream_curation_funnel_reindex" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the semantic door × a mid-drain INDEX retrain — the third
+      // refresh story: the stage-3 ANN backend hot-swaps its geometry
+      // while the door drains. The admit hook REOPENS the index per
+      // tick through the persisted layout pointer
+      // (IvfMorIndexStore.open), so the k=4 retrain published after
+      // batch A (which also MIGRATES every stored residence, batch A's
+      // admissions included) gates batch B at its very next tick —
+      // no stream restart, no captured stale handle (per-op stamp
+      // verification makes stale gating impossible). Stage rows carry
+      // index_v (1 = the k=8 build, 2 = the k=4 retrain); the oracle
+      // replays BOTH geometries — batch A's same-cell screen under the
+      // k=8 cells, batch B's under the k=4 cells over corpus + A's
+      // survivors. Plants as in the _semantic door: %20==0 carry their
+      // id+1 corpus neighbor's embedding, %20==15 their id−5 batch-A
+      // sibling's — both legs must hold under EITHER geometry (exact
+      // copies co-cell under any centroid set).
+      val tmp = scratchDir("stream_funnel_reidx")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val emb = Tables.embeddings(s, d)
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), srcId.as("__src"))
+        .join(emb.select(col("vec_id").as("__src"), col("embedding")), Seq("__src"))
+        .drop("__src")
+      feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
+      feed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val centroids8 = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 8)
+      val centroids4 = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 4)
+      val root = s"$tmp/idx"
+      val idx = new graft.llm.IvfMorIndexStore(s, root, "embedding",
+        "doc_id", centroids8)
+      val t0 = System.nanoTime()
+      idx.upsert(emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 10 =!= 3)
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+      stageLogger("stream_curation_funnel_reindex")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainWith(stream, evalSet, model,
+        batch => graft.llm.IvfMorIndexStore.open(s, root, "embedding", "doc_id")
+          .ingestNearDup(batch.select(col("doc_id"), col("embedding")), 0.95),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        afterBatch = { id =>
+          if (id == 0) {
+            val t1 = System.nanoTime()
+            graft.llm.IvfMorIndexStore.open(s, root, "embedding", "doc_id")
+              .retrain(centroids4)
+            stageLogger("stream_curation_funnel_reindex")(
+              "mid_drain_retrain", (System.nanoTime() - t1) / 1e9)
+          }
+        },
+        indexVersion =
+          () => graft.llm.IvfMorIndexStore.currentVersion(s, root),
+        onStage = stageLogger("stream_curation_funnel_reindex"))
+      s.read.parquet(s"$tmp/out").select(col("batch"), col("stage"),
+        col("stage_name"), col("doc_id"), col("index_v"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -5213,6 +5277,39 @@ object SparkEntry {
     * nprobe=3 probe cells. Expects `emb` and `q` CTEs in scope. */
   private def ivfCtes: String = ivfCtesK(k = 8, nprobe = 3)
 
+  /** Assignment-only twin of [[ivfCtesK]] with PREFIXED cte names —
+    * yields `<p>a1(vec_id, e, cell)`, every vector's cell under the
+    * k-centroid training (lowest-id seeds, one REAL-cast Lloyd step:
+    * `Similarity.ivfCentroids` replayed). No probe/query CTEs, so two
+    * GEOMETRIES can coexist in one oracle — the reindex funnel replays
+    * batch A under the old one and batch B under the new. Expects only
+    * `emb`. */
+  private def ivfAssignCtes(k: Int, p: String): String =
+    s"""${p}seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, e AS c
+       |  FROM emb ORDER BY vec_id ASC LIMIT $k),
+       |${p}assign0 AS (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |  FROM (SELECT emb.vec_id, emb.e, ${p}seed.cell, ${cosSql("e", "c")} AS cos
+       |        FROM emb CROSS JOIN ${p}seed)),
+       |${p}a0 AS (SELECT vec_id, e, cell FROM ${p}assign0 WHERE rn = 1),
+       |${p}comp AS (
+       |  SELECT cell, i, avg(v) AS m
+       |  FROM (SELECT cell, generate_subscripts(e, 1) AS i, unnest(e) AS v FROM ${p}a0)
+       |  GROUP BY cell, i),
+       |${p}refined AS (
+       |  SELECT s.cell, coalesce(r.c, s.c) AS c
+       |  FROM ${p}seed s LEFT JOIN (
+       |    SELECT cell, list_transform(list(CAST(m AS REAL) ORDER BY i ASC),
+       |                                x -> CAST(x AS DOUBLE)) AS c
+       |    FROM ${p}comp GROUP BY cell) r
+       |    ON s.cell = r.cell),
+       |${p}assign1 AS (
+       |  SELECT vec_id, e, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |  FROM (SELECT emb.vec_id, emb.e, ${p}refined.cell, ${cosSql("e", "c")} AS cos
+       |        FROM emb CROSS JOIN ${p}refined)),
+       |${p}a1 AS (SELECT vec_id, e, cell FROM ${p}assign1 WHERE rn = 1)""".stripMargin
+
   /** [[ivfCtes]] parameterized by centroid count and probe width — the
     * retrain oracle replays the SAME training rule at a different k. */
   private def ivfCtesK(k: Int, nprobe: Int): String =
@@ -6161,6 +6258,70 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
+
+    // the semantic door × a mid-drain index retrain, replayed under
+    // BOTH geometries: the text gates are shared CTEs; batch A's
+    // same-cell screen runs under the k=8 cells (oa1), batch B's under
+    // the k=4 retrain cells (na1) over corpus + A's survivors (the
+    // retrain migrates every stored residence, admissions included).
+    // index_v = b + 1: the layout pointer at each batch's tick.
+    "stream_curation_funnel_reindex" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |${ivfAssignCtes(8, "o")},
+         |${ivfAssignCtes(4, "n")},
+         |feedv AS (SELECT doc_id, s,
+         |            CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                 WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                 ELSE doc_id END AS src,
+         |            CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |          FROM sh WHERE doc_id % 5 = 0),
+         |fao AS (SELECT f.doc_id, f.b, f.src, a.e, a.cell
+         |        FROM feedv f JOIN oa1 a ON a.vec_id = f.src),
+         |fan AS (SELECT f.doc_id, f.b, f.src, a.e, a.cell
+         |        FROM feedv f JOIN na1 a ON a.vec_id = f.src),
+         |corpo AS (SELECT vec_id AS doc_id, e, cell FROM oa1
+         |          WHERE vec_id % 5 <> 0 AND vec_id % 10 <> 3),
+         |corpn AS (SELECT vec_id AS doc_id, e, cell FROM na1
+         |          WHERE vec_id % 5 <> 0 AND vec_id % 10 <> 3),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feedv f JOIN ev e2
+         |           ON len(list_intersect(f.s, e2.s)) * 1.0 / len(e2.s) >= 0.5),
+         |clean AS (SELECT * FROM feedv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.* FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |dupA AS (SELECT DISTINCT a.doc_id FROM fao a JOIN corpo x
+         |         ON x.cell = a.cell AND x.doc_id <> a.doc_id
+         |        AND ${cosSql("x.e", "a.e")} >= 0.95
+         |         WHERE a.b = 0 AND a.doc_id IN (SELECT doc_id FROM hq)),
+         |admA AS (SELECT a.doc_id, a.src FROM fao a
+         |         WHERE a.b = 0 AND a.doc_id IN (SELECT doc_id FROM hq)
+         |           AND a.doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |admAn AS (SELECT a.doc_id, v.e, v.cell FROM admA a JOIN na1 v ON v.vec_id = a.src),
+         |st1 AS (SELECT doc_id, e, cell FROM corpn
+         |        UNION ALL SELECT doc_id, e, cell FROM admAn),
+         |dupB AS (SELECT DISTINCT a.doc_id FROM fan a JOIN st1 x
+         |         ON x.cell = a.cell AND x.doc_id <> a.doc_id
+         |        AND ${cosSql("x.e", "a.e")} >= 0.95
+         |         WHERE a.b = 1 AND a.doc_id IN (SELECT doc_id FROM hq)),
+         |admB AS (SELECT a.doc_id FROM fan a
+         |         WHERE a.b = 1 AND a.doc_id IN (SELECT doc_id FROM hq)
+         |           AND a.doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,
+         |       'decontaminated' AS stage_name, doc_id, CAST(b + 1 AS INT) AS index_v FROM clean
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), CAST(1 AS BIGINT), 'quality_pass', doc_id, CAST(b + 1 AS INT) FROM hq
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(1 AS INT) FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(2 AS INT) FROM admB""".stripMargin,
 
     // the held-out audit replayed end to end: hash split, full training
     // on the 80% side (the shared CTE chain over the filtered source),

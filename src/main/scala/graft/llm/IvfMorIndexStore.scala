@@ -60,9 +60,10 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   // meaning of every stored pq_codes word) — opening a PQ store under
   // different books would ADC-score silently wrong otherwise
   private val fp = IvfMorIndexStore.stampOf(centroids, books)
-  private val StampFile = "_centroids"
-  private val IntentFile = "_retrain_intent"
-  @volatile private var stampChecked = false
+  private val StampFile = IvfMorIndexStore.StampFile
+  private val IntentFile = IvfMorIndexStore.IntentFile
+  private val LayoutFile = IvfMorIndexStore.LayoutFile
+  private val VersionFile = IvfMorIndexStore.VersionFile
 
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,24 +97,52 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * matching stamp → fine; mismatched stamp → refuse; an intent
     * marker present → an interrupted [[retrain]] left the layout
     * indeterminate, so EVERY op refuses until retrain re-runs with the
-    * intent's target centroids. */
-  private def ensureCentroids(): Unit = if (!stampChecked) synchronized {
-    if (!stampChecked) {
-      readMarker(IntentFile).foreach { target =>
+    * intent's target centroids.
+    *
+    * Verified on EVERY operation, not once per handle (two tiny
+    * driver-side marker reads — noise next to any op's Spark jobs):
+    * a handle captured by a long-lived closure (a draining ingest
+    * door's `admit` hook) must fail LOUDLY at its next tick when a
+    * retrain published a new layout through a different handle —
+    * a cached first-op check would keep gating through stale
+    * centroids/books silently, which is exactly the failure
+    * [[IvfMorIndexStore.open]]'s per-tick reopen pattern exists to
+    * prevent. */
+  private def ensureCentroids(): Unit = {
+    readMarker(IntentFile).foreach { target =>
+      throw new IllegalStateException(
+        s"IVF index at $root has an interrupted centroid retrain (target $target); " +
+          "re-run retrain with the target centroids to recover before using the store")
+    }
+    readMarker(StampFile) match {
+      case Some(got) if got != fp =>
         throw new IllegalStateException(
-          s"IVF index at $root has an interrupted centroid retrain (target $target); " +
-            "re-run retrain with the target centroids to recover before using the store")
-      }
-      readMarker(StampFile) match {
-        case Some(got) if got != fp =>
-          throw new IllegalStateException(
-            s"IVF index at $root was built under centroid/codebook set '$got'; " +
-              s"this handle carries '$fp' — open it with the stamped layout, or " +
-              "migrate (retrain for centroids, retrainBooks for codebooks)")
-        case Some(_) => ()
-        case None => writeMarker(StampFile, fp)
-      }
-      stampChecked = true
+          s"IVF index at $root was built under centroid/codebook set '$got'; " +
+            s"this handle carries '$fp' — open it with the stamped layout " +
+            "(IvfMorIndexStore.open follows the current one), or migrate " +
+            "(retrain for centroids, retrainBooks for codebooks)")
+      case Some(_) =>
+        // adoption of a pre-_layout store: persist the layout once so
+        // open()/reopen-per-tick work on stores stamped before it existed
+        if (readMarker(LayoutFile).isEmpty) publishLayout(centroids, books)
+      case None =>
+        publishLayout(centroids, books)
+        writeMarker(StampFile, fp)
+    }
+  }
+
+  /** Persist the full layout (centroids + books, exact float
+    * round-trip) and advance the layout-version pointer — what
+    * [[IvfMorIndexStore.open]] reopens from. Written BEFORE the stamp
+    * flips, so a stamp always implies a readable matching layout. */
+  private def publishLayout(cs: Array[Array[Float]], bk: Option[Pq.Codebooks]): Unit = {
+    val text = IvfMorIndexStore.serializeLayout(cs, bk)
+    // idempotent: a crash-recovery re-run of retrain republished the
+    // SAME layout — don't burn a version number on it
+    if (!readMarker(LayoutFile).contains(text)) {
+      writeMarker(LayoutFile, text)
+      val v = readMarker(VersionFile).map(_.toInt).getOrElse(0) + 1
+      writeMarker(VersionFile, v.toString)
     }
   }
 
@@ -272,11 +301,11 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
         store.compactHot(); idStore.compactHot()
       }
     }
+    publishLayout(newCentroids, books)
     writeMarker(StampFile, targetFp)
     fs.delete(marker(IntentFile), false)
-    // the receiver handle's cached stamp check is now stale — force the
-    // next op through ensureCentroids so it fails loudly
-    stampChecked = false
+    // the receiver handle re-verifies the stamp on every op, so its
+    // next use fails loudly against the flipped layout
     new IvfMorIndexStore(spark, root, embCol, idCol, newCentroids, books)
   }
 
@@ -319,9 +348,9 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     store.read.foreach { rows =>
       store.snapshot(rows.withColumn("pq_codes", Pq.encode(col(embCol), newBooks)))
     }
+    publishLayout(centroids, Some(newBooks))
     writeMarker(StampFile, targetFp)
     fs.delete(marker(IntentFile), false)
-    stampChecked = false
     new IvfMorIndexStore(spark, root, embCol, idCol, centroids, Some(newBooks))
   }
 
@@ -370,6 +399,95 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
 }
 
 object IvfMorIndexStore {
+
+  private[llm] val StampFile = "_centroids"
+  private[llm] val IntentFile = "_retrain_intent"
+  private[llm] val LayoutFile = "_layout"
+  private[llm] val VersionFile = "_layout_v"
+
+  private def readMarkerAt(spark: SparkSession, root: String,
+                           name: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim) finally in.close()
+    }
+  }
+
+  /** Serialize a layout (centroids + optional PQ codebooks) as text.
+    * `java.lang.Float.toString` round-trips every float bit-exactly,
+    * so a reopened handle carries the IDENTICAL geometry — its stamp
+    * fingerprint (over the float BITS) matches by construction, which
+    * [[open]] verifies. */
+  private[llm] def serializeLayout(cs: Array[Array[Float]],
+                                   books: Option[Pq.Codebooks]): String = {
+    val dim = cs.headOption.map(_.length).getOrElse(0)
+    val hdr = books match {
+      case Some(b) => s"ivfl1 ${cs.length} $dim ${b.m} ${b.ksub} ${b.dsub}"
+      case None => s"ivfl1 ${cs.length} $dim 0 0 0"
+    }
+    val rows = cs.iterator.map(_.mkString(" ")) ++
+      books.iterator.flatMap(_.cb.iterator.flatMap(_.iterator.map(_.mkString(" "))))
+    (Iterator(hdr) ++ rows).mkString("\n")
+  }
+
+  private[llm] def parseLayout(text: String): (Array[Array[Float]], Option[Pq.Codebooks]) = {
+    val lines = text.linesIterator.toArray
+    val Array(tag, kS, _, mS, ksubS, _) = lines.head.split(" ", 6)
+    require(tag == "ivfl1", s"unrecognized index layout format '$tag'")
+    val (k, m, ksub) = (kS.toInt, mS.toInt, ksubS.toInt)
+    def floats(line: String) = line.split(" ").map(_.toFloat)
+    val cs = lines.slice(1, 1 + k).map(floats)
+    val books =
+      if (m == 0) None
+      else Some(Pq.Codebooks(
+        lines.drop(1 + k).map(floats).grouped(ksub).toArray))
+    (cs, books)
+  }
+
+  /** Open the index under its CURRENT persisted layout — the versioned
+    * index pointer: the centroids/books a handle needs are read back
+    * from `_layout` (published atomically with every stamp flip), so a
+    * caller needs no out-of-band copy of the geometry and a handle
+    * reopened per tick always gates under the latest retrain — the
+    * [[QualityLr.ModelStore]] hot-swap pattern applied to the index
+    * (`[[graft.streaming.StreamOps.curationFunnelDrainWith]]`'s
+    * `admit` hook reopens here each tick; cost is two tiny driver-side
+    * file reads). Refuses while a retrain intent marker is pending
+    * (recovery owns the store), on a missing layout (pre-layout store:
+    * open it once with its explicit centroids to adopt), and on a
+    * stamp/layout mismatch (torn publish). */
+  def open(spark: SparkSession, root: String,
+           embCol: String, idCol: String): IvfMorIndexStore = {
+    readMarkerAt(spark, root, IntentFile).foreach { target =>
+      throw new IllegalStateException(
+        s"IVF index at $root has an interrupted retrain (target $target); " +
+          "re-run the retrain with its target layout to recover before opening")
+    }
+    val stamp = readMarkerAt(spark, root, StampFile).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $root has no layout stamp — not an initialized index"))
+    val layout = readMarkerAt(spark, root, LayoutFile).getOrElse(
+      throw new IllegalStateException(
+        s"IVF index at $root predates persisted layouts — open it once with " +
+          "its explicit centroids/books to adopt, then reopen"))
+    val (cs, books) = parseLayout(layout)
+    require(stampOf(cs, books) == stamp,
+      s"IVF index at $root: persisted layout does not match the stamp '$stamp' — " +
+        "torn layout publish; re-run the interrupted migration")
+    new IvfMorIndexStore(spark, root, embCol, idCol, cs, books)
+  }
+
+  /** The layout-version pointer: 1 at first stamp, +1 per completed
+    * [[IvfMorIndexStore.retrain]]/[[IvfMorIndexStore.retrainBooks]] —
+    * the integer streaming drains stamp admission rows with (`index_v`)
+    * so every verdict is attributable to the exact geometry that made
+    * it, without hashing floats into the row. */
+  def currentVersion(spark: SparkSession, root: String): Option[Int] =
+    readMarkerAt(spark, root, VersionFile).map(_.toInt)
+
   /** md5 fingerprint of a centroid set's exact float bits (k, dim, and
     * every component) — the layout-version value the `_centroids`
     * stamp and retrain intent marker carry. */

@@ -655,7 +655,7 @@ object StreamOps {
     curationFunnelDrainWith(stream, evalDocs, model,
       batch => store.ingest(batch.select(col(idCol), col(textCol)), dedupThreshold),
       idCol, textCol, out, checkpoint, qualityThreshold, shingleSize,
-      contaminationThreshold, exactlyOnceSink, onStage)
+      contaminationThreshold, exactlyOnceSink, onStage = onStage)
 
   /** [[curationFunnelDrain]] generalized over its stage-3 admission
     * backend: `admit` is the per-tick sequential-admission function —
@@ -665,7 +665,20 @@ object StreamOps {
     * them. `MinhashIndexStore.ingest` (n-gram Jaccard) and
     * `IvfMorIndexStore.ingestNearDup` (same-cell embedding cosine) are
     * the two shipped backends; both obey the same contract — the batch
-    * is never screened against itself, replay converges the store. */
+    * is never screened against itself, replay converges the store.
+    *
+    * The backend itself can hot-swap mid-drain: pass an `admit` that
+    * REOPENS its index per tick ([[graft.llm.IvfMorIndexStore.open]]
+    * follows the persisted layout pointer), an `afterBatch` that
+    * publishes the retrain at the wanted boundary, and an
+    * `indexVersion` reader ([[graft.llm.IvfMorIndexStore.currentVersion]])
+    * — each tick's stage rows are then stamped `index_v` with the
+    * geometry that gated them, the exact shape
+    * [[curationFunnelDrainVersioned]] gives the quality model. A
+    * CAPTURED handle is safe against the same swap the other way
+    * round: its per-op stamp verification fails loudly at the first
+    * tick after the layout flipped — stale-geometry gating is
+    * structurally silent-proof. */
   def curationFunnelDrainWith(stream: DataFrame, evalDocs: DataFrame,
                               model: graft.llm.QualityLr.Model,
                               admit: DataFrame => DataFrame,
@@ -675,6 +688,8 @@ object StreamOps {
                               shingleSize: Int = 3,
                               contaminationThreshold: Double = 0.5,
                               exactlyOnceSink: Boolean = false,
+                              afterBatch: Long => Unit = _ => (),
+                              indexVersion: () => Option[Int] = () => None,
                               onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -682,11 +697,18 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          admittedWrite(
-            funnelTickRows(batch, batchId, evalDocs, model, admit, idCol,
-              textCol, qualityThreshold, shingleSize, contaminationThreshold),
-            out, batchId, exactlyOnceSink)
+          // version read at tick START: the stamp must name the geometry
+          // that gates THIS batch (publishes happen between ticks)
+          val iv = indexVersion()
+          val rows = funnelTickRows(batch, batchId, evalDocs, model, admit, idCol,
+            textCol, qualityThreshold, shingleSize, contaminationThreshold)
+          val stamped = iv match {
+            case Some(v) => rows.withColumn("index_v", lit(v))
+            case None => rows
+          }
+          admittedWrite(stamped, out, batchId, exactlyOnceSink)
         }
+        afterBatch(batchId)
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()

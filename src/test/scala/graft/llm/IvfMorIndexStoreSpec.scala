@@ -462,4 +462,84 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assertConverged(h3.retrainBooks(books1))
     assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
   }
+
+  test("open follows the persisted layout pointer; versions advance per migration") {
+    val books = Pq.trainCodebooks(full, "embedding", "vec_id", m = 4, ksub = 8)
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      centroids, Some(books))
+    ivf.upsert(full)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(1))
+    // a pointer-opened handle carries the IDENTICAL geometry: exact
+    // probes AND ADC (codebook float bits survive the text round-trip)
+    val reopened = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    for (qid <- Seq(5L, 150L, 399L)) {
+      val q = pts(qid.toInt)._2
+      assert(probeSet(reopened, q) == probeSet(ivf, q))
+      assert(reopened.topKAdc(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq ==
+        ivf.topKAdc(q, 10, nprobe = 2).collect().map(_.toSeq).toSeq)
+    }
+    // a retrain through the REOPENED handle advances the pointer...
+    val migrated = reopened.retrain(centroids4)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+    // ...and a fresh open now answers under the NEW geometry
+    val after = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    val q = pts(7)._2
+    assert(probeSet(after, q) == probeSet(migrated, q))
+    // retrainBooks bumps it again
+    val books2 = Pq.trainCodebooks(full.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", m = 4, ksub = 8)
+    after.retrainBooks(books2)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(3))
+  }
+
+  test("a captured handle FAILS LOUDLY at its next op after a pointer-side retrain") {
+    // the r16 VERDICT gap: a draining door's admit hook captured the
+    // handle, a mid-drain retrain returned a NEW handle, and the
+    // captured one kept screening under stale centroids. Per-op stamp
+    // verification makes that structurally impossible now.
+    val root = freshRoot()
+    val captured = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    captured.upsert(full.filter(col("vec_id") < 200))
+    // a different handle (the reopen-per-tick path) retrains the store
+    IvfMorIndexStore.open(spark, root, "embedding", "vec_id").retrain(centroids4)
+    // the captured handle's NEXT tick refuses — never stale-gates
+    val batch = full.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+    val e = intercept[IllegalStateException] { captured.ingestNearDup(batch, 0.95) }
+    assert(e.getMessage.contains("stamped layout"))
+    intercept[IllegalStateException] { captured.topK(pts(5)._2, 5) }
+  }
+
+  test("open refuses: pending retrain intent, uninitialized store, torn layout") {
+    // uninitialized: no stamp yet
+    val empty = freshRoot()
+    val e0 = intercept[IllegalStateException] {
+      IvfMorIndexStore.open(spark, empty, "embedding", "vec_id")
+    }
+    assert(e0.getMessage.contains("no layout stamp"))
+    // pending intent: recovery owns the store
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full.limit(50))
+    val fs = hFs(root)
+    val out = fs.create(hPath(root, "_retrain_intent"), true)
+    out.write("target".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalStateException] {
+      IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    }
+    assert(e1.getMessage.contains("interrupted"))
+    fs.delete(hPath(root, "_retrain_intent"), false)
+    // torn layout: bytes that do not hash to the stamp refuse
+    val lp = hPath(root, "_layout")
+    val in = fs.open(lp)
+    val text = new String(in.readAllBytes(), "UTF-8"); in.close()
+    val lines = text.linesIterator.toArray
+    lines(1) = lines(1).split(" ").drop(1).mkString(" ") + " 0.5"
+    val out2 = fs.create(lp, true)
+    out2.write(lines.mkString("\n").getBytes("UTF-8")); out2.close()
+    val e2 = intercept[IllegalArgumentException] {
+      IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    }
+    assert(e2.getMessage.contains("stamp"))
+  }
 }

@@ -221,4 +221,74 @@ class CurationFunnelSpec extends SparkSpec {
     assert(admSplit.contains(50L) && !admSplit.contains(51L),
       "a later batch screens against every earlier batch's survivors")
   }
+
+  test("mid-drain index retrain gates the NEXT batch under the new geometry (reindex door)") {
+    // hand-built 2-D geometry with a PROVABLE divergence: u = corpus
+    // vector at 0deg; v (batch A) at +10deg, w (batch B) at -10deg.
+    // cos(u,v) = cos(u,w) = cos(10deg) ~ 0.985 >= 0.95 — both are
+    // near-dups of u by cosine. OLD geometry (centroids at 0deg,
+    // +12deg, -12deg) puts u/v/w in THREE different cells, so the
+    // same-cell screen admits v in batch A. The k=1 retrain published
+    // after batch A collapses every residence into one cell, so w is
+    // REJECTED in batch B — by geometry alone: under the old cells w
+    // would have sat alone in cell 2 and been admitted (asserted
+    // below). The admit hook reopens the index per tick through the
+    // layout pointer; stage rows carry the gating index_v.
+    import graft.llm.{IvfMorIndexStore, Similarity}
+    def deg(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
+      math.sin(math.toRadians(a)).toFloat)
+    val centroidsOld = Array(deg(0), deg(12), deg(-12))
+    val good = "the quick brown fox jumps over the lazy dog"
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_reidx").toString
+    val root = s"$tmp/idx"
+    val idx = new IvfMorIndexStore(spark, root, "embedding", "doc_id", centroidsOld)
+    idx.upsert(Seq((100L, deg(0))).toDF("doc_id", "embedding"))
+    val batchA = Seq((201L, s"$good alpha one two", deg(10)))
+      .toDF("doc_id", "text", "embedding")
+    val batchB = Seq((202L, s"$good beta three four", deg(-10)))
+      .toDF("doc_id", "text", "embedding")
+    batchA.repartition(1).write.mode("append").parquet(s"$tmp/feed")
+    batchB.repartition(1).write.mode("append").parquet(s"$tmp/feed")
+    // the counterfactual, asserted: under OLD cells w sits ALONE
+    val cells = Seq(("u", deg(0)), ("v", deg(10)), ("w", deg(-10)))
+      .toDF("tag", "embedding")
+      .select(col("tag"), Similarity.cellOf(col("embedding"), centroidsOld).as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(cells("u") == 0 && cells("v") == 1 && cells("w") == 2,
+      s"fixture geometry broke: $cells")
+    val model = QualityLr.train(feedDocs, "doc_id", "text", "label")
+    val evalSet = Seq((900L, evalLeakText)).toDF("doc_id", "text")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrainWith(stream, evalSet, model,
+      b => IvfMorIndexStore.open(spark, root, "embedding", "doc_id")
+        .ingestNearDup(b.select("doc_id", "embedding"), 0.95),
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+      afterBatch = { id =>
+        if (id == 0) IvfMorIndexStore.open(spark, root, "embedding", "doc_id")
+          .retrain(Array(deg(0)))
+      },
+      indexVersion = () => IvfMorIndexStore.currentVersion(spark, root))
+    val out = spark.read.parquet(s"$tmp/out")
+    def stageIds(b: Long, stage: Int): Set[Long] =
+      out.filter(col("batch") === b && col("stage") === stage)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // both docs clear the text gates
+    assert(stageIds(0, 1) == Set(201L) && stageIds(1, 1) == Set(202L))
+    // batch A: v admitted under the OLD 3-cell geometry (cross-cell
+    // 0.985-neighbor u is invisible to the same-cell screen)
+    assert(stageIds(0, 2) == Set(201L))
+    // batch B: w REJECTED — the k=1 retrain took effect at this tick
+    assert(stageIds(1, 2) == Set.empty)
+    // every stage row is stamped with the geometry that gated it
+    val vByBatch = out.select("batch", "index_v").distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(vByBatch == Map(0L -> 1, 1L -> 2), s"index_v stamps: $vByBatch")
+    // and the migrated store holds u, v in the single new cell
+    val state = IvfMorIndexStore.open(spark, root, "embedding", "doc_id")
+      .read.get.select("doc_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(state == Map(100L -> 0, 201L -> 0))
+  }
 }
