@@ -218,15 +218,26 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * cells with the BATCH side broadcast (the corpus side streams —
     * O(batch × cell population) comparisons, never all-pairs), plus
     * the O(batch) upsert. */
-  def ingestNearDup(batch: DataFrame, threshold: Double): DataFrame = {
+  def ingestNearDup(batch: DataFrame, threshold: Double): DataFrame =
+    ingestNearDupWithMatches(batch, threshold)._1
+
+  /** [[ingestNearDup]] with the reject side attributed: returns
+    * `(admitted, matches)` where `matches` carries one
+    * `(id, match_id)` row per rejected doc, `match_id` the SMALLEST
+    * same-cell indexed neighbor at `threshold` — one probe pass feeds
+    * both the screen (the matches' anti-join) and the quarantine
+    * relation, the [[MinhashIndexStore.ingestWithMatches]] contract
+    * with the IVF cell as the candidate generator. */
+  def ingestNearDupWithMatches(batch: DataFrame,
+                               threshold: Double): (DataFrame, DataFrame) = {
     ensureCentroids()
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
       .localCheckpoint(false)
     val cells = fresh.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val dupIds = store.readPartitions(cells) match {
-      case None => fresh.select(col(idCol)).filter(lit(false))
+    val matches = (store.readPartitions(cells) match {
+      case None => fresh.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
       case Some(stored) =>
         stored.join(
             broadcast(fresh.select(col(idCol).as("__nid"),
@@ -235,12 +246,14 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
           .filter(graft.functions.VectorOps
             .vectorCosine(col(embCol), col("__nemb")) >= threshold &&
             col(idCol) =!= col("__nid"))
-          .select(col("__nid").as(idCol)).distinct()
-    }
-    val admitted = fresh.join(dupIds, Seq(idCol), "left_anti")
+          .groupBy(col("__nid"))
+          .agg(org.apache.spark.sql.functions.min(col(idCol)).as("match_id"))
+          .select(col("__nid").as(idCol), col("match_id"))
+    }).localCheckpoint(false)
+    val admitted = fresh.join(matches, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     if (!admitted.isEmpty) upsertBuilt(admitted)
-    admitted.drop("cell", "pq_codes")
+    (admitted.drop("cell", "pq_codes"), matches)
   }
 
   /** Remove ids from probe visibility: tombstones at every known

@@ -164,8 +164,20 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * no indexed near-dup at `threshold` n-gram Jaccard. The batch is
     * NOT screened against itself (admission order decides, exactly as
     * in the recompute form). */
-  def probe(newDocs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    if (isEmpty) return newDocs
+  def probe(newDocs: DataFrame, threshold: Double = 0.8): DataFrame =
+    if (isEmpty) newDocs
+    else newDocs.join(probeMatches(newDocs, threshold), Seq(idCol), "left_anti")
+
+  /** The probe's REJECT side, attributed: one row `(id, match_id)` per
+    * batch doc with an indexed near-dup at `threshold`, `match_id` the
+    * SMALLEST matching indexed id — the quarantine answer to "why did
+    * doc X disappear" without a second probe pass ([[ingestWithMatches]]
+    * reuses it for both the screen and the reject relation). Same cost
+    * shape as [[probe]]: the narrow signature scan with the batch side
+    * broadcast, then Jaccard verification of band-colliding pairs. */
+  def probeMatches(newDocs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    if (isEmpty)
+      return newDocs.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
     val nb = Dedup.minhashBands(Dedup.parallelize(newDocs), idCol, textCol,
       numHashes, bands, shingleSize).toDF("ida", "band", "bandHash")
     val cb = sigs.read.get.select(col(idCol).as("idb"), col("band"), col("bandHash"))
@@ -186,10 +198,11 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     val texts = batchTexts
       .unionByName(indexedDocs.get.join(batchTexts.select(idCol),
         Seq(idCol), "left_anti"))
-    val dup = Dedup.jaccardVerify(cand, texts, idCol, textCol, shingleSize)
+    Dedup.jaccardVerify(cand, texts, idCol, textCol, shingleSize)
       .filter(col("jaccard") >= threshold)
-      .select(col("ida").as(idCol)).distinct()
-    newDocs.join(dup, Seq(idCol), "left_anti")
+      .groupBy(col("ida"))
+      .agg(min(col("idb")).as("match_id"))
+      .select(col("ida").as(idCol), col("match_id"))
   }
 
   /** Remove documents from probe visibility (the GDPR/takedown path):
@@ -221,5 +234,22 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     val survivors = probe(newDocs, threshold).localCheckpoint(false)
     append(survivors)
     survivors
+  }
+
+  /** [[ingest]] with the reject side attributed: returns
+    * `(survivors, matches)` where `matches` is [[probeMatches]]' output
+    * — one `(id, match_id)` row per rejected doc naming the smallest
+    * indexed near-dup that caused it. ONE probe pass feeds both sides
+    * (the screen is the matches' anti-join), so observability costs no
+    * extra corpus scan — the audited ingest door's stage-3 backend
+    * ([[graft.streaming.StreamOps.curationFunnelDrainAudited]]). Same
+    * replay contract as [[ingest]]. */
+  def ingestWithMatches(newDocs: DataFrame,
+                        threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val matches = probeMatches(newDocs, threshold).localCheckpoint(false)
+    val survivors = newDocs.join(matches, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    append(survivors)
+    (survivors, matches)
   }
 }
