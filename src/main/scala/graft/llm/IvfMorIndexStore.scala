@@ -132,17 +132,43 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   }
 
   /** Persist the full layout (centroids + books, exact float
-    * round-trip) and advance the layout-version pointer — what
-    * [[IvfMorIndexStore.open]] reopens from. Written BEFORE the stamp
-    * flips, so a stamp always implies a readable matching layout. */
+    * round-trip) WITH its version number in the same file — ONE atomic
+    * marker write, so the pointer can never tear between "which
+    * geometry" and "which version" (the r17 torn window: layout and
+    * version were two writes, and a crash between them let a recovery
+    * re-run skip the bump, stamping the new geometry's admissions with
+    * the OLD version forever). Written BEFORE the stamp flips, so a
+    * stamp always implies a readable matching layout.
+    *
+    * Idempotence is geometry-keyed: a crash-recovery re-run of retrain
+    * republishing the SAME geometry doesn't burn a version number —
+    * and because the version rides INSIDE the geometry file, a skipped
+    * re-publish is by construction a COMPLETE one. Legacy stores
+    * (`ivfl1` layout + separate `_layout_v`) upgrade in place here: the
+    * stamp tells whether the old two-write publish completed (stamp
+    * matches the layout ⇒ keep the recorded version) or tore
+    * mid-migration (stamp still names the previous geometry ⇒ the bump
+    * never landed — apply it now). */
   private def publishLayout(cs: Array[Array[Float]], bk: Option[Pq.Codebooks]): Unit = {
-    val text = IvfMorIndexStore.serializeLayout(cs, bk)
-    // idempotent: a crash-recovery re-run of retrain republished the
-    // SAME layout — don't burn a version number on it
-    if (!readMarker(LayoutFile).contains(text)) {
-      writeMarker(LayoutFile, text)
-      val v = readMarker(VersionFile).map(_.toInt).getOrElse(0) + 1
-      writeMarker(VersionFile, v.toString)
+    val targetFp = IvfMorIndexStore.stampOf(cs, bk)
+    val cur = readMarker(LayoutFile).map(t =>
+      (IvfMorIndexStore.layoutVersionOf(t), IvfMorIndexStore.parseLayout(t)))
+    val sameGeometry = cur.exists { case (_, (ccs, cbk)) =>
+      IvfMorIndexStore.stampOf(ccs, cbk) == targetFp }
+    if (sameGeometry) cur.get._1 match {
+      case Some(_) => () // ivfl2: version atomic with the geometry — fully published
+      case None => // legacy ivfl1 layout: upgrade, recovering the true version
+        val recorded = readMarker(VersionFile).map(_.toInt)
+        val completed = readMarker(StampFile).contains(targetFp)
+        val v = if (completed) recorded.getOrElse(1)
+                else recorded.map(_ + 1).getOrElse(1)
+        writeMarker(LayoutFile, IvfMorIndexStore.serializeLayout(cs, bk, v))
+        fs.delete(marker(VersionFile), false)
+    } else {
+      val prev = cur.flatMap(_._1)
+        .orElse(readMarker(VersionFile).map(_.toInt)).getOrElse(0)
+      writeMarker(LayoutFile, IvfMorIndexStore.serializeLayout(cs, bk, prev + 1))
+      fs.delete(marker(VersionFile), false)
     }
   }
 
@@ -429,28 +455,43 @@ object IvfMorIndexStore {
     }
   }
 
-  /** Serialize a layout (centroids + optional PQ codebooks) as text.
-    * `java.lang.Float.toString` round-trips every float bit-exactly,
-    * so a reopened handle carries the IDENTICAL geometry — its stamp
-    * fingerprint (over the float BITS) matches by construction, which
-    * [[open]] verifies. */
+  /** Serialize a layout (centroids + optional PQ codebooks) as text,
+    * with its VERSION NUMBER in the header — one file carries both, so
+    * the pointer publishes atomically (`ivfl2 <version> k dim m ksub
+    * dsub`). `java.lang.Float.toString` round-trips every float
+    * bit-exactly, so a reopened handle carries the IDENTICAL geometry —
+    * its stamp fingerprint (over the float BITS) matches by
+    * construction, which [[open]] verifies. */
   private[llm] def serializeLayout(cs: Array[Array[Float]],
-                                   books: Option[Pq.Codebooks]): String = {
+                                   books: Option[Pq.Codebooks],
+                                   version: Int): String = {
     val dim = cs.headOption.map(_.length).getOrElse(0)
     val hdr = books match {
-      case Some(b) => s"ivfl1 ${cs.length} $dim ${b.m} ${b.ksub} ${b.dsub}"
-      case None => s"ivfl1 ${cs.length} $dim 0 0 0"
+      case Some(b) => s"ivfl2 $version ${cs.length} $dim ${b.m} ${b.ksub} ${b.dsub}"
+      case None => s"ivfl2 $version ${cs.length} $dim 0 0 0"
     }
     val rows = cs.iterator.map(_.mkString(" ")) ++
       books.iterator.flatMap(_.cb.iterator.flatMap(_.iterator.map(_.mkString(" "))))
     (Iterator(hdr) ++ rows).mkString("\n")
   }
 
+  /** The version number embedded in an `ivfl2` layout; None for the
+    * legacy two-file `ivfl1` format (whose version, if any, lives in
+    * the separate `_layout_v` marker). */
+  private[llm] def layoutVersionOf(text: String): Option[Int] = {
+    val head = text.linesIterator.next().split(" ", 3)
+    if (head(0) == "ivfl2") Some(head(1).toInt) else None
+  }
+
   private[llm] def parseLayout(text: String): (Array[Array[Float]], Option[Pq.Codebooks]) = {
     val lines = text.linesIterator.toArray
-    val Array(tag, kS, _, mS, ksubS, _) = lines.head.split(" ", 6)
-    require(tag == "ivfl1", s"unrecognized index layout format '$tag'")
-    val (k, m, ksub) = (kS.toInt, mS.toInt, ksubS.toInt)
+    val head = lines.head.split(" ")
+    val (k, m, ksub) = head(0) match {
+      case "ivfl1" => (head(1).toInt, head(3).toInt, head(4).toInt)
+      case "ivfl2" => (head(2).toInt, head(4).toInt, head(5).toInt)
+      case tag => throw new IllegalArgumentException(
+        s"unrecognized index layout format '$tag'")
+    }
     def floats(line: String) = line.split(" ").map(_.toFloat)
     val cs = lines.slice(1, 1 + k).map(floats)
     val books =
@@ -497,9 +538,13 @@ object IvfMorIndexStore {
     * [[IvfMorIndexStore.retrain]]/[[IvfMorIndexStore.retrainBooks]] —
     * the integer streaming drains stamp admission rows with (`index_v`)
     * so every verdict is attributable to the exact geometry that made
-    * it, without hashing floats into the row. */
+    * it, without hashing floats into the row. Read from the `ivfl2`
+    * layout header (version and geometry publish in ONE atomic write);
+    * the separate `_layout_v` marker is the legacy fallback for stores
+    * written before the header carried it. */
   def currentVersion(spark: SparkSession, root: String): Option[Int] =
-    readMarkerAt(spark, root, VersionFile).map(_.toInt)
+    readMarkerAt(spark, root, LayoutFile).flatMap(layoutVersionOf)
+      .orElse(readMarkerAt(spark, root, VersionFile).map(_.toInt))
 
   /** md5 fingerprint of a centroid set's exact float bits (k, dim, and
     * every component) — the layout-version value the `_centroids`

@@ -286,7 +286,13 @@ object QualityLr {
       fs.mkdirs(rootP)
       val payload = (model.bias.toString +: model.weights.map(_.toString))
         .mkString("\n")
-      val tmp = new org.apache.hadoop.fs.Path(rootP, s".tmp_v=$n")
+      // UUID-suffixed staging (the MorStore.writeSegmentObserved
+      // discipline): two publishers racing the SAME version must never
+      // share a tmp path — a shared name lets the loser's create()
+      // truncate the winner's in-flight bytes, and the torn file would
+      // only surface at read time via the CRC instead of here
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s".tmp_v=$n.${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, true)
       try out.write(s"qlr1 ${model.buckets} ${crcOf(payload)}\n$payload".getBytes("UTF-8"))
       finally out.close()
@@ -303,6 +309,23 @@ object QualityLr {
         throw new java.io.IOException(s"failed to publish model v=$n at $root")
       n
     }
+
+    /** Accept headerless (pre-checksum) files from this store. The
+      * legacy fallback is gated on this EXPLICIT adoption: without it,
+      * a torn qlr1 file that lost exactly its header line (the payload
+      * is all parseable doubles) would silently read as a legacy model
+      * and gate with unverified weights — the checksum bypassed by
+      * precisely the corruption class it exists to catch. One marker
+      * per store, written by the operator who knows the store predates
+      * the header. */
+    def adoptLegacy(): Unit = {
+      fs.mkdirs(rootP)
+      val out = fs.create(new org.apache.hadoop.fs.Path(rootP, "_legacy"), true)
+      try out.write("headerless-ok".getBytes("UTF-8")) finally out.close()
+    }
+
+    private def legacyAdopted: Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(rootP, "_legacy"))
 
     def read(version: Int): Model = {
       val in = fs.open(new org.apache.hadoop.fs.Path(rootP, s"v=$version"))
@@ -321,7 +344,13 @@ object QualityLr {
               s"model v=$version at $root has ${lines.tail.size - 1} weight lines " +
                 s"but the header claims $nStr — truncated publish")
           lines.tail
-        } else lines // pre-checksum format: bias + weights, no header
+        } else if (legacyAdopted) lines // adopted pre-checksum store
+        else throw new java.io.IOException(
+          s"model v=$version at $root has no 'qlr1' header — a torn publish " +
+            "that lost its header line reads exactly like the pre-checksum " +
+            "format, so headerless files are refused unless the store was " +
+            "explicitly marked legacy (call adoptLegacy() once for stores " +
+            "published before the header existed)")
       Model(body.tail.map(_.toDouble).toArray, body.head.toDouble)
     }
 

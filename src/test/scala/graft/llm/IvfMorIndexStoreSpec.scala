@@ -510,6 +510,96 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     intercept[IllegalStateException] { captured.topK(pts(5)._2, 5) }
   }
 
+  // the legacy TWO-FILE pointer format (`ivfl1` layout + separate
+  // `_layout_v`), for reconstructing pre-ivfl2 stores on disk
+  private def legacyLayout(cs: Array[Array[Float]]): String = {
+    val t = IvfMorIndexStore.serializeLayout(cs, None, 999)
+    val lines = t.linesIterator.toArray
+    val h = lines.head.split(" ")
+    lines(0) = ("ivfl1" +: h.drop(2)).mkString(" ")
+    lines.mkString("\n")
+  }
+  private def markerText(root: String, name: String): String = {
+    val in = hFs(root).open(hPath(root, name))
+    try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+  }
+
+  test("layout version is ATOMIC with the geometry — the legacy torn window recovers with exactly one bump") {
+    // r17 ADVICE (medium): layout and version were two separate marker
+    // writes; a crash between them during retrain let the recovery
+    // re-run see 'layout text already current' and skip the bump, so
+    // currentVersion reported the OLD version under the NEW geometry
+    // forever. The version now rides in the _layout header (ivfl2, one
+    // atomic write); legacy stores upgrade via the stamp: a layout
+    // whose geometry the stamp does NOT yet name is a mid-migration
+    // publish whose bump never landed.
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(1))
+    // reconstruct the EXACT legacy torn state: ivfl1 layout of the NEW
+    // geometry on disk, stale _layout_v never bumped, stamp still the
+    // OLD geometry, intent pending
+    val targetFp = IvfMorIndexStore.centroidFingerprint(centroids4)
+    putMarker(root, "_layout", legacyLayout(centroids4))
+    putMarker(root, "_layout_v", "1")
+    putMarker(root, "_retrain_intent", targetFp)
+    // recovery re-runs the retrain: same geometry, but the stamp proves
+    // the publish never completed — the version advances EXACTLY once
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+      .retrain(centroids4)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+    assert(!hFs(root).exists(hPath(root, "_layout_v")),
+      "upgrade must fold the version into the atomic pointer")
+    assert(IvfMorIndexStore.layoutVersionOf(markerText(root, "_layout")).contains(2))
+    // a SECOND recovery re-run (crash after publish, before the intent
+    // cleared) is a completed publish — no double bump
+    putMarker(root, "_retrain_intent", targetFp)
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids4)
+      .retrain(centroids4)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+    // and the migrated store answers like a fresh build
+    val after = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    val oneShot = Similarity.buildIvfIndex(full, "embedding", centroids4)
+    val q = pts(42)._2
+    val want = Similarity.ivfTopK(oneShot, "embedding", "vec_id", q, 10,
+      centroids4, nprobe = 2).select("vec_id").as[Long].collect().toSet
+    assert(after.topK(q, 10, nprobe = 2).select("vec_id").as[Long].collect().toSet == want)
+  }
+
+  test("first-init crash between layout and stamp: recovery completes at version 1, never double-bumps") {
+    val root = freshRoot()
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+      .upsert(full.limit(20))
+    // simulate: layout landed, the stamp write crashed
+    hFs(root).delete(hPath(root, "_centroids"), false)
+    intercept[IllegalStateException] { // open refuses the half-initialized store
+      IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    }
+    // re-running the original construction adopts: same geometry → the
+    // already-atomic v1 publish stands, only the stamp lands
+    val h = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    h.upsert(full.filter(col("vec_id") >= 20 && col("vec_id") < 40))
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(1))
+    assert(IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      .read.get.count() == 40)
+  }
+
+  test("legacy two-file pointer still reads; the next completed migration upgrades it atomically") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    // rewrite the pointer in the legacy format (a store from before ivfl2)
+    putMarker(root, "_layout", legacyLayout(centroids))
+    putMarker(root, "_layout_v", "5")
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(5))
+    val h = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    h.retrain(centroids4)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(6))
+    assert(IvfMorIndexStore.layoutVersionOf(markerText(root, "_layout")).contains(6))
+    assert(!hFs(root).exists(hPath(root, "_layout_v")))
+  }
+
   test("open refuses: pending retrain intent, uninitialized store, torn layout") {
     // uninitialized: no stamp yet
     val empty = freshRoot()

@@ -330,12 +330,18 @@ class QualityLrSpec extends SparkSpec {
     dropSidecar(2)
     // ...via the checksum first (payload changed), either way it throws
     intercept[java.io.IOException](store.read(2))
-    // a legacy header-less file (pre-checksum format) still reads
+    // a header-less file REFUSES by default — a torn qlr1 publish that
+    // lost exactly its header line is indistinguishable from the
+    // legacy format, so the checksum bypass is gated on explicit
+    // adoption; after adoptLegacy() the pre-checksum store reads
     val p3 = java.nio.file.Paths.get(tmp, "v=3")
     val l3 = new java.util.ArrayList(java.nio.file.Files.readAllLines(p3))
     l3.remove(0)
     java.nio.file.Files.write(p3, l3)
     dropSidecar(3)
+    val e3 = intercept[java.io.IOException](store.read(3))
+    assert(e3.getMessage.contains("adoptLegacy"))
+    store.adoptLegacy()
     assert(store.read(3).weights.toSeq == m.weights.toSeq)
     // prune keeps the newest tail and version numbers keep ascending
     store.prune(keepLast = 1)
