@@ -4321,6 +4321,47 @@ object SparkEntry {
         col("stage_name"), col("doc_id"), col("index_v"))
     }),
 
+    "stream_curation_funnel_audited" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the AUDITED door: same fixture and gates as
+      // stream_curation_funnel, but the output is ONE VERDICT ROW PER
+      // (batch, feed doc) — outcome, the deciding stage, the reason
+      // (contaminated / low_quality / duplicate), the SMALLEST indexed
+      // near-dup for duplicates, and the quality margin for every
+      // scored doc — so survivors ∪ rejects partition the feed EXACTLY
+      // (the oracle checks precisely that, reject attribution
+      // included). One probe pass feeds both the screen and the reject
+      // relation (MinhashIndexStore.ingestWithMatches); per-tick
+      // RunMeta rows land beside the drain; and the sink is the
+      // batch-keyed EXACTLY-ONCE overwrite (__b=<id> dirs — a replayed
+      // tick rewrites its own directory instead of appending a second
+      // copy), giving the flagship topology its idempotent-sink row.
+      val tmp = scratchDir("stream_funnel_audit")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val feed = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
+      feed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val store = new graft.llm.MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
+      val t0 = System.nanoTime()
+      store.append(docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select("doc_id", "text"))
+      stageLogger("stream_curation_funnel_audited")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val meta = new graft.meta.MetaStore(s, s"$tmp/meta")
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainAudited(stream, evalSet, model,
+        batch => store.ingestWithMatches(batch.select(col("doc_id"), col("text")), 0.8),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        exactlyOnceSink = true, meta = Some(meta),
+        onStage = stageLogger("stream_curation_funnel_audited"))
+      s.read.parquet(s"$tmp/out").select(col("batch"), col("doc_id"),
+        col("outcome"), col("stage"), col("reason"), col("match_id"),
+        col("margin_micro"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -6322,6 +6363,65 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(1 AS INT) FROM admA
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(2 AS INT) FROM admB""".stripMargin,
+
+    // the audited door: one verdict row per (batch, feed doc), so the
+    // oracle checks the PARTITION property — contaminated ∪ low-quality
+    // ∪ duplicate ∪ admitted = feed exactly — plus the attribution:
+    // match_id is the smallest qualifying near-dup (batch B's candidate
+    // set is corpus + batch A's admitted survivors, the sequential
+    // contract) and margin_micro rides on every row the gate scored
+    "stream_curation_funnel_audited" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |lowq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |         WHERE mm.margin_micro <= 450000),
+         |dupA AS (SELECT a.doc_id, min(x.doc_id) AS match_id FROM hq a JOIN corp x
+         |         ON len(list_intersect(a.s, x.s)) * 1.0 /
+         |            (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+         |         WHERE a.b = 0 GROUP BY a.doc_id),
+         |admA AS (SELECT doc_id, s, margin_micro FROM hq
+         |         WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st1 AS (SELECT doc_id, s FROM corp UNION ALL SELECT doc_id, s FROM admA),
+         |dupB AS (SELECT a.doc_id, min(x.doc_id) AS match_id FROM hq a JOIN st1 x
+         |         ON a.doc_id <> x.doc_id
+         |        AND len(list_intersect(a.s, x.s)) * 1.0 /
+         |            (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+         |         WHERE a.b = 1 GROUP BY a.doc_id),
+         |admB AS (SELECT doc_id, margin_micro FROM hq
+         |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(f.b AS BIGINT) AS batch, f.doc_id, 'rejected' AS outcome,
+         |       CAST(0 AS BIGINT) AS stage, 'contaminated' AS reason,
+         |       CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS margin_micro
+         |FROM feed f WHERE f.doc_id IN (SELECT doc_id FROM contam)
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), doc_id, 'rejected', CAST(1 AS BIGINT), 'low_quality',
+         |       CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM lowq
+         |UNION ALL
+         |SELECT CAST(h.b AS BIGINT), h.doc_id, 'rejected', CAST(2 AS BIGINT), 'duplicate',
+         |       CAST(dd.match_id AS BIGINT), CAST(h.margin_micro AS BIGINT)
+         |FROM hq h JOIN (SELECT * FROM dupA UNION ALL SELECT * FROM dupB) dd
+         |  ON dd.doc_id = h.doc_id
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admB""".stripMargin,
 
     // the held-out audit replayed end to end: hash split, full training
     // on the 80% side (the shared CTE chain over the filtered source),

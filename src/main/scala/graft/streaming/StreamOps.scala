@@ -757,6 +757,140 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** The AUDITED composed ingest door: [[curationFunnelDrainWith]]
+    * with every REJECT attributed — the streaming V3 analog (the
+    * reference logs every task outcome to `ds.procedure_log`; at
+    * 100 TB "why did doc X disappear" must be answerable from one
+    * relation, not by re-running the funnel). Each tick emits exactly
+    * ONE row per (batch, doc) of the feed:
+    *
+    *   - `outcome` — 'admitted' | 'rejected'
+    *   - `stage` — the stage that DECIDED the doc (0 contamination,
+    *     1 quality, 2 dedup; admitted docs carry 2, the full chain)
+    *   - `reason` — NULL for admitted; 'contaminated' /
+    *     'low_quality' / 'duplicate'
+    *   - `match_id` — for duplicates, the SMALLEST indexed near-dup
+    *     that caused the rejection ([[graft.llm.MinhashIndexStore.probeMatches]]'
+    *     contract; the IVF twin is
+    *     [[graft.llm.IvfMorIndexStore.ingestNearDupWithMatches]]); NULL
+    *     otherwise
+    *   - `margin_micro` — the quality score for every row the gate
+    *     actually scored (stage ≥ 1); NULL for contaminated docs,
+    *     which never reach the scorer
+    *
+    * so survivors ∪ rejects partition the feed EXACTLY — the audit
+    * relation is also the funnel's complete trace. Observability costs
+    * no extra corpus pass: `admitWithMatches` returns
+    * `(admitted, matches)` from ONE probe (the screen is the matches'
+    * anti-join), and the quality stage's reject side is the scored
+    * frame's complement.
+    *
+    * Per-tick run metadata (the V3 row): pass a
+    * [[graft.meta.MetaStore]] and every tick logs a TaskResult
+    * (`tick<id>`, wall seconds, per-stage counts in `result`) plus
+    * counter metrics (`admitted`, `rejected_contaminated`,
+    * `rejected_low_quality`, `rejected_duplicate`) — one tiny
+    * driver-side aggregate over the tick's verdict rows (≤ 4 groups).
+    *
+    * Replay contract: [[dedupIndexDrain]]'s — at-least-once appends
+    * (dedup downstream on (batch, id)), or `exactlyOnceSink` for the
+    * batch-keyed overwrite sink under which a replayed tick rewrites
+    * its own directory. */
+  def curationFunnelDrainAudited(stream: DataFrame, evalDocs: DataFrame,
+                                 model: graft.llm.QualityLr.Model,
+                                 admitWithMatches: DataFrame => (DataFrame, DataFrame),
+                                 idCol: String, textCol: String,
+                                 out: String, checkpoint: String,
+                                 qualityThreshold: Double = 0.45,
+                                 shingleSize: Int = 3,
+                                 contaminationThreshold: Double = 0.5,
+                                 exactlyOnceSink: Boolean = false,
+                                 meta: Option[graft.meta.MetaStore] = None,
+                                 metaPipeline: String = "curation_funnel_audited",
+                                 onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          val verdicts = auditedTickRows(batch, batchId, evalDocs, model,
+            admitWithMatches, idCol, textCol, qualityThreshold, shingleSize,
+            contaminationThreshold).localCheckpoint(false)
+          admittedWrite(verdicts, out, batchId, exactlyOnceSink)
+          meta.foreach { ms =>
+            val t1 = System.currentTimeMillis()
+            val wall = (System.nanoTime() - t0) / 1e9
+            val counts = verdicts
+              .groupBy(col("outcome"), col("reason"))
+              .agg(count(lit(1)).as("n")).collect()
+              .map(r => (if (r.isNullAt(1)) "admitted" else s"rejected_${r.getString(1)}",
+                r.getLong(2))).toMap
+            def c(k: String) = counts.getOrElse(k, 0L)
+            ms.log(graft.meta.TaskResult(metaPipeline, s"tick$batchId", "stream",
+              t1 - (wall * 1000).toLong, t1, wall, isSuccess = true,
+              s"admitted=${c("admitted")} rejected_contaminated=${c("rejected_contaminated")} " +
+                s"rejected_low_quality=${c("rejected_low_quality")} " +
+                s"rejected_duplicate=${c("rejected_duplicate")}", 1))
+            ms.emit(Seq("admitted", "rejected_contaminated", "rejected_low_quality",
+              "rejected_duplicate").map(k => graft.meta.Metric(k, "counter",
+              c(k).toDouble, metaPipeline, s"tick$batchId", "stream", t1)) :+
+              graft.meta.Metric("tick_wall", "timer", wall, metaPipeline,
+                s"tick$batchId", "stream", t1))
+          }
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One audited funnel tick: the verdict rows described on
+    * [[curationFunnelDrainAudited]] — every feed doc exactly once. */
+  private def auditedTickRows(batch: DataFrame, batchId: Long,
+                              evalDocs: DataFrame,
+                              model: graft.llm.QualityLr.Model,
+                              admitWithMatches: DataFrame => (DataFrame, DataFrame),
+                              idCol: String, textCol: String,
+                              qualityThreshold: Double, shingleSize: Int,
+                              contaminationThreshold: Double): DataFrame = {
+    val idType = batch.schema(idCol).dataType
+    val contaminated = graft.llm.Dedup.contamination(
+        batch, idCol, evalDocs, idCol, textCol,
+        shingleSize, contaminationThreshold)
+      .select(col("train_id").as(idCol)).distinct()
+      .localCheckpoint(false)
+    val clean = batch.join(contaminated, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    // one scoring pass feeds BOTH sides of the quality gate
+    val scored = clean.join(
+        graft.llm.QualityLr.score(clean, idCol, textCol, model, qualityThreshold),
+        Seq(idCol))
+      .localCheckpoint(false)
+    val hqDocs = scored.filter(col("hq")).drop("hq")
+    val (admitted, matches) =
+      admitWithMatches(hqDocs.drop("margin_micro"))
+    val dupRows = matches.join(hqDocs.select(col(idCol), col("margin_micro")),
+      Seq(idCol))
+    def rows(df: DataFrame, outcome: String, stage: Long, reason: Option[String],
+             matchId: org.apache.spark.sql.Column,
+             margin: org.apache.spark.sql.Column) =
+      df.select(lit(batchId).as("batch"), col(idCol),
+        lit(outcome).as("outcome"), lit(stage).as("stage"),
+        reason.map(lit(_)).getOrElse(lit(null).cast("string")).as("reason"),
+        matchId.cast(idType).as("match_id"), margin.cast("long").as("margin_micro"))
+    val nullId = lit(null).cast(idType)
+    val nullL = lit(null).cast("long")
+    rows(contaminated, "rejected", 0L, Some("contaminated"), nullId, nullL)
+      .unionByName(rows(scored.filter(!col("hq")), "rejected", 1L,
+        Some("low_quality"), nullId, col("margin_micro")))
+      .unionByName(rows(dupRows, "rejected", 2L, Some("duplicate"),
+        col("match_id"), col("margin_micro")))
+      .unionByName(rows(admitted.join(
+          hqDocs.select(col(idCol), col("margin_micro")), Seq(idCol)),
+        "admitted", 2L, None, nullId, col("margin_micro")))
+  }
+
   /** One funnel tick: decontaminate → quality-gate → admit, returning
     * the `(batch, stage, stage_name, id)` stage rows — the shared body
     * of the fixed-model and versioned-model doors. */

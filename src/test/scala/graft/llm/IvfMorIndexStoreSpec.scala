@@ -213,6 +213,61 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assert(again == admitted && ivf.read.get.count() == n1)
   }
 
+  test("ingestNearDupWithMatches: rejects name the SMALLEST same-cell neighbor; screen = the matches' anti-join") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    val corpus = full.filter(col("vec_id") % 5 =!= 0)
+    ivf.upsert(corpus)
+    // exact copies of three corpus vectors (must be rejected, each
+    // attributed to its stored twin) + novel rows
+    val copies = full.filter(col("vec_id").isin(1L, 2L, 3L))
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val batch = full.filter(col("vec_id") % 10 === 0).unionByName(copies)
+      .localCheckpoint(false)
+    val tau = 0.999
+    val (admitted, matches) = ivf.ingestNearDupWithMatches(batch, tau)
+    val got = matches.select("vec_id", "match_id").as[(Long, Long)].collect().toMap
+    // independent driver recompute: for every batch row, the SMALLEST
+    // same-cell stored id at cosine >= tau (id-inequality exempts a
+    // re-delivered row's own stored twin)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def cellOfArr(v: Array[Float]): Int =
+      centroids.indices.maxBy(c => cos(v, centroids(c)))
+    val stored = corpus.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (id, v) => (id, v, cellOfArr(v)) }
+    val want = batch.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .flatMap { case (id, v) =>
+        val c = cellOfArr(v)
+        val ns = stored.filter { case (sid, sv, sc) =>
+          sc == c && sid != id && cos(v, sv) >= tau }.map(_._1)
+        if (ns.isEmpty) None else Some(id -> ns.min)
+      }.toMap
+    assert(got == want, s"matches $got, expected $want")
+    assert(got.contains(1001L) && got(1001L) == 1L,
+      "the planted copy must be attributed to its stored twin")
+    assert(got.nonEmpty && got.size < batch.count(),
+      "matches must be non-vacuous and a proper subset")
+    // the admitted side is exactly the batch minus the matched ids —
+    // ONE probe pass fed both relations
+    val admittedIds = admitted.select("vec_id").as[Long].collect().toSet
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(admittedIds == batchIds -- got.keySet)
+    // and the store state equals the unattributed path's
+    val root2 = freshRoot()
+    val ivf2 = new IvfMorIndexStore(spark, root2, "embedding", "vec_id", centroids)
+    ivf2.upsert(corpus)
+    ivf2.ingestNearDup(batch, tau)
+    assertSameRows(ivf.read.get.drop("cell"), ivf2.read.get.drop("cell"))
+  }
+
   test("ingestNearDup replay contract: within-batch mutual dups re-screen, store converges") {
     // two exact copies in ONE batch: the within-batch exemption admits
     // both on first delivery; on replay each screens against its

@@ -195,4 +195,47 @@ class MinhashIndexStoreSpec extends SparkSpec {
     migrated.remove(corpus.limit(1).select("doc_id"))
     assert(!migrated.indexedDocs.get.select("doc_id").as[Long].collect().contains(victim))
   }
+
+  test("probeMatches/ingestWithMatches: rejects attributed to the SMALLEST indexed near-dup; one pass feeds both sides") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    val root = Files.createTempDirectory("mhidx-m").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    store.append(corpus)
+    val matches = store.probeMatches(batch, 0.8)
+    // independent recompute, banding-free: candidates = every
+    // shingle-overlapping (batch, corpus) pair (a J >= 0.8 pair always
+    // overlaps), verified by exact Jaccard, min corpus id per batch doc
+    val bs = batch.select(col("doc_id").as("ida"),
+      explode(Dedup.shingles(col("text"))).as("sh"))
+    val cs = corpus.select(col("doc_id").as("idb"),
+      explode(Dedup.shingles(col("text"))).as("sh"))
+    val cand = bs.join(cs, Seq("sh")).select("ida", "idb").distinct()
+    val texts = batch.unionByName(corpus)
+    val expected = Dedup.jaccardVerify(cand, texts, "doc_id", "text")
+      .filter(col("jaccard") >= 0.8)
+      .groupBy("ida").agg(min(col("idb")).as("match_id"))
+      .select(col("ida").as("doc_id"), col("match_id"))
+    assertSameRows(matches, expected)
+    assert(matches.count() > 0, "fixture must exercise the reject side")
+    // ingestWithMatches: the screen IS the matches' anti-join —
+    // matches ∪ survivors partition the batch exactly
+    val root2 = Files.createTempDirectory("mhidx-m2").toString
+    val store2 = new MinhashIndexStore(spark, root2, "doc_id", "text")
+    store2.append(corpus)
+    val (survivors, m2) = store2.ingestWithMatches(batch, 0.8)
+    assertSameRows(m2, expected)
+    val sIds = survivors.select("doc_id").as[Long].collect().toSet
+    val mIds = m2.select("doc_id").as[Long].collect().toSet
+    val bIds = batch.select("doc_id").as[Long].collect().toSet
+    assert((sIds intersect mIds).isEmpty && (sIds union mIds) == bIds,
+      "survivors and matches must partition the batch")
+    // and the store converges to the unattributed path's state
+    val root3 = Files.createTempDirectory("mhidx-m3").toString
+    val store3 = new MinhashIndexStore(spark, root3, "doc_id", "text")
+    store3.append(corpus)
+    store3.ingest(batch, 0.8)
+    assertSameRows(store2.indexedDocs.get, store3.indexedDocs.get)
+  }
 }

@@ -145,6 +145,102 @@ class CurationFunnelSpec extends SparkSpec {
       "replaying a dup-free feed through the keyed sink must converge, not duplicate")
   }
 
+  test("AUDITED door: one verdict row per feed doc — stage, reason, match attribution, RunMeta, exactly-once replay") {
+    val feed = fullFeed
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_aud").toString
+    feed.select("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(s"$tmp/feed")
+    val store = new MinhashIndexStore(spark, s"$tmp/store", "doc_id", "text")
+    store.append(Seq((100L, corpusText)).toDF("doc_id", "text"))
+    val model = QualityLr.train(feed, "doc_id", "text", "label")
+    val meta = new graft.meta.MetaStore(spark, s"$tmp/meta")
+    def drainOnce(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+      StreamOps.curationFunnelDrainAudited(stream,
+        Seq((900L, evalLeakText)).toDF("doc_id", "text"), model,
+        b => store.ingestWithMatches(b.select("doc_id", "text"), 0.8),
+        "doc_id", "text", s"$tmp/out", ckpt,
+        exactlyOnceSink = true, meta = Some(meta))
+    }
+    drainOnce(s"$tmp/c1")
+    val out = spark.read.parquet(s"$tmp/out").drop("__b")
+    // PARTITION property: survivors ∪ rejects = feed, exactly once each
+    assert(out.count() == feed.count())
+    assert(out.select("doc_id").distinct().count() == feed.count())
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def f(id: Long, c: String) = byId(id).getAs[Any](c)
+    // the eval plant falls at stage 0, unscored
+    assert(f(42L, "outcome") == "rejected" && f(42L, "reason") == "contaminated"
+      && f(42L, "stage") == 0L && f(42L, "margin_micro") == null)
+    // the corpus copy is a duplicate ATTRIBUTED to the seeded doc
+    assert(f(41L, "outcome") == "rejected" && f(41L, "reason") == "duplicate"
+      && f(41L, "stage") == 2L && f(41L, "match_id") == 100L
+      && f(41L, "margin_micro") != null)
+    // good docs admitted with margins; salt docs overwhelmingly low_quality
+    assert((0L until 40L by 2).forall(i => f(i, "outcome") == "admitted"
+      && f(i, "stage") == 2L && f(i, "reason") == null && f(i, "margin_micro") != null))
+    val lowq = out.filter(col("reason") === "low_quality")
+    assert(lowq.count() >= 18 && lowq.filter(col("margin_micro").isNull).count() == 0)
+    // RunMeta: the V3 tick row carries the per-stage counts, and the
+    // counter metrics reconcile against the verdict relation
+    val tr = meta.taskResults.collect()
+    assert(tr.length == 1 && tr.head.getAs[String]("task") == "tick0"
+      && tr.head.getAs[Boolean]("isSuccess"))
+    val admittedN = out.filter(col("outcome") === "admitted").count()
+    assert(tr.head.getAs[String]("result").contains(s"admitted=$admittedN"))
+    val counters = meta.metrics.filter(col("metricType") === "counter")
+      .select("name", "value").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(counters("admitted") == admittedN.toDouble)
+    assert(counters("rejected_duplicate") == 1.0)
+    assert(counters("rejected_contaminated") == 1.0)
+    assert(counters.values.sum == feed.count().toDouble,
+      "the four counters must partition the feed")
+    // exactly-once sink: a FORCED full re-drain (fresh checkpoint, same
+    // store/out) overwrites its batch directory with the identical
+    // verdicts — no duplicate deliveries, convergent attribution
+    val first = canon(out)
+    drainOnce(s"$tmp/c2")
+    assert(canon(spark.read.parquet(s"$tmp/out").drop("__b")) == first,
+      "replaying a dup-free feed through the keyed sink must converge")
+  }
+
+  test("AUDITED door with the IVF backend: duplicate attribution through ingestNearDupWithMatches") {
+    def vec(seed: Long): Array[Float] = {
+      val rr = new scala.util.Random(seed); Array.fill(16)(rr.nextGaussian().toFloat)
+    }
+    val corpusVec = vec(1000L)
+    val rows = (0L until 40L).map { i =>
+      val t = if (i % 2 == 0)
+        s"the quick brown fox jumps over the lazy dog alpha$i beta$i gamma$i"
+      else s"zzq$i xkcd${i * 7} qqz${i % 5} vvv${i * 3}"
+      (i, t, vec(i), if (i % 2 == 0) 1 else 0)
+    } :+ ((41L, corpusText, corpusVec, 1)) :+ ((42L, evalLeakText, vec(42L), 0))
+    val feed = rows.toDF("doc_id", "text", "embedding", "label")
+    val model = QualityLr.train(feed, "doc_id", "text", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_aud_ivf").toString
+    val idx = new graft.llm.IvfMorIndexStore(spark, s"$tmp/idx",
+      "embedding", "doc_id", Array(vec(2000L), vec(2001L)))
+    idx.upsert(Seq((100L, corpusVec)).toDF("doc_id", "embedding"))
+    feed.select("doc_id", "text", "embedding").repartition(1)
+      .write.parquet(s"$tmp/feed")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrainAudited(stream,
+      Seq((900L, evalLeakText)).toDF("doc_id", "text"), model,
+      b => idx.ingestNearDupWithMatches(b.select("doc_id", "embedding"), 0.95),
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == feed.count()
+      && out.select("doc_id").distinct().count() == feed.count())
+    val dup = out.filter(col("reason") === "duplicate").collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 41L
+      && dup.head.getAs[Long]("match_id") == 100L,
+      "the embedding copy must be attributed to its stored source")
+    assert(out.filter(col("outcome") === "admitted").count() ===
+      out.filter(col("stage") === 2 && col("reason").isNull).count())
+  }
+
   test("the admit hook swaps in the SEMANTIC backend: same funnel, IVF-cosine stage 3") {
     // 16-dim seeded gaussians: pairwise cosine ≥ 0.95 by chance is
     // ~3e-8, so only the PLANTED copy trips the dedup stage
