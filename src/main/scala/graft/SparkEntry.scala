@@ -4305,6 +4305,17 @@ object SparkEntry {
         batch => graft.llm.IvfMorIndexStore.open(s, root, "embedding", "doc_id")
           .ingestNearDup(batch.select(col("doc_id"), col("embedding")), 0.95),
         "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        // DEMO-ONLY inline retrain: running it in afterBatch stalls the
+        // drain for the retrain's O(index) duration — acceptable here
+        // because it pins the publish/tick interleaving the oracle
+        // replays. The production shape is a SEPARATE retrainer process
+        // composed with a door whose admit hook reopens via
+        // IvfMorIndexStore.openPinned: the tick then gates under its
+        // tick-start geometry while the retrain runs, writes self-heal
+        // across the flip (commit-time re-verification + the retrain's
+        // post-flip catch-up), and the next reopen gates under the new
+        // layout — no stall, no mid-tick crash (IvfMorIndexStoreSpec
+        // "pinned handle" suite proves both orderings).
         afterBatch = { id =>
           if (id == 0) {
             val t1 = System.nanoTime()

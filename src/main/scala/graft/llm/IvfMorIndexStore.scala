@@ -52,7 +52,8 @@ import org.apache.spark.sql.functions.{abs, broadcast, col, lit, pmod, xxhash64}
 final class IvfMorIndexStore(spark: SparkSession, root: String,
                              embCol: String, idCol: String,
                              centroids: Array[Array[Float]],
-                             books: Option[Pq.Codebooks] = None) {
+                             books: Option[Pq.Codebooks] = None,
+                             pinned: Boolean = false) {
   require(centroids.nonEmpty, "IvfMorIndexStore needs at least one centroid")
 
   // the stamped layout version covers BOTH frozen inputs: the centroid
@@ -172,6 +173,30 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     }
   }
 
+  /** The per-op verification gate. Unpinned handles (the default) run
+    * the full stamp state machine on EVERY op — a captured handle
+    * fails loudly at its first op after a foreign retrain. PINNED
+    * handles ([[IvfMorIndexStore.openPinned]]) verified once at open
+    * and then TOLERATE a concurrent layout flip until their next
+    * reopen: gating decisions (probe candidates, cell assignment)
+    * stay under the pinned geometry for the handle's lifetime — one
+    * tick, by the reopen-per-tick contract — so an out-of-band
+    * retrainer and a draining ingest door compose without the door
+    * stalling on the retrain's intent marker or crashing mid-tick.
+    * Store CONSISTENCY under the race is owned by the write side, not
+    * by this gate: every commit re-verifies the geometry afterwards
+    * ([[reverifyCommit]]) and the retrain runs a post-flip catch-up
+    * pass, so no interleaving can leave a row resident under a
+    * superseded cell assignment (the two legs meet: a commit that saw
+    * the intent marker happened before the catch-up read; a commit
+    * that didn't necessarily observes the flipped stamp and heals
+    * itself). The only pinned-tolerance cost is RECALL inside the
+    * racing tick: a probe may screen against pre-move cell contents —
+    * a near-dup admitted through that window is the documented
+    * at-least-once admission trade, never a lost or mis-resident
+    * row. */
+  private def verifyOp(): Unit = if (!pinned) ensureCentroids()
+
   private val store = new MorStore(spark, s"$root/cells", "cell",
     TableConfig("ivf_mor", null, Seq(idCol, "cell")))
   private val IdBuckets = 32
@@ -203,7 +228,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * appended, no cell rewritten. Replay-safe — re-delivery reconciles
     * to the identical state by (id, cell) key. */
   def upsert(batch: DataFrame): Unit = {
-    ensureCentroids()
+    verifyOp()
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
       .localCheckpoint(false)
@@ -225,6 +250,40 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // post-commit: shrink the superset back to exactly-current
     idStore.delete(withBucket(stale))
     store.compactHot(); idStore.compactHot()
+    reverifyCommit(fresh)
+  }
+
+  /** COMMIT-TIME geometry re-verification — the write-side half of the
+    * concurrent-retrain protocol (two tiny driver-side marker reads
+    * per commit). A retrain racing this commit lands in exactly one of
+    * three states, each safe:
+    *
+    *   - intent marker still pending ⇒ the retrain pass has not
+    *     CLEARED yet, so its post-flip catch-up read happens strictly
+    *     after this (already-committed) write — the retrain migrates
+    *     these rows; nothing to do here.
+    *   - stamp matches this handle's geometry ⇒ no flip raced the
+    *     commit (or a no-op retrain republished the same layout) —
+    *     the rows are correctly resident.
+    *   - stamp flipped and no intent pending ⇒ this commit landed
+    *     AFTER the retrain's catch-up read, under the superseded
+    *     geometry — re-upsert the same batch through a handle opened
+    *     on the CURRENT pointer: cells and PQ codes are recomputed
+    *     under the live layout and the superset table evicts the
+    *     stale residences, O(batch). (If yet another retrain's intent
+    *     appears while reopening, that retrain's catch-up owns these
+    *     rows — first case again.)
+    *
+    * Applied to EVERY handle, pinned or not: an unpinned op verifies
+    * at op START, so a retrain completing between that check and the
+    * commit hits the same window. */
+  private def reverifyCommit(fresh: DataFrame): Unit = {
+    if (readMarker(IntentFile).nonEmpty) return // in-flight retrain's catch-up owns the rows
+    if (readMarker(StampFile).contains(fp)) return // no flip raced this commit
+    val current =
+      try IvfMorIndexStore.open(spark, root, embCol, idCol)
+      catch { case _: IllegalStateException => return } // a new intent appeared: its catch-up owns the rows
+    current.upsert(fresh.select(col(idCol), col(embCol)))
   }
 
   /** Near-dup ADMISSION through the index: screen `batch` against the
@@ -256,7 +315,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * with the IVF cell as the candidate generator. */
   def ingestNearDupWithMatches(batch: DataFrame,
                                threshold: Double): (DataFrame, DataFrame) = {
-    ensureCentroids()
+    verifyOp()
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
       .localCheckpoint(false)
@@ -294,7 +353,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   }
 
   /** The reconciled index (all cells). */
-  def read: Option[DataFrame] = { ensureCentroids(); store.read }
+  def read: Option[DataFrame] = { verifyOp(); store.read }
 
   /** Re-train migration: move every residence to its cell under
     * `newCentroids` in ONE crash-safe O(index) pass — the production
@@ -324,6 +383,30 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
         ensureCentroids() // clean store under THIS handle's centroids
         writeMarker(IntentFile, targetFp)
     }
+    migratePass(newCentroids)
+    publishLayout(newCentroids, books)
+    writeMarker(StampFile, targetFp)
+    fs.delete(marker(IntentFile), false)
+    // POST-FLIP CATCH-UP: a pinned door handle (openPinned) may have
+    // committed rows under the OLD geometry while this pass ran — its
+    // commit-time re-verification saw the intent marker still pending
+    // and deferred to exactly this read (which happens strictly after
+    // any such commit, so none can be missed; rows committed after
+    // THIS read instead observe the already-flipped stamp and heal
+    // themselves — reverifyCommit's case analysis). The catch-up
+    // re-reads the index and moves only misplaced rows: O(index) read,
+    // O(racing commits) write — a second full read per retrain is the
+    // price of never stalling a draining door on the intent marker.
+    migratePass(newCentroids)
+    // the receiver handle re-verifies the stamp on every op, so its
+    // next use fails loudly against the flipped layout
+    new IvfMorIndexStore(spark, root, embCol, idCol, newCentroids, books)
+  }
+
+  /** One idempotent migration pass: move every row whose residence
+    * disagrees with `newCentroids` — rows already in their target cell
+    * are untouched, so re-running is free-ish (one reconciled read). */
+  private def migratePass(newCentroids: Array[Array[Float]]): Unit =
     store.read.foreach { rows =>
       // materialized BEFORE the commit below mutates the manifests —
       // the one full-index read of the pass
@@ -340,13 +423,6 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
         store.compactHot(); idStore.compactHot()
       }
     }
-    publishLayout(newCentroids, books)
-    writeMarker(StampFile, targetFp)
-    fs.delete(marker(IntentFile), false)
-    // the receiver handle re-verifies the stamp on every op, so its
-    // next use fails loudly against the flipped layout
-    new IvfMorIndexStore(spark, root, embCol, idCol, newCentroids, books)
-  }
 
   /** PQ CODEBOOK re-train + full re-encode: replace the frozen
     * codebooks and rewrite every stored row's `pq_codes` under the new
@@ -390,6 +466,22 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     publishLayout(centroids, Some(newBooks))
     writeMarker(StampFile, targetFp)
     fs.delete(marker(IntentFile), false)
+    // POST-FLIP CATCH-UP (the retrain twin's protocol): a pinned door
+    // handle may have committed rows mid-pass with codes encoded under
+    // the OLD books. A commit racing the snapshot itself is refused by
+    // the snapshot's single-writer parent check (the retrain then
+    // throws with the intent pending and recovery re-runs); a commit
+    // landing after the snapshot survives as a delta with stale codes
+    // and its reverifyCommit deferred here — re-encode exactly the
+    // rows whose stored word disagrees with the new books: O(index)
+    // compare, O(racing commits) write, same residences.
+    store.read.foreach { rows =>
+      val enc = Pq.encode(col(embCol), newBooks)
+      val stale = rows.filter(!(col("pq_codes") <=> enc))
+        .withColumn("pq_codes", enc).localCheckpoint(false)
+      if (!stale.isEmpty)
+        store.applyDelta(stale, stale.select(col("cell"), col(idCol)).limit(0))
+    }
     new IvfMorIndexStore(spark, root, embCol, idCol, centroids, Some(newBooks))
   }
 
@@ -397,10 +489,14 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * amplification, bounded by compactHot. */
   def segmentCounts: (Int, Int) = (store.liveSegments, idStore.liveSegments)
 
+  // the geometry this handle carries, for openPinned's re-wrap
+  private[llm] def centroidsSnapshot: Array[Array[Float]] = centroids
+  private[llm] def booksSnapshot: Option[Pq.Codebooks] = books
+
   /** Exact-cosine top-k inside the `nprobe` cells nearest the query —
     * a partition-pruned reconciled read. */
   def topK(query: Array[Float], k: Int, nprobe: Int = 2): DataFrame = {
-    ensureCentroids()
+    verifyOp()
     val cells = centroids.indices
       .sortBy(c => -Similarity.cosArr(query, centroids(c))).take(nprobe)
     val probed = store.readPartitions(cells.map(_.toString))
@@ -414,7 +510,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * unless `rerank` > 0 asks for the exact refine. Requires `books`. */
   def topKAdc(query: Array[Float], k: Int, nprobe: Int = 2,
               rerank: Int = 0): DataFrame = {
-    ensureCentroids()
+    verifyOp()
     val bk = books.getOrElse(throw new IllegalStateException(
       s"IVF index at $root was built without PQ codebooks"))
     val cells = centroids.indices
@@ -532,6 +628,40 @@ object IvfMorIndexStore {
       s"IVF index at $root: persisted layout does not match the stamp '$stamp' — " +
         "torn layout publish; re-run the interrupted migration")
     new IvfMorIndexStore(spark, root, embCol, idCol, cs, books)
+  }
+
+  /** [[open]] with the geometry PINNED for the handle's lifetime — the
+    * tick-scoped handle that lets a draining ingest door and a
+    * SEPARATE retrainer process compose without either stalling or
+    * crashing. An unpinned handle re-verifies the stamp on every op,
+    * which is exactly right for a captured long-lived handle but makes
+    * an out-of-band retrain FAIL the door mid-tick (safely, loudly —
+    * and at 100 TB a retrain runs for minutes-to-hours, so every tick
+    * that overlaps it would die or have to wait out the intent
+    * marker). A pinned handle instead verifies once HERE and then
+    * tolerates a concurrent flip until its next reopen:
+    *
+    *   - GATING (probe candidates, cell assignment) runs under the
+    *     pinned geometry for the whole tick — deterministic verdicts,
+    *     stamped with the tick-start `index_v`;
+    *   - WRITES stay consistent under any interleaving: every commit
+    *     re-verifies the geometry afterwards and re-upserts itself
+    *     through the current pointer if it lost the race, while the
+    *     retrain's post-flip catch-up pass migrates every row
+    *     committed before its final read — between the two legs no
+    *     row can stay resident under a superseded layout;
+    *   - the NEXT tick's reopen (this method, again) gates under the
+    *     new geometry.
+    *
+    * The one tolerance cost is recall inside the racing tick (a probe
+    * may read pre-move cell contents — an extra admission, never a
+    * lost row). Refusal conditions are [[open]]'s: pending intent at
+    * open time, uninitialized store, torn publish. */
+  def openPinned(spark: SparkSession, root: String,
+                 embCol: String, idCol: String): IvfMorIndexStore = {
+    val h = open(spark, root, embCol, idCol)
+    new IvfMorIndexStore(spark, root, embCol, idCol,
+      h.centroidsSnapshot, h.booksSnapshot, pinned = true)
   }
 
   /** The layout-version pointer: 1 at first stamp, +1 per completed

@@ -655,6 +655,85 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assert(!hFs(root).exists(hPath(root, "_layout_v")))
   }
 
+  // ── pinned handles × out-of-band retrains ──────────────────────────
+  // hand 2-D geometry (the CurationFunnelSpec divergence fixture):
+  // u at 0°, v at +10°, w at −10°; cos(u,v) = cos(u,w) ≈ 0.985 ≥ 0.95.
+  // Under [0°, 12°, −12°] the three sit in THREE cells; under [0°]
+  // everything shares one cell.
+  private def deg(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
+    math.sin(math.toRadians(a)).toFloat)
+  private lazy val cents3 = Array(deg(0), deg(12), deg(-12))
+  private lazy val cents1 = Array(deg(0))
+
+  test("pinned handle: an out-of-band retrain mid-tick neither stalls nor crashes; gating stays pinned, writes self-heal") {
+    val root = freshRoot()
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", cents3)
+      .upsert(Seq((100L, deg(0))).toDF("vec_id", "embedding"))
+    // ORDERING 1: the retrain completes BETWEEN the pinned tick's ops
+    val tick = IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+    val a1 = tick.ingestNearDup(Seq((201L, deg(10))).toDF("vec_id", "embedding"), 0.95)
+    assert(a1.count() == 1, "v is cross-cell from u under the pinned 3-cell geometry")
+    // a separate retrainer flips the layout mid-tick (k=1: one cell)
+    IvfMorIndexStore.open(spark, root, "embedding", "vec_id").retrain(cents1)
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+    // the pinned tick's NEXT op: an unpinned handle would throw here —
+    // the pinned one keeps gating under its pinned geometry, so w
+    // (cell 2 under the pinned cells, where nothing resides) ADMITS
+    val a2 = tick.ingestNearDup(Seq((202L, deg(-10))).toDF("vec_id", "embedding"), 0.95)
+    assert(a2.count() == 1, "the tick must complete under its PINNED geometry")
+    // ...and the commit-time re-verification healed the write: every
+    // row (the racing w included) resides in its CURRENT-geometry cell
+    val state = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(state == Map(100L -> 0, 201L -> 0, 202L -> 0),
+      s"writes must self-heal to the flipped layout, got $state")
+    // the NEXT tick's reopen gates under the new geometry: a twin of w
+    // now sees u/v/w same-cell and is rejected
+    val next = IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+    val a3 = next.ingestNearDup(Seq((203L, deg(-10))).toDF("vec_id", "embedding"), 0.95)
+    assert(a3.isEmpty, "the next reopen must gate under the new geometry")
+
+    // ORDERING 2: the retrain completes BEFORE the pinned tick's first op
+    val root2 = freshRoot()
+    new IvfMorIndexStore(spark, root2, "embedding", "vec_id", cents3)
+      .upsert(Seq((100L, deg(0))).toDF("vec_id", "embedding"))
+    val tick2 = IvfMorIndexStore.openPinned(spark, root2, "embedding", "vec_id")
+    IvfMorIndexStore.open(spark, root2, "embedding", "vec_id").retrain(cents1)
+    val b1 = tick2.ingestNearDup(Seq((202L, deg(-10))).toDF("vec_id", "embedding"), 0.95)
+    assert(b1.count() == 1, "pinned gating holds even when the flip preceded the first op")
+    val state2 = IvfMorIndexStore.open(spark, root2, "embedding", "vec_id")
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(state2 == Map(100L -> 0, 202L -> 0))
+  }
+
+  test("a commit under a PENDING retrain intent defers to the post-flip catch-up; recovery migrates it") {
+    val root = freshRoot()
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", cents3)
+      .upsert(Seq((100L, deg(0))).toDF("vec_id", "embedding"))
+    val tick = IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+    // a retrainer wrote its intent and is mid-pass (simulated)
+    putMarker(root, "_retrain_intent", IvfMorIndexStore.stampOf(cents1, None))
+    // the pinned tick does NOT stall on the intent: it commits under
+    // its pinned cells and defers healing to the retrain's catch-up
+    val a = tick.ingestNearDup(Seq((202L, deg(-10))).toDF("vec_id", "embedding"), 0.95)
+    assert(a.count() == 1)
+    // raw state right now: w under its PINNED cell
+    val rawCells = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+      cents3, pinned = true).read.get
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rawCells(202L) == 2, s"mid-pass commit lands under the pinned geometry: $rawCells")
+    // the retrainer completes (recovery semantics: same target) — its
+    // post-flip catch-up pass migrates the racing commit
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", cents3).retrain(cents1)
+    val healed = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(healed == Map(100L -> 0, 202L -> 0),
+      s"the catch-up must migrate rows committed mid-pass, got $healed")
+  }
+
   test("open refuses: pending retrain intent, uninitialized store, torn layout") {
     // uninitialized: no stamp yet
     val empty = freshRoot()
