@@ -4809,6 +4809,33 @@ object SparkEntry {
           round(col("mean_luma"), 4).as("mean_luma"))
     }),
 
+    "dedup_phash" -> ((s, d) => {
+      // image CONTENT near-dup dedup — the perceptual-hash leg the
+      // header-metadata family lacks. Fixture: one 16×16 synthetic
+      // grayscale PNG per document with md5-derived pixels (replayable
+      // in any engine); %10==7 docs carry a ONE-PIXEL perturbation of
+      // doc (id−7)'s image (near-dup), %10==4 docs carry doc (id−2)'s
+      // image verbatim (exact dup). Operator: guarded decode → 8×8
+      // integer block-luma thumbnail → aHash → banded Hamming pairs
+      // through the SimHash pigeonhole machinery — recall-EXACT at
+      // hamming ≤ 3, which is what lets the all-pairs DuckDB oracle
+      // match the banded (never all-pairs) Spark plan bit for bit.
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("img:"),
+          when(col("doc_id") % 10 === 7, col("doc_id") - 7)
+            .when(col("doc_id") % 10 === 4, col("doc_id") - 2)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        (col("doc_id") % 10 === 7).as("pert"))
+      val media = Multimodal.syntheticGrayMedia(s, seeds, "doc_id", "seed",
+        "pert", 16, 16)
+      val hashed = Multimodal.imagePhash(s, media, grid = 8).toDF()
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+      graft.llm.Dedup.simhashPairsFromSignatures(hashed, "doc_id",
+          maxHamming = 3, bits = 64, blocks = 6)
+        .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
@@ -8911,6 +8938,36 @@ object SparkEntry {
          |  trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
          |  CAST(len(regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS BIGINT) AS n_links
          |FROM e5""".stripMargin,
+
+    // the perceptual-hash dedup replayed from first principles: the
+    // fixture's pixels are pure md5 arithmetic, the luma/thumbnail/
+    // aHash chain is integer-exact (cross-multiplied means, no FP), and
+    // the oracle joins ALL pairs on the 64 bit positions — legal here
+    // because the banded Spark plan is recall-exact at hamming ≤ 3 by
+    // pigeonhole, so banding changes cost, not answers
+    "dedup_phash" ->
+      """WITH g AS (SELECT doc_id,
+        |        'img:' || CAST(CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+        |                            WHEN doc_id % 10 = 4 THEN doc_id - 2
+        |                            ELSE doc_id END AS VARCHAR) AS seed,
+        |        doc_id % 10 = 7 AS pert
+        |      FROM documents),
+        |px AS (SELECT doc_id, x, y,
+        |         (CAST('0x' || substring(md5(seed || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256
+        |          + CASE WHEN pert AND x = 0 AND y = 0 THEN 40 ELSE 0 END) % 256 AS v
+        |       FROM g, generate_series(0, 15) t1(x), generate_series(0, 15) t2(y)),
+        |bl AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
+        |         SUM(1000 * v) AS bs, COUNT(*) AS bc
+        |       FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.by * 8 + b.bx AS i,
+        |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        |         FROM bl b JOIN tot t ON t.doc_id = b.doc_id)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
 
     "multimodal_resize" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(ok AS BOOLEAN) AS ok,

@@ -542,4 +542,126 @@ object Multimodal {
         }
       }
   }
+
+  // ── perceptual hashing (image near-dup dedup) ─────────────────────────
+
+  /** One image's perceptual-hash row. `ok = false` marks payloads no
+    * codec accepts or images smaller than the hash grid. */
+  final case class PhashRow(media_id: Long, ok: Boolean,
+                            ahash: Option[Long], dhash: Option[Long])
+
+  /** Perceptual hashes over the decoded thumbnail — the image leg of
+    * the dedup family (text has five; this is the content-level
+    * near-dup screen the header-metadata walk cannot give). Decode
+    * (guarded, untrusted bytes), integer Rec.601 luma per pixel
+    * (299r + 587g + 114b, per-mille — NO floating point anywhere, so
+    * the hash is bit-replayable by any engine), box-downsample to a
+    * `grid`×`grid` thumbnail by integer block sums, then:
+    *
+    *   - '''aHash''' (average hash): bit(by·grid+bx) = 1 iff the
+    *     block's mean luma exceeds the image mean — compared as the
+    *     exact cross-product `blockSum·totalCount > totalSum·blockCount`
+    *     (BigInt, no division, no ties-by-rounding).
+    *   - '''dHash''' (difference hash): bit(by·(grid−1)+bx) = 1 iff the
+    *     right neighbor block outshines the left — gradient direction,
+    *     robust to global brightness shifts.
+    *
+    * Near-dup admission composes with the SimHash banding machinery
+    * verbatim ([[Dedup.simhashPairsFromSignatures]] over the `ahash`
+    * column): banded candidates by pigeonhole, exact Hamming verify —
+    * never all-pairs, the 100 TB shape. Runs in `mapPartitions` (codec
+    * work); one pass per image, O(pixels). */
+  def imagePhash(spark: SparkSession, media: DataFrame, grid: Int = 8,
+                 maxPixels: Long = 64L * 1024 * 1024): Dataset[PhashRow] = {
+    import spark.implicits._
+    require(grid >= 2 && grid * grid <= 64, "grid² must fit a 64-bit hash")
+    val (g, cap) = (grid, maxPixels)
+    media.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = readGuarded(bytes, cap)
+          if (img == null || img.getWidth < g || img.getHeight < g)
+            PhashRow(id, ok = false, None, None)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val bs = new Array[Long](g * g); val bc = new Array[Long](g * g)
+            var y = 0
+            while (y < h) {
+              val by = y * g / h; var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = 299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                val i = by * g + x * g / w
+                bs(i) += lum; bc(i) += 1; x += 1
+              }
+              y += 1
+            }
+            val ts = BigInt(bs.sum); val tc = BigInt(bc.sum)
+            var ah = 0L; var dh = 0L; var i = 0
+            while (i < g * g) {
+              if (BigInt(bs(i)) * tc > ts * bc(i)) ah |= 1L << i
+              i += 1
+            }
+            var by = 0
+            while (by < g) {
+              var bx = 0
+              while (bx < g - 1) {
+                val l = by * g + bx; val r = l + 1
+                if (BigInt(bs(r)) * bc(l) > BigInt(bs(l)) * bc(r))
+                  dh |= 1L << (by * (g - 1) + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            PhashRow(id, ok = true, Some(ah), Some(dh))
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic grayscale PNG per row — the phash test/
+    * oracle fixture: pixel (x,y) of a row with seed `s` is the first
+    * four hex chars of `md5("<s>:<x>:<y>")` mod 256 (gray = that value
+    * on all three RGB channels, so the integer luma is exactly
+    * 1000·v), replayable in any engine with a standard md5 (DuckDB:
+    * `CAST('0x' || substring(md5(s||':'||x||':'||y), 1, 4) AS BIGINT)
+    * % 256`). Rows with `perturbCol` true get pixel (0,0) shifted by
+    * +40 mod 256 — a planted NEAR-duplicate of the same seed's base
+    * image. PNG is lossless and `TYPE_INT_RGB` bypasses gray-colorspace
+    * gamma, so the decode returns these exact values. Codec work in
+    * `mapPartitions`; O(w·h) md5s per row. */
+  def syntheticGrayMedia(spark: SparkSession, rows: DataFrame,
+                         idCol: String, seedCol: String, perturbCol: String,
+                         width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (width, height)
+    rows.select(col(idCol).cast(LongType), col(seedCol).cast(StringType),
+        col(perturbCol).cast(BooleanType))
+      .as[(Long, String, Boolean)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, seed, pert) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              md.reset()
+              val d = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
+              var v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 256
+              if (pert && x == 0 && y == 0) v = (v + 40) % 256
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("media_id", "content")
+  }
 }

@@ -260,4 +260,56 @@ class MultimodalSpec extends SparkSpec {
       .select("frame_index").as[Long].collect().sorted
     assert(out sameElements Array(0L, 5L, 10L, 15L))
   }
+
+  test("imagePhash: integer aHash/dHash over the decoded thumbnail — known split geometry") {
+    // left half dark (20), right half bright (200): aHash sets exactly
+    // the right-half block bits; dHash fires only at the dark→bright
+    // column transition (bx=3) in every row
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = if (x < 8) 20 else 200
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val r = Multimodal.imagePhash(spark,
+      Seq((1L, bos.toByteArray)).toDF("media_id", "content"), grid = 8)
+      .collect().head
+    assert(r.ok)
+    val expectA = (0 until 8).flatMap(by => (4 until 8).map(bx => by * 8 + bx))
+      .foldLeft(0L)((a, i) => a | (1L << i))
+    assert(r.ahash.contains(expectA), s"ahash ${r.ahash} != $expectA")
+    val expectD = (0 until 8).map(by => by * 7 + 3)
+      .foldLeft(0L)((a, i) => a | (1L << i))
+    assert(r.dhash.contains(expectD), s"dhash ${r.dhash} != $expectD")
+  }
+
+  test("imagePhash near-dup: a one-pixel perturbation stays within hamming 3; distinct images are far") {
+    val rows = Seq((1L, "s1", false), (2L, "s1", true), (3L, "s2", false))
+      .toDF("doc_id", "seed", "pert")
+    val media = Multimodal.syntheticGrayMedia(spark, rows,
+      "doc_id", "seed", "pert", 16, 16)
+    val h = Multimodal.imagePhash(spark, media).collect()
+      .map(r => r.media_id -> r.ahash.get).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3,
+      s"perturbed twin drifted to hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 3 && ham(h(2L), h(3L)) > 3,
+      "unrelated images must not read as near-dups")
+    // an exact copy (same seed, unperturbed) hashes identically
+    val twin = Multimodal.imagePhash(spark, Multimodal.syntheticGrayMedia(
+      spark, Seq((9L, "s1", false)).toDF("doc_id", "seed", "pert"),
+      "doc_id", "seed", "pert", 16, 16)).collect().head
+    assert(twin.ahash.get == h(1L))
+    // non-decodable payloads and sub-grid images surface as ok=false
+    val bad = Multimodal.imagePhash(spark,
+      Seq((90L, "not an image".getBytes("UTF-8"))).toDF("media_id", "content"))
+      .collect().head
+    assert(!bad.ok && bad.ahash.isEmpty && bad.dhash.isEmpty)
+    val tiny = Multimodal.imagePhash(spark,
+      Seq((91L, Multimodal.solidPng(4, 4, 10, 10, 10))).toDF("media_id", "content"),
+      grid = 8).collect().head
+    assert(!tiny.ok)
+  }
 }
