@@ -6357,12 +6357,18 @@ object SparkEntry {
          |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
          |${ivfAssignCtes(8, "o")},
          |${ivfAssignCtes(4, "n")},
-         |feedv AS (SELECT doc_id, s,
-         |            CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
-         |                 WHEN doc_id % 20 = 15 THEN doc_id - 5
-         |                 ELSE doc_id END AS src,
-         |            CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
-         |          FROM sh WHERE doc_id % 5 = 0),
+         |feedv AS (SELECT * FROM (
+         |            SELECT doc_id, s,
+         |              CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                   WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                   ELSE doc_id END AS src,
+         |              CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |            FROM sh WHERE doc_id % 5 = 0)
+         |          -- mirror the engine feed's INNER join on embeddings: a
+         |          -- plant whose redirected src has no embedding row is
+         |          -- absent from the Spark feed, so it must not emit
+         |          -- stage-0/1 rows here either (fixture-shape guard)
+         |          WHERE src IN (SELECT vec_id FROM emb)),
          |fao AS (SELECT f.doc_id, f.b, f.src, a.e, a.cell
          |        FROM feedv f JOIN oa1 a ON a.vec_id = f.src),
          |fan AS (SELECT f.doc_id, f.b, f.src, a.e, a.cell

@@ -1,0 +1,132 @@
+package graft
+
+import graft.llm.{IvfMorIndexStore, Multimodal, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-18 soak: measured scale evidence for the round's operators.
+  *
+  *  1. Mid-drain retrain ladder — the reindex door's `afterBatch`
+  *     retrain (IvfMorIndexStore.open → retrain) measured at 10× and
+  *     100× index size, bracketed by per-tick ingestNearDup walls, so
+  *     the hot-swap leg has the same ladder evidence as its siblings.
+  *     The retrain wall now INCLUDES the post-flip catch-up pass (a
+  *     second O(index) read — the price of never stalling a pinned
+  *     door on the intent marker); the ladder shows both rungs and the
+  *     flat tick cost around them.
+  *  2. Perceptual-hash dedup ladder — the dedup_phash pipeline
+  *     (synthetic PNG gen → guarded decode + integer thumbnail hash →
+  *     banded Hamming pairs) at 1× and 10× document count; wall should
+  *     scale with the corpus (per-image decode dominates), never
+  *     quadratically (banding, not all-pairs).
+  *
+  * Run: `sbt "Test/runMain graft.R18SoakMain [1|2|all]"`.
+  */
+object R18SoakMain {
+  def main(args: Array[String]): Unit = {
+    val which = args.headOption.getOrElse("all")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-r18-soak")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (which == "1" || which == "all") retrainLadder(spark)
+    if (which == "2" || which == "all") phashLadder(spark)
+    spark.stop()
+  }
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Rotate each embedding's components by `rot` — novel vectors with
+    * the corpus's scale/shape (the r16 drift trick). */
+  private def rotated(df: org.apache.spark.sql.DataFrame, rot: Int, dim: Int) =
+    df.withColumn("embedding",
+      concat(slice(col("embedding"), rot + 1, dim - rot),
+        slice(col("embedding"), 1, rot)))
+
+  private def retrainLadder(spark: SparkSession): Unit = {
+    val tenx = "/dev/shm/graft_soak10x"
+    val hunx = "/dev/shm/graft_soak100x"
+    Soak.generate(spark, "/root/testdata/sf0.001", tenx, 10)
+    Soak.generate(spark, "/root/testdata/sf0.001", hunx, 100)
+    // JVM warmup outside the timed rungs (first-op cost is ~2× warm)
+    val warm = new IvfMorIndexStore(spark,
+      java.nio.file.Files.createTempDirectory("r18w").toString + "/idx",
+      "embedding", "vec_id",
+      Array.fill(2)(Array.fill(64)(scala.util.Random.nextGaussian().toFloat)))
+    warm.upsert(spark.read.parquet(s"$tenx/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(100))
+    for (dir <- Seq(tenx, hunx)) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).localCheckpoint(false)
+      val n = emb.count()
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val k8 = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 8)
+      val k4 = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 4)
+      val root = java.nio.file.Files.createTempDirectory("r18rl").toString + "/idx"
+      val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", k8)
+      val (_, tBuild) = time(ivf.upsert(emb))
+      // a door tick before the retrain (reopen-per-tick, k=8 geometry)
+      val b1 = rotated(emb.filter(col("vec_id") % 97 === 0), 7, dim)
+        .withColumn("vec_id", col("vec_id") + 1000000L).localCheckpoint(false)
+      val (_, tTickBefore) = time(
+        IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+          .ingestNearDup(b1, 0.95).count())
+      // THE mid-drain retrain — exactly the reindex door's afterBatch
+      // call; wall includes the post-flip catch-up pass
+      val (_, tRetrain) = time(
+        IvfMorIndexStore.open(spark, root, "embedding", "vec_id").retrain(k4))
+      // a door tick after: the next reopen gates under k=4
+      val b2 = rotated(emb.filter(col("vec_id") % 89 === 0), 11, dim)
+        .withColumn("vec_id", col("vec_id") + 2000000L).localCheckpoint(false)
+      val (_, tTickAfter) = time(
+        IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+          .ingestNearDup(b2, 0.95).count())
+      // consistency: every stored row resides in its k=4 cell
+      val h = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      val misplaced = h.read.get
+        .filter(Similarity.cellOf(col("embedding"), k4) =!= col("cell")).count()
+      require(misplaced == 0, s"$misplaced rows misplaced after retrain")
+      require(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+      println(f"[r18-soak] reindex ladder $n%6d vectors: build $tBuild%6.2f s, " +
+        f"tick-before $tTickBefore%5.2f s, mid-drain retrain $tRetrain%6.2f s, " +
+        f"tick-after $tTickAfter%5.2f s, misplaced 0")
+    }
+  }
+
+  private def phashLadder(spark: SparkSession): Unit = {
+    val tenx = "/dev/shm/graft_soak10x"
+    Soak.generate(spark, "/root/testdata/sf0.001", tenx, 10)
+    for ((dir, label) <- Seq(("/root/testdata/sf0.001", "1x"), (tenx, "10x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val n = docs.count()
+      val seeds = docs.select(col("doc_id"),
+        concat(lit("img:"),
+          when(col("doc_id") % 10 === 7, col("doc_id") - 7)
+            .when(col("doc_id") % 10 === 4, col("doc_id") - 2)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        (col("doc_id") % 10 === 7).as("pert"))
+      val (media, tGen) = time(Multimodal.syntheticGrayMedia(
+        spark, seeds, "doc_id", "seed", "pert", 16, 16).localCheckpoint(false))
+      val (hashed, tHash) = time(Multimodal.imagePhash(spark, media, grid = 8)
+        .toDF().filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("ahash").as("simhash"))
+        .localCheckpoint(false))
+      val (pairs, tPairs) = time(graft.llm.Dedup
+        .simhashPairsFromSignatures(hashed, "doc_id", maxHamming = 3,
+          bits = 64, blocks = 6).count())
+      println(f"[r18-soak] phash ladder $label%3s ($n%5d docs): gen $tGen%5.2f s, " +
+        f"hash $tHash%5.2f s, banded pairs $tPairs%5.2f s, pairs $pairs")
+    }
+  }
+}
