@@ -4332,6 +4332,62 @@ object SparkEntry {
         col("stage_name"), col("doc_id"), col("index_v"))
     }),
 
+    "stream_curation_funnel_phash" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the composed door with the IMAGE dedup backend — stage 3
+      // screens each doc's decoded-thumbnail aHash against the
+      // admitted corpus through the banded-Hamming index
+      // (PhashIndexStore), swapped in through the funnel's admit hook
+      // exactly like the IVF backend. Media: one synthetic md5-pixel
+      // PNG per doc (the dedup_phash fixture; hashes computed at
+      // decode time, once, and carried — the 100 TB shape). Plants
+      // mirror the semantic door: %20==0 feed docs carry a COPY of
+      // their (id+1) corpus neighbor's image (rejected against the
+      // corpus); %20==15 feed docs carry their (id−5) batch-A
+      // sibling's image — rejected iff that sibling's admission
+      // PERSISTED (the sequential-semantics proof).
+      val tmp = scratchDir("stream_funnel_ph")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val seedId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val feedSeeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"),
+          concat(lit("img:"), seedId.cast("string")).as("seed"),
+          lit(false).as("pert"))
+      val feedHashed = Multimodal.imagePhash(s,
+          Multimodal.syntheticGrayMedia(s, feedSeeds, "doc_id", "seed", "pert",
+            16, 16), grid = 8)
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+        .join(feedSeeds.select("doc_id", "text"), Seq("doc_id"))
+      feedHashed.filter(col("doc_id") % 10 === 0).coalesce(1)
+        .write.parquet(s"$tmp/feed")
+      feedHashed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val corpusSeeds = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          concat(lit("img:"), col("doc_id").cast("string")).as("seed"),
+          lit(false).as("pert"))
+      val store = new graft.llm.PhashIndexStore(s, s"$tmp/idx", "doc_id")
+      val t0 = System.nanoTime()
+      store.append(Multimodal.imagePhash(s,
+          Multimodal.syntheticGrayMedia(s, corpusSeeds, "doc_id", "seed", "pert",
+            16, 16), grid = 8)
+        .toDF().select(col("media_id").as("doc_id"), col("ahash")))
+      stageLogger("stream_curation_funnel_phash")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainWith(stream, evalSet, model,
+        batch => store.ingest(batch.select(col("doc_id"), col("ahash"))),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        onStage = stageLogger("stream_curation_funnel_phash"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
+    }),
+
     "stream_curation_funnel_audited" -> ((s, d) => withShufflePartitions(s, 8) {
       // the AUDITED door: same fixture and gates as
       // stream_curation_funnel, but the output is ONE VERDICT ROW PER
@@ -6407,6 +6463,73 @@ object SparkEntry {
          |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(1 AS INT) FROM admA
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id, CAST(2 AS INT) FROM admB""".stripMargin,
+
+    // the phash door replayed stage by stage: the text gates are the
+    // MinHash funnel's CTEs verbatim; stage 3 regenerates every doc's
+    // md5-pixel image, hashes it with the same integer arithmetic as
+    // dedup_phash, and replays the sequential banded-Hamming admission
+    // ALL-PAIRS (legal: banding is recall-exact at hamming ≤ 3).
+    // Plants reference another doc's image by SOURCE id, so bits are
+    // keyed by source id and a feed doc's hash is bits(src(doc)).
+    "stream_curation_funnel_phash" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b,
+         |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                ELSE doc_id END AS src
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.* FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |px AS (SELECT doc_id, x, y,
+         |         CAST('0x' || substring(md5('img:' || CAST(doc_id AS VARCHAR) || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+         |       FROM documents, generate_series(0, 15) t1(x), generate_series(0, 15) t2(y)),
+         |bl AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
+         |         SUM(1000 * v) AS bs, COUNT(*) AS bc
+         |       FROM px GROUP BY 1, 2, 3),
+         |tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
+         |bits AS (SELECT b.doc_id, b.by * 8 + b.bx AS i,
+         |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+         |         FROM bl b JOIN tot t ON t.doc_id = b.doc_id),
+         |srcs AS (SELECT DISTINCT src AS k FROM feed),
+         |ham AS (SELECT a.doc_id AS ka, b2.doc_id AS kb,
+         |          SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS hd
+         |        FROM bits a JOIN srcs sk ON a.doc_id = sk.k
+         |        JOIN bits b2 ON a.i = b2.i
+         |        GROUP BY 1, 2),
+         |corpk AS (SELECT doc_id AS k FROM documents
+         |          WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3),
+         |dupA AS (SELECT DISTINCT f.doc_id FROM hq f
+         |         JOIN ham h ON h.ka = f.src AND h.hd <= 3
+         |         JOIN corpk c ON c.k = h.kb
+         |         WHERE f.b = 0),
+         |admA AS (SELECT doc_id, src FROM hq
+         |         WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |dupB AS (SELECT DISTINCT f.doc_id FROM hq f
+         |         JOIN ham h ON h.ka = f.src AND h.hd <= 3
+         |         WHERE f.b = 1
+         |           AND (h.kb IN (SELECT k FROM corpk)
+         |                OR h.kb IN (SELECT src FROM admA))),
+         |admB AS (SELECT doc_id FROM hq
+         |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,
+         |       'decontaminated' AS stage_name, doc_id FROM clean
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), CAST(1 AS BIGINT), 'quality_pass', doc_id FROM hq
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
 
     // the audited door: one verdict row per (batch, feed doc), so the
     // oracle checks the PARTITION property — contaminated ∪ low-quality

@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MorStore
+import graft.schema.TableConfig
+
+/** Persistent perceptual-hash near-dup admission index — the IMAGE
+  * twin of [[MinhashIndexStore]] (text shingles) and
+  * [[IvfMorIndexStore.ingestNearDup]] (embeddings): batches of
+  * [[Multimodal.imagePhash]] aHashes screen against everything
+  * admitted BEFORE them, survivors become probe-visible state.
+  *
+  * State is ONE merge-on-read table of banded signatures
+  * `(id, simhash, band, bandHash)` partitioned by band
+  * ([[Dedup.simhashIndexOf]]'s pigeonhole split: every pair within
+  * `maxHamming` shares at least one band key, so banded candidates
+  * are recall-EXACT — banding changes cost, not answers). The full
+  * 64-bit hash rides in the band rows, so Hamming verification needs
+  * no second table fetch — a probe is one narrow scan of the
+  * signature table joined against the BROADCAST batch index, the
+  * 100 TB cost shape shared with the MinHash store. O(batch·blocks)
+  * state bytes per admitted doc; replaying a batch reconciles by
+  * (id, band) key.
+  *
+  * Ingest semantics are the family contract verbatim: a batch is
+  * never screened against itself (admission order decides; mutual
+  * in-batch near-dups both admit on first delivery), same-id hits are
+  * re-deliveries (restatements, not duplicates — the `ida =!= idb`
+  * exemption is what makes replays converge), and
+  * [[ingestWithMatches]] feeds the audited door: one probe pass
+  * yields both the screen and the `(id, match_id)` reject relation,
+  * `match_id` the SMALLEST indexed near-dup at `maxHamming`.
+  */
+final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
+                            maxHamming: Int = 3, blocks: Int = 6) {
+
+  private val cfg = TableConfig("phidx_sigs", null, Seq(idCol, "band"))
+  private val sigs = new MorStore(spark, s"$root/sigs", "band", cfg)
+
+  def isEmpty: Boolean = sigs.read.isEmpty
+
+  /** Live segment fan-in — the probe's read amplification, bounded by
+    * MorStore's hot-partition auto-compaction. */
+  def segmentCount: Int = sigs.liveSegments
+
+  /** Reconciled signature-row count (id × band) — the replay-
+    * convergence witness. */
+  def sigRows: Long = sigs.read.map(_.count()).getOrElse(0L)
+
+  private def indexOf(hashes: DataFrame): DataFrame =
+    Dedup.simhashIndexOf(
+      hashes.select(col(idCol), col("ahash").as("simhash")),
+      idCol, maxHamming, bits = 64, blocks = blocks)
+
+  /** Admit hashes `(id, ahash)` unscreened: their band signatures
+    * become probe-visible state. Replay reconciles by key. */
+  def append(hashes: DataFrame): Unit =
+    sigs.mergeBatch(indexOf(hashes), cfg)
+
+  /** The probe's REJECT side, attributed: one `(id, match_id)` row per
+    * batch doc with an indexed near-dup within `maxHamming`,
+    * `match_id` the smallest matching indexed id. Cost: the narrow
+    * stored-signature scan with the batch index broadcast, Hamming
+    * verified inline on the banded candidates. */
+  def probeMatches(batch: DataFrame): DataFrame = {
+    if (isEmpty)
+      return batch.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
+    val nb = indexOf(batch).toDF("ida", "sima", "band", "bandHash")
+    val cb = sigs.read.get.select(col(idCol).as("idb"),
+      col("simhash").as("simb"), col("band"), col("bandHash"))
+    cb.join(broadcast(nb), Seq("band", "bandHash"))
+      .filter(col("ida") =!= col("idb") &&
+        Dedup.hamming(col("sima"), col("simb")) <= maxHamming)
+      .groupBy(col("ida")).agg(min(col("idb")).as("match_id"))
+      .select(col("ida").as(idCol), col("match_id"))
+  }
+
+  /** Batch rows that survive screening against the indexed corpus. */
+  def probe(batch: DataFrame): DataFrame =
+    if (isEmpty) batch
+    else batch.join(probeMatches(batch), Seq(idCol), "left_anti")
+
+  /** The CDC tick with the reject side attributed: screen, admit the
+    * survivors (their signatures persist), return
+    * `(survivors, matches)` — ONE probe pass feeds both. `batch` must
+    * carry `(idCol, ahash)`; extra columns ride along on the survivor
+    * side. Same replay contract as [[MinhashIndexStore.ingest]]:
+    * the STORE converges; the survivor list is at-least-once. */
+  def ingestWithMatches(batch: DataFrame): (DataFrame, DataFrame) = {
+    val matches = probeMatches(batch).localCheckpoint(false)
+    val survivors = batch.join(matches, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    if (!survivors.isEmpty) append(survivors.select(col(idCol), col("ahash")))
+    (survivors, matches)
+  }
+
+  /** [[ingestWithMatches]]' survivor side alone. */
+  def ingest(batch: DataFrame): DataFrame = ingestWithMatches(batch)._1
+}
