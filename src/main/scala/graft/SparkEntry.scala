@@ -4892,6 +4892,32 @@ object SparkEntry {
         .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
     }),
 
+    "dedup_audio_fp" -> ((s, d) => {
+      // audio CONTENT near-dup dedup — the WAV leg of the content-
+      // fingerprint family (dedup_phash one modality over): decode
+      // PCM16-mono samples, 64-block integer energy-envelope
+      // fingerprint, banded Hamming pairs. Fixture: one 2048-sample
+      // synthetic WAV per document with md5-derived samples; %10==6
+      // docs carry a ONE-SAMPLE perturbation of doc (id−6)'s stream
+      // (near-dup), %10==9 docs carry doc (id−4)'s stream verbatim
+      // (exact dup). The oracle regenerates samples and replays the
+      // hash + an all-pairs Hamming join (banding is recall-exact).
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("wav:"),
+          when(col("doc_id") % 10 === 6, col("doc_id") - 6)
+            .when(col("doc_id") % 10 === 9, col("doc_id") - 4)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        (col("doc_id") % 10 === 6).as("pert"))
+      val media = Multimodal.syntheticPcmWav(s, seeds, "doc_id", "seed",
+        "pert", nSamples = 2048)
+      val fp = Multimodal.audioFingerprint(s, media).toDF()
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("afp").as("simhash"))
+      graft.llm.Dedup.simhashPairsFromSignatures(fp, "doc_id",
+          maxHamming = 3, bits = 64, blocks = 6)
+        .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
@@ -9067,6 +9093,34 @@ object SparkEntry {
          |  trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_clean,
          |  CAST(len(regexp_extract_all(html, '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)) AS BIGINT) AS n_links
          |FROM e5""".stripMargin,
+
+    // the audio fingerprint replayed from first principles, the
+    // dedup_phash pattern one modality over: md5-derived PCM samples,
+    // integer energy-envelope blocks, cross-multiplied mean compare,
+    // all-pairs Hamming (banding is recall-exact at hamming ≤ 3)
+    "dedup_audio_fp" ->
+      """WITH g AS (SELECT doc_id,
+        |        'wav:' || CAST(CASE WHEN doc_id % 10 = 6 THEN doc_id - 6
+        |                            WHEN doc_id % 10 = 9 THEN doc_id - 4
+        |                            ELSE doc_id END AS VARCHAR) AS seed,
+        |        doc_id % 10 = 6 AS pert
+        |      FROM documents),
+        |sm AS (SELECT doc_id, i,
+        |         (CAST('0x' || substring(md5(seed || ':' || i), 1, 4) AS BIGINT)
+        |          + CASE WHEN pert AND i = 0 THEN 12345 ELSE 0 END) % 65536 AS raw
+        |       FROM g, generate_series(0, 2047) t(i)),
+        |bl AS (SELECT doc_id, (i * 64) // 2048 AS blk,
+        |         SUM(abs(raw - 32768)) AS bs, COUNT(*) AS bc
+        |       FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.blk AS i,
+        |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        |         FROM bl b JOIN tot t ON t.doc_id = b.doc_id)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
 
     // the perceptual-hash dedup replayed from first principles: the
     // fixture's pixels are pure md5 arithmetic, the luma/thumbnail/

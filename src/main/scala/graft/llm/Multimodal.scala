@@ -621,6 +621,128 @@ object Multimodal {
       }
   }
 
+  // ── audio content fingerprinting (audio near-dup dedup) ──────────────
+
+  /** PCM16-mono sample decode: the chunk walk of [[parseWav]] plus the
+    * `data` payload as signed samples. Non-PCM / non-mono / non-16-bit
+    * streams → None (the honest fallback — a fingerprint over bytes we
+    * can't interpret would be garbage). Sample count is bounded by the
+    * input byte length; nothing allocates beyond it. */
+  private def wavPcm16MonoSamples(b: Array[Byte]): Option[Array[Int]] = {
+    if (b == null || b.length < 44 ||
+        ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return None
+    var o = 12; var fmtOk = false; var seenFmt = false
+    var dataOff = -1; var dataLen = 0
+    while (o + 8 <= b.length && (!seenFmt || dataOff < 0)) {
+      val cid = ascii(b, o, 4); val sz = leInt(b, o + 4).toLong & 0xFFFFFFFFL
+      if (cid == "fmt " && o + 24 <= b.length) {
+        seenFmt = true
+        fmtOk = leShort(b, o + 8) == 1 && leShort(b, o + 10) == 1 &&
+          leShort(b, o + 22) == 16
+      }
+      if (cid == "data") {
+        dataOff = o + 8
+        dataLen = math.min(sz, (b.length - o - 8).toLong).toInt
+      }
+      val next = o.toLong + 8L + sz + (sz & 1L)
+      o = if (next > Int.MaxValue.toLong) b.length else next.toInt
+    }
+    if (!fmtOk || dataOff < 0) None
+    else Some(Array.tabulate(dataLen / 2) { i =>
+      val s = leShort(b, dataOff + 2 * i)
+      if (s >= 32768) s - 65536 else s
+    })
+  }
+
+  /** One audio stream's content fingerprint. `ok = false` marks
+    * payloads that are not decodable PCM16-mono WAV or are shorter
+    * than the block grid. */
+  final case class AudioFpRow(media_id: Long, ok: Boolean,
+                              afp: Option[Long], n_samples: Option[Int])
+
+  /** Energy-envelope fingerprint over DECODED samples — the audio leg
+    * of the content-dedup family ([[imagePhash]]'s exact pattern one
+    * modality over): decode PCM16-mono WAV, box-downsample the
+    * absolute-amplitude envelope into `blocks` integer block sums,
+    * bit(b) = 1 iff block b's mean energy exceeds the stream mean
+    * (exact cross-multiplied integers, engine-replayable). Robust to
+    * uniform gain the same way aHash is robust to brightness; near-dup
+    * admission composes with [[Dedup.simhashPairsFromSignatures]] /
+    * [[PhashIndexStore]] over the `afp` column (both operate on any
+    * 64-bit signature). Non-WAV/compressed payloads come back
+    * `ok = false` — fingerprinting MP3 content would need a real
+    * decoder, which is exactly the stub boundary the multimodal family
+    * documents. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+                       blocks: Int = 64): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    require(blocks >= 2 && blocks <= 64, "blocks must fit a 64-bit fingerprint")
+    val nb = blocks
+    media.select(col("media_id").cast(LongType), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          wavPcm16MonoSamples(bytes) match {
+            case Some(s) if s.length >= nb =>
+              val bs = new Array[Long](nb); val bc = new Array[Long](nb)
+              var i = 0
+              while (i < s.length) {
+                val blk = (i.toLong * nb / s.length).toInt
+                bs(blk) += math.abs(s(i)); bc(blk) += 1; i += 1
+              }
+              val ts = BigInt(bs.sum); val tc = BigInt(bc.sum)
+              var fp = 0L; var b = 0
+              while (b < nb) {
+                if (BigInt(bs(b)) * tc > ts * bc(b)) fp |= 1L << b
+                b += 1
+              }
+              AudioFpRow(id, ok = true, Some(fp), Some(s.length))
+            case _ => AudioFpRow(id, ok = false, None, None)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic PCM16-mono WAV per row — the audio
+    * fingerprint test/oracle fixture (the WAV twin of
+    * [[syntheticGrayMedia]]): sample i of a row with seed `s` is the
+    * first four hex chars of `md5("<s>:<i>")` (0..65535) minus 32768,
+    * replayable in any engine with a standard md5. Rows with
+    * `perturbCol` true get sample 0 shifted by +12345 mod 2^16 — a
+    * planted NEAR-duplicate of the same seed's base stream. */
+  def syntheticPcmWav(spark: SparkSession, rows: DataFrame,
+                      idCol: String, seedCol: String, perturbCol: String,
+                      nSamples: Int, sampleRate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    val (n, sr) = (nSamples, sampleRate)
+    rows.select(col(idCol).cast(LongType), col(seedCol).cast(StringType),
+        col(perturbCol).cast(BooleanType))
+      .as[(Long, String, Boolean)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, seed, pert) =>
+          val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1.toShort).putShort(1.toShort).putInt(sr)
+            .putInt(sr * 2).putShort(2.toShort).putShort(16.toShort)
+            .put("data".getBytes("US-ASCII")).putInt(2 * n)
+          var i = 0
+          while (i < n) {
+            md.reset()
+            val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
+            var raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
+            if (pert && i == 0) raw = (raw + 12345) % 65536
+            bb.putShort((raw - 32768).toShort)
+            i += 1
+          }
+          (id, bb.array())
+        }
+      }.toDF("media_id", "content")
+  }
+
   /** Deterministic synthetic grayscale PNG per row — the phash test/
     * oracle fixture: pixel (x,y) of a row with seed `s` is the first
     * four hex chars of `md5("<s>:<x>:<y>")` mod 256 (gray = that value

@@ -285,6 +285,54 @@ class MultimodalSpec extends SparkSpec {
     assert(r.dhash.contains(expectD), s"dhash ${r.dhash} != $expectD")
   }
 
+  test("audioFingerprint: integer energy-envelope bits from decoded PCM — known geometry") {
+    // first half silent, second half full-scale: envelope bits set
+    // exactly on the loud half's blocks
+    val n = 2048
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+      .putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (0 until n).foreach(i => bb.putShort(if (i < n / 2) 0 else 20000))
+    val r = Multimodal.audioFingerprint(spark,
+      Seq((1L, bb.array())).toDF("media_id", "content")).collect().head
+    assert(r.ok && r.n_samples.contains(n))
+    val expect = (32 until 64).foldLeft(0L)((a, i) => a | (1L << i))
+    assert(r.afp.contains(expect), s"afp ${r.afp} != $expect")
+  }
+
+  test("audioFingerprint near-dup: one perturbed sample stays within hamming 3; non-PCM fails soft") {
+    val rows = Seq((1L, "w1", false), (2L, "w1", true), (3L, "w2", false))
+      .toDF("doc_id", "seed", "pert")
+    val media = Multimodal.syntheticPcmWav(spark, rows,
+      "doc_id", "seed", "pert", nSamples = 2048)
+    val h = Multimodal.audioFingerprint(spark, media).collect()
+      .map(r => r.media_id -> r.afp.get).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3,
+      s"perturbed twin drifted to hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 3, "unrelated streams must not read as near-dups")
+    // exact copy hashes identically
+    val twin = Multimodal.audioFingerprint(spark, Multimodal.syntheticPcmWav(
+      spark, Seq((9L, "w1", false)).toDF("doc_id", "seed", "pert"),
+      "doc_id", "seed", "pert", 2048)).collect().head
+    assert(twin.afp.get == h(1L))
+    // honest fallbacks: junk bytes, MP3 (no PCM to decode), stereo WAV,
+    // and a stream shorter than the block grid
+    val bad = Seq(
+      (90L, "not audio".getBytes("UTF-8")),
+      (91L, Multimodal.fakeMp3(128, 44100, stereo = false, nFrames = 4)),
+      (92L, Multimodal.silentWav(8000, channels = 2, bitsPerSample = 16, nSamples = 256)),
+      (93L, Multimodal.silentWav(8000, channels = 1, bitsPerSample = 16, nSamples = 16)))
+      .toDF("media_id", "content")
+    val rs = Multimodal.audioFingerprint(spark, bad).collect()
+    assert(rs.forall(r => !r.ok && r.afp.isEmpty), rs.mkString(","))
+  }
+
   test("imagePhash near-dup: a one-pixel perturbation stays within hamming 3; distinct images are far") {
     val rows = Seq((1L, "s1", false), (2L, "s1", true), (3L, "s2", false))
       .toDF("doc_id", "seed", "pert")
