@@ -278,12 +278,28 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * at op START, so a retrain completing between that check and the
     * commit hits the same window. */
   private def reverifyCommit(fresh: DataFrame): Unit = {
-    if (readMarker(IntentFile).nonEmpty) return // in-flight retrain's catch-up owns the rows
     if (readMarker(StampFile).contains(fp)) return // no flip raced this commit
-    val current =
-      try IvfMorIndexStore.open(spark, root, embCol, idCol)
-      catch { case _: IllegalStateException => return } // a new intent appeared: its catch-up owns the rows
-    current.upsert(fresh.select(col(idCol), col(embCol)))
+    // The stamp flipped before this check. Two sub-cases, both healed
+    // HERE (never deferred to a retrain that might have crashed):
+    // if the flipping retrain is still finishing (intent pending), its
+    // pre-clear catch-up read may also migrate these rows — but the
+    // heal and the catch-up converge to the same residences, so
+    // self-healing unconditionally is correct and removes any
+    // dependence on the retrainer surviving past its flip. The heal
+    // parses the CURRENT layout directly (a flipped stamp always
+    // implies a readable matching layout — publishLayout precedes the
+    // flip) and re-upserts under it with a PINNED handle: an unpinned
+    // op would refuse while the intent clears.
+    val stamp = readMarker(StampFile).getOrElse(return)
+    val layout = readMarker(LayoutFile).getOrElse(return)
+    val (cs, bk) = IvfMorIndexStore.parseLayout(layout)
+    // stamp/layout disagree ⇒ we read MID-publish (layout lands before
+    // the stamp): that publisher's post-flip catch-up read is still in
+    // the future and will see these (already-committed) rows — safe to
+    // leave to it
+    if (IvfMorIndexStore.stampOf(cs, bk) != stamp) return
+    new IvfMorIndexStore(spark, root, embCol, idCol, cs, bk, pinned = true)
+      .upsert(fresh.select(col(idCol), col(embCol)))
   }
 
   /** Near-dup ADMISSION through the index: screen `batch` against the
@@ -386,18 +402,20 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     migratePass(newCentroids)
     publishLayout(newCentroids, books)
     writeMarker(StampFile, targetFp)
-    fs.delete(marker(IntentFile), false)
-    // POST-FLIP CATCH-UP: a pinned door handle (openPinned) may have
-    // committed rows under the OLD geometry while this pass ran — its
-    // commit-time re-verification saw the intent marker still pending
-    // and deferred to exactly this read (which happens strictly after
-    // any such commit, so none can be missed; rows committed after
-    // THIS read instead observe the already-flipped stamp and heal
-    // themselves — reverifyCommit's case analysis). The catch-up
-    // re-reads the index and moves only misplaced rows: O(index) read,
-    // O(racing commits) write — a second full read per retrain is the
-    // price of never stalling a draining door on the intent marker.
+    // POST-FLIP CATCH-UP, inside the intent window: a pinned door
+    // handle (openPinned) may have committed rows under the OLD
+    // geometry while the main pass ran — a commit the pass's read
+    // missed is EITHER earlier than this second read (migrated here)
+    // OR later than the stamp flip above, in which case the writer's
+    // own commit-time re-verification observes the flipped stamp and
+    // self-heals (reverifyCommit's case analysis — the two legs meet
+    // with no gap). Running the catch-up BEFORE the intent clears
+    // makes it crash-safe too: a retrainer dying mid-catch-up leaves
+    // the intent pending, so recovery re-runs the (idempotent) pass.
+    // Cost: a second O(index) read per retrain, O(racing commits)
+    // write — the price of never stalling a draining door.
     migratePass(newCentroids)
+    fs.delete(marker(IntentFile), false)
     // the receiver handle re-verifies the stamp on every op, so its
     // next use fails loudly against the flipped layout
     new IvfMorIndexStore(spark, root, embCol, idCol, newCentroids, books)
@@ -465,16 +483,18 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     }
     publishLayout(centroids, Some(newBooks))
     writeMarker(StampFile, targetFp)
-    fs.delete(marker(IntentFile), false)
-    // POST-FLIP CATCH-UP (the retrain twin's protocol): a pinned door
-    // handle may have committed rows mid-pass with codes encoded under
-    // the OLD books. A commit racing the snapshot itself is refused by
-    // the snapshot's single-writer parent check (the retrain then
-    // throws with the intent pending and recovery re-runs); a commit
-    // landing after the snapshot survives as a delta with stale codes
-    // and its reverifyCommit deferred here — re-encode exactly the
-    // rows whose stored word disagrees with the new books: O(index)
-    // compare, O(racing commits) write, same residences.
+    // POST-FLIP CATCH-UP, inside the intent window (the retrain twin's
+    // protocol): a pinned door handle may have committed rows mid-pass
+    // with codes encoded under the OLD books. A commit racing the
+    // snapshot itself is refused by the snapshot's single-writer
+    // parent check (the retrain then throws with the intent pending
+    // and recovery re-runs); a commit landing after the snapshot
+    // survives as a delta with stale codes — re-encode exactly the
+    // rows whose stored word disagrees with the new books (O(index)
+    // compare, O(racing commits) write, same residences). Commits
+    // later than this read happened after the stamp flip, so their
+    // writer self-heals (reverifyCommit); running the catch-up before
+    // the intent clears keeps it crash-safe.
     store.read.foreach { rows =>
       val enc = Pq.encode(col(embCol), newBooks)
       val stale = rows.filter(!(col("pq_codes") <=> enc))
@@ -482,6 +502,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
       if (!stale.isEmpty)
         store.applyDelta(stale, stale.select(col("cell"), col(idCol)).limit(0))
     }
+    fs.delete(marker(IntentFile), false)
     new IvfMorIndexStore(spark, root, embCol, idCol, centroids, Some(newBooks))
   }
 

@@ -734,6 +734,45 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       s"the catch-up must migrate rows committed mid-pass, got $healed")
   }
 
+  test("retrainer crash AFTER the flip: a racing commit self-heals despite the pending intent; recovery completes") {
+    // the hardened leg: if the writer's defer depended on the
+    // retrainer surviving past its stamp flip, a retrainer dying
+    // between the flip and its catch-up would strand the commit
+    // mis-resident forever. The writer instead heals ITSELF whenever
+    // it observes a flipped stamp — parsing the current layout
+    // directly, since open() refuses while the intent clears.
+    val root = freshRoot()
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", cents3)
+      .upsert(Seq((100L, deg(0)), (101L, deg(10))).toDF("vec_id", "embedding"))
+    val tick = IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+    // simulate: a retrainer published layout + stamp, then DIED before
+    // its catch-up pass and intent clear (rows NOT yet migrated)
+    val target = IvfMorIndexStore.stampOf(cents1, None)
+    putMarker(root, "_retrain_intent", target)
+    putMarker(root, "_layout", IvfMorIndexStore.serializeLayout(cents1, None, 2))
+    putMarker(root, "_centroids", target)
+    // the pinned tick commits under its pinned cells, observes the
+    // flipped stamp, and self-heals under the PARSED layout — even
+    // though the intent is still pending
+    val a = tick.ingestNearDup(Seq((202L, deg(-10))).toDF("vec_id", "embedding"), 0.95)
+    assert(a.count() == 1)
+    val raw = new IvfMorIndexStore(spark, root, "embedding", "vec_id",
+        cents1, None, pinned = true)
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(raw(202L) == 0, s"the racing commit must self-heal to the new cell: $raw")
+    assert(raw(101L) == 1, "pre-crash rows await the recovery, not the writer")
+    // recovery re-runs the interrupted retrain (idempotent passes) and
+    // finishes the migration + intent clear
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", cents3).retrain(cents1)
+    val healed = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(healed == Map(100L -> 0, 101L -> 0, 202L -> 0), s"got $healed")
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+    assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
+  }
+
   test("open refuses: pending retrain intent, uninitialized store, torn layout") {
     // uninitialized: no stamp yet
     val empty = freshRoot()
