@@ -4918,6 +4918,62 @@ object SparkEntry {
         .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
     }),
 
+    "dedup_video_fp" -> ((s, d) => {
+      // video CONTENT near-dup dedup — the third leg of the content-
+      // fingerprint trio (image dedup_phash / audio dedup_audio_fp /
+      // this): decode Y4M luma frames, 64-block temporal luma-envelope
+      // fingerprint, banded Hamming pairs. Fixture: one 4×4×64-frame
+      // synthetic mono Y4M per document with md5-derived pixels;
+      // %10==5 docs carry a ONE-PIXEL (frame 0) perturbation of doc
+      // (id−5)'s stream (near-dup), %10==8 docs carry doc (id−6)'s
+      // stream verbatim (exact dup). The oracle regenerates per-frame
+      // luma sums and replays the envelope hash + an all-pairs Hamming
+      // join (banding is recall-exact at hamming ≤ 3).
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("vid:"),
+          when(col("doc_id") % 10 === 5, col("doc_id") - 5)
+            .when(col("doc_id") % 10 === 8, col("doc_id") - 6)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        lit(0L).as("off"),
+        (col("doc_id") % 10 === 5).as("pert"))
+      val media = Multimodal.syntheticY4m(s, seeds, "doc_id", "seed",
+        "off", "pert", width = 4, height = 4, nFrames = 64)
+      val fp = Multimodal.videoFingerprint(s, media, blocks = 64).toDF()
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("vfp").as("simhash"))
+      graft.llm.Dedup.simhashPairsFromSignatures(fp, "doc_id",
+          maxHamming = 3, bits = 64, blocks = 6)
+        .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    "dedup_video_clip" -> ((s, d) => {
+      // embedded-CLIP detection — the temporal-alignment vote the
+      // whole-stream fingerprint cannot give: a video CONTAINING a
+      // segment of another shares per-frame hashes at one consistent
+      // offset. Fixture: one 8×8×24-frame mono Y4M per document;
+      // %10==2 docs carry frames 7.. of doc (id−2)'s stream (a planted
+      // embedded clip — 17 aligned frames). Operator: per-frame aHash
+      // (grid 8 over the luma plane) → inverted-index join on the hash
+      // → one (ida, idb, offset) vote cell per candidate → cells with
+      // ≥8 distinct matched frames. The df cap (64) is the stop-hash
+      // guard; at this fixture scale no 64-bit frame hash approaches
+      // it, so the all-pairs-free plan and the oracle's replay agree
+      // exactly.
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("vidc:"),
+          when(col("doc_id") % 10 === 2, col("doc_id") - 2)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        when(col("doc_id") % 10 === 2, lit(7L)).otherwise(lit(0L)).as("off"),
+        lit(false).as("pert"))
+      val media = Multimodal.syntheticY4m(s, seeds, "doc_id", "seed",
+        "off", "pert", width = 8, height = 8, nFrames = 24)
+      val frames = Multimodal.videoFramePhash(s, media, grid = 8).toDF()
+      graft.llm.Dedup.frameClipPairs(frames, "media_id", "frame_index",
+          "fhash", minFrames = 8, maxHashDf = 64)
+        .select(col("ida"), col("idb"), col("offset"),
+          col("matched_frames").cast("long").as("matched_frames"))
+    }),
+
     "multimodal_meta" -> ((s, d) =>
       Multimodal.extractMeta(
         Tables.documents(s, d).select(col("doc_id"), col("text").cast("binary").as("content")))
@@ -9151,6 +9207,66 @@ object SparkEntry {
         |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
+
+    // the video temporal-envelope fingerprint replayed from first
+    // principles (the dedup_phash/dedup_audio_fp pattern, third
+    // modality): md5-derived mono luma pixels, per-frame sums, 64-block
+    // envelope with the cross-multiplied mean compare (64 frames / 64
+    // blocks → one frame per block, bc = 1, tc = 64), all-pairs Hamming
+    // (banding is recall-exact at hamming ≤ 3)
+    "dedup_video_fp" ->
+      """WITH g AS (SELECT doc_id,
+        |        'vid:' || CAST(CASE WHEN doc_id % 10 = 5 THEN doc_id - 5
+        |                            WHEN doc_id % 10 = 8 THEN doc_id - 6
+        |                            ELSE doc_id END AS VARCHAR) AS seed,
+        |        doc_id % 10 = 5 AS pert
+        |      FROM documents),
+        |fs AS (SELECT doc_id, f,
+        |         SUM((CAST('0x' || substring(md5(seed || ':' || f || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256
+        |              + CASE WHEN pert AND f = 0 AND x = 0 AND y = 0 THEN 40 ELSE 0 END) % 256) AS bs
+        |       FROM g, generate_series(0, 63) t0(f),
+        |            generate_series(0, 3) t1(x), generate_series(0, 3) t2(y)
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(bs) AS ts, COUNT(*) AS tc FROM fs GROUP BY 1),
+        |bits AS (SELECT f.doc_id, f.f AS i,
+        |           CASE WHEN f.bs * t.tc > t.ts THEN 1 ELSE 0 END AS bit
+        |         FROM fs f JOIN tot t ON t.doc_id = f.doc_id)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
+
+    // embedded-clip detection replayed from first principles: per-frame
+    // aHash bits (grid 8 over an 8×8 frame → one pixel per block, so
+    // bit = pixel·64 > frame sum), hashes compared as ordered 64-char
+    // bit strings, and the temporal-alignment vote as a plain GROUP BY
+    // (ida, idb, frame offset). The Spark plan's df cap (64) drops
+    // nothing here — no 64-bit frame hash repeats beyond the planted
+    // base+clip pair — so the capped inverted-index join and this
+    // uncapped replay agree exactly.
+    "dedup_video_clip" ->
+      """WITH g AS (SELECT doc_id,
+        |        'vidc:' || CAST(CASE WHEN doc_id % 10 = 2 THEN doc_id - 2
+        |                             ELSE doc_id END AS VARCHAR) AS seed,
+        |        CASE WHEN doc_id % 10 = 2 THEN 7 ELSE 0 END AS off
+        |      FROM documents),
+        |px AS (SELECT doc_id, f, x, y,
+        |         CAST('0x' || substring(md5(seed || ':' || (f + off) || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+        |       FROM g, generate_series(0, 23) t0(f),
+        |            generate_series(0, 7) t1(x), generate_series(0, 7) t2(y)),
+        |fm AS (SELECT doc_id, f, SUM(v) AS ts FROM px GROUP BY 1, 2),
+        |h AS (SELECT p.doc_id, p.f,
+        |        string_agg(CASE WHEN p.v * 64 > m.ts THEN '1' ELSE '0' END, ''
+        |                   ORDER BY p.y * 8 + p.x) AS fh
+        |      FROM px p JOIN fm m ON m.doc_id = p.doc_id AND m.f = p.f
+        |      GROUP BY 1, 2)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |       CAST(a.f - b.f AS BIGINT) AS offset,
+        |       CAST(COUNT(DISTINCT a.f) AS BIGINT) AS matched_frames
+        |FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2, 3
+        |HAVING COUNT(DISTINCT a.f) >= 8""".stripMargin,
 
     "multimodal_resize" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(ok AS BOOLEAN) AS ok,

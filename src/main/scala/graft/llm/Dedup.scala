@@ -522,6 +522,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedded-CLIP detection over per-frame signatures (the temporal
+    * analog of winnowing's shared-fingerprint evidence): a video that
+    * CONTAINS a segment of another shares frame hashes at ONE consistent
+    * temporal offset, even when whole-stream fingerprints disagree —
+    * exactly the case [[simhashPairsFromSignatures]] over
+    * [[graft.llm.Multimodal.videoFingerprint]] misses. Input is any
+    * `(id, frame_index, hash)` relation (e.g.
+    * [[graft.llm.Multimodal.videoFramePhash]]).
+    *
+    * Method — the standard temporal-alignment vote of video copy
+    * detection (Hough transform over (pair, offset), cf. Douze et al.
+    * CIVR'09, public literature): inverted-index self-join on the frame
+    * hash (never all-pairs — only frames sharing a signature meet),
+    * `offset = frame_a − frame_b` per candidate, then one count per
+    * `(ida, idb, offset)` cell; a genuine embedded clip votes `length`
+    * times into one cell while chance collisions scatter. Emits cells
+    * with ≥ `minFrames` distinct matched frames.
+    *
+    * Scale shape (100 TB): the join is keyed by hash — co-partitioned,
+    * no broadcast of either side needed; `maxHashDf > 0` drops hashes
+    * occurring in more than that many frames corpus-wide BEFORE the
+    * self-join (the df-cap/stop-hash guard every banded family here
+    * uses — a black-frame hash shared by every video would otherwise go
+    * quadratic). Capping DROPS evidence deterministically (whole hash,
+    * not per-bucket prefix), so the DuckDB oracle can replay it. */
+  def frameClipPairs(frames: DataFrame, idCol: String, frameCol: String,
+                     hashCol: String, minFrames: Int,
+                     maxHashDf: Int = 0): DataFrame = {
+    require(minFrames >= 1, "minFrames must be positive")
+    val base = frames.select(col(idCol).cast("long").as("id"),
+      col(frameCol).cast("long").as("f"), col(hashCol).as("h"))
+    val kept =
+      if (maxHashDf <= 0) base
+      else {
+        val df = base.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxHashDf).select("h")
+        base.join(df, Seq("h")) // inner: stop-hashes vanish entirely
+      }
+    val norm = kept.select(col("h"), col("id"), col("f")) // both branches → one column order
+    val a = norm.toDF("h", "ida", "fa")
+    val b = norm.toDF("h", "idb", "fb")
+    a.join(b, Seq("h")).filter(col("ida") < col("idb"))
+      .groupBy(col("ida"), col("idb"), (col("fa") - col("fb")).as("offset"))
+      .agg(countDistinct(col("fa")).as("matched_frames"))
+      .filter(col("matched_frames") >= minFrames)
+  }
+
   /** SimHash near-dup pairs from raw text — [[simhash]] then
     * [[simhashPairsFromSignatures]].
     *

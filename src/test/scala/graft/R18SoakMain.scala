@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   *     banded Hamming pairs) at 1× and 10× document count; wall should
   *     scale with the corpus (per-image decode dominates), never
   *     quadratically (banding, not all-pairs).
+  *  3. Video content-dedup ladder — the temporal-envelope fingerprint
+  *     (dedup_video_fp) and embedded-clip vote (dedup_video_clip)
+  *     pipelines at 1× and 10×; per-video Y4M decode dominates, the
+  *     pair stages are banded / hash-keyed.
   *
-  * Run: `sbt "Test/runMain graft.R18SoakMain [1|2|all]"`.
+  * Run: `sbt "Test/runMain graft.R18SoakMain [1|2|3|all]"`.
   */
 object R18SoakMain {
   def main(args: Array[String]): Unit = {
@@ -38,6 +42,7 @@ object R18SoakMain {
     spark.sparkContext.setLogLevel("ERROR")
     if (which == "1" || which == "all") retrainLadder(spark)
     if (which == "2" || which == "all") phashLadder(spark)
+    if (which == "3" || which == "all") videoLadder(spark)
     spark.stop()
   }
 
@@ -127,6 +132,58 @@ object R18SoakMain {
           bits = 64, blocks = 6).count())
       println(f"[r18-soak] phash ladder $label%3s ($n%5d docs): gen $tGen%5.2f s, " +
         f"hash $tHash%5.2f s, banded pairs $tPairs%5.2f s, pairs $pairs")
+    }
+  }
+
+  /** 3. Video content-dedup ladder — BOTH video legs at 1× and 10×
+    * document count: the temporal-envelope fingerprint pipeline
+    * (dedup_video_fp: Y4M gen → luma decode + envelope hash → banded
+    * Hamming pairs) and the embedded-clip vote (dedup_video_clip:
+    * per-frame aHash → inverted-index join → (pair, offset) cells).
+    * Per-video decode dominates both; the pair stages are banded /
+    * hash-keyed, so the walls should scale with the corpus, never
+    * quadratically. */
+  private def videoLadder(spark: SparkSession): Unit = {
+    val tenx = "/dev/shm/graft_soak10x"
+    Soak.generate(spark, "/root/testdata/sf0.001", tenx, 10)
+    for ((dir, label) <- Seq(("/root/testdata/sf0.001", "1x"), (tenx, "10x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val n = docs.count()
+      // dedup_video_fp's exact fixture and pipeline
+      val fpSeeds = docs.select(col("doc_id"),
+        concat(lit("vid:"),
+          when(col("doc_id") % 10 === 5, col("doc_id") - 5)
+            .when(col("doc_id") % 10 === 8, col("doc_id") - 6)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        lit(0L).as("off"), (col("doc_id") % 10 === 5).as("pert"))
+      val (fpMedia, tGenFp) = time(Multimodal.syntheticY4m(
+        spark, fpSeeds, "doc_id", "seed", "off", "pert", 4, 4, 64)
+        .localCheckpoint(false))
+      val (fp, tFp) = time(Multimodal.videoFingerprint(spark, fpMedia, blocks = 64)
+        .toDF().filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("vfp").as("simhash"))
+        .localCheckpoint(false))
+      val (fpPairs, tFpPairs) = time(graft.llm.Dedup
+        .simhashPairsFromSignatures(fp, "doc_id", maxHamming = 3,
+          bits = 64, blocks = 6).count())
+      // dedup_video_clip's exact fixture and pipeline
+      val clipSeeds = docs.select(col("doc_id"),
+        concat(lit("vidc:"),
+          when(col("doc_id") % 10 === 2, col("doc_id") - 2)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        when(col("doc_id") % 10 === 2, lit(7L)).otherwise(lit(0L)).as("off"),
+        lit(false).as("pert"))
+      val (clipMedia, tGenClip) = time(Multimodal.syntheticY4m(
+        spark, clipSeeds, "doc_id", "seed", "off", "pert", 8, 8, 24)
+        .localCheckpoint(false))
+      val (frames, tFrames) = time(Multimodal.videoFramePhash(
+        spark, clipMedia, grid = 8).toDF().localCheckpoint(false))
+      val (clips, tClips) = time(graft.llm.Dedup.frameClipPairs(
+        frames, "media_id", "frame_index", "fhash",
+        minFrames = 8, maxHashDf = 64).count())
+      println(f"[r18-soak] video ladder $label%3s ($n%5d docs): " +
+        f"fp gen $tGenFp%5.2f s + hash $tFp%5.2f s + pairs $tFpPairs%5.2f s ($fpPairs pairs); " +
+        f"clip gen $tGenClip%5.2f s + frame-hash $tFrames%5.2f s + vote $tClips%5.2f s ($clips clips)")
     }
   }
 }

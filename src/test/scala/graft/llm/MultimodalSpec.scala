@@ -360,4 +360,139 @@ class MultimodalSpec extends SparkSpec {
       grid = 8).collect().head
     assert(!tiny.ok)
   }
+
+  /** Hand-built mono Y4M: header + per-frame `FRAME\n` + raw luma. */
+  private def monoY4m(w: Int, h: Int, frames: Seq[Array[Int]],
+                      header: String = ""): Array[Byte] = {
+    val hd = (if (header.nonEmpty) header
+              else s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n").getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(hd)
+    frames.foreach { f =>
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      f.foreach(v => bos.write(v & 0xFF))
+    }
+    bos.toByteArray
+  }
+
+  test("videoFingerprint: temporal envelope bits from decoded Y4M luma — known geometry") {
+    // 8 frames of a 2×2 mono stream: first half dark (10), second half
+    // bright (200) — envelope bits set exactly on the bright half
+    val frames = (0 until 8).map(f => Array.fill(4)(if (f < 4) 10 else 200))
+    val r = Multimodal.videoFingerprint(spark,
+      Seq((1L, monoY4m(2, 2, frames))).toDF("media_id", "content"),
+      blocks = 8).collect().head
+    assert(r.ok && r.n_frames.contains(8) &&
+      r.width.contains(2) && r.height.contains(2))
+    val expect = (4 until 8).foldLeft(0L)((a, i) => a | (1L << i))
+    assert(r.vfp.contains(expect), s"vfp ${r.vfp} != $expect")
+  }
+
+  test("videoFingerprint reads only the luma plane: 4:2:0 and 4:4:4 twins hash like mono") {
+    val frames = (0 until 8).map(f => Array.fill(4)(if (f < 4) 10 else 200))
+    def withChroma(cs: String, chromaBytesPerFrame: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C$cs\n".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        bos.write("FRAME\n".getBytes("US-ASCII"))
+        f.foreach(v => bos.write(v & 0xFF))
+        (0 until chromaBytesPerFrame).foreach(i => bos.write((i * 37 + 5) & 0xFF))
+      }
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, monoY4m(2, 2, frames)),
+      (2L, withChroma("420", 2)),  // (2/2)·(2/2)·2 chroma bytes
+      (3L, withChroma("444", 8))   // 2·2·2 chroma bytes
+    ).toDF("media_id", "content")
+    val fps = Multimodal.videoFingerprint(spark, media, blocks = 8).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(fps.values.forall(_.ok))
+    assert(fps(2L).vfp == fps(1L).vfp && fps(3L).vfp == fps(1L).vfp,
+      "chroma bytes must not leak into the luma fingerprint")
+  }
+
+  test("videoFingerprint near-dup: one perturbed pixel stays within hamming 3; fallbacks honest") {
+    val rows = Seq((1L, "v1", 0L, false), (2L, "v1", 0L, true), (3L, "v2", 0L, false))
+      .toDF("doc_id", "seed", "off", "pert")
+    val media = Multimodal.syntheticY4m(spark, rows,
+      "doc_id", "seed", "off", "pert", width = 4, height = 4, nFrames = 64)
+    val h = Multimodal.videoFingerprint(spark, media).collect()
+      .map(r => r.media_id -> r.vfp.get).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 3,
+      s"perturbed twin drifted to hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 3, "unrelated streams must not read as near-dups")
+    // exact copy (same seed, offset 0, unperturbed) hashes identically
+    val twin = Multimodal.videoFingerprint(spark, Multimodal.syntheticY4m(
+      spark, Seq((9L, "v1", 0L, false)).toDF("doc_id", "seed", "off", "pert"),
+      "doc_id", "seed", "off", "pert", 4, 4, 64)).collect().head
+    assert(twin.vfp.get == h(1L))
+    // honest fallbacks: junk, wrong magic, odd-dimension 4:2:0, unknown
+    // colorspace, fewer frames than blocks
+    val dark = Array.fill(4)(10)
+    val bad = Seq(
+      (90L, "not a video".getBytes("UTF-8")),
+      (91L, monoY4m(2, 2, Seq(dark), header = "YUV4MPEG3 W2 H2 F25:1 Cmono\n")),
+      (92L, monoY4m(3, 3, Seq(Array.fill(9)(10)),
+        header = "YUV4MPEG2 W3 H3 F25:1 C420\n")),
+      (93L, monoY4m(2, 2, Seq(dark), header = "YUV4MPEG2 W2 H2 F25:1 C411\n")),
+      (94L, monoY4m(2, 2, (0 until 8).map(_ => dark))) // 8 frames < 64 blocks
+    ).toDF("media_id", "content")
+    val rs = Multimodal.videoFingerprint(spark, bad).collect()
+    assert(rs.forall(r => !r.ok && r.vfp.isEmpty), rs.mkString(","))
+    // a truncated trailing frame is dropped; the complete prefix keeps
+    // its meaning (n_frames counts only whole frames)
+    val full = monoY4m(2, 2, (0 until 9).map(_ => dark))
+    val cut = java.util.Arrays.copyOf(full, full.length - 2)
+    val partial = Multimodal.videoFingerprint(spark,
+      Seq((95L, cut)).toDF("media_id", "content"), blocks = 8).collect().head
+    assert(partial.ok && partial.n_frames.contains(8))
+  }
+
+  test("videoFramePhash: per-frame aHash with known split geometry; everyNth samples") {
+    // frame 0: left half dark / right bright; frame 1 inverted; frames
+    // 2,3 repeat — 8×8 at grid 8 makes bit i = pixel i > frame mean
+    def split(leftDark: Boolean): Array[Int] =
+      (0 until 64).map { i => val x = i % 8
+        if ((x < 4) == leftDark) 20 else 200 }.toArray
+    val frames = Seq(split(true), split(false), split(true), split(false))
+    val rows = Multimodal.videoFramePhash(spark,
+      Seq((1L, monoY4m(8, 8, frames))).toDF("media_id", "content"),
+      grid = 8, everyNth = 2).collect().sortBy(_.frame_index)
+    assert(rows.map(_.frame_index).toSeq == Seq(0, 2), "everyNth=2 keeps frames 0 and 2")
+    val rightBits = (0 until 64).filter(i => i % 8 >= 4)
+      .foldLeft(0L)((a, i) => a | (1L << i))
+    assert(rows.forall(_.fhash == rightBits), rows.mkString(","))
+    // undecodable payloads emit no rows (flatMap, not fake signatures)
+    assert(Multimodal.videoFramePhash(spark,
+      Seq((2L, "junk".getBytes("UTF-8"))).toDF("media_id", "content")).isEmpty)
+  }
+
+  test("frameClipPairs finds an embedded clip at its one consistent offset; df cap drops stop-hashes") {
+    // base (1) = frames 0..23 of seed c1; clip (2) = frames 7..30 of c1
+    // (17 aligned matches at offset 7); 3 is unrelated; 4 = exact copy
+    // of the base
+    val rows = Seq((1L, "c1", 0L, false), (2L, "c1", 7L, false),
+      (3L, "c2", 0L, false), (4L, "c1", 0L, false))
+      .toDF("doc_id", "seed", "off", "pert")
+    val media = Multimodal.syntheticY4m(spark, rows,
+      "doc_id", "seed", "off", "pert", width = 8, height = 8, nFrames = 24)
+    val frames = Multimodal.videoFramePhash(spark, media, grid = 8).toDF()
+    val pairs = Dedup.frameClipPairs(frames, "media_id", "frame_index",
+        "fhash", minFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // (1,2) and (2,4) align at ±7; (1,4) aligns everywhere at offset 0
+    assert(pairs == Set((1L, 2L, 7L, 17L), (2L, 4L, -7L, 17L), (1L, 4L, 0L, 24L)),
+      pairs.toString)
+    // df cap 2: frames 7..23 of the base stream occur in docs 1, 2 AND 4
+    // (df 3 → stop-hashes, dropped); frames 0..6 occur only in 1 and 4 —
+    // the (1,4) pair keeps exactly that evidence, (1,2) loses all of it
+    val capped = Dedup.frameClipPairs(frames, "media_id", "frame_index",
+        "fhash", minFrames = 5, maxHashDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(capped == Set((1L, 4L, 0L, 7L)), capped.toString)
+  }
 }
