@@ -3959,6 +3959,60 @@ object SparkEntry {
       s.read.parquet(s"$tmp/admitted").select("vec_id")
     }),
 
+    "stream_video_clip_index" -> ((s, d) => withShufflePartitions(s, 8) {
+      // streaming embedded-CLIP admission through the persistent frame-
+      // hash index — the VIDEO leg of the admission-drain family
+      // (stream_dedup_index text / stream_ann_dedup_index embeddings /
+      // this): the corpus's per-frame aHashes are pre-admitted, then two
+      // ordered micro-batches of candidate videos drain through one
+      // ClipIndexStore tick each. Plants mirror the ANN twin: batch A's
+      // %20==0 videos carry frames 7.. of their (id+1) corpus
+      // neighbor's stream (an embedded clip — rejected against the
+      // corpus); batch B's %20==15 videos carry frames 7.. of their
+      // (id−5) batch-A sibling — rejected ONLY because A's admission
+      // persisted (the sequential-semantics proof). Per tick: narrow
+      // stored-frame scan + broadcast batch join on the hash + the
+      // (pair, offset) vote; the df cap (64) is the stop-hash guard,
+      // inactive at fixture scale (every stored hash df = 1).
+      val tmp = scratchDir("stream_clipidx")
+      val docs = Tables.documents(s, d).select("doc_id")
+      def framesOf(seeds: DataFrame) = Multimodal.videoFramePhash(s,
+          Multimodal.syntheticY4m(s, seeds, "doc_id", "seed", "off", "pert",
+            width = 8, height = 8, nFrames = 24), grid = 8)
+        .toDF().select(col("media_id").as("vid_id"),
+          col("frame_index").cast("long").as("f"), col("fhash"))
+      val corpusSeeds = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+        concat(lit("vclip:"), col("doc_id").cast("string")).as("seed"),
+        lit(0L).as("off"), lit(false).as("pert"))
+      val bASeeds = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
+        concat(lit("vclip:"),
+          when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        when(col("doc_id") % 20 === 0, lit(7L)).otherwise(lit(0L)).as("off"),
+        lit(false).as("pert"))
+      val bBSeeds = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"),
+        concat(lit("vclip:"),
+          when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        when(col("doc_id") % 20 === 15, lit(7L)).otherwise(lit(0L)).as("off"),
+        lit(false).as("pert"))
+      val src = s"$tmp/src"
+      framesOf(bASeeds).coalesce(1).write.parquet(src)
+      framesOf(bBSeeds).coalesce(1).write.mode("append").parquet(src)
+      val store = new graft.llm.ClipIndexStore(s, s"$tmp/store",
+        "vid_id", "f", "fhash", minFrames = 8, maxHashDf = 64)
+      val t0 = System.nanoTime()
+      store.append(framesOf(corpusSeeds))
+      stageLogger("stream_video_clip_index")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamOps.clipDedupDrain(stream, store,
+        s"$tmp/admitted", s"$tmp/ckpt",
+        onStage = stageLogger("stream_video_clip_index"))
+      s.read.parquet(s"$tmp/admitted").select("vid_id").distinct()
+    }),
+
     "stream_cdc_rollup_cdf" -> ((s, d) => {
       // CDC stream WITH CORRECTIONS: 4 insert files plus one
       // restatement file (every event_id%10==3 re-emitted 25 days
@@ -7785,6 +7839,58 @@ object SparkEntry {
          |           SELECT 1 FROM st1 s WHERE s.cell = c.cell AND s.vec_id <> c.vec_id
          |             AND ${cosSql("s.e", "c.e")} >= 0.95))
          |SELECT vec_id FROM adm1 UNION ALL SELECT vec_id FROM adm2""".stripMargin,
+
+    // sequential embedded-clip admission replayed exactly: per-frame
+    // aHash bit strings for all three fixture classes (corpus / batch
+    // A / batch B, with the clip plants' seed+offset redirects), then
+    // the temporal-alignment vote per stage — batch A screens against
+    // the corpus, batch B against corpus + A's survivors. The store's
+    // df cap (64) drops nothing (every stored hash df = 1), so the
+    // capped plan and this uncapped replay agree exactly.
+    "stream_video_clip_index" ->
+      """WITH g AS (
+        |  SELECT doc_id, 'c' AS cls, 'vclip:' || CAST(doc_id AS VARCHAR) AS seed, 0 AS off
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'a',
+        |    'vclip:' || CAST(CASE WHEN doc_id % 20 = 0 THEN doc_id + 1 ELSE doc_id END AS VARCHAR),
+        |    CASE WHEN doc_id % 20 = 0 THEN 7 ELSE 0 END
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'b',
+        |    'vclip:' || CAST(CASE WHEN doc_id % 20 = 15 THEN doc_id - 5 ELSE doc_id END AS VARCHAR),
+        |    CASE WHEN doc_id % 20 = 15 THEN 7 ELSE 0 END
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |px AS (SELECT doc_id, cls, f, x, y,
+        |         CAST('0x' || substring(md5(seed || ':' || (f + off) || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+        |       FROM g, generate_series(0, 23) t0(f),
+        |            generate_series(0, 7) t1(x), generate_series(0, 7) t2(y)),
+        |fm AS (SELECT doc_id, cls, f, SUM(v) AS ts FROM px GROUP BY 1, 2, 3),
+        |h AS (SELECT p.doc_id, p.cls, p.f,
+        |        string_agg(CASE WHEN p.v * 64 > m.ts THEN '1' ELSE '0' END, ''
+        |                   ORDER BY p.y * 8 + p.x) AS fh
+        |      FROM px p JOIN fm m ON m.doc_id = p.doc_id AND m.cls = p.cls AND m.f = p.f
+        |      GROUP BY 1, 2, 3),
+        |dupA AS (SELECT DISTINCT c.doc_id AS id
+        |         FROM h c JOIN h s ON s.fh = c.fh AND s.cls = 'c'
+        |         WHERE c.cls = 'a'
+        |         GROUP BY c.doc_id, s.doc_id, s.f - c.f
+        |         HAVING COUNT(DISTINCT c.f) >= 8),
+        |survA AS (SELECT doc_id FROM g WHERE cls = 'a'
+        |          AND doc_id NOT IN (SELECT id FROM dupA)),
+        |st AS (SELECT doc_id, f, fh FROM h WHERE cls = 'c'
+        |       UNION ALL
+        |       SELECT doc_id, f, fh FROM h
+        |       WHERE cls = 'a' AND doc_id IN (SELECT doc_id FROM survA)),
+        |dupB AS (SELECT DISTINCT c.doc_id AS id
+        |         FROM h c JOIN st s ON s.fh = c.fh AND s.doc_id <> c.doc_id
+        |         WHERE c.cls = 'b'
+        |         GROUP BY c.doc_id, s.doc_id, s.f - c.f
+        |         HAVING COUNT(DISTINCT c.f) >= 8)
+        |SELECT CAST(doc_id AS BIGINT) AS vid_id FROM survA
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT) AS vid_id FROM g
+        |WHERE cls = 'b' AND doc_id NOT IN (SELECT id FROM dupB)""".stripMargin,
 
     // the indexed probe must answer exactly like the recompute form —
     // one shared closed-form oracle

@@ -1,0 +1,119 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.MorStore
+import graft.schema.TableConfig
+
+/** Persistent embedded-CLIP admission index — the VIDEO twin of
+  * [[MinhashIndexStore]] (text) / [[PhashIndexStore]] (images), with
+  * [[Dedup.frameClipPairs]]' temporal-alignment vote as the screen: a
+  * candidate video is rejected when ≥ `minFrames` of its sampled frame
+  * hashes match ONE indexed video at ONE consistent temporal offset —
+  * so a video containing a segment of an already-admitted one is caught
+  * even though whole-stream fingerprints (and any single-signature
+  * store) disagree.
+  *
+  * State is ONE merge-on-read table of frame-hash rows
+  * `(id, frame, hash)` keyed by (id, frame) and partitioned by a hash
+  * bucket (compaction locality; the probe is hash-keyed, not
+  * partition-pruned). A probe is one narrow scan of the stored frame
+  * rows joined against the BROADCAST batch frames on the hash — only
+  * frames SHARING a signature ever meet (inverted index, never
+  * all-pairs), then one count per `(batch id, indexed id, offset)`
+  * vote cell. O(frames-per-video) state rows per admitted video;
+  * replaying a batch reconciles by (id, frame) key.
+  *
+  * Ingest semantics are the family contract verbatim: a batch is never
+  * screened against itself (admission order decides), same-id frame
+  * hits are re-deliveries (the `ida =!= idb` exemption that makes
+  * replays converge), and [[ingestWithMatches]] feeds an audited
+  * caller: one probe pass yields both the screen and the
+  * `(id, match_id)` reject relation, `match_id` the SMALLEST indexed
+  * video with a qualifying vote cell.
+  *
+  * `maxHashDf > 0` drops stored hashes occurring in more than that many
+  * stored frames BEFORE the join — the stop-hash guard (a black-frame
+  * hash shared by every video would otherwise go quadratic). The cap is
+  * computed over the stored side only: that is the side that grows
+  * unboundedly; the batch side is O(batch) by construction.
+  */
+final class ClipIndexStore(spark: SparkSession, root: String,
+                           idCol: String, frameCol: String, hashCol: String,
+                           minFrames: Int, maxHashDf: Int = 0) {
+  require(minFrames >= 1, "minFrames must be positive")
+
+  private val cfg = TableConfig("clipidx_frames", null, Seq(idCol, frameCol))
+  private val frames = new MorStore(spark, s"$root/frames", "hb", cfg)
+
+  def isEmpty: Boolean = frames.read.isEmpty
+
+  /** Live segment fan-in — the probe's read amplification, bounded by
+    * MorStore's hot-partition auto-compaction. */
+  def segmentCount: Int = frames.liveSegments
+
+  /** Reconciled frame-row count (id × frame) — the replay-convergence
+    * witness. */
+  def frameRows: Long = frames.read.map(_.count()).getOrElse(0L)
+
+  private def withBucket(fr: DataFrame): DataFrame =
+    fr.select(col(idCol), col(frameCol), col(hashCol),
+      pmod(xxhash64(col(hashCol)), lit(16)).as("hb"))
+
+  /** Admit frame rows `(id, frame, hash)` unscreened: they become
+    * probe-visible state. Replay reconciles by (id, frame). */
+  def append(fr: DataFrame): Unit = frames.mergeBatch(withBucket(fr), cfg)
+
+  /** The probe's REJECT side, attributed: one `(id, match_id)` row per
+    * batch video with a qualifying vote cell against the index,
+    * `match_id` the smallest matching indexed id. Cost: the narrow
+    * stored-frame scan with the batch frames broadcast, joined on the
+    * hash, one partial-aggregated count per (pair, offset) cell. */
+  def probeMatches(batch: DataFrame): DataFrame = {
+    if (isEmpty)
+      return batch.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
+    val stored0 = frames.read.get
+      .select(col(idCol).as("idb"), col(frameCol).as("fb"), col(hashCol).as("h"))
+    val stored =
+      if (maxHashDf <= 0) stored0
+      else {
+        val keep = stored0.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxHashDf).select("h")
+        stored0.join(keep, Seq("h"))
+      }
+    val nb = batch.select(col(idCol).as("ida"), col(frameCol).as("fa"),
+      col(hashCol).as("h"))
+    stored.join(broadcast(nb), Seq("h"))
+      .filter(col("ida") =!= col("idb"))
+      .groupBy(col("ida"), col("idb"), (col("fb") - col("fa")).as("offset"))
+      .agg(countDistinct(col("fa")).as("matched"))
+      .filter(col("matched") >= minFrames)
+      .groupBy(col("ida")).agg(min(col("idb")).as("match_id"))
+      .select(col("ida").as(idCol), col("match_id"))
+  }
+
+  /** Batch frame rows of videos that survive screening. */
+  def probe(batch: DataFrame): DataFrame =
+    if (isEmpty) batch
+    else batch.join(probeMatches(batch), Seq(idCol), "left_anti")
+
+  /** The CDC tick with the reject side attributed: screen, admit the
+    * surviving videos (their frame rows persist), return
+    * `(survivors, matches)` — ONE probe pass feeds both. `batch` must
+    * carry `(idCol, frameCol, hashCol)`; extra columns ride along on
+    * the survivor side. Same replay contract as
+    * [[MinhashIndexStore.ingest]]: the STORE converges; the survivor
+    * list is at-least-once. */
+  def ingestWithMatches(batch: DataFrame): (DataFrame, DataFrame) = {
+    val matches = probeMatches(batch).localCheckpoint(false)
+    val survivors = batch.join(matches, Seq(idCol), "left_anti")
+      .localCheckpoint(false)
+    if (!survivors.isEmpty)
+      append(survivors.select(col(idCol), col(frameCol), col(hashCol)))
+    (survivors, matches)
+  }
+
+  /** [[ingestWithMatches]]' survivor side alone. */
+  def ingest(batch: DataFrame): DataFrame = ingestWithMatches(batch)._1
+}

@@ -592,6 +592,36 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming embedded-CLIP admission: one
+    * [[graft.llm.ClipIndexStore.ingest]] tick per micro-batch of FRAME
+    * rows `(id, frame, hash)` — each batch's videos screen against
+    * everything admitted BEFORE them through the temporal-alignment
+    * vote (≥ minFrames matching frame hashes at one consistent offset),
+    * the sequential semantics of [[dedupIndexDrain]] with the frame-hash
+    * inverted index replacing the MinHash band as the candidate
+    * generator. Per-tick cost: the narrow stored-frame scan with the
+    * batch broadcast plus the O(batch frames) state append. Survivor
+    * appends are at-least-once on crash replay with the usual store
+    * convergence (re-admitted frame rows reconcile by (id, frame) key);
+    * downstream readers dedup by id. */
+  def clipDedupDrain(stream: DataFrame, store: graft.llm.ClipIndexStore,
+                     admittedOut: String, checkpoint: String,
+                     exactlyOnceSink: Boolean = false,
+                     onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          admittedWrite(store.ingest(batch), admittedOut, batchId, exactlyOnceSink)
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The admitted-output writer every admission drain shares. Default
     * (`exactlyOnce = false`): plain append — at-least-once on crash
     * replay, dedup delegated downstream (the historical contract).
