@@ -4013,6 +4013,56 @@ object SparkEntry {
       s.read.parquet(s"$tmp/admitted").select("vid_id").distinct()
     }),
 
+    "stream_audio_dedup_index" -> ((s, d) => withShufflePartitions(s, 8) {
+      // streaming AUDIO near-dup admission through the banded-Hamming
+      // signature index — with this leg every content modality has
+      // both a batch dedup query and a streaming admission drain
+      // (text stream_dedup_index / embeddings stream_ann_dedup_index /
+      // image stream_curation_funnel_phash / video
+      // stream_video_clip_index / this). PhashIndexStore is 64-bit-
+      // signature generic; here the signature is the energy-envelope
+      // fingerprint over decoded PCM. Plants mirror the family: batch
+      // A's %20==0 streams are EXACT copies of their (id+1) corpus
+      // neighbor (hamming 0 — rejected against the corpus); batch B's
+      // %20==15 streams are ONE-SAMPLE perturbations of their (id−5)
+      // batch-A sibling — near-dups rejected only because A's
+      // admission persisted.
+      val tmp = scratchDir("stream_audioidx")
+      val docs = Tables.documents(s, d).select("doc_id")
+      def fpOf(seeds: DataFrame) = Multimodal.audioFingerprint(s,
+          Multimodal.syntheticPcmWav(s, seeds, "doc_id", "seed", "pert",
+            nSamples = 2048))
+        .toDF().filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("afp").as("ahash"))
+      val corpusSeeds = docs.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"),
+        concat(lit("awav:"), col("doc_id").cast("string")).as("seed"),
+        lit(false).as("pert"))
+      val bASeeds = docs.filter(col("doc_id") % 10 === 0).select(col("doc_id"),
+        concat(lit("awav:"),
+          when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        lit(false).as("pert"))
+      val bBSeeds = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"),
+        concat(lit("awav:"),
+          when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        (col("doc_id") % 20 === 15).as("pert"))
+      val src = s"$tmp/src"
+      fpOf(bASeeds).coalesce(1).write.parquet(src)
+      fpOf(bBSeeds).coalesce(1).write.mode("append").parquet(src)
+      val store = new graft.llm.PhashIndexStore(s, s"$tmp/store", "doc_id")
+      val t0 = System.nanoTime()
+      store.append(fpOf(corpusSeeds))
+      stageLogger("stream_audio_dedup_index")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamOps.signatureDedupDrain(stream, store,
+        s"$tmp/admitted", s"$tmp/ckpt",
+        onStage = stageLogger("stream_audio_dedup_index"))
+      s.read.parquet(s"$tmp/admitted").select("doc_id")
+    }),
+
     "stream_cdc_rollup_cdf" -> ((s, d) => {
       // CDC stream WITH CORRECTIONS: 4 insert files plus one
       // restatement file (every event_id%10==3 re-emitted 25 days
@@ -7890,6 +7940,58 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS vid_id FROM survA
         |UNION ALL
         |SELECT CAST(doc_id AS BIGINT) AS vid_id FROM g
+        |WHERE cls = 'b' AND doc_id NOT IN (SELECT id FROM dupB)""".stripMargin,
+
+    // sequential AUDIO near-dup admission replayed exactly: the energy-
+    // envelope fingerprint from first principles for all three fixture
+    // classes (corpus / batch A with its exact-copy redirects / batch B
+    // with its perturbed-copy redirects), then the all-pairs Hamming
+    // screen per stage — batch A against the corpus, batch B against
+    // corpus + A's survivors (banding is recall-exact at hamming ≤ 3)
+    "stream_audio_dedup_index" ->
+      """WITH g AS (
+        |  SELECT doc_id, 'c' AS cls, 'awav:' || CAST(doc_id AS VARCHAR) AS seed, FALSE AS pert
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'a',
+        |    'awav:' || CAST(CASE WHEN doc_id % 20 = 0 THEN doc_id + 1 ELSE doc_id END AS VARCHAR),
+        |    FALSE
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'b',
+        |    'awav:' || CAST(CASE WHEN doc_id % 20 = 15 THEN doc_id - 5 ELSE doc_id END AS VARCHAR),
+        |    doc_id % 20 = 15
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |sm AS (SELECT doc_id, cls, i,
+        |         (CAST('0x' || substring(md5(seed || ':' || i), 1, 4) AS BIGINT)
+        |          + CASE WHEN pert AND i = 0 THEN 12345 ELSE 0 END) % 65536 AS raw
+        |       FROM g, generate_series(0, 2047) t(i)),
+        |bl AS (SELECT doc_id, cls, (i * 64) // 2048 AS blk,
+        |         SUM(abs(raw - 32768)) AS bs, COUNT(*) AS bc
+        |       FROM sm GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, cls, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1, 2),
+        |bits AS (SELECT b.doc_id, b.cls, b.blk AS i,
+        |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        |         FROM bl b JOIN tot t ON t.doc_id = b.doc_id AND t.cls = b.cls),
+        |dupA AS (SELECT DISTINCT c.doc_id AS id
+        |         FROM bits c JOIN bits s ON s.i = c.i AND s.cls = 'c'
+        |         WHERE c.cls = 'a'
+        |         GROUP BY c.doc_id, s.doc_id
+        |         HAVING SUM(CASE WHEN c.bit <> s.bit THEN 1 ELSE 0 END) <= 3),
+        |survA AS (SELECT doc_id FROM g WHERE cls = 'a'
+        |          AND doc_id NOT IN (SELECT id FROM dupA)),
+        |st AS (SELECT doc_id, i, bit FROM bits WHERE cls = 'c'
+        |       UNION ALL
+        |       SELECT doc_id, i, bit FROM bits
+        |       WHERE cls = 'a' AND doc_id IN (SELECT doc_id FROM survA)),
+        |dupB AS (SELECT DISTINCT c.doc_id AS id
+        |         FROM bits c JOIN st s ON s.i = c.i AND s.doc_id <> c.doc_id
+        |         WHERE c.cls = 'b'
+        |         GROUP BY c.doc_id, s.doc_id
+        |         HAVING SUM(CASE WHEN c.bit <> s.bit THEN 1 ELSE 0 END) <= 3)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM survA
+        |UNION ALL
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM g
         |WHERE cls = 'b' AND doc_id NOT IN (SELECT id FROM dupB)""".stripMargin,
 
     // the indexed probe must answer exactly like the recompute form —

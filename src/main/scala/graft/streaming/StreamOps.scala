@@ -592,6 +592,34 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming 64-bit-signature near-dup admission: one
+    * [[graft.llm.PhashIndexStore.ingest]] tick per micro-batch of
+    * `(id, ahash)` rows — the store is signature-GENERIC (any 64-bit
+    * content hash whose resemblance is Hamming distance: image aHash,
+    * audio energy-envelope fingerprint, video temporal envelope), so
+    * this one drain is the streaming admission leg for every
+    * single-signature modality. Sequential semantics, per-tick cost,
+    * and the at-least-once survivor contract are [[dedupIndexDrain]]'s
+    * verbatim with the banded-Hamming index as the candidate
+    * generator. */
+  def signatureDedupDrain(stream: DataFrame, store: graft.llm.PhashIndexStore,
+                          admittedOut: String, checkpoint: String,
+                          exactlyOnceSink: Boolean = false,
+                          onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val t0 = System.nanoTime()
+        tickConf(batch.sparkSession) {
+          admittedWrite(store.ingest(batch), admittedOut, batchId, exactlyOnceSink)
+        }
+        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming embedded-CLIP admission: one
     * [[graft.llm.ClipIndexStore.ingest]] tick per micro-batch of FRAME
     * rows `(id, frame, hash)` — each batch's videos screen against

@@ -335,6 +335,30 @@ class StreamOpsSpec extends SparkSpec {
       "fixture should both admit and reject")
   }
 
+  test("signatureDedupDrain: sequential ticks screen against earlier survivors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = Files.createTempDirectory("sigdrain").toString
+    // hand-built 64-bit signatures, all unrelated pairs ≥ 8 bits apart:
+    // corpus 1..3; tick A: 10 = exact copy of 2 (rejected against the
+    // corpus), 11 novel (admitted); tick B: 20 = ONE-bit flip of 11
+    // (rejected only because 11's admission persisted), 21 novel
+    val store = new graft.llm.PhashIndexStore(spark, s"$t/store", "doc_id")
+    store.append(Seq((1L, 0xFFL), (2L, 0xFF00L), (3L, 0xFF0000L))
+      .toDF("doc_id", "ahash"))
+    Seq(Seq((10L, 0xFF00L), (11L, 0xFF000000L)),
+        Seq((20L, 0xFF000000L ^ 1L), (21L, 0xFF00000000L)))
+      .foreach(b => b.toDF("doc_id", "ahash").coalesce(1)
+        .write.mode("append").parquet(s"$t/feed"))
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$t/feed").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$t/feed")
+    StreamOps.signatureDedupDrain(stream, store, s"$t/admitted", s"$t/ckpt")
+    val admitted = spark.read.parquet(s"$t/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 21L), s"admitted $admitted")
+  }
+
   test("tickConf is reentrant: nested and concurrent ticks restore AQE exactly once") {
     val key = "spark.sql.adaptive.enabled"
     spark.conf.set(key, "true") // pin the fixture regardless of suite order
