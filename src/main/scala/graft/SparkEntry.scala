@@ -2446,6 +2446,20 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    "ann_binary_topk" -> ((s, d) => {
+      // 1-bit sign-quantized search — the extreme quantization rung
+      // (float → int8 ann_quantized_topk → PQ → this): 64-bit sign
+      // word per vector, Hamming coarse scan (bit_count(xor), 32× less
+      // memory traffic than float), exact float re-rank of 50
+      // candidates. Sign bits, integer Hamming, and id tie-breaks make
+      // the coarse shortlist bit-deterministic across engines.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      Similarity.binaryTopK(e, "embedding", "vec_id", q, k = 10, candidates = 50)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     "ann_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select("embedding")
@@ -7637,6 +7651,25 @@ object SparkEntry {
          |q AS (SELECT e AS qe FROM qz WHERE vec_id = 0)
          |SELECT vec_id, round(cos, 4) AS cosine FROM (
          |  SELECT qcand.vec_id, ${cosSql("e", "qe")} AS cos FROM qcand, q)
+         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // the sign-bit coarse shortlist replayed without bit-packing: the
+    // Hamming distance IS the count of components whose sign test
+    // disagrees with the query's, so the oracle counts disagreements
+    // directly (semantically identical to bit_count(xor) over the
+    // packed words, and immune to BIGINT shift-overflow differences)
+    "ann_binary_topk" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |nz AS (SELECT vec_id, e FROM emb WHERE list_dot_product(e, e) > 0),
+         |ham AS (SELECT nz.vec_id,
+         |          SUM(CASE WHEN (e[i.i] > 0) <> (qe[i.i] > 0) THEN 1 ELSE 0 END) AS hd
+         |        FROM nz CROSS JOIN q CROSS JOIN generate_series(1, 64) i(i)
+         |        GROUP BY nz.vec_id),
+         |cand AS (SELECT nz.vec_id, nz.e FROM nz JOIN ham ON ham.vec_id = nz.vec_id
+         |         ORDER BY ham.hd ASC, nz.vec_id ASC LIMIT 50)
+         |SELECT vec_id, round(cos, 4) AS cosine FROM (
+         |  SELECT cand.vec_id, ${cosSql("e", "qe")} AS cos FROM cand, q)
          |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "ann_lsh_topk" ->

@@ -37,7 +37,11 @@ import graft.schema.TableConfig
   * stored frames BEFORE the join — the stop-hash guard (a black-frame
   * hash shared by every video would otherwise go quadratic). The cap is
   * computed over the stored side only: that is the side that grows
-  * unboundedly; the batch side is O(batch) by construction.
+  * unboundedly; the batch side is O(batch) by construction. Cost: one
+  * partial-aggregated count over the SAME narrow (hash) column the
+  * probe already scans — a 2× constant on the per-tick stored read,
+  * not a new asymptotic term (the probe's tick is O(index scan)
+  * either way, the family's published shape).
   */
 final class ClipIndexStore(spark: SparkSession, root: String,
                            idCol: String, frameCol: String, hashCol: String,

@@ -145,6 +145,31 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow == again)
   }
 
+  test("binaryTopK: sign-word Hamming shortlist matches a driver replay; wide pool converges to brute force") {
+    val q = vecs(5)._2
+    // driver ground truth: Hamming = sign disagreements, ties by id,
+    // then exact cosine over the shortlist
+    def bits(a: Array[Float]): Seq[Boolean] = a.map(_ > 0f).toSeq
+    val qb = bits(q)
+    val shortlist = vecs
+      .map { case (id, v) => (id, bits(v).zip(qb).count(p => p._1 != p._2), v) }
+      .sortBy(t => (t._2, t._1)).take(10).map(_._1).toSet
+    val coarse = Similarity.binaryTopK(embs, "embedding", "vec_id", q,
+      k = 10, candidates = 10).collect().map(_.getLong(0)).toSet
+    assert(coarse.subsetOf(shortlist),
+      s"re-ranked top-k must come from the Hamming shortlist: $coarse vs $shortlist")
+    // with the candidate pool covering the corpus, binary == brute force
+    val wide = Similarity.binaryTopK(embs, "embedding", "vec_id", q,
+      k = 5, candidates = 50).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.bruteForceTopK(embs, "embedding", "vec_id", q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(wide.toSeq == brute.toSeq, s"wide pool must equal brute: ${wide.toSeq} vs ${brute.toSeq}")
+    // zero-norm vectors are excluded, not ranked
+    val withZero = (vecs :+ (99L -> Array.fill(8)(0f))).toDF("vec_id", "embedding")
+    assert(!Similarity.binaryTopK(withZero, "embedding", "vec_id", q, 50, 51)
+      .collect().map(_.getLong(0)).contains(99L))
+  }
+
   test("degenerate zero-norm vectors land in cell -1, never crash the build") {
     val withZero = (vecs :+ (999L -> Array.fill(8)(0f))).toDF("vec_id", "embedding")
     val centroids = Similarity.ivfCentroids(withZero, "embedding", "vec_id", k = 4)
