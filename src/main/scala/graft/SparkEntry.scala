@@ -2717,6 +2717,26 @@ object SparkEntry {
       recall("pq_adc", adc).unionByName(recall("pq_adc_rerank", rr))
     }),
 
+    "ann_binary_recall" -> ((s, d) => {
+      // measured 1-bit quality — the binary rung's ann_pq_recall:
+      // recall@10 of the raw Hamming shortlist (candidates = k, i.e.
+      // no refinement beyond the sign words) and of the standard
+      // shortlist+exact-rerank pipeline, both against brute force.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val brute = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10).select("vec_id")
+      val raw = Similarity.binaryTopK(e, "embedding", "vec_id", q,
+        k = 10, candidates = 10).select("vec_id")
+      val rr = Similarity.binaryTopK(e, "embedding", "vec_id", q,
+        k = 10, candidates = 50).select("vec_id")
+      def recall(m: String, approx: DataFrame) =
+        approx.intersect(brute)
+          .agg((count(lit(1)) / 10.0).cast("double").as("recall_at_10"))
+          .select(lit(m).as("method"), col("recall_at_10"))
+      recall("binary_hamming", raw).unionByName(recall("binary_rerank", rr))
+    }),
+
     "sample_stratified_counts" -> ((s, d) =>
       // deterministic fixed-size stratified sample; per-stratum counts are
       // exactly min(n, stratum size) — oracle-checkable even though hash
@@ -5090,6 +5110,28 @@ object SparkEntry {
           "fhash", minFrames = 8, maxHashDf = 64)
         .select(col("ida"), col("idb"), col("offset"),
           col("matched_frames").cast("long").as("matched_frames"))
+    }),
+
+    "dedup_video_clip_spans" -> ((s, d) => {
+      // clip LOCALIZATION over the dedup_video_clip fixture — the
+      // video twin of dedup_substring_spans: not just "these two
+      // videos share 17 aligned frames" but WHERE (the gaps-and-
+      // islands run bounds an excision step needs). Each planted
+      // frames-7.. clip yields exactly one maximal run: offset 7,
+      // start_frame 7 (base coordinates), run_len 17.
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("vidc:"),
+          when(col("doc_id") % 10 === 2, col("doc_id") - 2)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        when(col("doc_id") % 10 === 2, lit(7L)).otherwise(lit(0L)).as("off"),
+        lit(false).as("pert"))
+      val media = Multimodal.syntheticY4m(s, seeds, "doc_id", "seed",
+        "off", "pert", width = 8, height = 8, nFrames = 24)
+      val frames = Multimodal.videoFramePhash(s, media, grid = 8).toDF()
+      graft.llm.Dedup.frameClipSpans(frames, "media_id", "frame_index",
+          "fhash", minRun = 8, maxHashDf = 64)
+        .select(col("ida"), col("idb"), col("offset"),
+          col("start_frame"), col("run_len").cast("long").as("run_len"))
     }),
 
     "multimodal_meta" -> ((s, d) =>
@@ -9272,6 +9314,31 @@ object SparkEntry {
          |SELECT 'pq_adc_rerank' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
          |FROM (SELECT vec_id FROM rr_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
 
+    // the binary rung's recall audit replayed with the same sign-
+    // disagreement Hamming as ann_binary_topk's oracle
+    "ann_binary_recall" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |nz AS (SELECT vec_id, e FROM emb WHERE list_dot_product(e, e) > 0),
+         |ham AS (SELECT nz.vec_id,
+         |          SUM(CASE WHEN (e[i.i] > 0) <> (qe[i.i] > 0) THEN 1 ELSE 0 END) AS hd
+         |        FROM nz CROSS JOIN q CROSS JOIN generate_series(1, 64) i(i)
+         |        GROUP BY nz.vec_id),
+         |brute AS (
+         |  SELECT vec_id FROM (SELECT nz.vec_id, ${cosSql("e", "qe")} AS cos FROM nz, q)
+         |  WHERE cos IS NOT NULL ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         |raw10 AS (SELECT vec_id FROM ham ORDER BY hd ASC, vec_id ASC LIMIT 10),
+         |cand AS (SELECT vec_id FROM ham ORDER BY hd ASC, vec_id ASC LIMIT 50),
+         |rr_top AS (
+         |  SELECT vec_id FROM (
+         |    SELECT nz.vec_id, ${cosSql("e", "qe")} AS cos FROM nz JOIN cand USING (vec_id), q)
+         |  WHERE cos IS NOT NULL ORDER BY cos DESC, vec_id ASC LIMIT 10)
+         |SELECT 'binary_hamming' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM raw10 INTERSECT SELECT vec_id FROM brute)
+         |UNION ALL
+         |SELECT 'binary_rerank' AS method, CAST(count(*) / 10.0 AS DOUBLE) AS recall_at_10
+         |FROM (SELECT vec_id FROM rr_top INTERSECT SELECT vec_id FROM brute)""".stripMargin,
+
     // the generated bit-arithmetic twin of Layout.zorderKey — same
     // (i,j) interleave loop rendered as DuckDB SQL, bit-for-bit
     "zorder_key" ->
@@ -9508,6 +9575,37 @@ object SparkEntry {
         |FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2, 3
         |HAVING COUNT(DISTINCT a.f) >= 8""".stripMargin,
+
+    // clip localization replayed: the same frame-hash bit strings, then
+    // gaps-and-islands (frame − row_number() constant along a
+    // consecutive run) per aligned (pair, offset) cell
+    "dedup_video_clip_spans" ->
+      """WITH g AS (SELECT doc_id,
+        |        'vidc:' || CAST(CASE WHEN doc_id % 10 = 2 THEN doc_id - 2
+        |                             ELSE doc_id END AS VARCHAR) AS seed,
+        |        CASE WHEN doc_id % 10 = 2 THEN 7 ELSE 0 END AS off
+        |      FROM documents),
+        |px AS (SELECT doc_id, f, x, y,
+        |         CAST('0x' || substring(md5(seed || ':' || (f + off) || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+        |       FROM g, generate_series(0, 23) t0(f),
+        |            generate_series(0, 7) t1(x), generate_series(0, 7) t2(y)),
+        |fm AS (SELECT doc_id, f, SUM(v) AS ts FROM px GROUP BY 1, 2),
+        |h AS (SELECT p.doc_id, p.f,
+        |        string_agg(CASE WHEN p.v * 64 > m.ts THEN '1' ELSE '0' END, ''
+        |                   ORDER BY p.y * 8 + p.x) AS fh
+        |      FROM px p JOIN fm m ON m.doc_id = p.doc_id AND m.f = p.f
+        |      GROUP BY 1, 2),
+        |cells AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+        |            a.f - b.f AS off, a.f AS fa
+        |          FROM h a JOIN h b ON a.fh = b.fh AND a.doc_id < b.doc_id),
+        |isl AS (SELECT ida, idb, off, fa,
+        |          fa - ROW_NUMBER() OVER (PARTITION BY ida, idb, off ORDER BY fa) AS grp
+        |        FROM cells)
+        |SELECT ida, idb, CAST(off AS BIGINT) AS offset,
+        |       CAST(MIN(fa) AS BIGINT) AS start_frame,
+        |       CAST(COUNT(*) AS BIGINT) AS run_len
+        |FROM isl GROUP BY ida, idb, off, grp
+        |HAVING COUNT(*) >= 8""".stripMargin,
 
     "multimodal_resize" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, CAST(ok AS BOOLEAN) AS ok,

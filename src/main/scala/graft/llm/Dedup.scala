@@ -569,6 +569,54 @@ object Dedup {
       .filter(col("matched_frames") >= minFrames)
   }
 
+  /** Embedded-clip LOCALIZATION — the video twin of the text family's
+    * span-level dedup ([[substringDupSpans]]/[[removeDupSpans]] find
+    * WHERE the copied characters sit; this finds WHERE the copied
+    * frames sit):
+    * for each aligned (pair, offset) cell of [[frameClipPairs]]'
+    * candidates, the maximal CONSECUTIVE runs of matched frames, via
+    * the classic gaps-and-islands grouping (`frame − row_number()` is
+    * constant exactly along a consecutive run). Emits one row per run
+    * of ≥ `minRun` frames: `(ida, idb, offset, start_frame, run_len)`,
+    * `start_frame` in the lower id's coordinates — the bounds an
+    * excision or review step needs, which the count-based vote cannot
+    * give (a 17-frame clip and 17 scattered coincidences count the
+    * same; only one is a RUN).
+    *
+    * Frame indexes must be consecutive integers (everyNth = 1) for run
+    * semantics to mean contiguity — for sampled frames use the vote
+    * ([[frameClipPairs]]), which is sampling-agnostic. Scale shape: the
+    * candidate join is [[frameClipPairs]]' hash-keyed inverted index
+    * verbatim (with the same `maxHashDf` stop-hash cap); the window
+    * partitions by (pair, offset) — candidate cells only, never the
+    * corpus. */
+  def frameClipSpans(frames: DataFrame, idCol: String, frameCol: String,
+                     hashCol: String, minRun: Int,
+                     maxHashDf: Int = 0): DataFrame = {
+    require(minRun >= 1, "minRun must be positive")
+    val base = frames.select(col(idCol).cast("long").as("id"),
+      col(frameCol).cast("long").as("f"), col(hashCol).as("h"))
+    val kept =
+      if (maxHashDf <= 0) base
+      else {
+        val df = base.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxHashDf).select("h")
+        base.join(df, Seq("h"))
+      }
+    val norm = kept.select(col("h"), col("id"), col("f"))
+    val a = norm.toDF("h", "ida", "fa")
+    val b = norm.toDF("h", "idb", "fb")
+    val cells = a.join(b, Seq("h")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), (col("fa") - col("fb")).as("offset"), col("fa"))
+      .dropDuplicates("ida", "idb", "offset", "fa")
+    val w = Window.partitionBy("ida", "idb", "offset").orderBy(col("fa").asc)
+    cells.withColumn("__grp", col("fa") - row_number().over(w))
+      .groupBy(col("ida"), col("idb"), col("offset"), col("__grp"))
+      .agg(min(col("fa")).as("start_frame"), count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= minRun)
+      .drop("__grp")
+  }
+
   /** SimHash near-dup pairs from raw text — [[simhash]] then
     * [[simhashPairsFromSignatures]].
     *

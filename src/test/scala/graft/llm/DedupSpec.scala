@@ -185,4 +185,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq((1L, 2L, 0.9)))
   }
+
+  test("frameClipSpans: gaps split runs, offsets never merge, df cap applies") {
+    // video 1: frames 0..19 hashes 100..119; video 2 matches 1's hashes
+    // at offset 3 on frames 0..4 and 7..11 (a 2-frame GAP), plus 1's
+    // hash 100 again at frame 15 (offset -15+?  100@f15 → 1's f0 →
+    // offset 0-15 = -15: its own 1-length island at a DIFFERENT offset)
+    val frames = (
+      (0L until 20L).map(f => (1L, f, 100L + f)) ++
+      (0L until 5L).map(f => (2L, f, 103L + f)) ++    // 1's f3..7 → offset 3
+      (7L until 12L).map(f => (2L, f, 103L + f)) ++   // 1's f10..14 → offset 3
+      Seq((2L, 15L, 100L))                            // 1's f0 → offset -15
+    ).toDF("vid_id", "f", "fhash")
+    val spans = Dedup.frameClipSpans(frames, "vid_id", "f", "fhash", minRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // runs localized in video 1's coordinates: fa 3..7 and fa 10..14,
+    // both at offset 3; the offset −15 singleton misses minRun
+    assert(spans == Set((1L, 2L, 3L, 3L, 5L), (1L, 2L, 3L, 10L, 5L)), spans.toString)
+    // minRun above both run lengths → nothing
+    assert(Dedup.frameClipSpans(frames, "vid_id", "f", "fhash", minRun = 6).isEmpty)
+    // a df cap of 1 drops every shared hash → no spans at all
+    assert(Dedup.frameClipSpans(frames, "vid_id", "f", "fhash", 2, maxHashDf = 1)
+      .isEmpty)
+  }
 }
