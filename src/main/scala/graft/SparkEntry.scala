@@ -4526,6 +4526,74 @@ object SparkEntry {
         .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
     }),
 
+    "stream_curation_funnel_clip" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the composed door with the VIDEO-CLIP dedup backend — stage 3
+      // screens each doc's per-frame aHashes against the admitted
+      // corpus through the temporal-alignment vote (ClipIndexStore),
+      // swapped in through the funnel's admit hook exactly like the
+      // phash and IVF backends. Media: one 8×8×24-frame md5-pixel Y4M
+      // per doc; hashes computed ONCE at feed build and carried as an
+      // array column (the 100 TB shape — decode never re-runs in the
+      // stream). Plants mirror the phash door: %20==0 feed docs carry
+      // frames 7.. of their (id+1) corpus neighbor's stream (an
+      // embedded clip — rejected against the corpus); %20==15 feed
+      // docs carry frames 7.. of their (id−5) batch-A sibling's stream
+      // — rejected iff that sibling's admission PERSISTED (the
+      // sequential-semantics proof).
+      val tmp = scratchDir("stream_funnel_clip")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val offCol = when(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 15,
+        lit(7L)).otherwise(lit(0L))
+      val feedSeeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"),
+          concat(lit("vclip:"), srcId.cast("string")).as("seed"),
+          offCol.as("off"), lit(false).as("pert"))
+      def framesOf(seeds: DataFrame) = Multimodal.videoFramePhash(s,
+          Multimodal.syntheticY4m(s, seeds, "doc_id", "seed", "off", "pert",
+            width = 8, height = 8, nFrames = 24), grid = 8)
+        .toDF().select(col("media_id").as("doc_id"),
+          col("frame_index").cast("long").as("f"), col("fhash"))
+      val feedArr = framesOf(feedSeeds)
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("f"), col("fhash")))),
+          x => x.getField("fhash")).as("fhashes"))
+        .join(feedSeeds.select("doc_id", "text"), Seq("doc_id"))
+      feedArr.filter(col("doc_id") % 10 === 0).coalesce(1)
+        .write.parquet(s"$tmp/feed")
+      feedArr.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val corpusSeeds = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          concat(lit("vclip:"), col("doc_id").cast("string")).as("seed"),
+          lit(0L).as("off"), lit(false).as("pert"))
+      val store = new graft.llm.ClipIndexStore(s, s"$tmp/idx",
+        "doc_id", "f", "fhash", minFrames = 8, maxHashDf = 64)
+      val t0 = System.nanoTime()
+      store.append(framesOf(corpusSeeds))
+      stageLogger("stream_curation_funnel_clip")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainWith(stream, evalSet, model,
+        batch => {
+          val fr = batch.select(col("doc_id"), posexplode(col("fhashes")))
+            .select(col("doc_id"), col("pos").cast("long").as("f"),
+              col("col").as("fhash"))
+          val surv = store.ingest(fr).select("doc_id").distinct()
+          batch.join(surv, Seq("doc_id"))
+        },
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        onStage = stageLogger("stream_curation_funnel_clip"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("batch"), col("stage"), col("stage_name"), col("doc_id"))
+    }),
+
     "stream_curation_funnel_audited" -> ((s, d) => withShufflePartitions(s, 8) {
       // the AUDITED door: same fixture and gates as
       // stream_curation_funnel, but the output is ONE VERDICT ROW PER
@@ -6762,6 +6830,81 @@ object SparkEntry {
          |         WHERE f.b = 1
          |           AND (h.kb IN (SELECT k FROM corpk)
          |                OR h.kb IN (SELECT src FROM admA))),
+         |admB AS (SELECT doc_id FROM hq
+         |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,
+         |       'decontaminated' AS stage_name, doc_id FROM clean
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), CAST(1 AS BIGINT), 'quality_pass', doc_id FROM hq
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
+
+    // the clip door replayed stage by stage: the text gates are the
+    // MinHash funnel's CTEs verbatim; stage 3 regenerates every seed
+    // video's per-frame hash bit strings (frames 0..30 — plants carry
+    // frames 7..30 of their source), maps each feed doc's 24 frames
+    // through its (src, off) redirect, and replays the sequential
+    // temporal-alignment vote: batch A screens against the corpus
+    // frames, batch B against corpus + A's admitted docs' OWN frames.
+    // The store's df cap (64) drops nothing (stored hash df ≤ 2), so
+    // the capped plan and this uncapped replay agree exactly.
+    "stream_curation_funnel_clip" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b,
+         |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                ELSE doc_id END AS src,
+         |           CASE WHEN doc_id % 20 IN (0, 15) THEN 7 ELSE 0 END AS off
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.* FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |px AS (SELECT doc_id, j, x, y,
+         |         CAST('0x' || substring(md5('vclip:' || CAST(doc_id AS VARCHAR) || ':' || j || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+         |       FROM documents, generate_series(0, 30) t0(j),
+         |            generate_series(0, 7) t1(x), generate_series(0, 7) t2(y)),
+         |fm AS (SELECT doc_id, j, SUM(v) AS ts FROM px GROUP BY 1, 2),
+         |hh AS (SELECT p.doc_id AS k, p.j,
+         |         string_agg(CASE WHEN p.v * 64 > m.ts THEN '1' ELSE '0' END, ''
+         |                    ORDER BY p.y * 8 + p.x) AS fh
+         |       FROM px p JOIN fm m ON m.doc_id = p.doc_id AND m.j = p.j
+         |       GROUP BY 1, 2),
+         |cfr AS (SELECT h.k, h.j AS f, h.fh FROM hh h
+         |        JOIN documents dd ON dd.doc_id = h.k
+         |        WHERE h.j <= 23 AND dd.doc_id % 5 <> 0 AND dd.doc_id % 10 <> 3),
+         |ffr AS (SELECT f.doc_id, f.b, fr.f, h.fh
+         |        FROM hq f
+         |        CROSS JOIN generate_series(0, 23) fr(f)
+         |        JOIN hh h ON h.k = f.src AND h.j = fr.f + f.off),
+         |dupA AS (SELECT DISTINCT doc_id FROM (
+         |           SELECT d2.doc_id FROM ffr d2 JOIN cfr c ON c.fh = d2.fh
+         |           WHERE d2.b = 0
+         |           GROUP BY d2.doc_id, c.k, c.f - d2.f
+         |           HAVING COUNT(DISTINCT d2.f) >= 8)),
+         |admA AS (SELECT doc_id FROM hq
+         |         WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st AS (SELECT k AS sid, f, fh FROM cfr
+         |       UNION ALL
+         |       SELECT doc_id, f, fh FROM ffr
+         |       WHERE b = 0 AND doc_id IN (SELECT doc_id FROM admA)),
+         |dupB AS (SELECT DISTINCT doc_id FROM (
+         |           SELECT d2.doc_id FROM ffr d2 JOIN st s2
+         |             ON s2.fh = d2.fh AND s2.sid <> d2.doc_id
+         |           WHERE d2.b = 1
+         |           GROUP BY d2.doc_id, s2.sid, s2.f - d2.f
+         |           HAVING COUNT(DISTINCT d2.f) >= 8)),
          |admB AS (SELECT doc_id FROM hq
          |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
          |SELECT CAST(b AS BIGINT) AS batch, CAST(0 AS BIGINT) AS stage,

@@ -278,6 +278,57 @@ class CurationFunnelSpec extends SparkSpec {
       "exactly the embedding copy of the corpus vector falls at the semantic stage")
   }
 
+  test("the admit hook swaps in the CLIP backend: same funnel, temporal-alignment stage 3") {
+    import graft.llm.Multimodal
+    // per-doc synthetic videos: md5-pixel frames make unrelated streams
+    // share no 64-bit frame hash, so only the PLANTED clip (doc 41 =
+    // frames 7..30 of the corpus video's seed) trips the dedup stage
+    def framesOf(rows: Seq[(Long, String, Long)]): DataFrame =
+      Multimodal.videoFramePhash(spark,
+          Multimodal.syntheticY4m(spark,
+            rows.map { case (id, seed, off) => (id, seed, off, false) }
+              .toDF("doc_id", "seed", "off", "pert"),
+            "doc_id", "seed", "off", "pert", width = 8, height = 8, nFrames = 24),
+          grid = 8)
+        .toDF().select(col("media_id").as("doc_id"),
+          col("frame_index").cast("long").as("f"), col("fhash"))
+    val feedArr = framesOf(
+        (0L until 40L).map(i => (i, s"v$i", 0L)) :+ ((41L, "vC", 7L)) :+ ((42L, "v42", 0L)))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("f"), col("fhash")))),
+        x => x.getField("fhash")).as("fhashes"))
+    val texts = feedDocs.unionByName(
+      Seq((41L, corpusText, 1), (42L, evalLeakText, 0)).toDF("doc_id", "text", "label"))
+    val feed = texts.join(feedArr, Seq("doc_id"))
+    val model = QualityLr.train(texts, "doc_id", "text", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_clip").toString
+    val store = new graft.llm.ClipIndexStore(spark, s"$tmp/idx",
+      "doc_id", "f", "fhash", minFrames = 8)
+    store.append(framesOf(Seq((100L, "vC", 0L))))
+    feed.select("doc_id", "text", "fhashes").repartition(1)
+      .write.parquet(s"$tmp/feed")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrainWith(stream,
+      Seq((900L, evalLeakText)).toDF("doc_id", "text"), model,
+      b => {
+        val fr = b.select(col("doc_id"), posexplode(col("fhashes")))
+          .select(col("doc_id"), col("pos").cast("long").as("f"),
+            col("col").as("fhash"))
+        b.join(store.ingest(fr).select("doc_id").distinct(), Seq("doc_id"))
+      },
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val out = spark.read.parquet(s"$tmp/out")
+    def ids(stage: Int): Set[Long] =
+      out.filter(col("stage") === stage).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val clean = ids(0); val hq = ids(1); val admitted = ids(2)
+    assert(clean == (0L until 40L).toSet + 41L, "eval plant falls at stage 0")
+    assert(hq.contains(41L) && hq.subsetOf(clean) && hq != clean)
+    assert(admitted == hq - 41L,
+      "exactly the embedded clip of the corpus video falls at the clip stage")
+  }
+
   test("versioned funnel refuses to gate without a published model") {
     val tmp = java.nio.file.Files.createTempDirectory("funnel_nm").toString
     feedDocs.limit(4).select("doc_id", "text").write.parquet(s"$tmp/feed")
