@@ -522,6 +522,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Shared candidate generator of [[frameClipPairs]] and
+    * [[frameClipSpans]]: df-capped inverted-index self-join on the
+    * frame hash — only frames SHARING a signature ever meet. Columns:
+    * `(ida, idb, offset, fa)`, ida < idb. */
+  private def frameClipCandidates(frames: DataFrame, idCol: String,
+                                  frameCol: String, hashCol: String,
+                                  maxHashDf: Int): DataFrame = {
+    val base = frames.select(col(idCol).cast("long").as("id"),
+      col(frameCol).cast("long").as("f"), col(hashCol).as("h"))
+    val kept =
+      if (maxHashDf <= 0) base
+      else {
+        val df = base.groupBy("h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxHashDf).select("h")
+        base.join(df, Seq("h")) // inner: stop-hashes vanish entirely
+      }
+    val norm = kept.select(col("h"), col("id"), col("f")) // both branches → one column order
+    val a = norm.toDF("h", "ida", "fa")
+    val b = norm.toDF("h", "idb", "fb")
+    a.join(b, Seq("h")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), (col("fa") - col("fb")).as("offset"), col("fa"))
+  }
+
   /** Embedded-CLIP detection over per-frame signatures (the temporal
     * analog of winnowing's shared-fingerprint evidence): a video that
     * CONTAINS a segment of another shares frame hashes at ONE consistent
@@ -551,20 +574,8 @@ object Dedup {
                      hashCol: String, minFrames: Int,
                      maxHashDf: Int = 0): DataFrame = {
     require(minFrames >= 1, "minFrames must be positive")
-    val base = frames.select(col(idCol).cast("long").as("id"),
-      col(frameCol).cast("long").as("f"), col(hashCol).as("h"))
-    val kept =
-      if (maxHashDf <= 0) base
-      else {
-        val df = base.groupBy("h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxHashDf).select("h")
-        base.join(df, Seq("h")) // inner: stop-hashes vanish entirely
-      }
-    val norm = kept.select(col("h"), col("id"), col("f")) // both branches → one column order
-    val a = norm.toDF("h", "ida", "fa")
-    val b = norm.toDF("h", "idb", "fb")
-    a.join(b, Seq("h")).filter(col("ida") < col("idb"))
-      .groupBy(col("ida"), col("idb"), (col("fa") - col("fb")).as("offset"))
+    frameClipCandidates(frames, idCol, frameCol, hashCol, maxHashDf)
+      .groupBy(col("ida"), col("idb"), col("offset"))
       .agg(countDistinct(col("fa")).as("matched_frames"))
       .filter(col("matched_frames") >= minFrames)
   }
@@ -594,20 +605,7 @@ object Dedup {
                      hashCol: String, minRun: Int,
                      maxHashDf: Int = 0): DataFrame = {
     require(minRun >= 1, "minRun must be positive")
-    val base = frames.select(col(idCol).cast("long").as("id"),
-      col(frameCol).cast("long").as("f"), col(hashCol).as("h"))
-    val kept =
-      if (maxHashDf <= 0) base
-      else {
-        val df = base.groupBy("h").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxHashDf).select("h")
-        base.join(df, Seq("h"))
-      }
-    val norm = kept.select(col("h"), col("id"), col("f"))
-    val a = norm.toDF("h", "ida", "fa")
-    val b = norm.toDF("h", "idb", "fb")
-    val cells = a.join(b, Seq("h")).filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), (col("fa") - col("fb")).as("offset"), col("fa"))
+    val cells = frameClipCandidates(frames, idCol, frameCol, hashCol, maxHashDf)
       .dropDuplicates("ida", "idb", "offset", "fa")
     val w = Window.partitionBy("ida", "idb", "offset").orderBy(col("fa").asc)
     cells.withColumn("__grp", col("fa") - row_number().over(w))

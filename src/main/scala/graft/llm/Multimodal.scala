@@ -765,8 +765,8 @@ object Multimodal {
     * declared dimensions are capped BEFORE any per-pixel work, malformed
     * parameters / odd-dimension 4:2:0 / unknown colorspaces → None, and a
     * truncated trailing frame STOPS the walk (honest partial — complete
-    * frames keep their meaning; reference treats undecodable media the
-    * same way, `helper2/loader.py:18-40`). */
+    * frames keep their meaning, the same fail-soft contract as
+    * [[parseWav]] and [[mp4Boxes]]). */
   private def parseY4m(b: Array[Byte], maxPixels: Long,
                        maxFrames: Int): Option[Y4mStream] = {
     val magic = "YUV4MPEG2"
