@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   *     (dedup_video_fp) and embedded-clip vote (dedup_video_clip)
   *     pipelines at 1× and 10×; per-video Y4M decode dominates, the
   *     pair stages are banded / hash-keyed.
+  *  4. ClipIndexStore tick ladder — a FIXED candidate batch probed
+  *     against a 1× and a 10× stored frame index; plants must stay
+  *     exactly detected at both rungs.
   *
-  * Run: `sbt "Test/runMain graft.R18SoakMain [1|2|3|all]"`.
+  * Run: `sbt "Test/runMain graft.R18SoakMain [1|2|3|4|all]"`.
   */
 object R18SoakMain {
   def main(args: Array[String]): Unit = {
@@ -43,6 +46,7 @@ object R18SoakMain {
     if (which == "1" || which == "all") retrainLadder(spark)
     if (which == "2" || which == "all") phashLadder(spark)
     if (which == "3" || which == "all") videoLadder(spark)
+    if (which == "4" || which == "all") clipStoreLadder(spark)
     spark.stop()
   }
 
@@ -184,6 +188,51 @@ object R18SoakMain {
       println(f"[r18-soak] video ladder $label%3s ($n%5d docs): " +
         f"fp gen $tGenFp%5.2f s + hash $tFp%5.2f s + pairs $tFpPairs%5.2f s ($fpPairs pairs); " +
         f"clip gen $tGenClip%5.2f s + frame-hash $tFrames%5.2f s + vote $tClips%5.2f s ($clips clips)")
+    }
+  }
+
+  /** 4. ClipIndexStore tick ladder — the streaming clip store's per-tick
+    * probe/ingest wall for a FIXED candidate batch against a 1× and a
+    * 10× stored frame index (the [[graft.llm.MinhashIndexStore]] soak's
+    * video twin): the probe is a narrow stored-frame scan with the
+    * batch broadcast, so the tick should track the index scan linearly
+    * at worst — never quadratically — and the planted clips must stay
+    * exactly detected at both rungs. */
+  private def clipStoreLadder(spark: SparkSession): Unit = {
+    import graft.llm.ClipIndexStore
+    val tenx = "/dev/shm/graft_soak10x"
+    Soak.generate(spark, "/root/testdata/sf0.001", tenx, 10)
+    for ((dir, label) <- Seq(("/root/testdata/sf0.001", "1x"), (tenx, "10x"))) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val n = docs.count()
+      val corpusSeeds = docs.select(col("doc_id"),
+        concat(lit("vcs:"), col("doc_id").cast("string")).as("seed"),
+        lit(0L).as("off"), lit(false).as("pert"))
+      def framesOf(seeds: org.apache.spark.sql.DataFrame) =
+        Multimodal.videoFramePhash(spark,
+            Multimodal.syntheticY4m(spark, seeds, "doc_id", "seed", "off",
+              "pert", 8, 8, 24), grid = 8)
+          .toDF().select(col("media_id").as("vid_id"),
+            col("frame_index").cast("long").as("f"), col("fhash"))
+      val root = java.nio.file.Files.createTempDirectory("r18cs").toString + "/idx"
+      val store = new ClipIndexStore(spark, root, "vid_id", "f", "fhash",
+        minFrames = 8, maxHashDf = 64)
+      val (_, tBuild) = time(store.append(framesOf(corpusSeeds)))
+      // FIXED 100-video batch regardless of rung: half planted clips of
+      // corpus videos 0..49 (offset 7), half novel
+      val batchSeeds = spark.range(100).select(
+        (col("id") + 9000000L).as("doc_id"),
+        when(col("id") < 50, concat(lit("vcs:"), col("id").cast("string")))
+          .otherwise(concat(lit("novel:"), col("id").cast("string"))).as("seed"),
+        when(col("id") < 50, lit(7L)).otherwise(lit(0L)).as("off"),
+        lit(false).as("pert"))
+      val batch = framesOf(batchSeeds).localCheckpoint(false)
+      val (admitted, tTick) = time(
+        store.ingest(batch).select("vid_id").distinct().count())
+      require(admitted == 50, s"$label: expected 50 novel survivors, got $admitted")
+      println(f"[r18-soak] clip-store ladder $label%3s ($n%5d stored videos, " +
+        f"${n * 24}%6d frame rows): build $tBuild%5.2f s, " +
+        f"fixed-batch tick $tTick%5.2f s (50/100 admitted — all 50 clips caught)")
     }
   }
 }
