@@ -42,11 +42,24 @@ import graft.schema.TableConfig
   * probe already scans — a 2× constant on the per-tick stored read,
   * not a new asymptotic term (the probe's tick is O(index scan)
   * either way, the family's published shape).
-  */
+  *
+  * `buckets` sizes the frame table's partition fan-out (the siblings'
+  * pattern — a constructor knob, not a constant): 16 fits fixture
+  * scale; a 10⁹-frame index wants enough buckets that one bucket's
+  * winner slice fits a compaction task. The bucket function is part of
+  * the on-disk layout (tombstones must land beside their live rows),
+  * so reopen an existing store with the bucket count it was built
+  * with. `broadcastFrameLimit` bounds the probe's broadcast side: a
+  * micro-batch is small by construction, but a caller probing a BULK
+  * batch beyond the limit falls back to a shuffle join instead of
+  * materializing the batch on the driver. */
 final class ClipIndexStore(spark: SparkSession, root: String,
                            idCol: String, frameCol: String, hashCol: String,
-                           minFrames: Int, maxHashDf: Int = 0) {
+                           minFrames: Int, maxHashDf: Int = 0,
+                           buckets: Int = 16,
+                           broadcastFrameLimit: Long = 4L * 1000 * 1000) {
   require(minFrames >= 1, "minFrames must be positive")
+  require(buckets >= 1, "buckets must be positive")
 
   private val cfg = TableConfig("clipidx_frames", null, Seq(idCol, frameCol))
   private val frames = new MorStore(spark, s"$root/frames", "hb", cfg)
@@ -63,7 +76,7 @@ final class ClipIndexStore(spark: SparkSession, root: String,
 
   private def withBucket(fr: DataFrame): DataFrame =
     fr.select(col(idCol), col(frameCol), col(hashCol),
-      pmod(xxhash64(col(hashCol)), lit(16)).as("hb"))
+      pmod(xxhash64(col(hashCol)), lit(buckets)).as("hb"))
 
   /** Admit frame rows `(id, frame, hash)` unscreened: they become
     * probe-visible state. Replay reconciles by (id, frame). */
@@ -88,7 +101,13 @@ final class ClipIndexStore(spark: SparkSession, root: String,
       }
     val nb = batch.select(col(idCol).as("ida"), col(frameCol).as("fa"),
       col(hashCol).as("h"))
-    stored.join(broadcast(nb), Seq("h"))
+    // broadcast the batch only while it provably fits: limit+1 probes
+    // whether the frame count exceeds the ceiling without a full count
+    // of a large batch — past it, the hash equi-join shuffles instead
+    // (same answer, batch-side exchange instead of a driver broadcast)
+    val probeCap = math.min(broadcastFrameLimit + 1, Int.MaxValue.toLong).toInt
+    val small = nb.limit(probeCap).count() <= broadcastFrameLimit
+    stored.join(if (small) broadcast(nb) else nb, Seq("h"))
       .filter(col("ida") =!= col("idb"))
       .groupBy(col("ida"), col("idb"), (col("fb") - col("fa")).as("offset"))
       .agg(countDistinct(col("fa")).as("matched"))

@@ -766,7 +766,13 @@ object Multimodal {
     * parameters / odd-dimension 4:2:0 / unknown colorspaces → None, and a
     * truncated trailing frame STOPS the walk (honest partial — complete
     * frames keep their meaning, the same fail-soft contract as
-    * [[parseWav]] and [[mp4Boxes]]). */
+    * [[parseWav]] and [[mp4Boxes]]). Truncation and CORRUPTION are
+    * distinguished at the frame marker: bytes that END mid-`FRAME`
+    * header are a clean EOF cut (partial ok), but bytes that DISAGREE
+    * with the marker are mid-stream garbage — the stream's frame
+    * boundaries are unknowable past that point, so the whole payload
+    * refuses (None) rather than fingerprinting as a valid shorter
+    * video. */
   private def parseY4m(b: Array[Byte], maxPixels: Long,
                        maxFrames: Int): Option[Y4mStream] = {
     val magic = "YUV4MPEG2"
@@ -806,11 +812,23 @@ object Multimodal {
     val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
     var o = nl + 1
     while (o < b.length && offs.size < maxFrames) {
-      // frame header: "FRAME" + optional parameters + '\n'
-      if (o + 5 > b.length || ascii(b, o, 5) != "FRAME") return y4mPartial(offs, w, h, fn, fd)
+      // frame header: "FRAME" + optional parameters + '\n'. The marker
+      // bytes that ARE present must agree with "FRAME": a clean EOF cut
+      // mid-marker is truncation (partial ok below), but a disagreeing
+      // byte is mid-stream corruption — every later frame boundary is
+      // guesswork, so refuse the payload outright
+      val avail = math.min(5, b.length - o)
+      if (ascii(b, o, avail) != "FRAME".take(avail)) return None
+      if (o + 5 > b.length) return y4mPartial(offs, w, h, fn, fd)
       var e = o + 5
-      while (e < b.length && b(e) != '\n') e += 1
-      if (e >= b.length || e - o > 512) return y4mPartial(offs, w, h, fn, fd)
+      // an unterminated-but-overlong parameter run is not a truncation
+      // artifact (the line would have ended within 512 bytes) — corrupt
+      if (e - o > 512) return None
+      while (e < b.length && b(e) != '\n') {
+        e += 1
+        if (e - o > 512) return None
+      }
+      if (e >= b.length) return y4mPartial(offs, w, h, fn, fd)
       val dataStart = e + 1
       if (dataStart.toLong + frameSize > b.length) return y4mPartial(offs, w, h, fn, fd)
       offs += dataStart

@@ -540,15 +540,25 @@ object StreamOps {
                       threshold: Double,
                       admittedOut: String, checkpoint: String,
                       exactlyOnceSink: Boolean = false,
-                      onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
+                      onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    admissionDrain(stream, b => store.ingest(b, threshold),
+      admittedOut, checkpoint, exactlyOnceSink, onStage)
+
+  /** The shared drain loop of every persistent-index admission stream
+    * (MinHash / IVF / 64-bit signature / clip): one `ingest` tick per
+    * micro-batch, survivors to `admittedOut` through [[admittedWrite]].
+    * The four public drains differ ONLY in the store's ingest call. */
+  private def admissionDrain(stream: DataFrame, ingest: DataFrame => DataFrame,
+                             admittedOut: String, checkpoint: String,
+                             exactlyOnceSink: Boolean,
+                             onStage: (String, Double) => Unit): Unit = {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          admittedWrite(store.ingest(batch, threshold),
-            admittedOut, batchId, exactlyOnceSink)
+          admittedWrite(ingest(batch), admittedOut, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
@@ -576,21 +586,9 @@ object StreamOps {
                     threshold: Double,
                     admittedOut: String, checkpoint: String,
                     exactlyOnceSink: Boolean = false,
-                    onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t0 = System.nanoTime()
-        tickConf(batch.sparkSession) {
-          admittedWrite(index.ingestNearDup(batch, threshold),
-            admittedOut, batchId, exactlyOnceSink)
-        }
-        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
-      }
-      .start()
-    q.awaitTermination()
-  }
+                    onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    admissionDrain(stream, b => index.ingestNearDup(b, threshold),
+      admittedOut, checkpoint, exactlyOnceSink, onStage)
 
   /** Streaming 64-bit-signature near-dup admission: one
     * [[graft.llm.PhashIndexStore.ingest]] tick per micro-batch of
@@ -605,20 +603,9 @@ object StreamOps {
   def signatureDedupDrain(stream: DataFrame, store: graft.llm.PhashIndexStore,
                           admittedOut: String, checkpoint: String,
                           exactlyOnceSink: Boolean = false,
-                          onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t0 = System.nanoTime()
-        tickConf(batch.sparkSession) {
-          admittedWrite(store.ingest(batch), admittedOut, batchId, exactlyOnceSink)
-        }
-        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
-      }
-      .start()
-    q.awaitTermination()
-  }
+                          onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    admissionDrain(stream, store.ingest, admittedOut, checkpoint,
+      exactlyOnceSink, onStage)
 
   /** Streaming embedded-CLIP admission: one
     * [[graft.llm.ClipIndexStore.ingest]] tick per micro-batch of FRAME
@@ -635,20 +622,9 @@ object StreamOps {
   def clipDedupDrain(stream: DataFrame, store: graft.llm.ClipIndexStore,
                      admittedOut: String, checkpoint: String,
                      exactlyOnceSink: Boolean = false,
-                     onStage: (String, Double) => Unit = (_, _) => ()): Unit = {
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val t0 = System.nanoTime()
-        tickConf(batch.sparkSession) {
-          admittedWrite(store.ingest(batch), admittedOut, batchId, exactlyOnceSink)
-        }
-        onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
-      }
-      .start()
-    q.awaitTermination()
-  }
+                     onStage: (String, Double) => Unit = (_, _) => ()): Unit =
+    admissionDrain(stream, store.ingest, admittedOut, checkpoint,
+      exactlyOnceSink, onStage)
 
   /** The admitted-output writer every admission drain shares. Default
     * (`exactlyOnce = false`): plain append — at-least-once on crash

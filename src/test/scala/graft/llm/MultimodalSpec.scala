@@ -448,6 +448,19 @@ class MultimodalSpec extends SparkSpec {
     val partial = Multimodal.videoFingerprint(spark,
       Seq((95L, cut)).toDF("media_id", "content"), blocks = 8).collect().head
     assert(partial.ok && partial.n_frames.contains(8))
+    // MID-STREAM corruption is NOT truncation: garbage where a FRAME
+    // marker should sit makes every later boundary guesswork, so the
+    // payload refuses outright instead of fingerprinting as a valid
+    // shorter video (truncation keeps the complete prefix; corruption
+    // keeps nothing)
+    val corrupt = full.clone()
+    val hdrLen = new String(full, "ISO-8859-1").indexOf('\n') + 1
+    val frameBytes = 6 + 4 // "FRAME\n" + 2x2 mono luma
+    corrupt(hdrLen + 2 * frameBytes) = 'X'.toByte // garbage at frame 2's marker
+    val broken = Multimodal.videoFingerprint(spark,
+      Seq((96L, corrupt)).toDF("media_id", "content"), blocks = 2).collect().head
+    assert(!broken.ok && broken.vfp.isEmpty,
+      "mid-stream marker garbage must refuse, not truncate")
   }
 
   test("videoFramePhash: per-frame aHash with known split geometry; everyNth samples") {
