@@ -5124,6 +5124,33 @@ object SparkEntry {
         .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
     }),
 
+    "dedup_audio_fp_stereo" -> ((s, d) => {
+      // the STEREO leg of the audio content-dedup family: real-world
+      // WAV is mostly 2-channel, so the decode path DOWNMIXES L/R in
+      // integer arithmetic ((l+r)/2, truncating toward zero) instead
+      // of failing soft. Fixture: %10==3 docs carry a STEREO
+      // re-encoding of doc (id−3)'s mono stream — the channels
+      // genuinely differ per frame (base±d) but the downmix
+      // reconstructs the mono samples EXACTLY, so the planted pair
+      // fingerprints at hamming 0; every other doc is its plain mono
+      // stream. The oracle replays the stereo split AND the downmix
+      // from the same md5 arithmetic.
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("wav:"),
+          when(col("doc_id") % 10 === 3, col("doc_id") - 3)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        lit(false).as("pert"),
+        (col("doc_id") % 10 === 3).as("st"))
+      val media = Multimodal.syntheticPcmWav(s, seeds, "doc_id", "seed",
+        "pert", nSamples = 2048, stereoCol = "st")
+      val fp = Multimodal.audioFingerprint(s, media).toDF()
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("afp").as("simhash"))
+      graft.llm.Dedup.simhashPairsFromSignatures(fp, "doc_id",
+          maxHamming = 3, bits = 64, blocks = 6)
+        .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
+    }),
+
     "dedup_video_fp" -> ((s, d) => {
       // video CONTENT near-dup dedup — the third leg of the content-
       // fingerprint trio (image dedup_phash / audio dedup_audio_fp /
@@ -9619,6 +9646,40 @@ object SparkEntry {
         |bl AS (SELECT doc_id, (i * 64) // 2048 AS blk,
         |         SUM(abs(raw - 32768)) AS bs, COUNT(*) AS bc
         |       FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
+        |bits AS (SELECT b.doc_id, b.blk AS i,
+        |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        |         FROM bl b JOIN tot t ON t.doc_id = b.doc_id)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
+
+    // the stereo leg replayed INCLUDING the downmix: the fixture's
+    // stereo frames are (base+d, base−d) with d zeroed at the signed
+    // 16-bit rim, and the oracle re-derives d, re-applies the clamp,
+    // and computes the integer mix ((l+r)/2 — exact here, the sum is
+    // even by construction) before the envelope hash; the planted
+    // stereo twin therefore hashes bit-identically to its mono source
+    "dedup_audio_fp_stereo" ->
+      """WITH g AS (SELECT doc_id,
+        |        'wav:' || CAST(CASE WHEN doc_id % 10 = 3 THEN doc_id - 3
+        |                            ELSE doc_id END AS VARCHAR) AS seed,
+        |        doc_id % 10 = 3 AS st
+        |      FROM documents),
+        |sm AS (SELECT doc_id, i, st,
+        |         CAST('0x' || substring(md5(seed || ':' || i), 1, 4) AS BIGINT) - 32768 AS base,
+        |         CAST('0x' || substring(md5(seed || ':' || i), 5, 2) AS BIGINT) % 50 AS spread
+        |       FROM g, generate_series(0, 2047) t(i)),
+        |mx AS (SELECT doc_id, i,
+        |         CASE WHEN NOT st THEN base
+        |              ELSE ((base + dd) + (base - dd)) // 2 END AS raw
+        |       FROM (SELECT *, CASE WHEN base + spread > 32767 OR base - spread < -32768
+        |                            THEN 0 ELSE spread END AS dd FROM sm)),
+        |bl AS (SELECT doc_id, (i * 64) // 2048 AS blk,
+        |         SUM(abs(raw)) AS bs, COUNT(*) AS bc
+        |       FROM mx GROUP BY 1, 2),
         |tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
         |bits AS (SELECT b.doc_id, b.blk AS i,
         |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit

@@ -623,21 +623,30 @@ object Multimodal {
 
   // ── audio content fingerprinting (audio near-dup dedup) ──────────────
 
-  /** PCM16-mono sample decode: the chunk walk of [[parseWav]] plus the
-    * `data` payload as signed samples. Non-PCM / non-mono / non-16-bit
-    * streams → None (the honest fallback — a fingerprint over bytes we
-    * can't interpret would be garbage). Sample count is bounded by the
-    * input byte length; nothing allocates beyond it. */
-  private def wavPcm16MonoSamples(b: Array[Byte]): Option[Array[Int]] = {
+  /** PCM16 sample decode with a MONO view: the chunk walk of
+    * [[parseWav]] plus the `data` payload as signed samples. Mono
+    * streams decode bit-identically to the historical contract; STEREO
+    * streams downmix each L/R frame in integer arithmetic —
+    * `(l + r) / 2` with Java integer division, i.e. TRUNCATION TOWARD
+    * ZERO on an odd sum (so +3/+4 → +3 but −3/−4 → −3; the rounding is
+    * part of the replayable contract, document it wherever the mix is
+    * re-derived). Stereo is the common corpus case; refusing it forced
+    * fail-soft on half of real-world WAV. More than two channels,
+    * non-PCM, or non-16-bit still → None (the honest fallback — a
+    * fingerprint over bytes we can't interpret would be garbage).
+    * Sample count is bounded by the input byte length; nothing
+    * allocates beyond it. */
+  private[llm] def wavPcm16MonoSamples(b: Array[Byte]): Option[Array[Int]] = {
     if (b == null || b.length < 44 ||
         ascii(b, 0, 4) != "RIFF" || ascii(b, 8, 4) != "WAVE") return None
-    var o = 12; var fmtOk = false; var seenFmt = false
+    var o = 12; var fmtOk = false; var seenFmt = false; var nCh = 0
     var dataOff = -1; var dataLen = 0
     while (o + 8 <= b.length && (!seenFmt || dataOff < 0)) {
       val cid = ascii(b, o, 4); val sz = leInt(b, o + 4).toLong & 0xFFFFFFFFL
       if (cid == "fmt " && o + 24 <= b.length) {
         seenFmt = true
-        fmtOk = leShort(b, o + 8) == 1 && leShort(b, o + 10) == 1 &&
+        nCh = leShort(b, o + 10)
+        fmtOk = leShort(b, o + 8) == 1 && (nCh == 1 || nCh == 2) &&
           leShort(b, o + 22) == 16
       }
       if (cid == "data") {
@@ -647,32 +656,37 @@ object Multimodal {
       val next = o.toLong + 8L + sz + (sz & 1L)
       o = if (next > Int.MaxValue.toLong) b.length else next.toInt
     }
+    def signed(off: Int): Int = {
+      val s = leShort(b, off); if (s >= 32768) s - 65536 else s
+    }
     if (!fmtOk || dataOff < 0) None
-    else Some(Array.tabulate(dataLen / 2) { i =>
-      val s = leShort(b, dataOff + 2 * i)
-      if (s >= 32768) s - 65536 else s
+    else if (nCh == 1) Some(Array.tabulate(dataLen / 2)(i => signed(dataOff + 2 * i)))
+    else Some(Array.tabulate(dataLen / 4) { i =>
+      (signed(dataOff + 4 * i) + signed(dataOff + 4 * i + 2)) / 2
     })
   }
 
   /** One audio stream's content fingerprint. `ok = false` marks
-    * payloads that are not decodable PCM16-mono WAV or are shorter
-    * than the block grid. */
+    * payloads that are not decodable PCM16 mono/stereo WAV or are
+    * shorter than the block grid. */
   final case class AudioFpRow(media_id: Long, ok: Boolean,
                               afp: Option[Long], n_samples: Option[Int])
 
   /** Energy-envelope fingerprint over DECODED samples — the audio leg
     * of the content-dedup family ([[imagePhash]]'s exact pattern one
-    * modality over): decode PCM16-mono WAV, box-downsample the
-    * absolute-amplitude envelope into `blocks` integer block sums,
-    * bit(b) = 1 iff block b's mean energy exceeds the stream mean
-    * (exact cross-multiplied integers, engine-replayable). Robust to
-    * uniform gain the same way aHash is robust to brightness; near-dup
-    * admission composes with [[Dedup.simhashPairsFromSignatures]] /
-    * [[PhashIndexStore]] over the `afp` column (both operate on any
-    * 64-bit signature). Non-WAV/compressed payloads come back
-    * `ok = false` — fingerprinting MP3 content would need a real
-    * decoder, which is exactly the stub boundary the multimodal family
-    * documents. */
+    * modality over): decode PCM16 WAV (mono directly; STEREO through
+    * the integer L/R downmix — `(l+r)/2` truncating toward zero — so a
+    * stereo encoding of a mono stream fingerprints IDENTICALLY to it),
+    * box-downsample the absolute-amplitude envelope into `blocks`
+    * integer block sums, bit(b) = 1 iff block b's mean energy exceeds
+    * the stream mean (exact cross-multiplied integers,
+    * engine-replayable). Robust to uniform gain the same way aHash is
+    * robust to brightness; near-dup admission composes with
+    * [[Dedup.simhashPairsFromSignatures]] / [[PhashIndexStore]] over
+    * the `afp` column (both operate on any 64-bit signature).
+    * Non-WAV/compressed payloads come back `ok = false` —
+    * fingerprinting MP3 content would need a real decoder, which is
+    * exactly the stub boundary the multimodal family documents. */
   def audioFingerprint(spark: SparkSession, media: DataFrame,
                        blocks: Int = 64): Dataset[AudioFpRow] = {
     import spark.implicits._
@@ -703,39 +717,60 @@ object Multimodal {
       }
   }
 
-  /** Deterministic synthetic PCM16-mono WAV per row — the audio
-    * fingerprint test/oracle fixture (the WAV twin of
-    * [[syntheticGrayMedia]]): sample i of a row with seed `s` is the
-    * first four hex chars of `md5("<s>:<i>")` (0..65535) minus 32768,
-    * replayable in any engine with a standard md5. Rows with
-    * `perturbCol` true get sample 0 shifted by +12345 mod 2^16 — a
-    * planted NEAR-duplicate of the same seed's base stream. */
+  /** Deterministic synthetic PCM16 WAV per row — the audio fingerprint
+    * test/oracle fixture (the WAV twin of [[syntheticGrayMedia]]):
+    * sample i of a row with seed `s` is the first four hex chars of
+    * `md5("<s>:<i>")` (0..65535) minus 32768, replayable in any engine
+    * with a standard md5. Rows with `perturbCol` true get sample 0
+    * shifted by +12345 mod 2^16 — a planted NEAR-duplicate of the same
+    * seed's base stream.
+    *
+    * `stereoCol` (a boolean column name; "" = all mono) plants STEREO
+    * twins: a stereo row encodes frame i as `(base+d, base−d)` where
+    * `d` is hex chars 5-6 of the same md5 mod 50, zeroed when either
+    * side would leave the signed 16-bit range — so the L/R channels
+    * genuinely differ, but the integer downmix `(l+r)/2 = base`
+    * reconstructs the seed's mono stream EXACTLY (the sum is even by
+    * construction; no truncation ambiguity in the fixture, though the
+    * decoder's contract truncates toward zero on odd sums). */
   def syntheticPcmWav(spark: SparkSession, rows: DataFrame,
                       idCol: String, seedCol: String, perturbCol: String,
-                      nSamples: Int, sampleRate: Int = 8000): DataFrame = {
+                      nSamples: Int, sampleRate: Int = 8000,
+                      stereoCol: String = ""): DataFrame = {
     import spark.implicits._
     val (n, sr) = (nSamples, sampleRate)
+    val stereoC =
+      if (stereoCol.isEmpty) lit(false) else col(stereoCol).cast(BooleanType)
     rows.select(col(idCol).cast(LongType), col(seedCol).cast(StringType),
-        col(perturbCol).cast(BooleanType))
-      .as[(Long, String, Boolean)]
+        col(perturbCol).cast(BooleanType), stereoC)
+      .as[(Long, String, Boolean, Boolean)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, seed, pert) =>
-          val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        it.map { case (id, seed, pert, stereo) =>
+          val ch = if (stereo) 2 else 1
+          val dataBytes = 2 * ch * n
+          val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
             .put("WAVE".getBytes("US-ASCII"))
             .put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1.toShort).putShort(1.toShort).putInt(sr)
-            .putInt(sr * 2).putShort(2.toShort).putShort(16.toShort)
-            .put("data".getBytes("US-ASCII")).putInt(2 * n)
+            .putShort(1.toShort).putShort(ch.toShort).putInt(sr)
+            .putInt(sr * 2 * ch).putShort((2 * ch).toShort).putShort(16.toShort)
+            .put("data".getBytes("US-ASCII")).putInt(dataBytes)
           var i = 0
           while (i < n) {
             md.reset()
             val d = md.digest(s"$seed:$i".getBytes("UTF-8"))
             var raw = ((d(0) & 0xFF) << 8) | (d(1) & 0xFF)
             if (pert && i == 0) raw = (raw + 12345) % 65536
-            bb.putShort((raw - 32768).toShort)
+            val base = raw - 32768
+            if (!stereo) bb.putShort(base.toShort)
+            else {
+              val spread = (d(2) & 0xFF) % 50
+              val dd = if (base + spread > 32767 || base - spread < -32768) 0
+                       else spread
+              bb.putShort((base + dd).toShort).putShort((base - dd).toShort)
+            }
             i += 1
           }
           (id, bb.array())

@@ -321,16 +321,49 @@ class MultimodalSpec extends SparkSpec {
       spark, Seq((9L, "w1", false)).toDF("doc_id", "seed", "pert"),
       "doc_id", "seed", "pert", 2048)).collect().head
     assert(twin.afp.get == h(1L))
-    // honest fallbacks: junk bytes, MP3 (no PCM to decode), stereo WAV,
-    // and a stream shorter than the block grid
+    // honest fallbacks: junk bytes, MP3 (no PCM to decode), >2-channel
+    // WAV (no defined downmix), and a stream shorter than the block grid
     val bad = Seq(
       (90L, "not audio".getBytes("UTF-8")),
       (91L, Multimodal.fakeMp3(128, 44100, stereo = false, nFrames = 4)),
-      (92L, Multimodal.silentWav(8000, channels = 2, bitsPerSample = 16, nSamples = 256)),
+      (92L, Multimodal.silentWav(8000, channels = 3, bitsPerSample = 16, nSamples = 256)),
       (93L, Multimodal.silentWav(8000, channels = 1, bitsPerSample = 16, nSamples = 16)))
       .toDF("media_id", "content")
     val rs = Multimodal.audioFingerprint(spark, bad).collect()
     assert(rs.forall(r => !r.ok && r.afp.isEmpty), rs.mkString(","))
+  }
+
+  test("stereo WAV downmixes (l+r)/2 truncating toward zero; stereo twin fingerprints as its mono source") {
+    // hand-built frames pin the ROUNDING: (3,4)→3 and (−3,−4)→−3 (Java
+    // integer division truncates toward zero — floor would give −4)
+    val frames = Seq((3, 4), (-3, -4), (100, 200), (-32768, -32768))
+    val wav = Multimodal.silentWav(8000, channels = 2, bitsPerSample = 16,
+      nSamples = frames.length)
+    val bb = java.nio.ByteBuffer.wrap(wav, 44, 4 * frames.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    frames.foreach { case (l, r) => bb.putShort(l.toShort).putShort(r.toShort) }
+    assert(Multimodal.wavPcm16MonoSamples(wav).get.toSeq ==
+      Seq(3, -3, 150, -32768))
+    // mono decode is bit-identical to the historical contract
+    val mono = Multimodal.silentWav(8000, 1, 16, 3)
+    java.nio.ByteBuffer.wrap(mono, 44, 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(7.toShort).putShort((-9).toShort).putShort(32767.toShort)
+    assert(Multimodal.wavPcm16MonoSamples(mono).get.toSeq == Seq(7, -9, 32767))
+    // the fixture's planted stereo twin (base±d frames, clamp at the
+    // rim) fingerprints IDENTICALLY to the seed's mono stream — the
+    // green-query property, asserted at the operator level
+    val rows = Seq((1L, "w1", false, false), (2L, "w1", false, true))
+      .toDF("doc_id", "seed", "pert", "st")
+    val media = Multimodal.syntheticPcmWav(spark, rows,
+      "doc_id", "seed", "pert", nSamples = 2048, stereoCol = "st")
+    val h = Multimodal.audioFingerprint(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(h(1L).ok && h(2L).ok && h(1L).afp == h(2L).afp,
+      s"stereo twin must hash as its mono downmix: ${h(1L).afp} vs ${h(2L).afp}")
+    // and the stereo payload really is 2-channel with differing sides
+    val meta = Multimodal.audioMeta(spark,
+      media.filter(col("media_id") === 2L)).collect().head
+    assert(meta.channels.contains(2))
   }
 
   test("imagePhash near-dup: a one-pixel perturbation stays within hamming 3; distinct images are far") {
