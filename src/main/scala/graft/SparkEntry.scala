@@ -5098,6 +5098,43 @@ object SparkEntry {
         .select(col("ida"), col("idb"), col("hamming").cast("long").as("hamming"))
     }),
 
+    "dedup_dhash_brightness" -> ((s, d) => {
+      // dHash's reason to exist, exercised: a VERTICAL brightness ramp
+      // (a global illumination gradient — a re-scan/re-render of the
+      // same image) shifts every row's absolute luma, so aHash's
+      // mean-relative bits flip — but horizontal neighbor ORDER within
+      // a row is untouched, so dHash is bit-identical. Fixture:
+      // md5-pixel images over a 0..179 base range (headroom: +5·y ≤ 75
+      // keeps every pixel ≤ 254, no wrap); %10==8 docs carry doc
+      // (id−8)'s image with the ramp applied. Output: dHash-banded
+      // pairs carrying BOTH hammings — every planted pair reads
+      // dhash_hamming 0 next to a far ahash_hamming, the measured
+      // robustness claim itself (the oracle replays both hashes).
+      val seeds = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("img2:"),
+          when(col("doc_id") % 10 === 8, col("doc_id") - 8)
+            .otherwise(col("doc_id")).cast("string")).as("seed"),
+        lit(false).as("pert"),
+        when(col("doc_id") % 10 === 8, lit(5L)).otherwise(lit(0L)).as("ramp"))
+      val media = Multimodal.syntheticGrayMedia(s, seeds, "doc_id", "seed",
+        "pert", 16, 16, valueMod = 180, rampCol = "ramp")
+      val hashed = Multimodal.imagePhash(s, media, grid = 8).toDF()
+        .filter(col("ok"))
+        .select(col("media_id").as("doc_id"), col("ahash"), col("dhash"))
+        .localCheckpoint(false) // feeds the banding AND the ahash re-join
+      graft.llm.Dedup.simhashPairsFromSignatures(
+          hashed.select(col("doc_id"), col("dhash").as("simhash")), "doc_id",
+          maxHamming = 3, bits = 64, blocks = 6)
+        .join(hashed.select(col("doc_id").as("ida"), col("ahash").as("__aa")),
+          Seq("ida"))
+        .join(hashed.select(col("doc_id").as("idb"), col("ahash").as("__ab")),
+          Seq("idb"))
+        .select(col("ida"), col("idb"),
+          col("hamming").cast("long").as("dhash_hamming"),
+          graft.llm.Dedup.hamming(col("__aa"), col("__ab"))
+            .cast("long").as("ahash_hamming"))
+    }),
+
     "dedup_audio_fp" -> ((s, d) => {
       // audio CONTENT near-dup dedup — the WAV leg of the content-
       // fingerprint family (dedup_phash one modality over): decode
@@ -9719,6 +9756,47 @@ object SparkEntry {
         |FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
         |GROUP BY 1, 2
         |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
+
+    // BOTH perceptual hashes replayed over the brightness-ramp fixture:
+    // aHash bits are mean-relative (cross-multiplied block vs image
+    // sums), dHash bits compare horizontal neighbor blocks (by·7+bx —
+    // grid 8 gives 56 bits, the top 8 are zero on both engines). The
+    // all-pairs join runs on the dHash bits (the banded Spark plan is
+    // recall-exact at hamming ≤ 3); the aHash hamming rides along per
+    // surviving pair.
+    "dedup_dhash_brightness" ->
+      """WITH g AS (SELECT doc_id,
+        |        'img2:' || CAST(CASE WHEN doc_id % 10 = 8 THEN doc_id - 8
+        |                             ELSE doc_id END AS VARCHAR) AS seed,
+        |        CASE WHEN doc_id % 10 = 8 THEN 5 ELSE 0 END AS ramp
+        |      FROM documents),
+        |px AS (SELECT doc_id, x, y,
+        |         CAST('0x' || substring(md5(seed || ':' || x || ':' || y), 1, 4) AS BIGINT) % 180
+        |           + ramp * y AS v
+        |       FROM g, generate_series(0, 15) t1(x), generate_series(0, 15) t2(y)),
+        |bl AS (SELECT doc_id, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
+        |         SUM(1000 * v) AS bs, COUNT(*) AS bc
+        |       FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
+        |abits AS (SELECT b.doc_id, b.by * 8 + b.bx AS i,
+        |            CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+        |          FROM bl b JOIN tot t ON t.doc_id = b.doc_id),
+        |dbits AS (SELECT l.doc_id, l.by * 7 + l.bx AS i,
+        |            CASE WHEN r.bs * l.bc > l.bs * r.bc THEN 1 ELSE 0 END AS bit
+        |          FROM bl l JOIN bl r
+        |            ON r.doc_id = l.doc_id AND r.by = l.by AND r.bx = l.bx + 1),
+        |dh AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hd
+        |       FROM dbits a JOIN dbits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2
+        |       HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+        |ah AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ha
+        |       FROM abits a JOIN abits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT dh.ida, dh.idb, CAST(dh.hd AS BIGINT) AS dhash_hamming,
+        |       CAST(ah.ha AS BIGINT) AS ahash_hamming
+        |FROM dh JOIN ah ON ah.ida = dh.ida AND ah.idb = dh.idb""".stripMargin,
 
     // the video temporal-envelope fingerprint replayed from first
     // principles (the dedup_phash/dedup_audio_fp pattern, third

@@ -1047,18 +1047,30 @@ object Multimodal {
     * +40 mod 256 — a planted NEAR-duplicate of the same seed's base
     * image. PNG is lossless and `TYPE_INT_RGB` bypasses gray-colorspace
     * gamma, so the decode returns these exact values. Codec work in
-    * `mapPartitions`; O(w·h) md5s per row. */
+    * `mapPartitions`; O(w·h) md5s per row.
+    *
+    * `valueMod` narrows the base range (md5 mod `valueMod`) and
+    * `rampCol` (a LONG column; "" = none) adds a VERTICAL brightness
+    * ramp `+ramp·y` on top — the global-illumination-gradient fixture
+    * for the aHash-vs-dHash robustness query (a ramp shifts every
+    * row's absolute luma but not horizontal neighbor order). The
+    * caller keeps `valueMod − 1 + ramp·(height−1) ≤ 255`; wrap-around
+    * would scramble neighbor order and the generator refuses it.
+    * Defaults reproduce the historical bytes exactly. */
   def syntheticGrayMedia(spark: SparkSession, rows: DataFrame,
                          idCol: String, seedCol: String, perturbCol: String,
-                         width: Int, height: Int): DataFrame = {
+                         width: Int, height: Int,
+                         valueMod: Int = 256, rampCol: String = ""): DataFrame = {
     import spark.implicits._
-    val (w, h) = (width, height)
+    require(valueMod >= 1 && valueMod <= 256, "valueMod must be in 1..256")
+    val (w, h, vm) = (width, height, valueMod)
+    val rampC = if (rampCol.isEmpty) lit(0L) else col(rampCol).cast(LongType)
     rows.select(col(idCol).cast(LongType), col(seedCol).cast(StringType),
-        col(perturbCol).cast(BooleanType))
-      .as[(Long, String, Boolean)]
+        col(perturbCol).cast(BooleanType), rampC)
+      .as[(Long, String, Boolean, Long)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, seed, pert) =>
+        it.map { case (id, seed, pert, ramp) =>
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -1067,8 +1079,11 @@ object Multimodal {
             while (x < w) {
               md.reset()
               val d = md.digest(s"$seed:$x:$y".getBytes("UTF-8"))
-              var v = (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % 256
-              if (pert && x == 0 && y == 0) v = (v + 40) % 256
+              var v = ((((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % vm +
+                (if (pert && x == 0 && y == 0) 40 else 0)) % 256
+              v += (ramp * y).toInt
+              require(v <= 255,
+                s"ramp $ramp wraps pixel ($x,$y)=$v past 255 — shrink valueMod or the ramp")
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }

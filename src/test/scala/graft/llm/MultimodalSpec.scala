@@ -366,6 +366,30 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.channels.contains(2))
   }
 
+  test("dHash survives a vertical brightness ramp that breaks aHash") {
+    // same seed, one row ramped +5·y (base range 0..179 keeps every
+    // pixel ≤ 254 — no wrap): horizontal neighbor order is untouched,
+    // so dHash is bit-identical, while the mean-relative aHash flips
+    val rows = Seq((1L, "rb", false, 0L), (2L, "rb", false, 5L))
+      .toDF("doc_id", "seed", "pert", "ramp")
+    val media = Multimodal.syntheticGrayMedia(spark, rows,
+      "doc_id", "seed", "pert", 16, 16, valueMod = 180, rampCol = "ramp")
+    val h = Multimodal.imagePhash(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(h(1L).dhash == h(2L).dhash,
+      s"ramp must not move dHash: ${h(1L).dhash} vs ${h(2L).dhash}")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L).ahash.get, h(2L).ahash.get) > 3,
+      "the ramp must break the mean-relative aHash (else the query proves nothing)")
+    // a wrapping ramp refuses loudly instead of scrambling neighbor order
+    val wrap = Seq((3L, "rb", false, 20L)).toDF("doc_id", "seed", "pert", "ramp")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.syntheticGrayMedia(spark, wrap,
+        "doc_id", "seed", "pert", 16, 16, valueMod = 180, rampCol = "ramp")
+        .collect()
+    }
+  }
+
   test("imagePhash near-dup: a one-pixel perturbation stays within hamming 3; distinct images are far") {
     val rows = Seq((1L, "s1", false), (2L, "s1", true), (3L, "s2", false))
       .toDF("doc_id", "seed", "pert")
