@@ -2377,6 +2377,42 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    "dedup_index_expire" -> ((s, d) => {
+      // the RETENTION leg of the persistent dedup index: admission
+      // rows are stamped with a monotonic tick, expire(beforeAdm)
+      // evicts everything older through the MorStore delta path, and
+      // gcTombstones physically reclaims the evicted bytes. Fixture:
+      // two corpus generations (gen-1 = %10∈{1,2} at adm 1, gen-2 =
+      // %10∈{6,7} at adm 2), expire(2) evicts gen-1, then a feed
+      // ingests: %20==0 docs carry an EXPIRED near-dup (doc id+1's
+      // gen-1 text — ADMITS, the recall-horizon trade made visible),
+      // %20==10 docs carry a LIVE near-dup (doc id−4's gen-2 text —
+      // REJECTED, attributed). The oracle replays the end state:
+      // exact Jaccard against gen-2 only.
+      import graft.llm.MinhashIndexStore
+      val tmp = scratchDir("dedup_expire")
+      val docs = Tables.documents(s, d)
+      val store = new MinhashIndexStore(s, s"$tmp/idx", "doc_id", "text")
+      store.append(docs.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2)
+        .select("doc_id", "text"), adm = 1L)
+      store.append(docs.filter(col("doc_id") % 10 === 6 || col("doc_id") % 10 === 7)
+        .select("doc_id", "text"), adm = 2L)
+      store.expire(2L)
+      store.gcTombstones()
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 10, col("doc_id") - 4)
+        .otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), srcId.as("__src"))
+        .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
+        .select("doc_id", "text")
+      val (admitted, matches) = store.ingestWithMatches(feed, 0.8, adm = 3L)
+      admitted.select(col("doc_id"), lit("admitted").as("outcome"),
+          lit(null).cast("long").as("match_id"))
+        .unionByName(matches.select(col("doc_id"), lit("rejected").as("outcome"),
+          col("match_id").cast("long")))
+    }),
+
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
       // near-dups to find; random embeddings never reach cosine 0.95, so
@@ -8295,6 +8331,37 @@ object SparkEntry {
         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 5 = 0 AND doc_id NOT IN (SELECT dup_id FROM dup)""".stripMargin,
+
+    // the retention leg replayed as its END STATE: after expire(2) the
+    // probe-visible corpus is exactly generation 2 (%10 ∈ {6,7}), so a
+    // feed doc is rejected iff a gen-2 doc matches at 0.8 Jaccard —
+    // feed docs carrying an EXPIRED gen-1 text must come back admitted
+    "dedup_index_expire" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |feed AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+        |                WHEN doc_id % 20 = 10 THEN doc_id - 4
+        |                ELSE doc_id END AS src
+        |         FROM documents WHERE doc_id % 5 = 0),
+        |fs AS (SELECT f.doc_id, s.s FROM feed f JOIN sh s ON s.doc_id = f.src),
+        |live AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 IN (6, 7)),
+        |dup AS (SELECT a.doc_id, MIN(x.doc_id) AS match_id
+        |        FROM fs a JOIN live x
+        |          ON x.doc_id <> a.doc_id
+        |         AND len(a.s) >= 0.8 * len(x.s) AND len(x.s) >= 0.8 * len(a.s)
+        |         AND len(list_intersect(a.s, x.s)) * 1.0 /
+        |             (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+        |        GROUP BY a.doc_id)
+        |SELECT f.doc_id, 'admitted' AS outcome, CAST(NULL AS BIGINT) AS match_id
+        |FROM feed f WHERE f.doc_id NOT IN (SELECT doc_id FROM dup)
+        |UNION ALL
+        |SELECT doc_id, 'rejected', CAST(match_id AS BIGINT) FROM dup""".stripMargin,
 
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),

@@ -79,8 +79,50 @@ final class ClipIndexStore(spark: SparkSession, root: String,
       pmod(xxhash64(col(hashCol)), lit(buckets)).as("hb"))
 
   /** Admit frame rows `(id, frame, hash)` unscreened: they become
-    * probe-visible state. Replay reconciles by (id, frame). */
-  def append(fr: DataFrame): Unit = frames.mergeBatch(withBucket(fr), cfg)
+    * probe-visible state (stamped `adm` — the retention clock).
+    * Replay reconciles by (id, frame). */
+  def append(fr: DataFrame, adm: Long = 0L): Unit =
+    frames.mergeBatch(withBucket(fr)
+      .withColumn(MinhashIndexStore.AdmCol, lit(adm)), cfg)
+
+  /** Remove videos from probe visibility: tombstones at every stored
+    * (id, frame) residence. The frame table partitions on a HASH
+    * bucket, so the tombstones are derived from the stored rows
+    * themselves (an id-semi-joined scan — the partition of each live
+    * row is only knowable from its hash); O(ids' frames) appended
+    * bytes through the delta path. */
+  def remove(ids: DataFrame): Unit = {
+    val idOnly = ids.select(col(idCol)).distinct()
+    frames.read.foreach { st =>
+      val doomed = st.join(broadcast(idOnly), Seq(idCol), "left_semi")
+        .select(col(idCol), col(frameCol), col("hb")).localCheckpoint(false)
+      if (!doomed.isEmpty) frames.delete(doomed)
+    }
+  }
+
+  /** RETENTION: evict every video whose latest admission stamp
+    * precedes `beforeAdm` — [[MinhashIndexStore.expire]]'s contract
+    * verbatim (tombstones through the delta path; an expired clip
+    * source stops screening so its re-delivery re-admits; pre-stamp
+    * rows never expire; one narrow scan per call). */
+  def expire(beforeAdm: Long): Long = {
+    val expired = frames.read match {
+      case Some(df) if df.columns.contains(MinhashIndexStore.AdmCol) =>
+        df.groupBy(col(idCol))
+          .agg(max(col(MinhashIndexStore.AdmCol)).as("__a"))
+          .filter(col("__a").isNotNull && col("__a") < beforeAdm)
+          .select(col(idCol)).localCheckpoint(false)
+      case _ => return 0L
+    }
+    val n = expired.count()
+    if (n > 0) remove(expired)
+    n
+  }
+
+  /** Segment GC: re-materialize the live frame rows, physically
+    * dropping tombstone winners (legal: no reconcile cursor — see
+    * [[MinhashIndexStore.gcTombstones]]). */
+  def gcTombstones(): Unit = frames.read.foreach(frames.snapshot)
 
   /** The probe's REJECT side, attributed: one `(id, match_id)` row per
     * batch video with a qualifying vote cell against the index,
@@ -128,12 +170,13 @@ final class ClipIndexStore(spark: SparkSession, root: String,
     * the survivor side. Same replay contract as
     * [[MinhashIndexStore.ingest]]: the STORE converges; the survivor
     * list is at-least-once. */
-  def ingestWithMatches(batch: DataFrame): (DataFrame, DataFrame) = {
+  def ingestWithMatches(batch: DataFrame,
+                        adm: Long = 0L): (DataFrame, DataFrame) = {
     val matches = probeMatches(batch).localCheckpoint(false)
     val survivors = batch.join(matches, Seq(idCol), "left_anti")
       .localCheckpoint(false)
     if (!survivors.isEmpty)
-      append(survivors.select(col(idCol), col(frameCol), col(hashCol)))
+      append(survivors.select(col(idCol), col(frameCol), col(hashCol)), adm)
     (survivors, matches)
   }
 

@@ -148,7 +148,7 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * re-appends land in their original partition. */
   private def textPartition = pmod(xxhash64(col(idCol)), lit(16L))
 
-  def append(docs: DataFrame): Unit = {
+  def append(docs: DataFrame, adm: Long = 0L): Unit = {
     ensureFormat()
     txts.mergeBatch(
       docs.select(col(idCol), col(textCol))
@@ -156,8 +156,55 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
       TableConfig("mhidx_texts", null, Seq(idCol)))
     sigs.mergeBatch(
       Dedup.minhashBands(Dedup.parallelize(docs), idCol, textCol,
-        numHashes, bands, shingleSize),
+        numHashes, bands, shingleSize)
+        .withColumn(MinhashIndexStore.AdmCol, lit(adm)),
       TableConfig("mhidx_sigs", null, Seq(idCol, "band")))
+  }
+
+  /** RETENTION: drop every doc whose latest admission stamp precedes
+    * `beforeAdm` — the sliding-window leg a year-long ingest door needs
+    * (without it admission state grows forever; the reference's analog
+    * is its partition-window delete-and-reload). `adm` is whatever
+    * monotonic tick the caller stamps at [[append]]/[[ingest]] time
+    * (batch id, event-time day). Eviction goes through the MorStore
+    * DELTA path ([[remove]] — O(expired) tombstone bytes, replay still
+    * converges), so an expired near-dup RE-ADMITS on its next
+    * delivery: retention is a recall horizon, exactly the bounded
+    * backdate-window trade the streaming family documents. Rows
+    * written before the stamp existed read NULL and never expire
+    * (unknowable age — honest refusal, not silent eviction). Cost: one
+    * narrow (id, stamp) scan of the signature table per call — the
+    * retention cadence, not the tick path. Returns the evicted-id
+    * count. */
+  def expire(beforeAdm: Long): Long = {
+    ensureFormat()
+    val expired = sigs.read match {
+      case Some(df) if df.columns.contains(MinhashIndexStore.AdmCol) =>
+        df.groupBy(col(idCol))
+          .agg(max(col(MinhashIndexStore.AdmCol)).as("__a"))
+          .filter(col("__a").isNotNull && col("__a") < beforeAdm)
+          .select(col(idCol)).localCheckpoint(false)
+      case _ => return 0L
+    }
+    val n = expired.count()
+    if (n > 0) remove(expired)
+    n
+  }
+
+  /** Segment GC for the retention path: re-materialize both tables'
+    * LIVE rows in one snapshot each, physically dropping tombstone
+    * winners and superseded versions (legal here and only here:
+    * neither table has a reconcile cursor, so a future re-append beats
+    * the vanished tombstone by commit sequence anyway — the hazard
+    * [[graft.pipeline.MorStore.compact]] retains tombstones against
+    * cannot occur). Without this an expire-on-a-cadence store still
+    * holds every evicted doc's tombstone keys forever. O(live) rewrite
+    * — the retention cadence; read-equivalent at every point (the
+    * snapshot commit is atomic). */
+  def gcTombstones(): Unit = {
+    ensureFormat()
+    sigs.read.foreach(sigs.snapshot)
+    txts.read.foreach(txts.snapshot)
   }
 
   /** Batch docs that survive screening against the indexed corpus:
@@ -230,9 +277,10 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * survivor list of a replay may be smaller — a first-tick survivor
     * whose in-batch near-dup twin was also admitted now reads as a dup
     * of store content, which is the truthful answer. */
-  def ingest(newDocs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def ingest(newDocs: DataFrame, threshold: Double = 0.8,
+             adm: Long = 0L): DataFrame = {
     val survivors = probe(newDocs, threshold).localCheckpoint(false)
-    append(survivors)
+    append(survivors, adm)
     survivors
   }
 
@@ -245,11 +293,19 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * ([[graft.streaming.StreamOps.curationFunnelDrainAudited]]). Same
     * replay contract as [[ingest]]. */
   def ingestWithMatches(newDocs: DataFrame,
-                        threshold: Double = 0.8): (DataFrame, DataFrame) = {
+                        threshold: Double = 0.8,
+                        adm: Long = 0L): (DataFrame, DataFrame) = {
     val matches = probeMatches(newDocs, threshold).localCheckpoint(false)
     val survivors = newDocs.join(matches, Seq(idCol), "left_anti")
       .localCheckpoint(false)
-    append(survivors)
+    append(survivors, adm)
     (survivors, matches)
   }
+}
+
+object MinhashIndexStore {
+  /** The admission stamp column every signature-store ingest writes —
+    * the retention clock [[MinhashIndexStore.expire]] (and the
+    * Phash/Clip twins) evicts against. */
+  private[llm] val AdmCol = "__adm"
 }

@@ -54,10 +54,47 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
       hashes.select(col(idCol), col("ahash").as("simhash")),
       idCol, maxHamming, bits = 64, blocks = blocks)
 
+  // band ids run 0 until C(blocks, blocks − maxHamming) — the
+  // pigeonhole split's combination count, what remove() must tombstone
+  private val numBands =
+    (0 until blocks).combinations(blocks - maxHamming).size
+
   /** Admit hashes `(id, ahash)` unscreened: their band signatures
-    * become probe-visible state. Replay reconciles by key. */
-  def append(hashes: DataFrame): Unit =
-    sigs.mergeBatch(indexOf(hashes), cfg)
+    * become probe-visible state (stamped `adm` — the retention clock).
+    * Replay reconciles by key. */
+  def append(hashes: DataFrame, adm: Long = 0L): Unit =
+    sigs.mergeBatch(indexOf(hashes).withColumn(MinhashIndexStore.AdmCol, lit(adm)), cfg)
+
+  /** Remove ids from probe visibility: equality-delete tombstones at
+    * every band — O(ids · bands) appended bytes through the MorStore
+    * delta path, the [[MinhashIndexStore.remove]] contract. */
+  def remove(ids: DataFrame): Unit =
+    sigs.delete(ids.select(col(idCol)).distinct()
+      .select(col(idCol),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band")))
+
+  /** RETENTION: evict every id whose latest admission stamp precedes
+    * `beforeAdm` — [[MinhashIndexStore.expire]]'s contract verbatim
+    * (tombstones through the delta path; expired near-dups re-admit;
+    * pre-stamp rows never expire; one narrow scan per call). */
+  def expire(beforeAdm: Long): Long = {
+    val expired = sigs.read match {
+      case Some(df) if df.columns.contains(MinhashIndexStore.AdmCol) =>
+        df.groupBy(col(idCol))
+          .agg(max(col(MinhashIndexStore.AdmCol)).as("__a"))
+          .filter(col("__a").isNotNull && col("__a") < beforeAdm)
+          .select(col(idCol)).localCheckpoint(false)
+      case _ => return 0L
+    }
+    val n = expired.count()
+    if (n > 0) remove(expired)
+    n
+  }
+
+  /** Segment GC: re-materialize the live signature rows, physically
+    * dropping tombstone winners (legal: no reconcile cursor — see
+    * [[MinhashIndexStore.gcTombstones]]). */
+  def gcTombstones(): Unit = sigs.read.foreach(sigs.snapshot)
 
   /** The probe's REJECT side, attributed: one `(id, match_id)` row per
     * batch doc with an indexed near-dup within `maxHamming`,
@@ -88,11 +125,13 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
     * carry `(idCol, ahash)`; extra columns ride along on the survivor
     * side. Same replay contract as [[MinhashIndexStore.ingest]]:
     * the STORE converges; the survivor list is at-least-once. */
-  def ingestWithMatches(batch: DataFrame): (DataFrame, DataFrame) = {
+  def ingestWithMatches(batch: DataFrame,
+                        adm: Long = 0L): (DataFrame, DataFrame) = {
     val matches = probeMatches(batch).localCheckpoint(false)
     val survivors = batch.join(matches, Seq(idCol), "left_anti")
       .localCheckpoint(false)
-    if (!survivors.isEmpty) append(survivors.select(col(idCol), col("ahash")))
+    if (!survivors.isEmpty)
+      append(survivors.select(col(idCol), col("ahash")), adm)
     (survivors, matches)
   }
 

@@ -101,4 +101,32 @@ class ClipIndexStoreSpec extends SparkSpec {
     val m = uncapped.probeMatches(probe).as[(Long, Long)].collect().toMap
     assert(m == Map(30L -> 3L), m.toString)
   }
+
+  test("expire: stale video re-admits its clips, live still screens, GC reclaims") {
+    val root = Files.createTempDirectory("clipidx_exp").toString
+    val store = new ClipIndexStore(spark, root, "vid_id", "f", "fhash",
+      minFrames = 5)
+    store.append(fr((0L until 10L).map(f => (1L, f, 100L + f)): _*), adm = 1L)
+    store.append(fr((0L until 10L).map(f => (2L, f, 200L + f)): _*), adm = 2L)
+    val clipOf1 = fr((0L until 8L).map(f => (10L, f, 102L + f)): _*)
+    val clipOf2 = fr((0L until 8L).map(f => (11L, f, 202L + f)): _*)
+    assert(store.probe(clipOf1).isEmpty && store.probe(clipOf2).isEmpty)
+    assert(store.expire(2L) == 1L)
+    // the expired video's frame rows are gone: its clip re-admits;
+    // the live video still screens; expire is idempotent
+    assert(store.probe(clipOf1).count() == clipOf1.count())
+    assert(store.probe(clipOf2).isEmpty)
+    assert(store.expire(2L) == 0L)
+    assert(store.frameRows == 10L, "only video 2's rows remain reconciled")
+    store.gcTombstones()
+    assert(store.probe(clipOf2).isEmpty && store.probe(clipOf1).count() == 8)
+    assert(store.segmentCount == 1, s"post-GC fan-in ${store.segmentCount}")
+    // re-admission under a fresh stamp screens again, and the sliding
+    // window evicts video 2 (adm 2) but not the adm-3 re-admission
+    store.append(fr((0L until 10L).map(f => (1L, f, 100L + f)): _*), adm = 3L)
+    assert(store.probe(clipOf1).isEmpty)
+    assert(store.expire(3L) == 1L)
+    assert(store.probe(clipOf1).isEmpty)
+    assert(store.probe(clipOf2).count() == clipOf2.count())
+  }
 }

@@ -93,6 +93,49 @@ class MinhashIndexStoreSpec extends SparkSpec {
     assert(again.toSet == dupIds.toSet)
   }
 
+  test("expire: stale generation leaves probe visibility, live one still screens, GC reclaims") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mhidx_exp").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    val gen1 = docs.filter(col("doc_id") % 10 === 1)
+    val gen2 = docs.filter(col("doc_id") % 10 === 6)
+    store.append(gen1, adm = 1L)
+    store.append(gen2, adm = 2L)
+    // probes of exact copies: both generations screen before expiry
+    def copyOf(src: org.apache.spark.sql.DataFrame, shift: Long) =
+      src.select((col("doc_id") + shift).as("doc_id"), col("text"))
+    assert(store.probe(copyOf(gen1, 9000), 0.8).count() == 0)
+    assert(store.probe(copyOf(gen2, 9000), 0.8).count() == 0)
+    val evicted = store.expire(2L)
+    assert(evicted == gen1.count(), s"expire must evict exactly gen-1 ($evicted)")
+    // EXPIRED near-dups re-admit (the recall-horizon trade);
+    // unexpired still screen; re-running expire is a no-op
+    assert(store.probe(copyOf(gen1, 9000), 0.8).count() == gen1.count())
+    assert(store.probe(copyOf(gen2, 9000), 0.8).count() == 0)
+    assert(store.expire(2L) == 0L)
+    // an expired doc re-delivered RE-ADMITS and screens again with a
+    // fresh stamp (removal is a horizon, not a ban)
+    val one = gen1.limit(1).localCheckpoint(false)
+    assert(store.ingest(one, 0.8, adm = 3L).count() == 1)
+    assert(store.probe(copyOf(one, 9000), 0.8).count() == 0)
+    // the window slides: expire(3) evicts gen-2 (adm 2) but NOT the
+    // adm-3 re-admission — the stamp is per-delivery, not per-id-ever
+    assert(store.expire(3L) == gen2.count())
+    assert(store.probe(copyOf(one, 9000), 0.8).count() == 0)
+    assert(store.probe(copyOf(gen2, 9000), 0.8).count() == gen2.count())
+    // GC physically reclaims: reads unchanged, each table one segment
+    store.gcTombstones()
+    assert(store.probe(copyOf(one, 9000), 0.8).count() == 0)
+    assert(store.probe(copyOf(gen2, 9000), 0.8).count() == gen2.count())
+    assert(store.segmentCounts == ((1, 1)),
+      s"post-GC fan-in ${store.segmentCounts} — tombstones must be gone")
+    // pre-stamp rows never expire: a store written without stamps
+    val legacyRoot = Files.createTempDirectory("mhidx_leg").toString
+    val legacy = new MinhashIndexStore(spark, legacyRoot, "doc_id", "text")
+    legacy.append(gen1) // adm defaults to 0 — expire(0) finds nothing older
+    assert(legacy.expire(0L) == 0L)
+  }
+
   test("state is O(batch) per tick: a tick's delta bytes don't grow with the corpus") {
     // merge-on-read is the point of the store layout: admitting a small
     // batch after a large corpus must append small deltas, never

@@ -88,4 +88,35 @@ class PhashIndexStoreSpec extends SparkSpec {
     store.append(corpus)
     assert(store.probe(batch.limit(0)).isEmpty)
   }
+
+  test("expire: stale generation re-admits, live still screens, GC reclaims") {
+    val root = Files.createTempDirectory("phidx_exp").toString
+    val store = new PhashIndexStore(spark, root, "doc_id")
+    val gen1 = hashesOf((0L until 10L).map(i => (i, s"img:$i", false))
+      .toDF("doc_id", "seed", "pert")).localCheckpoint(false)
+    val gen2 = hashesOf((10L until 20L).map(i => (i, s"img:$i", false))
+      .toDF("doc_id", "seed", "pert")).localCheckpoint(false)
+    store.append(gen1, adm = 1L)
+    store.append(gen2, adm = 2L)
+    def copies(src: DataFrame) =
+      src.select((col("doc_id") + 9000L).as("doc_id"), col("ahash"))
+    assert(store.probe(copies(gen1)).count() == 0)
+    assert(store.expire(2L) == 10L)
+    // expired near-dups re-admit; the live generation still screens
+    assert(store.probe(copies(gen1)).count() == 10)
+    assert(store.probe(copies(gen2)).count() == 0)
+    assert(store.expire(2L) == 0L, "expire is idempotent")
+    // GC: reads unchanged, tombstone fan-in collapses to one segment
+    store.gcTombstones()
+    assert(store.probe(copies(gen2)).count() == 0)
+    assert(store.probe(copies(gen1)).count() == 10)
+    assert(store.segmentCount == 1, s"post-GC fan-in ${store.segmentCount}")
+    // a re-admitted expired id screens again under its fresh stamp,
+    // and the sliding window evicts gen-2 (adm 2) but not it
+    store.append(gen1.limit(1), adm = 3L)
+    assert(store.probe(copies(gen1.limit(1))).count() == 0)
+    assert(store.expire(3L) == 10L)
+    assert(store.probe(copies(gen1.limit(1))).count() == 0)
+    assert(store.probe(copies(gen2)).count() == 10)
+  }
 }
