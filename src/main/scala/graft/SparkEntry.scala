@@ -4671,6 +4671,122 @@ object SparkEntry {
         col("margin_micro"))
     }),
 
+    "stream_curation_funnel_phash_audited" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the IMAGE door, AUDITED: stream_curation_funnel_phash's exact
+      // fixture (md5-pixel PNGs, %20==0 corpus-copy plants, %20==15
+      // batch-A-sibling plants) driven through the audited drain —
+      // "why did this image disappear" gets the same one-verdict-row
+      // answer as text: PhashIndexStore.ingestWithMatches feeds both
+      // the screen and the (id, match_id) reject relation from ONE
+      // banded-Hamming probe, match_id the smallest indexed near-dup.
+      val tmp = scratchDir("stream_funnel_pha")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val seedId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val feedSeeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"),
+          concat(lit("img:"), seedId.cast("string")).as("seed"),
+          lit(false).as("pert"))
+      val feedHashed = Multimodal.imagePhash(s,
+          Multimodal.syntheticGrayMedia(s, feedSeeds, "doc_id", "seed", "pert",
+            16, 16), grid = 8)
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+        .join(feedSeeds.select("doc_id", "text"), Seq("doc_id"))
+      feedHashed.filter(col("doc_id") % 10 === 0).coalesce(1)
+        .write.parquet(s"$tmp/feed")
+      feedHashed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val corpusSeeds = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          concat(lit("img:"), col("doc_id").cast("string")).as("seed"),
+          lit(false).as("pert"))
+      val store = new graft.llm.PhashIndexStore(s, s"$tmp/idx", "doc_id")
+      val t0 = System.nanoTime()
+      store.append(Multimodal.imagePhash(s,
+          Multimodal.syntheticGrayMedia(s, corpusSeeds, "doc_id", "seed", "pert",
+            16, 16), grid = 8)
+        .toDF().select(col("media_id").as("doc_id"), col("ahash")))
+      stageLogger("stream_curation_funnel_phash_audited")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainAudited(stream, evalSet, model,
+        batch => store.ingestWithMatches(batch),
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        exactlyOnceSink = true,
+        onStage = stageLogger("stream_curation_funnel_phash_audited"))
+      s.read.parquet(s"$tmp/out").select(col("batch"), col("doc_id"),
+        col("outcome"), col("stage"), col("reason"), col("match_id"),
+        col("margin_micro"))
+    }),
+
+    "stream_curation_funnel_clip_audited" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the VIDEO door, AUDITED: stream_curation_funnel_clip's exact
+      // fixture (8×8×24-frame Y4Ms, frames-7.. embedded-clip plants)
+      // through the audited drain — ClipIndexStore.ingestWithMatches
+      // attributes every rejected video to the SMALLEST indexed video
+      // with a qualifying temporal-alignment vote cell, from the same
+      // single inverted-index probe that feeds the screen.
+      val tmp = scratchDir("stream_funnel_clipa")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val offCol = when(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 15,
+        lit(7L)).otherwise(lit(0L))
+      val feedSeeds = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"),
+          concat(lit("vclip:"), srcId.cast("string")).as("seed"),
+          offCol.as("off"), lit(false).as("pert"))
+      def framesOf(seeds: DataFrame) = Multimodal.videoFramePhash(s,
+          Multimodal.syntheticY4m(s, seeds, "doc_id", "seed", "off", "pert",
+            width = 8, height = 8, nFrames = 24), grid = 8)
+        .toDF().select(col("media_id").as("doc_id"),
+          col("frame_index").cast("long").as("f"), col("fhash"))
+      val feedArr = framesOf(feedSeeds)
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("f"), col("fhash")))),
+          x => x.getField("fhash")).as("fhashes"))
+        .join(feedSeeds.select("doc_id", "text"), Seq("doc_id"))
+      feedArr.filter(col("doc_id") % 10 === 0).coalesce(1)
+        .write.parquet(s"$tmp/feed")
+      feedArr.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val corpusSeeds = docs
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"),
+          concat(lit("vclip:"), col("doc_id").cast("string")).as("seed"),
+          lit(0L).as("off"), lit(false).as("pert"))
+      val store = new graft.llm.ClipIndexStore(s, s"$tmp/idx",
+        "doc_id", "f", "fhash", minFrames = 8, maxHashDf = 64)
+      val t0 = System.nanoTime()
+      store.append(framesOf(corpusSeeds))
+      stageLogger("stream_curation_funnel_clip_audited")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainAudited(stream, evalSet, model,
+        batch => {
+          val fr = batch.select(col("doc_id"), posexplode(col("fhashes")))
+            .select(col("doc_id"), col("pos").cast("long").as("f"),
+              col("col").as("fhash"))
+          val (surv, matches) = store.ingestWithMatches(fr)
+          (batch.join(surv.select("doc_id").distinct(), Seq("doc_id")), matches)
+        },
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        exactlyOnceSink = true,
+        onStage = stageLogger("stream_curation_funnel_clip_audited"))
+      s.read.parquet(s"$tmp/out").select(col("batch"), col("doc_id"),
+        col("outcome"), col("stage"), col("reason"), col("match_id"),
+        col("margin_micro"))
+    }),
+
     "stream_quality_filter" -> ((s, d) => withShufflePartitions(s, 8) {
       // END-TO-END streaming ingest front door: C4 line cleaning (a
       // stateless whole-stage-codegen map inside the micro-batch) chained
@@ -6942,9 +7058,12 @@ object SparkEntry {
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
 
     // the clip door replayed stage by stage: the text gates are the
-    // MinHash funnel's CTEs verbatim; stage 3 regenerates every seed
-    // video's per-frame hash bit strings (frames 0..30 — plants carry
-    // frames 7..30 of their source), maps each feed doc's 24 frames
+    // MinHash funnel's CTEs verbatim; stage 3 regenerates per-frame
+    // hash bit strings (frames 0..30 — plants carry frames 7..30 of
+    // their source) from the SEED ID SET directly (corpus ids ∪ feed
+    // srcs — the md5 pixels are a pure function of the seed string, so
+    // a plant whose src exceeds the max doc_id still replays instead
+    // of silently losing its frames), maps each feed doc's 24 frames
     // through its (src, off) redirect, and replays the sequential
     // temporal-alignment vote: batch A screens against the corpus
     // frames, batch B against corpus + A's admitted docs' OWN frames.
@@ -6971,15 +7090,18 @@ object SparkEntry {
          |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
          |hq AS (SELECT c.* FROM clean c JOIN mm ON mm.doc_id = c.doc_id
          |       WHERE mm.margin_micro > 450000),
-         |px AS (SELECT doc_id, j, x, y,
-         |         CAST('0x' || substring(md5('vclip:' || CAST(doc_id AS VARCHAR) || ':' || j || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
-         |       FROM documents, generate_series(0, 30) t0(j),
+         |ksrc AS (SELECT doc_id AS k FROM documents
+         |         WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3
+         |         UNION SELECT DISTINCT src FROM feed),
+         |px AS (SELECT k, j, x, y,
+         |         CAST('0x' || substring(md5('vclip:' || CAST(k AS VARCHAR) || ':' || j || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+         |       FROM ksrc, generate_series(0, 30) t0(j),
          |            generate_series(0, 7) t1(x), generate_series(0, 7) t2(y)),
-         |fm AS (SELECT doc_id, j, SUM(v) AS ts FROM px GROUP BY 1, 2),
-         |hh AS (SELECT p.doc_id AS k, p.j,
+         |fm AS (SELECT k, j, SUM(v) AS ts FROM px GROUP BY 1, 2),
+         |hh AS (SELECT p.k, p.j,
          |         string_agg(CASE WHEN p.v * 64 > m.ts THEN '1' ELSE '0' END, ''
          |                    ORDER BY p.y * 8 + p.x) AS fh
-         |       FROM px p JOIN fm m ON m.doc_id = p.doc_id AND m.j = p.j
+         |       FROM px p JOIN fm m ON m.k = p.k AND m.j = p.j
          |       GROUP BY 1, 2),
          |cfr AS (SELECT h.k, h.j AS f, h.fh FROM hh h
          |        JOIN documents dd ON dd.doc_id = h.k
@@ -7074,6 +7196,179 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
          |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admB""".stripMargin,
+
+    // the IMAGE door's audit replayed: the verdict/partition tail of
+    // the audited oracle over the phash door's banded-Hamming stage 3 —
+    // match_id is the SMALLEST indexed near-dup at hamming ≤ 3, where
+    // batch B's candidate set is corpus ids ∪ batch A's admitted docs
+    // (whose hashes are their SOURCE seeds' — the a.src = h.kb join).
+    // Image bits are generated over documents ∪ feed srcs so a plant
+    // whose src exceeds the max doc_id still replays.
+    "stream_curation_funnel_phash_audited" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b,
+         |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                ELSE doc_id END AS src
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |lowq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |         WHERE mm.margin_micro <= 450000),
+         |kids AS (SELECT doc_id AS k FROM documents
+         |         UNION SELECT DISTINCT src FROM feed),
+         |px AS (SELECT k, x, y,
+         |         CAST('0x' || substring(md5('img:' || CAST(k AS VARCHAR) || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+         |       FROM kids, generate_series(0, 15) t1(x), generate_series(0, 15) t2(y)),
+         |bl AS (SELECT k, (y * 8) // 16 AS by, (x * 8) // 16 AS bx,
+         |         SUM(1000 * v) AS bs, COUNT(*) AS bc
+         |       FROM px GROUP BY 1, 2, 3),
+         |tot AS (SELECT k, SUM(bs) AS ts, SUM(bc) AS tc FROM bl GROUP BY 1),
+         |bits AS (SELECT b.k, b.by * 8 + b.bx AS i,
+         |           CASE WHEN b.bs * t.tc > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+         |         FROM bl b JOIN tot t ON t.k = b.k),
+         |srcs AS (SELECT DISTINCT src AS k FROM feed),
+         |ham AS (SELECT a.k AS ka, b2.k AS kb,
+         |          SUM(CASE WHEN a.bit <> b2.bit THEN 1 ELSE 0 END) AS hd
+         |        FROM bits a JOIN srcs sk ON a.k = sk.k
+         |        JOIN bits b2 ON a.i = b2.i
+         |        GROUP BY 1, 2),
+         |corpk AS (SELECT doc_id AS k FROM documents
+         |          WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3),
+         |dupA AS (SELECT f.doc_id, MIN(c.k) AS match_id, MIN(f.margin_micro) AS margin_micro
+         |         FROM hq f JOIN ham h ON h.ka = f.src AND h.hd <= 3
+         |         JOIN corpk c ON c.k = h.kb
+         |         WHERE f.b = 0 GROUP BY f.doc_id),
+         |admA AS (SELECT doc_id, src, margin_micro FROM hq
+         |         WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |candB AS (SELECT f.doc_id, h.kb AS cand, f.margin_micro
+         |          FROM hq f JOIN ham h ON h.ka = f.src AND h.hd <= 3
+         |          JOIN corpk c ON c.k = h.kb WHERE f.b = 1
+         |          UNION ALL
+         |          SELECT f.doc_id, a.doc_id AS cand, f.margin_micro
+         |          FROM hq f JOIN ham h ON h.ka = f.src AND h.hd <= 3
+         |          JOIN admA a ON a.src = h.kb WHERE f.b = 1),
+         |dupB AS (SELECT doc_id, MIN(cand) AS match_id, MIN(margin_micro) AS margin_micro
+         |         FROM candB GROUP BY doc_id),
+         |admB AS (SELECT doc_id, margin_micro FROM hq
+         |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(f.b AS BIGINT) AS batch, f.doc_id, 'rejected' AS outcome,
+         |       CAST(0 AS BIGINT) AS stage, 'contaminated' AS reason,
+         |       CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS margin_micro
+         |FROM feed f WHERE f.doc_id IN (SELECT doc_id FROM contam)
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), doc_id, 'rejected', CAST(1 AS BIGINT), 'low_quality',
+         |       CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM lowq
+         |UNION ALL
+         |SELECT CAST(h.b AS BIGINT), h.doc_id, 'rejected', CAST(2 AS BIGINT), 'duplicate',
+         |       CAST(dd.match_id AS BIGINT), CAST(dd.margin_micro AS BIGINT)
+         |FROM hq h JOIN (SELECT * FROM dupA UNION ALL SELECT * FROM dupB) dd
+         |  ON dd.doc_id = h.doc_id
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admB""".stripMargin,
+
+    // the VIDEO door's audit replayed: the verdict/partition tail over
+    // the clip door's temporal-alignment stage 3 — match_id is the
+    // SMALLEST indexed video with a qualifying (≥ 8 aligned frames)
+    // vote cell; batch B's stored side is corpus frames ∪ batch A's
+    // admitted docs' OWN frames. Frame hashes generate from the seed
+    // id set directly (corpus ∪ feed srcs).
+    "stream_curation_funnel_clip_audited" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |feed AS (SELECT doc_id, s, CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b,
+         |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                ELSE doc_id END AS src,
+         |           CASE WHEN doc_id % 20 IN (0, 15) THEN 7 ELSE 0 END AS off
+         |         FROM sh WHERE doc_id % 5 = 0),
+         |contam AS (SELECT DISTINCT f.doc_id FROM feed f JOIN ev e
+         |           ON len(list_intersect(f.s, e.s)) * 1.0 / len(e.s) >= 0.5),
+         |clean AS (SELECT * FROM feed WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |lowq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |         WHERE mm.margin_micro <= 450000),
+         |ksrc AS (SELECT doc_id AS k FROM documents
+         |         WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 3
+         |         UNION SELECT DISTINCT src FROM feed),
+         |px AS (SELECT k, j, x, y,
+         |         CAST('0x' || substring(md5('vclip:' || CAST(k AS VARCHAR) || ':' || j || ':' || x || ':' || y), 1, 4) AS BIGINT) % 256 AS v
+         |       FROM ksrc, generate_series(0, 30) t0(j),
+         |            generate_series(0, 7) t1(x), generate_series(0, 7) t2(y)),
+         |fm AS (SELECT k, j, SUM(v) AS ts FROM px GROUP BY 1, 2),
+         |hh AS (SELECT p.k, p.j,
+         |         string_agg(CASE WHEN p.v * 64 > m.ts THEN '1' ELSE '0' END, ''
+         |                    ORDER BY p.y * 8 + p.x) AS fh
+         |       FROM px p JOIN fm m ON m.k = p.k AND m.j = p.j
+         |       GROUP BY 1, 2),
+         |cfr AS (SELECT h.k, h.j AS f, h.fh FROM hh h
+         |        JOIN documents dd ON dd.doc_id = h.k
+         |        WHERE h.j <= 23 AND dd.doc_id % 5 <> 0 AND dd.doc_id % 10 <> 3),
+         |ffr AS (SELECT f.doc_id, f.b, f.margin_micro, fr.f, h.fh
+         |        FROM hq f
+         |        CROSS JOIN generate_series(0, 23) fr(f)
+         |        JOIN hh h ON h.k = f.src AND h.j = fr.f + f.off),
+         |dupA AS (SELECT doc_id, MIN(k) AS match_id FROM (
+         |           SELECT d2.doc_id, c.k FROM ffr d2 JOIN cfr c ON c.fh = d2.fh
+         |           WHERE d2.b = 0
+         |           GROUP BY d2.doc_id, c.k, c.f - d2.f
+         |           HAVING COUNT(DISTINCT d2.f) >= 8)
+         |         GROUP BY doc_id),
+         |admA AS (SELECT doc_id FROM hq
+         |         WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st AS (SELECT k AS sid, f, fh FROM cfr
+         |       UNION ALL
+         |       SELECT doc_id, f, fh FROM ffr
+         |       WHERE b = 0 AND doc_id IN (SELECT doc_id FROM admA)),
+         |dupB AS (SELECT doc_id, MIN(sid) AS match_id FROM (
+         |           SELECT d2.doc_id, s2.sid FROM ffr d2 JOIN st s2
+         |             ON s2.fh = d2.fh AND s2.sid <> d2.doc_id
+         |           WHERE d2.b = 1
+         |           GROUP BY d2.doc_id, s2.sid, s2.f - d2.f
+         |           HAVING COUNT(DISTINCT d2.f) >= 8)
+         |         GROUP BY doc_id),
+         |admB AS (SELECT doc_id FROM hq
+         |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(f.b AS BIGINT) AS batch, f.doc_id, 'rejected' AS outcome,
+         |       CAST(0 AS BIGINT) AS stage, 'contaminated' AS reason,
+         |       CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS margin_micro
+         |FROM feed f WHERE f.doc_id IN (SELECT doc_id FROM contam)
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), doc_id, 'rejected', CAST(1 AS BIGINT), 'low_quality',
+         |       CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM lowq
+         |UNION ALL
+         |SELECT CAST(h.b AS BIGINT), h.doc_id, 'rejected', CAST(2 AS BIGINT), 'duplicate',
+         |       CAST(dd.match_id AS BIGINT), CAST(h.margin_micro AS BIGINT)
+         |FROM hq h JOIN (SELECT * FROM dupA UNION ALL SELECT * FROM dupB) dd
+         |  ON dd.doc_id = h.doc_id
+         |UNION ALL
+         |SELECT CAST(h.b AS BIGINT), h.doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(h.margin_micro AS BIGINT)
+         |FROM hq h WHERE (h.b = 0 AND h.doc_id IN (SELECT doc_id FROM admA))
+         |       OR (h.b = 1 AND h.doc_id IN (SELECT doc_id FROM admB))""".stripMargin,
 
     // the held-out audit replayed end to end: hash split, full training
     // on the 80% side (the shared CTE chain over the filtered source),

@@ -241,6 +241,116 @@ class CurationFunnelSpec extends SparkSpec {
       out.filter(col("stage") === 2 && col("reason").isNull).count())
   }
 
+  test("AUDITED door with the PHASH backend: duplicate attribution through PhashIndexStore.ingestWithMatches") {
+    import graft.llm.Multimodal
+    // per-doc md5-pixel images: unrelated images never land within
+    // hamming 3, so only the PLANTED copy (doc 41's image = the stored
+    // doc 100's seed) trips the dedup stage — attributed to 100
+    def hashesOf(rows: Seq[(Long, String)]): DataFrame =
+      Multimodal.imagePhash(spark,
+          Multimodal.syntheticGrayMedia(spark,
+            rows.map { case (id, seed) => (id, seed, false) }
+              .toDF("doc_id", "seed", "pert"),
+            "doc_id", "seed", "pert", 16, 16))
+        .toDF().select(col("media_id").as("doc_id"), col("ahash"))
+    val texts = feedDocs.unionByName(
+      Seq((41L, corpusText, 1), (42L, evalLeakText, 0)).toDF("doc_id", "text", "label"))
+    val feed = texts.join(hashesOf(
+      (0L until 40L).map(i => (i, s"p$i")) :+ ((41L, "pC")) :+ ((42L, "p42"))),
+      Seq("doc_id"))
+    val model = QualityLr.train(texts, "doc_id", "text", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_aud_ph").toString
+    val store = new graft.llm.PhashIndexStore(spark, s"$tmp/idx", "doc_id")
+    store.append(hashesOf(Seq((100L, "pC"))))
+    feed.select("doc_id", "text", "ahash").repartition(1)
+      .write.parquet(s"$tmp/feed")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrainAudited(stream,
+      Seq((900L, evalLeakText)).toDF("doc_id", "text"), model,
+      b => store.ingestWithMatches(b),
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val out = spark.read.parquet(s"$tmp/out")
+    // partition property + attribution, the text-door contract verbatim
+    assert(out.count() == feed.count()
+      && out.select("doc_id").distinct().count() == feed.count())
+    val dup = out.filter(col("reason") === "duplicate").collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 41L
+      && dup.head.getAs[Long]("match_id") == 100L
+      && dup.head.getAs[Any]("margin_micro") != null,
+      "the image copy must be attributed to its stored source, margin riding")
+    val cont = out.filter(col("reason") === "contaminated").collect()
+    assert(cont.length == 1 && cont.head.getAs[Long]("doc_id") == 42L)
+    assert(out.filter(col("outcome") === "admitted").count() ===
+      out.filter(col("stage") === 2 && col("reason").isNull).count())
+    // and the survivors' hashes persisted: a re-delivery of an admitted
+    // doc's image under a new id is now a dup of THAT doc
+    val admitted0 = out.filter(col("outcome") === "admitted")
+      .select("doc_id").as[Long].collect().min
+    val m2 = store.probeMatches(hashesOf(Seq((500L, s"p$admitted0"))))
+      .as[(Long, Long)].collect().toMap
+    assert(m2 == Map(500L -> admitted0), s"survivor state must screen: $m2")
+  }
+
+  test("AUDITED door with the CLIP backend: duplicate attribution through ClipIndexStore.ingestWithMatches") {
+    import graft.llm.Multimodal
+    def framesOf(rows: Seq[(Long, String, Long)]): DataFrame =
+      Multimodal.videoFramePhash(spark,
+          Multimodal.syntheticY4m(spark,
+            rows.map { case (id, seed, off) => (id, seed, off, false) }
+              .toDF("doc_id", "seed", "off", "pert"),
+            "doc_id", "seed", "off", "pert", width = 8, height = 8, nFrames = 24),
+          grid = 8)
+        .toDF().select(col("media_id").as("doc_id"),
+          col("frame_index").cast("long").as("f"), col("fhash"))
+    val feedArr = framesOf(
+        (0L until 40L).map(i => (i, s"w$i", 0L)) :+ ((41L, "wC", 7L)) :+ ((42L, "w42", 0L)))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("f"), col("fhash")))),
+        x => x.getField("fhash")).as("fhashes"))
+    val texts = feedDocs.unionByName(
+      Seq((41L, corpusText, 1), (42L, evalLeakText, 0)).toDF("doc_id", "text", "label"))
+    val feed = texts.join(feedArr, Seq("doc_id"))
+    val model = QualityLr.train(texts, "doc_id", "text", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_aud_cl").toString
+    val store = new graft.llm.ClipIndexStore(spark, s"$tmp/idx",
+      "doc_id", "f", "fhash", minFrames = 8)
+    store.append(framesOf(Seq((100L, "wC", 0L))))
+    feed.select("doc_id", "text", "fhashes").repartition(1)
+      .write.parquet(s"$tmp/feed")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/feed").schema).parquet(s"$tmp/feed")
+    StreamOps.curationFunnelDrainAudited(stream,
+      Seq((900L, evalLeakText)).toDF("doc_id", "text"), model,
+      b => {
+        val fr = b.select(col("doc_id"), posexplode(col("fhashes")))
+          .select(col("doc_id"), col("pos").cast("long").as("f"),
+            col("col").as("fhash"))
+        val (surv, matches) = store.ingestWithMatches(fr)
+        (b.join(surv.select("doc_id").distinct(), Seq("doc_id")), matches)
+      },
+      "doc_id", "text", s"$tmp/out", s"$tmp/ckpt")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == feed.count()
+      && out.select("doc_id").distinct().count() == feed.count())
+    val dup = out.filter(col("reason") === "duplicate").collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 41L
+      && dup.head.getAs[Long]("match_id") == 100L
+      && dup.head.getAs[Any]("margin_micro") != null,
+      "the embedded clip must be attributed to its stored source video")
+    val cont = out.filter(col("reason") === "contaminated").collect()
+    assert(cont.length == 1 && cont.head.getAs[Long]("doc_id") == 42L)
+    assert(out.filter(col("outcome") === "admitted").count() ===
+      out.filter(col("stage") === 2 && col("reason").isNull).count())
+    // survivor frame rows persisted: an embedded clip of an admitted
+    // video under a new id is now a dup of THAT video
+    val admitted0 = out.filter(col("outcome") === "admitted")
+      .select("doc_id").as[Long].collect().min
+    val m2 = store.probeMatches(framesOf(Seq((500L, s"w$admitted0", 7L))))
+      .as[(Long, Long)].collect().toMap
+    assert(m2 == Map(500L -> admitted0), s"survivor state must screen: $m2")
+  }
+
   test("the admit hook swaps in the SEMANTIC backend: same funnel, IVF-cosine stage 3") {
     // 16-dim seeded gaussians: pairwise cosine ≥ 0.95 by chance is
     // ~3e-8, so only the PLANTED copy trips the dedup stage
