@@ -92,6 +92,41 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
       throw new java.io.IOException(s"failed to write $name at $root")
   }
 
+  // ── door-write markers: the catch-up's quiet-path detector ─────────
+  // Every upsert-path commit drops one uniquely-named touch file in
+  // `_writes/` AFTER its store commits complete and BEFORE its
+  // commit-time geometry re-verification. retrain/retrainBooks list
+  // the set before their main pass's read (S0) and again after the
+  // stamp flip (S1): S1 == S0 proves no door commit landed in the
+  // window the catch-up exists for, so the second O(index) pass is
+  // skipped — two directory listings instead of a full reconciled
+  // read on the (overwhelmingly common) uncontended retrain. The
+  // two legs stay gapless: a marker in S0 means its commit finished
+  // before the main pass's read (migrated there); in S1∖S0, before
+  // the catch-up's read (migrated there); after S1, the writer's own
+  // reverifyCommit necessarily reads the stamp after the flip and
+  // self-heals. Unique CREATE files (not a counter) so concurrent
+  // doors can never lose an increment; S1's files are deleted once
+  // their commits are provably migrated, bounding the directory.
+  private def writesDir =
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), "_writes")
+
+  private def noteWrite(): Unit = {
+    fs.mkdirs(writesDir)
+    val p = new org.apache.hadoop.fs.Path(writesDir,
+      s"w_${java.util.UUID.randomUUID().toString.take(12)}")
+    fs.create(p, true).close()
+  }
+
+  private def writeMarkerSet(): Set[String] =
+    if (!fs.exists(writesDir)) Set.empty
+    else fs.listStatus(writesDir).map(_.getPath.getName)
+      .filter(_.startsWith("w_")).toSet
+
+  private def clearWriteMarkers(names: Set[String]): Unit =
+    names.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(writesDir, n), false))
+
   /** The stamp state machine: no intent + no stamp → stamp this
     * handle's fingerprint (new store, or adoption of a pre-stamp store
     * whose layout is this handle's claim going forward); no intent +
@@ -250,6 +285,9 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // post-commit: shrink the superset back to exactly-current
     idStore.delete(withBucket(stale))
     store.compactHot(); idStore.compactHot()
+    // marker AFTER the commits, BEFORE the re-verification read: the
+    // ordering the catch-up skip's two-leg proof needs (see writesDir)
+    noteWrite()
     reverifyCommit(fresh)
   }
 
@@ -298,6 +336,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // the future and will see these (already-committed) rows — safe to
     // leave to it
     if (IvfMorIndexStore.stampOf(cs, bk) != stamp) return
+    IvfMorIndexStore.healedCommits.increment()
     new IvfMorIndexStore(spark, root, embCol, idCol, cs, bk, pinned = true)
       .upsert(fresh.select(col(idCol), col(embCol)))
   }
@@ -387,7 +426,16 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * already in their target cell are skipped). Returns the store
     * handle bound to the new centroids; the receiver handle is dead
     * after this call (its stamp check fails on next use). */
-  def retrain(newCentroids: Array[Array[Float]]): IvfMorIndexStore = {
+  def retrain(newCentroids: Array[Array[Float]]): IvfMorIndexStore =
+    retrainStaged(newCentroids, () => ())
+
+  /** [[retrain]] with a staged-interleaving seam: `midWindow` runs
+    * after the main migration pass and before the layout publish —
+    * inside the exact window whose door commits only the post-flip
+    * catch-up can migrate. Test-only (the specs pin the contended
+    * path deterministically with it); production calls [[retrain]]. */
+  private[llm] def retrainStaged(newCentroids: Array[Array[Float]],
+                                 midWindow: () => Unit): IvfMorIndexStore = {
     require(newCentroids.nonEmpty, "retrain needs at least one centroid")
     val targetFp = IvfMorIndexStore.stampOf(newCentroids, books)
     readMarker(IntentFile) match {
@@ -399,7 +447,9 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
         ensureCentroids() // clean store under THIS handle's centroids
         writeMarker(IntentFile, targetFp)
     }
+    val s0 = writeMarkerSet() // BEFORE the pass's read — the skip's anchor
     migratePass(newCentroids)
+    midWindow()
     publishLayout(newCentroids, books)
     writeMarker(StampFile, targetFp)
     // POST-FLIP CATCH-UP, inside the intent window: a pinned door
@@ -412,9 +462,22 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // with no gap). Running the catch-up BEFORE the intent clears
     // makes it crash-safe too: a retrainer dying mid-catch-up leaves
     // the intent pending, so recovery re-runs the (idempotent) pass.
-    // Cost: a second O(index) read per retrain, O(racing commits)
-    // write — the price of never stalling a draining door.
-    migratePass(newCentroids)
+    // CONDITIONAL on the door-write markers: the uncontended retrain —
+    // the overwhelmingly common case — pays two directory listings
+    // instead of a second O(index) reconciled read; a racing commit's
+    // marker (created post-commit, pre-reverify) forces the pass, and
+    // a commit whose marker lands after the S1 listing is the
+    // writer-self-heals leg. Cost when contended: a second O(index)
+    // read, O(racing commits) write — the price of never stalling a
+    // draining door.
+    val s1 = writeMarkerSet()
+    if (s1 != s0) {
+      IvfMorIndexStore.catchupRuns.increment()
+      migratePass(newCentroids)
+    } else IvfMorIndexStore.catchupSkips.increment()
+    // S1's commits are migrated (by the main pass or the catch-up) —
+    // their markers are spent; later markers stay for the next retrain
+    clearWriteMarkers(s1)
     fs.delete(marker(IntentFile), false)
     // the receiver handle re-verifies the stamp on every op, so its
     // next use fails loudly against the flipped layout
@@ -478,6 +541,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
         ensureCentroids() // clean store under THIS handle's layout
         writeMarker(IntentFile, targetFp)
     }
+    val s0 = writeMarkerSet() // BEFORE the snapshot's read
     store.read.foreach { rows =>
       store.snapshot(rows.withColumn("pq_codes", Pq.encode(col(embCol), newBooks)))
     }
@@ -494,14 +558,22 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // compare, O(racing commits) write, same residences). Commits
     // later than this read happened after the stamp flip, so their
     // writer self-heals (reverifyCommit); running the catch-up before
-    // the intent clears keeps it crash-safe.
-    store.read.foreach { rows =>
-      val enc = Pq.encode(col(embCol), newBooks)
-      val stale = rows.filter(!(col("pq_codes") <=> enc))
-        .withColumn("pq_codes", enc).localCheckpoint(false)
-      if (!stale.isEmpty)
-        store.applyDelta(stale, stale.select(col("cell"), col(idCol)).limit(0))
-    }
+    // the intent clears keeps it crash-safe. CONDITIONAL on the
+    // door-write markers exactly like [[retrain]]'s: the uncontended
+    // re-encode skips the second O(index) compare for two directory
+    // listings.
+    val s1 = writeMarkerSet()
+    if (s1 != s0) {
+      IvfMorIndexStore.catchupRuns.increment()
+      store.read.foreach { rows =>
+        val enc = Pq.encode(col(embCol), newBooks)
+        val stale = rows.filter(!(col("pq_codes") <=> enc))
+          .withColumn("pq_codes", enc).localCheckpoint(false)
+        if (!stale.isEmpty)
+          store.applyDelta(stale, stale.select(col("cell"), col(idCol)).limit(0))
+      }
+    } else IvfMorIndexStore.catchupSkips.increment()
+    clearWriteMarkers(s1)
     fs.delete(marker(IntentFile), false)
     new IvfMorIndexStore(spark, root, embCol, idCol, centroids, Some(newBooks))
   }
@@ -555,6 +627,20 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
 }
 
 object IvfMorIndexStore {
+
+  /** Healed-commit telemetry: incremented each time a writer's
+    * commit-time re-verification ([[IvfMorIndexStore.reverifyCommit]])
+    * finds the stamp flipped under it and re-upserts its batch through
+    * the current layout — the write-side leg of the concurrent-retrain
+    * protocol actually firing. Process-wide (a JVM hosts one engine);
+    * the concurrent soak reports it per round. */
+  val healedCommits = new java.util.concurrent.atomic.LongAdder
+
+  /** Catch-up telemetry: how many retrains ran their second O(index)
+    * pass because a door commit's marker raced the window vs how many
+    * proved the quiet path and skipped it. */
+  val catchupRuns = new java.util.concurrent.atomic.LongAdder
+  val catchupSkips = new java.util.concurrent.atomic.LongAdder
 
   private[llm] val StampFile = "_centroids"
   private[llm] val IntentFile = "_retrain_intent"

@@ -86,40 +86,56 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     }.toMap
   }
 
-  private def commit(m: Map[String, Seq[String]]): Int = commitAs(m, latestManifestVersion)
+  // NOTE deliberately no commit(m) = commitAs(m, latestManifestVersion)
+  // convenience: re-reading the parent AT PUBLISH TIME guards nothing —
+  // a foreign commit landing between a caller's manifest read and its
+  // publish would make the stale-derived manifest pass the check and
+  // silently drop the foreign segments (the r19 concurrent soak's
+  // misplaced-rows failure). Every caller passes the version its
+  // manifest map was READ at.
 
   /** Stage + atomically publish manifest `parent+1`. The publish is
     * CONDITIONAL on `parent` still being the latest at write time:
     * callers that derived `m` from a manifest read pass that read's
     * version, and a concurrent commit landing in between makes THIS
     * commit refuse instead of silently dropping the other writer's
-    * segments (RawLocalFileSystem's rename() silently replaces an
-    * existing target, so the existence check below — not the rename —
-    * is what makes the publish conditional there; on HDFS the rename
-    * itself fails on an existing target, closing the window fully). */
+    * segments. On HDFS the rename itself fails on an existing target;
+    * RawLocalFileSystem's rename() silently REPLACES one, so the
+    * check-then-rename pair runs under a per-root JVM lock — without
+    * it two in-process writers can both pass the existence check and
+    * the later rename silently swallows the earlier commit (the r19
+    * concurrent door×retrain soak caught exactly this: a door delta
+    * overwrote a re-encode snapshot's manifest and every pre-existing
+    * row kept its stale codes). The lock scopes ONLY the driver-side
+    * check+rename — segment writes and manifest serialization stay
+    * outside it. */
   private def commitAs(m: Map[String, Seq[String]], parent: Option[Int]): Int = {
     fs.mkdirs(manDir)
-    fs.listStatus(manDir).toSeq.filter(_.getPath.getName.startsWith(".tmp_"))
-      .foreach(s => fs.delete(s.getPath, true))
     val n = parent.getOrElse(0) + 1
-    val tmp = new Path(manDir, s".tmp_m=$n")
+    // staged under a writer-unique name: a concurrent committer's tmp
+    // file must never be deleted or reused by this one
+    val tmp = new Path(manDir,
+      s".tmp_m=${n}_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(m.toSeq.sortBy(_._1)
       .map { case (v, segs) => s"${enc(v)}\t${segs.mkString(",")}" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dst = new Path(manDir, s"m=$n")
-    val latest = latestManifestVersion
-    if (latest != parent || fs.exists(dst)) {
-      fs.delete(tmp, false)
-      throw new java.util.ConcurrentModificationException(
-        s"${cfg.name}: manifest advanced from $parent to $latest during commit — " +
-          "a concurrent writer's segments would be dropped by publishing over it; " +
-          "this store requires single-writer access (the staged segment is left " +
-          "unreferenced for vacuum)")
+    MorStore.publishLock(root).synchronized {
+      val latest = latestManifestVersion
+      if (latest != parent || fs.exists(dst)) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"${cfg.name}: manifest advanced from $parent to $latest during commit — " +
+            "a concurrent writer's segments would be dropped by publishing over it; " +
+            "append paths retry from a fresh manifest, snapshot/compaction keep the " +
+            "single-writer discipline and refuse (the staged segment is left " +
+            "unreferenced for vacuum)")
+      }
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"failed to commit manifest $n of $root")
     }
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"failed to commit manifest $n of $root")
     n
   }
 
@@ -249,14 +265,47 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     affected
   }
 
+  /** APPEND-type commits retry under optimistic concurrency: unlike
+    * [[snapshot]] (whose output is derived from a read of the store —
+    * re-publishing over a foreign commit would drop it, so it MUST
+    * refuse), a delta segment is a pure function of the caller's batch;
+    * losing the conditional publish just means the manifest moved, and
+    * re-deriving the merge from the FRESH manifest is exactly correct.
+    * This is what lets two writers append concurrently — the concrete
+    * case being an ingest door's tick committing while a retrain's
+    * migration pass commits moves into the same store (the
+    * [[graft.llm.IvfMorIndexStore]] concurrent-retrain protocol). The
+    * losing attempt rewrites its segment under the new commit index
+    * (the sequence number is part of reconcile order, so reusing the
+    * stale-index segment could tie a foreign segment's seq); abandoned
+    * segments are vacuum fodder, the standard crash contract. */
   private def commitSegment(deduped: DataFrame): Seq[String] = {
-    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
-    val idx = latestManifestVersion.getOrElse(0) + 1
-    // a crash between write and commit leaves an unreferenced segment
-    // for [[vacuum]] — the standard contract
-    val (seg, affected) = writeSegmentObserved(deduped, idx)
-    commit(man ++ affected.map(v => v -> (man.getOrElse(v, Seq.empty) :+ seg)))
-    affected
+    val maxAttempts = 20
+    var attempt = 0
+    while (true) {
+      // the parent version is captured ONCE, and the manifest map, the
+      // segment's sequence number, and the conditional publish all
+      // derive from it — the publish refuses iff anything advanced past
+      // exactly this read
+      val v = latestManifestVersion
+      val man = v.map(readManifest).getOrElse(Map.empty)
+      val idx = v.getOrElse(0) + 1
+      // a crash between write and commit leaves an unreferenced segment
+      // for [[vacuum]] — the standard contract
+      val (seg, affected) = writeSegmentObserved(deduped, idx)
+      try {
+        commitAs(man ++ affected.map(v2 => v2 -> (man.getOrElse(v2, Seq.empty) :+ seg)), v)
+        return affected
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= maxAttempts) throw e
+          // tiny jittered backoff: the contention window is one
+          // manifest rename, not a data write
+          Thread.sleep(10L + scala.util.Random.nextInt(40))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-key winners over the wanted partition values: union the
@@ -323,7 +372,7 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
       val materialized = winners(man).drop(SeqCol)
       val idx = n + 1
       val seg = writeSegmentObserved(materialized, idx)._1
-      commit(man.keys.map(_ -> Seq(seg)).toMap)
+      commitAs(man.keys.map(_ -> Seq(seg)).toMap, Some(n))
     }
   }
 
@@ -335,13 +384,14 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * O(table) — a store where one hot partition takes every CDC tick
     * compacts that partition alone. */
   def compactPartitions(values: Seq[String]): Unit = {
-    val man = latestManifestVersion.map(readManifest).getOrElse(Map.empty)
+    val v = latestManifestVersion
+    val man = v.map(readManifest).getOrElse(Map.empty)
     val hot = man.view.filterKeys(values.contains).toMap
     if (hot.isEmpty) return
     val slice = winners(hot).drop(SeqCol)
-    val idx = latestManifestVersion.getOrElse(0) + 1
+    val idx = v.getOrElse(0) + 1
     val seg = writeSegmentObserved(slice, idx)._1
-    commit(man ++ hot.keys.map(_ -> Seq(seg)))
+    commitAs(man ++ hot.keys.map(_ -> Seq(seg)), v)
   }
 
   /** Drop segments no kept manifest references and manifests beyond the
@@ -378,8 +428,16 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     val hot = man.collect { case (v, segs) if segs.length > compactSegments => v }.toSeq
     // vacuum only when compaction just unreferenced segments: garbage
     // appears exactly when pointers are rewritten, so a quiet tick pays
-    // one manifest read here, never an O(segments) root listing
-    if (hot.nonEmpty) { compactPartitions(hot); vacuum(keepManifests) }
+    // one manifest read here, never an O(segments) root listing.
+    // Compaction derives its slice from a manifest read, so a foreign
+    // commit racing it makes the conditional publish refuse — and
+    // UNLIKE an append, re-publishing the stale slice would drop the
+    // foreign segment, so the right move is to SKIP: compaction is
+    // read-equivalent maintenance and the next tick's call retries
+    // from fresh state.
+    if (hot.nonEmpty)
+      try { compactPartitions(hot); vacuum(keepManifests) }
+      catch { case _: java.util.ConcurrentModificationException => () }
   }
 
   /** [[MergeSink]] binding: O(batch) append per tick + [[compactHot]] —
@@ -399,4 +457,17 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     compactHot()
     onStage(s"mor_compact_t$tickN", (System.nanoTime() - t1) / 1e9)
   }
+}
+
+object MorStore {
+  // per-root publish locks: the check+rename pair of the conditional
+  // manifest publish must be mutually exclusive WITHIN a JVM because
+  // the local filesystem's rename replaces an existing target instead
+  // of failing (see commitAs). Keyed by store root so unrelated stores
+  // never contend; two HANDLES of one root (a door's and a
+  // retrainer's) share the lock, which is the point.
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[pipeline] def publishLock(root: String): Object =
+    publishLocks.computeIfAbsent(root, _ => new Object)
 }

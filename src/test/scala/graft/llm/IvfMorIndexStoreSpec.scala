@@ -773,6 +773,124 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
   }
 
+  test("uncontended retrain SKIPS the catch-up pass; a mid-window commit forces it") {
+    // quiet path: no door commit between the main pass's read and the
+    // flip — the marker sets match and the second O(index) pass is
+    // skipped (two directory listings), state still fully migrated
+    val root = freshRoot()
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", cents3)
+      .upsert(Seq((100L, deg(0)), (101L, deg(10))).toDF("vec_id", "embedding"))
+    IvfMorIndexStore.catchupRuns.reset(); IvfMorIndexStore.catchupSkips.reset()
+    IvfMorIndexStore.open(spark, root, "embedding", "vec_id").retrain(cents1)
+    assert(IvfMorIndexStore.catchupSkips.sum() == 1 &&
+      IvfMorIndexStore.catchupRuns.sum() == 0,
+      s"quiet retrain must skip (runs=${IvfMorIndexStore.catchupRuns.sum()})")
+    val quiet = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(quiet == Map(100L -> 0, 101L -> 0), s"skip must not strand rows: $quiet")
+
+    // contended path: a pinned door commits INSIDE the window (after
+    // the main pass's read, before the flip — the retrainStaged seam
+    // pins the ordering) — its marker lands in S1∖S0, the catch-up
+    // fires, and the racing row is migrated by IT (the stamp had not
+    // flipped at the door's re-verification, so the writer leg
+    // provably did not heal this one)
+    val root2 = freshRoot()
+    new IvfMorIndexStore(spark, root2, "embedding", "vec_id", cents3)
+      .upsert(Seq((100L, deg(0))).toDF("vec_id", "embedding"))
+    val tick = IvfMorIndexStore.openPinned(spark, root2, "embedding", "vec_id")
+    IvfMorIndexStore.catchupRuns.reset(); IvfMorIndexStore.catchupSkips.reset()
+    IvfMorIndexStore.healedCommits.reset()
+    new IvfMorIndexStore(spark, root2, "embedding", "vec_id", cents3)
+      .retrainStaged(cents1, () => {
+        val a = tick.ingestNearDup(
+          Seq((202L, deg(-10))).toDF("vec_id", "embedding"), 0.95)
+        assert(a.count() == 1, "cross-cell under the pinned 3-cell geometry")
+      })
+    assert(IvfMorIndexStore.catchupRuns.sum() == 1 &&
+      IvfMorIndexStore.catchupSkips.sum() == 0,
+      "a raced commit's marker must force the catch-up")
+    assert(IvfMorIndexStore.healedCommits.sum() == 0,
+      "pre-flip commit: the catch-up leg owns it, not the writer leg")
+    val healed = IvfMorIndexStore.open(spark, root2, "embedding", "vec_id")
+      .read.get.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(healed == Map(100L -> 0, 202L -> 0),
+      s"the catch-up must migrate the mid-window commit, got $healed")
+  }
+
+  test("THREADED door × retrain: genuinely concurrent drain and reindex — zero misplaced, lower bound admitted") {
+    // Not a staged interleaving: the door ticks on ITS OWN THREAD while
+    // this thread fires a real retrain mid-drain. Assertions hold under
+    // ANY interleaving — novel rows always admit (the sequential lower
+    // bound), planted exact copies reject unless the documented racing-
+    // tick recall window admitted them (extra admissions only), and at
+    // quiescence every row resides in its current-geometry cell.
+    val root = freshRoot()
+    new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+      .upsert(full)
+    val k4 = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 4)
+    IvfMorIndexStore.healedCommits.reset()
+    val rnd = new scala.util.Random(97)
+    val novelIds = scala.collection.mutable.Set.empty[Long]
+    val copyIds = scala.collection.mutable.Set.empty[Long]
+    val batches = (0 until 6).map { t =>
+      val novel = (0 until 5).map { j =>
+        val id = 10000L + t * 100 + j; novelIds += id
+        id -> Array.fill(16)((rnd.nextGaussian() * 3).toFloat)
+      }
+      val copies = (0 until 5).map { j =>
+        val src = (t * 20 + j).toLong; val id = 20000L + t * 100 + j
+        copyIds += id
+        id -> pts(src.toInt)._2
+      }
+      (novel ++ copies).toDF("vec_id", "embedding").localCheckpoint(false)
+    }
+    @volatile var doorErr: Throwable = null
+    val door = new Thread(() => {
+      try batches.foreach { b =>
+        // reopen-per-tick; transient refusals (pending intent / torn
+        // mid-publish read) are the documented wait-out-the-window path
+        var h: IvfMorIndexStore = null
+        while (h == null)
+          try h = IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+          catch {
+            case e: Exception
+              if e.getMessage != null && (e.getMessage.contains("interrupted") ||
+                e.getMessage.contains("torn")) => Thread.sleep(25)
+          }
+        h.ingestNearDup(b, 0.95).count()
+      } catch { case e: Throwable => doorErr = e }
+    }, "graft-door")
+    door.start()
+    Thread.sleep(rnd.nextInt(1500).toLong) // fire mid-drain, seeded-random point
+    IvfMorIndexStore.open(spark, root, "embedding", "vec_id").retrain(k4)
+    door.join(600000)
+    assert(!door.isAlive, "door thread hung")
+    assert(doorErr == null, s"door tick failed under the race: $doorErr")
+    // quiescence: geometry flipped exactly once, ZERO misplaced rows
+    val h = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    assert(IvfMorIndexStore.currentVersion(spark, root).contains(2))
+    val state = h.read.get.select(col("vec_id"),
+        (Similarity.cellOf(col("embedding"), k4) === col("cell")).as("ok"))
+      .collect()
+    assert(state.forall(_.getBoolean(1)),
+      s"${state.count(!_.getBoolean(1))} rows misplaced after the concurrent retrain")
+    val ids = state.map(_.getLong(0)).toSet
+    // lower bound: every novel row admitted, nothing invented
+    assert(novelIds.forall(ids.contains),
+      s"missing novels: ${novelIds.filterNot(ids.contains)}")
+    assert(ids.subsetOf(pts.map(_._1).toSet ++ novelIds ++ copyIds))
+    // exact copies reject UNLESS the racing tick's recall window let
+    // them through — extra admissions are the documented trade; report
+    val raceExtras = copyIds.count(ids.contains)
+    info(s"race-window extra admissions: $raceExtras/${copyIds.size}; " +
+      s"healed commits: ${IvfMorIndexStore.healedCommits.sum()}; " +
+      s"catch-up runs/skips: ${IvfMorIndexStore.catchupRuns.sum()}/" +
+      s"${IvfMorIndexStore.catchupSkips.sum()}")
+  }
+
   test("open refuses: pending retrain intent, uninitialized store, torn layout") {
     // uninitialized: no stamp yet
     val empty = freshRoot()
