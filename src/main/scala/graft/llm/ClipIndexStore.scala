@@ -64,6 +64,18 @@ final class ClipIndexStore(spark: SparkSession, root: String,
   private val cfg = TableConfig("clipidx_frames", null, Seq(idCol, frameCol))
   private val frames = new MorStore(spark, s"$root/frames", "hb", cfg)
 
+  // the bucket function is part of the on-disk layout: tombstones must
+  // land in the same partition as their live rows, so reopening a store
+  // under a different bucket count would mis-partition every later
+  // delete (a partition-scoped compaction could then resurrect removed
+  // rows). Stamped once, verified on every first-op.
+  private val FormatStamp = s"hb=pmod(xxhash64(hash),$buckets);v=1"
+  @volatile private var formatChecked = false
+  private def ensureFormat(): Unit = if (!formatChecked) {
+    StoreFormat.ensure(spark, root, "_format", FormatStamp, "clip index")
+    formatChecked = true
+  }
+
   def isEmpty: Boolean = frames.read.isEmpty
 
   /** Live segment fan-in — the probe's read amplification, bounded by
@@ -81,9 +93,11 @@ final class ClipIndexStore(spark: SparkSession, root: String,
   /** Admit frame rows `(id, frame, hash)` unscreened: they become
     * probe-visible state (stamped `adm` — the retention clock).
     * Replay reconciles by (id, frame). */
-  def append(fr: DataFrame, adm: Long = 0L): Unit =
+  def append(fr: DataFrame, adm: Long = 0L): Unit = {
+    ensureFormat()
     frames.mergeBatch(withBucket(fr)
       .withColumn(MinhashIndexStore.AdmCol, lit(adm)), cfg)
+  }
 
   /** Remove videos from probe visibility: tombstones at every stored
     * (id, frame) residence. The frame table partitions on a HASH
@@ -92,6 +106,7 @@ final class ClipIndexStore(spark: SparkSession, root: String,
     * row is only knowable from its hash); O(ids' frames) appended
     * bytes through the delta path. */
   def remove(ids: DataFrame): Unit = {
+    ensureFormat()
     val idOnly = ids.select(col(idCol)).distinct()
     frames.read.foreach { st =>
       val doomed = st.join(broadcast(idOnly), Seq(idCol), "left_semi")
@@ -130,6 +145,7 @@ final class ClipIndexStore(spark: SparkSession, root: String,
     * stored-frame scan with the batch frames broadcast, joined on the
     * hash, one partial-aggregated count per (pair, offset) cell. */
   def probeMatches(batch: DataFrame): DataFrame = {
+    ensureFormat()
     if (isEmpty)
       return batch.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
     val stored0 = frames.read.get
@@ -181,5 +197,6 @@ final class ClipIndexStore(spark: SparkSession, root: String,
   }
 
   /** [[ingestWithMatches]]' survivor side alone. */
-  def ingest(batch: DataFrame): DataFrame = ingestWithMatches(batch)._1
+  def ingest(batch: DataFrame, adm: Long = 0L): DataFrame =
+    ingestWithMatches(batch, adm)._1
 }

@@ -261,18 +261,22 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
 
   /** Upsert a batch of (possibly re-embedded) vectors: O(batch) bytes
     * appended, no cell rewritten. Replay-safe — re-delivery reconciles
-    * to the identical state by (id, cell) key. */
-  def upsert(batch: DataFrame): Unit = {
+    * to the identical state by (id, cell) key. `adm` is the retention
+    * clock ([[expire]]); it rides every row and survives migrations
+    * (retrain re-appends the full rows) and heals (threaded through
+    * the re-upsert). */
+  def upsert(batch: DataFrame, adm: Long = 0L): Unit = {
     verifyOp()
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
+      .withColumn(MinhashIndexStore.AdmCol, lit(adm))
       .localCheckpoint(false)
-    upsertBuilt(fresh)
+    upsertBuilt(fresh, adm)
   }
 
   /** The commit half of [[upsert]], for callers that already hold the
     * cell-assigned (and PQ-encoded) rows. */
-  private def upsertBuilt(fresh: DataFrame): Unit = {
+  private def upsertBuilt(fresh: DataFrame, adm: Long): Unit = {
     val idsOnly = fresh.select(col(idCol)).distinct()
     // superset add BEFORE the main commit (crash ⇒ over-tombstoning
     // later, never a ghost)
@@ -288,7 +292,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // marker AFTER the commits, BEFORE the re-verification read: the
     // ordering the catch-up skip's two-leg proof needs (see writesDir)
     noteWrite()
-    reverifyCommit(fresh)
+    reverifyCommit(fresh, adm)
   }
 
   /** COMMIT-TIME geometry re-verification — the write-side half of the
@@ -315,7 +319,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * Applied to EVERY handle, pinned or not: an unpinned op verifies
     * at op START, so a retrain completing between that check and the
     * commit hits the same window. */
-  private def reverifyCommit(fresh: DataFrame): Unit = {
+  private def reverifyCommit(fresh: DataFrame, adm: Long): Unit = {
     if (readMarker(StampFile).contains(fp)) return // no flip raced this commit
     // The stamp flipped before this check. Two sub-cases, both healed
     // HERE (never deferred to a retrain that might have crashed):
@@ -338,7 +342,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     if (IvfMorIndexStore.stampOf(cs, bk) != stamp) return
     IvfMorIndexStore.healedCommits.increment()
     new IvfMorIndexStore(spark, root, embCol, idCol, cs, bk, pinned = true)
-      .upsert(fresh.select(col(idCol), col(embCol)))
+      .upsert(fresh.select(col(idCol), col(embCol)), adm)
   }
 
   /** Near-dup ADMISSION through the index: screen `batch` against the
@@ -358,8 +362,9 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * cells with the BATCH side broadcast (the corpus side streams —
     * O(batch × cell population) comparisons, never all-pairs), plus
     * the O(batch) upsert. */
-  def ingestNearDup(batch: DataFrame, threshold: Double): DataFrame =
-    ingestNearDupWithMatches(batch, threshold)._1
+  def ingestNearDup(batch: DataFrame, threshold: Double,
+                    adm: Long = 0L): DataFrame =
+    ingestNearDupWithMatches(batch, threshold, adm)._1
 
   /** [[ingestNearDup]] with the reject side attributed: returns
     * `(admitted, matches)` where `matches` carries one
@@ -368,11 +373,12 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * both the screen (the matches' anti-join) and the quarantine
     * relation, the [[MinhashIndexStore.ingestWithMatches]] contract
     * with the IVF cell as the candidate generator. */
-  def ingestNearDupWithMatches(batch: DataFrame,
-                               threshold: Double): (DataFrame, DataFrame) = {
+  def ingestNearDupWithMatches(batch: DataFrame, threshold: Double,
+                               adm: Long = 0L): (DataFrame, DataFrame) = {
     verifyOp()
     val fresh = buildRows(
       graft.merge.MergeEngine.latestPerKey(batch, Seq(idCol), Seq.empty))
+      .withColumn(MinhashIndexStore.AdmCol, lit(adm))
       .localCheckpoint(false)
     val cells = fresh.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -392,8 +398,8 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     }).localCheckpoint(false)
     val admitted = fresh.join(matches, Seq(idCol), "left_anti")
       .localCheckpoint(false)
-    if (!admitted.isEmpty) upsertBuilt(admitted)
-    (admitted.drop("cell", "pq_codes"), matches)
+    if (!admitted.isEmpty) upsertBuilt(admitted, adm)
+    (admitted.drop("cell", "pq_codes", MinhashIndexStore.AdmCol), matches)
   }
 
   /** Remove ids from probe visibility: tombstones at every known
@@ -409,6 +415,42 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
 
   /** The reconciled index (all cells). */
   def read: Option[DataFrame] = { verifyOp(); store.read }
+
+  /** RETENTION: evict every id whose latest admission stamp precedes
+    * `beforeAdm` — the signature stores' contract
+    * ([[MinhashIndexStore.expire]]) on the ANN admission index:
+    * eviction rides [[delete]] (tombstones at every known residence,
+    * O(expired) bytes), replay converges, an expired near-dup's
+    * re-delivery RE-ADMITS (recall horizon, not a ban), and rows
+    * written before the stamp existed read NULL and never expire.
+    * One narrow (id, stamp) reconciled scan per call — retention
+    * cadence, not the tick path. */
+  def expire(beforeAdm: Long): Long = {
+    ensureCentroids()
+    val expired = store.read match {
+      case Some(df) if df.columns.contains(MinhashIndexStore.AdmCol) =>
+        df.groupBy(col(idCol))
+          .agg(org.apache.spark.sql.functions.max(
+            col(MinhashIndexStore.AdmCol)).as("__a"))
+          .filter(col("__a").isNotNull && col("__a") < lit(beforeAdm))
+          .select(col(idCol)).localCheckpoint(false)
+      case _ => return 0L
+    }
+    val n = expired.count()
+    if (n > 0) delete(expired)
+    n
+  }
+
+  /** Segment GC for the retention path: re-materialize both tables'
+    * live rows, physically dropping tombstone winners (legal: neither
+    * table reconciles by cursor — see
+    * [[MinhashIndexStore.gcTombstones]]). Refuses mid-retrain like
+    * every unpinned op. */
+  def gcTombstones(): Unit = {
+    ensureCentroids()
+    store.read.foreach(store.snapshot)
+    idStore.read.foreach(idStore.snapshot)
+  }
 
   /** Re-train migration: move every residence to its cell under
     * `newCentroids` in ONE crash-safe O(index) pass — the production

@@ -61,10 +61,21 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * stamp refuses instead of silently mixing schemes — migration is an
     * explicit full rebuild (re-ingest), never an implicit corruption. */
   private val FormatStamp = "tp=pmod(xxhash64(id),16);v=2"
+
+  /** The SIGNATURE parameters are on-disk layout too: stored bandHash
+    * values are a function of (numHashes, bands, shingleSize), so a
+    * probe recomputing the batch side under different values stops
+    * colliding with stored keys SILENTLY — recall quietly drops, the
+    * worst dedup-gate failure. Stamped separately from the partition
+    * scheme because their remedies differ: the text partitioning is
+    * migratable in place ([[migrateFormat]]); a signature-parameter
+    * change means re-shingling, i.e. a rebuild. */
+  private val SigStamp = s"mh=$numHashes;bands=$bands;shingle=$shingleSize"
   @volatile private var formatChecked = false
 
   private def ensureFormat(): Unit = if (!formatChecked) synchronized {
     if (!formatChecked) {
+      StoreFormat.ensure(spark, root, "_sig", SigStamp, "minhash index")
       val rootP = new org.apache.hadoop.fs.Path(root)
       val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(rootP, "_format")
@@ -223,6 +234,7 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * shape as [[probe]]: the narrow signature scan with the batch side
     * broadcast, then Jaccard verification of band-colliding pairs. */
   def probeMatches(newDocs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    ensureFormat() // the read path verifies the signature stamp too
     if (isEmpty)
       return newDocs.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
     val nb = Dedup.minhashBands(Dedup.parallelize(newDocs), idCol, textCol,

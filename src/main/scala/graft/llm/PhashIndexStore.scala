@@ -39,6 +39,18 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
   private val cfg = TableConfig("phidx_sigs", null, Seq(idCol, "band"))
   private val sigs = new MorStore(spark, s"$root/sigs", "band", cfg)
 
+  // the banding geometry is part of the on-disk layout: which band
+  // keys exist (and what they select from the 64-bit hash) follows
+  // from (maxHamming, blocks) — reopening under different values makes
+  // stored and probe-side band keys stop colliding SILENTLY (recall
+  // loss, not an error). Stamped once, verified on every first-op.
+  private val SigStamp = s"ham=$maxHamming;blocks=$blocks;bits=64"
+  @volatile private var sigChecked = false
+  private def ensureSig(): Unit = if (!sigChecked) {
+    StoreFormat.ensure(spark, root, "_sig", SigStamp, "phash index")
+    sigChecked = true
+  }
+
   def isEmpty: Boolean = sigs.read.isEmpty
 
   /** Live segment fan-in — the probe's read amplification, bounded by
@@ -62,16 +74,20 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
   /** Admit hashes `(id, ahash)` unscreened: their band signatures
     * become probe-visible state (stamped `adm` — the retention clock).
     * Replay reconciles by key. */
-  def append(hashes: DataFrame, adm: Long = 0L): Unit =
+  def append(hashes: DataFrame, adm: Long = 0L): Unit = {
+    ensureSig()
     sigs.mergeBatch(indexOf(hashes).withColumn(MinhashIndexStore.AdmCol, lit(adm)), cfg)
+  }
 
   /** Remove ids from probe visibility: equality-delete tombstones at
     * every band — O(ids · bands) appended bytes through the MorStore
     * delta path, the [[MinhashIndexStore.remove]] contract. */
-  def remove(ids: DataFrame): Unit =
+  def remove(ids: DataFrame): Unit = {
+    ensureSig()
     sigs.delete(ids.select(col(idCol)).distinct()
       .select(col(idCol),
         explode(sequence(lit(0), lit(numBands - 1))).as("band")))
+  }
 
   /** RETENTION: evict every id whose latest admission stamp precedes
     * `beforeAdm` — [[MinhashIndexStore.expire]]'s contract verbatim
@@ -102,6 +118,7 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
     * stored-signature scan with the batch index broadcast, Hamming
     * verified inline on the banded candidates. */
   def probeMatches(batch: DataFrame): DataFrame = {
+    ensureSig()
     if (isEmpty)
       return batch.select(col(idCol), col(idCol).as("match_id")).filter(lit(false))
     val nb = indexOf(batch).toDF("ida", "sima", "band", "bandHash")
@@ -136,5 +153,6 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
   }
 
   /** [[ingestWithMatches]]' survivor side alone. */
-  def ingest(batch: DataFrame): DataFrame = ingestWithMatches(batch)._1
+  def ingest(batch: DataFrame, adm: Long = 0L): DataFrame =
+    ingestWithMatches(batch, adm)._1
 }

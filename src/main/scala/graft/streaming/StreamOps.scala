@@ -541,14 +541,19 @@ object StreamOps {
                       admittedOut: String, checkpoint: String,
                       exactlyOnceSink: Boolean = false,
                       onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, b => store.ingest(b, threshold),
+    admissionDrain(stream, (b, id) => store.ingest(b, threshold, adm = id),
       admittedOut, checkpoint, exactlyOnceSink, onStage)
 
   /** The shared drain loop of every persistent-index admission stream
     * (MinHash / IVF / 64-bit signature / clip): one `ingest` tick per
     * micro-batch, survivors to `admittedOut` through [[admittedWrite]].
-    * The four public drains differ ONLY in the store's ingest call. */
-  private def admissionDrain(stream: DataFrame, ingest: DataFrame => DataFrame,
+    * The four public drains differ ONLY in the store's ingest call.
+    * Each tick passes its BATCH ID as the store's admission stamp —
+    * the retention clock `expire(beforeAdm)` evicts against, monotone
+    * within a checkpoint lifetime and replay-stable (a crash-replayed
+    * batch re-stamps the same id). */
+  private def admissionDrain(stream: DataFrame,
+                             ingest: (DataFrame, Long) => DataFrame,
                              admittedOut: String, checkpoint: String,
                              exactlyOnceSink: Boolean,
                              onStage: (String, Double) => Unit): Unit = {
@@ -558,7 +563,7 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         tickConf(batch.sparkSession) {
-          admittedWrite(ingest(batch), admittedOut, batchId, exactlyOnceSink)
+          admittedWrite(ingest(batch, batchId), admittedOut, batchId, exactlyOnceSink)
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
@@ -587,7 +592,7 @@ object StreamOps {
                     admittedOut: String, checkpoint: String,
                     exactlyOnceSink: Boolean = false,
                     onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, b => index.ingestNearDup(b, threshold),
+    admissionDrain(stream, (b, id) => index.ingestNearDup(b, threshold, adm = id),
       admittedOut, checkpoint, exactlyOnceSink, onStage)
 
   /** Streaming 64-bit-signature near-dup admission: one
@@ -604,8 +609,8 @@ object StreamOps {
                           admittedOut: String, checkpoint: String,
                           exactlyOnceSink: Boolean = false,
                           onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, store.ingest, admittedOut, checkpoint,
-      exactlyOnceSink, onStage)
+    admissionDrain(stream, (b, id) => store.ingest(b, adm = id),
+      admittedOut, checkpoint, exactlyOnceSink, onStage)
 
   /** Streaming embedded-CLIP admission: one
     * [[graft.llm.ClipIndexStore.ingest]] tick per micro-batch of FRAME
@@ -623,8 +628,8 @@ object StreamOps {
                      admittedOut: String, checkpoint: String,
                      exactlyOnceSink: Boolean = false,
                      onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, store.ingest, admittedOut, checkpoint,
-      exactlyOnceSink, onStage)
+    admissionDrain(stream, (b, id) => store.ingest(b, adm = id),
+      admittedOut, checkpoint, exactlyOnceSink, onStage)
 
   /** The admitted-output writer every admission drain shares. Default
     * (`exactlyOnce = false`): plain append — at-least-once on crash

@@ -102,6 +102,25 @@ class ClipIndexStoreSpec extends SparkSpec {
     assert(m == Map(30L -> 3L), m.toString)
   }
 
+  test("bucket count is stamped: reopening under a different fan-out refuses") {
+    val root = Files.createTempDirectory("clipidx_fmt").toString
+    val store = new ClipIndexStore(spark, root, "vid_id", "f", "fhash",
+      minFrames = 5, buckets = 16)
+    store.append(corpus)
+    // same buckets reopen fine; minFrames/maxHashDf are QUERY-time
+    // knobs, not layout — different values must NOT refuse
+    assert(new ClipIndexStore(spark, root, "vid_id", "f", "fhash",
+      minFrames = 8, maxHashDf = 64).probe(corpus.limit(0)).isEmpty)
+    // a different bucket count would mis-partition every later
+    // tombstone — the stamp refuses instead
+    val e = intercept[IllegalArgumentException] {
+      new ClipIndexStore(spark, root, "vid_id", "f", "fhash",
+        minFrames = 5, buckets = 32)
+        .append(fr((50L, 0L, 999L)))
+    }
+    assert(e.getMessage.contains("parameters"))
+  }
+
   test("expire: stale video re-admits its clips, live still screens, GC reclaims") {
     val root = Files.createTempDirectory("clipidx_exp").toString
     val store = new ClipIndexStore(spark, root, "vid_id", "f", "fhash",

@@ -773,6 +773,56 @@ class IvfMorIndexStoreSpec extends SparkSpec {
     assert(!hFs(root).exists(hPath(root, "_retrain_intent")))
   }
 
+  test("expire: stale ANN admissions re-admit, live still screen, stamps survive retrain + GC") {
+    val root = freshRoot()
+    // pairwise-DISTINCT corpus (seeded 16-dim gaussians: cosine ≥ 0.95
+    // by chance is negligible) — the clustered `full` fixture would
+    // make generations mutual near-dups and mask the expiry effect
+    val rr = new scala.util.Random(53)
+    val iso = (0L until 400L).map(i => i -> Array.fill(16)(rr.nextGaussian().toFloat))
+      .toDF("vec_id", "embedding").localCheckpoint(false)
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    val gen1 = iso.filter(col("vec_id") < 200L).localCheckpoint(false)
+    val gen2 = iso.filter(col("vec_id") >= 200L).localCheckpoint(false)
+    ivf.upsert(gen1, adm = 1L)
+    ivf.upsert(gen2, adm = 2L)
+    def copies(src: org.apache.spark.sql.DataFrame) =
+      src.select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    // exact copies screen against both generations before expiry (a
+    // copy shares its source's cell under ANY centroid set, cosine 1.0)
+    assert(ivf.ingestNearDup(copies(gen1), 0.95, adm = 2L).isEmpty)
+    assert(ivf.ingestNearDup(copies(gen2), 0.95, adm = 2L).isEmpty)
+    assert(ivf.expire(2L) == 200L, "gen-1's 200 admissions expire")
+    // expired near-dups RE-ADMIT; the live generation still screens;
+    // re-running expire is a no-op
+    assert(ivf.ingestNearDup(copies(gen1.limit(30)), 0.95, adm = 3L).count() == 30)
+    assert(ivf.ingestNearDup(copies(gen2.limit(30)), 0.95, adm = 3L).isEmpty)
+    assert(ivf.expire(2L) == 0L)
+    // admission stamps SURVIVE a retrain (the migration re-appends full
+    // rows): after moving every residence to a 4-cell geometry, the
+    // sliding window still distinguishes gen-2 (adm 2) from the adm-3
+    // re-admissions
+    val k4 = Similarity.ivfCentroids(iso, "embedding", "vec_id", k = 4)
+    val migrated = ivf.retrain(k4)
+    assert(migrated.expire(3L) == 200L, "gen-2 expires through the NEW geometry")
+    assert(migrated.ingestNearDup(copies(gen2.limit(10)), 0.95, adm = 4L).count() == 10,
+      "gen-2 copies re-admit after their window slid out")
+    // GC reclaims tombstones; reads unchanged — probe under FRESH ids
+    // (re-probing the 9000-shifted ids would be a same-id re-delivery,
+    // which the exemption admits by design)
+    migrated.gcTombstones()
+    assert(migrated.ingestNearDup(
+        gen1.limit(30).select((col("vec_id") + 18000L).as("vec_id"),
+          col("embedding")), 0.95, adm = 4L).isEmpty,
+      "the adm-3 re-admissions still screen after GC")
+    val (cellSegs, idSegs) = migrated.segmentCounts
+    assert(cellSegs == 1 && idSegs == 1, s"post-GC fan-in ($cellSegs, $idSegs)")
+    // pre-stamp rows never expire: adopt a store written without stamps
+    val legacy = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
+    legacy.upsert(gen1) // adm defaults to 0
+    assert(legacy.expire(0L) == 0L)
+  }
+
   test("uncontended retrain SKIPS the catch-up pass; a mid-window commit forces it") {
     // quiet path: no door commit between the main pass's read and the
     // flip — the marker sets match and the second O(index) pass is

@@ -93,6 +93,22 @@ class MinhashIndexStoreSpec extends SparkSpec {
     assert(again.toSet == dupIds.toSet)
   }
 
+  test("signature parameters are stamped: reopening under different ones refuses") {
+    val root = Files.createTempDirectory("mhidx_sig").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    store.append(docs.filter(col("doc_id") % 10 === 1))
+    // same params reopen fine
+    assert(new MinhashIndexStore(spark, root, "doc_id", "text")
+      .probe(docs.filter(col("doc_id") % 10 === 2), 0.8).count() > 0)
+    // a probe under a different shingle size would recompute the batch
+    // side into a disjoint bandHash space — silent recall loss; refuse
+    val e = intercept[IllegalArgumentException] {
+      new MinhashIndexStore(spark, root, "doc_id", "text", shingleSize = 5)
+        .probeMatches(docs.filter(col("doc_id") % 10 === 2), 0.8).count()
+    }
+    assert(e.getMessage.contains("parameters"))
+  }
+
   test("expire: stale generation leaves probe visibility, live one still screens, GC reclaims") {
     import spark.implicits._
     val root = Files.createTempDirectory("mhidx_exp").toString

@@ -89,6 +89,21 @@ class PhashIndexStoreSpec extends SparkSpec {
     assert(store.probe(batch.limit(0)).isEmpty)
   }
 
+  test("banding parameters are stamped: reopening under different ones refuses, not silently loses recall") {
+    val root = Files.createTempDirectory("phidx_sig").toString
+    val store = new PhashIndexStore(spark, root, "doc_id", maxHamming = 3, blocks = 6)
+    store.append(corpus)
+    // same params reopen fine
+    assert(new PhashIndexStore(spark, root, "doc_id").probe(batch).count() > 0)
+    // different banding: stored and probe-side band keys would stop
+    // colliding silently — the stamp refuses instead
+    val e = intercept[IllegalArgumentException] {
+      new PhashIndexStore(spark, root, "doc_id", maxHamming = 2, blocks = 4)
+        .probeMatches(batch).count()
+    }
+    assert(e.getMessage.contains("parameters"))
+  }
+
   test("expire: stale generation re-admits, live still screens, GC reclaims") {
     val root = Files.createTempDirectory("phidx_exp").toString
     val store = new PhashIndexStore(spark, root, "doc_id")
