@@ -2413,6 +2413,37 @@ object SparkEntry {
           col("match_id").cast("long")))
     }),
 
+    "ann_dedup_expire" -> ((s, d) => {
+      // retention on the ANN admission index — dedup_index_expire's
+      // IVF twin: gen-1 embeddings (vec_id%4<2) admitted at adm 1,
+      // gen-2 at adm 2, expire(2) evicts gen-1, gcTombstones reclaims.
+      // The probe batch carries exact copies (+1e6 ids) of alternating
+      // generations: EXPIRED gen-1 copies admit (the recall-horizon
+      // trade), LIVE gen-2 copies reject attributed to their source.
+      // Oracle: the planted closed form — an exact copy shares its
+      // source's cell under ANY centroid set and random embeddings
+      // never reach 0.95 cross-pair (the dedup_cosine_pairs fixture
+      // guarantee), so the same-cell screen equals the closed form.
+      val tmp = scratchDir("ann_expire")
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.ivfCentroids(e, "embedding", "vec_id", k = 8)
+      val idx = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx",
+        "embedding", "vec_id", cents)
+      idx.upsert(e.filter(col("vec_id") % 4 < 2).select("vec_id", "embedding"),
+        adm = 1L)
+      idx.upsert(e.filter(col("vec_id") % 4 >= 2).select("vec_id", "embedding"),
+        adm = 2L)
+      idx.expire(2L)
+      idx.gcTombstones()
+      val feed = e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val (admitted, matches) = idx.ingestNearDupWithMatches(feed, 0.95, adm = 3L)
+      admitted.select(col("vec_id"), lit("admitted").as("outcome"),
+          lit(null).cast("long").as("match_id"))
+        .unionByName(matches.select(col("vec_id"), lit("rejected").as("outcome"),
+          col("match_id").cast("long")))
+    }),
+
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
       // near-dups to find; random embeddings never reach cosine 0.95, so
@@ -8147,6 +8178,18 @@ object SparkEntry {
     "dedup_cosine_pairs" ->
       """SELECT vec_id AS ida, vec_id + 1000000 AS idb, 1.0 AS cosine
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // the ANN retention leg's closed form: feed ids are multiples of
+    // 10, so vec_id % 4 alternates 0 (gen-1, EXPIRED — its copy
+    // admits) and 2 (gen-2, live — its copy rejects, attributed to
+    // exactly its source, the only vector at 0.95)
+    "ann_dedup_expire" ->
+      """SELECT vec_id + 1000000 AS vec_id, 'admitted' AS outcome,
+        |       CAST(NULL AS BIGINT) AS match_id
+        |FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 4 < 2
+        |UNION ALL
+        |SELECT vec_id + 1000000, 'rejected', CAST(vec_id AS BIGINT)
+        |FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 4 >= 2""".stripMargin,
 
     // closed form of the planted clustering: pair members label back to
     // v, triple members to v, everything else is a kept singleton
