@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
   *     signature state must FLATTEN at O(window × batch) while the
   *     control grows linearly — the state-size claim behind the
   *     stores' retention leg.
+  *  3. CONCURRENT retention — the retention leg run against a LIVE
+  *     door: a second thread fires `expire` + `gcTombstones` while
+  *     the door ingests, across the OCC append path (door commits
+  *     retry past the retention tombstones) and the snapshot-refusal
+  *     path (a GC racing a door commit refuses and is retried by the
+  *     retention thread — the documented single-writer contract).
+  *     Asserted at quiescence: every tick inside the final window
+  *     still screens, every tick outside it re-admits, and state is
+  *     bounded by the window.
   *
-  * Run: `sbt "Test/runMain graft.R19SoakMain [1|2|all]"`.
+  * Run: `sbt "Test/runMain graft.R19SoakMain [1|2|3|all]"`.
   */
 object R19SoakMain {
   def main(args: Array[String]): Unit = {
@@ -44,6 +53,7 @@ object R19SoakMain {
     spark.sparkContext.setLogLevel("ERROR")
     if (which == "1" || which == "all") concurrentRetrainSoak(spark)
     if (which == "2" || which == "all") retentionLadder(spark)
+    if (which == "3" || which == "all") concurrentRetentionSoak(spark)
     spark.stop()
   }
 
@@ -201,6 +211,67 @@ object R19SoakMain {
       s"windowed state must plateau, got ${plateau.mkString(",")}")
     println(f"[r19-soak] retention ladder: control ${cFinal}%d docs after " +
       f"$ticks ticks vs windowed ${wFinal}%d — state flattened at the window")
+  }
+
+  /** 3. Retention fired CONCURRENTLY against a live door. */
+  private def concurrentRetentionSoak(spark: SparkSession): Unit = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").localCheckpoint(false)
+    val n = docs.count()
+    val root = java.nio.file.Files.createTempDirectory("r19ccret").toString
+    val store = new MinhashIndexStore(spark, s"$root/idx", "doc_id", "text")
+    val ticks = 10
+    def batchOf(t: Int) = docs.select(
+      (col("doc_id") + lit(t * 1_000_000L)).as("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", s"t$t$$1").as("text"))
+    @volatile var doorErr: Throwable = null
+    @volatile var doorTick = 0
+    val door = new Thread(() => {
+      try (1 to ticks).foreach { t =>
+        store.ingest(batchOf(t), 0.8, adm = t.toLong)
+        doorTick = t
+      } catch { case e: Throwable => doorErr = e }
+    }, "graft-ret-door")
+    @volatile var retErr: Throwable = null
+    val gcRefusals = new java.util.concurrent.atomic.LongAdder
+    val expireRounds = new java.util.concurrent.atomic.LongAdder
+    val retention = new Thread(() => {
+      try while (doorTick < ticks && doorErr == null) {
+        Thread.sleep(400)
+        store.expire(doorTick.toLong - 3)
+        expireRounds.increment()
+        // GC's snapshot is single-writer: a door commit racing it makes
+        // the conditional publish REFUSE — the retention thread's
+        // documented recovery is skip-and-retry next round
+        try store.gcTombstones()
+        catch { case _: java.util.ConcurrentModificationException =>
+          gcRefusals.increment() }
+      } catch { case e: Throwable => retErr = e }
+    }, "graft-ret")
+    val t0 = System.nanoTime()
+    door.start(); retention.start()
+    door.join(600000); retention.join(600000)
+    require(!door.isAlive && !retention.isAlive, "concurrent-retention soak hung")
+    require(doorErr == null, s"door failed under concurrent retention: $doorErr")
+    require(retErr == null, s"retention thread failed: $retErr")
+    val wall = (System.nanoTime() - t0) / 1e9
+    // quiescence: slide the window to its final position, then assert
+    // the invariants under ANY interleaving of the racing threads
+    store.expire(ticks.toLong - 3)
+    def copyOf(t: Int) = batchOf(t)
+      .select((col("doc_id") + 50_000_000L).as("doc_id"), col("text"))
+    for (t <- (ticks - 3) to ticks)
+      require(store.probe(copyOf(t), 0.8).count() == 0,
+        s"tick $t is inside the window and must still screen")
+    for (t <- 1 to 2)
+      require(store.probe(copyOf(t), 0.8).count() == n,
+        s"tick $t slid out of the window and must re-admit")
+    val live = store.indexedDocs.get.count()
+    require(live <= n * 4, s"state must stay bounded by the window: $live")
+    println(f"[r19-soak] concurrent retention: $ticks door ticks x $n docs in " +
+      f"$wall%5.1f s against ${expireRounds.sum()} expire rounds " +
+      f"(${gcRefusals.sum()} GC snapshot refusals retried); window docs $live, " +
+      "in-window ticks screen, slid-out ticks re-admit")
   }
 
   private def time[A](body: => A): (A, Double) = {
