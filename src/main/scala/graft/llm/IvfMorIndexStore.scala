@@ -445,11 +445,20 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * live rows, physically dropping tombstone winners (legal: neither
     * table reconciles by cursor — see
     * [[MinhashIndexStore.gcTombstones]]). Refuses mid-retrain like
-    * every unpinned op. */
+    * every unpinned op. Also sweeps the door-write markers: retrain is
+    * their only other consumer, so a door that never retrains would
+    * accumulate one tiny file per commit forever. The sweep is safe
+    * against every interleaving: an existing marker's commit is
+    * already durable (markers land post-commit), so any FUTURE
+    * retrain's main-pass read sees it without the marker; a marker
+    * created after this listing is never touched; and a retrain
+    * already in flight makes [[ensureCentroids]] refuse before the
+    * sweep could perturb its S0/S1 comparison. */
   def gcTombstones(): Unit = {
     ensureCentroids()
     store.read.foreach(store.snapshot)
     idStore.read.foreach(idStore.snapshot)
+    clearWriteMarkers(writeMarkerSet())
   }
 
   /** Re-train migration: move every residence to its cell under

@@ -817,6 +817,11 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       "the adm-3 re-admissions still screen after GC")
     val (cellSegs, idSegs) = migrated.segmentCounts
     assert(cellSegs == 1 && idSegs == 1, s"post-GC fan-in ($cellSegs, $idSegs)")
+    // ...and GC swept the door-write markers (a door that never
+    // retrains must not accumulate one marker file per commit forever)
+    val wd = hPath(root, "_writes")
+    assert(!hFs(root).exists(wd) || hFs(root).listStatus(wd).isEmpty,
+      "gcTombstones must sweep the write markers")
     // pre-stamp rows never expire: adopt a store written without stamps
     val legacy = new IvfMorIndexStore(spark, freshRoot(), "embedding", "vec_id", centroids)
     legacy.upsert(gen1) // adm defaults to 0
