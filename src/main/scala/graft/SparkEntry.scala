@@ -4023,6 +4023,41 @@ object SparkEntry {
       s.read.parquet(s"$tmp/admitted").select("doc_id")
     }),
 
+    "stream_dedup_index_expire" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the drains' BATCH-ID retention clock end-to-end: two drained
+      // ticks stamp their admissions adm 0 and adm 1 (the drain passes
+      // its micro-batch id — no caller wiring), then expire(1) evicts
+      // tick 0's. A batch probe then shows the sliding window: copies
+      // of tick-0 docs ADMIT (their window slid out), copies of
+      // tick-1 SURVIVORS still reject, attributed. The oracle replays
+      // the end state: live = tick-1's sequential survivors (tick 1
+      // screened against tick 0 at drain time).
+      import graft.llm.MinhashIndexStore
+      val tmp = scratchDir("stream_mhexp")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val src = s"$tmp/src"
+      docs.filter(col("doc_id") % 10 === 1).coalesce(1).write.parquet(src)
+      docs.filter(col("doc_id") % 10 === 6).coalesce(1).write.mode("append").parquet(src)
+      val store = new MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamOps.dedupIndexDrain(stream, store, 0.8,
+        s"$tmp/admitted", s"$tmp/ckpt",
+        onStage = stageLogger("stream_dedup_index_expire"))
+      store.expire(1L) // tick 0 (adm 0) slides out; tick 1 (adm 1) stays
+      val srcId = when(col("doc_id") % 20 === 0 || col("doc_id") % 20 === 5,
+        col("doc_id") + 1).otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), srcId.as("__src"))
+        .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
+        .select("doc_id", "text")
+      val (admitted, matches) = store.ingestWithMatches(feed, 0.8, adm = 2L)
+      admitted.select(col("doc_id"), lit("admitted").as("outcome"),
+          lit(null).cast("long").as("match_id"))
+        .unionByName(matches.select(col("doc_id"), lit("rejected").as("outcome"),
+          col("match_id").cast("long")))
+    }),
+
     "stream_ann_dedup_index" -> ((s, d) => withShufflePartitions(s, 8) {
       // SEMANTIC near-dup admission through the persistent IVF store —
       // the embedding twin of stream_dedup_index: corpus pre-admitted,
@@ -8520,6 +8555,45 @@ object SparkEntry {
         |survB AS (SELECT doc_id FROM documents
         |          WHERE doc_id % 10 = 5 AND doc_id NOT IN (SELECT id FROM dupB))
         |SELECT doc_id FROM survA UNION ALL SELECT doc_id FROM survB""".stripMargin,
+
+    // the drains' batch-id retention clock replayed as its END STATE:
+    // after the two-tick drain and expire(1), the probe-visible corpus
+    // is exactly tick-1's SEQUENTIAL SURVIVORS (tick 1 screened against
+    // tick 0 at drain time; tick 0 then slid out of the window) — a
+    // feed doc rejects iff a live survivor matches at 0.8 Jaccard, so
+    // planted copies of tick-0 docs come back admitted
+    "stream_dedup_index_expire" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |t0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 1),
+        |t1 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 6),
+        |dup1 AS (SELECT DISTINCT a.doc_id FROM t1 a JOIN t0 b
+        |         ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |        AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |live AS (SELECT doc_id, s FROM t1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |feed AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 20 IN (0, 5) THEN doc_id + 1
+        |                ELSE doc_id END AS src
+        |         FROM documents WHERE doc_id % 5 = 0),
+        |fs AS (SELECT f.doc_id, s.s FROM feed f JOIN sh s ON s.doc_id = f.src),
+        |dup AS (SELECT a.doc_id, MIN(x.doc_id) AS match_id
+        |        FROM fs a JOIN live x
+        |          ON x.doc_id <> a.doc_id
+        |         AND len(a.s) >= 0.8 * len(x.s) AND len(x.s) >= 0.8 * len(a.s)
+        |         AND len(list_intersect(a.s, x.s)) * 1.0 /
+        |             (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+        |        GROUP BY a.doc_id)
+        |SELECT f.doc_id, 'admitted' AS outcome, CAST(NULL AS BIGINT) AS match_id
+        |FROM feed f WHERE f.doc_id NOT IN (SELECT doc_id FROM dup)
+        |UNION ALL
+        |SELECT doc_id, 'rejected', CAST(match_id AS BIGINT) FROM dup""".stripMargin,
 
     // sequential SEMANTIC admission replayed exactly: same-cell exact
     // cosine (the IVF candidate shape) under the frozen ivfCtes
