@@ -97,7 +97,13 @@ final class ClipIndexStore(spark: SparkSession, root: String,
     ensureFormat()
     frames.mergeBatch(withBucket(fr)
       .withColumn(MinhashIndexStore.AdmCol, lit(adm)), cfg)
+    StoreFormat.bumpFloor(spark, root, adm)
   }
+
+  /** Highest admission stamp ever appended (persisted, never
+    * regresses) — the drains' checkpoint-re-creation clock base; see
+    * [[MinhashIndexStore.admFloor]]. */
+  def admFloor: Option[Long] = StoreFormat.readFloor(spark, root)
 
   /** Remove videos from probe visibility: tombstones at every stored
     * (id, frame) residence. The frame table partitions on a HASH
@@ -136,8 +142,11 @@ final class ClipIndexStore(spark: SparkSession, root: String,
 
   /** Segment GC: re-materialize the live frame rows, physically
     * dropping tombstone winners (legal: no reconcile cursor — see
-    * [[MinhashIndexStore.gcTombstones]]). */
-  def gcTombstones(): Unit = frames.read.foreach(frames.snapshot)
+    * [[MinhashIndexStore.gcTombstones]]). Pinned to the read's version:
+    * a concurrent door delta in the read→publish window REFUSES loudly
+    * instead of being silently dropped (the family contract). */
+  def gcTombstones(): Unit =
+    frames.readVersioned.foreach { case (df, v) => frames.snapshotFrom(df, Some(v)) }
 
   /** The probe's REJECT side, attributed: one `(id, match_id)` row per
     * batch video with a qualifying vote cell against the index,

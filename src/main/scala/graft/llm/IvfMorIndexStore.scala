@@ -80,17 +80,24 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     }
   }
 
-  private def writeMarker(name: String, content: String): Unit = {
-    val rootP = new org.apache.hadoop.fs.Path(root)
-    fs.mkdirs(rootP)
-    val tmp = new org.apache.hadoop.fs.Path(rootP, s"._tmp_$name")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    val dst = marker(name)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst) && !fs.exists(dst))
-      throw new java.io.IOException(s"failed to write $name at $root")
-  }
+  /** Marker writes scope their delete+rename under the per-root
+    * publish lock: local-FS rename REPLACES an existing target, so two
+    * in-process writers racing one marker would last-writer-win
+    * silently (the r19 MorStore manifest lesson applied to the stamp
+    * files — the check-then-adopt callers additionally hold the lock
+    * across their read, see [[ensureCentroids]]). */
+  private def writeMarker(name: String, content: String): Unit =
+    MorStore.publishLock(root).synchronized {
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      fs.mkdirs(rootP)
+      val tmp = new org.apache.hadoop.fs.Path(rootP, s"._tmp_$name")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val dst = marker(name)
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst) && !fs.exists(dst))
+        throw new java.io.IOException(s"failed to write $name at $root")
+    }
 
   // ── door-write markers: the catch-up's quiet-path detector ─────────
   // Every upsert-path commit drops one uniquely-named touch file in
@@ -143,8 +150,21 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * a cached first-op check would keep gating through stale
     * centroids/books silently, which is exactly the failure
     * [[IvfMorIndexStore.open]]'s per-tick reopen pattern exists to
-    * prevent. */
-  private def ensureCentroids(): Unit = {
+    * prevent.
+    *
+    * The whole state machine runs under the per-root publish lock: the
+    * ADOPTION arm (no stamp → stamp this handle's fingerprint) is a
+    * check-then-write, and two handles first-opening one root
+    * concurrently under DIFFERENT geometries would otherwise both pass
+    * the missing-stamp check and rename-replace would let the LAST
+    * stamp win silently — both doors then proceed, one of them probing
+    * the wrong cells forever (silent recall loss, the exact failure
+    * the stamp refuses). Under the lock exactly one adoption wins; the
+    * loser re-reads the winner's stamp and REFUSES on mismatch. */
+  private def ensureCentroids(): Unit =
+    MorStore.publishLock(root).synchronized { ensureCentroidsBody() }
+
+  private def ensureCentroidsBody(): Unit = {
     readMarker(IntentFile).foreach { target =>
       throw new IllegalStateException(
         s"IVF index at $root has an interrupted centroid retrain (target $target); " +
@@ -292,6 +312,7 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     // marker AFTER the commits, BEFORE the re-verification read: the
     // ordering the catch-up skip's two-leg proof needs (see writesDir)
     noteWrite()
+    StoreFormat.bumpFloor(spark, root, adm)
     reverifyCommit(fresh, adm)
   }
 
@@ -403,15 +424,36 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
   }
 
   /** Remove ids from probe visibility: tombstones at every known
-    * residence, O(ids) appended bytes. */
-  def delete(ids: DataFrame): Unit = {
-    ensureCentroids()
-    val idsOnly = ids.select(col(idCol)).distinct().localCheckpoint(false)
-    val known = knownResidences(idsOnly).localCheckpoint(false)
-    store.delete(known.select(col("cell"), col(idCol)))
-    idStore.delete(withBucket(known))
-    store.compactHot(); idStore.compactHot()
-  }
+    * residence, O(ids) appended bytes.
+    *
+    * SERIALIZED AGAINST RETRAIN via the per-root maintenance lock (and
+    * the intent marker for the cross-start direction): a tombstone and
+    * a retrain's migration pass both commit through the OCC append
+    * path, and reconcile order is commit SEQUENCE (these tables have no
+    * cursor) — so a migration segment whose reconciled read predates
+    * this tombstone but whose commit lands after it would OUT-SEQUENCE
+    * the tombstone and RESURRECT the removed id under the new geometry
+    * (the r20 three-writer soak fires exactly this window with the
+    * lock removed). The retrain's catch-up protocol cannot heal it:
+    * catch-up re-migrates mis-resident rows, and a resurrected row sits
+    * in its CORRECT new cell. Mutual exclusion is the fix the intent
+    * window already implies — a delete/expire STARTING mid-retrain
+    * refuses on the intent marker ([[ensureCentroids]]); the lock
+    * closes the reverse direction (a retrain starting while a delete's
+    * read→commit is in flight) within the JVM, which is where the
+    * engine's writers live (doors, retrainer, retention cadence all
+    * share the driver). Cross-process retrainers keep the documented
+    * discipline: quiesce retention before retraining. Door ticks never
+    * take this lock — ingest concurrency is untouched. */
+  def delete(ids: DataFrame): Unit =
+    IvfMorIndexStore.maintLock(root).synchronized {
+      ensureCentroids()
+      val idsOnly = ids.select(col(idCol)).distinct().localCheckpoint(false)
+      val known = knownResidences(idsOnly).localCheckpoint(false)
+      store.delete(known.select(col("cell"), col(idCol)))
+      idStore.delete(withBucket(known))
+      store.compactHot(); idStore.compactHot()
+    }
 
   /** The reconciled index (all cells). */
   def read: Option[DataFrame] = { verifyOp(); store.read }
@@ -424,42 +466,63 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * re-delivery RE-ADMITS (recall horizon, not a ban), and rows
     * written before the stamp existed read NULL and never expire.
     * One narrow (id, stamp) reconciled scan per call — retention
-    * cadence, not the tick path. */
-  def expire(beforeAdm: Long): Long = {
-    ensureCentroids()
-    val expired = store.read match {
-      case Some(df) if df.columns.contains(MinhashIndexStore.AdmCol) =>
-        df.groupBy(col(idCol))
-          .agg(org.apache.spark.sql.functions.max(
-            col(MinhashIndexStore.AdmCol)).as("__a"))
-          .filter(col("__a").isNotNull && col("__a") < lit(beforeAdm))
-          .select(col(idCol)).localCheckpoint(false)
-      case _ => return 0L
+    * cadence, not the tick path. Serialized against retrain (the
+    * maintenance lock + intent marker — see [[delete]] for why a
+    * racing migration pass would otherwise resurrect expired rows). */
+  def expire(beforeAdm: Long): Long =
+    IvfMorIndexStore.maintLock(root).synchronized {
+      ensureCentroids()
+      val expired = store.read match {
+        case Some(df) if df.columns.contains(MinhashIndexStore.AdmCol) =>
+          df.groupBy(col(idCol))
+            .agg(org.apache.spark.sql.functions.max(
+              col(MinhashIndexStore.AdmCol)).as("__a"))
+            .filter(col("__a").isNotNull && col("__a") < lit(beforeAdm))
+            .select(col(idCol)).localCheckpoint(false)
+        case _ => return 0L
+      }
+      val n = expired.count()
+      if (n > 0) delete(expired)
+      n
     }
-    val n = expired.count()
-    if (n > 0) delete(expired)
-    n
-  }
+
+  /** Highest admission stamp ever upserted (persisted, never
+    * regresses) — the drains' checkpoint-re-creation clock base; see
+    * [[MinhashIndexStore.admFloor]]. */
+  def admFloor: Option[Long] = StoreFormat.readFloor(spark, root)
 
   /** Segment GC for the retention path: re-materialize both tables'
     * live rows, physically dropping tombstone winners (legal: neither
     * table reconciles by cursor — see
     * [[MinhashIndexStore.gcTombstones]]). Refuses mid-retrain like
-    * every unpinned op. Also sweeps the door-write markers: retrain is
-    * their only other consumer, so a door that never retrains would
-    * accumulate one tiny file per commit forever. The sweep is safe
-    * against every interleaving: an existing marker's commit is
-    * already durable (markers land post-commit), so any FUTURE
-    * retrain's main-pass read sees it without the marker; a marker
-    * created after this listing is never touched; and a retrain
-    * already in flight makes [[ensureCentroids]] refuse before the
-    * sweep could perturb its S0/S1 comparison. */
-  def gcTombstones(): Unit = {
-    ensureCentroids()
-    store.read.foreach(store.snapshot)
-    idStore.read.foreach(idStore.snapshot)
-    clearWriteMarkers(writeMarkerSet())
-  }
+    * every unpinned op, REFUSES UNDER DOOR CONTENTION like the whole
+    * gc family: each snapshot's publish is pinned to the version its
+    * read was taken at, so a door delta landing anywhere in the
+    * read→publish window throws instead of silently vanishing (the
+    * retention cadence retries next tick). Also sweeps the door-write
+    * markers: retrain is their only other consumer, so a door that
+    * never retrains would accumulate one tiny file per commit forever.
+    * The sweep set is captured at ENTRY — before the two O(index)
+    * snapshot jobs, not after — which is what makes it safe against a
+    * retrain STARTING mid-gc: a marker present at entry belongs to a
+    * commit durable before entry, and any retrain whose intent landed
+    * after this method's intent check captures its S0 later still, so
+    * its main-pass read covers that commit with or without the marker
+    * (a retrain whose intent landed earlier makes the check refuse).
+    * Deleting an S0 marker can only force a spurious catch-up
+    * (S1 ≠ S0), never suppress a needed one — the r19 hazard was the
+    * post-snapshot sweep deleting markers that landed AFTER a racing
+    * retrain's S0, which entry-capture makes unreachable (markers
+    * created after entry are never in the sweep set). The maintenance
+    * lock additionally serializes gc against retrain in-JVM. */
+  def gcTombstones(): Unit =
+    IvfMorIndexStore.maintLock(root).synchronized {
+      ensureCentroids()
+      val sweep = writeMarkerSet()
+      store.readVersioned.foreach { case (df, v) => store.snapshotFrom(df, Some(v)) }
+      idStore.readVersioned.foreach { case (df, v) => idStore.snapshotFrom(df, Some(v)) }
+      clearWriteMarkers(sweep)
+    }
 
   /** Re-train migration: move every residence to its cell under
     * `newCentroids` in ONE crash-safe O(index) pass — the production
@@ -486,7 +549,20 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * catch-up can migrate. Test-only (the specs pin the contended
     * path deterministically with it); production calls [[retrain]]. */
   private[llm] def retrainStaged(newCentroids: Array[Array[Float]],
-                                 midWindow: () => Unit): IvfMorIndexStore = {
+                                 midWindow: () => Unit): IvfMorIndexStore =
+    // the maintenance lock holds for the whole migration: an in-flight
+    // expire/delete blocks the retrain from starting (its read-derived
+    // tombstones must commit before the pass's read, or the pass's
+    // re-appended rows would out-sequence them — see [[delete]]), and
+    // none can start mid-pass (the lock in-JVM, the intent marker
+    // cross-process). Door ticks never take it — ingest concurrency,
+    // the protocol's whole point, is untouched.
+    IvfMorIndexStore.maintLock(root).synchronized {
+      retrainStagedBody(newCentroids, midWindow)
+    }
+
+  private def retrainStagedBody(newCentroids: Array[Array[Float]],
+                                midWindow: () => Unit): IvfMorIndexStore = {
     require(newCentroids.nonEmpty, "retrain needs at least one centroid")
     val targetFp = IvfMorIndexStore.stampOf(newCentroids, books)
     readMarker(IntentFile) match {
@@ -581,7 +657,16 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * is idempotent (re-encoding is a pure function of the stored
     * vectors). Returns the handle bound to the new books; the receiver
     * handle is dead after this call. */
-  def retrainBooks(newBooks: Pq.Codebooks): IvfMorIndexStore = {
+  def retrainBooks(newBooks: Pq.Codebooks): IvfMorIndexStore =
+    // serialized against expire/delete/gc like [[retrain]] — the
+    // snapshot pass re-appends every row it read, so a tombstone
+    // committing inside the pass's read→publish window must refuse the
+    // pass (single-writer parent check), never be out-sequenced by it
+    IvfMorIndexStore.maintLock(root).synchronized {
+      retrainBooksBody(newBooks)
+    }
+
+  private def retrainBooksBody(newBooks: Pq.Codebooks): IvfMorIndexStore = {
     val targetFp = IvfMorIndexStore.stampOf(centroids, Some(newBooks))
     readMarker(IntentFile) match {
       case Some(t) =>
@@ -692,6 +777,20 @@ object IvfMorIndexStore {
     * proved the quiet path and skipped it. */
   val catchupRuns = new java.util.concurrent.atomic.LongAdder
   val catchupSkips = new java.util.concurrent.atomic.LongAdder
+
+  // per-root MAINTENANCE locks: expire/delete/gcTombstones vs
+  // retrain/retrainBooks are mutually exclusive — a migration pass
+  // re-appends rows it read, so a tombstone committing between its
+  // read and its commit would be out-sequenced and its row resurrected
+  // under the new geometry (no cursor arbitrates these tables). The
+  // intent marker already refuses retention ops that START mid-retrain;
+  // this lock closes the reverse window in-JVM, where the engine's
+  // writers (doors, retrainer thread, retention cadence) live. Door
+  // ticks never take it.
+  private val maintLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[llm] def maintLock(root: String): Object =
+    maintLocks.computeIfAbsent(root, _ => new Object)
 
   private[llm] val StampFile = "_centroids"
   private[llm] val IntentFile = "_retrain_intent"

@@ -170,7 +170,16 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
         numHashes, bands, shingleSize)
         .withColumn(MinhashIndexStore.AdmCol, lit(adm)),
       TableConfig("mhidx_sigs", null, Seq(idCol, "band")))
+    StoreFormat.bumpFloor(spark, root, adm)
   }
+
+  /** The highest admission stamp ever appended here (persisted marker,
+    * never regresses — survives [[expire]] evicting every stamped row).
+    * The streaming drains derive a RE-CREATED checkpoint's stamp base
+    * from it so the retention clock stays monotone across checkpoint
+    * lifetimes; None for a store that predates the floor (historical
+    * base-0 behavior). */
+  def admFloor: Option[Long] = StoreFormat.readFloor(spark, root)
 
   /** RETENTION: drop every doc whose latest admission stamp precedes
     * `beforeAdm` — the sliding-window leg a year-long ingest door needs
@@ -211,11 +220,23 @@ final class MinhashIndexStore(spark: SparkSession, root: String,
     * cannot occur). Without this an expire-on-a-cadence store still
     * holds every evicted doc's tombstone keys forever. O(live) rewrite
     * — the retention cadence; read-equivalent at every point (the
-    * snapshot commit is atomic). */
+    * snapshot commit is atomic).
+    *
+    * REFUSES UNDER CONTENTION (like
+    * [[graft.pipeline.MorStore.compactHot]]'s compaction): each
+    * snapshot's conditional publish is pinned to the version its read
+    * was taken at ([[graft.pipeline.MorStore.readVersioned]] +
+    * `snapshotFrom`), so a concurrent door's delta landing anywhere in
+    * the read→publish window makes this throw
+    * `ConcurrentModificationException` instead of silently dropping
+    * the delta's rows (the materialized snapshot holds winners of the
+    * PRE-delta manifest — publishing it over the delta would vanish
+    * the door's admissions with no error). The retention thread
+    * retries at its next cadence tick; state is unchanged on refusal. */
   def gcTombstones(): Unit = {
     ensureFormat()
-    sigs.read.foreach(sigs.snapshot)
-    txts.read.foreach(txts.snapshot)
+    sigs.readVersioned.foreach { case (df, v) => sigs.snapshotFrom(df, Some(v)) }
+    txts.readVersioned.foreach { case (df, v) => txts.snapshotFrom(df, Some(v)) }
   }
 
   /** Batch docs that survive screening against the indexed corpus:

@@ -77,7 +77,13 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
   def append(hashes: DataFrame, adm: Long = 0L): Unit = {
     ensureSig()
     sigs.mergeBatch(indexOf(hashes).withColumn(MinhashIndexStore.AdmCol, lit(adm)), cfg)
+    StoreFormat.bumpFloor(spark, root, adm)
   }
+
+  /** Highest admission stamp ever appended (persisted, never
+    * regresses) — the drains' checkpoint-re-creation clock base; see
+    * [[MinhashIndexStore.admFloor]]. */
+  def admFloor: Option[Long] = StoreFormat.readFloor(spark, root)
 
   /** Remove ids from probe visibility: equality-delete tombstones at
     * every band — O(ids · bands) appended bytes through the MorStore
@@ -109,8 +115,11 @@ final class PhashIndexStore(spark: SparkSession, root: String, idCol: String,
 
   /** Segment GC: re-materialize the live signature rows, physically
     * dropping tombstone winners (legal: no reconcile cursor — see
-    * [[MinhashIndexStore.gcTombstones]]). */
-  def gcTombstones(): Unit = sigs.read.foreach(sigs.snapshot)
+    * [[MinhashIndexStore.gcTombstones]]). Pinned to the read's version:
+    * a concurrent door delta in the read→publish window REFUSES loudly
+    * instead of being silently dropped (the family contract). */
+  def gcTombstones(): Unit =
+    sigs.readVersioned.foreach { case (df, v) => sigs.snapshotFrom(df, Some(v)) }
 
   /** The probe's REJECT side, attributed: one `(id, match_id)` row per
     * batch doc with an indexed near-dup within `maxHamming`,

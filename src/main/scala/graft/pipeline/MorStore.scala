@@ -255,7 +255,7 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * entry; the conditional commit refuses if the manifest is past it
     * at publish time (the spec passes a stale `v0` to exercise exactly
     * that path). */
-  private[pipeline] def snapshotFrom(df: DataFrame, v0: Option[Int]): Seq[String] = {
+  private[graft] def snapshotFrom(df: DataFrame, v0: Option[Int]): Seq[String] = {
     val cursorOrder = cfg.cursorField.map(c => col(c).desc_nulls_last).toSeq
     val deduped = MergeEngine.latestPerKey(df, cfg.keys, cursorOrder)
       .withColumn(DeletedCol, lit(false))
@@ -337,6 +337,23 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     if (man.isEmpty) None else Some(reconcile(man))
   }
 
+  /** [[read]] WITH the manifest version the plan was pinned to — the
+    * input [[snapshotFrom]] needs to make a read-derived snapshot
+    * conditional on ITS OWN read, not on a re-read at snapshot entry:
+    * `read → snapshot` has a window in which a concurrent delta commits
+    * between the two, the snapshot's entry-time version capture then
+    * covers the delta, and the conditional publish PASSES while the
+    * materialized rows are winners of the PRE-delta manifest — the
+    * delta's rows silently vanish from the reconciled state. Callers
+    * that snapshot what they read (gcTombstones across the admission
+    * stores) pair this with [[snapshotFrom]] so a racing delta makes
+    * the publish refuse loudly instead. */
+  private[graft] def readVersioned: Option[(DataFrame, Int)] =
+    latestManifestVersion.flatMap { n =>
+      val man = readManifest(n)
+      if (man.isEmpty) None else Some((reconcile(man), n))
+    }
+
   /** Partition-pruned reconciled read — only the wanted values' segment
     * lists are scanned. */
   def readPartitions(values: Seq[String]): Option[DataFrame] =
@@ -400,18 +417,50 @@ final class MorStore(spark: SparkSession, root: String, val partitionCol: String
     * retention so an explicit `store.vacuum()` and the automatic
     * [[mergeBatch]] vacuum agree — a lower ad-hoc default would
     * silently shrink the time-travel / join-view fold horizon below
-    * what the store was built to keep. */
+    * what the store was built to keep.
+    *
+    * CONCURRENT-APPENDER SAFE via the segment's embedded sequence
+    * number, no clocks involved: a segment that can still be
+    * SUCCESSFULLY published necessarily carries a commit index STRICTLY
+    * ABOVE the current latest manifest version (its writer read
+    * `latest = idx − 1` and [[commitAs]] refuses the moment anything
+    * advances past that read), so vacuum skips every unreferenced
+    * `seg_` dir whose index exceeds the latest version — the staged
+    * segment of an in-flight appender racing this vacuum. Conversely an
+    * unreferenced segment at `idx ≤ latest` is provably abandoned (the
+    * manifest advanced past its writer's read, so its publish must
+    * refuse) and is reclaimed. A crashed writer's orphan therefore
+    * lingers only until the next commit advances the version past it —
+    * bounded, and the next [[compactHot]] vacuum sweeps it.
+    *
+    * Staged manifests (`.tmp_m=<n>_*`) are swept by the same index
+    * guard: a live stage's `n` is strictly above the latest version
+    * (same parent-read argument), so tmp files at `n ≤ latest` are
+    * crash leftovers whose publish could only refuse — without this
+    * they accumulated forever (the old commit path swept them per
+    * commit; writer-unique staging deletes only its own on refusal). */
   def vacuum(keepManifests: Int = this.keepManifests): Unit = {
     val keep = manifestVersions.takeRight(keepManifests)
+    val latest = manifestVersions.lastOption.getOrElse(0)
     val referenced = keep.flatMap(readManifest(_).values.flatten).toSet
     val rootP = new Path(root)
     if (fs.exists(rootP))
       fs.listStatus(rootP).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg_") &&
-          !referenced.contains(s.getPath.getName))
+          !referenced.contains(s.getPath.getName) &&
+          segSeq(s.getPath.getName) <= latest)
         .foreach(s => fs.delete(s.getPath, true))
     manifestVersions.dropRight(keepManifests)
       .foreach(v => fs.delete(new Path(manDir, s"m=$v"), false))
+    if (fs.exists(manDir))
+      fs.listStatus(manDir).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          n.startsWith(".tmp_m=") &&
+            scala.util.Try(n.stripPrefix(".tmp_m=").takeWhile(_ != '_').toInt)
+              .toOption.exists(_ <= latest)
+        }
+        .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** The post-commit maintenance cadence every unbounded-tick caller
@@ -468,6 +517,11 @@ object MorStore {
   // retrainer's) share the lock, which is the point.
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[pipeline] def publishLock(root: String): Object =
+  // private[graft]: the llm admission stores scope their first-open
+  // parameter-stamp adoption ([[graft.llm.StoreFormat.ensure]], the IVF
+  // stamp state machine) with the same per-root lock — the stamp write
+  // is a conditional publish too, and local-FS rename-replace has the
+  // identical last-writer-wins hole the r19 soak caught here.
+  private[graft] def publishLock(root: String): Object =
     publishLocks.computeIfAbsent(root, _ => new Object)
 }

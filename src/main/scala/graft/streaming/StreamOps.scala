@@ -540,35 +540,109 @@ object StreamOps {
                       threshold: Double,
                       admittedOut: String, checkpoint: String,
                       exactlyOnceSink: Boolean = false,
+                      retention: Option[(Long, Int)] = None,
                       onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, (b, id) => store.ingest(b, threshold, adm = id),
-      admittedOut, checkpoint, exactlyOnceSink, onStage)
+    admissionDrain(stream, (b, adm) => store.ingest(b, threshold, adm = adm),
+      admittedOut, checkpoint, exactlyOnceSink, onStage,
+      floor = () => store.admFloor,
+      retention = retention.map { case (w, n) =>
+        Retention(w, n, store.expire, () => store.gcTombstones()) })
+
+  /** Engine-owned retention cadence for an admission drain: every
+    * `everyNTicks` micro-batches the drain itself fires
+    * `expire(adm − window + 1)` (keep the last `window` ticks'
+    * admissions) followed by `gcTombstones()` — the sliding-window
+    * door as ONE config value instead of a caller-orchestrated second
+    * job. Safe by construction: both fire INSIDE the drain's
+    * foreachBatch, after the tick's ingest commit, on the drain's own
+    * thread — single-writer, so none of the multi-writer races the
+    * stores' locks/refusals exist for can fire (the r19 soaks cover
+    * the orchestrated-second-thread shape for callers who still want
+    * an external cadence). */
+  private[graft] final case class Retention(window: Long, everyNTicks: Int,
+                                            expire: Long => Long,
+                                            gc: () => Unit) {
+    require(window >= 1, "retention window must be at least one tick")
+    require(everyNTicks >= 1, "retention cadence must be at least every tick")
+  }
 
   /** The shared drain loop of every persistent-index admission stream
     * (MinHash / IVF / 64-bit signature / clip): one `ingest` tick per
     * micro-batch, survivors to `admittedOut` through [[admittedWrite]].
     * The four public drains differ ONLY in the store's ingest call.
-    * Each tick passes its BATCH ID as the store's admission stamp —
-    * the retention clock `expire(beforeAdm)` evicts against, monotone
-    * within a checkpoint lifetime and replay-stable (a crash-replayed
-    * batch re-stamps the same id). */
+    * Each tick stamps its admissions `base + batchId` — the retention
+    * clock `expire(beforeAdm)` evicts against. `base` makes the clock
+    * survive CHECKPOINT RE-CREATION: it is resolved once per checkpoint
+    * lifetime ([[admissionBase]] — the store's persisted max-adm floor
+    * + 1, durably recorded IN the checkpoint directory so crash
+    * restarts of the same lifetime reuse it), so a fresh checkpoint
+    * over a populated store continues the old clock instead of
+    * restarting at 0 (which would stamp new admissions below
+    * already-expired watermarks — instantly evictable — while
+    * watermarks derived from the new clock stop evicting old state).
+    * Within a lifetime the stamp stays monotone and replay-stable (a
+    * crash-replayed batch re-reads the same base and re-stamps the
+    * same id); a brand-new store reads no floor and keeps base 0. */
   private def admissionDrain(stream: DataFrame,
                              ingest: (DataFrame, Long) => DataFrame,
                              admittedOut: String, checkpoint: String,
                              exactlyOnceSink: Boolean,
-                             onStage: (String, Double) => Unit): Unit = {
+                             onStage: (String, Double) => Unit,
+                             floor: () => Option[Long] = () => None,
+                             retention: Option[Retention] = None): Unit = {
+    val base = admissionBase(stream.sparkSession, checkpoint, floor)
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
+        val adm = base + batchId
         tickConf(batch.sparkSession) {
-          admittedWrite(ingest(batch, batchId), admittedOut, batchId, exactlyOnceSink)
+          admittedWrite(ingest(batch, adm), admittedOut, batchId, exactlyOnceSink)
+          retention.foreach { r =>
+            if ((batchId + 1) % r.everyNTicks == 0) {
+              val t1 = System.nanoTime()
+              r.expire(adm - r.window + 1)
+              r.gc()
+              onStage(s"retention$batchId", (System.nanoTime() - t1) / 1e9)
+            }
+          }
         }
         onStage(s"batch$batchId", (System.nanoTime() - t0) / 1e9)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Resolve (once per checkpoint LIFETIME) the admission-stamp base of
+    * [[admissionDrain]]: the first drain against a checkpoint records
+    * `floor + 1` (the store's persisted high-water admission stamp,
+    * `_adm_floor`) in `<checkpoint>/graft_adm_base`; every later start
+    * against the SAME checkpoint — including crash restarts mid-drain —
+    * reads it back, so replayed batches re-stamp their original ids
+    * even though the floor has advanced since. A RE-CREATED checkpoint
+    * has no base file and snapshots the floor afresh — above every
+    * stamp the previous lifetime issued. Stored beside (not inside)
+    * Spark's own checkpoint state; a crash before the write re-derives
+    * the identical value (no tick has run, so the floor is unchanged). */
+  private def admissionBase(spark: SparkSession, checkpoint: String,
+                            floor: () => Option[Long]): Long = {
+    val dir = new org.apache.hadoop.fs.Path(checkpoint)
+    val p = new org.apache.hadoop.fs.Path(dir, "graft_adm_base")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    } else {
+      val base = floor().map(_ + 1L).getOrElse(0L)
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir, ".tmp_graft_adm_base")
+      val out = fs.create(tmp, true)
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p) && !fs.exists(p))
+        throw new java.io.IOException(s"failed to record adm base in $checkpoint")
+      base
+    }
   }
 
   /** Streaming SEMANTIC (embedding-cosine) near-dup admission: one
@@ -591,9 +665,13 @@ object StreamOps {
                     threshold: Double,
                     admittedOut: String, checkpoint: String,
                     exactlyOnceSink: Boolean = false,
+                    retention: Option[(Long, Int)] = None,
                     onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, (b, id) => index.ingestNearDup(b, threshold, adm = id),
-      admittedOut, checkpoint, exactlyOnceSink, onStage)
+    admissionDrain(stream, (b, adm) => index.ingestNearDup(b, threshold, adm = adm),
+      admittedOut, checkpoint, exactlyOnceSink, onStage,
+      floor = () => index.admFloor,
+      retention = retention.map { case (w, n) =>
+        Retention(w, n, index.expire, () => index.gcTombstones()) })
 
   /** Streaming 64-bit-signature near-dup admission: one
     * [[graft.llm.PhashIndexStore.ingest]] tick per micro-batch of
@@ -608,9 +686,13 @@ object StreamOps {
   def signatureDedupDrain(stream: DataFrame, store: graft.llm.PhashIndexStore,
                           admittedOut: String, checkpoint: String,
                           exactlyOnceSink: Boolean = false,
+                          retention: Option[(Long, Int)] = None,
                           onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, (b, id) => store.ingest(b, adm = id),
-      admittedOut, checkpoint, exactlyOnceSink, onStage)
+    admissionDrain(stream, (b, adm) => store.ingest(b, adm = adm),
+      admittedOut, checkpoint, exactlyOnceSink, onStage,
+      floor = () => store.admFloor,
+      retention = retention.map { case (w, n) =>
+        Retention(w, n, store.expire, () => store.gcTombstones()) })
 
   /** Streaming embedded-CLIP admission: one
     * [[graft.llm.ClipIndexStore.ingest]] tick per micro-batch of FRAME
@@ -627,9 +709,13 @@ object StreamOps {
   def clipDedupDrain(stream: DataFrame, store: graft.llm.ClipIndexStore,
                      admittedOut: String, checkpoint: String,
                      exactlyOnceSink: Boolean = false,
+                     retention: Option[(Long, Int)] = None,
                      onStage: (String, Double) => Unit = (_, _) => ()): Unit =
-    admissionDrain(stream, (b, id) => store.ingest(b, adm = id),
-      admittedOut, checkpoint, exactlyOnceSink, onStage)
+    admissionDrain(stream, (b, adm) => store.ingest(b, adm = adm),
+      admittedOut, checkpoint, exactlyOnceSink, onStage,
+      floor = () => store.admFloor,
+      retention = retention.map { case (w, n) =>
+        Retention(w, n, store.expire, () => store.gcTombstones()) })
 
   /** The admitted-output writer every admission drain shares. Default
     * (`exactlyOnce = false`): plain append — at-least-once on crash

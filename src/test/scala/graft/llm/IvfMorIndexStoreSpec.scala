@@ -946,6 +946,106 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       s"${IvfMorIndexStore.catchupSkips.sum()}")
   }
 
+  test("two-thread first-contact: exactly one geometry adoption wins; the loser refuses") {
+    // two handles under DIFFERENT centroid sets race first contact with
+    // one root: the stamp state machine's adoption arm is check-then-
+    // write, and without the per-root lock both pass the missing-stamp
+    // check and rename-replace lets the LAST stamp win — both doors
+    // then proceed, one probing the wrong cells forever. Under the lock
+    // exactly one adoption lands; the loser re-reads it and refuses.
+    val root = freshRoot()
+    val k4 = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 4)
+    val slice = full.limit(60).localCheckpoint(false)
+    val a = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    val b = new IvfMorIndexStore(spark, root, "embedding", "vec_id", k4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(a, b).map { h =>
+      new Thread(() => {
+        gate.await()
+        try h.upsert(slice) catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "adoption race hung")
+    assert(errs.size == 1,
+      s"exactly one geometry adoption must win; got ${errs.size} failures: $errs")
+    assert(errs.peek().getMessage.contains("built under"),
+      s"the loser must refuse on the stamp: ${errs.peek()}")
+    // the store is consistent under the winner's geometry
+    val h = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    assert(h.read.get.count() == 60)
+  }
+
+  test("THREADED retention × retrain: expired ids never resurrect under the new geometry") {
+    // The hazard (real without serialization): expire's tombstones and
+    // the retrain's migration pass both commit through the OCC append
+    // path, reconcile order is commit SEQUENCE (no cursor) — a
+    // migration segment whose read predates the tombstone but whose
+    // commit lands after it would out-sequence the tombstone and
+    // RESURRECT the expired id in its new cell, where the catch-up
+    // cannot heal it (the row is "correctly resident"). The maintenance
+    // lock + intent marker serialize the two; this spec fires them
+    // genuinely concurrently and asserts the invariants at quiescence.
+    val root = freshRoot()
+    val rr = new scala.util.Random(71)
+    val iso = (0L until 400L).map(i => i -> Array.fill(16)(rr.nextGaussian().toFloat))
+      .toDF("vec_id", "embedding").localCheckpoint(false)
+    val gen1 = iso.filter(col("vec_id") < 200L).localCheckpoint(false)
+    val gen2 = iso.filter(col("vec_id") >= 200L).localCheckpoint(false)
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(gen1, adm = 1L)
+    ivf.upsert(gen2, adm = 2L)
+    val k4 = Similarity.ivfCentroids(iso, "embedding", "vec_id", k = 4)
+    @volatile var retErr: Throwable = null
+    val gcRefusals = new java.util.concurrent.atomic.LongAdder
+    val retention = new Thread(() => {
+      // the production retention cadence: reopen per firing, retry
+      // through the documented refusals (pending intent mid-retrain,
+      // stale handle after the flip, gc losing a publish race)
+      try {
+        var done = false
+        while (!done)
+          try {
+            val h = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+            h.expire(2L)
+            h.gcTombstones()
+            done = true
+          } catch {
+            case _: IllegalStateException => Thread.sleep(20)
+            case _: java.util.ConcurrentModificationException =>
+              gcRefusals.increment(); Thread.sleep(20)
+          }
+      } catch { case e: Throwable => retErr = e }
+    }, "graft-retention")
+    retention.start()
+    // fire the retrain immediately — the two race on the maintenance
+    // window; whichever enters first, the other defers and completes
+    val migrated = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+      .retrain(k4)
+    retention.join(600000)
+    assert(!retention.isAlive, "retention thread hung")
+    assert(retErr == null, s"retention failed under the race: $retErr")
+    // quiescence: gen-1 (adm 1) is GONE — never resurrected by the
+    // migration pass — and every live row sits in its k4 cell
+    val state = migrated.read.get
+      .select(col("vec_id"),
+        (Similarity.cellOf(col("embedding"), k4) === col("cell")).as("ok"))
+      .collect()
+    val live = state.map(_.getLong(0)).toSet
+    assert(live == (200L until 400L).toSet,
+      s"expired ids resurrected: ${live.filter(_ < 200L)}; missing: ${(200L until 400L).toSet.diff(live)}")
+    assert(state.forall(_.getBoolean(1)), "rows misplaced after retrain × retention")
+    // semantics hold through the race: expired near-dups re-admit,
+    // live ones still screen
+    def copies(src: org.apache.spark.sql.DataFrame) =
+      src.select((col("vec_id") + 9000L).as("vec_id"), col("embedding"))
+    assert(migrated.ingestNearDup(copies(gen1.limit(20)), 0.95, adm = 3L).count() == 20)
+    assert(migrated.ingestNearDup(copies(gen2.limit(20)), 0.95, adm = 3L).isEmpty)
+    info(s"gc publish-race refusals retried: ${gcRefusals.sum()}")
+  }
+
   test("open refuses: pending retrain intent, uninitialized store, torn layout") {
     // uninitialized: no stamp yet
     val empty = freshRoot()

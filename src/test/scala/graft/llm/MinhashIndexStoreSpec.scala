@@ -152,6 +152,54 @@ class MinhashIndexStoreSpec extends SparkSpec {
     assert(legacy.expire(0L) == 0L)
   }
 
+  test("admission floor: persisted, monotone, survives expire-to-empty") {
+    val root = Files.createTempDirectory("mhidx_floor").toString
+    val store = new MinhashIndexStore(spark, root, "doc_id", "text")
+    assert(store.admFloor.isEmpty, "a fresh store has no clock history")
+    store.append(docs.filter(col("doc_id") % 10 === 1), adm = 5L)
+    assert(store.admFloor.contains(5L))
+    // a late lower-stamped append never REGRESSES the floor
+    store.append(docs.filter(col("doc_id") % 10 === 6), adm = 3L)
+    assert(store.admFloor.contains(5L))
+    // evict EVERYTHING: a data-derived max would now be gone, but the
+    // persisted floor still remembers how far the clock got — exactly
+    // what a re-created checkpoint over an expired-empty store needs
+    assert(store.expire(6L) > 0)
+    assert(store.indexedDocs.get.count() == 0)
+    assert(store.admFloor.contains(5L),
+      "an expired-empty store must still remember its clock")
+  }
+
+  test("two-thread first-open: exactly one parameter-stamp adoption wins; the loser refuses") {
+    // two handles under DIFFERENT signature parameters race first
+    // contact with one root: without the per-root lock both pass the
+    // missing-stamp check and local-FS rename-replace lets the LAST
+    // stamp win silently — two doors then probing under different
+    // banding, the silent-recall-loss failure the stamp exists to
+    // refuse. Under the lock exactly one adoption wins, and the loser
+    // re-reads the winner's stamp and refuses LOUDLY.
+    val root = Files.createTempDirectory("mhidx_race").toString
+    val slice = docs.filter(col("doc_id") % 10 === 1)
+      .select("doc_id", "text").localCheckpoint(false)
+    val a = new MinhashIndexStore(spark, root, "doc_id", "text")
+    val b = new MinhashIndexStore(spark, root, "doc_id", "text", shingleSize = 5)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(a, b).map { s =>
+      new Thread(() => {
+        gate.await()
+        try s.append(slice) catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive), "adoption race hung")
+    assert(errs.size == 1,
+      s"exactly one adoption must win and one refuse; got ${errs.size} failures: $errs")
+    assert(errs.peek().getMessage.contains("parameters"),
+      s"the loser must refuse on the stamp, not fail incidentally: ${errs.peek()}")
+  }
+
   test("state is O(batch) per tick: a tick's delta bytes don't grow with the corpus") {
     // merge-on-read is the point of the store layout: admitting a small
     // batch after a large corpus must append small deltas, never

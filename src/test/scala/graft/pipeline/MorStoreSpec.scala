@@ -153,15 +153,43 @@ class MorStoreSpec extends SparkSpec {
     store.appendDelta(Seq(("a", ts("2024-01-01 00:00:00"), "p1", 1)).toDF("k", "ts", "p", "v"))
     val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
     // simulate a writer that died after staging a segment + tmp manifest
+    // — at the index an in-flight writer actually uses (latest + 1)
     Seq(("x", ts("2024-01-09 00:00:00"), "p1", 9)).toDF("k", "ts", "p", "v")
-      .write.parquet(s"$t/seg_000099_orphan")
-    val out = fs.create(new Path(s"$t/_manifests/.tmp_m=99"), true)
-    out.write("p1\tseg_000099_orphan".getBytes("UTF-8")); out.close()
+      .write.parquet(s"$t/seg_000002_orphan")
+    val out = fs.create(new Path(s"$t/_manifests/.tmp_m=2_dead"), true)
+    out.write("p1\tseg_000002_orphan".getBytes("UTF-8")); out.close()
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("a", "1")))
+    // IN-FLIGHT GUARD: while the manifest has not advanced past the
+    // orphan's index, the "orphan" is indistinguishable from a live
+    // concurrent appender's staged-but-unpublished segment (which a
+    // successful publish would reference) — vacuum must SKIP both files
+    store.vacuum(keepManifests = 1)
+    assert(fs.exists(new Path(s"$t/seg_000002_orphan")),
+      "vacuum deleted a segment a live writer could still publish")
+    assert(fs.exists(new Path(s"$t/_manifests/.tmp_m=2_dead")))
+    // the next commit advances the version PAST the orphan's index —
+    // any publish of it would now refuse, so it is provably abandoned
     store.appendDelta(Seq(("b", ts("2024-01-02 00:00:00"), "p1", 2)).toDF("k", "ts", "p", "v"))
     store.vacuum(keepManifests = 1)
-    assert(!fs.exists(new Path(s"$t/seg_000099_orphan")))
+    assert(!fs.exists(new Path(s"$t/seg_000002_orphan")))
+    assert(!fs.exists(new Path(s"$t/_manifests/.tmp_m=2_dead")),
+      "crash-leaked staged manifests must not accumulate forever")
     assert(store.manifestVersions == Seq(2))
+    assert(canon(store.read.get.select("k", "v")) == Seq(Seq("a", "1"), Seq("b", "2")))
+  }
+
+  test("a read-derived snapshot pinned to its read version refuses a racing delta") {
+    val t = Files.createTempDirectory("mor").toString
+    val store = mk(t)
+    store.appendDelta(Seq(("a", ts("2024-01-01 00:00:00"), "p1", 1)).toDF("k", "ts", "p", "v"))
+    val (live, v) = store.readVersioned.get
+    val mat = live.localCheckpoint(false) // materialize winners-of-v, the gc shape
+    // a concurrent door's delta lands in the read→publish window
+    store.appendDelta(Seq(("b", ts("2024-01-02 00:00:00"), "p1", 2)).toDF("k", "ts", "p", "v"))
+    intercept[java.util.ConcurrentModificationException] {
+      store.snapshotFrom(mat, Some(v))
+    }
+    // the refusal preserved the delta: both rows are live
     assert(canon(store.read.get.select("k", "v")) == Seq(Seq("a", "1"), Seq("b", "2")))
   }
 

@@ -359,6 +359,79 @@ class StreamOpsSpec extends SparkSpec {
     assert(admitted == Set(11L, 21L), s"admitted $admitted")
   }
 
+  test("admission clock survives checkpoint RE-CREATION: a fresh checkpoint stamps above the old watermark") {
+    import org.apache.spark.sql.functions._
+    val t = Files.createTempDirectory("admclock").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val store = new graft.llm.MinhashIndexStore(spark, s"$t/store", "doc_id", "text")
+    // lifetime 1: two ticks against checkpoint A — stamps 0 and 1
+    docs.filter(col("doc_id") % 10 === 1).coalesce(1).write.parquet(s"$t/feed1")
+    docs.filter(col("doc_id") % 10 === 6).coalesce(1)
+      .write.mode("append").parquet(s"$t/feed1")
+    val s1 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$t/feed1")
+    StreamOps.dedupIndexDrain(s1, store, 0.8, s"$t/adm1", s"$t/ckptA")
+    assert(store.admFloor.contains(1L))
+    // lifetime 2: the checkpoint is RE-CREATED (routine after a
+    // reindex/migration) — batch ids restart at 0, but the persisted
+    // floor keeps the retention clock monotone: the new tick stamps 2
+    docs.filter(col("doc_id") % 10 === 4).coalesce(1).write.parquet(s"$t/feed2")
+    val s2 = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$t/feed2")
+    StreamOps.dedupIndexDrain(s2, store, 0.8, s"$t/adm2", s"$t/ckptB")
+    assert(store.admFloor.contains(2L),
+      "the re-created checkpoint's tick must stamp floor + 1, not batch id 0")
+    val lifetime2 = spark.read.parquet(s"$t/adm2").count()
+    val total = store.indexedDocs.get.count()
+    // a watermark derived from the OLD clock still works: it evicts
+    // exactly the old lifetimes' admissions and the new tick SURVIVES —
+    // without the floor the new tick would have stamped 0 and been
+    // instantly evictable here
+    assert(store.expire(2L) == total - lifetime2)
+    assert(store.indexedDocs.get.count() == lifetime2)
+    assert(store.expire(2L) == 0L)
+    // crash-RESTART of a lifetime (same checkpoint dir) reuses its
+    // recorded base — replayed/resumed ticks re-stamp the same clock
+    StreamOps.dedupIndexDrain(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$t/feed2"),
+      store, 0.8, s"$t/adm2", s"$t/ckptB")
+    assert(store.admFloor.contains(2L), "a resumed lifetime must not advance the base")
+  }
+
+  test("dedupIndexDrain retention cadence: the drain slides its own window, no caller orchestration") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("retcad").toString
+    // hand-built corpus with known relations: copies share texts exactly,
+    // novels are pairwise-unrelated (disjoint shingle sets)
+    def text(tag: String) =
+      s"$tag alpha $tag bravo $tag charlie $tag delta $tag echo $tag foxtrot"
+    val A = text("aa"); val B = text("bb"); val C = text("cc"); val D = text("dd")
+    Seq(Seq((1L, A), (2L, B)),          // tick 0 (adm 0)
+        Seq((11L, A), (12L, C)),        // tick 1: 11 rejected vs 1; 12 admits
+        Seq((21L, C), (22L, D)))        // tick 2: 21 rejected vs 12; 22 admits
+      .foreach(b => b.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$t/feed"))
+    val store = new graft.llm.MinhashIndexStore(spark, s"$t/store", "doc_id", "text")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$t/feed").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$t/feed")
+    StreamOps.dedupIndexDrain(stream, store, 0.8, s"$t/admitted", s"$t/ckpt",
+      exactlyOnceSink = true, retention = Some((2L, 1)))
+    // per-tick admissions unaffected by the cadence (sequential contract)
+    assert(spark.read.parquet(s"$t/admitted/__b=1")
+      .select("doc_id").as[Long].collect().toSet == Set(12L))
+    // the cadence fired expire(adm − 1) at tick 2: tick 0's admissions
+    // (adm 0) slid out, the last two ticks are the live window
+    val probe = Seq((31L, A), (32L, D)).toDF("doc_id", "text")
+    val survivors = store.probe(probe, 0.8).select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(31L),
+      s"window must admit tick-0 copies and reject live-window copies; got $survivors")
+    // ...and the cadence's gcTombstones kept the state physically bounded
+    assert(store.segmentCounts == ((1, 1)))
+  }
+
   test("tickConf is reentrant: nested and concurrent ticks restore AQE exactly once") {
     val key = "spark.sql.adaptive.enabled"
     spark.conf.set(key, "true") // pin the fixture regardless of suite order
