@@ -4058,6 +4058,89 @@ object SparkEntry {
           col("match_id").cast("long")))
     }),
 
+    "stream_dedup_index_expire_regen" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the retention clock SURVIVING CHECKPOINT RE-CREATION, end to
+      // end: lifetime 1 drains two ticks (stamps 0, 1) against
+      // checkpoint A; lifetime 2 — a RE-CREATED checkpoint, the routine
+      // shape after a reindex/migration — drains one tick whose batch
+      // id restarts at 0 but whose stamp continues at 2 (the store's
+      // persisted max-adm floor + 1). expire(2) then evicts exactly the
+      // first lifetime: copies of its docs ADMIT, copies of the second
+      // lifetime's survivors still REJECT, attributed. Without the
+      // floor the new tick would stamp 0 and expire(2) would empty the
+      // store — the oracle replays the windowed end state, so that
+      // failure mode is a red row, not a silent drift.
+      import graft.llm.MinhashIndexStore
+      val tmp = scratchDir("stream_mhregen")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      docs.filter(col("doc_id") % 10 === 1).coalesce(1).write.parquet(s"$tmp/src1")
+      docs.filter(col("doc_id") % 10 === 6).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/src1")
+      val store = new MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
+      def drain(src: String, ckpt: String, name: String): Unit =
+        graft.streaming.StreamOps.dedupIndexDrain(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src),
+          store, 0.8, s"$tmp/admitted_$name", s"$tmp/$ckpt",
+          onStage = stageLogger("stream_dedup_index_expire_regen"))
+      drain(s"$tmp/src1", "ckptA", "l1")
+      docs.filter(col("doc_id") % 10 === 4).coalesce(1).write.parquet(s"$tmp/src2")
+      drain(s"$tmp/src2", "ckptB", "l2") // fresh checkpoint, batch ids restart
+      store.expire(2L) // lifetimes' stamps 0,1 slide out; the regen tick (adm 2) stays
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 4)
+        .when(col("doc_id") % 20 === 5 || col("doc_id") % 20 === 10,
+          col("doc_id") + 1)
+        .otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), srcId.as("__src"))
+        .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
+        .select("doc_id", "text")
+      val (admitted, matches) = store.ingestWithMatches(feed, 0.8, adm = 3L)
+      admitted.select(col("doc_id"), lit("admitted").as("outcome"),
+          lit(null).cast("long").as("match_id"))
+        .unionByName(matches.select(col("doc_id"), lit("rejected").as("outcome"),
+          col("match_id").cast("long")))
+    }),
+
+    "stream_dedup_index_window" -> ((s, d) => withShufflePartitions(s, 8) {
+      // ENGINE-OWNED retention cadence: the drain itself slides the
+      // admission window — retention = (window 2 ticks, every tick)
+      // fires expire(adm − 1) + gcTombstones inside the drain, so the
+      // year-long sliding-window door is one config value, not a
+      // second orchestrated job. Three ticks drain; the cadence at
+      // tick 2 evicts tick 0's admissions. A probe then shows the
+      // window: copies of tick-0 docs ADMIT (slid out), copies of the
+      // in-window survivors REJECT, attributed. The oracle replays the
+      // sequential ingest WITH the window applied.
+      import graft.llm.MinhashIndexStore
+      val tmp = scratchDir("stream_mhwin")
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val src = s"$tmp/src"
+      docs.filter(col("doc_id") % 10 === 1).coalesce(1).write.parquet(src)
+      docs.filter(col("doc_id") % 10 === 4).coalesce(1).write.mode("append").parquet(src)
+      docs.filter(col("doc_id") % 10 === 6).coalesce(1).write.mode("append").parquet(src)
+      val store = new MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      graft.streaming.StreamOps.dedupIndexDrain(stream, store, 0.8,
+        s"$tmp/admitted", s"$tmp/ckpt", retention = Some((2L, 1)),
+        onStage = stageLogger("stream_dedup_index_window"))
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 5, col("doc_id") - 1)
+        .when(col("doc_id") % 20 === 10, col("doc_id") - 4)
+        .otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), srcId.as("__src"))
+        .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
+        .select("doc_id", "text")
+      val matches = store.probeMatches(feed, 0.8)
+      feed.join(matches, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("admitted").as("outcome"),
+          lit(null).cast("long").as("match_id"))
+        .unionByName(matches.select(col("doc_id"), lit("rejected").as("outcome"),
+          col("match_id").cast("long")))
+    }),
+
     "stream_ann_dedup_index" -> ((s, d) => withShufflePartitions(s, 8) {
       // SEMANTIC near-dup admission through the persistent IVF store —
       // the embedding twin of stream_dedup_index: corpus pre-admitted,
@@ -4848,6 +4931,56 @@ object SparkEntry {
         "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
         exactlyOnceSink = true,
         onStage = stageLogger("stream_curation_funnel_clip_audited"))
+      s.read.parquet(s"$tmp/out").select(col("batch"), col("doc_id"),
+        col("outcome"), col("stage"), col("reason"), col("match_id"),
+        col("margin_micro"))
+    }),
+
+    "stream_curation_funnel_semantic_audited" -> ((s, d) => withShufflePartitions(s, 8) {
+      // the SEMANTIC door, AUDITED — completing the audited matrix
+      // across all four admission backends: stream_curation_funnel_
+      // semantic's exact fixture (docs paired with embeddings by id,
+      // %20==0 corpus-copy plants, %20==15 batch-A-sibling plants)
+      // driven through the audited drain. "Why did this doc disappear"
+      // gets the one-verdict-row answer with the IVF cell as the
+      // candidate generator: ingestNearDupWithMatches feeds both the
+      // screen and the (id, match_id) reject relation from ONE
+      // partition-pruned probe, match_id the smallest same-cell
+      // indexed neighbor at cosine ≥ 0.95 under the exact re-rank.
+      val tmp = scratchDir("stream_funnel_sema")
+      val docs = Tables.documents(s, d)
+      val model = qualityModel(s, d)
+      val evalSet = docs.filter(col("doc_id") % 10 === 3).select("doc_id", "text")
+      val emb = Tables.embeddings(s, d)
+      val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
+        .when(col("doc_id") % 20 === 15, col("doc_id") - 5)
+        .otherwise(col("doc_id"))
+      val feed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), srcId.as("__src"))
+        .join(emb.select(col("vec_id").as("__src"), col("embedding")), Seq("__src"))
+        .drop("__src")
+      feed.filter(col("doc_id") % 10 === 0).coalesce(1).write.parquet(s"$tmp/feed")
+      feed.filter(col("doc_id") % 10 === 5).coalesce(1)
+        .write.mode("append").parquet(s"$tmp/feed")
+      val centroids = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 8)
+      val idx = new graft.llm.IvfMorIndexStore(s, s"$tmp/idx", "embedding",
+        "doc_id", centroids)
+      val t0 = System.nanoTime()
+      idx.upsert(emb.filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 10 =!= 3)
+        .select(col("vec_id").as("doc_id"), col("embedding")))
+      stageLogger("stream_curation_funnel_semantic_audited")("index_build",
+        (System.nanoTime() - t0) / 1e9)
+      val stream = s.readStream.schema(s.read.parquet(s"$tmp/feed").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/feed")
+      graft.streaming.StreamOps.curationFunnelDrainAudited(stream, evalSet, model,
+        batch => {
+          val (surv, matches) = idx.ingestNearDupWithMatches(
+            batch.select(col("doc_id"), col("embedding")), 0.95)
+          (batch.join(surv.select("doc_id"), Seq("doc_id")), matches)
+        },
+        "doc_id", "text", s"$tmp/out", s"$tmp/ckpt",
+        exactlyOnceSink = true,
+        onStage = stageLogger("stream_curation_funnel_semantic_audited"))
       s.read.parquet(s"$tmp/out").select(col("batch"), col("doc_id"),
         col("outcome"), col("stage"), col("reason"), col("match_id"),
         col("margin_micro"))
@@ -6986,6 +7119,75 @@ object SparkEntry {
          |UNION ALL
          |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'admitted', doc_id FROM admB""".stripMargin,
 
+    // the SEMANTIC door's audit replayed: the text gates are the
+    // audited oracle's CTEs over the embedding-joined feed; stage 3 is
+    // the same-cell exact-cosine screen with match_id = the SMALLEST
+    // qualifying indexed neighbor, batch B's candidate set = corpus ∪
+    // batch A's admissions — the verdict/partition tail mirrors the
+    // MinHash audited door so survivors ∪ rejects partition the feed.
+    "stream_curation_funnel_semantic_audited" ->
+      s"""WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS ws FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(ws) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+         |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+         |              ELSE [array_to_string(ws, ' ')] END AS s
+         |       FROM d),
+         |mm AS (SELECT doc_id, margin_micro FROM ($classifyQualityTrainedSql)),
+         |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 10 = 3),
+         |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |q AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |${ivfCtesK(k = 8, nprobe = 1)},
+         |feedv AS (SELECT doc_id, s,
+         |            CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+         |                 WHEN doc_id % 20 = 15 THEN doc_id - 5
+         |                 ELSE doc_id END AS src,
+         |            CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END AS b
+         |          FROM sh WHERE doc_id % 5 = 0),
+         |fa AS (SELECT f.doc_id, f.s, f.b, a.e, a.cell
+         |       FROM feedv f JOIN a1 a ON a.vec_id = f.src),
+         |corp AS (SELECT vec_id AS doc_id, e, cell FROM a1
+         |         WHERE vec_id % 5 <> 0 AND vec_id % 10 <> 3),
+         |contam AS (SELECT DISTINCT f.doc_id FROM fa f JOIN ev e2
+         |           ON len(list_intersect(f.s, e2.s)) * 1.0 / len(e2.s) >= 0.5),
+         |clean AS (SELECT * FROM fa WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |hq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |       WHERE mm.margin_micro > 450000),
+         |lowq AS (SELECT c.*, mm.margin_micro FROM clean c JOIN mm ON mm.doc_id = c.doc_id
+         |         WHERE mm.margin_micro <= 450000),
+         |dupA AS (SELECT a.doc_id, min(x.doc_id) AS match_id FROM hq a JOIN corp x
+         |         ON x.cell = a.cell AND x.doc_id <> a.doc_id
+         |        AND ${cosSql("x.e", "a.e")} >= 0.95
+         |         WHERE a.b = 0 GROUP BY a.doc_id),
+         |admA AS (SELECT doc_id, e, cell, margin_micro FROM hq
+         |         WHERE b = 0 AND doc_id NOT IN (SELECT doc_id FROM dupA)),
+         |st1 AS (SELECT doc_id, e, cell FROM corp
+         |        UNION ALL SELECT doc_id, e, cell FROM admA),
+         |dupB AS (SELECT a.doc_id, min(x.doc_id) AS match_id FROM hq a JOIN st1 x
+         |         ON x.cell = a.cell AND x.doc_id <> a.doc_id
+         |        AND ${cosSql("x.e", "a.e")} >= 0.95
+         |         WHERE a.b = 1 GROUP BY a.doc_id),
+         |admB AS (SELECT doc_id, margin_micro FROM hq
+         |         WHERE b = 1 AND doc_id NOT IN (SELECT doc_id FROM dupB))
+         |SELECT CAST(f.b AS BIGINT) AS batch, f.doc_id, 'rejected' AS outcome,
+         |       CAST(0 AS BIGINT) AS stage, 'contaminated' AS reason,
+         |       CAST(NULL AS BIGINT) AS match_id, CAST(NULL AS BIGINT) AS margin_micro
+         |FROM fa f WHERE f.doc_id IN (SELECT doc_id FROM contam)
+         |UNION ALL
+         |SELECT CAST(b AS BIGINT), doc_id, 'rejected', CAST(1 AS BIGINT), 'low_quality',
+         |       CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM lowq
+         |UNION ALL
+         |SELECT CAST(h.b AS BIGINT), h.doc_id, 'rejected', CAST(2 AS BIGINT), 'duplicate',
+         |       CAST(dd.match_id AS BIGINT), CAST(h.margin_micro AS BIGINT)
+         |FROM hq h JOIN (SELECT * FROM dupA UNION ALL SELECT * FROM dupB) dd
+         |  ON dd.doc_id = h.doc_id
+         |UNION ALL
+         |SELECT CAST(0 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admA
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), doc_id, 'admitted', CAST(2 AS BIGINT),
+         |       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), CAST(margin_micro AS BIGINT) FROM admB""".stripMargin,
+
     // the semantic door × a mid-drain index retrain, replayed under
     // BOTH geometries: the text gates are shared CTEs; batch A's
     // same-cell screen runs under the k=8 cells (oa1), batch B's under
@@ -8580,6 +8782,102 @@ object SparkEntry {
         |         WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
         |feed AS (SELECT doc_id,
         |           CASE WHEN doc_id % 20 IN (0, 5) THEN doc_id + 1
+        |                ELSE doc_id END AS src
+        |         FROM documents WHERE doc_id % 5 = 0),
+        |fs AS (SELECT f.doc_id, s.s FROM feed f JOIN sh s ON s.doc_id = f.src),
+        |dup AS (SELECT a.doc_id, MIN(x.doc_id) AS match_id
+        |        FROM fs a JOIN live x
+        |          ON x.doc_id <> a.doc_id
+        |         AND len(a.s) >= 0.8 * len(x.s) AND len(x.s) >= 0.8 * len(a.s)
+        |         AND len(list_intersect(a.s, x.s)) * 1.0 /
+        |             (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+        |        GROUP BY a.doc_id)
+        |SELECT f.doc_id, 'admitted' AS outcome, CAST(NULL AS BIGINT) AS match_id
+        |FROM feed f WHERE f.doc_id NOT IN (SELECT doc_id FROM dup)
+        |UNION ALL
+        |SELECT doc_id, 'rejected', CAST(match_id AS BIGINT) FROM dup""".stripMargin,
+
+    // the checkpoint-regeneration clock replayed: three sequential
+    // ingest ticks (the third through a RE-CREATED checkpoint whose
+    // batch id restarts at 0 but whose stamp continues at floor + 1),
+    // then the window expire(2) leaves exactly the third tick's
+    // survivors live — the probe's verdicts replay against that end
+    // state. A clock that restarted would empty the store and admit
+    // everything, which this oracle rejects.
+    "stream_dedup_index_expire_regen" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |t0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 1),
+        |t1 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 6),
+        |t2 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 4),
+        |dup1 AS (SELECT DISTINCT a.doc_id FROM t1 a JOIN t0 b
+        |         ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |        AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |st1 AS (SELECT doc_id, s FROM t0
+        |        UNION ALL
+        |        SELECT doc_id, s FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |dup2 AS (SELECT DISTINCT a.doc_id FROM t2 a JOIN st1 b
+        |         ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |        AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |live AS (SELECT doc_id, s FROM t2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM dup2)),
+        |feed AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 4
+        |                WHEN doc_id % 20 IN (5, 10) THEN doc_id + 1
+        |                ELSE doc_id END AS src
+        |         FROM documents WHERE doc_id % 5 = 0),
+        |fs AS (SELECT f.doc_id, s.s FROM feed f JOIN sh s ON s.doc_id = f.src),
+        |dup AS (SELECT a.doc_id, MIN(x.doc_id) AS match_id
+        |        FROM fs a JOIN live x
+        |          ON x.doc_id <> a.doc_id
+        |         AND len(a.s) >= 0.8 * len(x.s) AND len(x.s) >= 0.8 * len(a.s)
+        |         AND len(list_intersect(a.s, x.s)) * 1.0 /
+        |             (len(a.s) + len(x.s) - len(list_intersect(a.s, x.s))) >= 0.8
+        |        GROUP BY a.doc_id)
+        |SELECT f.doc_id, 'admitted' AS outcome, CAST(NULL AS BIGINT) AS match_id
+        |FROM feed f WHERE f.doc_id NOT IN (SELECT doc_id FROM dup)
+        |UNION ALL
+        |SELECT doc_id, 'rejected', CAST(match_id AS BIGINT) FROM dup""".stripMargin,
+
+    // the engine-owned sliding window replayed: three sequential ticks
+    // with the cadence expire firing inside the drain — tick 2's screen
+    // still sees tick 0 (eviction follows the tick's ingest), but the
+    // end state holds only the window {tick 1, tick 2} survivors, which
+    // is what the probe's verdicts replay against.
+    "stream_dedup_index_window" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+        |              ELSE [array_to_string(ws, ' ')] END AS s
+        |       FROM d),
+        |t0 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 1),
+        |t1 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 4),
+        |t2 AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 6),
+        |dup1 AS (SELECT DISTINCT a.doc_id FROM t1 a JOIN t0 b
+        |         ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |        AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |s1 AS (SELECT doc_id, s FROM t1 WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |st1 AS (SELECT doc_id, s FROM t0 UNION ALL SELECT doc_id, s FROM s1),
+        |dup2 AS (SELECT DISTINCT a.doc_id FROM t2 a JOIN st1 b
+        |         ON len(a.s) >= 0.8 * len(b.s) AND len(b.s) >= 0.8 * len(a.s)
+        |        AND len(list_intersect(a.s, b.s)) * 1.0 /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+        |s2 AS (SELECT doc_id, s FROM t2 WHERE doc_id NOT IN (SELECT doc_id FROM dup2)),
+        |live AS (SELECT doc_id, s FROM s1 UNION ALL SELECT doc_id, s FROM s2),
+        |feed AS (SELECT doc_id,
+        |           CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+        |                WHEN doc_id % 20 = 5 THEN doc_id - 1
+        |                WHEN doc_id % 20 = 10 THEN doc_id - 4
         |                ELSE doc_id END AS src
         |         FROM documents WHERE doc_id % 5 = 0),
         |fs AS (SELECT f.doc_id, s.s FROM feed f JOIN sh s ON s.doc_id = f.src),
