@@ -342,25 +342,45 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     * commit hits the same window. */
   private def reverifyCommit(fresh: DataFrame, adm: Long): Unit = {
     if (readMarker(StampFile).contains(fp)) return // no flip raced this commit
-    // The stamp flipped before this check. Two sub-cases, both healed
-    // HERE (never deferred to a retrain that might have crashed):
-    // if the flipping retrain is still finishing (intent pending), its
-    // pre-clear catch-up read may also migrate these rows — but the
-    // heal and the catch-up converge to the same residences, so
-    // self-healing unconditionally is correct and removes any
-    // dependence on the retrainer surviving past its flip. The heal
-    // parses the CURRENT layout directly (a flipped stamp always
-    // implies a readable matching layout — publishLayout precedes the
-    // flip) and re-upserts under it with a PINNED handle: an unpinned
-    // op would refuse while the intent clears.
-    val stamp = readMarker(StampFile).getOrElse(return)
-    val layout = readMarker(LayoutFile).getOrElse(return)
-    val (cs, bk) = IvfMorIndexStore.parseLayout(layout)
-    // stamp/layout disagree ⇒ we read MID-publish (layout lands before
-    // the stamp): that publisher's post-flip catch-up read is still in
-    // the future and will see these (already-committed) rows — safe to
-    // leave to it
-    if (IvfMorIndexStore.stampOf(cs, bk) != stamp) return
+    // The stamp flipped before this check. Heal HERE, under the
+    // CURRENT LAYOUT — never defer to the flipping publisher, and
+    // never key the heal off the stamp:
+    //   - mid-publish (layout written, stamp not yet flipped) the
+    //     layout is already the committed future — the intent marker
+    //     pins the target, so even a publisher that crashes here can
+    //     only be recovered toward the SAME geometry;
+    //   - deferring to the publisher is sound only for a CENTROID
+    //     retrain, whose catch-up re-derives cells. A CODEBOOK
+    //     publisher's catch-up re-encodes code words in place and
+    //     preserves residences — it can never move this commit's rows
+    //     out of their superseded cells (the r20 three-writer soak
+    //     caught exactly this: a door pinned two geometries back
+    //     committed mid-retrainBooks-publish, the old deferral left
+    //     its rows mis-resident with freshly-encoded codes);
+    //   - if the intent is still pending, the publisher's catch-up may
+    //     also migrate these rows — heal and catch-up converge to the
+    //     same residences, so healing unconditionally stays correct.
+    // The heal re-upserts through a PINNED handle on the layout's
+    // geometry (an unpinned op would refuse while the intent clears);
+    // if the layout advances yet again, the heal's own commit
+    // re-verifies and re-heals — the chain terminates because each
+    // heal lands on a strictly newer layout. The layout read retries
+    // through writeMarker's atomic-swap window (delete+rename, µs) and
+    // fails LOUDLY on a genuinely torn store rather than silently
+    // leaving rows under a superseded geometry.
+    var layout = readMarker(LayoutFile)
+    var spins = 0
+    while (layout.isEmpty && spins < 80) { // swap window is µs; 2 s cap
+      Thread.sleep(25); spins += 1; layout = readMarker(LayoutFile)
+    }
+    val text = layout.getOrElse(throw new IllegalStateException(
+      s"IVF index at $root has a flipped stamp but no readable layout — torn " +
+        "publish; re-run the interrupted migration before ingesting"))
+    val (cs, bk) = IvfMorIndexStore.parseLayout(text)
+    // layout equals this handle's geometry: the flip is heading back to
+    // exactly our cells/codes (a re-publish of the same layout) — the
+    // rows are correctly resident already
+    if (IvfMorIndexStore.stampOf(cs, bk) == fp) return
     IvfMorIndexStore.healedCommits.increment()
     new IvfMorIndexStore(spark, root, embCol, idCol, cs, bk, pinned = true)
       .upsert(fresh.select(col(idCol), col(embCol)), adm)
@@ -701,6 +721,15 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     val s1 = writeMarkerSet()
     if (s1 != s0) {
       IvfMorIndexStore.catchupRuns.increment()
+      // a racing commit may have come through a handle pinned TWO
+      // geometries back (old centroids AND no/old books): re-derive
+      // residences under THIS store's centroids first — codes are a
+      // pure function of the vector, so moved rows keep theirs and the
+      // re-encode below fixes any stale/missing word either way. The
+      // writer's own reverifyCommit also heals this case (it reads the
+      // layout, not the stamp); running the migration here keeps leg 1
+      // sufficient on its own, the retrain twin's defense-in-depth.
+      migratePass(centroids)
       store.read.foreach { rows =>
         val enc = Pq.encode(col(embCol), newBooks)
         val stale = rows.filter(!(col("pq_codes") <=> enc))

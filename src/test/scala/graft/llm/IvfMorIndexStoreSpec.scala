@@ -946,6 +946,58 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       s"${IvfMorIndexStore.catchupSkips.sum()}")
   }
 
+  test("a commit racing a MID-PUBLISH flip heals under the LAYOUT, not the stamp") {
+    // The r20 three-writer soak's find: a door pinned TWO geometries
+    // back commits while a CODEBOOK publisher sits between its layout
+    // write and its stamp flip. Deferring to that publisher is unsound
+    // — a books catch-up re-encodes code words in place and can never
+    // move the commit's rows out of their superseded cells. The heal
+    // must follow the LAYOUT (the committed future: the intent pins
+    // the target), so the rows land in current cells WITH current
+    // codes even though the stamp has not flipped yet.
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full.limit(100))
+    // the door pins the ORIGINAL k8 geometry...
+    val doorK8 = IvfMorIndexStore.openPinned(spark, root, "embedding", "vec_id")
+    // ...a centroid retrain completes under it...
+    val k4 = Similarity.ivfCentroids(full, "embedding", "vec_id", k = 4)
+    IvfMorIndexStore.open(spark, root, "embedding", "vec_id").retrain(k4)
+    // ...and a codebook publisher freezes MID-PUBLISH: intent pending,
+    // layout already naming (k4, books), stamp still the books-less k4
+    val books = Pq.trainCodebooks(full, "embedding", "vec_id", m = 8, ksub = 16)
+    val target = IvfMorIndexStore.stampOf(k4, Some(books))
+    val fs = hFs(root)
+    def put(name: String, text: String): Unit = {
+      val out = fs.create(hPath(root, name), true)
+      out.write(text.getBytes("UTF-8")); out.close()
+    }
+    put(IvfMorIndexStore.IntentFile, target)
+    put(IvfMorIndexStore.LayoutFile,
+      IvfMorIndexStore.serializeLayout(k4, Some(books), 3))
+    IvfMorIndexStore.healedCommits.reset()
+    val batch = (5000L until 5020L)
+      .map(i => i -> pts((i % 400).toInt)._2.map(x => x + 0.25f))
+      .toDF("vec_id", "embedding")
+    doorK8.upsert(batch)
+    assert(IvfMorIndexStore.healedCommits.sum() == 1,
+      "the mid-publish window must trigger the write-side heal")
+    // finish the frozen publish the way its recovery would
+    put(IvfMorIndexStore.StampFile, target)
+    fs.delete(hPath(root, IvfMorIndexStore.IntentFile), false)
+    val h = IvfMorIndexStore.open(spark, root, "embedding", "vec_id")
+    val got = h.read.get.filter(col("vec_id") >= 5000L)
+      .select(col("vec_id"),
+        (Similarity.cellOf(col("embedding"), k4) === col("cell")).as("cellOk"),
+        (Pq.encode(col("embedding"), books) <=> col("pq_codes")).as("codeOk"))
+      .collect()
+    assert(got.length == 20, s"heal lost rows: ${got.length}")
+    assert(got.forall(_.getBoolean(1)),
+      "racing commit's rows left in superseded cells — the deferral hole")
+    assert(got.forall(_.getBoolean(2)),
+      "racing commit's rows missing current code words")
+  }
+
   test("two-thread first-contact: exactly one geometry adoption wins; the loser refuses") {
     // two handles under DIFFERENT centroid sets race first contact with
     // one root: the stamp state machine's adoption arm is check-then-
