@@ -4095,8 +4095,12 @@ object SparkEntry {
         .select(col("doc_id"), srcId.as("__src"))
         .join(docs.select(col("doc_id").as("__src"), col("text")), Seq("__src"))
         .select("doc_id", "text")
-      val (admitted, matches) = store.ingestWithMatches(feed, 0.8, adm = 3L)
-      admitted.select(col("doc_id"), lit("admitted").as("outcome"),
+      // read-only attributed probe: the clock claim lives in the
+      // expire's effect on the live set, which the verdicts replay —
+      // the expire-family ingest leg is stream_dedup_index_expire's
+      val matches = store.probeMatches(feed, 0.8)
+      feed.join(matches, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("admitted").as("outcome"),
           lit(null).cast("long").as("match_id"))
         .unionByName(matches.select(col("doc_id"), lit("rejected").as("outcome"),
           col("match_id").cast("long")))
@@ -4122,8 +4126,14 @@ object SparkEntry {
       val store = new MinhashIndexStore(s, s"$tmp/store", "doc_id", "text")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
+      // cadence (window 2, every 3 ticks): one expire+gc firing, at
+      // tick 2 — the end state is identical to an every-tick cadence
+      // (ticks 0 and 1 would fire no-op expires) and the gc's two
+      // O(live) snapshots run once, the honest production shape (gc at
+      // retention cadence, not per tick). StreamOpsSpec covers the
+      // every-tick variant.
       graft.streaming.StreamOps.dedupIndexDrain(stream, store, 0.8,
-        s"$tmp/admitted", s"$tmp/ckpt", retention = Some((2L, 1)),
+        s"$tmp/admitted", s"$tmp/ckpt", retention = Some((2L, 3)),
         onStage = stageLogger("stream_dedup_index_window"))
       val srcId = when(col("doc_id") % 20 === 0, col("doc_id") + 1)
         .when(col("doc_id") % 20 === 5, col("doc_id") - 1)
