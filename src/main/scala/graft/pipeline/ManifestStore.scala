@@ -504,8 +504,13 @@ final class ManifestStore(spark: SparkSession, root: String, val partitionCol: S
   /** Drop segments no live manifest references and manifests older than
     * the newest `keepManifests` (time travel horizon). Safe against
     * crashed writers: an orphaned segment was never referenced, so
-    * deleting it cannot affect any reader. Defaults to the store's
-    * configured retention so explicit and automatic vacuums agree. */
+    * deleting it cannot affect any reader. No in-flight guard is needed
+    * here, unlike [[MorStore.vacuum]]'s commit-index skip: this store's
+    * commit contract is SINGLE-WRITER (see [[commit]]), so the only
+    * unreferenced segments are the caller's own crashed leftovers —
+    * there is no sanctioned concurrent appender whose staged segment a
+    * vacuum could race. Defaults to the store's configured retention so
+    * explicit and automatic vacuums agree. */
   def vacuum(keepManifests: Int = this.mergeBatchKeepManifests): Unit = {
     val keep = manifestVersions.takeRight(keepManifests)
     val referenced = keep.flatMap(readManifest(_).values).toSet
