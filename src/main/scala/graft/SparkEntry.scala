@@ -2444,6 +2444,28 @@ object SparkEntry {
           col("match_id").cast("long")))
     }),
 
+    "ann_ivf_drift" -> ((s, d) => {
+      // WHEN to retrain: the drift report that completes the retrain
+      // story (retrain/retrainBooks the mechanism, expire the horizon,
+      // THIS the trigger). A re-embed wave lands (every %10==3 vector
+      // negated — a model revision concentrating mass away from the
+      // trained centroids), then one narrow reconciled scan × a
+      // broadcast k-row centroid table yields per-cell population and
+      // integer-micro cohesion — falling mean cosine and hot cells are
+      // what a production cadence alerts on. The oracle replays the
+      // centroid training, the post-wave residences, and the exact
+      // per-row ⌊cos·10⁶⌋ integer sums.
+      import graft.llm.{IvfMorIndexStore, Similarity}
+      val tmp = scratchDir("ann_drift")
+      val emb = Tables.embeddings(s, d)
+      val centroids = Similarity.ivfCentroids(emb, "embedding", "vec_id", k = 8)
+      val idx = new IvfMorIndexStore(s, s"$tmp/idx", "embedding", "vec_id", centroids)
+      idx.upsert(emb)
+      idx.upsert(emb.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => -x)))
+      idx.driftReport()
+    }),
+
     "dedup_cosine_pairs" -> ((s, d) => {
       // plant exact duplicates (vec_id+1000000) so the detector has real
       // near-dups to find; random embeddings never reach cosine 0.95, so
@@ -8437,6 +8459,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT vec_id + 1000000, 'rejected', CAST(vec_id AS BIGINT)
         |FROM embeddings WHERE vec_id % 10 = 0 AND vec_id % 4 >= 2""".stripMargin,
+
+    // the drift report replayed exactly: the shared IVF training rule
+    // (k lowest ids seed + one Lloyd step, REAL-cast refined centroids)
+    // gives the trained cells; the post-wave state re-assigns every
+    // %10==3 vector NEGATED (the re-embed upsert moves it to the cell
+    // nearest its new embedding); per-row ⌊cos·10⁶⌋ then integer sums —
+    // order-independent on both engines, so the aggregate hash-matches.
+    "ann_ivf_drift" ->
+      s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+         |${ivfAssignCtes(8, "o")},
+         |fin AS (SELECT vec_id,
+         |          CASE WHEN vec_id % 10 = 3 THEN list_transform(e, x -> -x) ELSE e END AS v
+         |        FROM emb),
+         |asg AS (SELECT vec_id, v, cell,
+         |          row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+         |        FROM (SELECT f.vec_id, f.v, r.cell, ${cosSql("v", "c")} AS cos
+         |              FROM fin f CROSS JOIN orefined r)),
+         |res AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
+         |m AS (SELECT res.cell,
+         |        CAST(floor(${cosSql("res.v", "r.c")} * 1e6) AS BIGINT) AS cm
+         |      FROM res JOIN orefined r ON r.cell = res.cell)
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+         |       CAST(sum(cm) AS BIGINT) AS sum_cos_micro
+         |FROM m GROUP BY cell ORDER BY cell""".stripMargin,
 
     // closed form of the planted clustering: pair members label back to
     // v, triple members to v, everything else is a kept singleton

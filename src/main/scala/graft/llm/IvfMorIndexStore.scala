@@ -743,6 +743,37 @@ final class IvfMorIndexStore(spark: SparkSession, root: String,
     new IvfMorIndexStore(spark, root, embCol, idCol, centroids, Some(newBooks))
   }
 
+  /** WHEN to retrain — the drift SIGNAL that triggers the machinery
+    * ([[retrain]]/[[retrainBooks]] are the mechanism, [[expire]] the
+    * horizon): one row per occupied cell with its population `n` and
+    * `sum_cos_micro`, the integer-micro sum of each resident's cosine
+    * to its cell centroid (per-row `⌊cos·10⁶⌋` then an exact integer
+    * sum — order-independent, so the report is deterministic across
+    * partitionings and engine-replayable). Consumers derive the two
+    * production triggers: mean cohesion (`sum_cos_micro / n / 10⁶`)
+    * falling as re-embed waves land far from the trained centroids,
+    * and population imbalance (hot cells make nprobe recall collapse
+    * and per-cell scans skew). Cost: one narrow reconciled scan × a
+    * broadcast k-row centroid table — cheap enough for a cadence
+    * probe, never O(k · index). */
+  def driftReport(): DataFrame = {
+    verifyOp()
+    import org.apache.spark.sql.functions.{count, floor, sum}
+    import spark.implicits._
+    val cdf = centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toSeq.toDF("cell", "centroid")
+    store.read match {
+      case None => Seq.empty[(Long, Long, Long)].toDF("cell", "n", "sum_cos_micro")
+      case Some(df) =>
+        df.join(broadcast(cdf), Seq("cell"))
+          .withColumn("cos_micro",
+            floor(graft.functions.VectorOps
+              .vectorCosine(col(embCol), col("centroid")) * lit(1e6)).cast("long"))
+          .groupBy(col("cell").cast("long").as("cell"))
+          .agg(count(lit(1)).as("n"), sum("cos_micro").as("sum_cos_micro"))
+    }
+  }
+
   /** (cell segments, id-superset segments) — the probe's read
     * amplification, bounded by compactHot. */
   def segmentCounts: (Int, Int) = (store.liveSegments, idStore.liveSegments)

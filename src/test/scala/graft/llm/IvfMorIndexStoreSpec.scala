@@ -946,6 +946,40 @@ class IvfMorIndexStoreSpec extends SparkSpec {
       s"${IvfMorIndexStore.catchupSkips.sum()}")
   }
 
+  test("driftReport: per-cell population + integer-micro cohesion equal a driver recompute") {
+    val root = freshRoot()
+    val ivf = new IvfMorIndexStore(spark, root, "embedding", "vec_id", centroids)
+    ivf.upsert(full)
+    // a re-embed wave: negate every %10==3 vector — its residence moves
+    // to the cell nearest the NEW embedding, cohesion drops corpus-wide
+    val wave = full.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    ivf.upsert(wave)
+    val got = ivf.driftReport().collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver recompute from first principles
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val state = pts.map { case (id, v) =>
+      val e = if (id % 10 == 3) v.map(-_) else v
+      val cell = centroids.indices.maxBy(c => (cos(e, centroids(c)), -c))
+      (cell, math.floor(cos(e, centroids(cell)) * 1e6).toLong)
+    }
+    val want = state.groupBy(_._1).map { case (c, xs) =>
+      c.toLong -> (xs.size.toLong, xs.map(_._2).sum)
+    }
+    assert(got == want, s"drift report diverged: got $got want $want")
+    // the report is a trigger signal: total population conserved, and
+    // the wave's cells show sub-unit mean cohesion (a fresh build's
+    // exact-fit rows sit at ~1.0)
+    assert(got.values.map(_._1).sum == 400L)
+    assert(got.values.exists { case (n, s) => s < n * 999999L },
+      "the re-embed wave must depress cohesion somewhere")
+  }
+
   test("a commit racing a MID-PUBLISH flip heals under the LAYOUT, not the stamp") {
     // The r20 three-writer soak's find: a door pinned TWO geometries
     // back commits while a CODEBOOK publisher sits between its layout
